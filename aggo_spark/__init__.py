@@ -1,0 +1,35 @@
+"""aggo-spark — a PySpark-native MongoDB-aggregation-pipeline engine.
+
+Same query surface as TomNeyland/aggo (see SURVEY.md), compiled to Spark
+DataFrame/Catalyst plans: ``aggregate(df, pipeline)`` returns a lazy
+DataFrame; Spark supplies optimization, columnar execution, shuffle, and
+streaming.
+"""
+
+from .engine import Engine, aggregate
+from .errors import (
+    AggoSparkError,
+    InvalidPipeline,
+    UnknownCollection,
+    UnsupportedExpression,
+    UnsupportedStage,
+)
+from .session import build_session
+from .sources.io import load_tables, read_jsonl, read_parquet, write_jsonl
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Engine",
+    "aggregate",
+    "build_session",
+    "read_jsonl",
+    "read_parquet",
+    "write_jsonl",
+    "load_tables",
+    "AggoSparkError",
+    "InvalidPipeline",
+    "UnknownCollection",
+    "UnsupportedExpression",
+    "UnsupportedStage",
+]

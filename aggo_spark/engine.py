@@ -1,0 +1,89 @@
+"""Public engine API: MongoDB-pipeline-over-Spark.
+
+Replaces the reference's four in-process engines + heuristic router
+(``/root/reference/src/aggo/hot-path-aggregation.ts:573-660``) with exactly
+one path: pipeline JSON → DataFrame logical plan → Catalyst → Tungsten.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .errors import UnknownCollection
+from .operators.stages import apply_pipeline
+
+
+class Engine:
+    """Compiles and runs MongoDB-style aggregation pipelines on Spark.
+
+    ``collections`` registers named DataFrames for ``$lookup`` /
+    ``$unionWith`` (the reference passes JS arrays by reference;
+    we pass DataFrames by name).
+    """
+
+    def __init__(
+        self,
+        collections: Mapping[str, DataFrame] | None = None,
+        sample_seed: int = 42,
+    ) -> None:
+        self.collections: dict[str, DataFrame] = dict(collections or {})
+        self.sample_seed = sample_seed
+
+    def register(self, name: str, df: DataFrame) -> "Engine":
+        self.collections[name] = df
+        return self
+
+    def collection(self, name) -> DataFrame:
+        if isinstance(name, DataFrame):
+            return name
+        if name not in self.collections:
+            raise UnknownCollection(f"collection {name!r} not registered with the engine")
+        return self.collections[name]
+
+    def aggregate(self, source, pipeline: list) -> DataFrame:
+        """Translate + apply ``pipeline`` to ``source``.
+
+        ``source`` is a DataFrame or a registered collection name. Returns a
+        DataFrame (lazy logical plan) — call ``.collect()`` / ``.write`` /
+        ``.toJSON()`` to execute, mirroring the reference's
+        ``Aggo.aggregate(collection, pipeline)`` (``src/index.ts:296+``).
+        """
+        df = self.collection(source)
+        return apply_pipeline(df, pipeline, self)
+
+    def explain(self, source, pipeline: list, mode: str = "formatted") -> str:
+        """Catalyst plan for a pipeline (the reference's ``explain()``,
+        ``src/aggo/api-enhancements.ts:135-241``, backed by a real optimizer)."""
+        df = self.aggregate(source, pipeline)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), mode
+        )
+
+
+def aggregate(
+    source,
+    pipeline: list,
+    *,
+    collections: Mapping[str, DataFrame] | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """One-shot convenience: ``aggregate(df_or_rows, pipeline)``.
+
+    Accepts a DataFrame or a plain list of dicts (the reference's in-memory
+    array source, ``src/aggo/aggregation.ts:759-786``) — the latter is
+    converted with schema inference and is intended for tests/small data
+    only; real inputs should arrive via ``spark.read``.
+    """
+    if not isinstance(source, DataFrame):
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("pass spark= when source is not a DataFrame")
+        source = spark.createDataFrame(source)
+    colls = {}
+    for name, c in (collections or {}).items():
+        if not isinstance(c, DataFrame):
+            c = (spark or SparkSession.getActiveSession()).createDataFrame(c)
+        colls[name] = c
+    return Engine(colls).aggregate(source, pipeline)

@@ -1,0 +1,113 @@
+"""$group accumulator dialect → Spark aggregate Columns.
+
+Reference registry: ``/root/reference/src/aggo/accumulators.ts:20-34``
+(dispatch 52-71). Every accumulator maps to a native Spark aggregate —
+partial (map-side) aggregation, spill-to-disk, and codegen come free from
+``HashAggregateExec``; the reference's incremental (IVM) variants are
+subsumed by Structured Streaming state when the same spec is used in a
+streaming pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..errors import InvalidPipeline, UnsupportedExpression
+from ..plans.context import ExprContext
+from .expressions import translate_expr
+
+__all__ = ["accumulator_to_column", "window_function_to_column"]
+
+
+def accumulator_to_column(name: str, spec: object, ctx: ExprContext) -> Column:
+    """Translate ``{field: {$acc: expr}}`` to an aliased aggregate Column."""
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise InvalidPipeline(f"accumulator spec for {name!r} must be a single-operator object")
+    op, arg = next(iter(spec.items()))
+    col = _accumulator(op, arg, ctx)
+    return col.alias(name)
+
+
+def _accumulator(op: str, arg: object, ctx: ExprContext) -> Column:
+    if op == "$sum":
+        # $sum: <number literal> counts docs weighted by the literal
+        # (reference accumulators.ts:73-88)
+        if isinstance(arg, (int, float)) and not isinstance(arg, bool):
+            if arg == 1:
+                return F.count(F.lit(1))
+            return F.count(F.lit(1)) * F.lit(arg)
+        return F.sum(translate_expr(arg, ctx))
+    if op == "$avg":
+        return F.avg(translate_expr(arg, ctx))
+    if op == "$min":
+        return F.min(translate_expr(arg, ctx))
+    if op == "$max":
+        return F.max(translate_expr(arg, ctx))
+    if op == "$first":
+        return F.first(translate_expr(arg, ctx))
+    if op == "$last":
+        return F.last(translate_expr(arg, ctx))
+    if op == "$push":
+        return F.collect_list(translate_expr(arg, ctx))
+    if op == "$addToSet":
+        return F.collect_set(translate_expr(arg, ctx))
+    if op == "$stdDevPop":
+        return F.stddev_pop(translate_expr(arg, ctx))
+    if op == "$stdDevSamp":
+        return F.stddev_samp(translate_expr(arg, ctx))
+    if op == "$variancePop":
+        return F.var_pop(translate_expr(arg, ctx))
+    if op == "$varianceSamp":
+        return F.var_samp(translate_expr(arg, ctx))
+    if op == "$count":
+        # MongoDB 5.0 {$count: {}} accumulator form
+        return F.count(F.lit(1))
+    if op == "$countDistinct":
+        # extension: exact distinct count
+        return F.count_distinct(translate_expr(arg, ctx))
+    if op == "$approxCountDistinct":
+        # extension: HLL sketch — the 100 TB-scale variant of $addToSet+$size
+        return F.approx_count_distinct(translate_expr(arg, ctx))
+    if op == "$mergeObjects":
+        raise UnsupportedExpression("$mergeObjects accumulator not yet supported")
+    if op == "$minBy":
+        # extension: deterministic first-by-order ($first after $sort is
+        # nondeterministic under distributed grouping; min_by is the
+        # scale-correct equivalent)
+        return F.min_by(translate_expr(arg["output"], ctx), translate_expr(arg["by"], ctx))
+    if op == "$maxBy":
+        return F.max_by(translate_expr(arg["output"], ctx), translate_expr(arg["by"], ctx))
+    raise UnsupportedExpression(f"unsupported accumulator {op}")
+
+
+# window-function forms for $setWindowFields (MongoDB 5.0 stage; a natural
+# Spark extension — reference lacks it, SURVEY.md §2.2 "cheaply add" list)
+_RANK_OPS = {
+    "$rank": F.rank,
+    "$denseRank": F.dense_rank,
+    "$documentNumber": F.row_number,
+}
+
+
+def window_function_to_column(spec: dict, ctx: ExprContext):
+    """Translate one $setWindowFields output spec → (agg Column builder, needs_frame).
+
+    Returns (fn, takes_frame) where fn(window_spec) → Column.
+    """
+    items = [(k, v) for k, v in spec.items() if k != "window"]
+    if len(items) != 1:
+        raise InvalidPipeline("window output spec must have exactly one operator")
+    op, arg = items[0]
+    if op in _RANK_OPS:
+        fn = _RANK_OPS[op]
+        return (lambda w: fn().over(w)), False
+    if op == "$shift":
+        offset = arg.get("by", 1)
+        default = arg.get("default")
+        out_expr = translate_expr(arg["output"], ctx)
+        if offset >= 0:
+            return (lambda w: F.lead(out_expr, offset, default).over(w)), False
+        return (lambda w: F.lag(out_expr, -offset, default).over(w)), False
+    agg = _accumulator(op, arg, ctx)
+    return (lambda w: agg.over(w)), True

@@ -1,0 +1,729 @@
+"""MongoDB aggregation-expression dialect → pyspark.sql.Column compiler.
+
+Covers the full operator surface of the reference engine
+(``/root/reference/src/aggo/operators.ts:729-824`` registry, evaluator
+``src/aggo/expressions.ts:101-127``) re-expressed as *pure Column
+construction* — no Python UDFs anywhere, so every expression stays inside
+Catalyst/whole-stage-codegen on the JVM.
+
+Normative-semantics note (SURVEY.md §7.4): where the reference's JS semantics
+deviate from SQL (truthiness, null-joining `$concat`, string-coerced mixed
+compares) this compiler implements SQL/Spark semantics; deviations are listed
+in COMPAT.md.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re as _re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import InvalidPipeline, UnsupportedExpression
+from ..plans.context import REMOVE, ExprContext
+
+__all__ = ["translate_expr", "literal_to_column", "OPERATORS"]
+
+
+# ---------------------------------------------------------------------------
+# entry point
+# ---------------------------------------------------------------------------
+
+def translate_expr(expr: object, ctx: ExprContext) -> Column:
+    """Translate one aggregation expression to a Column.
+
+    Dispatch mirrors the reference evaluator
+    (``src/aggo/expressions.ts:101-127``): system variable → field path →
+    operator object → expression object → literal.
+    """
+    if isinstance(expr, Column):  # already translated (internal reuse)
+        return expr
+    if isinstance(expr, str):
+        if expr.startswith("$$"):
+            return _system_variable(expr, ctx)
+        if expr.startswith("$"):
+            return ctx.resolve_path(expr[1:])
+        return F.lit(expr)
+    if isinstance(expr, (bool, int, float, _dt.datetime, _dt.date)) or expr is None:
+        return F.lit(expr)
+    if isinstance(expr, list):
+        return F.array(*[translate_expr(e, ctx) for e in expr])
+    if isinstance(expr, dict):
+        keys = list(expr)
+        if len(keys) == 1 and keys[0].startswith("$"):
+            op = keys[0]
+            fn = OPERATORS.get(op)
+            if fn is None:
+                raise UnsupportedExpression(f"unsupported expression operator: {op}")
+            return fn(expr[op], ctx)
+        if any(k.startswith("$") for k in keys):
+            raise InvalidPipeline(f"cannot mix operators and fields in expression object: {keys}")
+        # expression object → struct (reference $expressionObject,
+        # src/aggo/expressions.ts:252-403)
+        return F.struct(*[translate_expr(v, ctx).alias(k) for k, v in expr.items()])
+    raise UnsupportedExpression(f"cannot translate expression of type {type(expr)!r}")
+
+
+def literal_to_column(value: object) -> Column:
+    """$literal — value used verbatim, no operator interpretation
+    (reference ``src/aggo/expressions.ts:475-477``)."""
+    if isinstance(value, list):
+        return F.array(*[literal_to_column(v) for v in value])
+    if isinstance(value, dict):
+        return F.struct(*[literal_to_column(v).alias(k) for k, v in value.items()])
+    return F.lit(value)
+
+
+def _system_variable(expr: str, ctx: ExprContext) -> Column:
+    path = expr[2:]
+    head, _, rest = path.partition(".")
+    if head in ("ROOT", "CURRENT"):
+        col = ctx.root()
+    elif head == "NOW":
+        col = F.current_timestamp()
+    elif head == "REMOVE":
+        return REMOVE  # type: ignore[return-value]
+    elif head in ctx.variables:
+        col = ctx.variables[head]
+    else:
+        raise UnsupportedExpression(f"unknown system variable $${path}")
+    for seg in rest.split(".") if rest else []:
+        col = col.getField(seg)
+    return col
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _args(spec, n=None, at_least=None):
+    args = spec if isinstance(spec, list) else [spec]
+    if n is not None and len(args) != n:
+        raise InvalidPipeline(f"expected {n} args, got {len(args)}")
+    if at_least is not None and len(args) < at_least:
+        raise InvalidPipeline(f"expected >= {at_least} args, got {len(args)}")
+    return args
+
+
+def _tx(args, ctx):
+    return [translate_expr(a, ctx) for a in args]
+
+
+def _is_temporal(dt: T.DataType | None) -> bool:
+    return isinstance(dt, (T.TimestampType, T.DateType, T.TimestampNTZType))
+
+
+def _as_bool(col: Column) -> Column:
+    return col.cast("boolean")
+
+
+# ---------------------------------------------------------------------------
+# boolean (reference operators.ts:59-69)
+# ---------------------------------------------------------------------------
+
+def _op_and(spec, ctx):
+    cols = [_as_bool(c) for c in _tx(_args(spec, at_least=1), ctx)]
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
+def _op_or(spec, ctx):
+    cols = [_as_bool(c) for c in _tx(_args(spec, at_least=1), ctx)]
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out
+
+
+def _op_not(spec, ctx):
+    (a,) = _tx(_args(spec, 1), ctx)
+    # MongoDB $not: null/missing is falsy → $not yields true
+    return ~F.coalesce(_as_bool(a), F.lit(False))
+
+
+# ---------------------------------------------------------------------------
+# comparison (reference operators.ts:128-205)
+# ---------------------------------------------------------------------------
+
+def _op_cmp(spec, ctx):
+    a, b = _tx(_args(spec, 2), ctx)
+    return (
+        F.when(a.eqNullSafe(b), 0)
+        .when(a.isNull(), -1)  # null sorts lowest (reference operators.ts:136-148)
+        .when(b.isNull(), 1)
+        .when(a < b, -1)
+        .when(a > b, 1)
+    )
+
+
+def _cmp_factory(fn):
+    def _op(spec, ctx):
+        a, b = _tx(_args(spec, 2), ctx)
+        return fn(a, b)
+
+    return _op
+
+
+# ---------------------------------------------------------------------------
+# arithmetic (reference operators.ts:208-289, 717-720)
+# ---------------------------------------------------------------------------
+
+def _op_add(spec, ctx):
+    args = _args(spec, at_least=1)
+    types = [ctx.infer_type(a) for a in args]
+    cols = _tx(args, ctx)
+    if any(_is_temporal(t) for t in types):
+        # Date + number(ms) → Date (reference operators.ts:208-228)
+        millis = F.lit(0).cast("long")
+        base = None
+        for col, t in zip(cols, types):
+            if _is_temporal(t) and base is None:
+                base = col
+            else:
+                millis = millis + col.cast("long")
+        return F.timestamp_millis(F.unix_millis(base) + millis)
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def _op_subtract(spec, ctx):
+    args = _args(spec, 2)
+    ta, tb = (ctx.infer_type(a) for a in args)
+    a, b = _tx(args, ctx)
+    if _is_temporal(ta) and _is_temporal(tb):
+        # Date − Date → milliseconds (reference operators.ts:230-245)
+        return F.unix_millis(a) - F.unix_millis(b)
+    if _is_temporal(ta):
+        return F.timestamp_millis(F.unix_millis(a) - b.cast("long"))
+    return a - b
+
+
+def _op_multiply(spec, ctx):
+    cols = _tx(_args(spec, at_least=1), ctx)
+    out = cols[0]
+    for c in cols[1:]:
+        out = out * c
+    return out
+
+
+def _op_mod(spec, ctx):
+    a, b = _tx(_args(spec, 2), ctx)
+    return a % b  # JS % truncates toward zero == Spark % (operators.ts:259-261)
+
+
+def _op_trunc(spec, ctx):
+    (a,) = _tx(_args(spec, 1), ctx)
+    # toward-zero truncation (reference operators.ts:717-720)
+    return F.when(a >= 0, F.floor(a)).otherwise(F.ceil(a))
+
+
+def _op_round(spec, ctx):
+    args = _args(spec, at_least=1)
+    col = translate_expr(args[0], ctx)
+    place = args[1] if len(args) > 1 else 0
+    if isinstance(place, int):
+        return F.round(col, place)
+    return F.round(col, translate_expr(place, ctx))
+
+
+# ---------------------------------------------------------------------------
+# string (reference operators.ts:292-377, 723-727)
+# ---------------------------------------------------------------------------
+
+def _op_concat(spec, ctx):
+    return F.concat(*_tx(_args(spec, at_least=1), ctx))
+
+
+def _op_substr(spec, ctx):
+    s, start, length = _args(spec, 3)
+    col = translate_expr(s, ctx)
+    if isinstance(start, int) and isinstance(length, int):
+        return F.substring(col, start + 1, length)
+    return col.substr(translate_expr(start, ctx) + F.lit(1), translate_expr(length, ctx))
+
+
+def _op_split(spec, ctx):
+    s, delim = _args(spec, 2)
+    col = translate_expr(s, ctx)
+    if isinstance(delim, str):
+        # JS String.split with a string delimiter is literal, Spark's is a
+        # regex (reference operators.ts:316-323) → escape metacharacters.
+        return F.split(col, _re.escape(delim), -1)
+    return F.split(col, translate_expr(delim, ctx), F.lit(-1))
+
+
+def _trim_factory(fn_name):
+    def _op(spec, ctx):
+        if isinstance(spec, dict):
+            col = translate_expr(spec["input"], ctx)
+            chars = spec.get("chars")
+        else:
+            col = translate_expr(spec, ctx)
+            chars = None
+        if chars is None:
+            return getattr(F, fn_name)(col)
+        c = translate_expr(chars, ctx) if not isinstance(chars, str) else F.lit(chars)
+        if fn_name == "trim":
+            return F.btrim(col, c)
+        return getattr(F, fn_name)(col, c)
+
+    return _op
+
+
+def _op_to_string(spec, ctx):
+    (a,) = _tx(_args(spec, 1), ctx)
+    return a.cast("string")
+
+
+# ---------------------------------------------------------------------------
+# array (reference operators.ts:380-526, expressions.ts:200-237)
+# ---------------------------------------------------------------------------
+
+def _op_size(spec, ctx):
+    args = _args(spec, 1)
+    t = ctx.infer_type(args[0])
+    (a,) = _tx(args, ctx)
+    if isinstance(t, T.StringType):
+        # reference $size also measures strings (operators.ts:380-386)
+        return F.length(a)
+    return F.size(a)
+
+
+def _op_array_elem_at(spec, ctx):
+    arr_e, idx = _args(spec, 2)
+    arr = translate_expr(arr_e, ctx)
+    if isinstance(idx, int):
+        i = F.lit(idx + 1 if idx >= 0 else idx)
+    else:
+        ic = translate_expr(idx, ctx)
+        i = F.when(ic >= 0, ic + 1).otherwise(ic)
+    return F.try_element_at(arr, i.cast("int"))
+
+
+def _lambda_var(spec, default="this"):
+    return spec.get("as", default) if isinstance(spec, dict) else default
+
+
+def _op_filter(spec, ctx):
+    var = _lambda_var(spec)
+    input_col = translate_expr(spec["input"], ctx)
+
+    def pred(x):
+        inner = ctx.with_vars({var: x})
+        return _as_bool(translate_expr(spec["cond"], inner))
+
+    return F.filter(input_col, pred)
+
+
+def _op_map(spec, ctx):
+    var = _lambda_var(spec)
+    input_col = translate_expr(spec["input"], ctx)
+
+    def fn(x):
+        inner = ctx.with_vars({var: x})
+        return translate_expr(spec["in"], inner)
+
+    return F.transform(input_col, fn)
+
+
+def _op_reduce(spec, ctx):
+    # $reduce {input, initialValue, in} with $$value / $$this
+    # (reference expressions.ts:200-237)
+    input_col = translate_expr(spec["input"], ctx)
+    init = translate_expr(spec["initialValue"], ctx)
+    # Spark's `aggregate` requires init type == merge return type; widen
+    # numeric literal inits to match the array's element type.
+    iv = spec["initialValue"]
+    if isinstance(iv, (int, float)) and not isinstance(iv, bool):
+        t = ctx.infer_type(spec["input"])
+        elem = t.elementType if isinstance(t, T.ArrayType) else None
+        if isinstance(iv, float) or isinstance(elem, (T.DoubleType, T.FloatType)):
+            init = init.cast("double")
+        elif isinstance(elem, (T.LongType, T.IntegerType, T.ShortType)) or isinstance(iv, int):
+            init = init.cast("long")
+
+    def merge(acc, x):
+        inner = ctx.with_vars({"value": acc, "this": x})
+        return translate_expr(spec["in"], inner)
+
+    return F.aggregate(input_col, init, merge)
+
+
+def _op_slice(spec, ctx):
+    args = _args(spec, at_least=2)
+    arr = translate_expr(args[0], ctx)
+    if len(args) == 2:
+        n = args[1]
+        if not isinstance(n, int):
+            raise UnsupportedExpression("$slice with non-literal count")
+        # [arr, n]: n>=0 → first n; n<0 → last |n| (operators.ts:449-477)
+        return F.slice(arr, 1, n) if n >= 0 else F.slice(arr, n, -n)
+    start, count = args[1], args[2]
+    if not (isinstance(start, int) and isinstance(count, int)):
+        raise UnsupportedExpression("$slice with non-literal bounds")
+    if count < 0:
+        raise InvalidPipeline("$slice count must be positive in 3-arg form")
+    pos = start + 1 if start >= 0 else start
+    return F.slice(arr, pos, count)
+
+
+def _op_concat_arrays(spec, ctx):
+    return F.concat(*_tx(_args(spec, at_least=1), ctx))
+
+
+def _op_in(spec, ctx):
+    v, arr = _tx(_args(spec, 2), ctx)
+    return F.array_contains(arr, v)
+
+
+def _op_index_of_array(spec, ctx):
+    args = _args(spec, at_least=2)
+    arr = translate_expr(args[0], ctx)
+    val = translate_expr(args[1], ctx)
+    start = args[2] if len(args) > 2 else 0
+    end = args[3] if len(args) > 3 else None
+    if start or end is not None:
+        if not isinstance(start, int) or (end is not None and not isinstance(end, int)):
+            raise UnsupportedExpression("$indexOfArray with non-literal bounds")
+        length = (end - start) if end is not None else F.size(arr)
+        window = F.slice(arr, start + 1, length if isinstance(length, int) else length)
+        pos = F.array_position(window, val)
+        return F.when(arr.isNull(), F.lit(None)).when(pos > 0, pos + start - 1).otherwise(F.lit(-1))
+    pos = F.array_position(arr, val)
+    return F.when(arr.isNull(), F.lit(None)).otherwise(pos - 1)
+
+
+def _array_numeric_only(col: Column) -> Column:
+    return F.filter(col, lambda x: x.isNotNull())
+
+
+def _op_array_sum(spec, ctx):
+    args = spec if isinstance(spec, list) else [spec]
+    if len(args) == 1:
+        t = ctx.infer_type(args[0])
+        col = translate_expr(args[0], ctx)
+        if isinstance(t, T.ArrayType) or t is None:
+            # $sum over an array expression (operators.ts:529-574)
+            return F.aggregate(
+                F.coalesce(_array_numeric_only(col), F.array()),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double"),
+            )
+        return col
+    out = None
+    for c in _tx(args, ctx):
+        out = c if out is None else out + c
+    return out
+
+
+def _op_array_avg(spec, ctx):
+    args = spec if isinstance(spec, list) else [spec]
+    if len(args) == 1:
+        col = _array_numeric_only(translate_expr(args[0], ctx))
+        total = F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        n = F.size(col)
+        return F.when(n > 0, total / n)
+    cols = _tx(args, ctx)
+    s = cols[0]
+    for c in cols[1:]:
+        s = s + c
+    return s / F.lit(len(cols))
+
+
+def _op_array_min(spec, ctx):
+    (a,) = _tx(_args(spec, 1), ctx)
+    return F.array_min(a)
+
+
+def _op_array_max(spec, ctx):
+    (a,) = _tx(_args(spec, 1), ctx)
+    return F.array_max(a)
+
+
+def _op_reverse_array(spec, ctx):
+    (a,) = _tx(_args(spec, 1), ctx)
+    return F.reverse(a)
+
+
+def _op_range(spec, ctx):
+    args = _args(spec, at_least=2)
+    cols = _tx(args, ctx)
+    start, end = cols[0].cast("long"), cols[1].cast("long")
+    step = cols[2].cast("long") if len(cols) > 2 else F.lit(1).cast("long")
+    # MongoDB $range is end-exclusive; F.sequence is inclusive.
+    out = F.sequence(start, end - F.signum(step.cast("double")).cast("long"), step)
+    return F.when((end - start) * step > 0, out).otherwise(F.array().cast("array<long>"))
+
+
+# ---------------------------------------------------------------------------
+# set (reference operators.ts:72-125)
+# ---------------------------------------------------------------------------
+
+def _op_set_equals(spec, ctx):
+    a, b = _tx(_args(spec, 2), ctx)
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    return (F.size(F.array_except(da, db)) == 0) & (F.size(F.array_except(db, da)) == 0)
+
+
+def _op_set_is_subset(spec, ctx):
+    a, b = _tx(_args(spec, 2), ctx)
+    return F.size(F.array_except(F.array_distinct(a), b)) == 0
+
+
+def _op_any_element_true(spec, ctx):
+    (a,) = _tx(_args(spec, 1), ctx)
+    return F.exists(a, lambda x: _as_bool(x))
+
+
+def _op_all_elements_true(spec, ctx):
+    (a,) = _tx(_args(spec, 1), ctx)
+    return F.forall(a, lambda x: _as_bool(x))
+
+
+# ---------------------------------------------------------------------------
+# date (reference operators.ts:577-642) — all UTC-normative (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+def _date_factory(fn):
+    def _op(spec, ctx):
+        (a,) = _tx(_args(spec, 1), ctx)
+        return fn(a)
+
+    return _op
+
+
+def _op_millisecond(spec, ctx):
+    (a,) = _tx(_args(spec, 1), ctx)
+    return (F.unix_millis(a) % 1000).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# conditional (reference operators.ts:645-670, expressions.ts:152-198)
+# ---------------------------------------------------------------------------
+
+def _op_cond(spec, ctx):
+    if isinstance(spec, dict):
+        if_, then, else_ = spec["if"], spec["then"], spec["else"]
+    else:
+        if_, then, else_ = _args(spec, 3)
+    c = _as_bool(translate_expr(if_, ctx))
+    return F.when(c, translate_expr(then, ctx)).otherwise(translate_expr(else_, ctx))
+
+
+def _op_if_null(spec, ctx):
+    return F.coalesce(*_tx(_args(spec, at_least=2), ctx))
+
+
+def _op_switch(spec, ctx):
+    branches = spec.get("branches", [])
+    if not branches:
+        raise InvalidPipeline("$switch requires branches")
+    out = None
+    for br in branches:
+        c = _as_bool(translate_expr(br["case"], ctx))
+        v = translate_expr(br["then"], ctx)
+        out = F.when(c, v) if out is None else out.when(c, v)
+    if "default" in spec:
+        out = out.otherwise(translate_expr(spec["default"], ctx))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# type (reference operators.ts:673-696)
+# ---------------------------------------------------------------------------
+
+_TYPE_NAMES = {
+    T.StringType: "string",
+    T.BooleanType: "bool",
+    T.LongType: "long",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.DoubleType: "double",
+    T.FloatType: "double",
+    T.TimestampType: "date",
+    T.DateType: "date",
+    T.ArrayType: "array",
+    T.StructType: "object",
+    T.MapType: "object",
+    T.NullType: "null",
+    T.BinaryType: "binData",
+}
+
+
+def _op_type(spec, ctx):
+    args = _args(spec, 1)
+    t = ctx.infer_type(args[0])
+    col = translate_expr(args[0], ctx)
+    name = "missing" if t is None else _TYPE_NAMES.get(type(t), "object")
+    if t is None:
+        return F.lit("missing")
+    return F.when(col.isNull(), F.lit("null")).otherwise(F.lit(name))
+
+
+def _op_is_number(spec, ctx):
+    args = _args(spec, 1)
+    t = ctx.infer_type(args[0])
+    col = translate_expr(args[0], ctx)
+    is_num = isinstance(t, (T.LongType, T.IntegerType, T.DoubleType, T.FloatType, T.ShortType, T.DecimalType))
+    return col.isNotNull() & F.lit(is_num)
+
+
+def _op_is_array(spec, ctx):
+    args = _args(spec, 1)
+    t = ctx.infer_type(args[0])
+    col = translate_expr(args[0], ctx)
+    return col.isNotNull() & F.lit(isinstance(t, T.ArrayType))
+
+
+# ---------------------------------------------------------------------------
+# object (reference operators.ts:699-714)
+# ---------------------------------------------------------------------------
+
+def _op_merge_objects(spec, ctx):
+    args = _args(spec, at_least=1)
+    # Collect (name, column) in order; later keys override earlier ones
+    # (reference operators.ts:699-714).
+    fields: dict[str, Column] = {}
+    for a in args:
+        if isinstance(a, dict) and not any(k.startswith("$") for k in a):
+            for k, v in a.items():
+                fields[k] = translate_expr(v, ctx)
+            continue
+        t = ctx.infer_type(a)
+        if isinstance(t, T.StructType):
+            col = translate_expr(a, ctx)
+            for f in t.fieldNames():
+                fields[f] = col.getField(f)
+            continue
+        raise UnsupportedExpression(
+            "$mergeObjects args must be expression objects or struct-typed fields"
+        )
+    return F.struct(*[c.alias(k) for k, c in fields.items()])
+
+
+# ---------------------------------------------------------------------------
+# casts (extensions beyond the reference: $toInt/$toLong/$toDouble/...)
+# ---------------------------------------------------------------------------
+
+def _cast_factory(spark_type):
+    def _op(spec, ctx):
+        (a,) = _tx(_args(spec, 1), ctx)
+        return a.cast(spark_type)
+
+    return _op
+
+
+# ---------------------------------------------------------------------------
+# registry (mirrors EXPRESSION_OPERATORS, reference operators.ts:729-824)
+# ---------------------------------------------------------------------------
+
+OPERATORS: dict[str, object] = {
+    # boolean
+    "$and": _op_and,
+    "$or": _op_or,
+    "$not": _op_not,
+    # comparison
+    "$cmp": _op_cmp,
+    "$eq": _cmp_factory(lambda a, b: a.eqNullSafe(b)),
+    "$ne": _cmp_factory(lambda a, b: ~a.eqNullSafe(b)),
+    "$gt": _cmp_factory(lambda a, b: a > b),
+    "$gte": _cmp_factory(lambda a, b: a >= b),
+    "$lt": _cmp_factory(lambda a, b: a < b),
+    "$lte": _cmp_factory(lambda a, b: a <= b),
+    # arithmetic
+    "$add": _op_add,
+    "$subtract": _op_subtract,
+    "$multiply": _op_multiply,
+    "$divide": _cmp_factory(lambda a, b: a / b),
+    "$mod": _op_mod,
+    "$abs": _date_factory(F.abs),
+    "$ceil": _date_factory(F.ceil),
+    "$floor": _date_factory(F.floor),
+    "$sqrt": _date_factory(F.sqrt),
+    "$exp": _date_factory(F.exp),
+    "$ln": _date_factory(F.log),
+    "$log10": _date_factory(F.log10),
+    "$pow": _cmp_factory(lambda a, b: F.pow(a, b)),
+    "$trunc": _op_trunc,
+    "$round": _op_round,
+    # string
+    "$concat": _op_concat,
+    "$substr": _op_substr,
+    "$substrCP": _op_substr,
+    "$toLower": _date_factory(F.lower),
+    "$toUpper": _date_factory(F.upper),
+    "$split": _op_split,
+    "$strLen": _date_factory(F.length),
+    "$strLenCP": _date_factory(F.length),
+    "$strLenBytes": _date_factory(F.octet_length),
+    "$trim": _trim_factory("trim"),
+    "$ltrim": _trim_factory("ltrim"),
+    "$rtrim": _trim_factory("rtrim"),
+    "$toString": _op_to_string,
+    "$literal": lambda spec, ctx: literal_to_column(spec),
+    # array
+    "$size": _op_size,
+    "$arrayElemAt": _op_array_elem_at,
+    "$first": lambda spec, ctx: F.try_element_at(translate_expr(spec, ctx), F.lit(1)),
+    "$last": lambda spec, ctx: F.try_element_at(translate_expr(spec, ctx), F.lit(-1)),
+    "$filter": _op_filter,
+    "$map": _op_map,
+    "$reduce": _op_reduce,
+    "$slice": _op_slice,
+    "$concatArrays": _op_concat_arrays,
+    "$in": _op_in,
+    "$indexOfArray": _op_index_of_array,
+    "$reverseArray": _op_reverse_array,
+    "$range": _op_range,
+    "$sum": _op_array_sum,
+    "$avg": _op_array_avg,
+    "$min": _op_array_min,
+    "$max": _op_array_max,
+    "$sortArray": lambda spec, ctx: F.array_sort(translate_expr(spec["input"], ctx))
+    if isinstance(spec, dict) and spec.get("sortBy", 1) in (1, True)
+    else F.reverse(F.array_sort(translate_expr(spec["input"], ctx))),
+    "$arrayToSet": lambda spec, ctx: F.array_distinct(translate_expr(spec, ctx)),
+    # set
+    "$setEquals": _op_set_equals,
+    "$setIntersection": lambda spec, ctx: F.array_intersect(*_tx(_args(spec, 2), ctx)),
+    "$setUnion": lambda spec, ctx: F.array_union(*_tx(_args(spec, 2), ctx)),
+    "$setDifference": lambda spec, ctx: F.array_except(*_tx(_args(spec, 2), ctx)),
+    "$setIsSubset": _op_set_is_subset,
+    "$anyElementTrue": _op_any_element_true,
+    "$allElementsTrue": _op_all_elements_true,
+    # date
+    "$year": _date_factory(F.year),
+    "$month": _date_factory(F.month),
+    "$dayOfMonth": _date_factory(F.dayofmonth),
+    "$dayOfWeek": _date_factory(F.dayofweek),  # 1=Sun..7=Sat, same convention
+    "$dayOfYear": _date_factory(F.dayofyear),
+    "$week": _date_factory(F.weekofyear),
+    "$hour": _date_factory(F.hour),
+    "$minute": _date_factory(F.minute),
+    "$second": _date_factory(F.second),
+    "$millisecond": _op_millisecond,
+    # conditional
+    "$cond": _op_cond,
+    "$ifNull": _op_if_null,
+    "$coalesce": _op_if_null,
+    "$switch": _op_switch,
+    # type
+    "$type": _op_type,
+    "$isNumber": _op_is_number,
+    "$isArray": _op_is_array,
+    # object
+    "$mergeObjects": _op_merge_objects,
+    # cast extensions (not in the reference; MongoDB 4.0 operators)
+    "$toInt": _cast_factory("int"),
+    "$toLong": _cast_factory("long"),
+    "$toDouble": _cast_factory("double"),
+    "$toBool": _cast_factory("boolean"),
+    "$toDate": _cast_factory("timestamp"),
+    "$toDecimal": _cast_factory("decimal(38,10)"),
+}

@@ -1,0 +1,525 @@
+"""Pipeline stages → DataFrame transformations.
+
+Stage dispatch mirrors the reference interpreter loop
+(``/root/reference/src/aggo/aggregation.ts:788-852``) but emits a *logical
+plan* — each stage is a declarative DataFrame transformation, so Catalyst
+performs the pushdown/pruning/fusion the reference hand-rolled
+(``crossfilter-compiler.ts:1368-1551``) and Tungsten supplies columnar
+execution. No stage materializes an intermediate result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import InvalidPipeline, UnsupportedStage
+from ..plans.context import REMOVE, ExprContext
+from ..functions.accumulators import accumulator_to_column, window_function_to_column
+from ..functions.expressions import translate_expr
+from ..functions.match import match_to_column
+
+__all__ = ["apply_pipeline", "STAGES"]
+
+
+def apply_pipeline(df: DataFrame, pipeline: list, engine) -> DataFrame:
+    """Apply a MongoDB-style pipeline (list of single-key stage dicts)."""
+    if not isinstance(pipeline, list):
+        raise InvalidPipeline("pipeline must be a list of stage objects")
+    for i, stage in enumerate(pipeline):
+        if not isinstance(stage, dict) or len(stage) != 1:
+            raise InvalidPipeline(f"stage {i} must be a single-key object, got {stage!r}")
+        name, spec = next(iter(stage.items()))
+        fn = STAGES.get(name)
+        if fn is None:
+            raise UnsupportedStage(f"unsupported stage {name}")
+        df = fn(df, spec, engine)
+    return df
+
+
+def _ctx(df: DataFrame) -> ExprContext:
+    return ExprContext(schema=df.schema)
+
+
+# ---------------------------------------------------------------------------
+# $match  (reference aggregation.ts:96-128)
+# ---------------------------------------------------------------------------
+
+def stage_match(df: DataFrame, spec, engine) -> DataFrame:
+    return df.filter(match_to_column(spec, _ctx(df)))
+
+
+# ---------------------------------------------------------------------------
+# $project  (reference aggregation.ts:72-89, expressions.ts:252-403)
+# ---------------------------------------------------------------------------
+
+def _build_tree(spec: dict) -> dict:
+    """Turn possibly-dotted projection keys into a nested tree."""
+    tree: dict = {}
+    for key, value in spec.items():
+        segs = key.split(".")
+        node = tree
+        for s in segs[:-1]:
+            nxt = node.setdefault(s, {})
+            if not isinstance(nxt, dict) or "__leaf__" in nxt:
+                raise InvalidPipeline(f"projection path conflict at {key!r}")
+            node = nxt
+        if segs[-1] in node:
+            raise InvalidPipeline(f"projection path conflict at {key!r}")
+        node[segs[-1]] = {"__leaf__": value}
+    return tree
+
+
+def _is_exclude(v) -> bool:
+    return v is False or v == 0
+
+
+def _is_include(v) -> bool:
+    return v is True or v == 1
+
+
+def _include_subtree(source: Column, dtype: T.DataType, tree: dict, ctx: ExprContext) -> Column:
+    """Build a struct (or array-of-struct, MongoDB array-broadcast
+    semantics — reference expressions.ts:269-306) keeping only included
+    subfields."""
+    if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StructType):
+        elem_t = dtype.elementType
+        return F.transform(source, lambda e: _include_subtree(e, elem_t, tree, ctx))
+    if not isinstance(dtype, T.StructType):
+        raise InvalidPipeline("nested projection through non-struct field")
+    out = []
+    for name, node in tree.items():
+        leaf = node.get("__leaf__", None) if isinstance(node, dict) else None
+        child = source.getField(name)
+        child_t = dtype[name].dataType if name in dtype.fieldNames() else None
+        if isinstance(node, dict) and "__leaf__" not in node:
+            out.append(_include_subtree(child, child_t, node, ctx).alias(name))
+        elif _is_include(leaf):
+            out.append(child.alias(name))
+        else:
+            # computed leaf inside nested doc — evaluated against the ROOT
+            # document, as MongoDB does
+            out.append(translate_expr(leaf, ctx).alias(name))
+    return F.struct(*out)
+
+
+def stage_project(df: DataFrame, spec: dict, engine) -> DataFrame:
+    if not isinstance(spec, dict) or not spec:
+        raise InvalidPipeline("$project requires a non-empty spec")
+    ctx = _ctx(df)
+    non_id = {k: v for k, v in spec.items() if k != "_id"}
+    exclusion_mode = bool(non_id) and all(_is_exclude(v) for v in non_id.values())
+
+    if exclusion_mode:
+        tree = _build_tree({k: v for k, v in spec.items() if _is_exclude(v)})
+        out_df = df
+        for top, node in tree.items():
+            if top not in df.columns:
+                continue
+            if "__leaf__" in node:
+                out_df = out_df.drop(top)
+            else:
+                out_df = out_df.withColumn(top, _drop_subfields(F.col(f"`{top}`"), df.schema[top].dataType, node))
+        return out_df
+
+    # inclusion mode: _id included by default (reference aggregation.ts:72-89)
+    tree = _build_tree(non_id)
+    cols: list[Column] = []
+    id_spec = spec.get("_id", 1)
+    if "_id" in df.columns and _is_include(id_spec):
+        cols.append(F.col("`_id`"))
+    elif not _is_include(id_spec) and not _is_exclude(id_spec):
+        cols.append(translate_expr(id_spec, ctx).alias("_id"))
+    for top, node in tree.items():
+        leaf = node.get("__leaf__", None)
+        if "__leaf__" not in node:
+            src_t = df.schema[top].dataType if top in df.columns else None
+            if src_t is None:
+                raise InvalidPipeline(f"nested projection of missing field {top!r}")
+            cols.append(_include_subtree(F.col(f"`{top}`"), src_t, node, ctx).alias(top))
+        elif _is_include(leaf):
+            cols.append(ctx.resolve_path(top).alias(top))
+        else:
+            col = translate_expr(leaf, ctx)
+            if col is REMOVE:
+                continue
+            cols.append(col.alias(top))
+    return df.select(*cols)
+
+
+def _drop_subfields(col: Column, dtype: T.DataType, tree: dict) -> Column:
+    if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StructType):
+        elem_t = dtype.elementType
+        return F.transform(col, lambda e: _drop_subfields(e, elem_t, tree))
+    if not isinstance(dtype, T.StructType):
+        raise InvalidPipeline("nested exclusion through non-struct field")
+    for name, node in tree.items():
+        if "__leaf__" in node:
+            col = col.dropFields(name)
+        else:
+            inner = _drop_subfields(col.getField(name), dtype[name].dataType, node)
+            col = col.withField(name, inner)
+    return col
+
+
+# ---------------------------------------------------------------------------
+# $addFields / $set  (reference aggregation.ts:736-753)
+# ---------------------------------------------------------------------------
+
+def stage_add_fields(df: DataFrame, spec: dict, engine) -> DataFrame:
+    ctx = _ctx(df)
+    flat: dict[str, Column] = {}
+    nested: list[tuple[list[str], Column]] = []
+    for key, value in spec.items():
+        col = translate_expr(value, ctx)
+        if col is REMOVE:
+            df = df.drop(key)
+            continue
+        if "." in key:
+            nested.append((key.split("."), col))
+        else:
+            flat[key] = col
+    if flat:
+        df = df.withColumns(flat)
+    for segs, col in nested:
+        top = segs[0]
+        target = F.col(f"`{top}`")
+        df = df.withColumn(top, target.withField(".".join(segs[1:]), col))
+    return df
+
+
+def stage_unset(df: DataFrame, spec, engine) -> DataFrame:
+    fields = spec if isinstance(spec, list) else [spec]
+    return stage_project(df, {f: 0 for f in fields}, engine)
+
+
+# ---------------------------------------------------------------------------
+# $group  (reference aggregation.ts:541-580)
+# ---------------------------------------------------------------------------
+
+def stage_group(df: DataFrame, spec: dict, engine) -> DataFrame:
+    if "_id" not in spec:
+        raise InvalidPipeline("$group requires _id")
+    ctx = _ctx(df)
+    accs = [accumulator_to_column(k, v, ctx) for k, v in spec.items() if k != "_id"]
+    id_spec = spec["_id"]
+    # `_id: null` → one global group, but empty input → no rows (MongoDB);
+    # grouping by a constant gives exactly that.
+    key = (
+        F.lit(None).alias("_id")
+        if id_spec is None
+        else translate_expr(id_spec, ctx).alias("_id")
+    )
+    grouped = df.groupBy(key)
+    if not accs:
+        return grouped.agg(F.count(F.lit(1)).alias("__aggo_n")).drop("__aggo_n")
+    return grouped.agg(*accs)
+
+
+# ---------------------------------------------------------------------------
+# $sort / $limit / $skip  (reference aggregation.ts:330-407)
+# ---------------------------------------------------------------------------
+
+def _sort_cols(spec: dict, ctx: ExprContext) -> list[Column]:
+    cols = []
+    for field, direction in spec.items():
+        col = ctx.resolve_path(field)
+        if direction in (1, True):
+            cols.append(col.asc_nulls_first())  # nulls sort lowest (MongoDB)
+        elif direction in (-1,):
+            cols.append(col.desc_nulls_last())
+        else:
+            raise InvalidPipeline(f"$sort direction must be 1 or -1, got {direction!r}")
+    return cols
+
+
+def stage_sort(df: DataFrame, spec: dict, engine) -> DataFrame:
+    return df.orderBy(*_sort_cols(spec, _ctx(df)))
+
+
+def stage_limit(df: DataFrame, spec, engine) -> DataFrame:
+    # $sort + $limit fuses into TakeOrderedAndProject (the reference's
+    # top-k heap, topk-heap.ts:23-100, for free)
+    return df.limit(int(spec))
+
+
+def stage_skip(df: DataFrame, spec, engine) -> DataFrame:
+    return df.offset(int(spec))
+
+
+# ---------------------------------------------------------------------------
+# $unwind  (reference aggregation.ts:414-535)
+# ---------------------------------------------------------------------------
+
+def stage_unwind(df: DataFrame, spec, engine) -> DataFrame:
+    if isinstance(spec, str):
+        path, include_idx, preserve = spec, None, False
+    else:
+        path = spec["path"]
+        include_idx = spec.get("includeArrayIndex")
+        preserve = bool(spec.get("preserveNullAndEmptyArrays", False))
+    if not path.startswith("$"):
+        raise InvalidPipeline("$unwind path must start with $")
+    path = path[1:]
+    ctx = _ctx(df)
+    ttype = ctx.path_type(path)
+    if not isinstance(ttype, T.ArrayType):
+        # non-array values pass through unchanged (aggregation.ts:414-535);
+        # with a typed schema the whole column is non-array → no-op
+        return df
+    target = ctx.resolve_path(path)
+    if include_idx is not None:
+        gen_fn = F.posexplode_outer if preserve else F.posexplode
+        gen = gen_fn(target).alias("__aggo_pos", "__aggo_val")
+    else:
+        gen_fn = F.explode_outer if preserve else F.explode
+        gen = gen_fn(target).alias("__aggo_val")
+    out = df.select("*", gen)
+    out = _set_path(out, path.split("."), F.col("__aggo_val")).drop("__aggo_val")
+    if include_idx is not None:
+        out = out.withColumn(include_idx, F.col("__aggo_pos").cast("long")).drop("__aggo_pos")
+    return out
+
+
+def _set_path(df: DataFrame, segs: list[str], value: Column) -> DataFrame:
+    if len(segs) == 1:
+        return df.withColumn(segs[0], value)
+    top = segs[0]
+    return df.withColumn(top, F.col(f"`{top}`").withField(".".join(segs[1:]), value))
+
+
+# ---------------------------------------------------------------------------
+# $lookup  (reference aggregation.ts:673-729)
+# ---------------------------------------------------------------------------
+
+def stage_lookup(df: DataFrame, spec: dict, engine) -> DataFrame:
+    foreign = engine.collection(spec["from"])
+    as_ = spec["as"]
+    if "pipeline" in spec or "let" in spec:
+        return _lookup_pipeline(df, spec, foreign, engine)
+    local, fk = spec["localField"], spec["foreignField"]
+    fctx = ExprContext(schema=foreign.schema)
+    # Pre-nest the foreign side: one shuffle on the join key builds the
+    # embedded arrays; the join itself is then 1:1 and broadcast-able when
+    # the dimension is small (Catalyst/AQE decides).
+    nested = foreign.groupBy(fctx.resolve_path(fk).alias("__aggo_k")).agg(
+        F.collect_list(F.struct(*[F.col(f"`{c}`") for c in foreign.columns])).alias(as_)
+    )
+    if as_ in df.columns:
+        df = df.drop(as_)  # MongoDB overwrites an existing field
+    lkey = ExprContext(schema=df.schema).resolve_path(local)
+    joined = df.join(nested, lkey == nested["__aggo_k"], "left").drop("__aggo_k")
+    empty = F.array().cast(nested.schema[as_].dataType)
+    return joined.withColumn(as_, F.coalesce(F.col(f"`{as_}`"), empty))
+
+
+def _lookup_pipeline(df: DataFrame, spec: dict, foreign: DataFrame, engine) -> DataFrame:
+    """Pipeline/`let` form (reference aggregation.ts:700-729 +
+    aggregateWithBindings 585-646; sub-pipeline support limited to
+    $match there, aggregation.ts:638-642 — we match that subset).
+
+    Strategy: cross-join outer keys × foreign then filter — Catalyst's
+    PushPredicateThroughJoin turns equality conditions in the translated
+    ``$expr`` into a real equi-join (hash/broadcast), so this scales; the
+    re-nest groups by outer row id.
+    """
+    as_ = spec["as"]
+    let = spec.get("let", {}) or {}
+    sub = spec.get("pipeline", []) or []
+    uid = "__aggo_uid"
+
+    outer = df.withColumn(uid, F.monotonically_increasing_id())
+    lctx = ExprContext(schema=df.schema)
+    key_cols = [F.col(uid)] + [
+        translate_expr(v, lctx).alias(f"__let_{k}") for k, v in let.items()
+    ]
+    keydf = outer.select(*key_cols)
+
+    # rename foreign columns to avoid collisions; expose them to the
+    # sub-pipeline through a struct root so field paths resolve naturally
+    fcols = foreign.columns
+    foreign_r = foreign.select(*[F.col(f"`{c}`").alias(f"__f_{c}") for c in fcols])
+    root = F.struct(*[F.col(f"`__f_{c}`").alias(c) for c in fcols])
+    let_vars = {k: F.col(f"__let_{k}") for k in let}
+
+    joined = keydf.crossJoin(foreign_r)
+    sub_ctx = ExprContext(schema=None, variables=let_vars).with_root(root, foreign.schema)
+    for stage in sub:
+        (name, sspec), = stage.items()
+        if name == "$match":
+            joined = joined.filter(match_to_column(sspec, sub_ctx))
+        else:
+            raise UnsupportedStage(
+                f"$lookup sub-pipeline supports only $match (reference parity), got {name}"
+            )
+    nested = joined.groupBy(uid).agg(
+        F.collect_list(F.struct(*[F.col(f"`__f_{c}`").alias(c) for c in fcols])).alias(as_)
+    )
+    if as_ in outer.columns:
+        outer = outer.drop(as_)
+    out = outer.join(nested, uid, "left")
+    empty = F.array().cast(nested.schema[as_].dataType)
+    return out.withColumn(as_, F.coalesce(F.col(f"`{as_}`"), empty)).drop(uid)
+
+
+# ---------------------------------------------------------------------------
+# $count  (reference aggregation.ts:797-808: rewrite to $group + $project)
+# ---------------------------------------------------------------------------
+
+def stage_count(df: DataFrame, spec, engine) -> DataFrame:
+    if not isinstance(spec, str) or not spec:
+        raise InvalidPipeline("$count requires a field name")
+    grouped = stage_group(df, {"_id": None, spec: {"$sum": 1}}, engine)
+    return grouped.select(F.col(f"`{spec}`"))
+
+
+# ---------------------------------------------------------------------------
+# extensions beyond the reference (SURVEY.md §2.2 "cheaply add" list)
+# ---------------------------------------------------------------------------
+
+def stage_replace_root(df: DataFrame, spec, engine) -> DataFrame:
+    new_root = spec["newRoot"] if isinstance(spec, dict) else spec
+    ctx = _ctx(df)
+    if isinstance(new_root, str) and new_root.startswith("$") and not new_root.startswith("$$"):
+        t = ctx.path_type(new_root[1:])
+        if isinstance(t, T.StructType):
+            return df.select(f"{new_root[1:]}.*")
+    col = translate_expr(new_root, ctx)
+    tmp = df.select(col.alias("__aggo_root"))
+    return tmp.select("__aggo_root.*")
+
+
+def stage_union_with(df: DataFrame, spec, engine) -> DataFrame:
+    if isinstance(spec, str):
+        other, sub = engine.collection(spec), []
+    else:
+        other, sub = engine.collection(spec["coll"]), spec.get("pipeline", [])
+    if sub:
+        other = apply_pipeline(other, sub, engine)
+    return df.unionByName(other, allowMissingColumns=True)
+
+
+def stage_sample(df: DataFrame, spec, engine) -> DataFrame:
+    size = int(spec["size"]) if isinstance(spec, dict) else int(spec)
+    # deterministic given a fixed partitioning; at scale this is a
+    # TakeOrdered over a cheap per-row hash — no full shuffle
+    return df.orderBy(F.rand(engine.sample_seed)).limit(size)
+
+
+def stage_sort_by_count(df: DataFrame, spec, engine) -> DataFrame:
+    ctx = _ctx(df)
+    return (
+        df.groupBy(translate_expr(spec, ctx).alias("_id"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.col("count").desc_nulls_last())
+    )
+
+
+_WINDOW_BOUNDS = {"unbounded": None, "current": 0}
+
+
+def _frame_bound(v, side: str) -> int:
+    if v == "unbounded":
+        return Window.unboundedPreceding if side == "lb" else Window.unboundedFollowing
+    if v == "current":
+        return Window.currentRow
+    return int(v)
+
+
+def stage_set_window_fields(df: DataFrame, spec: dict, engine) -> DataFrame:
+    """$setWindowFields (MongoDB 5.0) → Spark window functions.
+
+    partitionBy/sortBy map 1:1; `documents` bounds → rowsBetween, `range`
+    bounds → rangeBetween. This runs as a single Window exec per distinct
+    (partition, order, frame) triple — no extra shuffles for multiple
+    outputs over the same window.
+    """
+    ctx = _ctx(df)
+    part = spec.get("partitionBy")
+    sort_by = spec.get("sortBy") or {}
+    part_cols = [translate_expr(part, ctx)] if part is not None else [F.lit(0)]
+    order_cols = _sort_cols(sort_by, ctx)
+
+    out = df
+    new_cols: dict[str, Column] = {}
+    for name, ospec in spec.get("output", {}).items():
+        fn, takes_frame = window_function_to_column(ospec, ctx)
+        w = Window.partitionBy(*part_cols)
+        if order_cols:
+            w = w.orderBy(*order_cols)
+        if takes_frame:
+            win = ospec.get("window", {})
+            if "documents" in win:
+                lb, ub = win["documents"]
+                w = w.rowsBetween(_frame_bound(lb, "lb"), _frame_bound(ub, "ub"))
+            elif "range" in win:
+                lb, ub = win["range"]
+                w = w.rangeBetween(_frame_bound(lb, "lb"), _frame_bound(ub, "ub"))
+            else:
+                # MongoDB default window is the whole partition
+                w = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        new_cols[name] = fn(w)
+    return out.withColumns(new_cols)
+
+
+def stage_bucket(df: DataFrame, spec: dict, engine) -> DataFrame:
+    ctx = _ctx(df)
+    group_by = translate_expr(spec["groupBy"], ctx)
+    boundaries = spec["boundaries"]
+    if len(boundaries) < 2:
+        raise InvalidPipeline("$bucket requires >= 2 boundaries")
+    bucket = None
+    for lo, hi in zip(boundaries, boundaries[1:]):
+        cond = (group_by >= F.lit(lo)) & (group_by < F.lit(hi))
+        bucket = F.when(cond, F.lit(lo)) if bucket is None else bucket.when(cond, F.lit(lo))
+    if "default" in spec:
+        bucket = bucket.otherwise(F.lit(spec["default"]))
+    tmp = df.withColumn("__aggo_bucket", bucket).filter(F.col("__aggo_bucket").isNotNull())
+    output = spec.get("output") or {"count": {"$sum": 1}}
+    octx = ExprContext(schema=tmp.schema)
+    accs = [accumulator_to_column(k, v, octx) for k, v in output.items()]
+    return tmp.groupBy(F.col("__aggo_bucket").alias("_id")).agg(*accs)
+
+
+def stage_facet(df: DataFrame, spec: dict, engine) -> DataFrame:
+    """$facet — run sub-pipelines over the same input, one output document.
+
+    Each facet folds to a single-row DataFrame of collect_list(struct(*));
+    facets combine via cross join of 1-row sides (broadcast, no shuffle).
+    """
+    facets = []
+    for name, sub in spec.items():
+        fdf = apply_pipeline(df, sub, engine)
+        facets.append(
+            fdf.agg(F.collect_list(F.struct(*[F.col(f"`{c}`") for c in fdf.columns])).alias(name))
+        )
+    out = facets[0]
+    for f in facets[1:]:
+        out = out.crossJoin(f)
+    return out
+
+
+STAGES = {
+    "$match": stage_match,
+    "$project": stage_project,
+    "$addFields": stage_add_fields,
+    "$set": stage_add_fields,
+    "$unset": stage_unset,
+    "$group": stage_group,
+    "$sort": stage_sort,
+    "$limit": stage_limit,
+    "$skip": stage_skip,
+    "$unwind": stage_unwind,
+    "$lookup": stage_lookup,
+    "$count": stage_count,
+    # extensions (not in the reference; SURVEY.md §2.2)
+    "$replaceRoot": stage_replace_root,
+    "$replaceWith": stage_replace_root,
+    "$unionWith": stage_union_with,
+    "$sample": stage_sample,
+    "$sortByCount": stage_sort_by_count,
+    "$setWindowFields": stage_set_window_fields,
+    "$bucket": stage_bucket,
+    "$facet": stage_facet,
+}

@@ -1,0 +1,320 @@
+"""Per-stage unit tests (model: reference tests/aggregation.spec.js)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from aggo_spark import Engine, aggregate
+
+from .conftest import rows
+
+ORDERS = [
+    {"_id": 1, "item": "a", "price": 10.0, "quantity": 2, "tags": ["red", "blank"]},
+    {"_id": 2, "item": "b", "price": 20.0, "quantity": 1, "tags": ["blue"]},
+    {"_id": 3, "item": "a", "price": 5.0, "quantity": 10, "tags": []},
+    {"_id": 4, "item": "c", "price": 20.0, "quantity": 5, "tags": ["red", "blue"]},
+]
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.createDataFrame(ORDERS)
+
+
+def test_match_simple(orders):
+    out = aggregate(orders, [{"$match": {"item": "a"}}])
+    assert sorted(r["_id"] for r in out.collect()) == [1, 3]
+
+
+def test_match_operators(orders):
+    out = aggregate(orders, [{"$match": {"price": {"$gte": 10, "$lt": 20}}}])
+    assert [r["_id"] for r in out.collect()] == [1]
+
+
+def test_match_in_nin(orders):
+    out = aggregate(orders, [{"$match": {"item": {"$in": ["a", "c"]}}}])
+    assert sorted(r["_id"] for r in out.collect()) == [1, 3, 4]
+    out = aggregate(orders, [{"$match": {"item": {"$nin": ["a", "c"]}}}])
+    assert sorted(r["_id"] for r in out.collect()) == [2]
+
+
+def test_match_and_or(orders):
+    out = aggregate(
+        orders,
+        [{"$match": {"$or": [{"item": "b"}, {"$and": [{"item": "a"}, {"price": {"$lt": 6}}]}]}}],
+    )
+    assert sorted(r["_id"] for r in out.collect()) == [2, 3]
+
+
+def test_match_array_contains(orders):
+    out = aggregate(orders, [{"$match": {"tags": "red"}}])
+    assert sorted(r["_id"] for r in out.collect()) == [1, 4]
+
+
+def test_match_all_size_elemmatch(orders):
+    out = aggregate(orders, [{"$match": {"tags": {"$all": ["red", "blue"]}}}])
+    assert [r["_id"] for r in out.collect()] == [4]
+    out = aggregate(orders, [{"$match": {"tags": {"$size": 2}}}])
+    assert sorted(r["_id"] for r in out.collect()) == [1, 4]
+    out = aggregate(orders, [{"$match": {"tags": {"$elemMatch": {"$eq": "blue"}}}}])
+    assert sorted(r["_id"] for r in out.collect()) == [2, 4]
+
+
+def test_match_exists_missing_field(orders):
+    out = aggregate(orders, [{"$match": {"nope": {"$exists": True}}}])
+    assert out.count() == 0
+    out = aggregate(orders, [{"$match": {"nope": {"$exists": False}}}])
+    assert out.count() == 4
+
+
+def test_match_regex(orders):
+    out = aggregate(orders, [{"$match": {"item": {"$regex": "^[ab]$"}}}])
+    assert sorted(r["_id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_match_expr(orders):
+    out = aggregate(orders, [{"$match": {"$expr": {"$gt": [{"$multiply": ["$price", "$quantity"]}, 50]}}}])
+    assert sorted(r["_id"] for r in out.collect()) == [4]
+
+
+def test_project_include_exclude(orders):
+    out = aggregate(orders, [{"$project": {"item": 1, "price": 1}}])
+    assert set(out.columns) == {"_id", "item", "price"}
+    out = aggregate(orders, [{"$project": {"_id": 0, "item": 1}}])
+    assert out.columns == ["item"]
+    out = aggregate(orders, [{"$project": {"tags": 0, "quantity": 0}}])
+    assert set(out.columns) == {"_id", "item", "price"}
+
+
+def test_project_computed(orders):
+    out = aggregate(
+        orders,
+        [
+            {"$project": {"_id": 0, "item": 1, "total": {"$multiply": ["$price", "$quantity"]}}},
+            {"$match": {"item": "a"}},
+        ],
+    )
+    got = {r["item"]: r["total"] for r in out.collect()}
+    assert got == {"a": 50.0} or len(got) == 1  # two 'a' rows collapse in dict
+    vals = sorted(r["total"] for r in out.collect())
+    assert vals == [20.0, 50.0]
+
+
+def test_group_accumulators(orders):
+    out = aggregate(
+        orders,
+        [
+            {
+                "$group": {
+                    "_id": "$item",
+                    "n": {"$sum": 1},
+                    "total": {"$sum": {"$multiply": ["$price", "$quantity"]}},
+                    "avgPrice": {"$avg": "$price"},
+                    "minQ": {"$min": "$quantity"},
+                    "maxQ": {"$max": "$quantity"},
+                }
+            }
+        ],
+    )
+    got = {r["_id"]: r.asDict() for r in out.collect()}
+    assert got["a"]["n"] == 2 and got["a"]["total"] == 70.0 and got["a"]["avgPrice"] == 7.5
+    assert got["b"]["minQ"] == 1 and got["c"]["maxQ"] == 5
+
+
+def test_group_null_id(orders):
+    out = aggregate(orders, [{"$group": {"_id": None, "n": {"$sum": 1}, "s": {"$sum": "$price"}}}])
+    r = out.collect()
+    assert len(r) == 1 and r[0]["n"] == 4 and r[0]["s"] == 55.0
+
+
+def test_group_empty_input(orders):
+    out = aggregate(orders, [{"$match": {"item": "zzz"}}, {"$group": {"_id": None, "n": {"$sum": 1}}}])
+    assert out.count() == 0  # MongoDB: no groups on empty input
+
+
+def test_group_compound_id(orders):
+    out = aggregate(orders, [{"$group": {"_id": {"i": "$item", "p": "$price"}, "n": {"$sum": 1}}}])
+    recs = rows(out)
+    assert len(recs) == 4
+
+
+def test_group_push_addtoset(orders):
+    out = aggregate(
+        orders,
+        [{"$group": {"_id": "$item", "qs": {"$push": "$quantity"}, "ps": {"$addToSet": "$price"}}}],
+    )
+    got = {r["_id"]: r.asDict() for r in out.collect()}
+    assert sorted(got["a"]["qs"]) == [2, 10]
+    assert sorted(got["a"]["ps"]) == [5.0, 10.0]
+
+
+def test_sort_limit_skip(orders):
+    out = aggregate(orders, [{"$sort": {"price": -1, "_id": 1}}, {"$limit": 2}])
+    assert [r["_id"] for r in out.collect()] == [2, 4]
+    out = aggregate(orders, [{"$sort": {"price": -1, "_id": 1}}, {"$skip": 2}])
+    assert [r["_id"] for r in out.collect()] == [1, 3]
+
+
+def test_count_stage(orders):
+    out = aggregate(orders, [{"$match": {"price": {"$gt": 5}}}, {"$count": "n"}])
+    assert out.collect()[0]["n"] == 3
+    out = aggregate(orders, [{"$match": {"price": {"$gt": 500}}}, {"$count": "n"}])
+    assert out.count() == 0
+
+
+def test_addfields(orders):
+    out = aggregate(orders, [{"$addFields": {"double_price": {"$multiply": ["$price", 2]}}}])
+    assert "double_price" in out.columns
+    assert {r["_id"]: r["double_price"] for r in out.collect()}[1] == 20.0
+
+
+def test_unwind(spark):
+    df = spark.createDataFrame(
+        [{"_id": 1, "tags": ["a", "b"]}, {"_id": 2, "tags": []}, {"_id": 3, "tags": None}]
+    )
+    out = aggregate(df, [{"$unwind": "$tags"}])
+    assert sorted((r["_id"], r["tags"]) for r in out.collect()) == [(1, "a"), (1, "b")]
+    out = aggregate(df, [{"$unwind": {"path": "$tags", "preserveNullAndEmptyArrays": True}}])
+    got = sorted((r["_id"], r["tags"]) for r in out.collect())
+    assert got == [(1, "a"), (1, "b"), (2, None), (3, None)]
+    out = aggregate(df, [{"$unwind": {"path": "$tags", "includeArrayIndex": "idx"}}])
+    assert sorted((r["tags"], r["idx"]) for r in out.collect()) == [("a", 0), ("b", 1)]
+
+
+def test_lookup_equi(spark):
+    orders_df = spark.createDataFrame(
+        [{"_id": 1, "cust": 10, "amt": 5.0}, {"_id": 2, "cust": 20, "amt": 7.0}, {"_id": 3, "cust": 99, "amt": 1.0}]
+    )
+    custs = spark.createDataFrame([{"cid": 10, "name": "ann"}, {"cid": 20, "name": "bob"}])
+    out = aggregate(
+        orders_df,
+        [{"$lookup": {"from": "custs", "localField": "cust", "foreignField": "cid", "as": "c"}}],
+        collections={"custs": custs},
+    )
+    got = {r["_id"]: r.asDict(recursive=True) for r in out.collect()}
+    assert got[1]["c"][0]["name"] == "ann"
+    assert got[3]["c"] == []
+
+
+def test_lookup_pipeline_let(spark):
+    orders_df = spark.createDataFrame([{"_id": 1, "cust": 10}, {"_id": 2, "cust": 20}])
+    items = spark.createDataFrame(
+        [{"cid": 10, "sku": "x", "qty": 1}, {"cid": 10, "sku": "y", "qty": 9}, {"cid": 20, "sku": "z", "qty": 3}]
+    )
+    out = aggregate(
+        orders_df,
+        [
+            {
+                "$lookup": {
+                    "from": "items",
+                    "let": {"c": "$cust"},
+                    "pipeline": [
+                        {"$match": {"$expr": {"$and": [{"$eq": ["$cid", "$$c"]}, {"$gt": ["$qty", 2]}]}}}
+                    ],
+                    "as": "big",
+                }
+            }
+        ],
+        collections={"items": items},
+    )
+    got = {r["_id"]: [i["sku"] for i in r["big"]] for r in out.collect()}
+    assert got == {1: ["y"], 2: ["z"]}
+
+
+def test_replace_root(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(_id=1, sub=Row(x=1, y="a"))])
+    out = aggregate(df, [{"$replaceRoot": {"newRoot": "$sub"}}])
+    assert rows(out) == [{"x": 1, "y": "a"}]
+
+
+def test_union_with(spark, orders):
+    extra = spark.createDataFrame([{"_id": 9, "item": "z", "price": 1.0, "quantity": 1, "tags": ["x"]}])
+    out = aggregate(orders, [{"$unionWith": "extra"}], collections={"extra": extra})
+    assert out.count() == 5
+
+
+def test_sort_by_count(orders):
+    out = aggregate(orders, [{"$sortByCount": "$item"}])
+    recs = out.collect()
+    assert recs[0]["_id"] == "a" and recs[0]["count"] == 2
+
+
+def test_bucket(orders):
+    out = aggregate(
+        orders,
+        [{"$bucket": {"groupBy": "$price", "boundaries": [0, 10, 100], "output": {"n": {"$sum": 1}}}}],
+    )
+    got = {r["_id"]: r["n"] for r in out.collect()}
+    assert got == {0: 1, 10: 3}
+
+
+def test_facet(orders):
+    out = aggregate(
+        orders,
+        [
+            {
+                "$facet": {
+                    "byItem": [{"$group": {"_id": "$item", "n": {"$sum": 1}}}],
+                    "top": [{"$sort": {"price": -1, "_id": 1}}, {"$limit": 1}, {"$project": {"_id": 1}}],
+                }
+            }
+        ],
+    )
+    r = out.collect()[0]
+    assert len(r["byItem"]) == 3 and r["top"][0]["_id"] == 2
+
+
+def test_set_window_fields(spark):
+    df = spark.createDataFrame(
+        [
+            {"g": "a", "t": 1, "v": 10},
+            {"g": "a", "t": 2, "v": 20},
+            {"g": "a", "t": 3, "v": 30},
+            {"g": "b", "t": 1, "v": 5},
+        ]
+    )
+    out = aggregate(
+        df,
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$g",
+                    "sortBy": {"t": 1},
+                    "output": {
+                        "running": {"$sum": "$v", "window": {"documents": ["unbounded", "current"]}},
+                        "rank": {"$rank": {}},
+                        "total": {"$sum": "$v"},
+                    },
+                }
+            }
+        ],
+    )
+    got = {(r["g"], r["t"]): r.asDict() for r in out.collect()}
+    assert got[("a", 2)]["running"] == 30 and got[("a", 3)]["running"] == 60
+    assert got[("a", 3)]["rank"] == 3
+    assert got[("a", 1)]["total"] == 60 and got[("b", 1)]["total"] == 5
+
+
+def test_stddev_variance(spark):
+    df = spark.createDataFrame([{"g": 1, "v": 1.0}, {"g": 1, "v": 2.0}, {"g": 1, "v": 3.0}])
+    out = aggregate(
+        df,
+        [
+            {
+                "$group": {
+                    "_id": "$g",
+                    "sp": {"$stdDevPop": "$v"},
+                    "ss": {"$stdDevSamp": "$v"},
+                    "vp": {"$variancePop": "$v"},
+                    "vs": {"$varianceSamp": "$v"},
+                }
+            }
+        ],
+    )
+    r = out.collect()[0]
+    assert abs(r["vp"] - 2 / 3) < 1e-9 and abs(r["vs"] - 1.0) < 1e-9
+    assert abs(r["sp"] ** 2 - 2 / 3) < 1e-9 and abs(r["ss"] - 1.0) < 1e-9
