@@ -1,0 +1,318 @@
+"""Deduplication operators for training-data pipelines, designed shuffle-first.
+
+Four tiers, trading exactness for scale:
+
+- exact_dedup       — hash-groupBy on a content fingerprint. One shuffle on
+                      md5(text); at 100 TB the map-side partial aggregation
+                      collapses duplicates before the exchange.
+- ngram_jaccard_pairs — *exact* Jaccard over char-shingle sets via an
+                      inverted-index self-join, with a document-frequency cap
+                      on shingles (the standard hot-key guard: a shingle in
+                      >df_cap docs carries ~no signal but quadratic pairs).
+- minhash_lsh_pairs — MinHash signatures + banded LSH: candidates meet only
+                      inside a band bucket, so the join is equi (hash join,
+                      AQE-skew-splittable), never all-pairs.
+- simhash_pairs     — 64-bit SimHash + pigeonhole chunk join for hamming<=r.
+
+All deterministic (xxhash64 with fixed seeds); exact variants are
+DuckDB-oracle-checkable, hash-based ones get rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import char_shingles, fingerprint, tokens
+
+__all__ = [
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact normalized-content hash.
+
+    Returns (doc_id, content_hash, n_copies). Single shuffle on the hash;
+    partial min/count on the map side means the exchange carries one row per
+    distinct document, not per input row.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "content_hash", "n_copies")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+    df_cap: int = 100,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs via inverted-index join.
+
+    Plan shape (scales to 100 TB):
+      1. explode distinct char-k-shingles      (narrow)
+      2. drop shingles with doc-frequency > df_cap  (hot-key guard — one
+         groupBy; without it stop-shingles create O(n²) pairs)
+      3. self-join on shingle → count common shingles per pair (shuffle on
+         shingle, then shuffle on pair; both equi, AQE handles skew)
+      4. jaccard = common / (|A| + |B| - common), filter >= threshold
+
+    Exact w.r.t. the capped shingle vocabulary, so the DuckDB oracle mirrors
+    the same algorithm.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(char_shingles(F.col(text_col), k)).alias("sh"),
+    ).select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+
+    rare = (
+        base.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .filter(F.col("df_count") <= df_cap)
+        .select("s")
+    )
+    filtered = base.join(rare, "s")  # inner: keep informative shingles only
+
+    a = filtered.select(F.col("s"), F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    b = filtered.select(F.col("s"), F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) for the universal-hash permutations h_i(x)=a*x+b.
+
+    Parameters derive from a fixed LCG so every run (and every executor)
+    agrees without broadcasting state.
+    """
+    params = []
+    state = seed
+    for _ in range(num_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state | 1) % _MERSENNE
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(
+    text: Column, num_perm: int = 64, k: int = 5, seed: int = 42
+) -> Column:
+    """MinHash signature (array<long>, length num_perm) over char-k-shingles.
+
+    One xxhash64 per shingle, then a *single* fold over the shingle array
+    that updates all num_perm running minima at once (zip_with against the
+    static (a, b) parameter arrays). One pass, one small expression tree —
+    the naive per-permutation formulation duplicates the shingle pipeline
+    num_perm times and blows up codegen.
+    """
+    params = _perm_params(num_perm, seed)
+    pa = F.array(*[F.lit(a).cast("long") for a, _ in params])
+    pb = F.array(*[F.lit(b).cast("long") for _, b in params])
+    pz = F.zip_with(pa, pb, lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    base = F.transform(F.array_distinct(char_shingles(text, k)), lambda s: F.xxhash64(s))
+    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_perm)
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            pz,
+            lambda m, p: F.least(
+                m, F.pmod(p.getField("a") * h + p.getField("b"), F.lit(_MERSENNE))
+            ),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    threshold: float = 0.5,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH, with the
+    estimated Jaccard (signature agreement rate) attached.
+
+    Candidates only form inside equal band buckets → the expensive step is
+    an equi-groupBy on (band, band_hash), not an all-pairs join. Buckets
+    larger than bucket_cap are dropped (degenerate content); at 100 TB this
+    is the difference between a shuffle and a cartesian explosion.
+    """
+    rows = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_perm, k).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.transform(
+                        F.slice("sig", b * rows + 1, rows), lambda x: x.cast("string")
+                    ))).alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("members"))
+        .filter((F.size("members") > 1) & (F.size("members") <= bucket_cap))
+    )
+    # pairs within a bucket: index-aware transform gives i<j combinations
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "members",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("members"), i + 2, F.size("members")),
+                        lambda y: F.struct(
+                            F.least(x["id"], y["id"]).alias("id_a"),
+                            F.greatest(x["id"], y["id"]).alias("id_b"),
+                            (
+                                F.size(
+                                    F.filter(
+                                        F.zip_with(x["sig"], y["sig"], lambda p, q: p == q),
+                                        lambda e: e,
+                                    )
+                                ).cast("double")
+                                / F.lit(float(num_perm))
+                            ).alias("est_jaccard"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.est_jaccard")
+    return (
+        pairs.filter(F.col("est_jaccard") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens (long).
+
+    Single aggregate pass: fold token hashes into 64 bit-counters
+    (zip_with against a static powers-of-two array — bit tests are
+    ``hash & 2^i``, since Spark's shift builtins take only literal shift
+    amounts), then majority-vote the bits. All columnar, no UDF.
+    """
+    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    pow2 = F.array(*[F.lit(1 << i if i < 63 else -(1 << 63)).cast("long") for i in range(64)])
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc, pow2, lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(0)
+        ),
+    )
+    bits = F.zip_with(
+        counts,
+        pow2,
+        lambda c, p: F.when(c * 2 >= n, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming.
+
+    Pigeonhole: split the 64-bit hash into 4 16-bit chunks — any pair within
+    hamming 3 agrees on >= 1 chunk, so candidates come from equi-joins on
+    (chunk_idx, chunk_value) instead of all-pairs. Verification is a cheap
+    bit_count(xor).
+    """
+    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("ci"),
+                F.shiftright(F.col("sh"), ci * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+            )
+            for ci in range(4)
+        ]
+    )
+    chunked = sh.select("id", "sh", F.explode(chunks).alias("c")).select(
+        "id", "sh", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+
+    buckets = (
+        chunked.groupBy("ci", "cv")
+        .agg(F.collect_list(F.struct("id", "sh")).alias("members"))
+        .filter((F.size("members") > 1) & (F.size("members") <= bucket_cap))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "members",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("members"), i + 2, F.size("members")),
+                        lambda y: F.struct(
+                            F.least(x["id"], y["id"]).alias("id_a"),
+                            F.greatest(x["id"], y["id"]).alias("id_b"),
+                            F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.hamming")
+    return (
+        pairs.filter(F.col("hamming") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )

@@ -1,0 +1,168 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column construction (JVM-side, whole-stage codegen) — these run as
+narrow per-row transforms, so at 100 TB they scale embarrassingly with the
+scan: no shuffle, no Python. Deterministic by construction so results are
+oracle-checkable against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "tokens",
+    "char_shingles",
+    "word_ngrams",
+    "token_stats",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "LANG_STOPWORDS",
+]
+
+
+def normalize_text(col: Column) -> Column:
+    """lowercase, strip non-alphanumerics to spaces, collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column) -> Column:
+    """whitespace tokens of the normalized text (array<string>, no empties)."""
+    return F.filter(F.split(normalize_text(col), " "), lambda t: t != "")
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """character k-grams of the normalized text (array<string>; may repeat)."""
+    norm = normalize_text(col)
+    n = F.length(norm)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0))),
+        lambda i: norm.substr(i, F.lit(k)),
+    )
+
+
+def word_ngrams(tok: Column, n: int = 3) -> Column:
+    """word n-grams over a token array (array<string>)."""
+    cnt = F.size(tok)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+    )
+
+
+# BPE-ish word/number/punct segmentation — same regex is valid in Java
+# (Spark rlike/regexp_extract_all) and RE2-ish engines (DuckDB).
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def token_stats(text: Column) -> dict[str, Column]:
+    """Token-counting columns: whitespace tokens and BPE-ish regex tokens."""
+    ws = tokens(text)
+    bpe = F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)
+    return {
+        "n_ws_tokens": F.size(ws),
+        "n_bpe_tokens": F.size(bpe),
+        "n_chars": F.length(text),
+        "mean_token_len": F.when(
+            F.size(ws) > 0,
+            F.aggregate(ws, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double")
+            / F.size(ws),
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+_EN_STOP = [
+    "the", "of", "and", "to", "in", "a", "is", "that", "it", "for",
+    "was", "on", "are", "with", "as", "his", "they", "be", "at", "have",
+]
+
+LANG_STOPWORDS: dict[str, list[str]] = {
+    # order matters: deterministic tie-break prefers earlier entries
+    "en": _EN_STOP,
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein",
+           "eine", "auf", "sich", "auch", "als", "werden", "aus", "er", "hat", "dass"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un", "una", "por",
+           "con", "para", "es", "las", "del", "se", "no", "como", "más", "pero"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "un", "une", "du",
+           "dans", "pour", "que", "qui", "sur", "pas", "avec", "au", "ce", "il"],
+    "it": ["il", "la", "di", "che", "e", "un", "una", "per", "con", "del",
+           "non", "sono", "le", "si", "della", "nel", "da", "come", "anche", "più"],
+}
+
+
+def _stop_hits(tok: Column, words: list[str]) -> Column:
+    lit_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tok, lambda t: F.array_contains(lit_arr, t)))
+
+
+def language_id(text: Column) -> Column:
+    """Heuristic n-gram/stopword language ID → 2-letter code or 'und'.
+
+    Counts stopword hits per language over whitespace tokens; argmax with
+    deterministic tie-break (dict order). Pure columnar — at 100 TB this is
+    a free rider on the scan.
+    """
+    tok = tokens(text)
+    scores = {lang: _stop_hits(tok, words) for lang, words in LANG_STOPWORDS.items()}
+    langs = list(scores)
+    best = F.greatest(*[scores[l] for l in langs]) if len(langs) > 1 else scores[langs[0]]
+    out = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(langs):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> dict[str, Column]:
+    """Heuristic document-quality signals + a composite score in [0, 1].
+
+    Signals follow the usual pretraining-filter recipe: length, alpha ratio,
+    stopword ratio, mean word length sanity.
+    """
+    tok = tokens(text)
+    n_tok = F.size(tok)
+    n_chars = F.length(text)
+    alpha_chars = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha_chars.cast("double") / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tok > 0, _stop_hits(tok, _EN_STOP).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    mean_len = F.when(
+        n_tok > 0,
+        F.aggregate(tok, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    len_ok = F.when((mean_len >= 2.0) & (mean_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    size_ok = F.when(n_tok >= 10, F.lit(1.0)).otherwise(n_tok.cast("double") / 10.0)
+    score = (
+        F.lit(0.3) * alpha_ratio
+        + F.lit(0.3) * F.least(stop_ratio * 3.0, F.lit(1.0))
+        + F.lit(0.2) * len_ok
+        + F.lit(0.2) * size_ok
+    )
+    return {
+        "n_tokens": n_tok,
+        "alpha_ratio": F.round(alpha_ratio, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "mean_token_len": F.round(mean_len, 6),
+        "quality": F.round(score, 6),
+    }
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text.
+
+    md5 (not xxhash) so a DuckDB oracle reproduces it bit-for-bit.
+    """
+    return F.md5(normalize_text(text))
+
+
+def min_shingle_fingerprint(text: Column, k: int = 5) -> Column:
+    """Order-invariant-ish locality fingerprint: lexicographic min of the
+    md5s of the char k-shingles (a 1-permutation MinHash, oracle-friendly)."""
+    return F.array_min(F.transform(char_shingles(text, k), F.md5))

@@ -1,0 +1,132 @@
+"""Tests for the training-data operators (dedup / similarity / text / multimodal)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aggo_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    data = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "The quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The quick brown fox jumped over the lazy dog"),  # near dup
+        (4, "Der schnelle braune Fuchs springt über den faulen Hund und die Katze"),
+        (5, "completely different content about databases and distributed systems"),
+    ]
+    return spark.createDataFrame(data, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    data = [
+        (1, [1.0, 0.0, 0.0, 0.5]),
+        (2, [0.9, 0.1, 0.0, 0.4]),  # close to 1
+        (3, [-1.0, 0.2, 0.0, -0.5]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(data, "vec_id long, embedding array<float>")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).orderBy("doc_id").collect()
+    ids = [r["doc_id"] for r in out]
+    assert 1 in ids and 2 not in ids  # doc 2 deduped into doc 1
+    by_id = {r["doc_id"]: r["n_copies"] for r in out}
+    assert by_id[1] == 2
+
+
+def test_ngram_jaccard(docs):
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 5) not in pairs
+
+
+def test_minhash_lsh(docs):
+    out = dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in out}
+    assert pairs.get((1, 2)) == 1.0  # identical docs agree on every permutation
+    assert (1, 3) in pairs  # near-dup lands in shared band
+    assert (4, 5) not in pairs
+
+
+def test_simhash(docs):
+    out = docs.select("doc_id", dedup.simhash(F.col("text")).alias("sh")).collect()
+    by_id = {r["doc_id"]: r["sh"] for r in out}
+    assert by_id[1] == by_id[2]  # identical text → identical simhash
+    ham13 = bin(by_id[1] ^ by_id[3]).count("1")
+    ham15 = bin(by_id[1] ^ by_id[5]).count("1")
+    assert ham13 < ham15  # near-dup closer than unrelated
+
+
+def test_simhash_pairs(docs):
+    out = dedup.simhash_pairs(docs, max_hamming=3).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_brute_force_topk(vecs):
+    out = similarity.brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 1), k=2)
+    rows = out.orderBy("rank").collect()
+    assert rows[0]["neighbor_id"] == 2 and rows[0]["rank"] == 1
+    assert rows[0]["score"] > 0.95
+    assert len(rows) == 2
+
+
+def test_bucketed_topk_recall(vecs):
+    exact = similarity.brute_force_topk(vecs, vecs, k=1)
+    approx = similarity.bucketed_topk(vecs, vecs, k=1, bits=4)
+    # bucketed search must be a subset with identical scores where present
+    e = {(r["query_id"], r["neighbor_id"]): r["score"] for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]): r["score"] for r in approx.collect()}
+    for k_, v in a.items():
+        if k_ in e:
+            assert abs(e[k_] - v) < 1e-9
+    assert a  # finds at least something (1 and 2 share a bucket)
+
+
+def test_language_id(docs):
+    out = docs.select("doc_id", text.language_id(F.col("text")).alias("lang")).collect()
+    by_id = {r["doc_id"]: r["lang"] for r in out}
+    assert by_id[1] == "en" and by_id[4] == "de"
+
+
+def test_quality_and_tokens(docs):
+    q = text.quality_score(F.col("text"))
+    out = docs.select("doc_id", *[v.alias(k) for k, v in q.items()]).collect()
+    by_id = {r["doc_id"]: r.asDict() for r in out}
+    assert by_id[1]["n_tokens"] == 9
+    assert 0 <= by_id[1]["quality"] <= 1
+    s = text.token_stats(F.col("text"))
+    out2 = docs.select("doc_id", *[v.alias(k) for k, v in s.items()]).collect()
+    r1 = {r["doc_id"]: r.asDict() for r in out2}[1]
+    assert r1["n_ws_tokens"] == 9 and r1["n_bpe_tokens"] == 9
+
+
+def test_fingerprint(docs):
+    out = docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp")).collect()
+    by_id = {r["doc_id"]: r["fp"] for r in out}
+    assert by_id[1] == by_id[2] and by_id[1] != by_id[3]
+    assert len(by_id[1]) == 32  # md5 hex
+
+
+def test_multimodal_decode(docs):
+    binary = multimodal.attach_binary(docs, "text")
+    out = multimodal.decode_image_metadata(binary).collect()
+    by_id = {r["doc_id"]: r["img_meta"] for r in out}
+    assert by_id[1]["byte_len"] == len("The quick brown fox jumps over the lazy dog")
+    assert by_id[1]["phash"] == by_id[2]["phash"]  # deterministic fake
+    assert by_id[1]["format"] in ("jpeg", "png", "webp")
+
+
+def test_frame_sample_plan(docs):
+    binary = multimodal.attach_binary(docs, "text")
+    out = multimodal.frame_sample_plan(binary, n_frames=4).collect()
+    assert len(out) == 4 * docs.count()
+    r = [x for x in out if x["doc_id"] == 1 and x["frame_idx"] == 2][0]
+    assert r["byte_offset"] == r["total_bytes"] * 2 // 4
