@@ -115,6 +115,13 @@ def _is_temporal(dt: T.DataType | None) -> bool:
     return isinstance(dt, (T.TimestampType, T.DateType, T.TimestampNTZType))
 
 
+def _millis(col: Column) -> Column:
+    """Epoch millis of a temporal column; unix_millis rejects TIMESTAMP_NTZ,
+    so route through a TIMESTAMP cast (session-tz-relative, which cancels in
+    Date−Date differences and Date±num round trips)."""
+    return F.unix_millis(col.cast("timestamp"))
+
+
 def _as_bool(col: Column) -> Column:
     return col.cast("boolean")
 
@@ -185,7 +192,7 @@ def _op_add(spec, ctx):
                 base = col
             else:
                 millis = millis + col.cast("long")
-        return F.timestamp_millis(F.unix_millis(base) + millis)
+        return F.timestamp_millis(_millis(base) + millis)
     out = cols[0]
     for c in cols[1:]:
         out = out + c
@@ -198,9 +205,9 @@ def _op_subtract(spec, ctx):
     a, b = _tx(args, ctx)
     if _is_temporal(ta) and _is_temporal(tb):
         # Date − Date → milliseconds (reference operators.ts:230-245)
-        return F.unix_millis(a) - F.unix_millis(b)
+        return _millis(a) - _millis(b)
     if _is_temporal(ta):
-        return F.timestamp_millis(F.unix_millis(a) - b.cast("long"))
+        return F.timestamp_millis(_millis(a) - b.cast("long"))
     return a - b
 
 
@@ -500,7 +507,7 @@ def _date_factory(fn):
 
 def _op_millisecond(spec, ctx):
     (a,) = _tx(_args(spec, 1), ctx)
-    return (F.unix_millis(a) % 1000).cast("int")
+    return (_millis(a) % 1000).cast("int")
 
 
 # ---------------------------------------------------------------------------

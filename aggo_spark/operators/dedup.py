@@ -23,12 +23,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import char_shingles, fingerprint, tokens
+from .text import char_shingles, explode_shingles, fingerprint, tokens
 
 __all__ = [
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_signature",
+    "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
@@ -71,13 +72,16 @@ def ngram_jaccard_pairs(
     Exact w.r.t. the capped shingle vocabulary, so the DuckDB oracle mirrors
     the same algorithm.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(char_shingles(F.col(text_col), k)).alias("sh"),
-    ).select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    from pyspark.sql import Window
 
+    # distinct (id, shingle) pairs, all codegen; the identical exchange under
+    # `dist`'s two consumers is computed once (ReusedExchange)
+    dist = explode_shingles(df, text_col, id_col, k).distinct()
+    base = dist.select(
+        "id", "s", F.count(F.lit(1)).over(Window.partitionBy("id")).alias("n_sh")
+    )
     rare = (
-        base.groupBy("s")
+        dist.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df_count"))
         .filter(F.col("df_count") <= df_cap)
         .select("s")
@@ -105,6 +109,8 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_MAX31 = (1 << 31) - 1  # hash values and (a, b) stay < 2^31 so a*h+b < 2^62
+                        # — no long overflow under ANSI mode
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -117,9 +123,9 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     state = seed
     for _ in range(num_perm):
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        a = (state | 1) % _MERSENNE
+        a = (state % (_MAX31 - 1)) + 1
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        b = state % _MERSENNE
+        b = state % _MAX31
         params.append((a, b))
     return params
 
@@ -127,19 +133,21 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
 def minhash_signature(
     text: Column, num_perm: int = 64, k: int = 5, seed: int = 42
 ) -> Column:
-    """MinHash signature (array<long>, length num_perm) over char-k-shingles.
+    """MinHash signature (array<long>, length num_perm) over char-k-shingles,
+    as a single Column (one fold updating all minima via zip_with).
 
-    One xxhash64 per shingle, then a *single* fold over the shingle array
-    that updates all num_perm running minima at once (zip_with against the
-    static (a, b) parameter arrays). One pass, one small expression tree —
-    the naive per-permutation formulation duplicates the shingle pipeline
-    num_perm times and blows up codegen.
+    NOTE: Spark higher-order functions are CodegenFallback (interpreted
+    per-row), so this form is only for small inputs / API parity. The scale
+    path is :func:`minhash_signatures`, which stays in whole-stage codegen.
     """
     params = _perm_params(num_perm, seed)
     pa = F.array(*[F.lit(a).cast("long") for a, _ in params])
     pb = F.array(*[F.lit(b).cast("long") for _, b in params])
     pz = F.zip_with(pa, pb, lambda a, b: F.struct(a.alias("a"), b.alias("b")))
-    base = F.transform(F.array_distinct(char_shingles(text, k)), lambda s: F.xxhash64(s))
+    base = F.transform(
+        F.array_distinct(char_shingles(text, k)),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MAX31)),
+    )
     init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_perm)
     return F.aggregate(
         base,
@@ -148,10 +156,41 @@ def minhash_signature(
             acc,
             pz,
             lambda m, p: F.least(
-                m, F.pmod(p.getField("a") * h + p.getField("b"), F.lit(_MERSENNE))
+                m, F.pmod(p.getField("a") * h + p.getField("b"), F.lit(_MAX31))
             ),
         ),
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures — the 100 TB path.
+
+    Explode distinct shingles → one xxhash64 per shingle → groupBy(id) with
+    num_perm F.min aggregates. Everything is whole-stage codegen (no
+    interpreted higher-order functions), and the map-side partial min
+    collapses each document to one 64-long row before the shuffle — the
+    exchange carries num_perm longs per doc, never the shingles.
+    Documents with no shingles (empty text) produce no row, which also keeps
+    them from spuriously bucketing together.
+    """
+    params = _perm_params(num_perm, seed)
+    # duplicates don't change a min, so no distinct pass is needed
+    ex = explode_shingles(df, text_col, id_col, k).select(
+        "id", F.pmod(F.xxhash64("s"), F.lit(_MAX31)).alias("h")
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MAX31))).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = ex.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -173,10 +212,7 @@ def minhash_lsh_pairs(
     is the difference between a shuffle and a cartesian explosion.
     """
     rows = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_perm, k).alias("sig"),
-    )
+    sig = minhash_signatures(df, text_col, id_col, num_perm, k)
     banded = sig.select(
         "id",
         "sig",

@@ -109,8 +109,8 @@ def frame_sample_plan(
         idx,
         lambda i: F.struct(
             i.cast("int").alias("frame_idx"),
-            (total * i / F.lit(n_frames)).cast("long").alias("byte_offset"),
-            (total / F.lit(n_frames)).cast("long").alias("byte_len"),
+            F.floor(total * i / F.lit(n_frames)).cast("long").alias("byte_offset"),
+            F.floor(total / F.lit(n_frames)).cast("long").alias("byte_len"),
         ),
     )
     return (

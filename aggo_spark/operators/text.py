@@ -19,7 +19,11 @@ __all__ = [
     "token_stats",
     "quality_score",
     "language_id",
+    "language_id_from_tokens",
+    "add_language_id",
     "fingerprint",
+    "min_shingle_fingerprint",
+    "min_shingle_fingerprints",
     "LANG_STOPWORDS",
 ]
 
@@ -38,12 +42,36 @@ def tokens(col: Column) -> Column:
 
 
 def char_shingles(col: Column, k: int = 5) -> Column:
-    """character k-grams of the normalized text (array<string>; may repeat)."""
+    """character k-grams of the normalized text (array<string>; may repeat).
+
+    Column form builds the array with an interpreted transform() — use
+    :func:`explode_shingles` on the hot path, which stays in codegen.
+    """
     norm = normalize_text(col)
     n = F.length(norm)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0))),
-        lambda i: norm.substr(i, F.lit(k)),
+    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
+
+
+def explode_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """One row per (id, char-k-shingle), duplicates preserved — entirely
+    whole-stage codegen: normalize once per doc, explode a position
+    sequence, then substr. No higher-order functions (those are interpreted
+    CodegenFallback and dominate runtime at scale)."""
+    return (
+        df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("nrm"))
+        .filter(F.length("nrm") >= k)  # sequence(1, 0) would be [1, 0], not empty
+        .select(
+            "id",
+            "nrm",
+            F.explode(F.sequence(F.lit(1), F.length("nrm") - F.lit(k - 1))).alias("i"),
+        )
+        .select("id", F.col("nrm").substr(F.col("i"), F.lit(k)).alias("s"))
     )
 
 
@@ -107,8 +135,24 @@ def language_id(text: Column) -> Column:
     Counts stopword hits per language over whitespace tokens; argmax with
     deterministic tie-break (dict order). Pure columnar — at 100 TB this is
     a free rider on the scan.
+
+    NOTE: references the token array ~3× per language; feed it a *column
+    that is already the token array* (see :func:`add_language_id`) so the
+    tokenize subtree isn't re-evaluated per reference — higher-order
+    functions are interpreted (CodegenFallback), so duplication is 10×+.
     """
-    tok = tokens(text)
+    return language_id_from_tokens(tokens(text))
+
+
+def add_language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """DataFrame form: tokenization happens once in its own projection
+    (CollapseProject keeps non-cheap aliases referenced >1× separate), then
+    the per-language scoring references the materialized array."""
+    tok_df = df.withColumn("__tok", tokens(F.col(text_col)))
+    return tok_df.withColumn(out_col, language_id_from_tokens(F.col("__tok"))).drop("__tok")
+
+
+def language_id_from_tokens(tok: Column) -> Column:
     scores = {lang: _stop_hits(tok, words) for lang, words in LANG_STOPWORDS.items()}
     langs = list(scores)
     best = F.greatest(*[scores[l] for l in langs]) if len(langs) > 1 else scores[langs[0]]
@@ -164,5 +208,22 @@ def fingerprint(text: Column) -> Column:
 
 def min_shingle_fingerprint(text: Column, k: int = 5) -> Column:
     """Order-invariant-ish locality fingerprint: lexicographic min of the
-    md5s of the char k-shingles (a 1-permutation MinHash, oracle-friendly)."""
+    md5s of the char k-shingles (a 1-permutation MinHash, oracle-friendly).
+
+    Column form runs the md5s inside an interpreted transform() — fine for
+    small rows; use :func:`min_shingle_fingerprints` for the codegen path.
+    """
     return F.array_min(F.transform(char_shingles(text, k), F.md5))
+
+
+def min_shingle_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(id_col, min_shingle_fp) via explode → md5 → min-agg: whole-stage
+    codegen end to end, map-side partial min, shuffle of one 32-char string
+    per document."""
+    return (
+        explode_shingles(df, text_col, id_col, k)
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.min(F.md5("s")).alias("min_shingle_fp"))
+    )

@@ -9,6 +9,7 @@ natively; these helpers just pin the MongoDB-ish defaults.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def read_jsonl(
@@ -38,15 +39,37 @@ def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
 
 
 def _enable_nanos(spark: SparkSession) -> None:
-    # Test/bench parquet carries TIMESTAMP(NANOS) which Spark rejects by
-    # default; with this conf Spark 4 reads it as TIMESTAMP_NTZ (micros),
-    # byte-identical to what DuckDB produces for the same files.
+    # Parquet TIMESTAMP(NANOS) is rejected by Spark's schema converter
+    # ([PARQUET_TYPE_ILLEGAL]); with this conf Spark reads it as a raw
+    # nanosecond LongType, which _restore_nanos converts back to a real
+    # timestamp so temporal operators ($subtract → ms, $year, windows)
+    # see the same values DuckDB does (DuckDB truncates ns → µs).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _restore_nanos(df: DataFrame, path: str) -> DataFrame:
+    """Cast nanos-as-long columns back to timestamps (µs, floor like DuckDB)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+    except Exception:
+        return df
+    # timestamp_micros yields TIMESTAMP(LTZ); cast to NTZ (identity under a
+    # UTC session, which Engine sessions pin) to match how Spark reads the
+    # sibling TIMESTAMP(MICROS) columns and what DuckDB returns.
+    fixes = {
+        f.name: F.timestamp_micros(F.expr(f"`{f.name}` div 1000")).cast("timestamp_ntz")
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    }
+    return df.withColumns(fixes) if fixes else df
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     _enable_nanos(spark)
-    return spark.read.parquet(path)
+    return _restore_nanos(spark.read.parquet(path), path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
@@ -56,4 +79,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    return {
+        n: _restore_nanos(spark.read.parquet(f"{sf_dir}/{n}.parquet"), f"{sf_dir}/{n}.parquet")
+        for n in names
+    }

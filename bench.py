@@ -1,0 +1,86 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from __spark_entry__.queries() at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Materialization is via the noop sink (full execution, no driver collect),
+after one warmup query to amortize JVM/codegen/parquet-footer startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q01_group_agg",      # groupAndAggregate class (BASELINE.md)
+    "q02_filter",         # simpleFilter class
+    "q03_complex",        # complexPipeline class
+    "q05_tokens",         # unwind + top-k
+    "q11_window",         # window functions
+    "q12_topk",           # TakeOrderedAndProject
+    "q20_lookup_pipeline",# correlated $lookup join
+    "q22_sessionize",     # sessionization (2 windows + group)
+    "q26_lookup_group",   # multi-table join + re-aggregate
+    "q30_dedup_exact",    # exact dedup
+    "q32_dedup_minhash",  # MinHash LSH
+    "q34_ann_brute",      # brute-force cosine top-k
+    "q36_langid",         # language ID
+    "q38_token_stats",    # token counting
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("aggo_spark_bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("q02_filter")  # warmup: JVM + codegen + parquet footers
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run(name), 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
