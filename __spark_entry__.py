@@ -516,6 +516,42 @@ def q41_frame_plan(spark, sf_dir):
     return multimodal.frame_sample_plan(df, n_frames=4).orderBy("doc_id", "frame_idx")
 
 
+def q42_stream_agg(spark, sf_dir):
+    """Structured Streaming: readStream(events) → $group → complete-mode
+    materialization. Same pipeline JSON as batch; same oracle."""
+    from aggo_spark.sources.io import read_parquet_stream
+    from aggo_spark.streaming import materialize_stream
+
+    sdf = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    out = Engine().aggregate(sdf, [
+        {"$group": {"_id": "$event_type", "n": {"$sum": 1},
+                    "sum_value": {"$sum": "$value"}}},
+    ])
+    return (
+        materialize_stream(out, "complete")
+        .select(F.col("_id").alias("event_type"), "n", F.round("sum_value", 4).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+def q43_stream_window(spark, sf_dir):
+    """Structured Streaming: $tumblingWindow(1 hour) + watermark → $group."""
+    from aggo_spark.sources.io import read_parquet_stream
+    from aggo_spark.streaming import materialize_stream
+
+    sdf = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    out = Engine().aggregate(sdf, [
+        {"$tumblingWindow": {"on": "$ts", "size": "1 hour", "watermark": "1 hour"}},
+        {"$group": {"_id": {"w": "$window.start", "t": "$event_type"},
+                    "n": {"$sum": 1}}},
+    ])
+    return (
+        materialize_stream(out, "complete")
+        .select(F.col("_id.w").alias("win_start"), F.col("_id.t").alias("event_type"), "n")
+        .orderBy("win_start", "event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_group_agg": q01_group_agg,
@@ -556,6 +592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_fingerprint": q39_fingerprint,
         "q40_multimodal": q40_multimodal,
         "q41_frame_plan": q41_frame_plan,
+        "q42_stream_agg": q42_stream_agg,
+        "q43_stream_window": q43_stream_window,
     }
 
 
@@ -919,5 +957,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(total_bytes * frame_idx / 4) AS BIGINT) AS byte_offset,
                    CAST(floor(total_bytes / 4) AS BIGINT) AS byte_len
             FROM f ORDER BY doc_id, frame_idx
+        """,
+        "q42_stream_agg": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "q43_stream_window": """
+            SELECT date_trunc('hour', ts) AS win_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

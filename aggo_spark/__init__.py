@@ -16,6 +16,7 @@ from .errors import (
 )
 from .session import build_session
 from .sources.io import load_tables, read_jsonl, read_parquet, write_jsonl
+from .streaming import StreamingCollection
 
 __version__ = "0.1.0"
 
@@ -27,6 +28,7 @@ __all__ = [
     "read_parquet",
     "write_jsonl",
     "load_tables",
+    "StreamingCollection",
     "AggoSparkError",
     "InvalidPipeline",
     "UnknownCollection",

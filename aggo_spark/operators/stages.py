@@ -500,6 +500,57 @@ def stage_facet(df: DataFrame, spec: dict, engine) -> DataFrame:
     return out
 
 
+def _event_time_window(df: DataFrame, spec: dict, kind: str) -> DataFrame:
+    """Shared body of the event-time window extension stages.
+
+    Spark-native superset of the reference (which has no event-time
+    semantics at all — SURVEY.md §2.9): assigns a ``window`` struct
+    (start, end) usable as a $group _id. On a streaming DataFrame, pair
+    with ``watermark`` for state cleanup + late-data handling; on a batch
+    DataFrame the same stage is just a bucketing projection, so one
+    pipeline serves both (the Structured Streaming unification argument).
+    """
+    on = spec.get("on")
+    if not isinstance(on, str) or not on.startswith("$"):
+        raise InvalidPipeline(f"${kind}Window requires 'on': '$field'")
+    col_name = on[1:]
+    size = spec.get("size")
+    if not size:
+        raise InvalidPipeline(f"${kind}Window requires 'size' (e.g. '1 hour')")
+    # watermarks require TIMESTAMP (LTZ); NTZ event-time columns are cast
+    # through the session TZ and the window bounds cast back, so downstream
+    # (and oracles) keep seeing NTZ wall-clock values
+    was_ntz = isinstance(df.schema[col_name].dataType, T.TimestampNTZType)
+    if spec.get("watermark") and df.isStreaming:
+        if was_ntz:
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+        df = df.withWatermark(col_name, spec["watermark"])
+    out = spec.get("as", "window")
+    if kind == "session":
+        win = F.session_window(F.col(col_name), size)
+    else:
+        slide = spec.get("slide") if kind == "sliding" else None
+        win = F.window(F.col(col_name), size, slide) if slide else F.window(F.col(col_name), size)
+    result = df.withColumn(out, win)
+    if was_ntz and spec.get("watermark") and df.isStreaming:
+        result = result.withColumn(
+            out, F.col(out).cast("struct<start:timestamp_ntz,end:timestamp_ntz>")
+        )
+    return result
+
+
+def stage_tumbling_window(df: DataFrame, spec: dict, engine) -> DataFrame:
+    return _event_time_window(df, spec, "tumbling")
+
+
+def stage_sliding_window(df: DataFrame, spec: dict, engine) -> DataFrame:
+    return _event_time_window(df, spec, "sliding")
+
+
+def stage_session_window(df: DataFrame, spec: dict, engine) -> DataFrame:
+    return _event_time_window(df, spec, "session")
+
+
 STAGES = {
     "$match": stage_match,
     "$project": stage_project,
@@ -522,4 +573,8 @@ STAGES = {
     "$setWindowFields": stage_set_window_fields,
     "$bucket": stage_bucket,
     "$facet": stage_facet,
+    # event-time windows (Spark-native streaming superset, SURVEY.md §2.9)
+    "$tumblingWindow": stage_tumbling_window,
+    "$slidingWindow": stage_sliding_window,
+    "$sessionWindow": stage_session_window,
 }

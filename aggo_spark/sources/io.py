@@ -72,6 +72,24 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return _restore_nanos(spark.read.parquet(path), path)
 
 
+def read_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming read of a parquet file/dir: schema from a batch footer read
+    (file stream sources require an explicit schema), nanos columns restored
+    the same way as the batch path so plans are interchangeable."""
+    import os
+
+    _enable_nanos(spark)
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        # file-stream sources require a directory; target one file via glob
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        stream = reader.parquet(os.path.dirname(path))
+    else:
+        stream = reader.parquet(path)
+    return _restore_nanos(stream, path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     """Load the driver's TPC-H-ish parquet tables from ``sf_dir``."""
     _enable_nanos(spark)

@@ -1,0 +1,365 @@
+"""Streaming layer: the reference's live-pipeline / IVM surface on
+Structured Streaming.
+
+Reference behavior being re-expressed (see SURVEY.md §2.9, §3 entry 3):
+
+- ``StreamingCollection`` — a mutable collection with ``add`` / ``addBulk``
+  / ``remove`` and live registered pipelines
+  (``/root/reference/src/aggo/streaming.ts:78-258``).
+- Incremental accumulator updates per delta
+  (``streaming.ts:596-674``, ``crossfilter-operators.ts:166-430``).
+- Retraction (``remove``) via invertible group state
+  (``crossfilter-ivm.ts:86-124``).
+- Fallback to full recompute for non-incremental plans
+  (``streaming.ts:646-672``).
+
+Spark mapping: deltas are CDC rows (``__sign`` = +1 add / −1 remove) in an
+append-only JSONL spool directory; a registered pipeline becomes either
+
+1. **incremental** — the ``$group`` is rewritten to signed measures
+   (``sum(sign*x)``, ``count → sum(sign)``, ``avg → sum(sign*x)/sum(sign)``)
+   and runs as a Structured Streaming stateful aggregation in *update* mode;
+   Spark's StateStore is the managed analogue of the reference's hand-rolled
+   crossfilter state; or
+2. **recompute** — non-invertible accumulators (`$min/$max/$first/$last/
+   $push/$addToSet`) or non-incremental stages fall back to re-running the
+   batch pipeline over the live rows each trigger, exactly the reference's
+   fallback path.
+
+At scale the spool directory becomes a Kafka topic / Delta CDF and the
+memory-sink result table becomes a Delta MERGE in ``foreachBatch`` — the
+translation below is identical; only source/sink change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+import uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..errors import InvalidPipeline
+
+__all__ = [
+    "StreamingCollection",
+    "signed_group_rewrite",
+    "INVERTIBLE_ACCUMULATORS",
+    "materialize_stream",
+]
+
+
+def materialize_stream(out: DataFrame, mode: str = "complete") -> DataFrame:
+    """Run a streaming DataFrame to completion over the currently-available
+    input (``availableNow`` trigger) and return the final result as a batch
+    DataFrame (memory sink).
+
+    This is the batch-verification harness for streaming pipelines: the same
+    translated plan that would run 24/7 against Kafka is executed over a
+    bounded snapshot, so a DuckDB oracle can hash-check it.
+    """
+    name = "aggo_stream_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="aggo_ckpt_")
+    q = (
+        out.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out.sparkSession.table(name)
+
+_SIGN = "__sign"
+_SEQ = "__seq"
+
+# accumulators with an inverse (reference keeps these incremental in
+# crossfilter-ivm.ts:129-166; the rest force multiset/odered state = recompute)
+INVERTIBLE_ACCUMULATORS = {"$sum", "$avg", "$count", "$stdDevPop", "$stdDevSamp",
+                           "$variancePop", "$varianceSamp"}
+
+
+def _accumulator_is_invertible(spec: object) -> bool:
+    if not isinstance(spec, dict) or len(spec) != 1:
+        return False
+    return next(iter(spec)) in INVERTIBLE_ACCUMULATORS
+
+
+def pipeline_is_incremental(pipeline: list) -> bool:
+    """True when every stage maps to Spark's incrementalizable operators:
+    stateless transforms plus at most one signed-measure-rewritable $group
+    as the final aggregation (mirrors canUseHotPath gating,
+    reference hot-path-aggregation.ts:119-281, but for the streaming path).
+    """
+    seen_group = False
+    for stage in pipeline:
+        (name, spec), = stage.items()
+        if name in ("$match", "$project", "$addFields", "$set", "$unset"):
+            if seen_group:
+                continue  # post-agg narrow transforms are fine in update mode
+            continue
+        if name == "$group":
+            if seen_group:
+                return False
+            seen_group = True
+            accs = {k: v for k, v in spec.items() if k != "_id"}
+            if not all(_accumulator_is_invertible(v) for v in accs.values()):
+                return False
+            continue
+        return False  # $sort/$limit/$lookup/$unwind/... → recompute path
+    return seen_group
+
+
+def signed_group_rewrite(pipeline: list) -> list:
+    """Rewrite the pipeline's $group accumulators to signed measures so a
+    single stateful aggregation handles adds AND removes:
+
+        {$sum: 1}        → {$sum: "$__sign"}
+        {$sum: "$x"}     → {$sum: {$multiply: ["$__sign", "$x"]}}
+        {$avg: "$x"}     → sum(sign*x)/sum(sign)   (exact)
+        {$count: {}}     → {$sum: "$__sign"}
+        stddev/variance  → from signed power sums (n, Σsx, Σsx²)
+
+    Pure pipeline-to-pipeline rewrite — the translated plan is still
+    compiled by the same batch compiler.
+    """
+    # null-safe "arg IS NULL" using only dialect ops: $cmp is null-safe
+    def _is_null(arg):
+        return {"$eq": [{"$cmp": [arg, None]}, 0]}
+
+    out = []
+    for stage in pipeline:
+        (name, spec), = stage.items()
+        if name != "$group":
+            out.append(stage)
+            continue
+        new_spec: dict = {"_id": spec.get("_id")}
+        post: dict = {}
+        for field, acc in spec.items():
+            if field == "_id":
+                continue
+            (op, arg), = acc.items()
+            sx = {"$multiply": ["$__sign", arg]}
+            if op == "$sum":
+                new_spec[field] = {"$sum": sx}
+            elif op == "$count":
+                new_spec[field] = {"$sum": "$__sign"}
+            elif op == "$avg":
+                new_spec[f"__{field}_s"] = {"$sum": sx}
+                new_spec[f"__{field}_n"] = {"$sum": {"$cond": [_is_null(arg), 0, "$__sign"]}}
+                post[field] = {"$cond": [
+                    {"$gt": [f"$__{field}_n", 0]},
+                    {"$divide": [f"$__{field}_s", f"$__{field}_n"]},
+                    None]}
+            elif op in ("$stdDevPop", "$stdDevSamp", "$variancePop", "$varianceSamp"):
+                # signed power sums: n, Σ sx, Σ sx²
+                new_spec[f"__{field}_n"] = {"$sum": {"$cond": [_is_null(arg), 0, "$__sign"]}}
+                new_spec[f"__{field}_s1"] = {"$sum": sx}
+                new_spec[f"__{field}_s2"] = {"$sum": {"$multiply": ["$__sign", arg, arg]}}
+                n, s1, s2 = f"$__{field}_n", f"$__{field}_s1", f"$__{field}_s2"
+                var_pop = {"$subtract": [
+                    {"$divide": [s2, n]},
+                    {"$multiply": [{"$divide": [s1, n]}, {"$divide": [s1, n]}]}]}
+                if op in ("$variancePop", "$stdDevPop"):
+                    guard = {"$gt": [n, 0]}
+                    var = var_pop
+                else:
+                    guard = {"$gt": [n, 1]}
+                    var = {"$multiply": [var_pop, {"$divide": [n, {"$subtract": [n, 1]}]}]}
+                expr = var if op.startswith("$variance") else {"$sqrt": {"$abs": var}}
+                post[field] = {"$cond": [guard, expr, None]}
+            else:
+                raise InvalidPipeline(f"accumulator {op} is not invertible")
+        # hidden net row count: a group retracted to zero members disappears
+        new_spec["__net"] = {"$sum": "$__sign"}
+        out.append({"$group": new_spec})
+        if post:
+            out.append({"$addFields": post})
+    return out
+
+
+class _Registered:
+    def __init__(self, rid: str, pipeline: list, incremental: bool):
+        self.id = rid
+        self.pipeline = pipeline
+        self.incremental = incremental
+        self.result_rows: list[dict] = []
+        self.on_update: list[Callable] = []
+
+
+class StreamingCollection:
+    """Mutable collection with live registered pipelines — the reference's
+    ``StreamingCollection`` (``src/aggo/streaming.ts:78-258``) on Spark.
+
+    Documents are appended to a JSONL spool as CDC rows (sign +1/−1); each
+    registered pipeline owns a Structured Streaming query over that spool,
+    and ``flush()`` (called by add/remove) advances all queries with
+    ``processAllAvailable`` so results are deterministic for callers.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        schema,  # StructType or DDL string of the *document* shape
+        engine=None,
+        workdir: str | None = None,
+    ) -> None:
+        from ..engine import Engine
+
+        self.spark = spark
+        self.engine = engine or Engine()
+        self.workdir = workdir or tempfile.mkdtemp(prefix="aggo_stream_")
+        self.data_dir = os.path.join(self.workdir, "data")
+        os.makedirs(self.data_dir, exist_ok=True)
+        if isinstance(schema, str):
+            from pyspark.sql.types import _parse_datatype_string
+
+            schema = _parse_datatype_string(schema)
+        self.doc_schema = schema
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        self.cdc_schema = StructType(
+            list(schema.fields)
+            + [StructField(_SIGN, LongType()), StructField(_SEQ, LongType())]
+        )
+        self._seq = 0
+        self._file_no = 0
+        self._registered: dict[str, _Registered] = {}
+        self._queries: dict[str, object] = {}
+        self._lock = threading.Lock()
+        # seed file so readStream can infer nothing and start cleanly
+        self._write_rows([])
+
+    # -- mutation ---------------------------------------------------------
+
+    def add(self, doc: dict) -> None:
+        self.add_bulk([doc])
+
+    def add_bulk(self, docs: list[dict]) -> None:
+        self._write_rows([(d, 1) for d in docs])
+        self.flush()
+
+    def remove(self, docs: dict | list[dict]) -> None:
+        """Retract previously-added documents (reference streaming.ts:211-258).
+        The caller passes the same document values that were added."""
+        if isinstance(docs, dict):
+            docs = [docs]
+        self._write_rows([(d, -1) for d in docs])
+        self.flush()
+
+    def _write_rows(self, signed_docs: list[tuple[dict, int]]) -> None:
+        with self._lock:
+            path = os.path.join(self.data_dir, f"batch-{self._file_no:08d}.jsonl")
+            self._file_no += 1
+            with open(path, "w") as fh:
+                for doc, sign in signed_docs:
+                    self._seq += 1
+                    row = dict(doc)
+                    row[_SIGN] = sign
+                    row[_SEQ] = self._seq
+                    fh.write(json.dumps(row, default=str) + "\n")
+
+    # -- live pipelines ---------------------------------------------------
+
+    def stream(self, pipeline: list, rid: str | None = None) -> list[dict]:
+        """Register a live pipeline; returns the current result and keeps it
+        updated on every add/remove (reference streaming.ts:514-565)."""
+        rid = rid or uuid.uuid4().hex[:8]
+        incremental = pipeline_is_incremental(pipeline)
+        reg = _Registered(rid, pipeline, incremental)
+        self._registered[rid] = reg
+        if incremental:
+            self._start_incremental(reg)
+        self.flush()
+        return self.result(rid)
+
+    def _cdc_stream(self) -> DataFrame:
+        return (
+            self.spark.readStream.schema(self.cdc_schema)
+            .option("maxFilesPerTrigger", 64)
+            .json(self.data_dir)
+        )
+
+    def _start_incremental(self, reg: _Registered) -> None:
+        rewritten = signed_group_rewrite(reg.pipeline)
+        sdf = self._cdc_stream()
+        out = self.engine.aggregate(sdf, rewritten)
+
+        def sink(batch_df: DataFrame, _batch_id: int) -> None:
+            rows = [r.asDict(recursive=True) for r in batch_df.collect()]
+            merged = {json.dumps(r.get("_id"), sort_keys=True, default=str): r
+                      for r in reg.result_rows}
+            for r in rows:
+                merged[json.dumps(r.get("_id"), sort_keys=True, default=str)] = r
+            # __net==0 → every member retracted → the group disappears;
+            # "__"-prefixed helper measures stay internal
+            reg.result_rows = [
+                {k: v for k, v in r.items() if not k.startswith("__")}
+                for r in merged.values()
+                if r.get("__net", 1) > 0
+            ]
+            for cb in reg.on_update:
+                cb(reg.result_rows)
+
+        ckpt = os.path.join(self.workdir, f"ckpt-{reg.id}")
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        self._queries[reg.id] = q
+
+    def flush(self) -> None:
+        """Advance every live query over all pending deltas (deterministic
+        read-your-writes, like the reference's synchronous update loop)."""
+        for q in self._queries.values():
+            q.processAllAvailable()
+        for reg in self._registered.values():
+            if not reg.incremental:
+                self._recompute(reg)
+
+    def _recompute(self, reg: _Registered) -> None:
+        """Fallback: re-run the batch pipeline over the net live rows
+        (reference streaming.ts:646-672 recompute path)."""
+        live = self._live_rows_df()
+        out = self.engine.aggregate(live, reg.pipeline)
+        reg.result_rows = [r.asDict(recursive=True) for r in out.collect()]
+        for cb in reg.on_update:
+            cb(reg.result_rows)
+
+    def _live_rows_df(self) -> DataFrame:
+        cdc = self.spark.read.schema(self.cdc_schema).json(self.data_dir)
+        doc_cols = [f.name for f in self.doc_schema.fields]
+        # net multiplicity per document identity; rows removed as many times
+        # as added vanish (multiset semantics, like the reference's rowId set)
+        counted = (
+            cdc.groupBy(*doc_cols).agg(F.sum(_SIGN).alias("__n")).filter(F.col("__n") > 0)
+        )
+        expanded = counted.select(
+            *doc_cols, F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("__i")
+        ).drop("__i")
+        return expanded
+
+    def result(self, rid: str) -> list[dict]:
+        return list(self._registered[rid].result_rows)
+
+    def on_update(self, rid: str, cb: Callable) -> None:
+        """Reference event-bus 'result-updated' analogue (streaming.ts:24-33)."""
+        self._registered[rid].on_update.append(cb)
+
+    def count(self) -> int:
+        return self._live_rows_df().count()
+
+    def stop(self) -> None:
+        for q in self._queries.values():
+            q.stop()
+        self._queries.clear()
+
+    # camelCase alias for API parity with the reference (streaming.ts:162)
+    addBulk = add_bulk

@@ -1,0 +1,208 @@
+"""Streaming layer tests — modeled on the reference's streaming suite
+(/root/reference/tests/streaming.spec.js, streaming-removal.spec.js):
+add/addBulk/remove correctness, incremental vs recompute parity, event-bus
+callbacks, and the Spark-native event-time window extension.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aggo_spark import Engine, StreamingCollection
+from aggo_spark.streaming import pipeline_is_incremental, signed_group_rewrite
+
+DOC_SCHEMA = "category string, price double, qty long"
+
+GROUP_PIPELINE = [
+    {"$group": {
+        "_id": "$category",
+        "n": {"$sum": 1},
+        "revenue": {"$sum": {"$multiply": ["$price", "$qty"]}},
+        "avg_price": {"$avg": "$price"},
+    }},
+]
+
+
+def by_id(rows):
+    return {r["_id"]: r for r in rows}
+
+
+@pytest.fixture()
+def coll(spark, tmp_path):
+    c = StreamingCollection(spark, DOC_SCHEMA, workdir=str(tmp_path))
+    yield c
+    c.stop()
+
+
+class TestIncrementalGroup:
+    def test_add_updates_result(self, coll):
+        rid = "g"
+        coll.stream(GROUP_PIPELINE, rid)
+        coll.add({"category": "a", "price": 10.0, "qty": 2})
+        coll.add_bulk([
+            {"category": "a", "price": 5.0, "qty": 1},
+            {"category": "b", "price": 3.0, "qty": 4},
+        ])
+        res = by_id(coll.result(rid))
+        assert res["a"]["n"] == 2 and res["a"]["revenue"] == 25.0
+        assert res["a"]["avg_price"] == 7.5
+        assert res["b"]["n"] == 1 and res["b"]["revenue"] == 12.0
+
+    def test_remove_retracts(self, coll):
+        rid = "g"
+        coll.stream(GROUP_PIPELINE, rid)
+        coll.add_bulk([
+            {"category": "a", "price": 10.0, "qty": 2},
+            {"category": "a", "price": 5.0, "qty": 1},
+            {"category": "b", "price": 3.0, "qty": 4},
+        ])
+        coll.remove({"category": "a", "price": 10.0, "qty": 2})
+        res = by_id(coll.result(rid))
+        assert res["a"]["n"] == 1 and res["a"]["revenue"] == 5.0
+        assert res["a"]["avg_price"] == 5.0
+        # full retraction deletes the group
+        coll.remove({"category": "b", "price": 3.0, "qty": 4})
+        assert "b" not in by_id(coll.result(rid))
+
+    def test_matches_batch_recompute(self, spark, coll):
+        """Differential: incremental result == batch pipeline over live rows
+        (the reference's parity-ivm-hotpath strategy)."""
+        rid = "g"
+        coll.stream(GROUP_PIPELINE, rid)
+        docs = [
+            {"category": c, "price": float(p), "qty": q}
+            for c, p, q in [("a", 10, 2), ("b", 4, 1), ("a", 6, 3), ("c", 9, 9), ("b", 1, 1)]
+        ]
+        coll.add_bulk(docs)
+        coll.remove(docs[2])
+        batch = Engine().aggregate(coll._live_rows_df(), GROUP_PIPELINE)
+        expected = by_id([r.asDict() for r in batch.collect()])
+        got = by_id(coll.result(rid))
+        assert set(got) == set(expected)
+        for k in got:
+            assert got[k]["n"] == expected[k]["n"]
+            assert got[k]["revenue"] == pytest.approx(expected[k]["revenue"])
+            assert got[k]["avg_price"] == pytest.approx(expected[k]["avg_price"])
+
+    def test_on_update_event(self, coll):
+        rid = "g"
+        coll.stream(GROUP_PIPELINE, rid)
+        seen = []
+        coll.on_update(rid, lambda rows: seen.append(len(rows)))
+        coll.add({"category": "a", "price": 1.0, "qty": 1})
+        assert seen, "result-updated callback never fired"
+
+
+class TestRecomputeFallback:
+    def test_non_invertible_pipeline_falls_back(self, coll):
+        # $min is not invertible → recompute path (streaming.ts:646-672)
+        pipe = [{"$group": {"_id": "$category", "lo": {"$min": "$price"},
+                            "hi": {"$max": "$price"}}}]
+        assert not pipeline_is_incremental(pipe)
+        rid = "mm"
+        coll.stream(pipe, rid)
+        coll.add_bulk([
+            {"category": "a", "price": 10.0, "qty": 1},
+            {"category": "a", "price": 2.0, "qty": 1},
+        ])
+        res = by_id(coll.result(rid))
+        assert res["a"]["lo"] == 2.0 and res["a"]["hi"] == 10.0
+        # retraction of the current min is exactly what invertible state
+        # can't do — recompute handles it
+        coll.remove({"category": "a", "price": 2.0, "qty": 1})
+        res = by_id(coll.result(rid))
+        assert res["a"]["lo"] == 10.0
+
+    def test_sort_limit_pipeline_falls_back(self, coll):
+        pipe = [
+            {"$group": {"_id": "$category", "n": {"$sum": 1}}},
+            {"$sort": {"n": -1, "_id": 1}},
+            {"$limit": 1},
+        ]
+        assert not pipeline_is_incremental(pipe)
+        rid = "top"
+        coll.stream(pipe, rid)
+        coll.add_bulk([
+            {"category": "a", "price": 1.0, "qty": 1},
+            {"category": "b", "price": 1.0, "qty": 1},
+            {"category": "b", "price": 2.0, "qty": 1},
+        ])
+        assert coll.result(rid) == [{"_id": "b", "n": 2}]
+
+
+class TestSignedRewrite:
+    def test_rewrite_shapes(self):
+        out = signed_group_rewrite(GROUP_PIPELINE)
+        g = out[0]["$group"]
+        assert g["n"] == {"$sum": {"$multiply": ["$__sign", 1]}}
+        assert g["__net"] == {"$sum": "$__sign"}
+        assert out[1]["$addFields"]["avg_price"]  # post-projected ratio
+
+    def test_incremental_detection(self):
+        assert pipeline_is_incremental(
+            [{"$match": {"x": 1}}, {"$group": {"_id": None, "s": {"$sum": "$x"}}}])
+        assert not pipeline_is_incremental([{"$match": {"x": 1}}])  # no group
+        assert not pipeline_is_incremental(
+            [{"$group": {"_id": None, "v": {"$push": "$x"}}}])
+
+
+class TestEventTimeWindows:
+    def test_tumbling_window_batch(self, spark):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 0, m), 1.0) for m in (1, 2, 31, 59)],
+            "ts timestamp, v double",
+        )
+        out = Engine().aggregate(df, [
+            {"$tumblingWindow": {"on": "$ts", "size": "30 minutes"}},
+            {"$group": {"_id": "$window.start", "n": {"$sum": 1}}},
+            {"$sort": {"_id": 1}},
+        ])
+        got = [(r["_id"].minute, r["n"]) for r in out.collect()]
+        assert got == [(0, 2), (30, 2)]
+
+    def test_session_window_batch(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(base + dt.timedelta(seconds=s),) for s in (0, 10, 200)],
+            "ts timestamp",
+        )
+        out = Engine().aggregate(df, [
+            {"$sessionWindow": {"on": "$ts", "size": "60 seconds"}},
+            {"$group": {"_id": "$window", "n": {"$sum": 1}}},
+        ])
+        assert sorted(r["n"] for r in out.collect()) == [1, 2]
+
+    def test_streaming_tumbling_with_watermark(self, spark, tmp_path):
+        """readStream → $tumblingWindow+watermark → $group, availableNow."""
+        import datetime as dt
+        import json as _json
+
+        src = tmp_path / "src"
+        src.mkdir()
+        rows = [
+            {"ts": f"2024-01-01T00:{m:02d}:00.000Z", "v": 1}
+            for m in (1, 2, 31, 59)
+        ]
+        (src / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+        sdf = spark.readStream.schema("ts timestamp, v long").json(str(src))
+        out = Engine().aggregate(sdf, [
+            {"$tumblingWindow": {"on": "$ts", "size": "30 minutes",
+                                 "watermark": "10 minutes"}},
+            {"$group": {"_id": "$window.start", "n": {"$sum": 1}}},
+        ])
+        q = (
+            out.writeStream.outputMode("complete")
+            .format("memory").queryName("win_test")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r["_id"].minute, r["n"]) for r in spark.sql("select * from win_test").collect()
+        )
+        assert got == [(0, 2), (30, 2)]
