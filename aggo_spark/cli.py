@@ -1,0 +1,97 @@
+"""CLI: JSONL in → pipeline → JSONL out (reference entry point 2,
+``/root/reference/src/cli.ts:207-314``).
+
+    cat data.jsonl | python -m aggo_spark '[{"$match": {"score": {"$gte": 80}}}]'
+    python -m aggo_spark '[...]' --file data.jsonl --pretty --explain --stats
+
+Differences from the reference, by design: execution is Spark (any input
+size; spills; parallel), so ``--stats`` reports Spark metrics and
+``--explain`` prints the real optimizer plan rather than a static
+stage-by-stage prediction.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+
+
+def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="aggo_spark",
+        description="MongoDB-style aggregation pipelines on PySpark",
+    )
+    p.add_argument("pipeline", help="pipeline JSON (array of stage objects)")
+    p.add_argument("--file", help="read JSONL from file instead of stdin")
+    p.add_argument("--pretty", action="store_true", help="pretty JSON array output")
+    p.add_argument("--explain", action="store_true", help="print the Catalyst plan")
+    p.add_argument("--stats", action="store_true", help="print timing / row counts")
+    p.add_argument("--master", default=None, help="Spark master (default local[ncpus])")
+    p.add_argument("--limit-output", type=int, default=None,
+                   help="cap printed rows (full pipeline still runs)")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parse_args(argv)
+    try:
+        pipeline = json.loads(args.pipeline)
+    except json.JSONDecodeError as exc:
+        print(f"error: invalid pipeline JSON: {exc}", file=sys.stderr)
+        return 1
+
+    from . import Engine, build_session, read_jsonl
+
+    t0 = time.time()
+    spark = build_session(app_name="aggo-spark-cli", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.file:
+        src_path = args.file
+    else:
+        # JSONL streaming from stdin: spool to a temp file so Spark (a
+        # distributed engine) can read and re-read splits of it
+        tmp = tempfile.NamedTemporaryFile("w", suffix=".jsonl", delete=False)
+        for line in sys.stdin:
+            if line.strip():
+                tmp.write(line)
+        tmp.close()
+        src_path = tmp.name
+
+    df = read_jsonl(spark, src_path, error_strategy="skip")
+    n_in = df.count() if args.stats else None
+    eng = Engine()
+    out = eng.aggregate(df, pipeline)
+
+    if args.explain:
+        print(eng.explain(df, pipeline), file=sys.stderr)
+
+    t1 = time.time()
+    rows = out.toJSON().collect()
+    t2 = time.time()
+
+    shown = rows if args.limit_output is None else rows[: args.limit_output]
+    if args.pretty:
+        print(json.dumps([json.loads(r) for r in shown], indent=2))
+    else:
+        for r in shown:
+            print(r)
+
+    if args.stats:
+        print(
+            json.dumps({
+                "input_rows": n_in,
+                "output_rows": len(rows),
+                "plan_build_s": round(t1 - t0, 3),
+                "execute_s": round(t2 - t1, 3),
+            }),
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
