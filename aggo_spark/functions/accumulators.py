@@ -69,6 +69,31 @@ def _accumulator(op: str, arg: object, ctx: ExprContext) -> Column:
     if op == "$approxCountDistinct":
         # extension: HLL sketch — the 100 TB-scale variant of $addToSet+$size
         return F.approx_count_distinct(translate_expr(arg, ctx))
+    if op == "$median":
+        # MongoDB 7.0 accumulator; approx by default (t-digest-style sketch
+        # merges across partitions — the only shape that scales), exact on
+        # request
+        method = arg.get("method", "approximate") if isinstance(arg, dict) else "approximate"
+        inp = arg.get("input", arg) if isinstance(arg, dict) else arg
+        c = translate_expr(inp, ctx)
+        if method == "exact":
+            return F.percentile(c, F.lit(0.5))
+        return F.percentile_approx(c, F.lit(0.5), F.lit(10000))
+    if op == "$percentile":
+        # MongoDB 7.0: {$percentile: {input, p: [..], method}} → array
+        if not isinstance(arg, dict) or "input" not in arg or "p" not in arg:
+            raise InvalidPipeline("$percentile requires {input, p}")
+        c = translate_expr(arg["input"], ctx)
+        ps = F.array(*[F.lit(float(p)) for p in arg["p"]])
+        if arg.get("method") == "exact":
+            return F.percentile(c, ps)
+        return F.percentile_approx(c, ps, F.lit(10000))
+    if op in ("$topN", "$bottomN", "$firstN", "$lastN", "$minN", "$maxN"):
+        return _n_accumulator(op, arg, ctx)
+    if op == "$top":
+        return F.element_at(_n_accumulator("$topN", {**arg, "n": 1}, ctx), 1)
+    if op == "$bottom":
+        return F.element_at(_n_accumulator("$bottomN", {**arg, "n": 1}, ctx), 1)
     if op == "$mergeObjects":
         raise UnsupportedExpression("$mergeObjects accumulator not yet supported")
     if op == "$minBy":
@@ -79,6 +104,50 @@ def _accumulator(op: str, arg: object, ctx: ExprContext) -> Column:
     if op == "$maxBy":
         return F.max_by(translate_expr(arg["output"], ctx), translate_expr(arg["by"], ctx))
     raise UnsupportedExpression(f"unsupported accumulator {op}")
+
+
+def _n_accumulator(op: str, arg: object, ctx: ExprContext) -> Column:
+    """MongoDB 5.2 N-accumulators ($topN/$bottomN/$firstN/$lastN/$minN/$maxN).
+
+    Spark has no bounded-top-k *aggregate*, so these collect the group and
+    slice — correct everywhere, and fine when groups are modest. For
+    top-k-per-group over huge groups, the scale-correct plan is a window
+    rank + filter (row_number() over partition ≤ n), which the engine's
+    $setWindowFields stage already expresses; see COMPAT.md.
+    """
+    if not isinstance(arg, dict):
+        raise InvalidPipeline(f"{op} requires an object spec")
+    n = int(arg.get("n", 1))
+    if op in ("$firstN", "$lastN", "$minN", "$maxN"):
+        c = translate_expr(arg["input"], ctx)
+        lst = F.collect_list(c)
+        if op == "$firstN":
+            return F.slice(lst, 1, n)
+        if op == "$lastN":
+            start = F.greatest(F.size(lst) - F.lit(n - 1), F.lit(1))
+            return F.slice(lst, start, n)
+        if op == "$minN":
+            return F.slice(F.sort_array(lst), 1, n)
+        return F.slice(F.sort_array(lst, asc=False), 1, n)
+    # $topN / $bottomN: {output, sortBy: {field: 1|-1, ...}, n}
+    sort_by = arg.get("sortBy")
+    if not isinstance(sort_by, dict) or not sort_by:
+        raise InvalidPipeline(f"{op} requires sortBy")
+    dirs = set(sort_by.values())
+    if len(dirs) != 1:
+        raise UnsupportedExpression(f"{op}: mixed sort directions not supported")
+    asc = dirs.pop() == 1
+    fields = [ctx.resolve_path(k).alias(f"__k{i}") for i, k in enumerate(sort_by)]
+    packed = F.collect_list(
+        F.struct(*fields, translate_expr(arg["output"], ctx).alias("__out"))
+    )
+    ordered = F.sort_array(packed, asc=asc)
+    if op == "$topN":
+        sliced = F.slice(ordered, 1, n)
+    else:
+        start = F.greatest(F.size(ordered) - F.lit(n - 1), F.lit(1))
+        sliced = F.slice(ordered, start, n)
+    return F.transform(sliced, lambda s: s["__out"])
 
 
 # window-function forms for $setWindowFields (MongoDB 5.0 stage; a natural

@@ -500,6 +500,92 @@ def stage_facet(df: DataFrame, spec: dict, engine) -> DataFrame:
     return out
 
 
+def stage_fill(df: DataFrame, spec: dict, engine) -> DataFrame:
+    """$fill (MongoDB 5.3; extension — reference lacks it): fill null/missing
+    values per partition. Methods: {"value": expr} constant fill and
+    {"method": "locf"} last-observation-carried-forward via
+    last(ignoreNulls) over an unbounded-preceding window — one shuffle on
+    the partition key, no Python.
+    """
+    output = spec.get("output")
+    if not isinstance(output, dict) or not output:
+        raise InvalidPipeline("$fill requires output")
+    ctx = _ctx(df)
+    part = spec.get("partitionBy")
+    if isinstance(part, str):
+        part_cols = [ctx.resolve_path(part[1:] if part.startswith("$") else part)]
+    elif isinstance(part, dict):
+        part_cols = [translate_expr(v, ctx) for v in part.values()]
+    else:
+        part_cols = [F.lit(0)]
+    needs_order = any(isinstance(v, dict) and v.get("method") == "locf"
+                      for v in output.values())
+    w = Window.partitionBy(*part_cols)
+    if needs_order:
+        sort_by = spec.get("sortBy")
+        if not sort_by:
+            raise InvalidPipeline("$fill with method:locf requires sortBy")
+        w = w.orderBy(*_sort_cols(sort_by, ctx)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    updates = {}
+    for field, how in output.items():
+        cur = ctx.resolve_path(field)
+        if isinstance(how, dict) and "value" in how:
+            updates[field] = F.coalesce(cur, translate_expr(how["value"], ctx))
+        elif isinstance(how, dict) and how.get("method") == "locf":
+            updates[field] = F.coalesce(cur, F.last(cur, ignorenulls=True).over(w))
+        else:
+            raise UnsupportedStage(f"$fill method {how!r} not supported (value/locf)")
+    return df.withColumns(updates)
+
+
+def stage_densify(df: DataFrame, spec: dict, engine) -> DataFrame:
+    """$densify (MongoDB 5.1; extension): create rows to fill gaps in a
+    numeric or timestamp field. Plan: per partition, min/max aggregate →
+    explode(sequence(lo, hi, step)) → left anti against existing values →
+    union. Two shuffles (agg + union-side join), all codegen; at 100 TB the
+    generated side is tiny relative to the data and joins broadcast.
+    """
+    field = spec.get("field")
+    rng = spec.get("range") or {}
+    step = rng.get("step")
+    if not field or step is None:
+        raise InvalidPipeline("$densify requires field and range.step")
+    ctx = _ctx(df)
+    fcol = ctx.resolve_path(field)
+    part_fields = [p[1:] if p.startswith("$") else p for p in spec.get("partitionByFields", [])]
+    part_cols = [F.col(p) for p in part_fields]
+    unit = rng.get("unit")
+    bounds = rng.get("bounds", "partition")
+
+    if isinstance(bounds, list):
+        lo, hi = F.lit(bounds[0]), F.lit(bounds[1])
+        base = df.select(*part_cols).distinct() if part_fields else df.limit(1).select(F.lit(1).alias("__one"))
+        lo_hi = base.select(*part_fields, lo.alias("__lo"), hi.alias("__hi"))
+    else:
+        # "partition" (per-group min/max) or "full" (global min/max everywhere)
+        if bounds == "full" or not part_fields:
+            agg = df.agg(F.min(fcol).alias("__lo"), F.max(fcol).alias("__hi"))
+            if part_fields:
+                lo_hi = df.select(*part_cols).distinct().crossJoin(F.broadcast(agg))
+            else:
+                lo_hi = agg
+        else:
+            lo_hi = df.groupBy(*part_cols).agg(F.min(fcol).alias("__lo"), F.max(fcol).alias("__hi"))
+
+    if unit:  # timestamp densify
+        seq = F.sequence(
+            F.col("__lo"), F.col("__hi"), F.expr(f"interval {int(step)} {unit}")
+        )
+    else:
+        seq = F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+    gen = lo_hi.select(*part_fields, F.explode(seq).alias(field))
+    existing = df.select(*part_fields, fcol.alias(field)).distinct()
+    missing = gen.join(existing, part_fields + [field], "left_anti")
+    return df.unionByName(missing, allowMissingColumns=True)
+
+
 def _event_time_window(df: DataFrame, spec: dict, kind: str) -> DataFrame:
     """Shared body of the event-time window extension stages.
 
@@ -573,6 +659,8 @@ STAGES = {
     "$setWindowFields": stage_set_window_fields,
     "$bucket": stage_bucket,
     "$facet": stage_facet,
+    "$fill": stage_fill,
+    "$densify": stage_densify,
     # event-time windows (Spark-native streaming superset, SURVEY.md §2.9)
     "$tumblingWindow": stage_tumbling_window,
     "$slidingWindow": stage_sliding_window,
