@@ -468,6 +468,24 @@ def q35_ann_bucketed(spark, sf_dir):
     return similarity.bucketed_topk(emb, q, k=10, bits=8).orderBy("query_id", "rank")
 
 
+def q47_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (sign-bucket candidates + exact
+    cosine verify; oracle mirrors the same bucketing)."""
+    return similarity.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, bits=8
+    ).orderBy("id_a", "id_b")
+
+
+def q48_ann_ivf(spark, sf_dir):
+    """IVF ANN: KMeans coarse quantizer + nprobe cell probing (no SQL
+    oracle — centroids come from ML training; rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q36_langid(spark, sf_dir):
     """Stopword-profile language ID (tokenize-once projection split)."""
     df = _t(spark, sf_dir, "documents")
@@ -643,6 +661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_topn": q44_topn,
         "q45_percentile": q45_percentile,
         "q46_densify_fill": q46_densify_fill,
+        "q47_embed_neardup": q47_embed_neardup,
+        "q48_ann_ivf": q48_ann_ivf,
     }
 
 
@@ -1028,6 +1048,29 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(l_quantity, 0.5) AS med_qty,
                    quantile_cont(l_quantity, 0.9) AS p90
             FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "q47_embed_neardup": """
+            WITH coded AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                      + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+                      + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+                      + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+                      + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+                      + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+                      + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+              FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+            FROM coded a JOIN coded b USING (bucket)
+            WHERE a.vec_id < b.vec_id
+              AND round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+            ORDER BY 1, 2
         """,
         "q46_densify_fill": """
             WITH daily AS (

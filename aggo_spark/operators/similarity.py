@@ -21,7 +21,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["cosine", "brute_force_topk", "sign_bucket", "bucketed_topk"]
+__all__ = [
+    "cosine",
+    "brute_force_topk",
+    "sign_bucket",
+    "bucketed_topk",
+    "ivf_topk",
+    "embedding_near_dup_pairs",
+]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -121,3 +128,109 @@ def bucketed_topk(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+) -> DataFrame:
+    """IVF approximate cosine top-k: KMeans coarse quantizer (trained on a
+    bounded sample), corpus partitioned by nearest centroid, queries probe
+    their ``nprobe`` nearest cells.
+
+    Scale shape: training is the one iterative step and runs on ≤
+    ``max_train_rows`` sampled vectors; assignment + search are single-pass
+    DataFrame ops. In a deployment the cell id becomes the table's partition
+    column so a probe prunes file groups; here it is the equi-join key —
+    scanned fraction ≈ nprobe / n_centroids.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = corpus.count()
+    frac = min(1.0, max_train_rows / max(n, 1))
+    train = corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__features")
+    model = km.fit(train.select(array_to_vector(F.col(vec_col)).alias("__features")))
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    # distance-to-centroid as a column expression against the broadcast
+    # literal centers (tiny), so assignment is a pure projection
+    def _cell_ranked(vec: Column, rank_n: int) -> Column:
+        dists = F.array(*[
+            F.struct(
+                _dot(
+                    F.zip_with(vec, F.array(*[F.lit(x) for x in c]),
+                               lambda a, b: a.cast("double") - b),
+                    F.zip_with(vec, F.array(*[F.lit(x) for x in c]),
+                               lambda a, b: a.cast("double") - b),
+                ).alias("d"),
+                F.lit(ci).alias("cell"),
+            )
+            for ci, c in enumerate(centers)
+        ])
+        return F.slice(F.sort_array(dists), 1, rank_n)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(_cell_ranked(F.col(vec_col), 1), 1)["cell"].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(F.transform(
+            _cell_ranked(F.col(vec_col), nprobe), lambda s: s["cell"]
+        )).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector tier of the dedup
+    family): candidates share a sign bucket (near-identical vectors almost
+    always do; dims near zero can flip — recall < 1, documented), verified
+    by exact cosine ≥ threshold. The join is equi on the bucket — shuffle,
+    not cartesian."""
+    coded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    a = coded.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = coded.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

@@ -130,3 +130,26 @@ def test_frame_sample_plan(docs):
     assert len(out) == 4 * docs.count()
     r = [x for x in out if x["doc_id"] == 1 and x["frame_idx"] == 2][0]
     assert r["byte_offset"] == r["total_bytes"] * 2 // 4
+
+
+class TestIVFAndNearDup:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        from aggo_spark import load_tables
+
+        return load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])["embeddings"]
+
+    def test_ivf_recall_against_brute_force(self, spark, emb):
+        q = emb.filter(F.col("vec_id") < 3)
+        bf = {(r.query_id, r.neighbor_id)
+              for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+        ivf = {(r.query_id, r.neighbor_id)
+               for r in similarity.ivf_topk(emb, q, k=5, n_centroids=8, nprobe=4).collect()}
+        assert len(bf) == 15
+        # probing half the cells should recover most true neighbors
+        assert len(bf & ivf) / len(bf) >= 0.5
+
+    def test_near_dup_pairs_match_threshold(self, spark, emb):
+        out = similarity.embedding_near_dup_pairs(
+            emb, threshold=0.4, bits=8).collect()
+        assert all(r.score >= 0.4 and r.id_a < r.id_b for r in out)
