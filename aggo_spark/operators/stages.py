@@ -500,6 +500,147 @@ def stage_facet(df: DataFrame, spec: dict, engine) -> DataFrame:
     return out
 
 
+def stage_out(df: DataFrame, spec, engine) -> DataFrame:
+    """$out (extension): terminal sink. String spec registers the result as
+    a collection on the engine; object spec {"path", "format", "mode"} also
+    writes it (parquet default — at scale this is the materialization
+    boundary, so partitioning options pass straight through)."""
+    if isinstance(spec, str):
+        engine.register(spec, df)
+        return df
+    if isinstance(spec, dict):
+        path = spec.get("path")
+        if path:
+            writer = df.write.mode(spec.get("mode", "overwrite"))
+            if spec.get("partitionBy"):
+                writer = writer.partitionBy(*spec["partitionBy"])
+            writer.format(spec.get("format", "parquet")).save(path)
+        if spec.get("coll"):
+            engine.register(spec["coll"], df)
+        return df
+    raise InvalidPipeline("$out spec must be a name or {path/coll,...}")
+
+
+def stage_merge(df: DataFrame, spec, engine) -> DataFrame:
+    """$merge (extension): upsert the result into a registered collection.
+
+    whenMatched: replace (default) | keepExisting; whenNotMatched:
+    insert (default) | discard. Expressed as an outer-join-free plan:
+    anti/semi joins on the `on` key + unionByName — all equi shuffles.
+    On a lakehouse this maps to MERGE INTO; in-engine it re-registers the
+    merged DataFrame.
+    """
+    if isinstance(spec, str):
+        spec = {"into": spec}
+    into = spec.get("into")
+    if not into:
+        raise InvalidPipeline("$merge requires into")
+    on = spec.get("on", "_id")
+    keys = on if isinstance(on, list) else [on]
+    when_matched = spec.get("whenMatched", "replace")
+    when_not_matched = spec.get("whenNotMatched", "insert")
+    try:
+        target = engine.collection(into)
+    except Exception:
+        engine.register(into, df)
+        return df
+    if when_matched == "replace":
+        kept_target = target.join(df.select(*keys), keys, "left_anti")
+        merged = kept_target.unionByName(df, allowMissingColumns=True)
+        if when_not_matched == "discard":
+            merged = kept_target.unionByName(
+                df.join(target.select(*keys), keys, "left_semi"),
+                allowMissingColumns=True,
+            )
+    elif when_matched == "keepExisting":
+        new_rows = df.join(target.select(*keys), keys, "left_anti")
+        merged = target.unionByName(
+            new_rows if when_not_matched != "discard" else new_rows.limit(0),
+            allowMissingColumns=True,
+        )
+    else:
+        raise UnsupportedStage(f"$merge whenMatched={when_matched!r} not supported")
+    engine.register(into, merged)
+    return merged
+
+
+def stage_graph_lookup(df: DataFrame, spec: dict, engine) -> DataFrame:
+    """$graphLookup (extension; absent from the reference, SURVEY.md §2.2):
+    recursive traversal of a foreign collection.
+
+    BFS as a bounded driver loop of equi joins: each iteration joins the
+    frontier's connectFromField values against the foreign side's
+    connectToField — one shuffle per hop (the canonical Spark BFS shape);
+    visited-set dedup keeps traversal linear in reachable rows. Depth is
+    capped (maxDepth, default 20) so the loop terminates on cycles.
+    """
+    for req in ("from", "startWith", "connectFromField", "connectToField", "as"):
+        if req not in spec:
+            raise InvalidPipeline(f"$graphLookup requires {req}")
+    foreign = engine.collection(spec["from"])
+    max_depth = int(spec.get("maxDepth", 20))
+    depth_field = spec.get("depthField")
+    as_field = spec["as"]
+    from_f, to_f = spec["connectFromField"], spec["connectToField"]
+
+    src = df.withColumn("__gl_uid", F.monotonically_increasing_id())
+    ctx = _ctx(src)
+    start = translate_expr(spec["startWith"], ctx)
+
+    fcols = foreign.columns
+    fstruct = F.struct(*[F.col(f"`{c}`") for c in fcols])
+
+    def _values(col: Column, dtype: T.DataType) -> Column:
+        # connectFrom/startWith may be scalar or array; type is static
+        if isinstance(dtype, T.ArrayType):
+            return F.coalesce(col, F.array())
+        return F.when(col.isNotNull(), F.array(col)).otherwise(F.array())
+
+    start_type = ctx.infer_type(spec["startWith"])
+    frontier = src.select("__gl_uid", F.explode(_values(start, start_type)).alias("__v"))
+    from_type = foreign.schema[from_f].dataType
+    visited = None
+    for depth in range(max_depth + 1):
+        hits = (
+            frontier.join(foreign, frontier["__v"] == foreign[to_f])
+            .select("__gl_uid", fstruct.alias("__doc"),
+                    F.lit(depth).cast("long").alias("__depth"))
+        )
+        if visited is not None:
+            hits = hits.join(visited.select("__gl_uid", "__doc"), ["__gl_uid", "__doc"],
+                             "left_anti")
+        # termination probe per hop; persist so isEmpty() and the next join
+        # don't recompute the whole lineage chain
+        hits = hits.persist()
+        if hits.isEmpty():
+            hits.unpersist()
+            break
+        visited = hits if visited is None else visited.unionByName(hits)
+        frontier = hits.select(
+            "__gl_uid",
+            F.explode(_values(F.col("__doc").getField(from_f), from_type)).alias("__v"),
+        )
+    struct_ddl = ",".join(
+        f"`{f.name}`:{f.dataType.simpleString()}" for f in foreign.schema.fields
+    )
+    if depth_field:
+        struct_ddl += f",`{depth_field}`:bigint"
+    empty = F.array().cast(f"array<struct<{struct_ddl}>>")
+    if visited is None:
+        return src.withColumn(as_field, empty).drop("__gl_uid")
+    member = F.struct(F.col("__doc").alias("d"), F.col("__depth").alias("dep"))
+    agg = visited.groupBy("__gl_uid").agg(F.collect_list(member).alias("__members"))
+    joined = src.join(agg, "__gl_uid", "left")
+    if depth_field:
+        arr = F.transform("__members", lambda m: m["d"].withField(depth_field, m["dep"]))
+    else:
+        arr = F.transform("__members", lambda m: m["d"])
+    return (
+        joined.withColumn(as_field, F.coalesce(arr, empty))
+        .drop("__gl_uid", "__members")
+    )
+
+
 def stage_fill(df: DataFrame, spec: dict, engine) -> DataFrame:
     """$fill (MongoDB 5.3; extension — reference lacks it): fill null/missing
     values per partition. Methods: {"value": expr} constant fill and
@@ -661,6 +802,9 @@ STAGES = {
     "$facet": stage_facet,
     "$fill": stage_fill,
     "$densify": stage_densify,
+    "$graphLookup": stage_graph_lookup,
+    "$out": stage_out,
+    "$merge": stage_merge,
     # event-time windows (Spark-native streaming superset, SURVEY.md §2.9)
     "$tumblingWindow": stage_tumbling_window,
     "$slidingWindow": stage_sliding_window,

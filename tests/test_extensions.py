@@ -115,3 +115,82 @@ class TestDensify:
         ])
         assert [(r["t"], r["v"]) for r in out] == [
             (1, 10.0), (2, 10.0), (3, 10.0), (4, 40.0)]
+
+
+class TestGraphLookup:
+    @pytest.fixture(scope="class")
+    def org(self, spark):
+        # employee -> manager chain: a <- b <- c ; d isolated
+        return spark.createDataFrame(
+            [("a", None), ("b", "a"), ("c", "b"), ("d", None)],
+            "name string, reports_to string",
+        )
+
+    def test_upward_chain(self, spark, org):
+        eng = Engine({"org": org})
+        out = eng.aggregate("org", [
+            {"$graphLookup": {"from": "org", "startWith": "$reports_to",
+                              "connectFromField": "reports_to",
+                              "connectToField": "name",
+                              "as": "chain", "depthField": "lvl"}},
+            {"$sort": {"name": 1}},
+        ]).collect()
+        by = {r["name"]: r for r in out}
+        assert [c["name"] for c in sorted(by["c"]["chain"], key=lambda x: x["lvl"])] == ["b", "a"]
+        assert [(c["name"], c["lvl"]) for c in by["b"]["chain"]] == [("a", 0)]
+        assert by["a"]["chain"] == [] and by["d"]["chain"] == []
+
+    def test_max_depth(self, spark, org):
+        eng = Engine({"org": org})
+        out = eng.aggregate("org", [
+            {"$graphLookup": {"from": "org", "startWith": "$reports_to",
+                              "connectFromField": "reports_to",
+                              "connectToField": "name",
+                              "as": "chain", "maxDepth": 0}},
+        ]).collect()
+        by = {r["name"]: r for r in out}
+        assert len(by["c"]["chain"]) == 1  # only the direct manager
+
+    def test_cycle_terminates(self, spark):
+        cyc = spark.createDataFrame(
+            [("x", "y"), ("y", "x")], "name string, next string")
+        eng = Engine({"g": cyc})
+        out = eng.aggregate("g", [
+            {"$graphLookup": {"from": "g", "startWith": "$next",
+                              "connectFromField": "next",
+                              "connectToField": "name", "as": "reach"}},
+            {"$sort": {"name": 1}},
+        ]).collect()
+        assert sorted(c["name"] for c in out[0]["reach"]) == ["x", "y"]
+
+
+class TestOutMerge:
+    def test_out_registers(self, spark):
+        df = spark.createDataFrame([(1, "a")], "id long, v string")
+        eng = Engine()
+        eng.aggregate(df, [{"$out": "snapshot"}])
+        assert [r.v for r in eng.collection("snapshot").collect()] == ["a"]
+
+    def test_out_writes_path(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        Engine().aggregate(df, [{"$out": {"path": str(tmp_path / "t"), "format": "parquet"}}])
+        assert spark.read.parquet(str(tmp_path / "t")).count() == 2
+
+    def test_merge_replace_insert(self, spark):
+        eng = Engine()
+        base = spark.createDataFrame([(1, "old"), (2, "keep")], "k long, v string")
+        eng.register("t", base)
+        upd = spark.createDataFrame([(1, "new"), (3, "ins")], "k long, v string")
+        eng.aggregate(upd, [{"$merge": {"into": "t", "on": "k"}}])
+        got = {r.k: r.v for r in eng.collection("t").collect()}
+        assert got == {1: "new", 2: "keep", 3: "ins"}
+
+    def test_merge_keep_existing_discard(self, spark):
+        eng = Engine()
+        eng.register("t", spark.createDataFrame([(1, "old")], "k long, v string"))
+        upd = spark.createDataFrame([(1, "new"), (3, "ins")], "k long, v string")
+        eng.aggregate(upd, [{"$merge": {"into": "t", "on": "k",
+                                        "whenMatched": "keepExisting",
+                                        "whenNotMatched": "discard"}}])
+        got = {r.k: r.v for r in eng.collection("t").collect()}
+        assert got == {1: "old"}
