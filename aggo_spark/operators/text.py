@@ -62,10 +62,17 @@ def explode_shingles(
     """One row per (id, char-k-shingle), duplicates preserved — entirely
     whole-stage codegen: normalize once per doc, explode a position
     sequence, then substr. No higher-order functions (those are interpreted
-    CodegenFallback and dominate runtime at scale)."""
+    CodegenFallback and dominate runtime at scale).
+
+    The input is repartitioned to the session's shuffle parallelism first:
+    an explode multiplies row count ~100×, so upstream partitioning (often
+    one split for a small file, and always pre-explode-sized) is wrong for
+    the work below it. The pre-explode shuffle moves only doc-level rows.
+    """
     return (
         df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("nrm"))
         .filter(F.length("nrm") >= k)  # sequence(1, 0) would be [1, 0], not empty
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(
             "id",
             "nrm",
@@ -144,12 +151,44 @@ def language_id(text: Column) -> Column:
     return language_id_from_tokens(tokens(text))
 
 
-def add_language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
-    """DataFrame form: tokenization happens once in its own projection
-    (CollapseProject keeps non-cheap aliases referenced >1× separate), then
-    the per-language scoring references the materialized array."""
-    tok_df = df.withColumn("__tok", tokens(F.col(text_col)))
-    return tok_df.withColumn(out_col, language_id_from_tokens(F.col("__tok"))).drop("__tok")
+def add_language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    out_col: str = "pred_lang"
+) -> DataFrame:
+    """DataFrame form — the scale path: explode tokens → one hash aggregate
+    with per-language conditional counts (literal ``isin`` sets compile to
+    codegen'd hash lookups) → argmax. No higher-order functions (the Column
+    form's filters are interpreted), no join for scoring; one shuffle on
+    the doc id with map-side partial counts. Occurrence semantics identical
+    to :func:`language_id`.
+    """
+    langs = list(LANG_STOPWORDS)
+    # pre-explode repartition: see explode_shingles
+    tok = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__t"),
+        )
+        .filter(F.col("__t") != "")
+    )
+    counts = tok.groupBy(id_col).agg(
+        *[
+            F.count(F.when(F.col("__t").isin(LANG_STOPWORDS[l]), 1)).alias(f"__s_{l}")
+            for l in langs
+        ]
+    )
+    scores = [F.col(f"__s_{l}") for l in langs]
+    best = F.greatest(*scores) if len(langs) > 1 else scores[0]
+    pred = F.lit("und")
+    for lang, s in zip(reversed(langs), reversed(scores)):
+        pred = F.when(s == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    labeled = counts.select(id_col, pred.alias(out_col))
+    return df.join(labeled, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit("und"))
+    )
 
 
 def language_id_from_tokens(tok: Column) -> Column:

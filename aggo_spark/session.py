@@ -36,6 +36,9 @@ def build_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # wide aggregations (e.g. 64-permutation MinHash = 64 min buffers)
+        # must stay inside whole-stage codegen; default maxFields=100 bails
+        .config("spark.sql.codegen.maxFields", "256")
     )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
