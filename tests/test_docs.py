@@ -1,0 +1,36 @@
+"""Docs-as-tests: the README's examples must run (reference strategy:
+tests/documentation-examples.spec.js executes every README example)."""
+
+from __future__ import annotations
+
+from aggo_spark import Engine, StreamingCollection, load_tables
+
+
+def test_readme_quickstart(spark):
+    eng = Engine(load_tables(spark, "/root/testdata/sf0.001"))
+    df = eng.aggregate("orders", [
+        {"$match": {"o_orderstatus": "O"}},
+        {"$group": {"_id": "$o_custkey", "revenue": {"$sum": "$o_totalprice"},
+                    "n": {"$sum": 1}}},
+        {"$sort": {"revenue": -1}}, {"$limit": 10},
+    ])
+    rows = df.collect()
+    assert len(rows) == 10
+    assert rows[0]["revenue"] >= rows[-1]["revenue"]
+    plan = eng.explain("orders", [{"$match": {"o_orderstatus": "O"}}])
+    assert "PushedFilters" in plan or "Filter" in plan
+
+
+def test_readme_streaming(spark, tmp_path):
+    coll = StreamingCollection(spark, "category string, price double",
+                               workdir=str(tmp_path))
+    try:
+        rid = "by_cat"
+        coll.stream([{"$group": {"_id": "$category", "n": {"$sum": 1},
+                                 "avg": {"$avg": "$price"}}}], rid)
+        coll.add({"category": "a", "price": 10.0})
+        assert coll.result(rid) == [{"_id": "a", "n": 1, "avg": 10.0}]
+        coll.remove({"category": "a", "price": 10.0})
+        assert coll.result(rid) == []
+    finally:
+        coll.stop()
