@@ -486,6 +486,20 @@ def q48_ann_ivf(spark, sf_dir):
     )
 
 
+def q49_text_index(spark, sf_dir):
+    """Inverted-index $text search (posting-table join; same result as the
+    scan-strategy $text, which the oracle mirrors)."""
+    from aggo_spark.operators import search
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = search.build_text_index(docs)
+    return (
+        search.search_with_index(docs, idx, "the spark scan")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q36_langid(spark, sf_dir):
     """Stopword-profile language ID (tokenize-once projection split)."""
     df = _t(spark, sf_dir, "documents")
@@ -663,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_densify_fill": q46_densify_fill,
         "q47_embed_neardup": q47_embed_neardup,
         "q48_ann_ivf": q48_ann_ivf,
+        "q49_text_index": q49_text_index,
     }
 
 
@@ -1048,6 +1063,12 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(l_quantity, 0.5) AS med_qty,
                    quantile_cont(l_quantity, 0.9) AS p90
             FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "q49_text_index": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS.format(c="text")} AS tok FROM documents)
+            SELECT doc_id FROM t
+            WHERE list_has_all(tok, ['the', 'spark', 'scan'])
+            ORDER BY doc_id
         """,
         "q47_embed_neardup": """
             WITH coded AS (
