@@ -333,6 +333,29 @@ def q20_lookup_pipeline(spark, sf_dir):
     ])
 
 
+def q50_lookup_subpipe(spark, sf_dir):
+    """$lookup pipeline form with $sort+$limit+$project sub-stages
+    (per-order top-2 lineitems by quantity)."""
+    return _engine(spark, sf_dir).aggregate("orders", [
+        {"$lookup": {
+            "from": "lineitem",
+            "let": {"oid": "$o_orderkey"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$l_orderkey", "$$oid"]}}},
+                {"$sort": {"l_quantity": -1, "l_linenumber": 1}},
+                {"$limit": 2},
+                {"$project": {"l_quantity": 1}},
+            ],
+            "as": "top2"}},
+        {"$project": {"_id": 0, "o_orderkey": 1,
+                      "n_top": {"$size": "$top2"},
+                      "top2_qty": {"$reduce": {
+                          "input": "$top2.l_quantity", "initialValue": 0.0,
+                          "in": {"$add": ["$$value", "$$this"]}}}}},
+        {"$sort": {"o_orderkey": 1}},
+    ])
+
+
 def q21_json(spark, sf_dir):
     """JSON field extraction from the events.props payload column."""
     df = _t(spark, sf_dir, "events")
@@ -678,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_embed_neardup": q47_embed_neardup,
         "q48_ann_ivf": q48_ann_ivf,
         "q49_text_index": q49_text_index,
+        "q50_lookup_subpipe": q50_lookup_subpipe,
     }
 
 
@@ -1063,6 +1087,18 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(l_quantity, 0.5) AS med_qty,
                    quantile_cont(l_quantity, 0.9) AS p90
             FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "q50_lookup_subpipe": """
+            WITH r AS (
+              SELECT l_orderkey, l_quantity,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_quantity DESC, l_linenumber) AS rn
+              FROM lineitem)
+            SELECT o_orderkey,
+                   CAST(count(l_quantity) AS INT) AS n_top,
+                   coalesce(sum(l_quantity), 0.0) AS top2_qty
+            FROM orders LEFT JOIN r ON o_orderkey = l_orderkey AND rn <= 2
+            GROUP BY 1 ORDER BY 1
         """,
         "q49_text_index": f"""
             WITH t AS (SELECT doc_id, {_TOKENS.format(c="text")} AS tok FROM documents)

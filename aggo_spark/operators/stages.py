@@ -316,13 +316,17 @@ def stage_lookup(df: DataFrame, spec: dict, engine) -> DataFrame:
 
 def _lookup_pipeline(df: DataFrame, spec: dict, foreign: DataFrame, engine) -> DataFrame:
     """Pipeline/`let` form (reference aggregation.ts:700-729 +
-    aggregateWithBindings 585-646; sub-pipeline support limited to
-    $match there, aggregation.ts:638-642 — we match that subset).
+    aggregateWithBindings 585-646). Sub-pipeline supports the reference's
+    subset — $match / $sort / $skip / $limit / $project
+    (aggregation.ts:638-642) — in the canonical order: matches, then one
+    sort, then skip/limit, then a final project.
 
     Strategy: cross-join outer keys × foreign then filter — Catalyst's
     PushPredicateThroughJoin turns equality conditions in the translated
-    ``$expr`` into a real equi-join (hash/broadcast), so this scales; the
-    re-nest groups by outer row id.
+    ``$expr`` into a real equi-join (hash/broadcast), so this scales.
+    Per-outer-row $sort/$skip/$limit become a row_number window over the
+    outer row id; the re-nest groups by that id and sort_array restores
+    the sub-pipeline's element order inside the embedded array.
     """
     as_ = spec["as"]
     let = spec.get("let", {}) or {}
@@ -345,22 +349,88 @@ def _lookup_pipeline(df: DataFrame, spec: dict, foreign: DataFrame, engine) -> D
 
     joined = keydf.crossJoin(foreign_r)
     sub_ctx = ExprContext(schema=None, variables=let_vars).with_root(root, foreign.schema)
+
+    phase = "match"  # match → ordered (post-sort/skip/limit) → projected
+    have_rn = False
+    offset = 0
+    project_spec = None
     for stage in sub:
         (name, sspec), = stage.items()
+        if project_spec is not None:
+            raise UnsupportedStage("$lookup sub-pipeline: $project must be last")
         if name == "$match":
+            if phase != "match":
+                raise UnsupportedStage(
+                    "$lookup sub-pipeline: $match after $sort/$skip/$limit unsupported")
             joined = joined.filter(match_to_column(sspec, sub_ctx))
+        elif name == "$sort":
+            if phase != "match":
+                raise UnsupportedStage("$lookup sub-pipeline: only one $sort")
+            w = Window.partitionBy(uid).orderBy(*_sort_cols(sspec, sub_ctx))
+            joined = joined.withColumn("__rn", F.row_number().over(w))
+            have_rn, phase = True, "ordered"
+        elif name in ("$skip", "$limit"):
+            if not have_rn:
+                # natural order: arbitrary-but-stable per pair
+                w = Window.partitionBy(uid).orderBy(F.monotonically_increasing_id())
+                joined = joined.withColumn("__rn", F.row_number().over(w))
+                have_rn = True
+            phase = "ordered"
+            n = int(sspec)
+            if name == "$skip":
+                offset += n
+                joined = joined.filter(F.col("__rn") > offset)
+            else:
+                joined = joined.filter(F.col("__rn") <= offset + n)
+        elif name == "$project":
+            project_spec = sspec
         else:
             raise UnsupportedStage(
-                f"$lookup sub-pipeline supports only $match (reference parity), got {name}"
-            )
+                f"$lookup sub-pipeline supports $match/$sort/$skip/$limit/$project, got {name}")
+
+    if project_spec is not None:
+        doc = _subpipeline_project(project_spec, sub_ctx, foreign, fcols)
+    else:
+        doc = F.struct(*[F.col(f"`__f_{c}`").alias(c) for c in fcols])
+    if not have_rn:
+        # materialize a natural-order column first: nondeterministic
+        # expressions can't live inside an aggregate's arguments
+        joined = joined.withColumn("__rn", F.monotonically_increasing_id())
     nested = joined.groupBy(uid).agg(
-        F.collect_list(F.struct(*[F.col(f"`__f_{c}`").alias(c) for c in fcols])).alias(as_)
+        F.collect_list(F.struct(F.col("__rn").alias("__o"), doc.alias("__d"))).alias("__raw")
+    ).select(
+        uid,
+        F.transform(F.array_sort("__raw"), lambda x: x["__d"]).alias(as_),
     )
     if as_ in outer.columns:
         outer = outer.drop(as_)
     out = outer.join(nested, uid, "left")
     empty = F.array().cast(nested.schema[as_].dataType)
     return out.withColumn(as_, F.coalesce(F.col(f"`{as_}`"), empty)).drop(uid)
+
+
+def _subpipeline_project(spec: dict, sub_ctx: ExprContext, foreign: DataFrame,
+                         fcols: list[str]) -> Column:
+    """Project the nested doc struct per the sub-pipeline's final $project
+    (top-level include / exclude / computed; `_id` keys ignored — the
+    foreign parquet rows carry no _id)."""
+    entries = {k: v for k, v in spec.items() if k != "_id"}
+    includes = {k for k, v in entries.items() if _is_include(v)}
+    excludes = {k for k, v in entries.items() if _is_exclude(v)}
+    computed = {k: v for k, v in entries.items()
+                if not _is_include(v) and not _is_exclude(v)}
+    if excludes and not includes and not computed:
+        keep = [c for c in fcols if c not in excludes]
+        return F.struct(*[F.col(f"`__f_{c}`").alias(c) for c in keep])
+    fields = []
+    for c in fcols:
+        if c in includes:
+            fields.append(F.col(f"`__f_{c}`").alias(c))
+    for k, v in computed.items():
+        fields.append(translate_expr(v, sub_ctx).alias(k))
+    if not fields:
+        raise InvalidPipeline("$lookup sub-pipeline $project selects nothing")
+    return F.struct(*fields)
 
 
 # ---------------------------------------------------------------------------
