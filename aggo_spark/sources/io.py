@@ -38,6 +38,19 @@ def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_csv(spark: SparkSession, path: str, *, header: bool = True, schema=None) -> DataFrame:
+    """CSV reader (the reference delegates CSV to an external csv2json,
+    README.md:70-77; Spark reads it natively with schema inference)."""
+    reader = spark.read.option("header", header).option("inferSchema", schema is None)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def _enable_nanos(spark: SparkSession) -> None:
     # Parquet TIMESTAMP(NANOS) is rejected by Spark's schema converter
     # ([PARQUET_TYPE_ILLEGAL]); with this conf Spark reads it as a raw

@@ -194,3 +194,39 @@ class TestOutMerge:
                                         "whenNotMatched": "discard"}}])
         got = {r.k: r.v for r in eng.collection("t").collect()}
         assert got == {1: "old"}
+
+
+class TestSkewAndSources:
+    def test_salted_group_agg_matches_plain(self, spark):
+        from aggo_spark import load_tables
+        from aggo_spark.operators.skew import salted_group_agg
+        from pyspark.sql import functions as F
+
+        li = load_tables(spark, "/root/testdata/sf0.001", ["lineitem"])["lineitem"]
+        salted = {
+            r["l_returnflag"]: r
+            for r in salted_group_agg(
+                li, ["l_returnflag"],
+                {"s": ("sum", "l_quantity"), "n": ("count", "*"),
+                 "lo": ("min", "l_quantity"), "hi": ("max", "l_quantity")},
+            ).collect()
+        }
+        plain = {
+            r["l_returnflag"]: r
+            for r in li.groupBy("l_returnflag").agg(
+                F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"),
+                F.min("l_quantity").alias("lo"), F.max("l_quantity").alias("hi"),
+            ).collect()
+        }
+        assert set(salted) == set(plain)
+        for k in plain:
+            for c in ("s", "n", "lo", "hi"):
+                assert salted[k][c] == plain[k][c], (k, c)
+
+    def test_read_csv_roundtrip(self, spark, tmp_path):
+        from aggo_spark.sources.io import read_csv
+
+        p = tmp_path / "c.csv"
+        p.write_text("a,b\n1,x\n2,y\n")
+        df = read_csv(spark, str(p))
+        assert sorted((r.a, r.b) for r in df.collect()) == [(1, "x"), (2, "y")]
