@@ -607,6 +607,18 @@ def q43_stream_window(spark, sf_dir):
     )
 
 
+def q51_stream_stateful(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user gap sessionization on the event stream."""
+    from aggo_spark.sources.io import read_parquet_stream
+    from aggo_spark.streaming import materialize_stream
+    from aggo_spark.streaming.stateful import sessionize_stream
+
+    sdf = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    out = sessionize_stream(sdf, "user_id", "ts", gap_ms=1_800_000)
+    return materialize_stream(out, "append").orderBy("user_id", "ts_ms")
+
+
 def q44_topn(spark, sf_dir):
     """$topN / $bottomN / $top N-accumulators per group."""
     return _engine(spark, sf_dir).aggregate("orders", [
@@ -702,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_ann_ivf": q48_ann_ivf,
         "q49_text_index": q49_text_index,
         "q50_lookup_subpipe": q50_lookup_subpipe,
+        "q51_stream_stateful": q51_stream_stateful,
     }
 
 
@@ -1087,6 +1100,26 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(l_quantity, 0.5) AS med_qty,
                    quantile_cont(l_quantity, 0.9) AS p90
             FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "q51_stream_stateful": """
+            WITH lagged AS (
+              SELECT user_id, epoch_ms(ts) AS ts_ms,
+                     lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events),
+            flagged AS (
+              SELECT *, CASE WHEN prev IS NULL OR ts_ms - prev > 1800000
+                        THEN 1 ELSE 0 END AS is_new
+              FROM lagged),
+            sess AS (
+              SELECT user_id, ts_ms,
+                     CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+                       AS session_idx
+              FROM flagged)
+            SELECT user_id, ts_ms, session_idx,
+                   CAST(row_number() OVER (PARTITION BY user_id, session_idx
+                        ORDER BY ts_ms) AS BIGINT) AS event_in_session
+            FROM sess ORDER BY user_id, ts_ms
         """,
         "q50_lookup_subpipe": """
             WITH r AS (

@@ -206,3 +206,47 @@ class TestEventTimeWindows:
             (r["_id"].minute, r["n"]) for r in spark.sql("select * from win_test").collect()
         )
         assert got == [(0, 2), (30, 2)]
+
+
+class TestStatefulSessionize:
+    def test_state_persists_across_microbatches(self, spark, tmp_path):
+        """Two micro-batches (maxFilesPerTrigger=1); the second batch's
+        events must continue/split sessions using StateStore state from the
+        first batch."""
+        import json as _json
+
+        from aggo_spark.streaming.stateful import sessionize_stream
+
+        src = tmp_path / "src"
+        src.mkdir()
+        # batch 1: user 1 events at t=0s and t=10s (one session)
+        (src / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in [
+            {"user_id": 1, "ts": "2024-01-01T00:00:00.000Z"},
+            {"user_id": 1, "ts": "2024-01-01T00:00:10.000Z"},
+        ]))
+        # batch 2: +10s (same session), then +2h (new session)
+        (src / "b.jsonl").write_text("\n".join(_json.dumps(r) for r in [
+            {"user_id": 1, "ts": "2024-01-01T00:00:20.000Z"},
+            {"user_id": 1, "ts": "2024-01-01T02:00:20.000Z"},
+        ]))
+        # the file source orders batches by modification time — pin it so
+        # "a" is definitively the first micro-batch
+        import os, time
+
+        now = time.time()
+        os.utime(src / "a.jsonl", (now - 60, now - 60))
+        os.utime(src / "b.jsonl", (now, now))
+        sdf = (spark.readStream.schema("user_id long, ts timestamp")
+               .option("maxFilesPerTrigger", 1).json(str(src)))
+        out = sessionize_stream(sdf, gap_ms=1_800_000)
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName("sess_state_test")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        rows = sorted(
+            ((r.ts_ms, r.session_idx, r.event_in_session)
+             for r in spark.sql("select * from sess_state_test").collect())
+        )
+        assert [r[1] for r in rows] == [0, 0, 0, 1], rows
+        assert [r[2] for r in rows] == [1, 2, 3, 1], rows
