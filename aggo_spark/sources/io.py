@@ -52,12 +52,19 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _enable_nanos(spark: SparkSession) -> None:
-    # Parquet TIMESTAMP(NANOS) is rejected by Spark's schema converter
-    # ([PARQUET_TYPE_ILLEGAL]); with this conf Spark reads it as a raw
-    # nanosecond LongType, which _restore_nanos converts back to a real
-    # timestamp so temporal operators ($subtract → ms, $year, windows)
-    # see the same values DuckDB does (DuckDB truncates ns → µs).
+    # Runtime-settable engine defaults, applied here too (not only in
+    # build_session) because a host application may hand us its own session:
+    # - nanosAsLong: parquet TIMESTAMP(NANOS) is rejected by Spark's schema
+    #   converter ([PARQUET_TYPE_ILLEGAL]); read as raw nanos longs, which
+    #   _restore_nanos converts back to real timestamps matching DuckDB's
+    #   ns → µs truncation.
+    # - UTC session tz: the engine's normative timezone (COMPAT.md) — epoch
+    #   conversions of NTZ values must not depend on host-machine locale.
+    # - codegen.maxFields: wide aggregates (64-buffer MinHash) must stay in
+    #   whole-stage codegen.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.codegen.maxFields", "256")
 
 
 def _restore_nanos(df: DataFrame, path: str) -> DataFrame:

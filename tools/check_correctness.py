@@ -23,15 +23,16 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def build_spark():
+    """Deliberately vanilla (no engine confs, host-default timezone left
+    alone): the driver runs queries in ITS session, so anything the engine
+    needs must be set at runtime by load_tables/_enable_nanos."""
     from pyspark.sql import SparkSession
 
     return (
         SparkSession.builder.master("local[8]")
         .appName("check_oracle")
         .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "8g")
-        .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
     )
 
