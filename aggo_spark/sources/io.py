@@ -51,6 +51,29 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 128,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed table: co-locates rows by hash(bucket_cols) so
+    subsequent equi joins / groupBys on those keys skip the shuffle
+    entirely (Exchange elided when both sides share bucketing).
+
+    This is the 100 TB answer to 'every $lookup on o_custkey shuffles
+    600 GB': bucket orders AND customer by the key once at write time, and
+    every later join is a local zip of co-located buckets. Requires a
+    catalog table (saveAsTable) — plain files can't carry bucket metadata.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def _enable_nanos(spark: SparkSession) -> None:
     # Runtime-settable engine defaults, applied here too (not only in
     # build_session) because a host application may hand us its own session:

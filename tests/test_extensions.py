@@ -230,3 +230,33 @@ class TestSkewAndSources:
         p.write_text("a,b\n1,x\n2,y\n")
         df = read_csv(spark, str(p))
         assert sorted((r.a, r.b) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+    def test_write_bucketed_elides_shuffle(self, spark, tmp_path):
+        """Bucketed tables joined on the bucket key must not re-shuffle
+        either side (no Exchange above the scans)."""
+        from aggo_spark import load_tables
+        from aggo_spark.sources.io import write_bucketed
+
+        import uuid
+
+        t = load_tables(spark, "/root/testdata/sf0.001", ["orders", "customer"])
+        sfx = uuid.uuid4().hex[:8]
+        bo, bc = f"b_orders_{sfx}", f"b_customer_{sfx}"
+        write_bucketed(t["orders"], bo, ["o_custkey"], 8)
+        write_bucketed(t["customer"], bc, ["c_custkey"], 8)
+        # force a sort-merge join so the bucketing (not a broadcast) is
+        # what elides the Exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(bo).join(
+            spark.table(bc),
+            spark.table(bo)["o_custkey"] == spark.table(bc)["c_custkey"],
+        )
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan[:2000]
+            assert joined.count() == t["orders"].count()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql(f"DROP TABLE IF EXISTS {bo}")
+            spark.sql(f"DROP TABLE IF EXISTS {bc}")
