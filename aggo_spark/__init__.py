@@ -6,7 +6,7 @@ DataFrame; Spark supplies optimization, columnar execution, shuffle, and
 streaming.
 """
 
-from .engine import Engine, aggregate
+from .engine import Engine, aggregate, count, expression, group, match, project, sort, unwind
 from .errors import (
     AggoSparkError,
     InvalidPipeline,
@@ -23,6 +23,13 @@ __version__ = "0.1.0"
 __all__ = [
     "Engine",
     "aggregate",
+    "match",
+    "project",
+    "group",
+    "sort",
+    "unwind",
+    "count",
+    "expression",
     "build_session",
     "read_jsonl",
     "read_parquet",

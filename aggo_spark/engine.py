@@ -62,6 +62,51 @@ class Engine:
         )
 
 
+# standalone per-stage functions (reference exports these individually,
+# src/index.ts:379-418: $match, $project, $group, ...)
+
+def match(df: DataFrame, query: dict) -> DataFrame:
+    return Engine().aggregate(df, [{"$match": query}])
+
+
+def project(df: DataFrame, spec: dict) -> DataFrame:
+    return Engine().aggregate(df, [{"$project": spec}])
+
+
+def group(df: DataFrame, spec: dict) -> DataFrame:
+    return Engine().aggregate(df, [{"$group": spec}])
+
+
+def sort(df: DataFrame, spec: dict) -> DataFrame:
+    return Engine().aggregate(df, [{"$sort": spec}])
+
+
+def unwind(df: DataFrame, spec) -> DataFrame:
+    return Engine().aggregate(df, [{"$unwind": spec}])
+
+
+def count(source) -> int:
+    """Standalone count() (reference src/aggo/count.ts:9-13)."""
+    if isinstance(source, DataFrame):
+        return source.count()
+    return len(source)
+
+
+def expression(doc: dict, expr: object, *, spark: SparkSession | None = None):
+    """Evaluate one aggregation expression against one document (the
+    reference's public ``$expression(obj, expr)``, src/index.ts:323).
+    Driver-side convenience — real workloads put expressions in pipelines."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError("pass spark= (no active session)")
+    df = spark.createDataFrame([doc])
+    from .functions.expressions import translate_expr
+    from .plans.context import ExprContext
+
+    col = translate_expr(expr, ExprContext(schema=df.schema))
+    return df.select(col.alias("v")).first()["v"]
+
+
 def aggregate(
     source,
     pipeline: list,
