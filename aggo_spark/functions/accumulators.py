@@ -12,10 +12,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..errors import InvalidPipeline, UnsupportedExpression
 from ..plans.context import ExprContext
-from .expressions import translate_expr
+from .expressions import struct_comparator, translate_expr
 
 __all__ = ["accumulator_to_column", "window_function_to_column"]
 
@@ -95,7 +96,24 @@ def _accumulator(op: str, arg: object, ctx: ExprContext) -> Column:
     if op == "$bottom":
         return F.element_at(_n_accumulator("$bottomN", {**arg, "n": 1}, ctx), 1)
     if op == "$mergeObjects":
-        raise UnsupportedExpression("$mergeObjects accumulator not yet supported")
+        # Merge the group's documents in order; per MongoDB, the last
+        # document's field wins when present. With a fixed struct schema
+        # "missing" collapses to NULL, so per-field last-non-null is the
+        # SQL-normative mapping (explicit-null overwrite deviation: COMPAT.md).
+        # Stays a native aggregate — struct of F.last(ignorenulls) — so
+        # map-side partial aggregation applies; no collect_list blowup.
+        if isinstance(arg, dict) and not any(k.startswith("$") for k in arg):
+            items = [(k, translate_expr(v, ctx)) for k, v in arg.items()]
+        else:
+            t = ctx.infer_type(arg)
+            if not isinstance(t, T.StructType):
+                raise UnsupportedExpression(
+                    "$mergeObjects accumulator requires a struct-typed expression "
+                    "or an expression object"
+                )
+            col = translate_expr(arg, ctx)
+            items = [(f, col.getField(f)) for f in t.fieldNames()]
+        return F.struct(*[F.last(c, ignorenulls=True).alias(k) for k, c in items])
     if op == "$minBy":
         # extension: deterministic first-by-order ($first after $sort is
         # nondeterministic under distributed grouping; min_by is the
@@ -133,15 +151,18 @@ def _n_accumulator(op: str, arg: object, ctx: ExprContext) -> Column:
     sort_by = arg.get("sortBy")
     if not isinstance(sort_by, dict) or not sort_by:
         raise InvalidPipeline(f"{op} requires sortBy")
-    dirs = set(sort_by.values())
-    if len(dirs) != 1:
-        raise UnsupportedExpression(f"{op}: mixed sort directions not supported")
-    asc = dirs.pop() == 1
+    dirs = [1 if v in (1, True) else -1 for v in sort_by.values()]
     fields = [ctx.resolve_path(k).alias(f"__k{i}") for i, k in enumerate(sort_by)]
     packed = F.collect_list(
         F.struct(*fields, translate_expr(arg["output"], ctx).alias("__out"))
     )
-    ordered = F.sort_array(packed, asc=asc)
+    if len(set(dirs)) == 1:
+        # uniform direction: struct-ordered sort_array (fast builtin)
+        ordered = F.sort_array(packed, asc=dirs[0] == 1)
+    else:
+        # mixed directions: codegen-able comparator lambda
+        keys = [(f"__k{i}", d) for i, d in enumerate(dirs)]
+        ordered = F.array_sort(packed, struct_comparator(keys))
     if op == "$topN":
         sliced = F.slice(ordered, 1, n)
     else:

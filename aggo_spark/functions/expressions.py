@@ -24,7 +24,34 @@ from pyspark.sql import types as T
 from ..errors import InvalidPipeline, UnsupportedExpression
 from ..plans.context import REMOVE, ExprContext
 
-__all__ = ["translate_expr", "literal_to_column", "OPERATORS"]
+__all__ = ["translate_expr", "literal_to_column", "struct_comparator", "OPERATORS"]
+
+
+def struct_comparator(keys: list):
+    """Build an ``F.array_sort`` comparator over struct fields.
+
+    ``keys`` is ``[(field_name, 1|-1), ...]`` in priority order. MongoDB sort
+    semantics: nulls sort before everything ascending (reference
+    ``src/aggo/aggregation.ts:366-407``); descending is the exact reversal.
+    The comparator stays pure Column construction (codegen-able lambda).
+    """
+
+    def cmp(x: Column, y: Column) -> Column:
+        result = F.lit(0)
+        for name, d in reversed(keys):
+            a, b = x[name], y[name]
+            step = (
+                F.when(a.isNull() & b.isNull(), F.lit(0))
+                .when(a.isNull(), F.lit(-d))
+                .when(b.isNull(), F.lit(d))
+                .when(a < b, F.lit(-d))
+                .when(a > b, F.lit(d))
+                .otherwise(F.lit(0))
+            )
+            result = F.when(step != F.lit(0), step).otherwise(result)
+        return result
+
+    return cmp
 
 
 # ---------------------------------------------------------------------------
@@ -588,6 +615,21 @@ def _op_is_array(spec, ctx):
     return col.isNotNull() & F.lit(isinstance(t, T.ArrayType))
 
 
+def _op_sort_array(spec, ctx):
+    """MongoDB 5.2 $sortArray: scalar sortBy 1/-1 or per-field {f: 1|-1, ...}
+    (mixed directions) over arrays of documents."""
+    if not isinstance(spec, dict) or "input" not in spec:
+        raise InvalidPipeline("$sortArray requires {input, sortBy}")
+    arr = translate_expr(spec["input"], ctx)
+    sort_by = spec.get("sortBy", 1)
+    if isinstance(sort_by, dict):
+        keys = [(k, 1 if v in (1, True) else -1) for k, v in sort_by.items()]
+        return F.array_sort(arr, struct_comparator(keys))
+    if sort_by in (1, True):
+        return F.array_sort(arr)
+    return F.reverse(F.array_sort(arr))
+
+
 # ---------------------------------------------------------------------------
 # object (reference operators.ts:699-714)
 # ---------------------------------------------------------------------------
@@ -692,9 +734,7 @@ OPERATORS: dict[str, object] = {
     "$avg": _op_array_avg,
     "$min": _op_array_min,
     "$max": _op_array_max,
-    "$sortArray": lambda spec, ctx: F.array_sort(translate_expr(spec["input"], ctx))
-    if isinstance(spec, dict) and spec.get("sortBy", 1) in (1, True)
-    else F.reverse(F.array_sort(translate_expr(spec["input"], ctx))),
+    "$sortArray": _op_sort_array,
     "$arrayToSet": lambda spec, ctx: F.array_distinct(translate_expr(spec, ctx)),
     # set
     "$setEquals": _op_set_equals,

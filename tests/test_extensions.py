@@ -260,3 +260,51 @@ class TestSkewAndSources:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
             spark.sql(f"DROP TABLE IF EXISTS {bo}")
             spark.sql(f"DROP TABLE IF EXISTS {bc}")
+
+
+class TestMergeObjectsAndMixedSort:
+    def test_merge_objects_accumulator_struct(self, spark):
+        df = spark.createDataFrame(
+            [(1, ("x", None)), (1, (None, "b")), (1, ("y", None)), (2, ("p", "q"))],
+            "g long, doc struct<a string, b string>",
+        )
+        out = agg(df, [
+            {"$group": {"_id": "$g", "m": {"$mergeObjects": "$doc"}}},
+            {"$sort": {"_id": 1}},
+        ])
+        # field-wise last non-null (SQL-normative merge; COMPAT.md)
+        assert out[0]["m"] == {"a": "y", "b": "b"}
+        assert out[1]["m"] == {"a": "p", "b": "q"}
+
+    def test_merge_objects_accumulator_expr_object(self, sales):
+        out = agg(sales, [
+            {"$sort": {"id": 1}},
+            {"$group": {"_id": "$cat",
+                        "m": {"$mergeObjects": {"last_id": "$id", "last_amt": "$amt"}}}},
+            {"$sort": {"_id": 1}},
+        ])
+        assert out[0]["m"] == {"last_id": 4, "last_amt": 40.0}
+        assert out[1]["m"] == {"last_id": 6, "last_amt": 15.0}
+
+    def test_topn_mixed_directions(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 10.0, 5), ("a", 2, 10.0, 1), ("a", 3, 20.0, 9), ("a", 4, 5.0, 2)],
+            "cat string, id long, amt double, tie long",
+        )
+        out = agg(df, [
+            {"$group": {"_id": "$cat", "top2": {"$topN": {
+                "output": "$id", "sortBy": {"amt": -1, "tie": 1}, "n": 2}}}},
+        ])
+        # amt desc → 20.0 first; within amt=10.0 tie asc → id 2 before id 1
+        assert out[0]["top2"] == [3, 2]
+
+    def test_sort_array_by_fields(self, spark):
+        df = spark.createDataFrame(
+            [(1, [{"a": 1, "b": "x"}, {"a": 2, "b": "m"}, {"a": 1, "b": "m"}])],
+            "id long, arr array<struct<a long, b string>>",
+        )
+        out = agg(df, [
+            {"$project": {"_id": "$id", "s": {"$sortArray": {
+                "input": "$arr", "sortBy": {"a": -1, "b": 1}}}}},
+        ])
+        assert [(e["a"], e["b"]) for e in out[0]["s"]] == [(2, "m"), (1, "m"), (1, "x")]
