@@ -665,6 +665,44 @@ def q46_densify_fill(spark, sf_dir):
     ])
 
 
+def q52_date_arith(spark, sf_dir):
+    """Date-arithmetic extensions ($dateAdd/$dateDiff/$dateTrunc/
+    $dateToString/$isoDayOfWeek/$isoWeekYear). $dateDiff uses MongoDB
+    boundary-crossing semantics, which DuckDB's date_diff shares."""
+    return _engine(spark, sf_dir).aggregate("orders", [
+        {"$project": {"_id": 0, "o_orderkey": 1,
+                      "due": {"$dateAdd": {"startDate": "$o_orderdate",
+                                           "unit": "day", "amount": 90}},
+                      "months_since": {"$dateDiff": {
+                          "startDate": {"$literal": dt.datetime(1995, 1, 1)},
+                          "endDate": "$o_orderdate", "unit": "month"}},
+                      "month_start": {"$dateTrunc": {"date": "$o_orderdate",
+                                                     "unit": "month"}},
+                      "day_str": {"$dateToString": {"date": "$o_orderdate",
+                                                    "format": "%Y-%m-%d"}},
+                      "isodow": {"$isoDayOfWeek": "$o_orderdate"},
+                      "isoyear": {"$isoWeekYear": "$o_orderdate"}}},
+        {"$sort": {"o_orderkey": 1}},
+    ])
+
+
+def q53_regex_replace(spark, sf_dir):
+    """Regex + string-search extensions ($regexMatch/$regexFindAll/
+    $replaceAll/$indexOfCP) over customer comments."""
+    return _engine(spark, sf_dir).aggregate("documents", [
+        {"$project": {"_id": 0, "doc_id": 1,
+                      "has_ing": {"$regexMatch": {"input": "$text",
+                                                  "regex": "[a-z]+ing"}},
+                      "ings": {"$regexFindAll": {"input": "$text",
+                                                 "regex": "[a-z]+ing"}},
+                      "redacted": {"$replaceAll": {"input": "$text",
+                                                   "find": "the",
+                                                   "replacement": "***"}},
+                      "idx": {"$indexOfCP": ["$text", "data"]}}},
+        {"$sort": {"doc_id": 1}},
+    ])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_group_agg": q01_group_agg,
@@ -715,6 +753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_text_index": q49_text_index,
         "q50_lookup_subpipe": q50_lookup_subpipe,
         "q51_stream_stateful": q51_stream_stateful,
+        "q52_date_arith": q52_date_arith,
+        "q53_regex_replace": q53_regex_replace,
     }
 
 
@@ -1120,6 +1160,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY user_id, session_idx
                         ORDER BY ts_ms) AS BIGINT) AS event_in_session
             FROM sess ORDER BY user_id, ts_ms
+        """,
+        "q52_date_arith": """
+            SELECT o_orderkey,
+                   o_orderdate + INTERVAL 90 DAY AS due,
+                   date_diff('month', TIMESTAMP '1995-01-01', o_orderdate) AS months_since,
+                   date_trunc('month', o_orderdate) AS month_start,
+                   strftime(o_orderdate, '%Y-%m-%d') AS day_str,
+                   CAST(isodow(o_orderdate) AS INT) AS isodow,
+                   CAST(isoyear(o_orderdate) AS INT) AS isoyear
+            FROM orders ORDER BY o_orderkey
+        """,
+        "q53_regex_replace": """
+            SELECT doc_id,
+                   regexp_matches(text, '[a-z]+ing') AS has_ing,
+                   regexp_extract_all(text, '[a-z]+ing') AS ings,
+                   replace(text, 'the', '***') AS redacted,
+                   CAST(CASE WHEN strpos(text, 'data') = 0 THEN -1
+                             ELSE strpos(text, 'data') - 1 END AS INT) AS idx
+            FROM documents ORDER BY doc_id
         """,
         "q50_lookup_subpipe": """
             WITH r AS (

@@ -657,6 +657,349 @@ def _op_merge_objects(spec, ctx):
 
 
 # ---------------------------------------------------------------------------
+# regex (MongoDB 4.2 $regexMatch/$regexFind/$regexFindAll — extensions; the
+# reference only has the $regex *query* operator, aggregation.ts:272-298)
+# ---------------------------------------------------------------------------
+
+def _regex_args(spec, ctx):
+    if not isinstance(spec, dict) or "input" not in spec or "regex" not in spec:
+        raise InvalidPipeline("regex operators require {input, regex[, options]}")
+    col = translate_expr(spec["input"], ctx)
+    pattern = spec["regex"]
+    if not isinstance(pattern, str):
+        raise UnsupportedExpression("regex pattern must be a string literal")
+    options = spec.get("options", "")
+    if options:
+        bad = set(options) - set("imsx")
+        if bad:
+            raise InvalidPipeline(f"unsupported regex options: {''.join(bad)}")
+        pattern = f"(?{options}){pattern}"
+    return col, pattern
+
+
+def _op_regex_match(spec, ctx):
+    col, pattern = _regex_args(spec, ctx)
+    return col.rlike(pattern)
+
+
+def _op_regex_find(spec, ctx):
+    # Returns struct<match string, idx int> (idx 0-based), null when no
+    # match; MongoDB also returns `captures` — deviation noted in COMPAT.md.
+    col, pattern = _regex_args(spec, ctx)
+    m = F.regexp_substr(col, F.lit(pattern))
+    idx = (F.regexp_instr(col, F.lit(pattern)) - F.lit(1)).cast("int")
+    return F.when(m.isNotNull(), F.struct(m.alias("match"), idx.alias("idx")))
+
+
+def _op_regex_find_all(spec, ctx):
+    col, pattern = _regex_args(spec, ctx)
+    return F.regexp_extract_all(col, F.lit(pattern), 0)
+
+
+# ---------------------------------------------------------------------------
+# string search/replace (MongoDB 4.0/4.4 extensions)
+# ---------------------------------------------------------------------------
+
+def _op_replace_all(spec, ctx):
+    if not isinstance(spec, dict):
+        raise InvalidPipeline("$replaceAll requires {input, find, replacement}")
+    col = translate_expr(spec["input"], ctx)
+    return F.replace(col, translate_expr(spec["find"], ctx), translate_expr(spec["replacement"], ctx))
+
+
+def _op_replace_one(spec, ctx):
+    if not isinstance(spec, dict):
+        raise InvalidPipeline("$replaceOne requires {input, find, replacement}")
+    col = translate_expr(spec["input"], ctx)
+    find = translate_expr(spec["find"], ctx)
+    repl = translate_expr(spec["replacement"], ctx)
+    pos = F.instr(col, find)
+    return F.when(pos == 0, col).otherwise(
+        F.concat(
+            F.substr(col, F.lit(1), pos - F.lit(1)),
+            repl,
+            F.substr(col, pos + F.length(find), F.length(col)),
+        )
+    )
+
+
+def _op_index_of_cp(spec, ctx):
+    """$indexOfCP / $indexOfBytes [string, sub, start?, end?] → 0-based idx,
+    -1 when absent (bytes≡codepoints deviation for non-ASCII: COMPAT.md)."""
+    args = _args(spec, at_least=2)
+    s = translate_expr(args[0], ctx)
+    sub = translate_expr(args[1], ctx)
+    start = translate_expr(args[2], ctx).cast("int") if len(args) > 2 else F.lit(0)
+    if len(args) > 3:
+        end = translate_expr(args[3], ctx).cast("int")
+        window = F.substr(s, start + F.lit(1), F.greatest(end - start, F.lit(0)))
+    else:
+        window = F.substr(s, start + F.lit(1), F.length(s))
+    hit = F.position(sub, window)  # 1-based within window, 0 = absent
+    return F.when(hit == 0, F.lit(-1)).otherwise((hit - F.lit(1) + start).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# dynamic field access (MongoDB 5.0 $getField/$setField/$unsetField)
+# ---------------------------------------------------------------------------
+
+def _op_get_field(spec, ctx):
+    # {field, input} or bare string — the bare form reads the *current
+    # document* field literally (no dot-splitting, unlike `$a.b` paths)
+    if isinstance(spec, str):
+        field_name, inp = spec, None
+    elif isinstance(spec, dict):
+        field_name, inp = spec.get("field"), spec.get("input")
+    else:
+        raise InvalidPipeline("$getField requires a field name")
+    if not isinstance(field_name, str):
+        raise UnsupportedExpression("$getField field must be a string literal")
+    if inp is None:
+        if ctx.root_column is not None:
+            return ctx.root_column.getField(field_name)
+        return F.col(f"`{field_name}`")
+    return translate_expr(inp, ctx).getField(field_name)
+
+
+def _op_set_field(spec, ctx):
+    if not isinstance(spec, dict) or "field" not in spec or "input" not in spec:
+        raise InvalidPipeline("$setField requires {field, input, value}")
+    inp = translate_expr(spec["input"], ctx)
+    if spec.get("value") == "$$REMOVE":
+        return inp.dropFields(f"`{spec['field']}`")
+    return inp.withField(f"`{spec['field']}`", translate_expr(spec.get("value"), ctx))
+
+
+def _op_unset_field(spec, ctx):
+    if not isinstance(spec, dict) or "field" not in spec or "input" not in spec:
+        raise InvalidPipeline("$unsetField requires {field, input}")
+    return translate_expr(spec["input"], ctx).dropFields(f"`{spec['field']}`")
+
+
+# ---------------------------------------------------------------------------
+# object <-> array (MongoDB 3.4.4 $objectToArray/$arrayToObject, $zip)
+# ---------------------------------------------------------------------------
+
+def _op_object_to_array(spec, ctx):
+    (arg,) = _args(spec, 1)
+    t = ctx.infer_type(arg)
+    col = translate_expr(arg, ctx)
+    if isinstance(t, T.MapType):
+        return F.transform(
+            F.map_entries(col),
+            lambda e: F.struct(e["key"].alias("k"), e["value"].alias("v")),
+        )
+    if isinstance(t, T.StructType):
+        vals = [col.getField(f.name) for f in t.fields]
+        # heterogeneous field types widen to string so the array is typeable
+        if len({f.dataType.simpleString() for f in t.fields}) > 1:
+            vals = [v.cast("string") for v in vals]
+        return F.array(*[
+            F.struct(F.lit(f.name).alias("k"), v.alias("v"))
+            for f, v in zip(t.fields, vals)
+        ])
+    raise UnsupportedExpression("$objectToArray requires a struct- or map-typed expression")
+
+
+def _op_array_to_object(spec, ctx):
+    (arg,) = _args(spec, 1)
+    col = translate_expr(arg, ctx)
+    t = ctx.infer_type(arg)
+    elem = t.elementType if isinstance(t, T.ArrayType) else None
+    if isinstance(elem, T.ArrayType):  # [[k, v], ...] pair form
+        entries = F.transform(
+            col, lambda p: F.struct(
+                F.element_at(p, 1).cast("string").alias("k"),
+                F.element_at(p, 2).alias("v"),
+            )
+        )
+    else:  # [{k, v}, ...] form
+        entries = F.transform(col, lambda e: F.struct(e["k"].cast("string"), e["v"]))
+    # result is MapType (Spark's dynamic-keyed document); COMPAT.md
+    return F.map_from_entries(entries)
+
+
+def _op_zip(spec, ctx):
+    if not isinstance(spec, dict) or "inputs" not in spec:
+        raise InvalidPipeline("$zip requires {inputs: [...]}")
+    arrs = [translate_expr(a, ctx) for a in spec["inputs"]]
+    longest = bool(spec.get("useLongestLength", False))
+    defaults = spec.get("defaults")
+    sizes = [F.size(a) for a in arrs]
+    n = F.greatest(*sizes) if longest and len(arrs) > 1 else (
+        F.least(*sizes) if len(arrs) > 1 else sizes[0])
+    def elem(i, j, a):
+        v = F.try_element_at(a, i)
+        if longest and defaults is not None:
+            v = F.coalesce(v, translate_expr(defaults[j], ctx))
+        return v
+    full = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.array(*[elem(i, j, a) for j, a in enumerate(arrs)]),
+    )
+    null_in = arrs[0].isNull()
+    for a in arrs[1:]:
+        null_in = null_in | a.isNull()
+    return F.when(~null_in, F.slice(full, 1, F.greatest(n, F.lit(0))))
+
+
+# ---------------------------------------------------------------------------
+# date arithmetic (MongoDB 5.0 $dateAdd/$dateSubtract/$dateDiff/$dateTrunc,
+# 3.6 $dateToString/$dateFromString — extensions; README.md:120 advertises
+# them but the reference never implemented them, SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+_DATE_UNITS = {
+    "year": "YEAR", "quarter": "QUARTER", "month": "MONTH", "week": "WEEK",
+    "day": "DAY", "hour": "HOUR", "minute": "MINUTE", "second": "SECOND",
+    "millisecond": "MILLISECOND",
+}
+
+
+def _unit(spec) -> str:
+    u = spec.get("unit")
+    if u not in _DATE_UNITS:
+        raise InvalidPipeline(f"unsupported date unit: {u!r}")
+    return _DATE_UNITS[u]
+
+
+def _op_date_add(spec, ctx, sign=1):
+    if not isinstance(spec, dict) or "startDate" not in spec:
+        raise InvalidPipeline("$dateAdd requires {startDate, unit, amount}")
+    ts = translate_expr(spec["startDate"], ctx)
+    amount = translate_expr(spec["amount"], ctx).cast("long") * F.lit(sign)
+    return F.timestamp_add(_unit(spec), amount, ts)
+
+
+def _op_date_diff(spec, ctx):
+    """Boundary-crossing count (MongoDB semantics): truncate both endpoints
+    to the unit, then count whole units between — not elapsed-time division."""
+    if not isinstance(spec, dict) or "startDate" not in spec or "endDate" not in spec:
+        raise InvalidPipeline("$dateDiff requires {startDate, endDate, unit}")
+    u = _unit(spec)
+    s = translate_expr(spec["startDate"], ctx)
+    e = translate_expr(spec["endDate"], ctx)
+    return F.timestamp_diff(u, F.date_trunc(u, s), F.date_trunc(u, e))
+
+
+def _op_date_trunc(spec, ctx):
+    if not isinstance(spec, dict) or "date" not in spec:
+        raise InvalidPipeline("$dateTrunc requires {date, unit}")
+    if spec.get("binSize", 1) != 1:
+        raise UnsupportedExpression("$dateTrunc binSize != 1 not supported")
+    return F.date_trunc(_unit(spec), translate_expr(spec["date"], ctx))
+
+
+# Mongo strftime-style directive → Spark DateTimeFormatter pattern
+_FMT_MAP = {
+    "Y": "yyyy", "m": "MM", "d": "dd", "H": "HH", "M": "mm", "S": "ss",
+    "L": "SSS", "j": "DDD", "%": "%",
+}
+
+
+def _mongo_format_to_java(fmt: str) -> str:
+    out: list[str] = []
+    lit_buf: list[str] = []
+    def flush():
+        if lit_buf:
+            chunk = "".join(lit_buf).replace("'", "''")
+            out.append(f"'{chunk}'")
+            lit_buf.clear()
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            if i + 1 >= len(fmt):
+                raise InvalidPipeline("trailing % in date format")
+            d = fmt[i + 1]
+            if d == "%":
+                lit_buf.append("%")
+            elif d in _FMT_MAP:
+                flush()
+                out.append(_FMT_MAP[d])
+            else:
+                raise UnsupportedExpression(f"unsupported date format directive %{d}")
+            i += 2
+        else:
+            lit_buf.append(ch)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+_DEFAULT_DATE_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+
+
+def _op_date_to_string(spec, ctx):
+    if not isinstance(spec, dict) or "date" not in spec:
+        raise InvalidPipeline("$dateToString requires {date[, format, onNull]}")
+    fmt = _mongo_format_to_java(spec["format"]) if "format" in spec else _DEFAULT_DATE_FMT
+    out = F.date_format(translate_expr(spec["date"], ctx), fmt)
+    if "onNull" in spec:
+        return F.coalesce(out, translate_expr(spec["onNull"], ctx))
+    return out
+
+
+def _op_date_from_string(spec, ctx):
+    if not isinstance(spec, dict) or "dateString" not in spec:
+        raise InvalidPipeline("$dateFromString requires {dateString[, format, onError, onNull]}")
+    col = translate_expr(spec["dateString"], ctx)
+    if "format" in spec:
+        parsed = F.try_to_timestamp(col, F.lit(_mongo_format_to_java(spec["format"])))
+    else:
+        parsed = col.try_cast("timestamp")
+    if "onError" in spec:
+        parsed = F.coalesce(parsed, translate_expr(spec["onError"], ctx))
+    if "onNull" in spec:
+        return F.when(col.isNull(), translate_expr(spec["onNull"], ctx)).otherwise(parsed)
+    return parsed
+
+
+def _iso_day_of_week(col: Column) -> Column:
+    # dayofweek: 1=Sun..7=Sat → ISO 1=Mon..7=Sun
+    return ((F.dayofweek(col) + F.lit(5)) % F.lit(7)) + F.lit(1)
+
+
+def _op_iso_week_year(spec, ctx):
+    # ISO week-year = calendar year of that week's Thursday
+    (a,) = _tx(_args(spec, 1), ctx)
+    thursday = F.date_add(a.cast("date"), F.lit(4) - _iso_day_of_week(a))
+    return F.year(thursday)
+
+
+# ---------------------------------------------------------------------------
+# $convert (MongoDB 4.0) — general checked conversion
+# ---------------------------------------------------------------------------
+
+_CONVERT_TYPES = {
+    "double": "double", 1: "double",
+    "string": "string", 2: "string",
+    "bool": "boolean", 8: "boolean",
+    "date": "timestamp", 9: "timestamp",
+    "int": "int", 16: "int",
+    "long": "long", 18: "long",
+    "decimal": "decimal(38,10)", 19: "decimal(38,10)",
+}
+
+
+def _op_convert(spec, ctx):
+    if not isinstance(spec, dict) or "input" not in spec or "to" not in spec:
+        raise InvalidPipeline("$convert requires {input, to}")
+    to = _CONVERT_TYPES.get(spec["to"])
+    if to is None:
+        raise UnsupportedExpression(f"$convert: unsupported target type {spec['to']!r}")
+    col = translate_expr(spec["input"], ctx)
+    out = col.try_cast(to)
+    if "onError" in spec:
+        out = F.when(
+            col.isNotNull() & out.isNull(), translate_expr(spec["onError"], ctx)
+        ).otherwise(out)
+    if "onNull" in spec:
+        out = F.when(col.isNull(), translate_expr(spec["onNull"], ctx)).otherwise(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # casts (extensions beyond the reference: $toInt/$toLong/$toDouble/...)
 # ---------------------------------------------------------------------------
 
@@ -773,4 +1116,50 @@ OPERATORS: dict[str, object] = {
     "$toBool": _cast_factory("boolean"),
     "$toDate": _cast_factory("timestamp"),
     "$toDecimal": _cast_factory("decimal(38,10)"),
+    "$convert": _op_convert,
+    # regex (MongoDB 4.2 extensions)
+    "$regexMatch": _op_regex_match,
+    "$regexFind": _op_regex_find,
+    "$regexFindAll": _op_regex_find_all,
+    # string search/replace (MongoDB 4.0/4.4 extensions)
+    "$replaceOne": _op_replace_one,
+    "$replaceAll": _op_replace_all,
+    "$indexOfCP": _op_index_of_cp,
+    "$indexOfBytes": _op_index_of_cp,  # bytes≡codepoints for ASCII; COMPAT.md
+    "$binarySize": _date_factory(F.octet_length),
+    # dynamic field access (MongoDB 5.0)
+    "$getField": _op_get_field,
+    "$setField": _op_set_field,
+    "$unsetField": _op_unset_field,
+    # object <-> array
+    "$objectToArray": _op_object_to_array,
+    "$arrayToObject": _op_array_to_object,
+    "$zip": _op_zip,
+    # date arithmetic (MongoDB 5.0/3.6 — advertised in reference README.md:120
+    # but never implemented there)
+    "$dateAdd": _op_date_add,
+    "$dateSubtract": lambda spec, ctx: _op_date_add(spec, ctx, sign=-1),
+    "$dateDiff": _op_date_diff,
+    "$dateTrunc": _op_date_trunc,
+    "$dateToString": _op_date_to_string,
+    "$dateFromString": _op_date_from_string,
+    "$isoDayOfWeek": _date_factory(_iso_day_of_week),
+    "$isoWeek": _date_factory(F.weekofyear),
+    "$isoWeekYear": _op_iso_week_year,
+    # trigonometry / transcendental (MongoDB 4.2)
+    "$sin": _date_factory(F.sin),
+    "$cos": _date_factory(F.cos),
+    "$tan": _date_factory(F.tan),
+    "$asin": _date_factory(F.asin),
+    "$acos": _date_factory(F.acos),
+    "$atan": _date_factory(F.atan),
+    "$atan2": _cmp_factory(lambda a, b: F.atan2(a, b)),
+    "$sinh": _date_factory(F.sinh),
+    "$cosh": _date_factory(F.cosh),
+    "$tanh": _date_factory(F.tanh),
+    "$degreesToRadians": _date_factory(F.radians),
+    "$radiansToDegrees": _date_factory(F.degrees),
+    "$log": _cmp_factory(lambda num, base: F.log(num) / F.log(base)),
+    # random (MongoDB 4.4)
+    "$rand": lambda spec, ctx: F.rand(),
 }
