@@ -1,0 +1,201 @@
+"""Randomized differential testing of whole PIPELINES — the reference's
+randomized-pipeline parity suite
+(/root/reference/tests/parity-ivm-hotpath.spec.js:56+): random
+$match/$addFields/$group/$sort/$limit pipelines are run by the Spark engine
+AND a pure-Python pipeline interpreter over the same rows; results must
+agree exactly (integer-only measures, multiset compare).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from aggo_spark import Engine
+
+N_PIPELINES = 40
+N_ROWS = 60
+SEED = 20260814
+
+FIELDS = ["i", "j", "k"]
+GROUPS = ["a", "b", "c", "d", "e"]
+
+
+def make_rows(rng: random.Random):
+    return [
+        {"i": rng.randint(-20, 20), "j": rng.randint(-20, 20),
+         "k": rng.randint(0, 9), "g": rng.choice(GROUPS)}
+        for _ in range(N_ROWS)
+    ]
+
+
+# -- random stage generators: each returns (stage_json, py_transform, out_fields)
+
+def gen_match(rng, fields):
+    f = rng.choice([x for x in fields if x != "g"] or fields)
+    if f == "g":
+        v = rng.choice(GROUPS)
+        return {"$match": {"g": v}}, lambda rows: [r for r in rows if r["g"] == v]
+    op = rng.choice(["$gte", "$lt", "$ne"])
+    v = rng.randint(-10, 10)
+    py = {"$gte": lambda a, b: a >= b, "$lt": lambda a, b: a < b,
+          "$ne": lambda a, b: a != b}[op]
+    return ({"$match": {f: {op: v}}},
+            lambda rows: [r for r in rows if py(r[f], v)])
+
+
+def gen_num_expr(rng, fields, depth=2):
+    """(expr_json, py_fn(row) -> int) over integer fields."""
+    nums = [x for x in fields if x != "g"]
+    if depth <= 0 or rng.random() < 0.35:
+        if rng.random() < 0.4:
+            v = rng.randint(-10, 10)
+            return v, lambda r, v=v: v
+        f = rng.choice(nums)
+        return f"${f}", lambda r, f=f: r[f]
+    op = rng.choice(["$add", "$subtract", "$multiply", "$abs", "$mod"])
+    if op == "$abs":
+        e, fn = gen_num_expr(rng, fields, depth - 1)
+        return {"$abs": e}, lambda r, fn=fn: abs(fn(r))
+    if op == "$mod":
+        e, fn = gen_num_expr(rng, fields, depth - 1)
+        d = rng.choice([3, 5, 7])
+        return {"$mod": [e, d]}, lambda r, fn=fn, d=d: int(math.fmod(fn(r), d))
+    a, fa = gen_num_expr(rng, fields, depth - 1)
+    b, fb = gen_num_expr(rng, fields, depth - 1)
+    if op == "$add":
+        return {"$add": [a, b]}, lambda r, fa=fa, fb=fb: fa(r) + fb(r)
+    if op == "$subtract":
+        return {"$subtract": [a, b]}, lambda r, fa=fa, fb=fb: fa(r) - fb(r)
+    return {"$multiply": [a, b]}, lambda r, fa=fa, fb=fb: fa(r) * fb(r)
+
+
+def gen_add_fields(rng, fields):
+    name = f"c{rng.randint(0, 99)}"
+    e, fn = gen_num_expr(rng, fields)
+    def tr(rows, name=name, fn=fn):
+        return [{**r, name: fn(r)} for r in rows]
+    return {"$addFields": {name: e}}, tr, fields + [name] if name not in fields else fields
+
+
+def gen_group(rng, fields):
+    """Group by g / mod-expr / null with $sum/$min/$max/count measures."""
+    mode = rng.choice(["g", "expr", "null"])
+    if mode == "g":
+        id_json, key_fn = "$g", (lambda r: r["g"])
+    elif mode == "expr":
+        e, fn = gen_num_expr(rng, fields, depth=1)
+        id_json, key_fn = {"$mod": [{"$abs": e}, 4]}, (
+            lambda r, fn=fn: int(math.fmod(abs(fn(r)), 4)))
+    else:
+        id_json, key_fn = None, (lambda r: None)
+    aggs, py_aggs = {}, {}
+    for n in range(rng.randint(1, 3)):
+        name = f"m{n}"
+        kind = rng.choice(["sum", "min", "max", "count", "sumexpr"])
+        if kind == "count":
+            aggs[name] = {"$sum": 1}
+            py_aggs[name] = lambda vals: len(vals)
+            e_fn = lambda r: 0
+        else:
+            e, e_fn = gen_num_expr(rng, fields, depth=1)
+            if kind in ("sum", "sumexpr"):
+                aggs[name] = {"$sum": e}
+                py_aggs[name] = lambda vals: sum(vals)
+            elif kind == "min":
+                aggs[name] = {"$min": e}
+                py_aggs[name] = lambda vals: min(vals) if vals else None
+            else:
+                aggs[name] = {"$max": e}
+                py_aggs[name] = lambda vals: max(vals) if vals else None
+        aggs[name] = aggs[name]
+        py_aggs[name] = (py_aggs[name], e_fn)
+
+    def tr(rows, key_fn=key_fn, py_aggs=py_aggs):
+        buckets: dict = {}
+        for r in rows:
+            buckets.setdefault(key_fn(r), []).append(r)
+        out = []
+        for key, rs in buckets.items():
+            row = {"_id": key}
+            for name, (agg, e_fn) in py_aggs.items():
+                row[name] = agg([e_fn(r) for r in rs])
+            out.append(row)
+        return out
+
+    return ({"$group": {"_id": id_json, **aggs}}, tr,
+            ["_id"] + list(aggs.keys()))
+
+
+def gen_sort_limit(rng, fields):
+    """Total-order sort (all fields as tie-break chain) + limit — the only
+    order-sensitive composition, so the sort key must be total."""
+    dirs = {f: rng.choice([1, -1]) for f in fields}
+    n = rng.randint(1, 8)
+
+    def tr(rows, dirs=dirs, n=n):
+        def keyfn(r):
+            ks = []
+            for f, d in dirs.items():
+                v = r[f]
+                # None sorts first asc, last desc (MongoDB; engine matches)
+                if d == 1:
+                    ks.append((0 if v is None else 1, v if v is not None else 0))
+                else:
+                    ks.append((0 if v is not None else 1, _neg(v) if v is not None else 0))
+            return tuple(ks)
+        return sorted(rows, key=keyfn)[:n]
+
+    return [{"$sort": dict(dirs)}, {"$limit": n}], tr
+
+
+def _neg(v):
+    if isinstance(v, str):
+        return tuple(-ord(c) for c in v)
+    return -v
+
+
+def canon(rows, fields):
+    return sorted(tuple(str(r.get(f)) for f in sorted(fields)) for r in rows)
+
+
+def test_random_pipelines_match_python(spark):
+    rng = random.Random(SEED)
+    rows = make_rows(rng)
+    df = spark.createDataFrame(rows, "i long, j long, k long, g string")
+    eng = Engine()
+
+    failures = []
+    for trial in range(N_PIPELINES):
+        fields = FIELDS + ["g"]
+        pipeline, transforms = [], []
+        if rng.random() < 0.7:
+            s, tr = gen_match(rng, fields)
+            pipeline.append(s); transforms.append(tr)
+        if rng.random() < 0.6:
+            s, tr, fields = gen_add_fields(rng, fields)
+            pipeline.append(s); transforms.append(tr)
+        if rng.random() < 0.4:
+            s, tr = gen_match(rng, fields)
+            pipeline.append(s); transforms.append(tr)
+        grouped = rng.random() < 0.6
+        if grouped:
+            s, tr, fields = gen_group(rng, fields)
+            pipeline.append(s); transforms.append(tr)
+        if rng.random() < 0.5:
+            stages, tr = gen_sort_limit(rng, fields)
+            pipeline.extend(stages); transforms.append(tr)
+        if not pipeline:
+            pipeline = [{"$match": {"i": {"$gte": -100}}}]
+            transforms = [lambda rs: [r for r in rs if r["i"] >= -100]]
+
+        expected = rows
+        for tr in transforms:
+            expected = tr(expected)
+
+        got = [r.asDict(recursive=True) for r in eng.aggregate(df, pipeline).collect()]
+        if canon(got, fields) != canon(expected, fields):
+            failures.append((trial, pipeline,
+                             canon(got, fields)[:3], canon(expected, fields)[:3]))
+
+    assert not failures, f"{len(failures)} mismatching pipelines; first: {failures[0]}"
