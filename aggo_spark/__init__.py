@@ -6,7 +6,23 @@ DataFrame; Spark supplies optimization, columnar execution, shuffle, and
 streaming.
 """
 
-from .engine import Engine, aggregate, count, expression, group, match, project, sort, unwind
+from .engine import (
+    Engine,
+    add_fields,
+    aggregate,
+    benchmark,
+    count,
+    expression,
+    group,
+    limit,
+    lookup,
+    match,
+    project,
+    set_fields,
+    skip,
+    sort,
+    unwind,
+)
 from .errors import (
     AggoSparkError,
     InvalidPipeline,
@@ -28,8 +44,14 @@ __all__ = [
     "group",
     "sort",
     "unwind",
+    "limit",
+    "skip",
+    "lookup",
+    "add_fields",
+    "set_fields",
     "count",
     "expression",
+    "benchmark",
     "build_session",
     "read_jsonl",
     "read_parquet",

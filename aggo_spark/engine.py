@@ -85,11 +85,63 @@ def unwind(df: DataFrame, spec) -> DataFrame:
     return Engine().aggregate(df, [{"$unwind": spec}])
 
 
+def limit(df: DataFrame, n: int) -> DataFrame:
+    return Engine().aggregate(df, [{"$limit": n}])
+
+
+def skip(df: DataFrame, n: int) -> DataFrame:
+    return Engine().aggregate(df, [{"$skip": n}])
+
+
+def add_fields(df: DataFrame, spec: dict) -> DataFrame:
+    return Engine().aggregate(df, [{"$addFields": spec}])
+
+
+set_fields = add_fields  # $set is an alias of $addFields (src/index.ts:268-272)
+
+
+def lookup(df: DataFrame, spec: dict, collections: Mapping[str, DataFrame]) -> DataFrame:
+    """Standalone $lookup; the foreign collection must be passed by name."""
+    return Engine(collections).aggregate(df, [{"$lookup": spec}])
+
+
 def count(source) -> int:
     """Standalone count() (reference src/aggo/count.ts:9-13)."""
     if isinstance(source, DataFrame):
         return source.count()
     return len(source)
+
+
+def benchmark(
+    source,
+    pipeline: list,
+    *,
+    iterations: int = 5,
+    warmup_runs: int = 1,
+    spark: SparkSession | None = None,
+) -> dict:
+    """Time a pipeline end-to-end (reference ``benchmark()``,
+    ``src/aggo/api-enhancements.ts`` Phase-6 API). Executes via the noop
+    sink — full distributed execution, no driver collect."""
+    import statistics
+    import time
+
+    df = aggregate(source, pipeline, spark=spark)
+    def run() -> float:
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return (time.time() - t0) * 1000.0
+
+    for _ in range(warmup_runs):
+        run()
+    times = [run() for _ in range(max(1, iterations))]
+    return {
+        "iterations": len(times),
+        "avg_ms": sum(times) / len(times),
+        "median_ms": statistics.median(times),
+        "min_ms": min(times),
+        "max_ms": max(times),
+    }
 
 
 def expression(doc: dict, expr: object, *, spark: SparkSession | None = None):

@@ -138,3 +138,33 @@ def test_root_and_replace(orders):
         {"$replaceRoot": {"newRoot": "$cust"}},
     ]))
     assert out == [{"name": "bob", "tier": "silver"}]
+
+
+def test_standalone_stage_functions(orders, spark):
+    from aggo_spark import add_fields, limit, lookup, skip
+
+    two = limit(orders, 2)
+    assert two.count() == 2
+    assert skip(orders, 3).count() == 1
+    af = add_fields(orders, {"n_items": {"$size": "$items"}})
+    assert "n_items" in af.columns
+    tiers = spark.createDataFrame(
+        [("gold", 0.2), ("silver", 0.1)], "tier string, disc double")
+    looked = lookup(
+        orders,
+        {"from": "tiers", "localField": "cust.tier",
+         "foreignField": "tier", "as": "t"},
+        {"tiers": tiers},
+    )
+    by = {r["_id"]: r.asDict(recursive=True) for r in looked.collect()}
+    assert by[1]["t"] == [{"tier": "gold", "disc": 0.2}]
+    assert by[4]["t"] == []  # bronze: no match -> empty array
+
+
+def test_benchmark_api(orders):
+    from aggo_spark import benchmark
+
+    res = benchmark(orders, [{"$group": {"_id": "$status", "n": {"$sum": 1}}}],
+                    iterations=2, warmup_runs=1)
+    assert res["iterations"] == 2 and res["min_ms"] > 0
+    assert res["min_ms"] <= res["median_ms"] <= res["max_ms"]
