@@ -10,7 +10,9 @@ from .engine import (
     Engine,
     add_fields,
     aggregate,
+    aggregate_streaming,
     benchmark,
+    create_streaming_collection,
     count,
     expression,
     group,
@@ -52,6 +54,8 @@ __all__ = [
     "count",
     "expression",
     "benchmark",
+    "aggregate_streaming",
+    "create_streaming_collection",
     "build_session",
     "read_jsonl",
     "read_parquet",

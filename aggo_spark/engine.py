@@ -171,8 +171,15 @@ def aggregate(
     Accepts a DataFrame or a plain list of dicts (the reference's in-memory
     array source, ``src/aggo/aggregation.ts:759-786``) — the latter is
     converted with schema inference and is intended for tests/small data
-    only; real inputs should arrive via ``spark.read``.
+    only; real inputs should arrive via ``spark.read``. A
+    ``StreamingCollection`` routes transparently (reference
+    ``transparentAggregate``, ``src/aggo/index.ts:50-64``) and returns the
+    *current* live result as a list of dicts.
     """
+    from .streaming.core import StreamingCollection
+
+    if isinstance(source, StreamingCollection):
+        return source.stream(pipeline)
     if not isinstance(source, DataFrame):
         spark = spark or SparkSession.getActiveSession()
         if spark is None:
@@ -184,3 +191,17 @@ def aggregate(
             c = (spark or SparkSession.getActiveSession()).createDataFrame(c)
         colls[name] = c
     return Engine(colls).aggregate(source, pipeline)
+
+
+# transparent-streaming conveniences (reference src/index.ts:330-343)
+aggregate_streaming = aggregate
+
+
+def create_streaming_collection(spark: SparkSession, schema, initial_data=None):
+    """``createStreamingCollection`` (reference ``src/index.ts:327-332``)."""
+    from .streaming.core import StreamingCollection
+
+    sc = StreamingCollection(spark, schema)
+    if initial_data:
+        sc.add_bulk(list(initial_data))
+    return sc

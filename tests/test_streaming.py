@@ -250,3 +250,23 @@ class TestStatefulSessionize:
         )
         assert [r[1] for r in rows] == [0, 0, 0, 1], rows
         assert [r[2] for r in rows] == [1, 2, 3, 1], rows
+
+
+def test_transparent_aggregate_and_factory(spark):
+    """aggregate() routes StreamingCollections transparently (reference
+    transparentAggregate, src/aggo/index.ts:50-64)."""
+    from aggo_spark import aggregate, aggregate_streaming, create_streaming_collection
+
+    sc = create_streaming_collection(
+        spark, "v long, tag string",
+        initial_data=[{"v": 1, "tag": "a"}, {"v": 2, "tag": "b"}])
+    try:
+        out = aggregate(sc, [{"$group": {"_id": "$tag", "s": {"$sum": "$v"}}},
+                             {"$sort": {"_id": 1}}])
+        assert [(r["_id"], r["s"]) for r in out] == [("a", 1), ("b", 2)]
+        sc.add({"v": 10, "tag": "a"})
+        out2 = aggregate_streaming(sc, [{"$group": {"_id": "$tag", "s": {"$sum": "$v"}}},
+                                        {"$sort": {"_id": 1}}])
+        assert [(r["_id"], r["s"]) for r in out2] == [("a", 11), ("b", 2)]
+    finally:
+        sc.stop()
