@@ -34,3 +34,16 @@ def test_readme_streaming(spark, tmp_path):
         assert coll.result(rid) == []
     finally:
         coll.stop()
+
+
+def test_readme_standalone_api(spark):
+    from aggo_spark import benchmark, expression, load_tables, match
+
+    df = load_tables(spark, "/root/testdata/sf0.001", ["orders"])["orders"]
+    assert match(df, {"o_totalprice": {"$gte": 100.0}}).count() > 0
+    v = expression({"a": 3, "b": 4}, {"$sqrt": {"$add": [
+        {"$multiply": ["$a", "$a"]}, {"$multiply": ["$b", "$b"]}]}}, spark=spark)
+    assert v == 5.0
+    res = benchmark(df, [{"$group": {"_id": "$o_orderstatus", "n": {"$sum": 1}}}],
+                    iterations=1, warmup_runs=0)
+    assert res["avg_ms"] > 0
