@@ -112,6 +112,9 @@ def _system_variable(expr: str, ctx: ExprContext) -> Column:
         col = F.current_timestamp()
     elif head == "REMOVE":
         return REMOVE  # type: ignore[return-value]
+    elif head in ("KEEP", "PRUNE", "DESCEND"):
+        # $redact control values (MongoDB 2.6); compared by the $redact stage
+        return F.lit(f"__redact_{head}__")
     elif head in ctx.variables:
         col = ctx.variables[head]
     else:

@@ -460,6 +460,57 @@ def stage_replace_root(df: DataFrame, spec, engine) -> DataFrame:
     return tmp.select("__aggo_root.*")
 
 
+_REDACT_KEEP = "__redact_KEEP__"
+_REDACT_PRUNE = "__redact_PRUNE__"
+
+
+def _redact_value(col: Column, dtype: T.DataType, spec, parent_type) -> Column:
+    """Recurse $redact into one embedded value (compile-time over the static
+    schema; emits pure Columns, no UDFs)."""
+    if isinstance(dtype, T.StructType):
+        sub_ctx = ExprContext().with_root(col, dtype)
+        decision = translate_expr(spec, sub_ctx)
+        descended = F.struct(*[
+            _redact_value(col.getField(f.name), f.dataType, spec, dtype).alias(f.name)
+            for f in dtype.fields
+        ])
+        return (
+            F.when(decision == F.lit(_REDACT_PRUNE), F.lit(None).cast(dtype))
+            .when(decision == F.lit(_REDACT_KEEP), col)
+            .otherwise(descended)
+        )
+    if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StructType):
+        et = dtype.elementType
+
+        def elem_decision(e: Column) -> Column:
+            return translate_expr(spec, ExprContext().with_root(e, et))
+
+        kept = F.filter(col, lambda e: elem_decision(e) != F.lit(_REDACT_PRUNE))
+        return F.transform(kept, lambda e: _redact_value(e, et, spec, dtype))
+    return col
+
+
+def stage_redact(df: DataFrame, spec, engine) -> DataFrame:
+    """$redact — per-(sub)document conditional pruning (MongoDB 2.6; absent
+    from the reference, SURVEY.md §2.2 'not implemented' list). The control
+    expression evaluates to $$KEEP (keep subtree), $$PRUNE (drop document /
+    null the subdocument / drop the array element), or $$DESCEND (keep this
+    level, re-evaluate on each embedded document). The static schema makes
+    the recursion compile-time: one Filter + nested Column rebuilds, fully
+    inside codegen — zero shuffles."""
+    ctx = _ctx(df)
+    decision = translate_expr(spec, ctx)
+    out = df.filter(decision != F.lit(_REDACT_PRUNE))
+    rebuilt = []
+    for f in out.schema.fields:
+        col = F.col(f"`{f.name}`")
+        red = _redact_value(col, f.dataType, spec, out.schema)
+        if red is not col:
+            red = F.when(decision == F.lit(_REDACT_KEEP), col).otherwise(red)
+        rebuilt.append(red.alias(f.name))
+    return out.select(*rebuilt)
+
+
 def stage_union_with(df: DataFrame, spec, engine) -> DataFrame:
     if isinstance(spec, str):
         other, sub = engine.collection(spec), []
@@ -862,6 +913,7 @@ STAGES = {
     "$lookup": stage_lookup,
     "$count": stage_count,
     # extensions (not in the reference; SURVEY.md §2.2)
+    "$redact": stage_redact,
     "$replaceRoot": stage_replace_root,
     "$replaceWith": stage_replace_root,
     "$unionWith": stage_union_with,

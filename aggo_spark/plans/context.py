@@ -79,6 +79,11 @@ class ExprContext:
         """Resolve dotted field path ``a.b.c`` → Column; missing → lit(None)."""
         segments = path.split(".")
         if self.root_column is not None:
+            rt = getattr(self, "_root_type", None)
+            if rt is not None:
+                found, _ = _walk_schema(rt, segments)
+                if not found:
+                    return F.lit(None)
             col = self.root_column
             for seg in segments:
                 col = col.getField(seg)

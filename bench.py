@@ -74,11 +74,21 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # per-row throughput for the BASELINE.md comparison classes
+    # (input-rows / wall-clock; lineitem for q01/q02, orders for q03)
+    n_lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    throughput = {
+        "simpleFilter_rows_per_sec": round(n_lineitem / timings["q02_filter"]),
+        "groupAggregate_rows_per_sec": round(n_lineitem / timings["q01_group_agg"]),
+        "complexPipeline_rows_per_sec": round(n_orders / timings["q03_complex"]),
+    }
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "throughput": throughput,
         "sf": sf,
     }))
     spark.stop()

@@ -308,3 +308,36 @@ class TestMergeObjectsAndMixedSort:
                 "input": "$arr", "sortBy": {"a": -1, "b": 1}}}}},
         ])
         assert [(e["a"], e["b"]) for e in out[0]["s"]] == [(2, "m"), (1, "m"), (1, "x")]
+
+
+class TestRedact:
+    @pytest.fixture(scope="class")
+    def classified(self, spark):
+        data = [
+            (1, 1, "public", (1, "open"), [(1, "s1"), (5, "secret")]),
+            (2, 5, "classified", (5, "hidden"), [(1, "s2")]),
+            (3, 1, "mixed", (5, "restricted"), []),
+        ]
+        return spark.createDataFrame(
+            data,
+            "`_id` long, level long, title string, "
+            "details struct<level long, note string>, "
+            "sections array<struct<level long, name string>>")
+
+    def test_descend_prunes_recursively(self, classified):
+        out = agg(classified, [
+            {"$redact": {"$cond": [{"$lte": ["$level", 2]}, "$$DESCEND", "$$PRUNE"]}},
+            {"$sort": {"_id": 1}},
+        ])
+        assert [r["_id"] for r in out] == [1, 3]
+        # high-level array element dropped; high-level subdoc nulled
+        assert [s["name"] for s in out[0]["sections"]] == ["s1"]
+        assert out[1]["details"] is None
+
+    def test_keep_short_circuits(self, classified):
+        out = agg(classified, [
+            {"$redact": {"$cond": [{"$lte": ["$level", 2]}, "$$KEEP", "$$PRUNE"]}},
+            {"$sort": {"_id": 1}},
+        ])
+        # $$KEEP keeps the whole subtree without re-evaluating children
+        assert out[1]["details"] == {"level": 5, "note": "restricted"}
