@@ -50,6 +50,9 @@ def match_to_column(query: dict, ctx: ExprContext) -> Column:
             conds.append(~_combine(sub, "or"))
         elif key == "$expr":
             conds.append(translate_expr(value, ctx).cast("boolean"))
+        elif key == "$sampleRate":
+            # MongoDB 4.4.2: random per-document inclusion at the given rate
+            conds.append(F.rand() < F.lit(float(value)))
         elif key == "$text":
             conds.append(_text_search(value, ctx))
         elif key == "$comment":

@@ -341,3 +341,10 @@ class TestRedact:
         ])
         # $$KEEP keeps the whole subtree without re-evaluating children
         assert out[1]["details"] == {"level": 5, "note": "restricted"}
+
+
+def test_sample_rate_match(spark):
+    df = spark.range(5000).withColumnRenamed("id", "i")
+    n = Engine().aggregate(df, [{"$match": {"$sampleRate": 0.3}}]).count()
+    assert 1000 < n < 2000  # ~1500 expected
+    assert Engine().aggregate(df, [{"$match": {"$sampleRate": 0.0}}]).count() == 0
