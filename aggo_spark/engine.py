@@ -61,6 +61,51 @@ class Engine:
             df._jdf.queryExecution(), mode
         )
 
+    def explain_pipeline(self, source, pipeline: list) -> dict:
+        """Stage→physical-strategy mapping plus the optimized plan — the
+        structured form of the reference's ``PipelineExplanation`` (static
+        per-stage analysis with reason codes,
+        ``src/aggo/api-enhancements.ts:135-241``); here each stage's mapping
+        is what the translator actually emits and the plan is Catalyst's."""
+        stages = [
+            {"stage": (name := next(iter(st))),
+             "spark": _STAGE_PLAN.get(name, "DataFrame transformation")}
+            for st in pipeline
+        ]
+        return {"stages": stages,
+                "optimized_plan": self.explain(source, pipeline)}
+
+
+# stage → emitted physical strategy (used by Engine.explain_pipeline)
+_STAGE_PLAN = {
+    "$match": "Filter — predicate pushdown to the scan (PushedFilters)",
+    "$project": "Project — column pruning reaches the scan (ReadSchema)",
+    "$addFields": "Project (withColumns); fused by whole-stage codegen",
+    "$set": "Project (withColumns); fused by whole-stage codegen",
+    "$unset": "Project (drop)",
+    "$group": "HashAggregate(partial) → Exchange(keys) → HashAggregate(final); spills",
+    "$sort": "Exchange(range) → Sort; with $limit → TakeOrderedAndProject (no global sort)",
+    "$limit": "GlobalLimit (TakeOrderedAndProject when preceded by $sort)",
+    "$skip": "Offset",
+    "$unwind": "Generate explode — narrow, partition-local",
+    "$lookup": "collect_list pre-agg + join; broadcast for small foreign side (AQE)",
+    "$graphLookup": "iterative joins with frontier dedup (bounded by maxDepth)",
+    "$count": "partial count → Exchange(single) → final count",
+    "$facet": "one aggregation branch per facet over a shared scan",
+    "$bucket": "Project(bucket expr) + HashAggregate",
+    "$sortByCount": "HashAggregate → TakeOrdered/Sort",
+    "$replaceRoot": "Project(struct.*)",
+    "$replaceWith": "Project(struct.*)",
+    "$redact": "Filter + recursive Column rebuild — zero shuffle",
+    "$sample": "Sample (Bernoulli) — no shuffle",
+    "$unionWith": "Union (unionByName)",
+    "$setWindowFields": "Window over Exchange(partitionBy)",
+    "$densify": "per-partition sequence generate + union",
+    "$fill": "Window(last ignorenulls) / coalesce",
+    "$out": "write to sink (no result mutation)",
+    "$merge": "MERGE-style key upsert into registered collection",
+}
+
 
 # standalone per-stage functions (reference exports these individually,
 # src/index.ts:379-418: $match, $project, $group, ...)

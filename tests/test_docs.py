@@ -47,3 +47,18 @@ def test_readme_standalone_api(spark):
     res = benchmark(df, [{"$group": {"_id": "$o_orderstatus", "n": {"$sum": 1}}}],
                     iterations=1, warmup_runs=0)
     assert res["avg_ms"] > 0
+
+
+def test_explain_pipeline_mapping(spark):
+    from aggo_spark import Engine, load_tables
+
+    eng = Engine(load_tables(spark, "/root/testdata/sf0.001"))
+    info = eng.explain_pipeline("orders", [
+        {"$match": {"o_orderstatus": "O"}},
+        {"$group": {"_id": "$o_custkey", "n": {"$sum": 1}}},
+        {"$sort": {"n": -1}}, {"$limit": 5},
+    ])
+    assert [s["stage"] for s in info["stages"]] == ["$match", "$group", "$sort", "$limit"]
+    assert "pushdown" in info["stages"][0]["spark"]
+    assert "TakeOrderedAndProject" in info["optimized_plan"]
+    assert "PushedFilters" in info["optimized_plan"]
