@@ -99,10 +99,11 @@ TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 def token_stats(text: Column) -> dict[str, Column]:
     """Token-counting columns: whitespace tokens and BPE-ish regex tokens."""
     ws = tokens(text)
-    bpe = F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)
     return {
         "n_ws_tokens": F.size(ws),
-        "n_bpe_tokens": F.size(bpe),
+        # count matches without materializing the match array (regexp_count
+        # is one scan; regexp_extract_all + size would allocate every token)
+        "n_bpe_tokens": F.regexp_count(text, F.lit(TOKEN_REGEX)).cast("int"),
         "n_chars": F.length(text),
         "mean_token_len": F.when(
             F.size(ws) > 0,
