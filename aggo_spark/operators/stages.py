@@ -603,6 +603,45 @@ def stage_bucket(df: DataFrame, spec: dict, engine) -> DataFrame:
     return tmp.groupBy(F.col("__aggo_bucket").alias("_id")).agg(*accs)
 
 
+def stage_bucket_auto(df: DataFrame, spec: dict, engine) -> DataFrame:
+    """$bucketAuto — even-count bucketing (MongoDB 3.4; absent from the
+    reference). Scale-first plan: bucket boundaries come from ONE
+    percentile_approx aggregate (t-digest-style sketch, mergeable across
+    partitions) broadcast back over the data — no global sort, no
+    single-partition window. Like MongoDB, bucket counts are approximately
+    even and skewed data may yield fewer buckets than requested.
+    Output _id = {min, max} of the actual values per bucket."""
+    ctx = _ctx(df)
+    n = int(spec["buckets"])
+    if n < 1:
+        raise InvalidPipeline("$bucketAuto requires buckets >= 1")
+    if "granularity" in spec:
+        raise UnsupportedStage("$bucketAuto granularity not supported")
+    group_by = translate_expr(spec["groupBy"], ctx)
+    tmp = df.withColumn("__aggo_gb", group_by).filter(F.col("__aggo_gb").isNotNull())
+    cuts = [i / n for i in range(1, n)]  # interior boundaries
+    bounds = tmp.agg(
+        F.percentile_approx("__aggo_gb", F.lit(cuts) if cuts else F.lit([0.5]), F.lit(10000)).alias("__aggo_bs")
+    )
+    joined = tmp.join(F.broadcast(bounds))
+    # bucket index = number of distinct interior boundaries <= value
+    idx = F.size(F.filter(
+        F.array_distinct("__aggo_bs"), lambda b: F.col("__aggo_gb") >= b
+    )) if cuts else F.lit(0)
+    bucketed = joined.withColumn("__aggo_bucket", idx)
+    output = spec.get("output") or {"count": {"$sum": 1}}
+    octx = ExprContext(schema=bucketed.schema)
+    accs = [accumulator_to_column(k, v, octx) for k, v in output.items()]
+    out = bucketed.groupBy("__aggo_bucket").agg(
+        F.min("__aggo_gb").alias("__min"), F.max("__aggo_gb").alias("__max"), *accs
+    )
+    id_col = F.struct(F.col("__min").alias("min"), F.col("__max").alias("max"))
+    return out.select(
+        id_col.alias("_id"),
+        *[F.col(f"`{k}`") for k in output],
+    ).orderBy("_id.min")
+
+
 def stage_facet(df: DataFrame, spec: dict, engine) -> DataFrame:
     """$facet — run sub-pipelines over the same input, one output document.
 
@@ -913,6 +952,7 @@ STAGES = {
     "$lookup": stage_lookup,
     "$count": stage_count,
     # extensions (not in the reference; SURVEY.md §2.2)
+    "$bucketAuto": stage_bucket_auto,
     "$redact": stage_redact,
     "$replaceRoot": stage_replace_root,
     "$replaceWith": stage_replace_root,

@@ -348,3 +348,26 @@ def test_sample_rate_match(spark):
     n = Engine().aggregate(df, [{"$match": {"$sampleRate": 0.3}}]).count()
     assert 1000 < n < 2000  # ~1500 expected
     assert Engine().aggregate(df, [{"$match": {"$sampleRate": 0.0}}]).count() == 0
+
+
+class TestBucketAuto:
+    def test_even_buckets(self, spark):
+        df = spark.range(100).withColumnRenamed("id", "v")
+        out = agg(df, [{"$bucketAuto": {"groupBy": "$v", "buckets": 4,
+                                        "output": {"count": {"$sum": 1},
+                                                   "avg": {"$avg": "$v"}}}}])
+        assert len(out) == 4
+        assert sum(r["count"] for r in out) == 100
+        assert all(20 <= r["count"] <= 30 for r in out)  # ~even
+        # buckets are ordered and contiguous over the value range
+        assert out[0]["_id"]["min"] == 0 and out[-1]["_id"]["max"] == 99
+
+    def test_skewed_data_fewer_buckets(self, spark):
+        df = spark.createDataFrame([(1.0,)] * 50 + [(9.0,)], "v double")
+        out = agg(df, [{"$bucketAuto": {"groupBy": "$v", "buckets": 3}}])
+        assert len(out) <= 2 and sum(r["count"] for r in out) == 51
+
+    def test_null_groupby_excluded(self, spark):
+        df = spark.createDataFrame([(1.0,), (2.0,), (None,)], "v double")
+        out = agg(df, [{"$bucketAuto": {"groupBy": "$v", "buckets": 1}}])
+        assert sum(r["count"] for r in out) == 2
