@@ -81,13 +81,17 @@ def q01_group_agg(spark, sf_dir):
 
 
 def q02_filter(spark, sf_dir):
-    """simpleFilter class: pushed-down $match + projection."""
+    """simpleFilter class: pushed-down $match + projection.
+
+    No trailing $sort: the reference's simpleFilter benchmark is a bare
+    $match (BASELINE.md), and the driver's value-hash compare sorts rows
+    itself, so a global sort here would be pure overhead.
+    """
     return _engine(spark, sf_dir).aggregate("lineitem", [
         {"$match": {"l_returnflag": "R", "l_quantity": {"$gte": 30},
                     "l_discount": {"$lt": 0.05}}},
         {"$project": {"_id": 0, "l_orderkey": 1, "l_linenumber": 1,
                       "l_quantity": 1, "l_extendedprice": 1}},
-        {"$sort": {"l_orderkey": 1, "l_linenumber": 1}},
     ])
 
 
@@ -329,7 +333,6 @@ def q20_lookup_pipeline(spark, sf_dir):
         {"$addFields": {"n_big": {"$toLong": {"$size": "$big_items"}}}},
         {"$match": {"n_big": {"$gt": 0}}},
         {"$project": {"_id": 0, "o_orderkey": 1, "n_big": 1}},
-        {"$sort": {"o_orderkey": 1}},
     ])
 
 
@@ -391,7 +394,6 @@ def q22_sessionize(spark, sf_dir):
                     "t_start": {"$min": "$ts"}, "t_end": {"$max": "$ts"}}},
         {"$project": {"_id": 0, "user_id": "$_id.u", "session_idx": "$_id.s",
                       "n_events": 1, "t_start": 1, "t_end": 1}},
-        {"$sort": {"user_id": 1, "session_idx": 1}},
     ])
 
 
@@ -452,8 +454,7 @@ def q26_lookup_group(spark, sf_dir):
 
 def q30_dedup_exact(spark, sf_dir):
     """Exact dedup by normalized-content md5 (hash-groupBy)."""
-    out = dedup.exact_dedup(_t(spark, sf_dir, "documents"))
-    return out.orderBy("doc_id")
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
 def q31_dedup_jaccard(spark, sf_dir):
@@ -467,7 +468,7 @@ def q32_dedup_minhash(spark, sf_dir):
     """MinHash LSH candidate pairs (xxhash64-seeded — no DuckDB oracle)."""
     return dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), num_perm=64, bands=16, threshold=0.5
-    ).orderBy("id_a", "id_b")
+    )
 
 
 def q33_dedup_simhash(spark, sf_dir):
@@ -526,7 +527,7 @@ def q49_text_index(spark, sf_dir):
 def q36_langid(spark, sf_dir):
     """Stopword-profile language ID (tokenize-once projection split)."""
     df = _t(spark, sf_dir, "documents")
-    return text.add_language_id(df, "text").select("doc_id", "pred_lang").orderBy("doc_id")
+    return text.add_language_id(df, "text").select("doc_id", "pred_lang")
 
 
 def q37_quality(spark, sf_dir):
@@ -540,7 +541,7 @@ def q38_token_stats(spark, sf_dir):
     """Token counting: whitespace + BPE-ish regex segmentation."""
     df = _t(spark, sf_dir, "documents")
     cols = text.token_stats(F.col("text"))
-    return df.select("doc_id", *[v.alias(k) for k, v in cols.items()]).orderBy("doc_id")
+    return df.select("doc_id", *[v.alias(k) for k, v in cols.items()])
 
 
 def q39_fingerprint(spark, sf_dir):
