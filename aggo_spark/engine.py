@@ -30,9 +30,19 @@ class Engine:
     ) -> None:
         self.collections: dict[str, DataFrame] = dict(collections or {})
         self.sample_seed = sample_seed
+        # Translated-plan cache keyed by (collection name, pipeline JSON) —
+        # the reference keeps the same cache keyed by pipeline JSON
+        # (/root/reference/src/aggo/zero-alloc-engine.ts:64-78,
+        # crossfilter-engine.ts:40-60). DataFrames are immutable, so handing
+        # the same logical plan back is safe; repeated aggregate() calls skip
+        # re-translation and Catalyst re-analysis.
+        self._plan_cache: dict[tuple[str, str], DataFrame] = {}
 
     def register(self, name: str, df: DataFrame) -> "Engine":
         self.collections[name] = df
+        # a cached plan may join into any registered collection ($lookup /
+        # $unionWith), so any rebind invalidates the whole cache
+        self._plan_cache.clear()
         return self
 
     def collection(self, name) -> DataFrame:
@@ -50,8 +60,23 @@ class Engine:
         ``.toJSON()`` to execute, mirroring the reference's
         ``Aggo.aggregate(collection, pipeline)`` (``src/index.ts:296+``).
         """
+        key = None
+        if isinstance(source, str):
+            import json
+
+            try:
+                key = (source, json.dumps(pipeline, default=repr, sort_keys=True))
+            except (TypeError, ValueError):
+                key = None
+            if key is not None and key in self._plan_cache:
+                return self._plan_cache[key]
         df = self.collection(source)
-        return apply_pipeline(df, pipeline, self)
+        out = apply_pipeline(df, pipeline, self)
+        if key is not None:
+            if len(self._plan_cache) >= 256:
+                self._plan_cache.pop(next(iter(self._plan_cache)))
+            self._plan_cache[key] = out
+        return out
 
     def explain(self, source, pipeline: list, mode: str = "formatted") -> str:
         """Catalyst plan for a pipeline (the reference's ``explain()``,
