@@ -204,6 +204,30 @@ def stage_group(df: DataFrame, spec: dict, engine) -> DataFrame:
     ctx = _ctx(df)
     accs = [accumulator_to_column(k, v, ctx) for k, v in spec.items() if k != "_id"]
     id_spec = spec["_id"]
+    # Compound `_id` documents group by the component expressions (struct
+    # assembled after the agg), not by one struct column: grouping keys that
+    # include a column the input is already hash-partitioned on let Catalyst
+    # drop the exchange entirely (HashPartitioning(k) satisfies
+    # ClusteredDistribution(k, ...)), e.g. window-partitionBy(u) →
+    # group-by{u,s} runs shuffle-free. A single opaque struct key defeats
+    # that rule.
+    if (
+        isinstance(id_spec, dict)
+        and id_spec
+        and not any(k.startswith("$") for k in id_spec)
+    ):
+        names = list(id_spec)
+        parts = [
+            translate_expr(v, ctx).alias(f"__aggo_gid_{i}")
+            for i, v in enumerate(id_spec.values())
+        ]
+        grouped = df.groupBy(*parts)
+        out = grouped.agg(*(accs or [F.count(F.lit(1)).alias("__aggo_n")]))
+        key = F.struct(
+            *[F.col(f"__aggo_gid_{i}").alias(n) for i, n in enumerate(names)]
+        ).alias("_id")
+        rest = [c for c in out.columns if not c.startswith("__aggo_")]
+        return out.select(key, *rest)
     # `_id: null` → one global group, but empty input → no rows (MongoDB);
     # grouping by a constant gives exactly that.
     key = (
