@@ -525,9 +525,9 @@ def q49_text_index(spark, sf_dir):
 
 
 def q36_langid(spark, sf_dir):
-    """Stopword-profile language ID (tokenize-once projection split)."""
+    """Stopword-profile language ID — join-free (id, label) scale path."""
     df = _t(spark, sf_dir, "documents")
-    return text.add_language_id(df, "text").select("doc_id", "pred_lang")
+    return text.language_id_table(df, "text")
 
 
 def q37_quality(spark, sf_dir):

@@ -152,16 +152,18 @@ def language_id(text: Column) -> Column:
     return language_id_from_tokens(tokens(text))
 
 
-def add_language_id(
+def language_id_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     out_col: str = "pred_lang"
 ) -> DataFrame:
-    """DataFrame form — the scale path: explode tokens → one hash aggregate
-    with per-language conditional counts (literal ``isin`` sets compile to
-    codegen'd hash lookups) → argmax. No higher-order functions (the Column
-    form's filters are interpreted), no join for scoring; one shuffle on
-    the doc id with map-side partial counts. Occurrence semantics identical
-    to :func:`language_id`.
+    """(id, predicted language) — the scale path: explode tokens → one hash
+    aggregate with per-language conditional counts (literal ``isin`` sets
+    compile to codegen'd hash lookups) → argmax. No higher-order functions
+    (the Column form's filters are interpreted) and no join: one shuffle on
+    the doc id with map-side partial counts. ``explode_outer`` keeps
+    zero-token documents as a null-token row, so every input id appears
+    exactly once (label "und"). Occurrence semantics identical to
+    :func:`language_id`.
     """
     langs = list(LANG_STOPWORDS)
     # pre-explode repartition: see explode_shingles
@@ -170,9 +172,13 @@ def add_language_id(
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(
             F.col(id_col),
-            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__t"),
+            F.explode_outer(F.split(normalize_text(F.col(text_col)), " ")).alias("__t"),
         )
-        .filter(F.col("__t") != "")
+        # normalize collapses/trims whitespace, so "" tokens only occur for
+        # entirely-empty text (exactly one per such doc); nullif turns them
+        # into null rows that count 0 for every language. explode_outer
+        # keeps null-text docs the same way.
+        .select(F.col(id_col), F.nullif(F.col("__t"), F.lit("")).alias("__t"))
     )
     counts = tok.groupBy(id_col).agg(
         *[
@@ -186,7 +192,19 @@ def add_language_id(
     for lang, s in zip(reversed(langs), reversed(scores)):
         pred = F.when(s == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("und"))
-    labeled = counts.select(id_col, pred.alias(out_col))
+    return counts.select(id_col, pred.alias(out_col))
+
+
+def add_language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    out_col: str = "pred_lang"
+) -> DataFrame:
+    """Attach the predicted language to every input row (all original
+    columns preserved). The label itself comes from
+    :func:`language_id_table`; prefer that form when only (id, label) is
+    needed — it skips this full-cardinality join entirely.
+    """
+    labeled = language_id_table(df, text_col, id_col, out_col)
     return df.join(labeled, id_col, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit("und"))
     )
