@@ -299,6 +299,27 @@ def test_set_window_fields(spark):
     assert got[("a", 1)]["total"] == 60 and got[("b", 1)]["total"] == 5
 
 
+def test_compound_group_after_window_is_single_exchange(spark):
+    """Compound $group _id groups by components, so a $setWindowFields
+    partitionBy on a key subset leaves the aggregate shuffle-free."""
+    df = spark.createDataFrame(
+        [{"g": "a", "t": 1, "v": 10}, {"g": "a", "t": 2, "v": 20}, {"g": "b", "t": 1, "v": 5}]
+    )
+    out = aggregate(
+        df,
+        [
+            {"$setWindowFields": {"partitionBy": "$g", "sortBy": {"t": 1},
+                                  "output": {"rank": {"$rank": {}}}}},
+            {"$group": {"_id": {"g": "$g", "r": "$rank"}, "n": {"$sum": 1},
+                        "tot": {"$sum": "$v"}}},
+        ],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # the window's; none for the group
+    got = {(r["_id"]["g"], r["_id"]["r"]): r["tot"] for r in out.collect()}
+    assert got[("a", 1)] == 10 and got[("a", 2)] == 20 and got[("b", 1)] == 5
+
+
 def test_stddev_variance(spark):
     df = spark.createDataFrame([{"g": 1, "v": 1.0}, {"g": 1, "v": 2.0}, {"g": 1, "v": 3.0}])
     out = aggregate(

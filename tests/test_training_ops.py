@@ -96,6 +96,19 @@ def test_language_id(docs):
     assert by_id[1] == "en" and by_id[4] == "de"
 
 
+def test_language_id_table_keeps_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog"), (2, ""), (3, None), (4, "   !!! ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in text.language_id_table(df, "text").collect()}
+    # every input id appears exactly once; token-free docs label "und"
+    assert out == {1: "en", 2: "und", 3: "und", 4: "und"}
+    # join-based form agrees
+    full = text.add_language_id(df, "text").select("doc_id", "pred_lang").collect()
+    assert {r["doc_id"]: r["pred_lang"] for r in full} == out
+
+
 def test_quality_and_tokens(docs):
     q = text.quality_score(F.col("text"))
     out = docs.select("doc_id", *[v.alias(k) for k, v in q.items()]).collect()
