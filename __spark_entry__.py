@@ -187,7 +187,10 @@ def q09_array_hof(spark, sf_dir):
                       "total_len": {"$reduce": {
                           "input": "$tokens", "initialValue": 0,
                           "in": {"$add": ["$$value", {"$strLen": "$$this"}]}}},
-                      "first3": {"$slice": ["$tokens", 3]}}},
+                      # raw arrays aren't hashable by the driver's
+                      # canonicalizer — serialize through $toJsonString
+                      # (Spark to_json ≡ DuckDB to_json, verified format)
+                      "first3": {"$toJsonString": {"$slice": ["$tokens", 3]}}}},
         {"$sort": {"doc_id": 1}},
     ])
 
@@ -410,7 +413,8 @@ def q23_bucket(spark, sf_dir):
 
 
 def q24_facet(spark, sf_dir):
-    """$facet — multi-pipeline single-pass summary (no single-SQL oracle)."""
+    """$facet — multi-pipeline single-pass summary; facet arrays serialized
+    to JSON so the one-row output is hashable and DuckDB-comparable."""
     return _engine(spark, sf_dir).aggregate("orders", [
         {"$facet": {
             "by_status": [{"$group": {"_id": "$o_orderstatus", "n": {"$sum": 1}}},
@@ -419,6 +423,9 @@ def q24_facet(spark, sf_dir):
                            {"$limit": 3},
                            {"$project": {"_id": 0, "o_orderkey": 1}}],
         }},
+        {"$project": {"_id": 0,
+                      "by_status": {"$toJsonString": "$by_status"},
+                      "top_orders": {"$toJsonString": "$top_orders"}}},
     ])
 
 
@@ -629,7 +636,8 @@ def q44_topn(spark, sf_dir):
                                        "n": 3}},
                     "best": {"$top": {"output": "$o_orderkey",
                                       "sortBy": {"o_totalprice": -1, "o_orderkey": -1}}}}},
-        {"$project": {"_id": 0, "status": "$_id", "top3": 1, "best": 1}},
+        {"$project": {"_id": 0, "status": "$_id",
+                      "top3": {"$toJsonString": "$top3"}, "best": 1}},
         {"$sort": {"status": 1}},
     ])
 
@@ -694,13 +702,68 @@ def q53_regex_replace(spark, sf_dir):
         {"$project": {"_id": 0, "doc_id": 1,
                       "has_ing": {"$regexMatch": {"input": "$text",
                                                   "regex": "[a-z]+ing"}},
-                      "ings": {"$regexFindAll": {"input": "$text",
-                                                 "regex": "[a-z]+ing"}},
+                      "ings": {"$toJsonString": {"$regexFindAll": {
+                          "input": "$text", "regex": "[a-z]+ing"}}},
                       "redacted": {"$replaceAll": {"input": "$text",
                                                    "find": "the",
                                                    "replacement": "***"}},
                       "idx": {"$indexOfCP": ["$text", "data"]}}},
         {"$sort": {"doc_id": 1}},
+    ])
+
+
+def q54_push_addtoset(spark, sf_dir):
+    """$push / $addToSet accumulators (reference accumulators.ts:96-178) —
+    output canonicalized via $sortArray + $toJsonString so distributed
+    collect order cannot affect the value hash."""
+    return _engine(spark, sf_dir).aggregate("customer", [
+        {"$group": {"_id": "$c_nationkey",
+                    "segs_all": {"$push": "$c_mktsegment"},
+                    "segs_set": {"$addToSet": "$c_mktsegment"},
+                    "n": {"$sum": 1}}},
+        {"$project": {"_id": 0, "nationkey": "$_id",
+                      "segs_all": {"$toJsonString": {"$sortArray": {
+                          "input": "$segs_all", "sortBy": 1}}},
+                      "segs_set": {"$toJsonString": {"$sortArray": {
+                          "input": "$segs_set", "sortBy": 1}}},
+                      "n": 1}},
+        {"$sort": {"nationkey": 1}},
+    ])
+
+
+def q55_first_last(spark, sf_dir):
+    """$first / $last accumulators after $sort (reference accumulators.ts:
+    185-230). The engine compiles them to min_by/max_by over the live sort
+    keys — the deterministic distributed mapping (COMPAT.md)."""
+    return _engine(spark, sf_dir).aggregate("orders", [
+        {"$sort": {"o_orderdate": 1, "o_orderkey": 1}},
+        {"$group": {"_id": "$o_custkey",
+                    "first_order": {"$first": "$o_orderkey"},
+                    "first_date": {"$first": "$o_orderdate"},
+                    "last_order": {"$last": "$o_orderkey"},
+                    "n": {"$sum": 1}}},
+        {"$project": {"_id": 0, "custkey": "$_id", "first_order": 1,
+                      "first_date": 1, "last_order": 1, "n": 1}},
+        {"$sort": {"custkey": 1}},
+    ])
+
+
+def q56_stddev_var(spark, sf_dir):
+    """$stdDevPop/Samp + $variancePop/Samp accumulators (reference
+    accumulators.ts:232-317), rounded to 6 dp on both sides (merge-order
+    float noise is ~1e-12 relative)."""
+    return _engine(spark, sf_dir).aggregate("lineitem", [
+        {"$group": {"_id": "$l_returnflag",
+                    "sd_pop": {"$stdDevPop": "$l_quantity"},
+                    "sd_samp": {"$stdDevSamp": "$l_quantity"},
+                    "var_pop": {"$variancePop": "$l_quantity"},
+                    "var_samp": {"$varianceSamp": "$l_quantity"}}},
+        {"$project": {"_id": 0, "l_returnflag": "$_id",
+                      "sd_pop": {"$round": ["$sd_pop", 6]},
+                      "sd_samp": {"$round": ["$sd_samp", 6]},
+                      "var_pop": {"$round": ["$var_pop", 6]},
+                      "var_samp": {"$round": ["$var_samp", 6]}}},
+        {"$sort": {"l_returnflag": 1}},
     ])
 
 
@@ -756,6 +819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_stream_stateful": q51_stream_stateful,
         "q52_date_arith": q52_date_arith,
         "q53_regex_replace": q53_regex_replace,
+        "q54_push_addtoset": q54_push_addtoset,
+        "q55_first_last": q55_first_last,
+        "q56_stddev_var": q56_stddev_var,
     }
 
 
@@ -855,7 +921,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(tokens) AS INT) AS n_tokens,
                    CAST(len(list_filter(tokens, t -> len(t) > 5)) AS INT) AS n_long,
                    CAST(coalesce(list_sum(list_transform(tokens, t -> len(t))), 0) AS BIGINT) AS total_len,
-                   tokens[1:3] AS first3
+                   to_json(tokens[1:3])::VARCHAR AS first3
             FROM t ORDER BY doc_id
         """,
         "q10_setops": f"""
@@ -1132,7 +1198,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q44_topn": """
             SELECT o_orderstatus AS status,
-                   (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC))[1:3] AS top3,
+                   to_json((list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC))[1:3])::VARCHAR AS top3,
                    (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC))[1] AS best
             FROM orders GROUP BY 1 ORDER BY 1
         """,
@@ -1175,7 +1241,7 @@ def oracle_sql() -> dict[str, str]:
         "q53_regex_replace": """
             SELECT doc_id,
                    regexp_matches(text, '[a-z]+ing') AS has_ing,
-                   regexp_extract_all(text, '[a-z]+ing') AS ings,
+                   to_json(regexp_extract_all(text, '[a-z]+ing'))::VARCHAR AS ings,
                    replace(text, 'the', '***') AS redacted,
                    CAST(CASE WHEN strpos(text, 'data') = 0 THEN -1
                              ELSE strpos(text, 'data') - 1 END AS INT) AS idx
@@ -1221,6 +1287,48 @@ def oracle_sql() -> dict[str, str]:
                         / (sqrt(list_dot_product(a.v, a.v))
                            * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
             ORDER BY 1, 2
+        """,
+        "q24_facet": """
+            SELECT
+              (SELECT to_json(list(struct_pack(_id := o_orderstatus, n := n)
+                              ORDER BY o_orderstatus))
+               FROM (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+                     FROM orders GROUP BY 1))::VARCHAR AS by_status,
+              (SELECT to_json(list(struct_pack(o_orderkey := o_orderkey)
+                              ORDER BY o_totalprice DESC, o_orderkey))
+               FROM (SELECT o_orderkey, o_totalprice FROM orders
+                     ORDER BY o_totalprice DESC, o_orderkey
+                     LIMIT 3))::VARCHAR AS top_orders
+        """,
+        "q54_push_addtoset": """
+            SELECT c_nationkey AS nationkey,
+                   to_json(list_sort(list(c_mktsegment)))::VARCHAR AS segs_all,
+                   to_json(list_sort(list(DISTINCT c_mktsegment)))::VARCHAR AS segs_set,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1 ORDER BY 1
+        """,
+        "q55_first_last": """
+            WITH w AS (
+              SELECT o_custkey, o_orderkey, o_orderdate,
+                     row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS rn_a,
+                     row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+              FROM orders)
+            SELECT o_custkey AS custkey,
+                   max(CASE WHEN rn_a = 1 THEN o_orderkey END) AS first_order,
+                   max(CASE WHEN rn_a = 1 THEN o_orderdate END) AS first_date,
+                   max(CASE WHEN rn_d = 1 THEN o_orderkey END) AS last_order,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM w GROUP BY 1 ORDER BY 1
+        """,
+        "q56_stddev_var": """
+            SELECT l_returnflag,
+                   round(stddev_pop(l_quantity), 6) AS sd_pop,
+                   round(stddev_samp(l_quantity), 6) AS sd_samp,
+                   round(var_pop(l_quantity), 6) AS var_pop,
+                   round(var_samp(l_quantity), 6) AS var_samp
+            FROM lineitem GROUP BY 1 ORDER BY 1
         """,
         "q46_densify_fill": """
             WITH daily AS (

@@ -21,16 +21,43 @@ from .expressions import struct_comparator, translate_expr
 __all__ = ["accumulator_to_column", "window_function_to_column"]
 
 
-def accumulator_to_column(name: str, spec: object, ctx: ExprContext) -> Column:
-    """Translate ``{field: {$acc: expr}}`` to an aliased aggregate Column."""
+def accumulator_to_column(
+    name: str, spec: object, ctx: ExprContext, order_by: dict | None = None
+) -> Column:
+    """Translate ``{field: {$acc: expr}}`` to an aliased aggregate Column.
+
+    ``order_by`` is the spec of a still-live preceding ``$sort`` (or None):
+    with it, ``$first``/``$last`` compile to ``min_by``/``max_by`` over the
+    sort keys — deterministic under distributed grouping, unlike partition-
+    order-dependent ``F.first``.
+    """
     if not isinstance(spec, dict) or len(spec) != 1:
         raise InvalidPipeline(f"accumulator spec for {name!r} must be a single-operator object")
     op, arg = next(iter(spec.items()))
-    col = _accumulator(op, arg, ctx)
+    col = _accumulator(op, arg, ctx, order_by=order_by)
     return col.alias(name)
 
 
-def _accumulator(op: str, arg: object, ctx: ExprContext) -> Column:
+def _ordered_pick(arg, ctx: ExprContext, order_by: dict, last: bool) -> Column | None:
+    """min_by/max_by mapping for $first/$last after $sort.
+
+    Uniform-direction sorts only: a struct ordering can't flip direction
+    per field. Mixed-direction sorts return None (caller falls back to
+    F.first/F.last; COMPAT.md documents the nondeterminism).
+    """
+    dirs = {1 if v in (1, True) else -1 for v in order_by.values()}
+    if len(dirs) != 1:
+        return None
+    keys = [ctx.resolve_path(k).alias(f"__ok{i}") for i, k in enumerate(order_by)]
+    key = keys[0] if len(keys) == 1 else F.struct(*keys)
+    out = translate_expr(arg, ctx)
+    ascending = dirs == {1}
+    # $first under asc = smallest key; $last under asc = largest; flipped desc
+    want_min = ascending != last
+    return F.min_by(out, key) if want_min else F.max_by(out, key)
+
+
+def _accumulator(op: str, arg: object, ctx: ExprContext, order_by: dict | None = None) -> Column:
     if op == "$sum":
         # $sum: <number literal> counts docs weighted by the literal
         # (reference accumulators.ts:73-88)
@@ -46,8 +73,16 @@ def _accumulator(op: str, arg: object, ctx: ExprContext) -> Column:
     if op == "$max":
         return F.max(translate_expr(arg, ctx))
     if op == "$first":
+        if order_by:
+            picked = _ordered_pick(arg, ctx, order_by, last=False)
+            if picked is not None:
+                return picked
         return F.first(translate_expr(arg, ctx))
     if op == "$last":
+        if order_by:
+            picked = _ordered_pick(arg, ctx, order_by, last=True)
+            if picked is not None:
+                return picked
         return F.last(translate_expr(arg, ctx))
     if op == "$push":
         return F.collect_list(translate_expr(arg, ctx))

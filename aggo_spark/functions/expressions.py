@@ -628,9 +628,12 @@ def _op_sort_array(spec, ctx):
     if isinstance(sort_by, dict):
         keys = [(k, 1 if v in (1, True) else -1) for k, v in sort_by.items()]
         return F.array_sort(arr, struct_comparator(keys))
+    # MongoDB null ordering: nulls first ascending, last descending —
+    # F.sort_array matches exactly; array_sort/reverse(array_sort) would
+    # invert it and disagree with struct_comparator's per-field form.
     if sort_by in (1, True):
-        return F.array_sort(arr)
-    return F.reverse(F.array_sort(arr))
+        return F.sort_array(arr, asc=True)
+    return F.sort_array(arr, asc=False)
 
 
 # ---------------------------------------------------------------------------
@@ -1061,6 +1064,9 @@ OPERATORS: dict[str, object] = {
     "$ltrim": _trim_factory("ltrim"),
     "$rtrim": _trim_factory("rtrim"),
     "$toString": _op_to_string,
+    # extension: serialize array/struct/map to canonical JSON text — the
+    # portable way to emit complex values through hash-compared interfaces
+    "$toJsonString": _date_factory(F.to_json),
     "$literal": lambda spec, ctx: literal_to_column(spec),
     # array
     "$size": _op_size,

@@ -196,18 +196,25 @@ def _text_search(spec, ctx: ExprContext) -> Column:
     scan + codegen'd `contains` is the right first strategy, with an inverted
     index table as an opt-in materialization.
     """
+    # lazy import: operators package imports this module at init time
+    from ..operators.search import query_tokens
+    from ..operators.text import tokens as text_tokens
+
     if isinstance(spec, dict):
         search = spec.get("$search", "")
     else:
         search = str(spec)
-    tokens = [t for t in str(search).lower().split() if t]
-    if not tokens:
+    toks = query_tokens(str(search))
+    if not toks:
         return F.lit(True)
     if ctx.schema is None:
         raise UnsupportedExpression("$text requires a known schema")
     string_cols = [f.name for f in ctx.schema.fields if isinstance(f.dataType, T.StringType)]
     if not string_cols:
         return F.lit(False)
-    blob = F.lower(F.concat_ws(" ", *[F.col(f"`{c}`") for c in string_cols]))
-    conds = [blob.contains(tok) for tok in tokens]
+    # Whole-token membership with the same normalization as the inverted
+    # index (operators/search.py), so scan and index strategies agree —
+    # substring `contains` would match "cat" against "catalog".
+    blob = text_tokens(F.concat_ws(" ", *[F.col(f"`{c}`") for c in string_cols]))
+    conds = [F.array_contains(blob, tok) for tok in toks]
     return _combine(conds, "and")
