@@ -33,7 +33,14 @@ from .errors import (
     UnsupportedStage,
 )
 from .session import build_session
-from .sources.io import load_tables, read_jsonl, read_parquet, write_jsonl
+from .sources.io import (
+    load_tables,
+    read_jsonl,
+    read_jsonl_stream,
+    read_parquet,
+    read_parquet_stream,
+    write_jsonl,
+)
 from .streaming import StreamingCollection
 
 __version__ = "0.1.0"
@@ -58,7 +65,9 @@ __all__ = [
     "create_streaming_collection",
     "build_session",
     "read_jsonl",
+    "read_jsonl_stream",
     "read_parquet",
+    "read_parquet_stream",
     "write_jsonl",
     "load_tables",
     "StreamingCollection",

@@ -33,6 +33,35 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema,
+    error_strategy: str = "skip",
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming JSONL reader with the fromJSONL batching knobs
+    (reference api-enhancements.ts:90-113): ``batchSize`` maps to
+    ``maxFilesPerTrigger`` and ``memoryLimit`` to ``maxBytesPerTrigger`` —
+    Spark's per-microbatch admission caps, the cluster analogue of the
+    reference's driver-side batch/memory caps. Schema is required (file
+    stream sources cannot infer)."""
+    if max_files_per_trigger is not None and max_bytes_per_trigger is not None:
+        raise ValueError(
+            "maxFilesPerTrigger and maxBytesPerTrigger are mutually exclusive "
+            "(Spark file-source admission control accepts one cap)"
+        )
+    mode = {"skip": "DROPMALFORMED", "fail": "FAILFAST", "keep": "PERMISSIVE"}[error_strategy]
+    reader = spark.readStream.schema(schema).option("mode", mode)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
+    return reader.json(path)
+
+
 def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     """JSONL sink (reference cli.ts:160-166)."""
     df.write.mode(mode).json(path)
@@ -115,15 +144,31 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return _restore_nanos(spark.read.parquet(path), path)
 
 
-def read_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming read of a parquet file/dir: schema from a batch footer read
     (file stream sources require an explicit schema), nanos columns restored
-    the same way as the batch path so plans are interchangeable."""
+    the same way as the batch path so plans are interchangeable. The
+    max-*-per-trigger knobs bound each microbatch (see read_jsonl_stream)."""
     import os
 
+    if max_files_per_trigger is not None and max_bytes_per_trigger is not None:
+        raise ValueError(
+            "maxFilesPerTrigger and maxBytesPerTrigger are mutually exclusive "
+            "(Spark file-source admission control accepts one cap)"
+        )
     _enable_nanos(spark)
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
     if os.path.isfile(path):
         # file-stream sources require a directory; target one file via glob
         reader = reader.option("pathGlobFilter", os.path.basename(path))

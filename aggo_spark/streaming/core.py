@@ -101,7 +101,12 @@ def pipeline_is_incremental(pipeline: list) -> bool:
         (name, spec), = stage.items()
         if name in ("$match", "$project", "$addFields", "$set", "$unset"):
             if seen_group:
-                continue  # post-agg narrow transforms are fine in update mode
+                # Post-agg user stages break the update-mode sink contract:
+                # an inclusion $project can drop _id/__net (retractions and
+                # merge keys vanish), and a post-agg $match emits no update
+                # row when a retraction moves a group OUT of the filter —
+                # stale rows would linger. Recompute path instead.
+                return False
             continue
         if name == "$group":
             if seen_group:
@@ -208,6 +213,7 @@ class StreamingCollection:
         schema,  # StructType or DDL string of the *document* shape
         engine=None,
         workdir: str | None = None,
+        max_files_per_trigger: int = 64,  # fromJSONL batchSize analogue
     ) -> None:
         from ..engine import Engine
 
@@ -229,9 +235,15 @@ class StreamingCollection:
         )
         self._seq = 0
         self._file_no = 0
+        self.max_files_per_trigger = int(max_files_per_trigger)
         self._registered: dict[str, _Registered] = {}
         self._queries: dict[str, object] = {}
         self._lock = threading.Lock()
+        # collection-level event bus (reference streaming.ts:24-33 emits
+        # 'data-added' / 'data-removed' / 'result-updated')
+        self._listeners: dict[str, list[Callable]] = {
+            "data-added": [], "data-removed": [], "result-updated": []
+        }
         # seed file so readStream can infer nothing and start cleanly
         self._write_rows([])
 
@@ -242,6 +254,7 @@ class StreamingCollection:
 
     def add_bulk(self, docs: list[dict]) -> None:
         self._write_rows([(d, 1) for d in docs])
+        self._emit("data-added", docs)
         self.flush()
 
     def remove(self, docs: dict | list[dict]) -> None:
@@ -250,7 +263,30 @@ class StreamingCollection:
         if isinstance(docs, dict):
             docs = [docs]
         self._write_rows([(d, -1) for d in docs])
+        self._emit("data-removed", docs)
         self.flush()
+
+    # -- events -----------------------------------------------------------
+
+    def on(self, event: str, cb: Callable) -> Callable[[], None]:
+        """Subscribe to 'data-added' (docs), 'data-removed' (docs), or
+        'result-updated' (rid, rows) — the reference's event bus
+        (streaming.ts:24-33). Returns an unsubscribe function."""
+        if event not in self._listeners:
+            raise ValueError(f"unknown event {event!r}; one of {sorted(self._listeners)}")
+        self._listeners[event].append(cb)
+
+        def off() -> None:
+            try:
+                self._listeners[event].remove(cb)
+            except ValueError:
+                pass
+
+        return off
+
+    def _emit(self, event: str, *args) -> None:
+        for cb in list(self._listeners[event]):
+            cb(*args)
 
     def _write_rows(self, signed_docs: list[tuple[dict, int]]) -> None:
         with self._lock:
@@ -281,7 +317,7 @@ class StreamingCollection:
     def _cdc_stream(self) -> DataFrame:
         return (
             self.spark.readStream.schema(self.cdc_schema)
-            .option("maxFilesPerTrigger", 64)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
             .json(self.data_dir)
         )
 
@@ -305,6 +341,7 @@ class StreamingCollection:
             ]
             for cb in reg.on_update:
                 cb(reg.result_rows)
+            self._emit("result-updated", reg.id, reg.result_rows)
 
         ckpt = os.path.join(self.workdir, f"ckpt-{reg.id}")
         q = (
@@ -332,6 +369,7 @@ class StreamingCollection:
         reg.result_rows = [r.asDict(recursive=True) for r in out.collect()]
         for cb in reg.on_update:
             cb(reg.result_rows)
+        self._emit("result-updated", reg.id, reg.result_rows)
 
     def _live_rows_df(self) -> DataFrame:
         cdc = self.spark.read.schema(self.cdc_schema).json(self.data_dir)

@@ -270,3 +270,104 @@ def test_transparent_aggregate_and_factory(spark):
         assert [(r["_id"], r["s"]) for r in out2] == [("a", 11), ("b", 2)]
     finally:
         sc.stop()
+
+
+class TestRound2Streaming:
+    def test_post_group_stage_routes_to_recompute(self, coll):
+        # A user-supplied post-$group $match/$project breaks the update-mode
+        # sink contract (retracted groups would linger / lose _id), so the
+        # pipeline must take the recompute path (ADVICE r01 #2).
+        pipe_match = [
+            {"$group": {"_id": "$category", "n": {"$sum": 1}}},
+            {"$match": {"n": {"$gte": 2}}},
+        ]
+        pipe_project = [
+            {"$group": {"_id": "$category", "n": {"$sum": 1}}},
+            {"$project": {"_id": 0, "cnt": "$n"}},
+        ]
+        assert not pipeline_is_incremental(pipe_match)
+        assert not pipeline_is_incremental(pipe_project)
+        rid = "pg"
+        coll.stream(pipe_match, rid)
+        coll.add_bulk([
+            {"category": "a", "price": 1.0, "qty": 1},
+            {"category": "a", "price": 1.0, "qty": 1},
+            {"category": "b", "price": 1.0, "qty": 1},
+        ])
+        assert [r["_id"] for r in coll.result(rid)] == ["a"]
+        # retraction that moves 'a' below the post-agg filter must make the
+        # row disappear — exactly what update-mode could not express
+        coll.remove({"category": "a", "price": 1.0, "qty": 1})
+        assert coll.result(rid) == []
+
+    def test_pre_group_stages_stay_incremental(self):
+        pipe = [
+            {"$match": {"qty": {"$gte": 1}}},
+            {"$addFields": {"rev": {"$multiply": ["$price", "$qty"]}}},
+            {"$group": {"_id": "$category", "r": {"$sum": "$rev"}}},
+        ]
+        assert pipeline_is_incremental(pipe)
+
+    def test_event_bus(self, coll):
+        events = []
+        off = coll.on("data-added", lambda docs: events.append(("add", len(docs))))
+        coll.on("data-removed", lambda docs: events.append(("rm", len(docs))))
+        coll.on("result-updated", lambda rid, rows: events.append(("upd", rid)))
+        rid = "ev"
+        coll.stream(GROUP_PIPELINE, rid)
+        coll.add_bulk([
+            {"category": "a", "price": 1.0, "qty": 1},
+            {"category": "b", "price": 2.0, "qty": 1},
+        ])
+        assert ("add", 2) in events
+        assert any(e == ("upd", rid) for e in events)
+        coll.remove({"category": "b", "price": 2.0, "qty": 1})
+        assert ("rm", 1) in events
+        # unsubscribe works
+        n_before = len([e for e in events if e[0] == "add"])
+        off()
+        coll.add({"category": "c", "price": 1.0, "qty": 1})
+        assert len([e for e in events if e[0] == "add"]) == n_before
+        with pytest.raises(ValueError):
+            coll.on("bogus", lambda: None)
+
+    def test_batching_knob_plumbed(self, spark, tmp_path):
+        c = StreamingCollection(
+            spark, DOC_SCHEMA, workdir=str(tmp_path), max_files_per_trigger=7
+        )
+        try:
+            assert c.max_files_per_trigger == 7
+            rid = "b"
+            c.stream(GROUP_PIPELINE, rid)
+            c.add({"category": "a", "price": 1.0, "qty": 1})
+            assert by_id(c.result(rid))["a"]["n"] == 1
+        finally:
+            c.stop()
+
+
+def test_read_jsonl_stream_knobs(spark, tmp_path):
+    import json as _json
+
+    from aggo_spark import read_jsonl_stream
+    from aggo_spark.streaming.core import materialize_stream
+
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(3):
+        (d / f"f{i}.jsonl").write_text(
+            "\n".join(_json.dumps({"k": i, "v": j}) for j in range(4)) + "\n"
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_jsonl_stream(spark, str(d), schema="k long, v long",
+                          max_files_per_trigger=1, max_bytes_per_trigger=1024)
+    sdf = read_jsonl_stream(
+        spark, str(d), schema="k long, v long", max_files_per_trigger=1,
+    )
+    assert sdf.isStreaming
+    bysize = read_jsonl_stream(
+        spark, str(d), schema="k long, v long", max_bytes_per_trigger=1024,
+    )
+    assert bysize.isStreaming
+    out = materialize_stream(sdf.groupBy("k").count(), "complete")
+    got = {r["k"]: r["count"] for r in out.collect()}
+    assert got == {0: 4, 1: 4, 2: 4}

@@ -166,3 +166,67 @@ class TestIVFAndNearDup:
         out = similarity.embedding_near_dup_pairs(
             emb, threshold=0.4, bits=8).collect()
         assert all(r.score >= 0.4 and r.id_a < r.id_b for r in out)
+
+
+def test_multimodal_decoder_injection(docs):
+    """The decoder is a plug-in point: a custom bytes->dict rides the same
+    mapInPandas plumbing (schema, Arrow batches) as the built-ins."""
+
+    def tiny(b: bytes):
+        return {"byte_len": len(b), "format": "tiny", "width": 1,
+                "height": 2, "phash": "00"}
+
+    binary = multimodal.attach_binary(docs, "text")
+    out = multimodal.decode_image_metadata(binary, decoder=tiny).collect()
+    assert all(r["img_meta"]["format"] == "tiny" for r in out)
+    assert all(r["img_meta"]["byte_len"] == len(r["text"].encode()) for r in out)
+
+
+def test_pil_decode_branch(monkeypatch):
+    """Drive the real-codec branch with a stub PIL module (PIL itself is not
+    in this container): metadata + 8x8 average-hash must come from the
+    decoded image, and undecodable blobs must yield None."""
+    import sys
+    import types
+
+    class _FakeImg:
+        size = (640, 480)
+        format = "PNG"
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            return self
+
+        def getdata(self):
+            # half dark / half bright -> avg hash = 32 zeros then 32 ones
+            return [0] * 32 + [255] * 32
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def _open(fh):
+        if fh.read(3) != b"IMG":
+            raise OSError("not an image")
+        return _FakeImg()
+
+    pil = types.ModuleType("PIL")
+    pil_image = types.ModuleType("PIL.Image")
+    pil_image.open = _open
+    pil.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+
+    meta = multimodal.pil_decode(b"IMG" + b"x" * 61)
+    assert meta == {
+        "byte_len": 64,
+        "format": "png",
+        "width": 640,
+        "height": 480,
+        "phash": f"{(1 << 32) - 1:016x}",
+    }
+    assert multimodal.pil_decode(b"NOPE") is None
