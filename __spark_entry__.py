@@ -767,6 +767,31 @@ def q56_stddev_var(spark, sf_dir):
     ])
 
 
+def q57_lookup_group_subpipe(spark, sf_dir):
+    """$lookup pipeline form with a $group sub-stage (extension beyond the
+    reference's sub-pipeline subset, aggregation.ts:638-642): per-order
+    lineitem rollup by returnflag, one groupBy(uid, _id) shuffle."""
+    return _engine(spark, sf_dir).aggregate("orders", [
+        {"$match": {"o_orderkey": {"$lte": 2000}}},
+        {"$lookup": {
+            "from": "lineitem",
+            "let": {"oid": "$o_orderkey"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$l_orderkey", "$$oid"]}}},
+                {"$group": {"_id": "$l_returnflag",
+                            "sum_qty": {"$sum": "$l_quantity"},
+                            "n_items": {"$sum": 1}}},
+            ],
+            "as": "by_flag"}},
+        {"$unwind": "$by_flag"},
+        {"$project": {"_id": 0, "o_orderkey": 1,
+                      "flag": "$by_flag._id",
+                      "sum_qty": "$by_flag.sum_qty",
+                      "n_items": "$by_flag.n_items"}},
+        {"$sort": {"o_orderkey": 1, "flag": 1}},
+    ])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_group_agg": q01_group_agg,
@@ -822,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_push_addtoset": q54_push_addtoset,
         "q55_first_last": q55_first_last,
         "q56_stddev_var": q56_stddev_var,
+        "q57_lookup_group_subpipe": q57_lookup_group_subpipe,
     }
 
 
@@ -1329,6 +1355,14 @@ def oracle_sql() -> dict[str, str]:
                    round(var_pop(l_quantity), 6) AS var_pop,
                    round(var_samp(l_quantity), 6) AS var_samp
             FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "q57_lookup_group_subpipe": """
+            SELECT o_orderkey, l_returnflag AS flag,
+                   SUM(l_quantity) AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderkey <= 2000
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q46_densify_fill": """
             WITH daily AS (

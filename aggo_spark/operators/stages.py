@@ -406,7 +406,11 @@ def _lookup_pipeline(df: DataFrame, spec: dict, foreign: DataFrame, engine) -> D
     aggregateWithBindings 585-646). Sub-pipeline supports the reference's
     subset — $match / $sort / $skip / $limit / $project
     (aggregation.ts:638-642) — in the canonical order: matches, then one
-    sort, then skip/limit, then a final project.
+    sort, then skip/limit, then a final project. Beyond the reference's cap
+    (aggregation.ts:638-642 excludes it), one ``$group`` is supported after
+    the matches: it compiles to a single ``groupBy(outer_uid, _id_expr)``,
+    so the per-outer-row aggregation is one shuffle, and post-group $match /
+    $sort / $skip / $limit / $project then operate on the group-result docs.
 
     Strategy: cross-join outer keys × foreign then filter — Catalyst's
     PushPredicateThroughJoin turns equality conditions in the translated
@@ -457,6 +461,10 @@ def _lookup_pipeline(df: DataFrame, spec: dict, foreign: DataFrame, engine) -> D
     have_rn = False
     offset = 0
     project_spec = None
+    grouped = False
+    cur_ctx = sub_ctx          # post-$group this becomes a plain-schema ctx
+    doc_cols = list(fcols)     # names of the current document's fields
+    prefix = "__f_"            # physical-column prefix for doc_cols
     for stage in sub:
         (name, sspec), = stage.items()
         if project_spec is not None:
@@ -465,11 +473,51 @@ def _lookup_pipeline(df: DataFrame, spec: dict, foreign: DataFrame, engine) -> D
             if phase != "match":
                 raise UnsupportedStage(
                     "$lookup sub-pipeline: $match after $sort/$skip/$limit unsupported")
-            joined = joined.filter(match_to_column(sspec, sub_ctx))
+            joined = joined.filter(match_to_column(sspec, cur_ctx))
+        elif name == "$group":
+            if phase != "match":
+                raise UnsupportedStage(
+                    "$lookup sub-pipeline: $group must precede $sort/$skip/$limit")
+            if grouped:
+                raise UnsupportedStage("$lookup sub-pipeline: only one $group")
+            if "_id" not in sspec:
+                raise InvalidPipeline("$group requires _id")
+            id_spec = sspec["_id"]
+            accs = [
+                accumulator_to_column(k, v, cur_ctx)
+                for k, v in sspec.items()
+                if k != "_id"
+            ]
+            if (
+                isinstance(id_spec, dict)
+                and id_spec
+                and not any(k.startswith("$") for k in id_spec)
+            ):
+                key = F.struct(
+                    *[translate_expr(v, cur_ctx).alias(n) for n, v in id_spec.items()]
+                )
+            elif id_spec is None:
+                key = F.lit(None)
+            else:
+                key = translate_expr(id_spec, cur_ctx)
+            # One shuffle on (outer_uid, _id): per-outer-row groups are
+            # co-computed in a single HashAggregate with map-side partials.
+            # `let` bindings are consumed here — post-group stages see only
+            # the group-result docs (as in MongoDB, where $group replaces
+            # the document stream).
+            joined = joined.groupBy(F.col(uid), key.alias("_id")).agg(
+                *(accs or [F.count(F.lit(1)).alias("__aggo_n")])
+            )
+            if not accs:
+                joined = joined.drop("__aggo_n")
+            grouped = True
+            doc_cols = [c for c in joined.columns if c != uid]
+            prefix = ""
+            cur_ctx = ExprContext(schema=joined.schema)
         elif name == "$sort":
             if phase != "match":
                 raise UnsupportedStage("$lookup sub-pipeline: only one $sort")
-            w = Window.partitionBy(uid).orderBy(*_sort_cols(sspec, sub_ctx))
+            w = Window.partitionBy(uid).orderBy(*_sort_cols(sspec, cur_ctx))
             joined = joined.withColumn("__rn", F.row_number().over(w))
             have_rn, phase = True, "ordered"
         elif name in ("$skip", "$limit"):
@@ -489,12 +537,12 @@ def _lookup_pipeline(df: DataFrame, spec: dict, foreign: DataFrame, engine) -> D
             project_spec = sspec
         else:
             raise UnsupportedStage(
-                f"$lookup sub-pipeline supports $match/$sort/$skip/$limit/$project, got {name}")
+                f"$lookup sub-pipeline supports $match/$group/$sort/$skip/$limit/$project, got {name}")
 
     if project_spec is not None:
-        doc = _subpipeline_project(project_spec, sub_ctx, foreign, fcols)
+        doc = _subpipeline_project(project_spec, cur_ctx, doc_cols, prefix, has_id=grouped)
     else:
-        doc = F.struct(*[F.col(f"`__f_{c}`").alias(c) for c in fcols])
+        doc = F.struct(*[F.col(f"`{prefix}{c}`").alias(c) for c in doc_cols])
     if not have_rn:
         # materialize a natural-order column first: nondeterministic
         # expressions can't live inside an aggregate's arguments
@@ -512,23 +560,34 @@ def _lookup_pipeline(df: DataFrame, spec: dict, foreign: DataFrame, engine) -> D
     return out.withColumn(as_, F.coalesce(F.col(f"`{as_}`"), empty)).drop(uid)
 
 
-def _subpipeline_project(spec: dict, sub_ctx: ExprContext, foreign: DataFrame,
-                         fcols: list[str]) -> Column:
+def _subpipeline_project(spec: dict, sub_ctx: ExprContext, doc_cols: list[str],
+                         prefix: str = "__f_", has_id: bool = False) -> Column:
     """Project the nested doc struct per the sub-pipeline's final $project
-    (top-level include / exclude / computed; `_id` keys ignored — the
-    foreign parquet rows carry no _id)."""
+    (top-level include / exclude / computed). Pre-$group, `_id` keys are
+    ignored — the foreign parquet rows carry no _id; post-$group
+    (has_id=True) `_id` follows MongoDB's default-include rule."""
     entries = {k: v for k, v in spec.items() if k != "_id"}
     includes = {k for k, v in entries.items() if _is_include(v)}
     excludes = {k for k, v in entries.items() if _is_exclude(v)}
     computed = {k: v for k, v in entries.items()
                 if not _is_include(v) and not _is_exclude(v)}
-    if excludes and not includes and not computed:
-        keep = [c for c in fcols if c not in excludes]
-        return F.struct(*[F.col(f"`__f_{c}`").alias(c) for c in keep])
+    id_excluded = has_id and _is_exclude(spec.get("_id", 1))
+
+    def phys(c: str) -> Column:
+        return F.col(f"`{prefix}{c}`")
+
+    if (excludes or id_excluded) and not includes and not computed:
+        keep = [c for c in doc_cols
+                if c not in excludes and not (c == "_id" and id_excluded)]
+        return F.struct(*[phys(c).alias(c) for c in keep])
     fields = []
-    for c in fcols:
+    if has_id and "_id" in doc_cols and not id_excluded:
+        fields.append(phys("_id").alias("_id"))
+    for c in doc_cols:
+        if c == "_id":
+            continue  # handled above (default-include when has_id)
         if c in includes:
-            fields.append(F.col(f"`__f_{c}`").alias(c))
+            fields.append(phys(c).alias(c))
     for k, v in computed.items():
         fields.append(translate_expr(v, sub_ctx).alias(k))
     if not fields:

@@ -223,6 +223,74 @@ def test_lookup_pipeline_let(spark):
     assert got == {1: ["y"], 2: ["z"]}
 
 
+def test_lookup_pipeline_group(spark):
+    orders_df = spark.createDataFrame([{"_id": 1, "cust": 10}, {"_id": 2, "cust": 20}, {"_id": 3, "cust": 99}])
+    items = spark.createDataFrame(
+        [{"cid": 10, "cat": "a", "qty": 1}, {"cid": 10, "cat": "a", "qty": 9},
+         {"cid": 10, "cat": "b", "qty": 4}, {"cid": 20, "cat": "a", "qty": 3}]
+    )
+    out = aggregate(
+        orders_df,
+        [{"$lookup": {
+            "from": "items",
+            "let": {"c": "$cust"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$cid", "$$c"]}}},
+                {"$group": {"_id": "$cat", "total": {"$sum": "$qty"}, "n": {"$sum": 1}}},
+            ],
+            "as": "by_cat"}}],
+        collections={"items": items},
+    )
+    got = {r["_id"]: sorted((d["_id"], d["total"], d["n"]) for d in r["by_cat"])
+           for r in out.collect()}
+    assert got == {1: [("a", 10, 2), ("b", 4, 1)], 2: [("a", 3, 1)], 3: []}
+
+
+def test_lookup_pipeline_group_sort_limit_project(spark):
+    orders_df = spark.createDataFrame([{"_id": 1, "cust": 10}])
+    items = spark.createDataFrame(
+        [{"cid": 10, "cat": "a", "qty": 1}, {"cid": 10, "cat": "b", "qty": 9},
+         {"cid": 10, "cat": "c", "qty": 4}]
+    )
+    out = aggregate(
+        orders_df,
+        [{"$lookup": {
+            "from": "items",
+            "let": {"c": "$cust"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$cid", "$$c"]}}},
+                {"$group": {"_id": "$cat", "total": {"$sum": "$qty"}}},
+                {"$sort": {"total": -1}},
+                {"$limit": 2},
+                {"$project": {"_id": 0, "t2": {"$multiply": ["$total", 2]}}},
+            ],
+            "as": "top"}}],
+        collections={"items": items},
+    )
+    got = [d["t2"] for d in out.collect()[0]["top"]]
+    assert got == [18, 8]
+
+
+def test_lookup_pipeline_group_errors(spark):
+    import pytest as _pytest
+
+    from aggo_spark.errors import UnsupportedStage
+
+    orders_df = spark.createDataFrame([{"_id": 1, "cust": 10}])
+    items = spark.createDataFrame([{"cid": 10, "qty": 1}])
+    with _pytest.raises(UnsupportedStage, match="must precede"):
+        aggregate(
+            orders_df,
+            [{"$lookup": {"from": "items", "let": {"c": "$cust"},
+                          "pipeline": [
+                              {"$match": {"$expr": {"$eq": ["$cid", "$$c"]}}},
+                              {"$limit": 1},
+                              {"$group": {"_id": None, "n": {"$sum": 1}}}],
+                          "as": "x"}}],
+            collections={"items": items},
+        ).collect()
+
+
 def test_replace_root(spark):
     from pyspark.sql import Row
 
