@@ -19,6 +19,7 @@ from pyspark.sql import types as T
 from ..errors import InvalidPipeline, UnsupportedExpression
 from ..plans.context import ExprContext
 from .expressions import literal_to_column, translate_expr
+from .regex_prefilter import regex_prefilter
 
 __all__ = ["match_to_column"]
 
@@ -144,7 +145,16 @@ def _one_op(col, ftype, op, arg, ctx, path, regex_opts="") -> Column:
             flags += "x"
         if flags:
             pattern = f"(?{flags}){pattern}"
-        return col.rlike(pattern)
+        cond = col.rlike(pattern)
+        # Scan-side trigram-style prefilter (reference regex-search.ts:99+ /
+        # bloom-filter.ts): required literal substrings become contains()
+        # conjuncts — necessary conditions, so semantics are unchanged, but
+        # they push to the parquet scan as StringContains and short-circuit
+        # codegen before the regex NFA runs (see functions/regex_prefilter).
+        pre = regex_prefilter(col, str(arg), regex_opts)
+        if pre is not None:
+            cond = pre & cond
+        return cond
     if op == "$all":
         if not isinstance(arg, list):
             raise InvalidPipeline("$all requires an array")
