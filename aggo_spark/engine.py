@@ -82,9 +82,19 @@ class Engine:
         """Catalyst plan for a pipeline (the reference's ``explain()``,
         ``src/aggo/api-enhancements.ts:135-241``, backed by a real optimizer)."""
         df = self.aggregate(source, pipeline)
-        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-            df._jdf.queryExecution(), mode
-        )
+        try:
+            jvm = df.sparkSession._jvm  # type: ignore[attr-defined]
+            jmode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+            return df._jdf.queryExecution().explainString(jmode)  # type: ignore[attr-defined]
+        except Exception:
+            # capture df.explain() output — public API, version-proof
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode=mode)
+            return buf.getvalue()
 
     def explain_pipeline(self, source, pipeline: list) -> dict:
         """Stage→physical-strategy mapping plus the optimized plan — the

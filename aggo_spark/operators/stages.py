@@ -32,13 +32,31 @@ def apply_pipeline(df: DataFrame, pipeline: list, engine) -> DataFrame:
     # keys — the only *deterministic* distributed mapping (partition order
     # under shuffle is arbitrary, so bare F.first is not reproducible).
     prev_sort: dict | None = None
-    for i, stage in enumerate(pipeline):
+    i = 0
+    while i < len(pipeline):
+        stage = pipeline[i]
         if not isinstance(stage, dict) or len(stage) != 1:
             raise InvalidPipeline(f"stage {i} must be a single-key object, got {stage!r}")
         name, spec = next(iter(stage.items()))
         fn = STAGES.get(name)
         if fn is None:
             raise UnsupportedStage(f"unsupported stage {name}")
+        # Peephole: $lookup (equi) immediately followed by $unwind of the
+        # joined field fuses into ONE direct join — no collect_list
+        # pre-aggregation shuffle, no array materialization, no re-explode,
+        # and nested-column pruning works on the plain join output. At scale
+        # this halves the shuffle bytes of every lookup-unwind chain.
+        if (
+            name == "$lookup"
+            and "pipeline" not in spec
+            and "let" not in spec
+            and i + 1 < len(pipeline)
+            and _unwind_targets(pipeline[i + 1], spec.get("as"))
+        ):
+            df = _lookup_unwind_fused(df, spec, pipeline[i + 1]["$unwind"], engine)
+            prev_sort = None
+            i += 2
+            continue
         if name == "$group":
             df = stage_group(df, spec, engine, order_by=prev_sort)
         else:
@@ -48,7 +66,24 @@ def apply_pipeline(df: DataFrame, pipeline: list, engine) -> DataFrame:
         elif name not in ("$match", "$limit", "$skip"):
             # other stages may drop/overwrite the sort keys
             prev_sort = None
+        i += 1
     return df
+
+
+def _unwind_targets(stage, as_field) -> bool:
+    """True when ``stage`` is a $unwind of exactly ``$<as_field>`` in a form
+    the fused join reproduces (no includeArrayIndex — positions within the
+    embedded array would need a window)."""
+    if not (isinstance(stage, dict) and len(stage) == 1 and "$unwind" in stage):
+        return False
+    uspec = stage["$unwind"]
+    if isinstance(uspec, str):
+        return uspec == f"${as_field}"
+    return (
+        isinstance(uspec, dict)
+        and uspec.get("path") == f"${as_field}"
+        and uspec.get("includeArrayIndex") is None
+    )
 
 
 def _ctx(df: DataFrame) -> ExprContext:
@@ -361,6 +396,33 @@ def stage_lookup(df: DataFrame, spec: dict, engine) -> DataFrame:
     joined = df.join(nested, lkey == nested["__aggo_k"], "left").drop("__aggo_k")
     empty = F.array().cast(nested.schema[as_].dataType)
     return joined.withColumn(as_, F.coalesce(F.col(f"`{as_}`"), empty))
+
+
+def _lookup_unwind_fused(df: DataFrame, lspec: dict, uspec, engine) -> DataFrame:
+    """$lookup (equi) + $unwind(as) → one join.
+
+    Semantics: an un-preserved $unwind drops docs whose lookup array is
+    empty → inner join; preserveNullAndEmptyArrays keeps them with a null
+    field → left join. Null/missing local keys match nothing, exactly like
+    the unfused `==` join in :func:`stage_lookup`. Element order within the
+    (never materialized) array is natural order, which $unwind does not
+    promise to preserve — same contract as the reference's nested loop
+    (aggregation.ts:673-729 then 447-473).
+    """
+    foreign = engine.collection(lspec["from"])
+    as_ = lspec["as"]
+    preserve = bool(isinstance(uspec, dict) and uspec.get("preserveNullAndEmptyArrays"))
+    fctx = ExprContext(schema=foreign.schema)
+    fkey = fctx.resolve_path(lspec["foreignField"])
+    fstruct = foreign.select(
+        F.struct(*[F.col(f"`{c}`") for c in foreign.columns]).alias("__aggo_doc"),
+        fkey.alias("__aggo_k"),
+    )
+    if as_ in df.columns:
+        df = df.drop(as_)
+    lkey = ExprContext(schema=df.schema).resolve_path(lspec["localField"])
+    out = df.join(fstruct, lkey == F.col("__aggo_k"), "left" if preserve else "inner")
+    return out.drop("__aggo_k").withColumnRenamed("__aggo_doc", as_)
 
 
 def _has_equi_conjunct(sub: list, let_vars: set[str]) -> bool:

@@ -223,6 +223,49 @@ def test_lookup_pipeline_let(spark):
     assert got == {1: ["y"], 2: ["z"]}
 
 
+def test_lookup_unwind_fusion(spark):
+    orders_df = spark.createDataFrame(
+        [{"_id": 1, "cust": 10}, {"_id": 2, "cust": 20}, {"_id": 3, "cust": 99},
+         {"_id": 4, "cust": None}]
+    )
+    items = spark.createDataFrame(
+        [{"cid": 10, "sku": "x"}, {"cid": 10, "sku": "y"}, {"cid": 20, "sku": "z"}]
+    )
+    fused = aggregate(
+        orders_df,
+        [{"$lookup": {"from": "items", "localField": "cust",
+                      "foreignField": "cid", "as": "it"}},
+         {"$unwind": "$it"}],
+        collections={"items": items},
+    )
+    got = sorted((r["_id"], r["it"]["sku"]) for r in fused.collect())
+    assert got == [(1, "x"), (1, "y"), (2, "z")]
+    plan = fused._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate" not in plan and "collect_list" not in plan, plan
+
+    preserved = aggregate(
+        orders_df,
+        [{"$lookup": {"from": "items", "localField": "cust",
+                      "foreignField": "cid", "as": "it"}},
+         {"$unwind": {"path": "$it", "preserveNullAndEmptyArrays": True}}],
+        collections={"items": items},
+    )
+    got = sorted((r["_id"], r["it"]["sku"] if r["it"] else None)
+                 for r in preserved.collect())
+    assert got == [(1, "x"), (1, "y"), (2, "z"), (3, None), (4, None)]
+
+    # includeArrayIndex defeats fusion but must still be correct
+    indexed = aggregate(
+        orders_df,
+        [{"$lookup": {"from": "items", "localField": "cust",
+                      "foreignField": "cid", "as": "it"}},
+         {"$unwind": {"path": "$it", "includeArrayIndex": "i"}}],
+        collections={"items": items},
+    )
+    got = sorted((r["_id"], r["i"]) for r in indexed.collect())
+    assert got == [(1, 0), (1, 1), (2, 0)]
+
+
 def test_lookup_pipeline_group(spark):
     orders_df = spark.createDataFrame([{"_id": 1, "cust": 10}, {"_id": 2, "cust": 20}, {"_id": 3, "cust": 99}])
     items = spark.createDataFrame(
