@@ -472,9 +472,14 @@ def q31_dedup_jaccard(spark, sf_dir):
 
 
 def q32_dedup_minhash(spark, sf_dir):
-    """MinHash LSH candidate pairs (xxhash64-seeded — no DuckDB oracle)."""
+    """MinHash LSH candidate pairs (xxhash64-seeded — no DuckDB oracle).
+
+    Word 3-gram shingles: ~word-length× fewer exploded rows than char-5
+    for the same banding math (signatures differentially verified against
+    a pure-Python mirror in tests/test_differential_hashing.py)."""
     return dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), num_perm=64, bands=16, threshold=0.5
+        _t(spark, sf_dir, "documents"), num_perm=64, bands=16, threshold=0.5,
+        k=3, unit="word",
     )
 
 

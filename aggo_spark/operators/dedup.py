@@ -169,6 +169,7 @@ def minhash_signatures(
     num_perm: int = 64,
     k: int = 5,
     seed: int = 42,
+    unit: str = "char",
 ) -> DataFrame:
     """(id, sig: array<long>) MinHash signatures — the 100 TB path.
 
@@ -182,7 +183,7 @@ def minhash_signatures(
     """
     params = _perm_params(num_perm, seed)
     # duplicates don't change a min, so no distinct pass is needed
-    ex = explode_shingles(df, text_col, id_col, k).select(
+    ex = explode_shingles(df, text_col, id_col, k, unit=unit).select(
         "id", F.pmod(F.xxhash64("s"), F.lit(_MAX31)).alias("h")
     )
     aggs = [
@@ -202,6 +203,7 @@ def minhash_lsh_pairs(
     k: int = 5,
     threshold: float = 0.5,
     bucket_cap: int = 200,
+    unit: str = "char",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, with the
     estimated Jaccard (signature agreement rate) attached.
@@ -212,21 +214,21 @@ def minhash_lsh_pairs(
     is the difference between a shuffle and a cartesian explosion.
     """
     rows = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm, k)
+    sig = minhash_signatures(df, text_col, id_col, num_perm, k, unit=unit)
+    # Band keys with literal positions: element_at + multi-arg xxhash64 stay
+    # in whole-stage codegen (a transform/slice/concat_ws form is interpreted
+    # CodegenFallback and dominated banding time).
+    band_keys = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.element_at("sig", j) for j in range(b * rows + 1, (b + 1) * rows + 1)]
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
     banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.transform(
-                        F.slice("sig", b * rows + 1, rows), lambda x: x.cast("string")
-                    ))).alias("bh"),
-                ),
-            )
-        ).alias("bk"),
+        "id", "sig", F.explode(F.array(*band_keys)).alias("bk")
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
     buckets = (

@@ -57,22 +57,44 @@ def char_shingles(col: Column, k: int = 5) -> Column:
 
 
 def explode_shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5,
+    unit: str = "char",
 ) -> DataFrame:
-    """One row per (id, char-k-shingle), duplicates preserved — entirely
+    """One row per (id, k-shingle), duplicates preserved — entirely
     whole-stage codegen: normalize once per doc, explode a position
-    sequence, then substr. No higher-order functions (those are interpreted
-    CodegenFallback and dominate runtime at scale).
+    sequence, then substr/slice. No higher-order functions (those are
+    interpreted CodegenFallback and dominate runtime at scale).
+
+    ``unit="char"`` shingles characters (k≈5, near-exact similarity);
+    ``unit="word"`` shingles whitespace tokens (k≈3) — ~word-length×
+    fewer exploded rows for the same document, the standard trade for
+    document-level near-dup at corpus scale.
 
     The input is repartitioned to the session's shuffle parallelism first:
     an explode multiplies row count ~100×, so upstream partitioning (often
     one split for a small file, and always pre-explode-sized) is wrong for
     the work below it. The pre-explode shuffle moves only doc-level rows.
     """
+    src = df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("nrm"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if unit == "word":
+        return (
+            src.select("id", F.split("nrm", " ").alias("w"))
+            .filter(F.size("w") >= k)
+            .repartition(par)
+            .select(
+                "id",
+                "w",
+                F.explode(F.sequence(F.lit(1), F.size("w") - F.lit(k - 1))).alias("i"),
+            )
+            .select("id", F.array_join(F.slice("w", F.col("i"), F.lit(k)), " ").alias("s"))
+        )
+    if unit != "char":
+        raise ValueError(f"unit must be 'char' or 'word', got {unit!r}")
     return (
-        df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("nrm"))
+        src
         .filter(F.length("nrm") >= k)  # sequence(1, 0) would be [1, 0], not empty
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .repartition(par)
         .select(
             "id",
             "nrm",

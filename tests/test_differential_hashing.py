@@ -97,8 +97,17 @@ def _tokens(s: str) -> list[str]:
     return [t for t in _normalize(s).split(" ") if t]
 
 
-def py_minhash(text: str, num_perm: int = 64, k: int = 5, seed: int = 42):
-    shingles = set(_char_shingles(text, k))
+def _word_shingles(s: str, k: int = 3) -> list[str]:
+    # mirrors explode_shingles(unit="word"): split the normalized text on
+    # single spaces (no empty-token filter — normalize collapses runs)
+    w = _normalize(s).split(" ")
+    return [" ".join(w[i : i + k]) for i in range(max(len(w) - k + 1, 0))]
+
+
+def py_minhash(text: str, num_perm: int = 64, k: int = 5, seed: int = 42,
+               unit: str = "char"):
+    mk = _char_shingles if unit == "char" else _word_shingles
+    shingles = set(mk(text, k))
     if not shingles:
         return None
     hs = [xxh64_signed(s) % _MAX31 for s in shingles]
@@ -154,6 +163,21 @@ def test_minhash_signatures_match_python(sample):
     assert set(spark_sigs) == set(py_sigs)
     for d in py_sigs:
         assert spark_sigs[d] == py_sigs[d], f"signature mismatch for doc {d}"
+
+
+def test_minhash_word_shingles_match_python(sample):
+    spark_sigs = {
+        r["id"]: list(r["sig"])
+        for r in dedup.minhash_signatures(
+            sample, "text", "doc_id", k=3, unit="word"
+        ).collect()
+    }
+    pdocs = {r["doc_id"]: r["text"] for r in sample.collect()}
+    py_sigs = {d: py_minhash(t, k=3, unit="word") for d, t in pdocs.items()}
+    py_sigs = {d: s for d, s in py_sigs.items() if s is not None}
+    assert set(spark_sigs) == set(py_sigs)
+    for d in py_sigs:
+        assert spark_sigs[d] == py_sigs[d], f"word-shingle sig mismatch for doc {d}"
 
 
 def test_minhash_column_form_matches_scale_form(sample):
