@@ -797,6 +797,18 @@ def q57_lookup_group_subpipe(spark, sf_dir):
     ])
 
 
+def q58_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components → per-doc cluster + keep flag.
+
+    The cluster step every pair producer feeds into: pairs are edges, a
+    duplicate group is a component (min-id label propagation, iterated to
+    convergence). Oracle: DuckDB recursive CTE over the same exact-Jaccard
+    pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.dedup_clusters(docs, pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_group_agg": q01_group_agg,
@@ -853,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_first_last": q55_first_last,
         "q56_stddev_var": q56_stddev_var,
         "q57_lookup_group_subpipe": q57_lookup_group_subpipe,
+        "q58_dedup_clusters": q58_dedup_clusters,
     }
 
 
@@ -1368,6 +1381,38 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             WHERE o_orderkey <= 2000
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q58_dedup_clusters": f"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id AS id, list_distinct({_SHINGLES5.format(n=norm_doc)}) AS sh
+              FROM documents),
+            exploded AS (
+              SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM base),
+            rare AS (
+              SELECT s FROM exploded GROUP BY s HAVING count(*) <= 100),
+            filtered AS (
+              SELECT e.* FROM exploded e JOIN rare USING (s)),
+            prs AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+                     count(*) AS common
+              FROM filtered a JOIN filtered b USING (s)
+              WHERE a.id < b.id
+              GROUP BY 1, 2, 3, 4
+              HAVING round(CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)), 6) >= 0.5),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM prs
+              UNION
+              SELECT id_b, id_a FROM prs),
+            cc AS (
+              SELECT a AS node, a AS comp FROM edges
+              UNION
+              SELECT e.b AS node, cc.comp FROM cc JOIN edges e ON cc.node = e.a),
+            comps AS (
+              SELECT node, min(comp) AS component FROM cc GROUP BY node)
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component,
+                   (d.doc_id = coalesce(c.component, d.doc_id)) AS is_representative
+            FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
         """,
         "q46_densify_fill": """
             WITH daily AS (

@@ -33,6 +33,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
+    "connected_components",
+    "dedup_clusters",
 ]
 
 
@@ -353,4 +355,96 @@ def simhash_pairs(
         pairs.filter(F.col("hamming") <= max_hamming)
         .groupBy("id_a", "id_b")
         .agg(F.min("hamming").alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components — pair lists → dedup clusters
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(id, component) for every node in ``pairs`` — component is the
+    smallest id reachable through the pair graph.
+
+    The cluster step every pair producer here feeds into (exact /
+    Jaccard / MinHash / SimHash / embedding pairs are edges; a duplicate
+    *group* is a connected component). Algorithm: iterative min-label
+    propagation — each round every node takes the min of its own label and
+    its neighbors' labels; converges in O(diameter) rounds, and dedup
+    graphs are near-clique bundles with tiny diameters. Each round is one
+    self-equi-join + one groupBy (both shuffles on id); the loop is
+    driver-side but the convergence check moves only a single count.
+    localCheckpoint() truncates the growing lineage so round N's plan does
+    not re-run rounds 1..N-1.
+    """
+    edges = (
+        pairs.select(F.col(a_col).cast("long").alias("a"),
+                     F.col(b_col).cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    # symmetrize once; propagation then only needs one join direction
+    edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["a"] == labels["id"])
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("comp", F.coalesce("nmin", "comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Cluster assignment for the whole corpus: every document gets a
+    component (singletons are their own), plus is_representative = the
+    min-id member that a keep-one-per-cluster dedup retains.
+
+    One left join against the component map (broadcast-eligible — the map
+    has one row per *paired* doc, a tiny fraction of the corpus at real
+    duplicate rates).
+    """
+    comp = connected_components(pairs, a_col, b_col)
+    out = (
+        df.select(F.col(id_col))
+        .join(comp, df[id_col] == comp["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col).cast("long")).alias("component"),
+        )
+    )
+    return out.withColumn(
+        "is_representative", (F.col(id_col).cast("long") == F.col("component"))
     )

@@ -64,6 +64,33 @@ def test_simhash(docs):
     assert ham13 < ham15  # near-dup closer than unrelated
 
 
+def test_connected_components_chain(spark):
+    # a long path graph needs multiple propagation rounds to converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)] + [(20, 21)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert all(got[i] == 1 for i in range(1, 13))
+    assert got[20] == 20 and got[21] == 20
+
+
+def test_connected_components_empty_and_self(spark):
+    pairs = spark.createDataFrame([(3, 3)], "id_a long, id_b long")
+    assert dedup.connected_components(pairs).count() == 0  # self-loops ignored
+    empty = pairs.filter("id_a < 0")
+    assert dedup.connected_components(empty).count() == 0
+
+
+def test_dedup_clusters_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 4)], "id_a long, id_b long")
+    got = {r["doc_id"]: (r["component"], r["is_representative"])
+           for r in dedup.dedup_clusters(docs, pairs).collect()}
+    assert got == {1: (1, True), 2: (2, True), 3: (3, True),
+                   4: (2, False), 5: (5, True)}
+
+
 def test_simhash_pairs(docs):
     out = dedup.simhash_pairs(docs, max_hamming=3).collect()
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
