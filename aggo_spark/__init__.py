@@ -41,6 +41,7 @@ from .sources.io import (
     read_parquet_stream,
     write_jsonl,
 )
+from .sources.schema import infer_schema, sample_documents, simplified_schema
 from .streaming import StreamingCollection
 
 __version__ = "0.1.0"
@@ -70,6 +71,9 @@ __all__ = [
     "read_parquet_stream",
     "write_jsonl",
     "load_tables",
+    "infer_schema",
+    "simplified_schema",
+    "sample_documents",
     "StreamingCollection",
     "AggoSparkError",
     "InvalidPipeline",
