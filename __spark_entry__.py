@@ -809,6 +809,46 @@ def q58_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(docs, pairs)
 
 
+def q59_asof_join(spark, sf_dir):
+    """As-of (point-in-time) join: each purchase event picks up the user's
+    most recent click at-or-before it. Union-merge plan: ONE window
+    exchange, no range probe (operators/temporal.py). Oracle: DuckDB's
+    native ASOF LEFT JOIN."""
+    from aggo_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))  # unique (user, ts) → deterministic
+    )
+    out = temporal.asof_join(purchases, clicks, on="ts", by="user_id",
+                             right_cols=["click_id"])
+    return out.select("user_id", "event_id", "ts",
+                      F.col("click_id_r").alias("click_id"))
+
+
+def q60_interval_join(spark, sf_dir):
+    """Interval (range) join: purchases inside a 1-hour window after any
+    error event of the same user. Bucketized to an equi key (1 bucket/hr)
+    so the join is hash, not nested-loop. Oracle: DuckDB range join."""
+    from aggo_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    ms = lambda c: F.unix_millis(F.col(c).cast("timestamp"))  # noqa: E731
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pur_id"), ms("ts").alias("ts_ms"))
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"),
+        ms("ts").alias("start_ms"), (ms("ts") + 3600000).alias("end_ms"))
+    out = temporal.interval_join(
+        pur, err, point_col="ts_ms", start_col="start_ms", end_col="end_ms",
+        by="user_id", bucket_width=3600000)
+    return out.select("user_id", "pur_id", "err_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_group_agg": q01_group_agg,
@@ -866,6 +906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_stddev_var": q56_stddev_var,
         "q57_lookup_group_subpipe": q57_lookup_group_subpipe,
         "q58_dedup_clusters": q58_dedup_clusters,
+        "q59_asof_join": q59_asof_join,
+        "q60_interval_join": q60_interval_join,
     }
 
 
@@ -1413,6 +1455,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.component, d.doc_id) AS component,
                    (d.doc_id = coalesce(c.component, d.doc_id)) AS is_representative
             FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
+        """,
+        "q59_asof_join": """
+            WITH p AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase'),
+            c AS (
+              SELECT user_id, ts, max(event_id) AS click_id FROM events
+              WHERE event_type = 'click' GROUP BY 1, 2)
+            SELECT p.user_id, p.event_id, p.ts, c.click_id
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND c.ts <= p.ts
+        """,
+        "q60_interval_join": """
+            WITH pur AS (
+              SELECT user_id, event_id AS pur_id, epoch_ms(ts) AS ts_ms
+              FROM events WHERE event_type = 'purchase'),
+            err AS (
+              SELECT user_id, event_id AS err_id,
+                     epoch_ms(ts) AS start_ms, epoch_ms(ts) + 3600000 AS end_ms
+              FROM events WHERE event_type = 'error')
+            SELECT pur.user_id, pur_id, err_id
+            FROM pur JOIN err
+              ON pur.user_id = err.user_id
+             AND ts_ms >= start_ms AND ts_ms <= end_ms
         """,
         "q46_densify_fill": """
             WITH daily AS (
