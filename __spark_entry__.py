@@ -849,6 +849,32 @@ def q60_interval_join(spark, sf_dir):
     return out.select("user_id", "pur_id", "err_id")
 
 
+def q61_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation: quality filter → language filter →
+    exact dedup (keep min-id representative) → per-source token budget.
+    The composition a pretraining-data pipeline actually runs, verified
+    as one oracle query."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source",
+        text.quality_score(F.col("text"))["quality"].alias("q"),
+        F.size(text.tokens(F.col("text"))).alias("n_tok"),
+        text.fingerprint(F.col("text")).alias("fp"),
+    )
+    lang = text.language_id_table(docs, "text")
+    kept = (
+        scored.join(lang, "doc_id")
+        .filter((F.col("q") >= 0.5) & (F.col("pred_lang") == "en"))
+    )
+    reps = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    final = kept.join(reps, ["fp", "doc_id"], "left_semi")
+    return (
+        final.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").cast("long").alias("total_tokens"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_group_agg": q01_group_agg,
@@ -908,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_dedup_clusters": q58_dedup_clusters,
         "q59_asof_join": q59_asof_join,
         "q60_interval_join": q60_interval_join,
+        "q61_curation_pipeline": q61_curation_pipeline,
     }
 
 
@@ -1479,6 +1506,41 @@ def oracle_sql() -> dict[str, str]:
             FROM pur JOIN err
               ON pur.user_id = err.user_id
              AND ts_ms >= start_ms AND ts_ms <= end_ms
+        """,
+        "q61_curation_pipeline": f"""
+            WITH t AS (
+              SELECT doc_id, source, text, {tok_doc} AS tok FROM documents),
+            m AS (
+              SELECT doc_id, source, text,
+                     len(tok) AS n_tok,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+                     len(list_filter(tok, t -> list_contains({_STOP_EN_SQL}, t))) AS stop_hits,
+                     coalesce(list_sum(list_transform(tok, t -> len(t))), 0) AS total_len,
+                     tok
+              FROM t),
+            scored AS (
+              SELECT doc_id, source, text, n_tok, tok,
+                     round(0.3 * (CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / n_chars ELSE 0.0 END)
+                           + 0.3 * least((CASE WHEN n_tok > 0 THEN CAST(stop_hits AS DOUBLE) / n_tok ELSE 0.0 END) * 3.0, 1.0)
+                           + 0.2 * (CASE WHEN n_tok > 0 AND CAST(total_len AS DOUBLE) / n_tok >= 2.0
+                                          AND CAST(total_len AS DOUBLE) / n_tok <= 12.0 THEN 1.0 ELSE 0.0 END)
+                           + 0.2 * (CASE WHEN n_tok >= 10 THEN 1.0 ELSE CAST(n_tok AS DOUBLE) / 10.0 END), 6) AS q
+              FROM m),
+            s2 AS (SELECT *, {lang_scores} FROM scored),
+            g2 AS (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_it) AS g FROM s2),
+            langed AS (SELECT *, {lang_pred} AS pred_lang FROM g2),
+            kept AS (
+              SELECT doc_id, source, n_tok, md5({norm_doc}) AS fp
+              FROM langed
+              WHERE q >= 0.5 AND pred_lang = 'en'),
+            reps AS (
+              SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens
+            FROM kept JOIN reps USING (fp, doc_id)
+            GROUP BY source
         """,
         "q46_densify_fill": """
             WITH daily AS (

@@ -34,6 +34,8 @@ HEADLINE = [
     "q34_ann_brute",      # brute-force cosine top-k
     "q36_langid",         # language ID
     "q38_token_stats",    # token counting
+    "q59_asof_join",      # point-in-time join (union-merge)
+    "q61_curation_pipeline",  # composed curation: quality+lang+dedup+tokens
 ]
 
 
