@@ -62,3 +62,23 @@ def test_explain_pipeline_mapping(spark):
     assert "pushdown" in info["stages"][0]["spark"]
     assert "TakeOrderedAndProject" in info["optimized_plan"]
     assert "PushedFilters" in info["optimized_plan"]
+
+
+def test_readme_training_ops_examples(spark):
+    from aggo_spark import infer_schema, load_tables
+    from aggo_spark.operators import dedup, temporal
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", ["documents"])["documents"]
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, unit="word")
+    clusters = dedup.dedup_clusters(docs, pairs)
+    assert set(clusters.columns) == {"doc_id", "component", "is_representative"}
+    assert clusters.count() == docs.count()
+
+    trades = spark.createDataFrame([("A", 10, 1.0)], "sym string, ts long, px double")
+    quotes = spark.createDataFrame([("A", 9, 2.0)], "sym string, ts long, bid double")
+    out = temporal.asof_join(trades, quotes, on="ts", by="sym")
+    assert out.collect()[0]["bid_r"] == 2.0
+
+    assert infer_schema([{"a": 1, "tags": ["x"]}]) == {
+        "a": "integer", "tags": "array<string>"}
+    assert infer_schema(docs)["doc_id"] == "integer"
