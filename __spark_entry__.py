@@ -866,8 +866,15 @@ def q61_curation_pipeline(spark, sf_dir):
         scored.join(lang, "doc_id")
         .filter((F.col("q") >= 0.5) & (F.col("pred_lang") == "en"))
     )
-    reps = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    final = kept.join(reps, ["fp", "doc_id"], "left_semi")
+    # min-id representative per fingerprint via one window pass — a
+    # groupBy+semi-join would evaluate the whole scoring subtree twice
+    from pyspark.sql import Window as W
+
+    final = (
+        kept.withColumn(
+            "__rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id")))
+        .filter(F.col("__rn") == 1)
+    )
     return (
         final.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"),
