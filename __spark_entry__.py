@@ -882,6 +882,25 @@ def q61_curation_pipeline(spark, sf_dir):
     )
 
 
+def q62_range_window(spark, sf_dir):
+    """$setWindowFields with a time-unit range frame (MongoDB 5.0 `unit`):
+    per-user rolling 1-hour event count and value sum."""
+    return _engine(spark, sf_dir).aggregate("events", [
+        {"$setWindowFields": {
+            "partitionBy": "$user_id",
+            "sortBy": {"ts": 1},
+            "output": {
+                "n_1h": {"$sum": 1,
+                         "window": {"range": [-1, 0], "unit": "hour"}},
+                "cents_1h": {"$sum": {"$toLong": {"$round": [
+                                 {"$multiply": ["$value", 100]}, 0]}},
+                             "window": {"range": [-1, 0], "unit": "hour"}},
+            }}},
+        {"$project": {"_id": 0, "user_id": 1, "event_id": 1,
+                      "n_1h": {"$toLong": "$n_1h"}, "cents_1h": 1}},
+    ])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_group_agg": q01_group_agg,
@@ -942,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_asof_join": q59_asof_join,
         "q60_interval_join": q60_interval_join,
         "q61_curation_pipeline": q61_curation_pipeline,
+        "q62_range_window": q62_range_window,
     }
 
 
@@ -1548,6 +1568,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tok) AS BIGINT) AS total_tokens
             FROM kept JOIN reps USING (fp, doc_id)
             GROUP BY source
+        """,
+        "q62_range_window": """
+            SELECT user_id, event_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_1h,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """,
         "q46_densify_fill": """
             WITH daily AS (

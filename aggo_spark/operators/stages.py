@@ -800,12 +800,47 @@ def stage_set_window_fields(df: DataFrame, spec: dict, engine) -> DataFrame:
                 w = w.rowsBetween(_frame_bound(lb, "lb"), _frame_bound(ub, "ub"))
             elif "range" in win:
                 lb, ub = win["range"]
-                w = w.rangeBetween(_frame_bound(lb, "lb"), _frame_bound(ub, "ub"))
+                unit = win.get("unit")
+                if unit:
+                    # time-unit range frame (MongoDB 5.0 `unit`): order by
+                    # epoch millis of the single timestamp sort key and
+                    # scale the bounds — Spark range frames need a numeric
+                    # ordering expression
+                    factor = _RANGE_UNIT_MS.get(unit)
+                    if factor is None:
+                        raise InvalidPipeline(f"unsupported range unit {unit!r}")
+                    if len(sort_by) != 1:
+                        raise InvalidPipeline(
+                            "range window with unit requires exactly one sortBy key")
+                    key, direction = next(iter(sort_by.items()))
+                    if direction not in (1, True):
+                        raise InvalidPipeline(
+                            "range window with unit requires an ascending sortBy")
+                    ocol = F.unix_millis(ctx.resolve_path(key).cast("timestamp"))
+                    w = Window.partitionBy(*part_cols).orderBy(ocol.asc())
+
+                    def _scaled(v, side):
+                        b = _frame_bound(v, side)
+                        return b * factor if isinstance(b, int) and abs(b) < (1 << 40) else b
+
+                    w = w.rangeBetween(_scaled(lb, "lb"), _scaled(ub, "ub"))
+                else:
+                    w = w.rangeBetween(_frame_bound(lb, "lb"), _frame_bound(ub, "ub"))
             else:
                 # MongoDB default window is the whole partition
                 w = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         new_cols[name] = fn(w)
     return out.withColumns(new_cols)
+
+
+_RANGE_UNIT_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 604_800_000,
+}
 
 
 def stage_bucket(df: DataFrame, spec: dict, engine) -> DataFrame:

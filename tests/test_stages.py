@@ -410,6 +410,41 @@ def test_set_window_fields(spark):
     assert got[("a", 1)]["total"] == 60 and got[("b", 1)]["total"] == 5
 
 
+def test_window_range_unit(spark):
+    import datetime as dt
+
+    from aggo_spark.errors import InvalidPipeline
+
+    base = dt.datetime(2024, 1, 1)
+    rows_in = [
+        {"u": 1, "ts": base, "v": 1},
+        {"u": 1, "ts": base + dt.timedelta(minutes=30), "v": 2},
+        {"u": 1, "ts": base + dt.timedelta(minutes=90), "v": 4},
+        {"u": 2, "ts": base, "v": 8},
+    ]
+    df = spark.createDataFrame(rows_in)
+    out = aggregate(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$u",
+            "sortBy": {"ts": 1},
+            "output": {"s1h": {"$sum": "$v",
+                               "window": {"range": [-1, 0], "unit": "hour"}}},
+        }}])
+    got = {(r["u"], r["v"]): r["s1h"] for r in out.collect()}
+    # minute-90 row: only minute-30 (60 min back, inclusive) is in frame
+    assert got == {(1, 1): 1, (1, 2): 3, (1, 4): 6, (2, 8): 8}
+
+    import pytest as _pytest
+
+    with _pytest.raises(InvalidPipeline, match="ascending"):
+        aggregate(df, [
+            {"$setWindowFields": {
+                "partitionBy": "$u", "sortBy": {"ts": -1},
+                "output": {"x": {"$sum": "$v",
+                                 "window": {"range": [-1, 0], "unit": "hour"}}},
+            }}]).collect()
+
+
 def test_compound_group_after_window_is_single_exchange(spark):
     """Compound $group _id groups by components, so a $setWindowFields
     partitionBy on a key subset leaves the aggregate shuffle-free."""
