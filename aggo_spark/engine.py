@@ -96,6 +96,14 @@ class Engine:
                 df.explain(mode=mode)
             return buf.getvalue()
 
+    def output_schema(self, source, pipeline: list) -> dict:
+        """Simplified output schema of a pipeline WITHOUT executing it —
+        the translated plan is lazy, so this is a pure Catalyst analysis
+        pass (the ai-plugin's sampling inference, done statically)."""
+        from .sources.schema import simplified_schema
+
+        return simplified_schema(self.aggregate(source, pipeline).schema)
+
     def explain_pipeline(self, source, pipeline: list) -> dict:
         """Stage→physical-strategy mapping plus the optimized plan — the
         structured form of the reference's ``PipelineExplanation`` (static

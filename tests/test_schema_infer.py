@@ -51,3 +51,14 @@ def test_simplified_schema_from_dataframe(spark):
     assert got == {"id": "integer", "name": "string",
                    "vec": "array<number>", "sub": {"k": "integer"}}
     assert simplified_schema(df.schema) == got
+
+
+def test_engine_output_schema_static(spark):
+    from aggo_spark import Engine, load_tables
+
+    eng = Engine(load_tables(spark, "/root/testdata/sf0.001"))
+    got = eng.output_schema("orders", [
+        {"$group": {"_id": "$o_orderstatus", "n": {"$sum": 1},
+                    "rev": {"$sum": "$o_totalprice"}}},
+    ])
+    assert got == {"_id": "string", "n": "integer", "rev": "number"}
