@@ -23,6 +23,9 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "cosine",
+    "normalize",
+    "quantize8",
+    "dot_q8",
     "brute_force_topk",
     "sign_bucket",
     "bucketed_topk",
@@ -45,6 +48,38 @@ def _norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def normalize(vec: Column) -> Column:
+    """L2-normalize (array<double>); zero vectors pass through unchanged.
+    Normalizing once at ingest turns every downstream cosine into a plain
+    dot product — half the per-pair arithmetic in the ANN hot loops."""
+    n = _norm(vec)
+    return F.when(n > 0, F.transform(vec, lambda x: x.cast("double") / n)) \
+            .otherwise(F.transform(vec, lambda x: x.cast("double")))
+
+
+def quantize8(vec: Column) -> Column:
+    """Symmetric int8 quantization: struct(q: array<tinyint>, s: float)
+    with per-vector max-abs scale (x ≈ q * s / 127).
+
+    The 100 TB lever is storage/shuffle BYTES, not FLOPs: an int8 corpus
+    column is 4× smaller than float32 (8× vs double), which shrinks every
+    embedding scan, exchange, and broadcast by the same factor. Cosine is
+    scale-invariant, so :func:`cosine` works directly on the ``q`` arrays
+    with no dequantization; use :func:`dot_q8` when magnitudes matter.
+    """
+    s = F.greatest(
+        F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-30),
+    )
+    q = F.transform(vec, lambda x: F.round(x.cast("double") / s * 127).cast("tinyint"))
+    return F.struct(q.alias("q"), s.cast("float").alias("s"))
+
+
+def dot_q8(qa: Column, sa: Column, qb: Column, sb: Column) -> Column:
+    """Approximate dot product of two quantized vectors."""
+    return _dot(qa, qb) * sa.cast("double") * sb.cast("double") / F.lit(127.0 * 127.0)
 
 
 def brute_force_topk(

@@ -257,3 +257,37 @@ def test_pil_decode_branch(monkeypatch):
         "phash": f"{(1 << 32) - 1:016x}",
     }
     assert multimodal.pil_decode(b"NOPE") is None
+
+
+def test_normalize_and_quantize(spark, vecs):
+    from pyspark.sql import functions as F
+
+    n = vecs.select("vec_id", similarity.normalize(F.col("embedding")).alias("nv"))
+    for r in n.collect():
+        mag = sum(x * x for x in r["nv"]) ** 0.5
+        assert abs(mag - 1.0) < 1e-9
+    z = spark.createDataFrame([(9, [0.0, 0.0])], "vec_id long, embedding array<float>")
+    assert similarity.normalize(F.col("embedding")) is not None
+    assert z.select(similarity.normalize(F.col("embedding")).alias("nv")).collect()[0]["nv"] == [0.0, 0.0]
+
+    q = vecs.select("vec_id", "embedding",
+                    similarity.quantize8(F.col("embedding")).alias("qv"))
+    rows_q = q.collect()
+    for r in rows_q:
+        # reconstruction error bounded by scale/254 per element
+        s = r["qv"]["s"]
+        for orig, qi in zip(r["embedding"], r["qv"]["q"]):
+            assert abs(orig - qi * s / 127.0) <= s / 127.0 + 1e-6
+    # cosine is scale-invariant: quantized cosine ≈ exact cosine
+    a = q.selectExpr("vec_id as ida", "qv.q as qa", "qv.s as sa", "embedding as ea")
+    b = q.selectExpr("vec_id as idb", "qv.q as qb", "qv.s as sb", "embedding as eb")
+    both = a.crossJoin(b).filter(F.col("ida") < F.col("idb")).select(
+        "ida", "idb",
+        similarity.cosine(F.col("qa"), F.col("qb")).alias("cq"),
+        similarity.cosine(F.col("ea"), F.col("eb")).alias("ce"),
+        similarity.dot_q8(F.col("qa"), F.col("sa"), F.col("qb"), F.col("sb")).alias("dq"),
+        similarity._dot(F.col("ea"), F.col("eb")).alias("de"),
+    )
+    for r in both.collect():
+        assert abs(r["cq"] - r["ce"]) < 0.02
+        assert abs(r["dq"] - r["de"]) < 0.05
