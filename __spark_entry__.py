@@ -901,6 +901,17 @@ def q62_range_window(spark, sf_dir):
     ])
 
 
+def q63_ann_quantized(spark, sf_dir):
+    """Brute-force cosine top-5 over an int8-quantized corpus (4× smaller
+    shuffle/scan bytes; cosine is scale-invariant so the tinyint arrays
+    feed the same operator unchanged)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = emb.select(
+        "vec_id", similarity.quantize8(F.col("embedding"))["q"].alias("embedding"))
+    queries_df = qd.filter(F.col("vec_id") < 3)
+    return similarity.brute_force_topk(qd, queries_df, k=5).orderBy("query_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_group_agg": q01_group_agg,
@@ -962,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_interval_join": q60_interval_join,
         "q61_curation_pipeline": q61_curation_pipeline,
         "q62_range_window": q62_range_window,
+        "q63_ann_quantized": q63_ann_quantized,
     }
 
 
@@ -1576,6 +1588,29 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """,
+        "q63_ann_quantized": """
+            WITH qz AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> round(CAST(x AS DOUBLE)
+                        / greatest(list_max(list_transform(embedding,
+                                            y -> abs(CAST(y AS DOUBLE)))), 1e-30)
+                        * 127)) AS q
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, q AS qv FROM qz WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_dot_product(CAST(qv AS DOUBLE[]), CAST(e.q AS DOUBLE[]))
+                           / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))
+                              * sqrt(list_dot_product(CAST(e.q AS DOUBLE[]), CAST(e.q AS DOUBLE[])))), 6) AS score
+              FROM qz e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, neighbor_id) AS INT) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, score, rank FROM ranked
+            WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "q46_densify_fill": """
             WITH daily AS (
