@@ -912,6 +912,34 @@ def q63_ann_quantized(spark, sf_dir):
     return similarity.brute_force_topk(qd, queries_df, k=5).orderBy("query_id", "rank")
 
 
+def q64_graph_lookup(spark, sf_dir):
+    """$graphLookup ancestor traversal over a derived tree (node →
+    parent=node//10): BFS as bounded equi-join hops with visited-set
+    dedup. Oracle: DuckDB recursive CTE with min-depth dedup."""
+    eng = _engine(spark, sf_dir)
+    orders = eng.collection("orders")
+    tree = orders.filter(F.col("o_orderkey") <= 3000).select(
+        F.col("o_orderkey").alias("node"),
+        (F.col("o_orderkey") / 10).cast("long").alias("parent"),
+    )
+    eng.register("order_tree", tree)
+    return eng.aggregate("order_tree", [
+        {"$graphLookup": {
+            "from": "order_tree",
+            "startWith": "$parent",
+            "connectFromField": "parent",
+            "connectToField": "node",
+            "as": "ancestors",
+            "depthField": "depth",
+        }},
+        {"$unwind": "$ancestors"},
+        {"$project": {"_id": 0, "node": 1,
+                      "anc": "$ancestors.node",
+                      "depth": "$ancestors.depth"}},
+        {"$sort": {"node": 1, "depth": 1}},
+    ])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_group_agg": q01_group_agg,
@@ -974,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_curation_pipeline": q61_curation_pipeline,
         "q62_range_window": q62_range_window,
         "q63_ann_quantized": q63_ann_quantized,
+        "q64_graph_lookup": q64_graph_lookup,
     }
 
 
@@ -1611,6 +1640,21 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, neighbor_id, score, rank FROM ranked
             WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "q64_graph_lookup": """
+            WITH RECURSIVE tree AS (
+              SELECT o_orderkey AS node,
+                     CAST(floor(o_orderkey / 10) AS BIGINT) AS parent
+              FROM orders WHERE o_orderkey <= 3000),
+            walk(node, anc, depth, nxt) AS (
+              SELECT t.node, t2.node, CAST(0 AS BIGINT), t2.parent
+              FROM tree t JOIN tree t2 ON t2.node = t.parent
+              UNION
+              SELECT w.node, t3.node, w.depth + 1, t3.parent
+              FROM walk w JOIN tree t3 ON t3.node = w.nxt
+              WHERE w.depth < 10)
+            SELECT node, anc, CAST(min(depth) AS BIGINT) AS depth
+            FROM walk GROUP BY 1, 2 ORDER BY 1, 3
         """,
         "q46_densify_fill": """
             WITH daily AS (
