@@ -199,3 +199,51 @@ def test_random_pipelines_match_python(spark):
                              canon(got, fields)[:3], canon(expected, fields)[:3]))
 
     assert not failures, f"{len(failures)} mismatching pipelines; first: {failures[0]}"
+
+
+def test_random_lookup_unwind_matches_python(spark):
+    """Differential fuzz for the $lookup+$unwind path (fused join rewrite):
+    random foreign tables / preserve flags / duplicate keys vs a
+    nested-loop Python mirror."""
+    rng = random.Random(SEED + 1)
+    rows = make_rows(rng)
+    df = spark.createDataFrame(rows, "i long, j long, k long, g string")
+
+    failures = []
+    for trial in range(20):
+        eng = Engine()
+        fkeys = rng.sample(range(0, 10), k=rng.randint(2, 6))
+        frows = [{"fk": k_, "fv": k_ * 10 + d}
+                 for k_ in fkeys for d in range(rng.randint(1, 2))]
+        eng.register("f", spark.createDataFrame(frows, "fk long, fv long"))
+        preserve = rng.random() < 0.5
+        unwind = ({"$unwind": {"path": "$m", "preserveNullAndEmptyArrays": True}}
+                  if preserve else {"$unwind": "$m"})
+        lo = rng.randint(0, 5)
+        pipeline = [
+            {"$match": {"k": {"$gte": lo}}},
+            {"$lookup": {"from": "f", "localField": "k",
+                         "foreignField": "fk", "as": "m"}},
+            unwind,
+            {"$project": {"_id": 0, "i": 1, "k": 1, "g": 1, "fv": "$m.fv"}},
+        ]
+
+        expected = []
+        for r in rows:
+            if r["k"] < lo:
+                continue
+            matches = [fr for fr in frows if fr["fk"] == r["k"]]
+            if matches:
+                for m in matches:
+                    expected.append({"i": r["i"], "k": r["k"], "g": r["g"],
+                                     "fv": m["fv"]})
+            elif preserve:
+                expected.append({"i": r["i"], "k": r["k"], "g": r["g"], "fv": None})
+
+        got = [r.asDict() for r in eng.aggregate(df, pipeline).collect()]
+        flds = ["i", "k", "g", "fv"]
+        if canon(got, flds) != canon(expected, flds):
+            failures.append((trial, preserve, canon(got, flds)[:3],
+                             canon(expected, flds)[:3]))
+
+    assert not failures, f"{len(failures)} mismatches; first: {failures[0]}"
