@@ -962,6 +962,19 @@ def q64_graph_lookup(spark, sf_dir):
     ])
 
 
+def q65_regex_index(spark, sf_dir):
+    """$regex via the trigram posting-table index: required literals →
+    3-grams → candidate-id semi-join → exact rlike on survivors only
+    (reference regex-search.ts:99+ / bloom-filter.ts re-expressed as a
+    partitioned posting table)."""
+    from aggo_spark.operators.search import build_trigram_index, regex_search_with_index
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_trigram_index(docs)
+    out = regex_search_with_index(docs, idx, r"scan (fast|slow)")
+    return out.select("doc_id", "n_chars")
+
+
 _STREAMING_QUERIES = {"q42_stream_agg", "q43_stream_window", "q51_stream_stateful"}
 
 
@@ -1028,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_range_window": q62_range_window,
         "q63_ann_quantized": q63_ann_quantized,
         "q64_graph_lookup": q64_graph_lookup,
+        "q65_regex_index": q65_regex_index,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -1682,6 +1696,10 @@ def oracle_sql() -> dict[str, str]:
               WHERE w.depth < 10)
             SELECT node, anc, CAST(min(depth) AS BIGINT) AS depth
             FROM walk GROUP BY 1, 2 ORDER BY 1, 3
+        """,
+        "q65_regex_index": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE regexp_matches(text, 'scan (fast|slow)')
         """,
         "q46_densify_fill": """
             WITH daily AS (
