@@ -975,6 +975,24 @@ def q65_regex_index(spark, sf_dir):
     return out.select("doc_id", "n_chars")
 
 
+def q66_skew_salted(spark, sf_dir):
+    """Two-phase salted group-by (hot-key guard for skewed aggregations):
+    5 hot event_type keys spread over 32 salt reducers, partials merged on
+    the true key. Result identical to a plain GROUP BY — the oracle proves
+    the salting is semantically invisible."""
+    from aggo_spark.operators.skew import salted_group_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.col("value").cast("double") * 100)
+    ev = ev.withColumn("cents", F.round("cents", 0).cast("long"))
+    out = salted_group_agg(
+        ev, ["event_type"],
+        {"n": ("count", "*"), "sum_cents": ("sum", "cents"),
+         "min_cents": ("min", "cents"), "max_cents": ("max", "cents")},
+    )
+    return out.withColumn("n", F.col("n").cast("long"))
+
+
 _STREAMING_QUERIES = {"q42_stream_agg", "q43_stream_window", "q51_stream_stateful"}
 
 
@@ -1042,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_ann_quantized": q63_ann_quantized,
         "q64_graph_lookup": q64_graph_lookup,
         "q65_regex_index": q65_regex_index,
+        "q66_skew_salted": q66_skew_salted,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -1700,6 +1719,14 @@ def oracle_sql() -> dict[str, str]:
         "q65_regex_index": """
             SELECT doc_id, n_chars FROM documents
             WHERE regexp_matches(text, 'scan (fast|slow)')
+        """,
+        "q66_skew_salted": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+                   CAST(min(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS min_cents,
+                   CAST(max(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS max_cents
+            FROM events GROUP BY 1
         """,
         "q46_densify_fill": """
             WITH daily AS (
