@@ -108,6 +108,18 @@ def pipeline_is_incremental(pipeline: list) -> bool:
                 # stale rows would linger. Recompute path instead.
                 return False
             continue
+        if name == "$lookup" and not seen_group:
+            # equi form against a STATIC engine collection → a Spark
+            # stream-static join, supported in update mode before the
+            # aggregation. Sign-preserving: an add and its retraction join
+            # to the identical static rows, so signed measures cancel.
+            # The pipeline/`let` form windows over a generated uid —
+            # not streamable → recompute.
+            if "pipeline" in spec or "let" in spec:
+                return False
+            continue
+        if name == "$unwind" and not seen_group:
+            continue  # stateless generator (explode) — streamable
         if name == "$group":
             if seen_group:
                 return False
@@ -116,7 +128,7 @@ def pipeline_is_incremental(pipeline: list) -> bool:
             if not all(_accumulator_is_invertible(v) for v in accs.values()):
                 return False
             continue
-        return False  # $sort/$limit/$lookup/$unwind/... → recompute path
+        return False  # $sort/$limit/... → recompute path
     return seen_group
 
 

@@ -371,3 +371,40 @@ def test_read_jsonl_stream_knobs(spark, tmp_path):
     out = materialize_stream(sdf.groupBy("k").count(), "complete")
     got = {r["k"]: r["count"] for r in out.collect()}
     assert got == {0: 4, 1: 4, 2: 4}
+
+
+def test_incremental_stream_static_lookup(spark, tmp_path):
+    """$lookup (equi, static dim) + $unwind + $group takes the INCREMENTAL
+    path (stream-static join in update mode); adds and retractions must
+    match a batch recompute over the net rows."""
+    from aggo_spark import Engine
+    from aggo_spark.streaming.core import pipeline_is_incremental
+
+    dim = spark.createDataFrame(
+        [{"sku": "a", "cat": "x"}, {"sku": "b", "cat": "y"}, {"sku": "c", "cat": "y"}])
+    eng = Engine({"dim": dim})
+    pipeline = [
+        {"$lookup": {"from": "dim", "localField": "sku",
+                     "foreignField": "sku", "as": "d"}},
+        {"$unwind": "$d"},
+        {"$group": {"_id": "$d.cat", "n": {"$sum": 1}, "qty": {"$sum": "$qty"}}},
+    ]
+    assert pipeline_is_incremental(pipeline)
+
+    coll = StreamingCollection(spark, "sku string, qty long",
+                               engine=eng, workdir=str(tmp_path))
+    try:
+        coll.stream(pipeline, "bycat")
+        assert coll._registered["bycat"].incremental  # not the recompute path
+        coll.add_bulk([{"sku": "a", "qty": 1}, {"sku": "b", "qty": 2},
+                       {"sku": "c", "qty": 4}, {"sku": "zz", "qty": 100}])
+        got = {r["_id"]: (r["n"], r["qty"]) for r in coll.result("bycat")}
+        assert got == {"x": (1, 1), "y": (2, 6)}  # zz matches nothing → dropped
+        coll.remove({"sku": "c", "qty": 4})
+        got = {r["_id"]: (r["n"], r["qty"]) for r in coll.result("bycat")}
+        assert got == {"x": (1, 1), "y": (1, 2)}
+        coll.remove({"sku": "a", "qty": 1})
+        got = {r["_id"]: (r["n"], r["qty"]) for r in coll.result("bycat")}
+        assert got == {"y": (1, 2)}  # group x fully retracted → disappears
+    finally:
+        coll.stop()
