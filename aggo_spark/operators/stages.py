@@ -977,6 +977,31 @@ def stage_merge(df: DataFrame, spec, engine) -> DataFrame:
             new_rows if when_not_matched != "discard" else new_rows.limit(0),
             allowMissingColumns=True,
         )
+    elif when_matched == "merge":
+        # field-wise $mergeObjects: source fields overwrite target fields
+        # when non-null, everything else is kept — one full-outer equi join
+        src_cols = [c for c in df.columns if c not in keys]
+        tgt_cols = [c for c in target.columns if c not in keys]
+        src_r = df.select(
+            *[F.col(f"`{k}`") for k in keys],
+            F.lit(True).alias("__aggo_src"),
+            *[F.col(f"`{c}`").alias(f"__s_{c}") for c in src_cols],
+        )
+        joined = target.withColumn("__aggo_tgt", F.lit(True)).join(src_r, keys, "full")
+        out_cols = [F.col(f"`{k}`") for k in keys]
+        for c in dict.fromkeys(tgt_cols + src_cols):
+            have_s = f"__s_{c}" in joined.columns
+            have_t = c in target.columns
+            if have_s and have_t:
+                out_cols.append(F.coalesce(F.col(f"`__s_{c}`"), F.col(f"`{c}`")).alias(c))
+            elif have_s:
+                out_cols.append(F.col(f"`__s_{c}`").alias(c))
+            else:
+                out_cols.append(F.col(f"`{c}`"))
+        merged = joined.select(*out_cols, F.col("__aggo_tgt"))
+        if when_not_matched == "discard":
+            merged = merged.filter(F.col("__aggo_tgt").isNotNull())
+        merged = merged.drop("__aggo_tgt")
     else:
         raise UnsupportedStage(f"$merge whenMatched={when_matched!r} not supported")
     engine.register(into, merged)

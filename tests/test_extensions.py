@@ -185,6 +185,29 @@ class TestOutMerge:
         got = {r.k: r.v for r in eng.collection("t").collect()}
         assert got == {1: "new", 2: "keep", 3: "ins"}
 
+    def test_merge_fieldwise(self, spark):
+        eng = Engine()
+        eng.register("t", spark.createDataFrame(
+            [(1, "old", 10), (2, "keep", 20)], "k long, v string, w long"))
+        upd = spark.createDataFrame(
+            [(1, "new", None), (3, "ins", None)], "k long, v string, extra string")
+        eng.aggregate(upd, [{"$merge": {"into": "t", "on": "k",
+                                        "whenMatched": "merge"}}])
+        got = {r.k: (r.v, r.w, r.extra) for r in eng.collection("t").collect()}
+        # matched row 1: v overwritten, w kept (absent in source), extra added
+        assert got == {1: ("new", 10, None), 2: ("keep", 20, None),
+                       3: ("ins", None, None)}
+
+    def test_merge_fieldwise_discard(self, spark):
+        eng = Engine()
+        eng.register("t", spark.createDataFrame([(1, "old")], "k long, v string"))
+        upd = spark.createDataFrame([(1, "new"), (3, "ins")], "k long, v string")
+        eng.aggregate(upd, [{"$merge": {"into": "t", "on": "k",
+                                        "whenMatched": "merge",
+                                        "whenNotMatched": "discard"}}])
+        got = {r.k: r.v for r in eng.collection("t").collect()}
+        assert got == {1: "new"}
+
     def test_merge_keep_existing_discard(self, spark):
         eng = Engine()
         eng.register("t", spark.createDataFrame([(1, "old")], "k long, v string"))
