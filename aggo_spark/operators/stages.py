@@ -152,10 +152,44 @@ def _include_subtree(source: Column, dtype: T.DataType, tree: dict, ctx: ExprCon
     return F.struct(*out)
 
 
+def _flatten_nested_projection(spec: dict, ctx: ExprContext) -> dict:
+    """Normalize the nested-document projection form to dotted keys.
+
+    MongoDB (and the reference, expressions.ts:320-340 isFieldProjection)
+    treat ``{a: {b: 1}}`` as a nested projection when ``a`` is a document
+    field — equivalent to ``{"a.b": 1}``. A nested dict stays a computed
+    object literal when it carries ``$``-operator keys or the field is not
+    struct-shaped (matching the reference's fieldValue-is-object test,
+    schema-resolved here).
+    """
+    out: dict = {}
+
+    def rec(prefix: str, d: dict) -> None:
+        for k, v in d.items():
+            path = f"{prefix}{k}"
+            t = ctx.path_type(path)
+            is_structy = isinstance(t, T.StructType) or (
+                isinstance(t, T.ArrayType) and isinstance(t.elementType, T.StructType)
+            )
+            if (
+                isinstance(v, dict)
+                and v
+                and not any(isinstance(s, str) and s.startswith("$") for s in v)
+                and is_structy
+            ):
+                rec(f"{path}.", v)
+            else:
+                out[path] = v
+
+    rec("", spec)
+    return out
+
+
 def stage_project(df: DataFrame, spec: dict, engine) -> DataFrame:
     if not isinstance(spec, dict) or not spec:
         raise InvalidPipeline("$project requires a non-empty spec")
     ctx = _ctx(df)
+    spec = _flatten_nested_projection(spec, ctx)
     non_id = {k: v for k, v in spec.items() if k != "_id"}
     # Exclusion mode when every non-_id value excludes AND there is either a
     # non-_id key or an excluded _id — so {"_id": 0} alone just drops _id

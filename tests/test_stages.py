@@ -223,6 +223,23 @@ def test_lookup_pipeline_let(spark):
     assert got == {1: ["y"], 2: ["z"]}
 
 
+def test_project_nested_document_form(spark):
+    """{a: {b: 1}} is a nested PROJECTION when a is a document (reference
+    expressions.ts:320-340 isFieldProjection), not an object literal."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(_id=1, a=Row(b=2, c=3), x=9)])
+    got = rows(aggregate(df, [{"$project": {"a": {"b": 1}, "x": 1}}]))
+    assert got == [{"_id": 1, "a": {"b": 2}, "x": 9}]
+    got = rows(aggregate(df, [{"$project": {"a": {"b": 0}}}]))
+    assert got == [{"_id": 1, "a": {"c": 3}, "x": 9}]
+    got = rows(aggregate(df, [{"$project": {"a": {"b": {"$add": ["$x", 1]}}}}]))
+    assert got == [{"_id": 1, "a": {"b": 10}}]
+    # non-struct field: nested dict stays a computed object literal
+    got = rows(aggregate(df, [{"$project": {"x": {"lit": 1}}}]))
+    assert got == [{"_id": 1, "x": {"lit": 1}}]
+
+
 def test_lookup_unwind_fusion(spark):
     orders_df = spark.createDataFrame(
         [{"_id": 1, "cust": 10}, {"_id": 2, "cust": 20}, {"_id": 3, "cust": 99},
