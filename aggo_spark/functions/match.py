@@ -108,11 +108,22 @@ def _one_op(col, ftype, op, arg, ctx, path, regex_opts="") -> Column:
         return _implicit_eq(col, ftype, arg)
     if op == "$ne":
         # matches when value differs OR field missing/null (MongoDB)
+        if (isinstance(ftype, T.ArrayType) and arg is not None
+                and not isinstance(arg, list)):
+            # array field: $ne means "does not contain" (negated containment)
+            return F.coalesce(~F.array_contains(col, literal_to_column(arg)),
+                              F.lit(True))
         return ~_implicit_eq(col, ftype, arg) if arg is None else F.coalesce(
             ~col.eqNullSafe(literal_to_column(arg)), F.lit(True)
         )
     if op in ("$gt", "$gte", "$lt", "$lte"):
         lit = literal_to_column(arg)
+        if isinstance(ftype, T.ArrayType) and not isinstance(arg, list):
+            # any-element match over an array field / dotted traversal
+            # (MongoDB implicit array semantics)
+            preds = {"$gt": lambda e: e > lit, "$gte": lambda e: e >= lit,
+                     "$lt": lambda e: e < lit, "$lte": lambda e: e <= lit}
+            return F.coalesce(F.exists(col, preds[op]), F.lit(False))
         return {"$gt": col > lit, "$gte": col >= lit, "$lt": col < lit, "$lte": col <= lit}[op]
     if op == "$in":
         if not isinstance(arg, list):
@@ -145,6 +156,10 @@ def _one_op(col, ftype, op, arg, ctx, path, regex_opts="") -> Column:
             flags += "x"
         if flags:
             pattern = f"(?{flags}){pattern}"
+        if isinstance(ftype, T.ArrayType):
+            # any-element regex over an array of strings
+            return F.coalesce(
+                F.exists(col, lambda e: e.rlike(pattern)), F.lit(False))
         cond = col.rlike(pattern)
         # Scan-side trigram-style prefilter (reference regex-search.ts:99+ /
         # bloom-filter.ts): required literal substrings become contains()

@@ -223,6 +223,27 @@ def test_lookup_pipeline_let(spark):
     assert got == {1: ["y"], 2: ["z"]}
 
 
+def test_match_array_any_element(spark):
+    """MongoDB implicit array semantics: comparisons/regex on an array field
+    (or a dotted path traversing array-of-structs) match ANY element."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([
+        Row(_id=1, items=[Row(sku="a", q=5), Row(sku="b", q=2)], tags=["xx", "yy"]),
+        Row(_id=2, items=[Row(sku="c", q=1)], tags=["zz"]),
+    ])
+
+    def q(p):
+        return sorted(r["_id"] for r in aggregate(df, [{"$match": p}]).collect())
+
+    assert q({"items.q": 5}) == [1]
+    assert q({"items.q": {"$gte": 2}}) == [1]
+    assert q({"items.q": {"$lt": 2}}) == [2]
+    assert q({"tags": {"$ne": "xx"}}) == [2]
+    assert q({"tags": {"$regex": "^x"}}) == [1]
+    assert q({"items.sku": {"$regex": "a|c"}}) == [1, 2]
+
+
 def test_project_nested_document_form(spark):
     """{a: {b: 1}} is a nested PROJECTION when a is a document (reference
     expressions.ts:320-340 isFieldProjection), not an object literal."""
