@@ -272,8 +272,31 @@ def stage_add_fields(df: DataFrame, spec: dict, engine) -> DataFrame:
     for segs, col in nested:
         top = segs[0]
         target = F.col(f"`{top}`")
-        df = df.withColumn(top, target.withField(".".join(segs[1:]), col))
+        if top in df.columns:
+            df = df.withColumn(
+                top, _with_field_path(target, df.schema[top].dataType, segs[1:], col))
+        else:
+            df = df.withColumn(top, target.withField(".".join(segs[1:]), col))
     return df
+
+
+def _with_field_path(col: Column, dtype: T.DataType, segs: list[str],
+                     value: Column) -> Column:
+    """withField along a dotted path, broadcasting through arrays of
+    documents (MongoDB: setting items.flag sets flag on every element)."""
+    if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StructType):
+        elem_t = dtype.elementType
+        return F.transform(col, lambda e: _with_field_path(e, elem_t, segs, value))
+    if not isinstance(dtype, T.StructType):
+        raise InvalidPipeline("cannot set a nested field through a non-document value")
+    head, rest = segs[0], segs[1:]
+    if not rest:
+        return col.withField(head, value)
+    sub_t = dtype[head].dataType if head in dtype.fieldNames() else None
+    if sub_t is None:
+        # creating intermediate documents: withField's dotted form handles it
+        return col.withField(".".join(segs), value)
+    return col.withField(head, _with_field_path(col.getField(head), sub_t, rest, value))
 
 
 def stage_unset(df: DataFrame, spec, engine) -> DataFrame:

@@ -223,6 +223,21 @@ def test_lookup_pipeline_let(spark):
     assert got == {1: ["y"], 2: ["z"]}
 
 
+def test_add_fields_broadcast_through_array(spark):
+    """Setting a dotted path through array-of-documents broadcasts to every
+    element (MongoDB $addFields semantics)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(_id=1, items=[Row(sku="a", q=5), Row(sku="b", q=2)], x=3)])
+    got = rows(aggregate(df, [{"$addFields": {"items.flag": True,
+                                              "items.xcopy": "$x"}}]))
+    assert got[0]["items"] == [
+        {"sku": "a", "q": 5, "flag": True, "xcopy": 3},
+        {"sku": "b", "q": 2, "flag": True, "xcopy": 3},
+    ]
+
+
 def test_match_array_any_element(spark):
     """MongoDB implicit array semantics: comparisons/regex on an array field
     (or a dotted path traversing array-of-structs) match ANY element."""
