@@ -367,6 +367,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, component) for every node in ``pairs`` — component is the
     smallest id reachable through the pair graph.
@@ -379,23 +380,35 @@ def connected_components(
     graphs are near-clique bundles with tiny diameters. Each round is one
     self-equi-join + one groupBy (both shuffles on id); the loop is
     driver-side but the convergence check moves only a single count.
-    localCheckpoint() truncates the growing lineage so round N's plan does
-    not re-run rounds 1..N-1.
+    Checkpointing truncates the growing lineage so round N's plan does
+    not re-run rounds 1..N-1: localCheckpoint (executor-local, fast) by
+    default; pass ``checkpoint_dir`` on a real cluster to use reliable
+    checkpoints that survive executor loss / dynamic deallocation.
     """
+    spark = pairs.sparkSession
+
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     edges = (
         pairs.select(F.col(a_col).cast("long").alias("a"),
                      F.col(b_col).cast("long").alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
     # symmetrize once; propagation then only needs one join direction
-    edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    edges = edges.localCheckpoint(eager=True)
+    edges = ckpt(edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct())
 
-    labels = (
+    labels = ckpt(
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -403,10 +416,9 @@ def connected_components(
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("comp").alias("nmin"))
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.join(neighbor_min, "id", "left")
             .select("id", F.least("comp", F.coalesce("nmin", "comp")).alias("comp"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
