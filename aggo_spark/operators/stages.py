@@ -802,6 +802,21 @@ def stage_union_with(df: DataFrame, spec, engine) -> DataFrame:
     return df.unionByName(other, allowMissingColumns=True)
 
 
+def stage_documents(df: DataFrame, spec, engine) -> DataFrame:
+    """$documents (MongoDB 5.1): replace the input with literal documents.
+
+    The spec is a list of constant documents (expression-valued fields are
+    evaluated against an empty root). Driver-side by definition — the
+    literal list lives in the pipeline JSON — so createDataFrame is the
+    right primitive, exactly like the reference's in-memory array source.
+    """
+    if not isinstance(spec, list) or not spec:
+        raise InvalidPipeline("$documents requires a non-empty array of documents")
+    if not all(isinstance(d, dict) for d in spec):
+        raise InvalidPipeline("$documents entries must be documents")
+    return df.sparkSession.createDataFrame(spec)
+
+
 def stage_sample(df: DataFrame, spec, engine) -> DataFrame:
     size = int(spec["size"]) if isinstance(spec, dict) else int(spec)
     # deterministic given a fixed partitioning; at scale this is a
@@ -1298,6 +1313,7 @@ STAGES = {
     "$replaceRoot": stage_replace_root,
     "$replaceWith": stage_replace_root,
     "$unionWith": stage_union_with,
+    "$documents": stage_documents,
     "$sample": stage_sample,
     "$sortByCount": stage_sort_by_count,
     "$setWindowFields": stage_set_window_fields,

@@ -394,3 +394,13 @@ class TestBucketAuto:
         df = spark.createDataFrame([(1.0,), (2.0,), (None,)], "v double")
         out = agg(df, [{"$bucketAuto": {"groupBy": "$v", "buckets": 1}}])
         assert sum(r["count"] for r in out) == 2
+
+
+def test_documents_stage(spark):
+    eng = Engine()
+    df = spark.createDataFrame([(1,)], "x long")
+    out = eng.aggregate(df, [
+        {"$documents": [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]},
+        {"$match": {"a": {"$gte": 2}}},
+    ])
+    assert [r.asDict() for r in out.collect()] == [{"a": 2, "b": "y"}]
