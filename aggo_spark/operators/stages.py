@@ -438,6 +438,16 @@ def stage_lookup(df: DataFrame, spec: dict, engine) -> DataFrame:
     foreign = engine.collection(spec["from"])
     as_ = spec["as"]
     if "pipeline" in spec or "let" in spec:
+        if "localField" in spec and "foreignField" in spec:
+            # MongoDB 5.0 concise correlated form: the equi fields desugar
+            # to a `let` binding plus a leading $expr equality, which the
+            # sub-pipeline translator plans as the equi join key
+            let = dict(spec.get("let") or {})
+            let["__aggo_cl"] = f"${spec['localField']}"
+            sub = [{"$match": {"$expr": {"$eq": [
+                f"${spec['foreignField']}", "$$__aggo_cl"]}}}]
+            sub += list(spec.get("pipeline") or [])
+            spec = {**spec, "let": let, "pipeline": sub}
         return _lookup_pipeline(df, spec, foreign, engine)
     local, fk = spec["localField"], spec["foreignField"]
     fctx = ExprContext(schema=foreign.schema)

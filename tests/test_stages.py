@@ -319,6 +319,28 @@ def test_lookup_unwind_fusion(spark):
     assert got == [(1, 0), (1, 1), (2, 0)]
 
 
+def test_lookup_concise_correlated(spark):
+    """MongoDB 5.0 concise form: localField/foreignField combined WITH a
+    pipeline — the equi fields must constrain the sub-pipeline (previously
+    they were silently ignored, matching every foreign row)."""
+    orders_df = spark.createDataFrame(
+        [{"_id": 1, "cust": 10}, {"_id": 2, "cust": 20}, {"_id": 3, "cust": 99}])
+    items = spark.createDataFrame(
+        [{"cid": 10, "sku": "x", "qty": 1}, {"cid": 10, "sku": "y", "qty": 9},
+         {"cid": 20, "sku": "z", "qty": 3}])
+    out = aggregate(
+        orders_df,
+        [{"$lookup": {"from": "items", "localField": "cust",
+                      "foreignField": "cid",
+                      "pipeline": [{"$match": {"qty": {"$gte": 2}}}],
+                      "as": "big"}}],
+        collections={"items": items},
+    )
+    got = sorted((r["_id"], sorted(i["sku"] for i in r["big"]))
+                 for r in out.collect())
+    assert got == [(1, ["y"]), (2, ["z"]), (3, [])]
+
+
 def test_lookup_pipeline_group(spark):
     orders_df = spark.createDataFrame([{"_id": 1, "cust": 10}, {"_id": 2, "cust": 20}, {"_id": 3, "cust": 99}])
     items = spark.createDataFrame(
