@@ -1104,6 +1104,13 @@ def stage_graph_lookup(df: DataFrame, spec: dict, engine) -> DataFrame:
         if req not in spec:
             raise InvalidPipeline(f"$graphLookup requires {req}")
     foreign = engine.collection(spec["from"])
+    restrict = spec.get("restrictSearchWithMatch")
+    if restrict:
+        # applied to every traversal candidate; pre-filtering the foreign
+        # side is equivalent since all hops draw from it (and lets the
+        # filter push to the scan once instead of per hop)
+        foreign = foreign.filter(
+            match_to_column(restrict, ExprContext(schema=foreign.schema)))
     max_depth = int(spec.get("maxDepth", 20))
     depth_field = spec.get("depthField")
     as_field = spec["as"]

@@ -151,6 +151,21 @@ class TestGraphLookup:
         by = {r["name"]: r for r in out}
         assert len(by["c"]["chain"]) == 1  # only the direct manager
 
+    def test_restrict_search_with_match(self, spark, org):
+        eng = Engine({"org": org})
+        out = eng.aggregate("org", [
+            {"$graphLookup": {"from": "org", "startWith": "$reports_to",
+                              "connectFromField": "reports_to",
+                              "connectToField": "name",
+                              "restrictSearchWithMatch": {"name": {"$ne": "b"}},
+                              "as": "chain"}},
+            {"$sort": {"name": 1}},
+        ]).collect()
+        by = {r["name"]: r for r in out}
+        # traversal from c stops because hop "b" is filtered out entirely
+        assert by["c"]["chain"] == []
+        assert [c["name"] for c in by["b"]["chain"]] == ["a"]
+
     def test_cycle_terminates(self, spark):
         cyc = spark.createDataFrame(
             [("x", "y"), ("y", "x")], "name string, next string")
