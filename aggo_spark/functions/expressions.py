@@ -973,6 +973,107 @@ def _op_iso_week_year(spec, ctx):
     return F.year(thursday)
 
 
+def _op_date_from_parts(spec, ctx):
+    """$dateFromParts — calendar form (year/month/...) and ISO week form
+    (isoWeekYear/isoWeek/isoDayOfWeek). MongoDB 3.6."""
+    if not isinstance(spec, dict):
+        raise InvalidPipeline("$dateFromParts requires a document")
+    if spec.get("timezone") not in (None, "UTC", "+00:00", "Z"):
+        raise UnsupportedExpression("$dateFromParts: only UTC timezone supported")
+
+    def part(name, default):
+        return (translate_expr(spec[name], ctx).cast("int")
+                if name in spec else F.lit(default))
+
+    hour, minute = part("hour", 0), part("minute", 0)
+    # seconds may carry a fraction; fold millisecond in as fractional seconds
+    sec = (translate_expr(spec["second"], ctx).cast("double")
+           if "second" in spec else F.lit(0.0))
+    if "millisecond" in spec:
+        sec = sec + translate_expr(spec["millisecond"], ctx).cast("double") / F.lit(1000.0)
+    if "isoWeekYear" in spec:
+        y = part("isoWeekYear", None)
+        week = translate_expr(spec.get("isoWeek", 1), ctx).cast("int")
+        dow = translate_expr(spec.get("isoDayOfWeek", 1), ctx).cast("int")
+        # ISO week 1 contains Jan 4; Monday of week 1 anchors the grid
+        jan4 = F.make_date(y, F.lit(1), F.lit(4))
+        week1_monday = F.date_sub(jan4, _iso_day_of_week(jan4) - F.lit(1))
+        day = F.date_add(week1_monday, (week - F.lit(1)) * F.lit(7) + dow - F.lit(1))
+        base = F.make_timestamp_ntz(
+            F.year(day), F.month(day), F.dayofmonth(day), hour, minute, sec)
+        return base
+    if "year" not in spec:
+        raise InvalidPipeline("$dateFromParts requires year or isoWeekYear")
+    return F.make_timestamp_ntz(
+        part("year", None), part("month", 1), part("day", 1), hour, minute, sec)
+
+
+def _op_date_to_parts(spec, ctx):
+    """$dateToParts — struct of calendar (or iso8601) parts. MongoDB 3.6."""
+    if not isinstance(spec, dict) or "date" not in spec:
+        raise InvalidPipeline("$dateToParts requires {date[, iso8601]}")
+    d = translate_expr(spec["date"], ctx)
+    common = [
+        F.hour(d).alias("hour"), F.minute(d).alias("minute"),
+        F.second(d).alias("second"),
+        (_millis(d) % F.lit(1000)).cast("int").alias("millisecond"),
+    ]
+    if spec.get("iso8601"):
+        thursday = F.date_add(d.cast("date"), F.lit(4) - _iso_day_of_week(d))
+        return F.struct(
+            F.year(thursday).alias("isoWeekYear"),
+            F.weekofyear(d).alias("isoWeek"),
+            _iso_day_of_week(d).alias("isoDayOfWeek"), *common)
+    return F.struct(
+        F.year(d).alias("year"), F.month(d).alias("month"),
+        F.dayofmonth(d).alias("day"), *common)
+
+
+def _op_let(spec, ctx):
+    """$let {vars, in} — bindings evaluated in the OUTER scope (MongoDB
+    semantics: vars cannot see each other), then `in` under the new scope."""
+    if not isinstance(spec, dict) or "in" not in spec:
+        raise InvalidPipeline("$let requires {vars, in}")
+    bound, types = {}, {}
+    for name, vexpr in (spec.get("vars") or {}).items():
+        bound[name] = translate_expr(vexpr, ctx)
+        t = ctx.infer_type(vexpr)
+        if t is not None:
+            types[name] = t
+    return translate_expr(spec["in"], ctx.with_vars(bound, types))
+
+
+def _bit_factory(fold):
+    def op(spec, ctx):
+        cols = [c.cast("long") for c in _tx(_args(spec, at_least=1), ctx)]
+        out = cols[0]
+        for c in cols[1:]:
+            out = fold(out, c)
+        return out
+    return op
+
+
+def _op_first_n(spec, ctx, last=False):
+    """$firstN/$lastN array expressions (MongoDB 5.2): leading/trailing n."""
+    if not isinstance(spec, dict) or "n" not in spec or "input" not in spec:
+        raise InvalidPipeline("requires {n, input}")
+    arr = translate_expr(spec["input"], ctx)
+    n = translate_expr(spec["n"], ctx).cast("int")
+    if last:
+        return F.slice(arr, F.greatest(F.size(arr) - n + F.lit(1), F.lit(1)), n)
+    return F.slice(arr, F.lit(1), n)
+
+
+def _op_min_n(spec, ctx, desc=False):
+    if not isinstance(spec, dict) or "n" not in spec or "input" not in spec:
+        raise InvalidPipeline("requires {n, input}")
+    arr = translate_expr(spec["input"], ctx)
+    # MongoDB $minN/$maxN ignore nulls in the input array
+    arr = F.filter(arr, lambda x: x.isNotNull())
+    arr = F.sort_array(arr, asc=not desc)
+    return F.slice(arr, F.lit(1), translate_expr(spec["n"], ctx).cast("int"))
+
+
 # ---------------------------------------------------------------------------
 # $convert (MongoDB 4.0) — general checked conversion
 # ---------------------------------------------------------------------------
@@ -1171,4 +1272,22 @@ OPERATORS: dict[str, object] = {
     "$log": _cmp_factory(lambda num, base: F.log(num) / F.log(base)),
     # random (MongoDB 4.4)
     "$rand": lambda spec, ctx: F.rand(),
+    # variable binding (MongoDB 2.6)
+    "$let": _op_let,
+    # date construction/deconstruction (MongoDB 3.6)
+    "$dateFromParts": _op_date_from_parts,
+    "$dateToParts": _op_date_to_parts,
+    # bitwise (MongoDB 6.3)
+    "$bitAnd": _bit_factory(lambda a, b: a.bitwiseAND(b)),
+    "$bitOr": _bit_factory(lambda a, b: a.bitwiseOR(b)),
+    "$bitXor": _bit_factory(lambda a, b: a.bitwiseXOR(b)),
+    "$bitNot": lambda spec, ctx: F.bitwise_not(
+        translate_expr(_args(spec, 1)[0], ctx).cast("long")),
+    # byte-indexed substring (legacy $substr is byte-based; ASCII≡CP, COMPAT.md)
+    "$substrBytes": _op_substr,
+    # n-element array selectors (MongoDB 5.2 expression forms)
+    "$firstN": _op_first_n,
+    "$lastN": lambda spec, ctx: _op_first_n(spec, ctx, last=True),
+    "$minN": _op_min_n,
+    "$maxN": lambda spec, ctx: _op_min_n(spec, ctx, desc=True),
 }

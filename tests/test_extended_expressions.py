@@ -168,3 +168,59 @@ class TestConvertTrig:
         assert abs(out[0]["pi"] - math.pi) < 1e-12
         assert out[0]["lg"] == 3.0
         assert abs(out[0]["deg"] - 180.0) < 1e-12
+
+
+class TestLetDatePartsBitwise:
+    def test_let_binding(self, spark, docs):
+        out = project(docs, {"x": {"$let": {
+            "vars": {"t": {"$add": ["$obj.a", 10]}},
+            "in": {"$multiply": ["$$t", 2]}}}})
+        assert [r["x"] for r in out] == [22, 30]
+
+    def test_let_vars_outer_scope(self, spark, docs):
+        # vars evaluate in the OUTER scope: `a` here is the field, not the var
+        out = project(docs, {"x": {"$let": {
+            "vars": {"a": 100, "b": {"$add": ["$obj.a", 0]}},
+            "in": {"$add": ["$$a", "$$b"]}}}})
+        assert [r["x"] for r in out] == [101, 105]
+
+    def test_date_from_parts(self, spark, docs):
+        out = project(docs, {"d": {"$dateFromParts": {
+            "year": 2021, "month": 2, "day": 3, "hour": 4,
+            "minute": 5, "second": 6, "millisecond": 789}}})
+        assert out[0]["d"] == dt.datetime(2021, 2, 3, 4, 5, 6, 789000)
+
+    def test_date_from_parts_iso(self, spark, docs):
+        # ISO 2021-W01-1 is Monday 2021-01-04
+        out = project(docs, {"d": {"$dateFromParts": {
+            "isoWeekYear": 2021, "isoWeek": 1, "isoDayOfWeek": 1}}})
+        assert out[0]["d"] == dt.datetime(2021, 1, 4)
+
+    def test_date_to_parts_roundtrip(self, spark, docs):
+        out = project(docs, {"p": {"$dateToParts": {"date": "$ts"}},
+                             "pi": {"$dateToParts": {"date": "$ts", "iso8601": True}}})
+        p = out[0]["p"]
+        assert (p["year"], p["month"], p["day"], p["hour"], p["minute"],
+                p["second"], p["millisecond"]) == (2024, 3, 15, 10, 30, 45, 0)
+        assert out[0]["pi"]["isoDayOfWeek"] == 5  # 2024-03-15 is a Friday
+
+    def test_bitwise(self, spark, docs):
+        out = project(docs, {
+            "a": {"$bitAnd": [12, 10, 8]}, "o": {"$bitOr": [1, 2, 4]},
+            "x": {"$bitXor": [12, 10]}, "n": {"$bitNot": 0}})
+        assert (out[0]["a"], out[0]["o"], out[0]["x"], out[0]["n"]) == (8, 7, 6, -1)
+
+    def test_substr_bytes(self, spark, docs):
+        out = project(docs, {"x": {"$substrBytes": ["$s", 0, 5]}})
+        assert out[0]["x"] == "hello"
+
+    def test_first_last_min_max_n(self, spark, docs):
+        out = project(docs, {
+            "f": {"$firstN": {"n": 2, "input": "$arr2"}},
+            "l": {"$lastN": {"n": 2, "input": "$arr2"}},
+            "mn": {"$minN": {"n": 2, "input": "$arr2"}},
+            "mx": {"$maxN": {"n": 2, "input": "$arr2"}}})
+        assert out[1]["f"] == [30, 40] and out[1]["l"] == [40, 50]
+        assert out[1]["mn"] == [30, 40] and out[1]["mx"] == [50, 40]
+        # n larger than the array: whole array, no padding
+        assert out[0]["f"] == [10, 20] and out[0]["l"] == [10, 20]
