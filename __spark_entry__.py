@@ -993,6 +993,47 @@ def q66_skew_salted(spark, sf_dir):
     return out.withColumn("n", F.col("n").cast("long"))
 
 
+def q67_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate
+    word/line fractions + most-covering 2/3-gram character fraction.
+    Shuffle-free per-row HOFs — scales with the scan at 100 TB."""
+    df = _t(spark, sf_dir, "documents")
+    cols = text.repetition_stats(F.col("text"))
+    return df.select("doc_id", *[v.alias(k) for k, v in cols.items()]).orderBy("doc_id")
+
+
+def q68_c4_filters(spark, sf_dir):
+    """C4-style curation flags (Raffel et al. 2020 §2.2): terminal-punct
+    line fraction, boilerplate markers, sentence stats. Narrow, no shuffle."""
+    df = _t(spark, sf_dir, "documents")
+    cols = text.c4_quality_flags(F.col("text"))
+    return df.select("doc_id", *[v.alias(k) for k, v in cols.items()]).orderBy("doc_id")
+
+
+def q69_pii_redact(spark, sf_dir):
+    """PII counting + redaction (email/IPv4/phone → typed placeholders).
+    Deterministic synthetic PII is appended to every third doc so the
+    replacement paths are actually exercised; output carries the md5 of the
+    redacted text so the oracle compares content, not bulk strings."""
+    df = _t(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" tel +1 555 123 4567"),
+        ),
+    ).otherwise(F.col("text"))
+    counts = text.pii_counts(aug)
+    return df.select(
+        "doc_id",
+        *[v.alias(k) for k, v in counts.items()],
+        F.md5(text.redact_pii(aug)).alias("red_fp"),
+    ).orderBy("doc_id")
+
+
 _STREAMING_QUERIES = {"q42_stream_agg", "q43_stream_window", "q51_stream_stateful"}
 
 
@@ -1061,6 +1102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_graph_lookup": q64_graph_lookup,
         "q65_regex_index": q65_regex_index,
         "q66_skew_salted": q66_skew_salted,
+        "q67_repetition": q67_repetition,
+        "q68_c4_filters": q68_c4_filters,
+        "q69_pii_redact": q69_pii_redact,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -1097,6 +1141,29 @@ def oracle_sql() -> dict[str, str]:
     tok_doc = _TOKENS.format(c="text")
     norm_doc = _NORM.format(c="text")
     lang_scores, lang_pred = _lang_scores_sql()
+    # PII patterns hold regex braces — splice via replace, not f-strings
+    pii_sql = """
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com or 10.0.0.'
+                           || CAST(doc_id % 256 AS VARCHAR)
+                           || ' tel +1 555 123 4567'
+                      ELSE text END AS t
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '@EMAIL@', 0)) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(t, '@IPV4@', 0)) AS INT) AS n_ipv4,
+               CAST(len(regexp_extract_all(t, '@PHONE@', 0)) AS INT) AS n_phone,
+               md5(regexp_replace(regexp_replace(regexp_replace(
+                   t, '@EMAIL@', '[EMAIL]', 'g'),
+                      '@IPV4@', '[IPV4]', 'g'),
+                      '@PHONE@', '[PHONE]', 'g')) AS red_fp
+        FROM aug ORDER BY doc_id
+    """
+    for kind, pat in text.PII_PATTERNS.items():
+        pii_sql = pii_sql.replace(f"@{kind.upper()}@", pat)
     return {
         "q01_group_agg": """
             SELECT l_returnflag, l_linestatus,
@@ -1728,6 +1795,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS max_cents
             FROM events GROUP BY 1
         """,
+        "q67_repetition": f"""
+            WITH t AS (
+              SELECT doc_id, {tok_doc} AS tok, text,
+                     length({norm_doc}) AS nch
+              FROM documents),
+            lns AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+              FROM documents),
+            g2 AS (
+              SELECT doc_id, max(c * length(g)) AS best FROM (
+                SELECT doc_id, g, count(*) AS c FROM (
+                  SELECT doc_id,
+                         unnest(list_transform(range(1, len(tok)),
+                                               i -> tok[i] || ' ' || tok[i+1])) AS g
+                  FROM t) GROUP BY doc_id, g) GROUP BY doc_id),
+            g3 AS (
+              SELECT doc_id, max(c * length(g)) AS best FROM (
+                SELECT doc_id, g, count(*) AS c FROM (
+                  SELECT doc_id,
+                         unnest(list_transform(range(1, len(tok) - 1),
+                                               i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS g
+                  FROM t) GROUP BY doc_id, g) GROUP BY doc_id)
+            SELECT t.doc_id,
+                   round(CASE WHEN len(tok) > 0
+                              THEN 1.0 - CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok)
+                              ELSE 0.0 END, 6) AS word_rep_frac,
+                   round(CASE WHEN len(ls) > 0
+                              THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+                              ELSE 0.0 END, 6) AS line_rep_frac,
+                   round(CASE WHEN nch > 0
+                              THEN CAST(coalesce(g2.best, 0) AS DOUBLE) / nch
+                              ELSE 0.0 END, 6) AS top2gram_char_frac,
+                   round(CASE WHEN nch > 0
+                              THEN CAST(coalesce(g3.best, 0) AS DOUBLE) / nch
+                              ELSE 0.0 END, 6) AS top3gram_char_frac
+            FROM t JOIN lns USING (doc_id)
+                 LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "q68_c4_filters": f"""
+            WITH t AS (
+              SELECT doc_id, text, {tok_doc} AS tok,
+                     list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls,
+                     len(regexp_extract_all(text, '[.!?]+', 0)) AS n_sent
+              FROM documents)
+            SELECT doc_id,
+                   round(CASE WHEN len(ls) > 0
+                              THEN CAST(len(list_filter(ls,
+                                   l -> regexp_matches(trim(l), '[.!?"]$'))) AS DOUBLE) / len(ls)
+                              ELSE 0.0 END, 6) AS terminal_punct_line_frac,
+                   contains(text, '{{') AS has_curly_brace,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+                   CAST(n_sent AS INT) AS n_sentences,
+                   round(CASE WHEN n_sent > 0
+                              THEN CAST(len(tok) AS DOUBLE) / n_sent
+                              ELSE 0.0 END, 6) AS mean_words_per_sentence
+            FROM t ORDER BY doc_id
+        """,
+        "q69_pii_redact": pii_sql,
         "q46_densify_fill": """
             WITH daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

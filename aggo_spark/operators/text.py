@@ -18,6 +18,11 @@ __all__ = [
     "word_ngrams",
     "token_stats",
     "quality_score",
+    "repetition_stats",
+    "c4_quality_flags",
+    "pii_counts",
+    "redact_pii",
+    "PII_PATTERNS",
     "language_id",
     "language_id_from_tokens",
     "add_language_id",
@@ -107,10 +112,12 @@ def explode_shingles(
 def word_ngrams(tok: Column, n: int = 3) -> Column:
     """word n-grams over a token array (array<string>)."""
     cnt = F.size(tok)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, and slice rejects
+    # a 0 start — short docs must yield an empty gram array instead
+    idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - F.lit(n - 1))).otherwise(
+        F.array().cast("array<int>")
     )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, n)))
 
 
 # BPE-ish word/number/punct segmentation — same regex is valid in Java
@@ -276,6 +283,117 @@ def quality_score(text: Column) -> dict[str, Column]:
         "mean_token_len": F.round(mean_len, 6),
         "quality": F.round(score, 6),
     }
+
+
+def _max_run_chars(sorted_arr: Column) -> Column:
+    """Max over distinct values of count(value) * length(value), computed as
+    the best run in a SORTED array — one HOF pass, no shuffle, no explode.
+
+    This is the numerator of Gopher's "fraction of characters in the most
+    frequent n-gram" signal, made tie-deterministic by scoring coverage
+    (count × chars) instead of bare count.
+    """
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def merge(acc, x):
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
+        cand = (run * F.length(x)).cast("long")
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], cand).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, merge, lambda acc: acc["best"])
+
+
+def repetition_stats(text: Column, ngram_sizes: tuple[int, ...] = (2, 3)) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1), shuffle-free.
+
+    - ``word_rep_frac``: 1 − distinct words / words.
+    - ``line_rep_frac``: 1 − distinct non-empty lines / lines.
+    - ``top{n}gram_char_frac``: characters covered by the most
+      character-covering word n-gram ÷ total normalized chars.
+
+    All signals are per-row HOFs over token arrays: narrow, codegen'd, and
+    scale with the scan (no explode, no groupBy). Beyond the reference's
+    scope — training-data curation operators (see SURVEY.md north star).
+    """
+    tok = tokens(text)
+    n_tok = F.size(tok)
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    norm_chars = F.length(normalize_text(text))
+    out: dict[str, Column] = {
+        "word_rep_frac": F.round(
+            F.when(n_tok > 0,
+                   F.lit(1.0) - F.size(F.array_distinct(tok)).cast("double") / n_tok
+                   ).otherwise(F.lit(0.0)), 6),
+        "line_rep_frac": F.round(
+            F.when(n_lines > 0,
+                   F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines
+                   ).otherwise(F.lit(0.0)), 6),
+    }
+    for n in ngram_sizes:
+        grams = F.array_sort(word_ngrams(tok, n))
+        out[f"top{n}gram_char_frac"] = F.round(
+            F.when(norm_chars > 0,
+                   _max_run_chars(grams).cast("double") / norm_chars
+                   ).otherwise(F.lit(0.0)), 6)
+    return out
+
+
+def c4_quality_flags(text: Column) -> dict[str, Column]:
+    """C4-style line/document heuristics (Raffel et al. 2020 §2.2).
+
+    Per-row flags a curation pipeline filters on; pure Column, narrow.
+    """
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    terminal = F.size(F.filter(lines, lambda l: F.trim(l).rlike('[.!?"]$')))
+    n_sentences = F.regexp_count(text, F.lit("[.!?]+")).cast("int")
+    n_tok = F.size(tokens(text))
+    return {
+        "terminal_punct_line_frac": F.round(
+            F.when(n_lines > 0, terminal.cast("double") / n_lines).otherwise(F.lit(0.0)), 6),
+        "has_curly_brace": F.contains(text, F.lit("{")),
+        "has_lorem_ipsum": F.contains(F.lower(text), F.lit("lorem ipsum")),
+        "n_sentences": n_sentences,
+        "mean_words_per_sentence": F.round(
+            F.when(n_sentences > 0, n_tok.cast("double") / n_sentences).otherwise(F.lit(0.0)), 6),
+    }
+
+
+# PII patterns in the Java∩RE2 regex subset so Spark and DuckDB agree
+# (no lookaround; \b works in both engines).
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4": "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone": "\\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (one regexp_count scan each, no arrays)."""
+    return {
+        f"n_{kind}": F.regexp_count(text, F.lit(pat)).cast("int")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / IPv4s / phone numbers with typed placeholders.
+
+    Chained regexp_replace — narrow, codegen'd, ~3 scans of the string.
+    Order matters: emails first so their host part is not half-eaten by the
+    IP pattern."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
 
 
 def fingerprint(text: Column) -> Column:

@@ -291,3 +291,55 @@ def test_normalize_and_quantize(spark, vecs):
     for r in both.collect():
         assert abs(r["cq"] - r["ce"]) < 0.02
         assert abs(r["dq"] - r["de"]) < 0.05
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat.\nthe cat sat.\nThe dog ran!"),
+         (2, "a b a b a b c"),
+         (3, "x")],  # fewer tokens than n: empty gram array, frac 0
+        "doc_id long, text string")
+    cols = text.repetition_stats(F.col("text"))
+    out = {r["doc_id"]: r.asDict() for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in cols.items()]).collect()}
+    # doc1: 9 words, 5 distinct; 3 lines, 2 distinct
+    assert abs(out[1]["word_rep_frac"] - (1 - 5 / 9)) < 1e-6
+    assert abs(out[1]["line_rep_frac"] - (1 - 2 / 3)) < 1e-6
+    # doc2 2-grams: 'a b'×3 (cover 9), 'b a'×2, 'b c'×1; 13 normalized chars
+    assert abs(out[2]["top2gram_char_frac"] - 9 / 13) < 1e-5
+    assert out[3]["top2gram_char_frac"] == 0.0
+    assert out[3]["word_rep_frac"] == 0.0
+
+
+def test_c4_quality_flags(spark):
+    df = spark.createDataFrame(
+        [(1, 'Good line.\nAlso fine!\nno punct end'),
+         (2, "code { lorem ipsum }")],
+        "doc_id long, text string")
+    cols = text.c4_quality_flags(F.col("text"))
+    out = {r["doc_id"]: r.asDict() for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in cols.items()]).collect()}
+    assert abs(out[1]["terminal_punct_line_frac"] - 2 / 3) < 1e-6
+    assert out[1]["n_sentences"] == 2
+    assert not out[1]["has_curly_brace"]
+    assert out[2]["has_curly_brace"] and out[2]["has_lorem_ipsum"]
+
+
+def test_pii_redaction(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com ip 10.0.0.1 tel +1 555 123 4567 end")],
+        "doc_id long, text string")
+    counts = text.pii_counts(F.col("text"))
+    out = df.select(
+        *[v.alias(k) for k, v in counts.items()],
+        text.redact_pii(F.col("text")).alias("red")).first()
+    assert (out["n_email"], out["n_ipv4"], out["n_phone"]) == (1, 1, 1)
+    assert out["red"] == "mail [EMAIL] ip [IPV4] tel [PHONE] end"
+
+
+def test_word_ngrams_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    out = df.select(
+        text.word_ngrams(text.tokens(F.col("text")), 3).alias("g3"),
+        text.word_ngrams(text.tokens(F.col("text")), 2).alias("g2")).first()
+    assert out["g3"] == [] and out["g2"] == ["one two"]
