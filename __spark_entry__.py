@@ -1034,6 +1034,16 @@ def q69_pii_redact(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q70_decontaminate(spark, sf_dir):
+    """Train/test decontamination: flag docs sharing any 13-word-gram with a
+    benchmark subset (GPT-3 appendix-C recipe). Benchmark gram set is
+    broadcast — the corpus side never shuffles its grams."""
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    out = dedup.benchmark_ngram_overlap(docs, benchmark, n=13)
+    return out.orderBy("doc_id")
+
+
 _STREAMING_QUERIES = {"q42_stream_agg", "q43_stream_window", "q51_stream_stateful"}
 
 
@@ -1105,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_repetition": q67_repetition,
         "q68_c4_filters": q68_c4_filters,
         "q69_pii_redact": q69_pii_redact,
+        "q70_decontaminate": q70_decontaminate,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -1855,6 +1866,24 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "q69_pii_redact": pii_sql,
+        "q70_decontaminate": f"""
+            WITH tok AS (SELECT doc_id, {tok_doc} AS t FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, md5(g) AS h FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t) - 11),
+                              i -> array_to_string(list_slice(t, i, i + 12), ' '))) AS g
+                FROM tok)),
+            bg AS (SELECT DISTINCT h FROM grams WHERE doc_id % 50 = 0),
+            ov AS (
+              SELECT g.doc_id, count(*) AS c
+              FROM grams g JOIN bg USING (h) GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(c, 0) AS INT) AS n_overlap_grams,
+                   coalesce(c, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN ov USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "q46_densify_fill": """
             WITH daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

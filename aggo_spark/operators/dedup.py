@@ -33,6 +33,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
+    "benchmark_ngram_overlap",
     "connected_components",
     "dedup_clusters",
 ]
@@ -355,6 +356,54 @@ def simhash_pairs(
         pairs.filter(F.col("hamming") <= max_hamming)
         .groupBy("id_a", "id_b")
         .agg(F.min("hamming").alias("hamming"))
+    )
+
+
+def benchmark_ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Train/test decontamination: flag corpus docs sharing any word n-gram
+    with a benchmark set (the GPT-3 appendix-C recipe; n=13 is standard).
+
+    Plan shape (100 TB corpus, MB-scale benchmark):
+      1. corpus → distinct (doc, md5(n-gram)) via explode      (narrow + 1 agg)
+      2. benchmark → distinct gram hash set — tiny, BROADCAST
+      3. broadcast semi-ish inner join + per-doc count         (no big shuffle:
+         the only exchange is the per-doc count of *matching* grams, which is
+         ~0 rows for a clean corpus)
+      4. left join counts back onto corpus ids for the flag column
+
+    md5 grams (not xxhash) so a DuckDB oracle reproduces the set bit-for-bit.
+    """
+    from .text import word_ngrams
+
+    def gram_hashes(df):
+        tok = tokens(F.col(text_col))
+        return (
+            df.select(F.col(id_col), F.explode(word_ngrams(tok, n)).alias("g"))
+            .select(id_col, F.md5("g").alias("h"))
+            .distinct()
+        )
+
+    corpus_grams = gram_hashes(corpus)
+    bench_grams = F.broadcast(gram_hashes(benchmark).select("h").distinct())
+    overlap = (
+        corpus_grams.join(bench_grams, "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap_grams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(overlap, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap_grams", F.lit(0)).cast("int").alias("n_overlap_grams"),
+            (F.coalesce("n_overlap_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
     )
 
 

@@ -343,3 +343,18 @@ def test_word_ngrams_short_doc(spark):
         text.word_ngrams(text.tokens(F.col("text")), 3).alias("g3"),
         text.word_ngrams(text.tokens(F.col("text")), 2).alias("g2")).first()
     assert out["g3"] == [] and out["g2"] == ["one two"]
+
+
+def test_benchmark_ngram_overlap(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),   # contains the bench 3-gram
+         (2, "beta gamma delta zeta eta"),        # shares 'beta gamma delta'
+         (3, "one two three four five")],         # clean
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(99, "xxx beta gamma delta yyy")], "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           dedup.benchmark_ngram_overlap(corpus, bench, n=3).collect()}
+    assert out[1]["contaminated"] and out[2]["contaminated"]
+    assert not out[3]["contaminated"] and out[3]["n_overlap_grams"] == 0
+    assert out[1]["n_overlap_grams"] == 1  # only 'beta gamma delta'
