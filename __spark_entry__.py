@@ -1044,6 +1044,30 @@ def q70_decontaminate(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def q71_token_budget(spark, sf_dir):
+    """Greedy per-source token-budget selection in deterministic hash order
+    (the data-mixing step of a curation pipeline). One window exchange."""
+    from aggo_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.token_budget_sample(
+        docs, ["source"], 5000, "n_chars",
+        order_col=sampling.hash_order(F.col("doc_id").cast("string")))
+    return out.select("doc_id", "source", "n_chars", "cum_tokens", "kept").orderBy("doc_id")
+
+
+def q72_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: at most 10 docs per language,
+    chosen by content-hash order — idempotent across reruns/cluster sizes."""
+    from aggo_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs, ["lang"], 10,
+        order_col=sampling.hash_order(F.col("doc_id").cast("string")))
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 _STREAMING_QUERIES = {"q42_stream_agg", "q43_stream_window", "q51_stream_stateful"}
 
 
@@ -1116,6 +1140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_c4_filters": q68_c4_filters,
         "q69_pii_redact": q69_pii_redact,
         "q70_decontaminate": q70_decontaminate,
+        "q71_token_budget": q71_token_budget,
+        "q72_stratified": q72_stratified,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -1883,6 +1909,27 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN ov USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "q71_token_budget": """
+            SELECT doc_id, source, n_chars,
+                   sum(n_chars) OVER (
+                     PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR))
+                     ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+                   sum(n_chars) OVER (
+                     PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR))
+                     ROWS UNBOUNDED PRECEDING) <= 5000 AS kept
+            FROM documents ORDER BY doc_id
+        """,
+        "q72_stratified": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+              FROM documents)
+            WHERE rn <= 10 ORDER BY doc_id
         """,
         "q46_densify_fill": """
             WITH daily AS (

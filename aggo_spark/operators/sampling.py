@@ -1,0 +1,78 @@
+"""Deterministic sampling / data-mixing operators for curation pipelines.
+
+A pretraining mix is built by taking *per-group quotas* — "at most N docs
+per source", "at most T tokens per language" — and the selection must be
+deterministic so reruns produce the same corpus. Randomness comes from a
+content hash (md5), never from rand(), so a DuckDB oracle reproduces every
+row and the operator is idempotent across cluster sizes.
+
+Plan shape at 100 TB: each operator is ONE window exchange on the group
+key (hash-partitioned, AQE-skew-safe). No driver-side state, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_order",
+    "stratified_sample",
+    "token_budget_sample",
+]
+
+
+def hash_order(*cols: Column | str) -> Column:
+    """Deterministic pseudo-random ordering key: md5 over the concatenated
+    column values. Stable across runs, partitionings, and Spark versions."""
+    return F.md5(F.concat_ws("\x1f", *cols))
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    n_per_group: int,
+    order_col: Column | str | None = None,
+) -> DataFrame:
+    """Keep at most ``n_per_group`` rows per group, chosen deterministically
+    by ``order_col`` (default: content-hash order over all columns is NOT
+    defined — pass the id/text column to hash).
+
+    One window exchange; the filter happens before any downstream shuffle,
+    so at 100 TB the output (not the input) flows on.
+    """
+    if order_col is None:
+        raise ValueError("pass order_col (e.g. hash_order(df['doc_id']))")
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    budget: int,
+    token_col: Column | str,
+    order_col: Column | str | None = None,
+) -> DataFrame:
+    """Greedy token-budget selection: walk each group in deterministic
+    order, keep rows while the running token total stays <= ``budget``.
+
+    Adds ``cum_tokens`` (inclusive running sum) and ``kept``. The first row
+    of a group is always kept-eligible only if it fits, mirroring a strict
+    budget. Single window exchange on the group key.
+    """
+    if order_col is None:
+        raise ValueError("pass order_col (e.g. hash_order(df['doc_id']))")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    return df.withColumn("cum_tokens", F.sum(tok).over(w)).withColumn(
+        "kept", F.col("cum_tokens") <= F.lit(budget)
+    )

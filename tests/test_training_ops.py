@@ -358,3 +358,27 @@ def test_benchmark_ngram_overlap(spark):
     assert out[1]["contaminated"] and out[2]["contaminated"]
     assert not out[3]["contaminated"] and out[3]["n_overlap_grams"] == 0
     assert out[1]["n_overlap_grams"] == 1  # only 'beta gamma delta'
+
+
+def test_sampling_ops(spark):
+    from aggo_spark.operators import sampling
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), 10) for i in range(20)],
+        "doc_id long, source string, n_tok long")
+    strat = sampling.stratified_sample(
+        df, ["source"], 3,
+        order_col=sampling.hash_order(F.col("doc_id").cast("string")))
+    assert strat.count() == 6
+    assert strat.groupBy("source").count().filter("count != 3").count() == 0
+    # deterministic: same rows on rerun
+    ids1 = sorted(r["doc_id"] for r in strat.collect())
+    ids2 = sorted(r["doc_id"] for r in strat.collect())
+    assert ids1 == ids2
+
+    bud = sampling.token_budget_sample(
+        df, ["source"], 35, "n_tok",
+        order_col=sampling.hash_order(F.col("doc_id").cast("string")))
+    kept = bud.filter("kept").groupBy("source").agg(
+        F.sum("n_tok").alias("t"), F.count("*").alias("n")).collect()
+    for r in kept:  # 3 docs of 10 tokens fit a 35-token budget, never 4
+        assert r["t"] == 30 and r["n"] == 3
