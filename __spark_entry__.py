@@ -1068,6 +1068,22 @@ def q72_stratified(spark, sf_dir):
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def q73_fill_linear(spark, sf_dir):
+    """$fill method:"linear" (MongoDB 5.3): interpolate nulled-out readings
+    between surrounding observations, per event_type, proportional to the
+    numeric sort key. Two mirrored window frames, one shuffle."""
+    eng = _engine(spark, sf_dir)
+    return eng.aggregate("events", [
+        {"$set": {"v": {"$cond": [
+            {"$eq": [{"$mod": ["$event_id", 5]}, 0]}, None, "$value"]}}},
+        {"$fill": {"partitionBy": "$event_type", "sortBy": {"event_id": 1},
+                   "output": {"v": {"method": "linear"}}}},
+        {"$project": {"_id": 0, "event_id": 1, "event_type": 1,
+                      "v": {"$round": ["$v", 6]}}},
+        {"$sort": {"event_id": 1}},
+    ])
+
+
 _STREAMING_QUERIES = {"q42_stream_agg", "q43_stream_window", "q51_stream_stateful"}
 
 
@@ -1142,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_decontaminate": q70_decontaminate,
         "q71_token_budget": q71_token_budget,
         "q72_stratified": q72_stratified,
+        "q73_fill_linear": q73_fill_linear,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -1930,6 +1947,33 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
               FROM documents)
             WHERE rn <= 10 ORDER BY doc_id
+        """,
+        "q73_fill_linear": """
+            WITH t AS (
+              SELECT event_id, event_type,
+                     CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+              FROM events),
+            f AS (
+              SELECT event_id, event_type, v,
+                     last_value(v IGNORE NULLS) OVER wp AS pv,
+                     last_value(CASE WHEN v IS NOT NULL
+                                     THEN CAST(event_id AS DOUBLE) END IGNORE NULLS)
+                       OVER wp AS ps,
+                     first_value(v IGNORE NULLS) OVER wn AS nv,
+                     first_value(CASE WHEN v IS NOT NULL
+                                      THEN CAST(event_id AS DOUBLE) END IGNORE NULLS)
+                       OVER wn AS ns
+              FROM t
+              WINDOW wp AS (PARTITION BY event_type ORDER BY event_id
+                            ROWS UNBOUNDED PRECEDING),
+                     wn AS (PARTITION BY event_type ORDER BY event_id
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT event_id, event_type,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pv IS NOT NULL AND nv IS NOT NULL
+                              THEN pv + (nv - pv) * (event_id - ps) / (ns - ps)
+                         END, 6) AS v
+            FROM f ORDER BY event_id
         """,
         "q46_densify_fill": """
             WITH daily AS (

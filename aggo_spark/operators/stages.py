@@ -1209,9 +1209,43 @@ def stage_fill(df: DataFrame, spec: dict, engine) -> DataFrame:
             updates[field] = F.coalesce(cur, translate_expr(how["value"], ctx))
         elif isinstance(how, dict) and how.get("method") == "locf":
             updates[field] = F.coalesce(cur, F.last(cur, ignorenulls=True).over(w))
+        elif isinstance(how, dict) and how.get("method") == "linear":
+            updates[field] = _fill_linear(spec, ctx, part_cols, cur)
         else:
-            raise UnsupportedStage(f"$fill method {how!r} not supported (value/locf)")
+            raise UnsupportedStage(
+                f"$fill method {how!r} not supported (value/locf/linear)")
     return df.withColumns(updates)
+
+
+def _fill_linear(spec: dict, ctx: ExprContext, part_cols, cur: Column) -> Column:
+    """MongoDB $fill method:"linear" — interpolate nulls between the
+    surrounding non-null values, proportional to the (numeric or temporal)
+    sortBy key. Two mirrored window frames, no Python; edge nulls (no
+    neighbor on one side) stay null, matching MongoDB."""
+    sort_by = spec.get("sortBy")
+    if not isinstance(sort_by, dict) or len(sort_by) != 1:
+        raise InvalidPipeline('$fill method:"linear" requires a single-field sortBy')
+    sfield, sdir = next(iter(sort_by.items()))
+    s = ctx.resolve_path(sfield)
+    stype = ctx.infer_type(f"${sfield}")
+    s_num = (
+        F.unix_millis(s.cast("timestamp")).cast("double")
+        if isinstance(stype, (T.TimestampType, T.TimestampNTZType, T.DateType))
+        else s.cast("double")
+    )
+    order = s.asc() if sdir >= 0 else s.desc()
+    wprev = Window.partitionBy(*part_cols).orderBy(order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wnext = Window.partitionBy(*part_cols).orderBy(order).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing)
+    curd = cur.cast("double")
+    prev_v = F.last(curd, ignorenulls=True).over(wprev)
+    prev_s = F.last(F.when(cur.isNotNull(), s_num), ignorenulls=True).over(wprev)
+    next_v = F.first(curd, ignorenulls=True).over(wnext)
+    next_s = F.first(F.when(cur.isNotNull(), s_num), ignorenulls=True).over(wnext)
+    interp = prev_v + (next_v - prev_v) * (s_num - prev_s) / (next_s - prev_s)
+    return F.when(cur.isNotNull(), curd).otherwise(
+        F.when(prev_v.isNotNull() & next_v.isNotNull(), interp))
 
 
 def stage_densify(df: DataFrame, spec: dict, engine) -> DataFrame:

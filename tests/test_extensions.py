@@ -419,3 +419,32 @@ def test_documents_stage(spark):
         {"$match": {"a": {"$gte": 2}}},
     ])
     assert [r.asDict() for r in out.collect()] == [{"a": 2, "b": "y"}]
+
+
+class TestFillLinear:
+    def test_linear_interpolation(self, spark):
+        from aggo_spark import aggregate
+        rows = [
+            {"g": "a", "x": 0, "v": 10.0}, {"g": "a", "x": 1, "v": None},
+            {"g": "a", "x": 3, "v": None}, {"g": "a", "x": 4, "v": 50.0},
+            {"g": "a", "x": 5, "v": None},
+            {"g": "b", "x": 0, "v": None}, {"g": "b", "x": 1, "v": 4.0},
+        ]
+        out = aggregate(rows, [
+            {"$fill": {"partitionBy": "$g", "sortBy": {"x": 1},
+                       "output": {"v": {"method": "linear"}}}},
+            {"$sort": {"g": 1, "x": 1}},
+            {"$project": {"_id": 0, "v": 1}},
+        ], spark=spark).collect()
+        # interpolation is proportional to the sort key (x=3 is 3/4 of the
+        # way from 10 to 50); edge nulls stay null (MongoDB semantics)
+        assert [r["v"] for r in out] == [10.0, 20.0, 40.0, 50.0, None, None, 4.0]
+
+    def test_linear_requires_single_sort_field(self, spark):
+        from aggo_spark import aggregate
+        from aggo_spark.errors import InvalidPipeline
+        with pytest.raises(InvalidPipeline):
+            aggregate([{"g": 1, "v": 2.0}, {"g": 1, "v": None}], [
+                {"$fill": {"partitionBy": "$g",
+                           "output": {"v": {"method": "linear"}}}},
+            ], spark=spark).collect()
