@@ -149,6 +149,14 @@ def _accumulator(op: str, arg: object, ctx: ExprContext, order_by: dict | None =
             col = translate_expr(arg, ctx)
             items = [(f, col.getField(f)) for f in t.fieldNames()]
         return F.struct(*[F.last(c, ignorenulls=True).alias(k) for k, c in items])
+    if op in ("$covariancePop", "$covarianceSamp"):
+        # MongoDB 5.0 window operators; also usable in $group here (natural
+        # extension — they are plain mergeable aggregates in Spark)
+        if not isinstance(arg, list) or len(arg) != 2:
+            raise InvalidPipeline(f"{op} requires a two-element array [x, y]")
+        x = translate_expr(arg[0], ctx).cast("double")
+        y = translate_expr(arg[1], ctx).cast("double")
+        return (F.covar_pop if op == "$covariancePop" else F.covar_samp)(x, y)
     if op == "$minBy":
         # extension: deterministic first-by-order ($first after $sort is
         # nondeterministic under distributed grouping; min_by is the
