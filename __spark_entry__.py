@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aggo_spark import Engine, load_tables
-from aggo_spark.operators import dedup, multimodal, similarity, text
+from aggo_spark.operators import dedup, multimodal, search, similarity, text
 
 # ---------------------------------------------------------------------------
 # engine bootstrap
@@ -1084,6 +1084,56 @@ def q73_fill_linear(spark, sf_dir):
     ])
 
 
+def q74_dup_ngram_frac(spark, sf_dir):
+    """Corpus-level duplication rate: per-doc fraction of distinct word
+    5-grams shared with any other document (Lee et al. 2022 exact-substring
+    dedup, corpus-frequency view). Gram doc-frequency is one map-side-partial
+    agg; the join back is equi on the gram hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_ngram_fraction(docs, n=5).orderBy("doc_id")
+
+
+def q75_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smoothed idf). Two aggs + one equi
+    join + one window — the per-(doc,term) clustering is reused by the
+    top-k window."""
+    docs = _t(spark, sf_dir, "documents")
+    return search.tfidf_top_terms(docs, k=3).orderBy("doc_id", "term_rank")
+
+
+def q76_bm25(spark, sf_dir):
+    """BM25 ranked retrieval for a 3-term query. Query terms prune the
+    exploded posting stream before any shuffle; corpus scalars (N, avgdl)
+    fold into the score as literals; final top-10 is TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    return search.bm25_search(docs, "spark query join", limit=10)
+
+
+def q77_chunking(spark, sf_dir):
+    """Overlapping token-window chunking (size 32, stride 24) — the
+    context-window packing step of a training pipeline. Shuffle-free:
+    normalize → explode a chunk-index sequence → slice."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.chunk_tokens(docs, size=32, stride=24).orderBy("doc_id", "chunk_id")
+
+
+def q78_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary statistics (types, hapax/dis legomena, TTR, Zipf
+    head) in two aggregations."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.vocab_stats(docs)
+
+
+def q79_shard_stats(spark, sf_dir):
+    """Deterministic content-hash shard assignment (md5 32-bit prefix mod
+    64) + per-shard balance stats — the pre-write check for a sharded
+    corpus export."""
+    from aggo_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.shard_stats(docs, "text", 64, weight_col="n_chars").orderBy("shard")
+
+
 _STREAMING_QUERIES = {"q42_stream_agg", "q43_stream_window", "q51_stream_stateful"}
 
 
@@ -1159,6 +1209,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_token_budget": q71_token_budget,
         "q72_stratified": q72_stratified,
         "q73_fill_linear": q73_fill_linear,
+        "q74_dup_ngram_frac": q74_dup_ngram_frac,
+        "q75_tfidf": q75_tfidf,
+        "q76_bm25": q76_bm25,
+        "q77_chunking": q77_chunking,
+        "q78_vocab_stats": q78_vocab_stats,
+        "q79_shard_stats": q79_shard_stats,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -1974,6 +2030,113 @@ def oracle_sql() -> dict[str, str]:
                               THEN pv + (nv - pv) * (event_id - ps) / (ns - ps)
                          END, 6) AS v
             FROM f ORDER BY event_id
+        """,
+        "q74_dup_ngram_frac": f"""
+            WITH g AS (
+              SELECT DISTINCT doc_id, md5(gram) AS h
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(1, greatest(len(tok) - 4, 0) + 1),
+                         i -> array_to_string(tok[i : i + 4], ' '))) AS gram
+                FROM (SELECT doc_id, {tok_doc} AS tok FROM documents))),
+            gc AS (SELECT h, count(*) AS gram_docs FROM g GROUP BY 1),
+            per AS (
+              SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+                     CAST(count(CASE WHEN gram_docs > 1 THEN 1 END) AS INT)
+                       AS n_dup_grams
+              FROM g JOIN gc USING (h) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(n_grams, 0) AS n_grams,
+                   coalesce(n_dup_grams, 0) AS n_dup_grams,
+                   CASE WHEN coalesce(n_grams, 0) > 0
+                        THEN round(n_dup_grams * 1.0 / n_grams, 6)
+                        ELSE 0.0 END AS dup_frac
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "q75_tfidf": f"""
+            WITH tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest({tok_doc}) AS term FROM documents)
+              GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+            n AS (SELECT count(*) * 1.0 AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, tf.term,
+                     round(tf * (ln((n_docs + 1.0) / (df_t + 1.0)) + 1.0), 6)
+                       AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT doc_id, term, tfidf,
+                     CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term ASC) AS INT) AS term_rank
+              FROM scored)
+            SELECT doc_id, term, tfidf, term_rank
+            FROM ranked WHERE term_rank <= 3
+            ORDER BY doc_id, term_rank
+        """,
+        "q76_bm25": f"""
+            WITH stats AS (
+              SELECT count(*) * 1.0 AS n_docs, avg(len({tok_doc})) AS avgdl
+              FROM documents),
+            tok AS (
+              SELECT doc_id, len(tok) AS dl, unnest(tok) AS term
+              FROM (SELECT doc_id, {tok_doc} AS tok FROM documents)),
+            tf AS (
+              SELECT doc_id, term, dl, count(*) AS tf FROM tok
+              WHERE term IN ('join', 'query', 'spark') GROUP BY 1, 2, 3),
+            dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1)
+            SELECT doc_id,
+                   round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)) *
+                             (tf * 2.2) /
+                             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+                     AS score,
+                   CAST(count(*) AS BIGINT) AS n_hit_terms
+            FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "q77_chunking": f"""
+            WITH t AS (SELECT doc_id, {tok_doc} AS tok FROM documents),
+            c AS (
+              SELECT doc_id, tok,
+                     unnest(CASE
+                       WHEN len(tok) = 0 THEN CAST([] AS BIGINT[])
+                       WHEN len(tok) <= 32 THEN CAST([0] AS BIGINT[])
+                       ELSE range(0, CAST(1 + ceil((len(tok) - 32) / 24.0)
+                                          AS BIGINT))
+                     END) AS chunk_id
+              FROM t)
+            SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                   CAST(len(tok[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS INT)
+                     AS n_chunk_tokens,
+                   array_to_string(tok[chunk_id * 24 + 1 : chunk_id * 24 + 32],
+                                   ' ') AS chunk_text
+            FROM c ORDER BY doc_id, chunk_id
+        """,
+        "q78_vocab_stats": f"""
+            WITH tc AS (
+              SELECT term, count(*) AS freq
+              FROM (SELECT unnest({tok_doc}) AS term FROM documents)
+              GROUP BY 1)
+            SELECT CAST(sum(freq) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(count(CASE WHEN freq = 1 THEN 1 END) AS BIGINT)
+                     AS hapax_types,
+                   CAST(count(CASE WHEN freq = 2 THEN 1 END) AS BIGINT)
+                     AS dis_types,
+                   round(count(*) * 1.0 / sum(freq), 6) AS ttr,
+                   CAST(max(freq) AS BIGINT) AS max_term_freq
+            FROM tc
+        """,
+        "q79_shard_stats": """
+            SELECT CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 64
+                        AS INT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_weight
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         "q46_densify_fill": """
             WITH daily AS (

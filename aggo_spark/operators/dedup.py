@@ -34,6 +34,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "benchmark_ngram_overlap",
+    "duplicate_ngram_fraction",
     "connected_components",
     "dedup_clusters",
 ]
@@ -403,6 +404,59 @@ def benchmark_ngram_overlap(
             id_col,
             F.coalesce("n_overlap_grams", F.lit(0)).cast("int").alias("n_overlap_grams"),
             (F.coalesce("n_overlap_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def duplicate_ngram_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+) -> DataFrame:
+    """Corpus-level duplication rate per document: the fraction of a doc's
+    distinct word n-grams that also occur in at least one *other* document
+    (the corpus-frequency view of exact-substring dedup, Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" — reference
+    has no corpus-level analogue; its dedup is pairwise only).
+
+    Plan shape at 100 TB:
+      1. explode distinct (doc, md5(n-gram))                    — narrow + agg
+      2. gram → doc-frequency count (map-side partial; the exchange carries
+         one row per distinct gram, not per occurrence)
+      3. join doc-grams to gram counts on the gram hash (equi, AQE-skew-safe)
+      4. per-doc fraction with count(freq > 1)                  — one agg
+
+    Returns (doc_id, n_grams, n_dup_grams, dup_frac); docs too short for any
+    n-gram keep n_grams = 0 and dup_frac = 0.0.
+    """
+    from .text import word_ngrams
+
+    doc_grams = (
+        df.select(F.col(id_col), F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("g"))
+        .select(id_col, F.md5("g").alias("h"))
+        .distinct()
+    )
+    gram_df = doc_grams.groupBy("h").agg(F.count(F.lit(1)).alias("gram_docs"))
+    per_doc = (
+        doc_grams.join(gram_df, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("gram_docs") > 1, 1)).alias("n_dup_grams"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("int").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("int").alias("n_dup_grams"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(F.col("n_dup_grams") / F.col("n_grams"), 6),
+            ).otherwise(F.lit(0.0)).alias("dup_frac"),
         )
     )
 

@@ -19,6 +19,9 @@ __all__ = [
     "hash_order",
     "stratified_sample",
     "token_budget_sample",
+    "shard_assign",
+    "shard_stats",
+    "write_training_shards",
 ]
 
 
@@ -76,3 +79,49 @@ def token_budget_sample(
     return df.withColumn("cum_tokens", F.sum(tok).over(w)).withColumn(
         "kept", F.col("cum_tokens") <= F.lit(budget)
     )
+
+
+def shard_assign(col: Column | str, n_shards: int = 64) -> Column:
+    """Deterministic content-hash shard id in [0, n_shards): the first 32
+    bits of md5 mod n_shards. md5 (not xxhash64) so the assignment is
+    reproducible outside Spark (DuckDB: ('0x' || substr(md5(x), 1, 8))
+    ::BIGINT % n) — a training corpus resharded elsewhere lands identically.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint") % n_shards).cast("int")
+
+
+def shard_stats(
+    df: DataFrame, key_col: str = "text", n_shards: int = 64,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-shard balance report for :func:`shard_assign`: row count and
+    optional weight sum (e.g. token counts) per shard. One map-side-partial
+    aggregation; the exchange carries n_shards rows. Use before a big write
+    to confirm no shard is pathologically hot.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if weight_col:
+        aggs.append(F.sum(weight_col).alias("total_weight"))
+    return (
+        df.select(shard_assign(key_col, n_shards).alias("shard"),
+                  *([weight_col] if weight_col else []))
+        .groupBy("shard")
+        .agg(*aggs)
+    )
+
+
+def write_training_shards(
+    df: DataFrame, path: str, key_col: str = "text", n_shards: int = 64,
+) -> None:
+    """Write the corpus as content-addressed parquet shards:
+    ``path/shard=NN/part-*.parquet``. `repartition(n_shards, shard)` puts
+    each shard in exactly one task (one output file per shard, no
+    small-file explosion), and `partitionBy` makes downstream reads prune
+    by shard. Deterministic: a rerun produces byte-identical row sets per
+    shard directory.
+    """
+    out = df.withColumn("shard", shard_assign(key_col, n_shards))
+    out.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(path)

@@ -25,6 +25,7 @@ from .text import normalize_text, tokens
 __all__ = [
     "build_text_index", "search_with_index", "query_tokens",
     "build_trigram_index", "regex_search_with_index",
+    "tfidf_top_terms", "bm25_search",
 ]
 
 N_BUCKETS = 64
@@ -172,3 +173,96 @@ def regex_search_with_index(
         .select(F.col("id").alias(id_col))
     )
     return df.join(hits, id_col, "left_semi").filter(exact)
+
+
+# ---------------------------------------------------------------------------
+# relevance ranking: TF-IDF and BM25 over the same posting shape
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    score(d, t) = tf(d, t) * (ln((N + 1) / (df(t) + 1)) + 1)  (smoothed idf,
+    the sklearn formulation — deterministic and oracle-reproducible).
+
+    Plan shape at 100 TB:
+      1. explode tokens → per-(doc, term) tf             — one shuffle on (doc, term)
+      2. term → document frequency                       — one agg on term (map-side
+         partial; exchange carries one row per distinct term)
+      3. equi join tf × df on term (AQE-skew-safe; a stopword-ish hot term
+         is split by AQE, and its idf ≈ 0 anyway)
+      4. per-doc top-k via window over doc               — reuses the (doc, term)
+         clustering from step 1; ties broken by term for determinism
+
+    Returns (doc_id, term, tfidf, term_rank), term_rank in 1..k.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()  # scalar; one job over ids only (column-pruned scan)
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df_t") + 1.0)) + 1.0
+    scored = tf.join(df_t, "term").select(
+        id_col, "term", F.round(F.col("tf") * idf, 6).alias("tfidf")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "term", "tfidf", "term_rank")
+    )
+
+
+def bm25_search(
+    df: DataFrame, query: str, text_col: str = "text", id_col: str = "doc_id",
+    k1: float = 1.2, b: float = 0.75, limit: int = 10,
+) -> DataFrame:
+    """BM25-ranked document search for a free-text query (Robertson/Sparck
+    Jones idf: ln(1 + (N - df + 0.5) / (df + 0.5))).
+
+    Plan shape at 100 TB: the query's terms are a literal `isin` filter, so
+    the exploded posting stream is cut to |query| terms *before* any shuffle;
+    doc length comes from the same scan (no second pass); N/avgdl are two
+    scalars computed once and folded into the score expression as literals.
+    The only exchanges are the per-(doc, term) tf agg and the final top-k
+    (TakeOrderedAndProject — no global sort materialization).
+
+    Returns (doc_id, score, n_hit_terms) for the top `limit` docs,
+    deterministically tie-broken by doc_id.
+    """
+    terms = query_tokens(query)
+    if not terms:
+        raise ValueError("bm25_search: query has no tokens")
+    stats = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
+
+    tok = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term").isin(terms))
+    tf = tok.groupBy(id_col, "term", "dl").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        tf.join(df_t, "term")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(idf * tf_part), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_hit_terms"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(limit)
+    )

@@ -17,6 +17,8 @@ __all__ = [
     "char_shingles",
     "word_ngrams",
     "token_stats",
+    "chunk_tokens",
+    "vocab_stats",
     "quality_score",
     "repetition_stats",
     "c4_quality_flags",
@@ -424,4 +426,70 @@ def min_shingle_fingerprints(
         explode_shingles(df, text_col, id_col, k)
         .groupBy(F.col("id").alias(id_col))
         .agg(F.min(F.md5("s")).alias("min_shingle_fp"))
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    chunking step of a training-data pipeline (context-window packing,
+    embedding-passage prep). No reference analogue; pure Column, no UDF.
+
+    A doc with n tokens yields 1 chunk if n <= size, else
+    1 + ceil((n - size) / stride) chunks starting at 0, stride, 2*stride, …
+    (the final chunk may be short). Zero-token docs yield no chunks.
+
+    Scale shape: one narrow projection + explode of a ~(n/stride)-element
+    int sequence — output size is ~(size/stride)× the input tokens, the
+    explode multiplies rows not bytes-per-row, and no shuffle happens at
+    all: chunking composes with a downstream repartition/write.
+
+    Returns (id_col, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    tok = tokens(F.col(text_col))
+    n = F.size(tok)
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        (F.lit(1) + F.ceil((n - F.lit(size)) / F.lit(float(stride)))).cast("int")
+    )
+    ids = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n_chunks - 1)
+    )
+    base = df.select(
+        F.col(id_col), tok.alias("__tok"), F.explode(ids).alias("chunk_id")
+    )
+    chunk = F.slice(F.col("__tok"), F.col("chunk_id") * stride + 1, size)
+    return base.select(
+        id_col,
+        "chunk_id",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level vocabulary statistics in two aggregations: total token
+    count, distinct types, hapax/dis legomena counts, type-token ratio, and
+    the max term frequency (Zipf head). The per-term exchange carries one
+    row per distinct type (map-side partial), then a single-row reduce.
+
+    Returns one row: (n_tokens, n_types, hapax_types, dis_types, ttr,
+    max_term_freq).
+    """
+    term_counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return term_counts.select(
+        F.sum("freq").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.count(F.when(F.col("freq") == 1, 1)).alias("hapax_types"),
+        F.count(F.when(F.col("freq") == 2, 1)).alias("dis_types"),
+        F.round(F.count(F.lit(1)) / F.sum("freq"), 6).alias("ttr"),
+        F.max("freq").alias("max_term_freq"),
     )
