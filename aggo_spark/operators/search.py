@@ -243,6 +243,11 @@ def bm25_search(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"),
     ).collect()[0]
+    if not stats["n"]:
+        # empty corpus: avgdl is NULL and no doc can score — return the
+        # (deterministically) empty result with the contract schema
+        return df.sparkSession.createDataFrame(
+            [], f"`{id_col}` long, score double, n_hit_terms long")
     n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
 
     tok = df.select(

@@ -451,6 +451,13 @@ def chunk_tokens(
 
     Returns (id_col, chunk_id, n_chunk_tokens, chunk_text).
     """
+    if size < 1 or stride < 1:
+        raise ValueError(f"chunk_tokens: size and stride must be >= 1 "
+                         f"(got size={size}, stride={stride})")
+    if stride > size:
+        # a gap between windows silently drops tokens, contradicting the
+        # overlapping-window contract
+        raise ValueError(f"chunk_tokens: stride ({stride}) must be <= size ({size})")
     tok = tokens(F.col(text_col))
     n = F.size(tok)
     n_chunks = F.when(n <= size, F.lit(1)).otherwise(

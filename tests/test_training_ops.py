@@ -382,3 +382,39 @@ def test_sampling_ops(spark):
         F.sum("n_tok").alias("t"), F.count("*").alias("n")).collect()
     for r in kept:  # 3 docs of 10 tokens fit a 35-token budget, never 4
         assert r["t"] == 30 and r["n"] == 3
+
+
+def test_write_training_shards_roundtrip(docs, tmp_path):
+    from aggo_spark.operators import sampling
+
+    path = str(tmp_path / "shards")
+    sampling.write_training_shards(docs, path, n_shards=8)
+    back = docs.sparkSession.read.parquet(path)
+    # every row survives, and the on-disk shard partition matches shard_assign
+    assert back.count() == docs.count()
+    expected = docs.withColumn("expected_shard", sampling.shard_assign("text", 8))
+    joined = back.join(expected.select("doc_id", "expected_shard"), "doc_id")
+    assert joined.filter(
+        F.col("shard").cast("int") != F.col("expected_shard")
+    ).count() == 0
+    # overwrite mode: a rerun replaces, not appends
+    sampling.write_training_shards(docs, path, n_shards=8)
+    assert docs.sparkSession.read.parquet(path).count() == docs.count()
+
+
+def test_chunk_tokens_validation(docs):
+    with pytest.raises(ValueError, match="stride"):
+        text.chunk_tokens(docs, size=8, stride=0)
+    with pytest.raises(ValueError, match="stride"):
+        text.chunk_tokens(docs, size=8, stride=9)
+    with pytest.raises(ValueError, match="size"):
+        text.chunk_tokens(docs, size=0, stride=1)
+
+
+def test_bm25_empty_corpus(spark):
+    from aggo_spark.operators import search
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = search.bm25_search(empty, "spark query join", limit=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "score", "n_hit_terms"]
