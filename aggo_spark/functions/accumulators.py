@@ -38,23 +38,59 @@ def accumulator_to_column(
     return col.alias(name)
 
 
+def _order_inverted(col: Column, dtype: T.DataType | None) -> Column | None:
+    """A column whose ASCENDING order equals the DESCENDING order of ``col``.
+
+    Only types with an order-preserving negation qualify; None otherwise.
+    (Strings have no such transform — the caller falls back.) Nulls keep
+    Spark's nulls-first struct ordering either way; COMPAT.md notes the
+    null-sort delta vs MongoDB for desc components.
+    """
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                          T.FloatType, T.DoubleType, T.DecimalType)):
+        return -col
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return -F.unix_micros(col.cast("timestamp"))
+    if isinstance(dtype, T.DateType):
+        return -F.datediff(col, F.lit("1970-01-01").cast("date"))
+    if isinstance(dtype, T.BooleanType):
+        return ~col
+    return None
+
+
 def _ordered_pick(arg, ctx: ExprContext, order_by: dict, last: bool) -> Column | None:
     """min_by/max_by mapping for $first/$last after $sort.
 
-    Uniform-direction sorts only: a struct ordering can't flip direction
-    per field. Mixed-direction sorts return None (caller falls back to
-    F.first/F.last; COMPAT.md documents the nondeterminism).
+    Uniform-direction sorts use the keys as-is. Mixed-direction sorts
+    (e.g. ``{a: 1, b: -1}``) normalize every component to ascending by
+    sign-inverting the descending ones (numeric / date / timestamp /
+    boolean) so a single min_by/max_by struct key still works —
+    deterministic under distributed grouping. Only when a descending
+    component has no order-preserving inversion (strings) does this return
+    None (caller falls back to partition-order F.first/F.last; COMPAT.md).
+    Reference semantics: src/aggo/accumulators.ts:96-106.
     """
-    dirs = {1 if v in (1, True) else -1 for v in order_by.values()}
-    if len(dirs) != 1:
-        return None
-    keys = [ctx.resolve_path(k).alias(f"__ok{i}") for i, k in enumerate(order_by)]
-    key = keys[0] if len(keys) == 1 else F.struct(*keys)
+    dirs = [1 if v in (1, True) else -1 for v in order_by.values()]
     out = translate_expr(arg, ctx)
-    ascending = dirs == {1}
-    # $first under asc = smallest key; $last under asc = largest; flipped desc
-    want_min = ascending != last
-    return F.min_by(out, key) if want_min else F.max_by(out, key)
+    if len(set(dirs)) == 1:
+        keys = [ctx.resolve_path(k).alias(f"__ok{i}") for i, k in enumerate(order_by)]
+        key = keys[0] if len(keys) == 1 else F.struct(*keys)
+        ascending = dirs[0] == 1
+        # $first under asc = smallest key; $last under asc = largest; flipped desc
+        want_min = ascending != last
+        return F.min_by(out, key) if want_min else F.max_by(out, key)
+    keys = []
+    for i, (k, v) in enumerate(order_by.items()):
+        col = ctx.resolve_path(k)
+        if v in (1, True):
+            keys.append(col.alias(f"__ok{i}"))
+            continue
+        inv = _order_inverted(col, ctx.path_type(k))
+        if inv is None:
+            return None
+        keys.append(inv.alias(f"__ok{i}"))
+    key = F.struct(*keys)
+    return F.max_by(out, key) if last else F.min_by(out, key)
 
 
 def _accumulator(op: str, arg: object, ctx: ExprContext, order_by: dict | None = None) -> Column:

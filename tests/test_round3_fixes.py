@@ -1,0 +1,126 @@
+"""Round-3 fixes: mixed-direction $first/$last, $bucketAuto granularity,
+$documents expression fields, deep $graphLookup."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from aggo_spark import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    rows = [
+        (1, "a", 5, dt.datetime(2020, 1, 1)),
+        (1, "a2", 9, dt.datetime(2020, 1, 2)),
+        (1, "b", 9, dt.datetime(2020, 1, 3)),
+        (2, "c", 1, dt.datetime(2020, 2, 1)),
+        (2, "d", 1, dt.datetime(2020, 1, 5)),
+    ]
+    df = spark.createDataFrame(rows, "g long, name string, score long, ts timestamp")
+    return Engine({"t": df})
+
+
+def test_first_last_mixed_direction_deterministic(eng):
+    out = eng.aggregate("t", [
+        {"$sort": {"score": 1, "ts": -1}},
+        {"$group": {"_id": "$g",
+                    "first_name": {"$first": "$name"},
+                    "last_name": {"$last": "$name"}}},
+        {"$sort": {"_id": 1}},
+    ]).collect()
+    # g=1 sorted: a(5) ; ties at 9 ts desc -> b(Jan3), a2(Jan2)
+    assert out[0]["first_name"] == "a" and out[0]["last_name"] == "a2"
+    # g=2 ties at score=1, ts desc -> c(Feb1) first, d(Jan5) last
+    assert out[1]["first_name"] == "c" and out[1]["last_name"] == "d"
+
+
+def test_first_last_mixed_direction_plan_uses_min_by(eng):
+    q = eng.aggregate("t", [
+        {"$sort": {"score": 1, "ts": -1}},
+        {"$group": {"_id": "$g", "fn": {"$first": "$name"}}},
+    ])
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    assert "min_by" in plan and "first(" not in plan
+
+
+def test_first_last_mixed_string_desc_falls_back(eng):
+    # string desc has no order-preserving inversion -> falls back to F.first
+    q = eng.aggregate("t", [
+        {"$sort": {"score": 1, "name": -1}},
+        {"$group": {"_id": "$g", "fn": {"$first": "$name"}}},
+    ])
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    assert "first(" in plan
+
+
+def test_bucket_auto_granularity(spark):
+    rows = [(i, float(v)) for i, v in enumerate(
+        [3, 7, 12, 19, 24, 31, 48, 55, 70, 92, 110, 150, 210, 330, 480, 700])]
+    df = spark.createDataFrame(rows, "id long, price double")
+    eng = Engine({"t": df})
+    for g, first_lo, last_hi in [
+        ("R5", 2.5, 1000.0), ("E12", 2.7, 820.0),
+        ("POWERSOF2", 2.0, 1024.0), ("1-2-5", 2.0, 1000.0),
+    ]:
+        out = eng.aggregate("t", [
+            {"$bucketAuto": {"groupBy": "$price", "buckets": 4,
+                             "granularity": g}},
+        ]).collect()
+        assert sum(r["count"] for r in out) == len(rows)
+        for a, b in zip(out, out[1:]):  # contiguous series boundaries
+            assert a["_id"]["max"] == b["_id"]["min"]
+        assert out[0]["_id"]["min"] == first_lo
+        assert out[-1]["_id"]["max"] == last_hi
+
+
+def test_bucket_auto_granularity_rejects_unknown(spark):
+    from aggo_spark.errors import InvalidPipeline
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    eng = Engine({"t": df})
+    with pytest.raises(InvalidPipeline):
+        eng.aggregate("t", [{"$bucketAuto": {
+            "groupBy": "$v", "buckets": 2, "granularity": "R7"}}])
+
+
+def test_documents_expression_fields(spark):
+    eng = Engine()
+    df = spark.createDataFrame([(1,)], "x long")
+    out = eng.aggregate(df, [
+        {"$documents": [
+            {"x": {"$add": [1, 2]}, "tag": "a"},
+            {"x": {"$multiply": [2, 5]}, "tag": {"$toUpper": "b"}},
+        ]},
+        {"$project": {"_id": 0, "x": 1, "tag": 1}},
+        {"$sort": {"x": 1}},
+    ]).collect()
+    assert [(r["x"], r["tag"]) for r in out] == [(3, "a"), (10, "B")]
+
+
+def test_documents_literals_still_work(spark):
+    eng = Engine()
+    df = spark.createDataFrame([(1,)], "x long")
+    out = eng.aggregate(df, [
+        {"$documents": [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]},
+        {"$sort": {"a": 1}},
+    ]).collect()
+    assert [r["a"] for r in out] == [1, 2]
+
+
+def test_graph_lookup_deep_traversal(spark):
+    # a 40-deep linked list exercises the every-5-hops localCheckpoint path
+    rows = [(i, i - 1) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "node long, parent long")
+    eng = Engine({"t": df})
+    out = eng.aggregate("t", [
+        {"$match": {"node": 40}},
+        {"$graphLookup": {"from": "t", "startWith": "$parent",
+                          "connectFromField": "parent", "connectToField": "node",
+                          "as": "anc", "maxDepth": 50}},
+        {"$project": {"_id": 0, "node": 1, "n_anc": {"$size": "$anc"}}},
+    ]).collect()
+    assert out[0]["n_anc"] == 39
