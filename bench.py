@@ -31,9 +31,9 @@ HEADLINE = [
     "q26_lookup_group",   # multi-table join + re-aggregate
     "q30_dedup_exact",    # exact dedup
     "q32_dedup_minhash",  # MinHash LSH
-    "q34_ann_brute",      # brute-force cosine top-k
+    "q34_ann_brute",      # ANN: brute/bucketed/int8/near-dup union (r3)
     "q36_langid",         # language ID
-    "q38_token_stats",    # token counting
+    "q37_quality",        # per-doc metrics panel (token stats merged r3)
     "q59_asof_join",      # point-in-time join (union-merge)
     "q61_curation_pipeline",  # composed curation: quality+lang+dedup+tokens
 ]
