@@ -609,14 +609,7 @@ def q37_quality(spark, sf_dir):
     Column panels over ONE documents scan — scales with the scan at
     100 TB."""
     df = _t(spark, sf_dir, "documents")
-    q = text.quality_score(F.col("text"))
-    t = text.token_stats(F.col("text"))
-    r = text.repetition_stats(F.col("text"))
-    c = text.c4_quality_flags(F.col("text"))
-    # token_stats' mean_token_len duplicates quality_score's — keep one
-    cols = {**q, **{k: v for k, v in t.items() if k != "mean_token_len"},
-            **r, **c}
-    return df.select("doc_id", *[v.alias(k) for k, v in cols.items()]).orderBy("doc_id")
+    return text.doc_metrics(df).orderBy("doc_id")
 
 
 def q39_fingerprint(spark, sf_dir):

@@ -22,6 +22,7 @@ __all__ = [
     "quality_score",
     "repetition_stats",
     "c4_quality_flags",
+    "doc_metrics",
     "pii_counts",
     "redact_pii",
     "PII_PATTERNS",
@@ -127,14 +128,26 @@ def explode_shingles(
 
 
 def word_ngrams(tok: Column, n: int = 3) -> Column:
-    """word n-grams over a token array (array<string>)."""
+    """word n-grams over a token array (array<string>).
+
+    Built by zip_with over n shifted slices — every HOF *argument* is
+    evaluated once per row. The obvious alternative
+    ``transform(indices, i -> slice(tok, i, n))`` puts ``tok`` (often a
+    whole normalize+split subtree) INSIDE the lambda, where interpreted
+    HOF evaluation re-computes it per element: O(tokens × doc_len) per
+    row. That exact shape made the merged per-doc metrics panel ~100×
+    slower at sf0.1 (r3 bench find).
+    """
+    if n < 1:
+        raise ValueError(f"word_ngrams: n must be >= 1, got {n}")
     cnt = F.size(tok)
-    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, and slice rejects
-    # a 0 start — short docs must yield an empty gram array instead
-    idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - F.lit(n - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, n)))
+    out_len = F.greatest(cnt - F.lit(n - 1), F.lit(0))
+    out = F.slice(tok, 1, out_len)
+    for k in range(1, n):
+        out = F.zip_with(
+            out, F.slice(tok, k + 1, out_len),
+            lambda a, b: F.concat_ws(" ", a, b))
+    return out
 
 
 # BPE-ish word/number/punct segmentation — same regex is valid in Java
@@ -142,21 +155,37 @@ def word_ngrams(tok: Column, n: int = 3) -> Column:
 TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 
-def token_stats(text: Column) -> dict[str, Column]:
-    """Token-counting columns: whitespace tokens and BPE-ish regex tokens."""
-    ws = tokens(text)
+def token_stats(
+    text: Column, tok: Column | None = None, norm_chars: Column | None = None
+) -> dict[str, Column]:
+    """Token-counting columns: whitespace tokens and BPE-ish regex tokens.
+
+    ``tok``/``norm_chars``: optional pre-materialized columns (see
+    :func:`doc_metrics`).
+    """
+    ws = tokens(text) if tok is None else tok
     return {
         "n_ws_tokens": F.size(ws),
         # count matches without materializing the match array (regexp_count
         # is one scan; regexp_extract_all + size would allocate every token)
         "n_bpe_tokens": F.regexp_count(text, F.lit(TOKEN_REGEX)).cast("int"),
         "n_chars": F.length(text),
-        "mean_token_len": F.when(
-            F.size(ws) > 0,
-            F.aggregate(ws, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double")
-            / F.size(ws),
-        ).otherwise(F.lit(0.0)),
+        "mean_token_len": _mean_token_len(text, ws, norm_chars),
     }
+
+
+def _mean_token_len(text: Column, tok: Column, norm_chars: Column | None) -> Column:
+    """mean token length WITHOUT an interpreted aggregate: the normalized
+    text is exactly the tokens joined by single spaces, so total token
+    chars = len(norm) - (n_tok - 1). Bit-identical to summing per-token
+    lengths (what the DuckDB oracle does)."""
+    if norm_chars is None:
+        norm_chars = F.length(normalize_text(text))
+    n_tok = F.size(tok)
+    return F.when(
+        n_tok > 0,
+        (norm_chars - (n_tok - F.lit(1))).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
 
 
 _EN_STOP = [
@@ -179,8 +208,10 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 
 def _stop_hits(tok: Column, words: list[str]) -> Column:
-    lit_arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(tok, lambda t: F.array_contains(lit_arr, t)))
+    # isin compiles to an InSet hash lookup per element; a literal-array
+    # array_contains would re-build the 20-element array per element in
+    # interpreted HOF evaluation
+    return F.size(F.filter(tok, lambda t: t.isin(*words)))
 
 
 def language_id(text: Column) -> Column:
@@ -266,13 +297,22 @@ def language_id_from_tokens(tok: Column) -> Column:
     return F.when(best > 0, out).otherwise(F.lit("und"))
 
 
-def quality_score(text: Column) -> dict[str, Column]:
+def quality_score(
+    text: Column, tok: Column | None = None, norm_chars: Column | None = None
+) -> dict[str, Column]:
     """Heuristic document-quality signals + a composite score in [0, 1].
 
     Signals follow the usual pretraining-filter recipe: length, alpha ratio,
     stopword ratio, mean word length sanity.
+
+    ``tok``: optionally pass a PRE-MATERIALIZED token column (see
+    :func:`doc_metrics`). The signals reference the token array many times
+    and higher-order functions are CodegenFallback (no common-subexpression
+    elimination), so an inline ``tokens(text)`` subtree is re-evaluated per
+    referencing output column.
     """
-    tok = tokens(text)
+    if tok is None:
+        tok = tokens(text)
     n_tok = F.size(tok)
     n_chars = F.length(text)
     alpha_chars = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
@@ -280,10 +320,7 @@ def quality_score(text: Column) -> dict[str, Column]:
     stop_ratio = F.when(
         n_tok > 0, _stop_hits(tok, _EN_STOP).cast("double") / n_tok
     ).otherwise(F.lit(0.0))
-    mean_len = F.when(
-        n_tok > 0,
-        F.aggregate(tok, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double") / n_tok,
-    ).otherwise(F.lit(0.0))
+    mean_len = _mean_token_len(text, tok, norm_chars)
     len_ok = F.when((mean_len >= 2.0) & (mean_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
     size_ok = F.when(n_tok >= 10, F.lit(1.0)).otherwise(n_tok.cast("double") / 10.0)
     score = (
@@ -326,7 +363,11 @@ def _max_run_chars(sorted_arr: Column) -> Column:
     return F.aggregate(sorted_arr, init, merge, lambda acc: acc["best"])
 
 
-def repetition_stats(text: Column, ngram_sizes: tuple[int, ...] = (2, 3)) -> dict[str, Column]:
+def repetition_stats(
+    text: Column, ngram_sizes: tuple[int, ...] = (2, 3),
+    tok: Column | None = None, lines: Column | None = None,
+    norm_chars: Column | None = None,
+) -> dict[str, Column]:
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1), shuffle-free.
 
     - ``word_rep_frac``: 1 − distinct words / words.
@@ -337,12 +378,18 @@ def repetition_stats(text: Column, ngram_sizes: tuple[int, ...] = (2, 3)) -> dic
     All signals are per-row HOFs over token arrays: narrow, codegen'd, and
     scale with the scan (no explode, no groupBy). Beyond the reference's
     scope — training-data curation operators (see SURVEY.md north star).
+
+    ``tok``/``lines``/``norm_chars``: optional pre-materialized columns
+    (see :func:`doc_metrics`).
     """
-    tok = tokens(text)
+    if tok is None:
+        tok = tokens(text)
     n_tok = F.size(tok)
-    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    if lines is None:
+        lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
     n_lines = F.size(lines)
-    norm_chars = F.length(normalize_text(text))
+    if norm_chars is None:
+        norm_chars = F.length(normalize_text(text))
     out: dict[str, Column] = {
         "word_rep_frac": F.round(
             F.when(n_tok > 0,
@@ -362,16 +409,20 @@ def repetition_stats(text: Column, ngram_sizes: tuple[int, ...] = (2, 3)) -> dic
     return out
 
 
-def c4_quality_flags(text: Column) -> dict[str, Column]:
+def c4_quality_flags(
+    text: Column, tok: Column | None = None, lines: Column | None = None
+) -> dict[str, Column]:
     """C4-style line/document heuristics (Raffel et al. 2020 §2.2).
 
     Per-row flags a curation pipeline filters on; pure Column, narrow.
+    ``tok``/``lines``: optional pre-materialized columns (:func:`doc_metrics`).
     """
-    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    if lines is None:
+        lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
     n_lines = F.size(lines)
     terminal = F.size(F.filter(lines, lambda l: F.trim(l).rlike('[.!?"]$')))
     n_sentences = F.regexp_count(text, F.lit("[.!?]+")).cast("int")
-    n_tok = F.size(tokens(text))
+    n_tok = F.size(tokens(text) if tok is None else tok)
     return {
         "terminal_punct_line_frac": F.round(
             F.when(n_lines > 0, terminal.cast("double") / n_lines).otherwise(F.lit(0.0)), 6),
@@ -381,6 +432,39 @@ def c4_quality_flags(text: Column) -> dict[str, Column]:
         "mean_words_per_sentence": F.round(
             F.when(n_sentences > 0, n_tok.cast("double") / n_sentences).otherwise(F.lit(0.0)), 6),
     }
+
+
+def doc_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """All per-document metric panels (quality, token stats, repetition,
+    C4 flags) over ONE scan, with the shared intermediates — token array,
+    non-empty lines, normalized length — materialized by a first
+    projection.
+
+    Why two selects: higher-order functions are CodegenFallback with no
+    common-subexpression elimination, so inlining ``tokens(text)`` into
+    every referencing column re-evaluates the normalize+split subtree per
+    column (and per lambda element, before the r3 ``word_ngrams`` fix).
+    Catalyst's CollapseProject keeps multi-use non-cheap aliases
+    un-inlined (SPARK-36718), so the two-step shape survives optimization.
+    Still narrow and shuffle-free — scales with the scan at 100 TB.
+    """
+    text = F.col(text_col)
+    base = df.select(
+        F.col(id_col), text,
+        tokens(text).alias("__tok"),
+        F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "").alias("__lines"),
+        F.length(normalize_text(text)).alias("__nch"),
+    )
+    tok, lines, nch = F.col("__tok"), F.col("__lines"), F.col("__nch")
+    q = quality_score(text, tok=tok, norm_chars=nch)
+    t = token_stats(text, tok=tok, norm_chars=nch)
+    r = repetition_stats(text, tok=tok, lines=lines, norm_chars=nch)
+    c = c4_quality_flags(text, tok=tok, lines=lines)
+    cols = {**q, **{k: v for k, v in t.items() if k != "mean_token_len"},
+            **r, **c}
+    return base.select(id_col, *[v.alias(k) for k, v in cols.items()])
 
 
 # PII patterns in the Java∩RE2 regex subset so Spark and DuckDB agree
