@@ -900,10 +900,18 @@ def q61_curation_pipeline(spark, sf_dir):
     The composition a pretraining-data pipeline actually runs, verified
     as one oracle query."""
     docs = _t(spark, sf_dir, "documents")
-    scored = docs.select(
+    # materialize the token array once (doc_metrics pattern, SCALE.md r3):
+    # the quality column alone references it ~4× and HOFs have no CSE
+    base = docs.select(
+        "doc_id", "source", "text",
+        text.tokens(F.col("text")).alias("__tok"),
+        F.length(text.normalize_text(F.col("text"))).alias("__nch"),
+    )
+    scored = base.select(
         "doc_id", "source",
-        text.quality_score(F.col("text"))["quality"].alias("q"),
-        F.size(text.tokens(F.col("text"))).alias("n_tok"),
+        text.quality_score(F.col("text"), tok=F.col("__tok"),
+                           norm_chars=F.col("__nch"))["quality"].alias("q"),
+        F.size("__tok").alias("n_tok"),
         text.fingerprint(F.col("text")).alias("fp"),
     )
     lang = text.language_id_table(docs, "text")
@@ -1042,14 +1050,16 @@ def q77_chunking(spark, sf_dir):
     normalize → explode a chunk-index sequence → slice — with a
     deterministic content-hash shard id per chunk (merged r3: former
     q79_shard_stats' shard_assign path): the chunk → shard layout a
-    training-data export actually writes."""
+    training-data export actually writes — plus GPT-style pack-and-split
+    example assignment within each shard (r3: pack_chunks; one window
+    exchange on the shard key)."""
     from aggo_spark.operators import sampling
 
     docs = _t(spark, sf_dir, "documents")
-    out = text.chunk_tokens(docs, size=32, stride=24)
-    return out.withColumn(
-        "shard", sampling.shard_assign(F.col("chunk_text"), 16)
-    ).orderBy("doc_id", "chunk_id")
+    out = text.chunk_tokens(docs, size=32, stride=24).withColumn(
+        "shard", sampling.shard_assign(F.col("chunk_text"), 16))
+    out = text.pack_chunks(out, example_size=128)
+    return out.orderBy("doc_id", "chunk_id")
 
 
 _STREAMING_QUERIES = {"q42_stream_agg", "q43_stream_window", "q51_stream_stateful"}
@@ -1586,16 +1596,26 @@ def oracle_sql() -> dict[str, str]:
                        ELSE range(0, CAST(1 + ceil((len(tok) - 32) / 24.0)
                                           AS BIGINT))
                      END) AS chunk_id
-              FROM t)
-            SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
-                   CAST(len(tok[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS INT)
-                     AS n_chunk_tokens,
-                   array_to_string(tok[chunk_id * 24 + 1 : chunk_id * 24 + 32],
-                                   ' ') AS chunk_text,
-                   CAST(CAST(('0x' || substr(md5(array_to_string(
-                        tok[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')), 1, 8))
-                        AS BIGINT) % 16 AS INT) AS shard
-            FROM c ORDER BY doc_id, chunk_id
+              FROM t),
+            chunks AS (
+              SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                     CAST(len(tok[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS INT)
+                       AS n_chunk_tokens,
+                     array_to_string(tok[chunk_id * 24 + 1 : chunk_id * 24 + 32],
+                                     ' ') AS chunk_text,
+                     CAST(CAST(('0x' || substr(md5(array_to_string(
+                          tok[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')), 1, 8))
+                          AS BIGINT) % 16 AS INT) AS shard
+              FROM c)
+            SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, shard,
+                   CAST(sum(n_chunk_tokens) OVER (
+                        PARTITION BY shard ORDER BY doc_id, chunk_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pack_cum_tokens,
+                   CAST(floor((sum(n_chunk_tokens) OVER (
+                        PARTITION BY shard ORDER BY doc_id, chunk_id
+                        ROWS UNBOUNDED PRECEDING) - n_chunk_tokens) / 128)
+                        AS INT) AS example_id
+            FROM chunks ORDER BY doc_id, chunk_id
         """,
         "q30_dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, md5({norm_doc}) AS content_hash,

@@ -18,6 +18,7 @@ __all__ = [
     "word_ngrams",
     "token_stats",
     "chunk_tokens",
+    "pack_chunks",
     "vocab_stats",
     "quality_score",
     "repetition_stats",
@@ -573,6 +574,42 @@ def chunk_tokens(
         "chunk_id",
         F.size(chunk).alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    tokens_col: str = "n_chunk_tokens",
+    order_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+    partition_cols: tuple[str, ...] = ("shard",),
+    example_size: int = 128,
+) -> DataFrame:
+    """GPT-style pack-and-split example assignment (Brown et al. 2020 data
+    prep): chunks are concatenated in deterministic order within each
+    partition (shard) and split every ``example_size`` tokens;
+    ``example_id`` is the example a chunk STARTS in (chunks may straddle a
+    boundary — that is the concat-and-chunk recipe, not bin packing).
+
+    One window exchange on the partition key. At 100 TB the partition is a
+    content-hash shard, so the cumsum never sees more than corpus/n_shards
+    tokens and examples are reproducible regardless of cluster size.
+
+    Adds ``pack_cum_tokens`` (inclusive running sum) and ``example_id``.
+    """
+    if example_size < 1:
+        raise ValueError(f"example_size must be >= 1, got {example_size}")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    return df.withColumn("pack_cum_tokens", cum).withColumn(
+        "example_id",
+        F.floor((F.col("pack_cum_tokens") - F.col(tokens_col))
+                / F.lit(example_size)).cast("int"),
     )
 
 

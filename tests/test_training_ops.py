@@ -418,3 +418,18 @@ def test_bm25_empty_corpus(spark):
     out = search.bm25_search(empty, "spark query join", limit=5)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["doc_id", "score", "n_hit_terms"]
+
+
+def test_pack_chunks(docs):
+    chunks = text.chunk_tokens(docs, size=4, stride=4).withColumn(
+        "shard", F.lit(0))
+    out = text.pack_chunks(chunks, example_size=8).orderBy(
+        "doc_id", "chunk_id").collect()
+    # cumulative sums are inclusive and example_id = floor((cum - n) / 8)
+    cum = 0
+    for r in out:
+        assert r["pack_cum_tokens"] == cum + r["n_chunk_tokens"]
+        assert r["example_id"] == (r["pack_cum_tokens"] - r["n_chunk_tokens"]) // 8
+        cum = r["pack_cum_tokens"]
+    with pytest.raises(ValueError):
+        text.pack_chunks(chunks, example_size=0)
