@@ -124,3 +124,31 @@ def test_graph_lookup_deep_traversal(spark):
         {"$project": {"_id": 0, "node": 1, "n_anc": {"$size": "$anc"}}},
     ]).collect()
     assert out[0]["n_anc"] == 39
+
+
+def test_doc_metrics_two_stage_projection_survives_optimizer(spark):
+    """Guard the r3 perf fix: the shared __tok materialization must NOT be
+    collapsed back into consuming columns (HOFs have no CSE — inlining
+    re-evaluates the normalize+split subtree per referencing column)."""
+    from aggo_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox. jumps over the lazy dog")],
+        "doc_id long, text string")
+    plan = text.doc_metrics(df)._jdf.queryExecution().optimizedPlan().toString()
+    # the normalize regex should appear ~2x (tok + nch), not once per metric
+    assert plan.count("[^a-z0-9 ]") <= 3, plan.count("[^a-z0-9 ]")
+
+
+def test_word_ngrams_no_subtree_in_lambda(spark):
+    """word_ngrams must not re-evaluate its input inside a lambda: the plan
+    should contain zip_with over slices, not transform(sequence...)."""
+    from aggo_spark.operators import text
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a b c d e")], "id long, text string")
+    out = df.select(text.word_ngrams(text.tokens(F.col("text")), 3).alias("g"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "zip_with" in plan
+    rows = out.first()["g"]
+    assert rows == ["a b c", "b c d", "c d e"]
