@@ -11,6 +11,10 @@ driver's first-50-sorted-names window certifies every one (r2 verdict:
 q54-q79 were invisible). Nothing was dropped — the 26 absorbed queries
 were merged into related ones (each merged query's docstring names its
 former standalone queries), so every capability keeps oracle coverage.
+Late r3: MinHash (q32) and SimHash (q33) gained md5-based hash modes
+whose ENTIRE pipelines are DuckDB-reproducible — 49 of 50 queries now
+carry full value-hash oracles; only the KMeans-trained IVF (q48) is
+inherently rows-only.
 
 Determinism rules used throughout (so Spark and DuckDB hash-match):
 - money aggregates are exact integer cents: SUM(CAST(round(x*100) AS BIGINT))
@@ -501,21 +505,31 @@ def q31_dedup_jaccard(spark, sf_dir):
 
 
 def q32_dedup_minhash(spark, sf_dir):
-    """MinHash LSH candidate pairs (xxhash64-seeded — no DuckDB oracle).
+    """MinHash LSH candidate pairs — md5-based hash mode (r3), so the WHOLE
+    pipeline (shingle hash → 64 permutation minima → banded bucket keys →
+    intra-bucket pairs → signature-agreement Jaccard estimate) is
+    reproduced bit-for-bit by the DuckDB oracle; this was a rows-only
+    check through r2. The xxhash64 scale default stays differentially
+    verified against a pure-Python mirror
+    (tests/test_differential_hashing.py).
 
     Word 3-gram shingles: ~word-length× fewer exploded rows than char-5
-    for the same banding math (signatures differentially verified against
-    a pure-Python mirror in tests/test_differential_hashing.py)."""
+    for the same banding math."""
     return dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), num_perm=64, bands=16, threshold=0.5,
-        k=3, unit="word",
+        k=3, unit="word", hash_fn="md5",
     )
 
 
 def q33_dedup_simhash(spark, sf_dir):
-    """SimHash hamming<=3 pairs (xxhash64-seeded — no DuckDB oracle)."""
+    """SimHash hamming<=3 pairs — md5-based 60-bit mode (r3), so the whole
+    pipeline (per-token hash → bit-majority fingerprint → 15-bit
+    pigeonhole chunks → equi-join candidates → bit_count(xor) verify) is
+    reproduced by the DuckDB oracle; rows-only through r2. The 64-bit
+    xxhash64 scale default stays differentially verified
+    (tests/test_differential_hashing.py)."""
     return dedup.simhash_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=3
+        _t(spark, sf_dir, "documents"), max_hamming=3, hash_fn="md5"
     ).orderBy("id_a", "id_b")
 
 
@@ -1149,6 +1163,111 @@ def _lang_scores_sql() -> tuple[str, str]:
     return ", ".join(score_cols), f"CASE WHEN g > 0 THEN {case} ELSE 'und' END"
 
 
+def _minhash_oracle_sql() -> str:
+    """DuckDB mirror of q32's md5-mode MinHash LSH (dedup.py): 31-bit base
+    hash from the first 60 bits of md5, the same LCG-derived (a, b)
+    permutation constants inlined as literals, md5 band keys over the
+    comma-joined decimal signature values, bucket_cap=200, est_jaccard =
+    signature agreement / 64."""
+    from aggo_spark.operators.dedup import _MAX31, _perm_params
+
+    params = _perm_params(64, 42)
+    mins = ",\n                   ".join(
+        f"min(({a} * h + {b}) % {_MAX31}) AS m{i}"
+        for i, (a, b) in enumerate(params))
+    sig_list = ", ".join(f"m{i}" for i in range(64))
+    bands = "\n              UNION ALL ".join(
+        "SELECT id, {b} AS band, ('0x' || substr(md5(concat_ws(',', {cols})), 1, 15))::BIGINT AS bh FROM sig".format(
+            b=b, cols=", ".join(f"m{j}::VARCHAR" for j in range(b * 4, (b + 1) * 4)))
+        for b in range(16))
+    return f"""
+        WITH w AS (
+          SELECT doc_id AS id,
+                 string_split({_NORM.format(c='text')}, ' ') AS wt
+          FROM documents),
+        ex AS (
+          SELECT id,
+                 ('0x' || substr(md5(array_to_string(wt[i : i + 2], ' ')), 1, 15))::BIGINT
+                   % {_MAX31} AS h
+          FROM (SELECT id, wt, unnest(range(1, len(wt) - 1)) AS i
+                FROM w WHERE len(wt) >= 3)),
+        sig AS (
+          SELECT id,
+                   {mins}
+          FROM ex GROUP BY id),
+        sigl AS (SELECT id, [{sig_list}] AS sig FROM sig),
+        banded AS (
+          {bands}),
+        bsz AS (
+          SELECT band, bh, count(*) AS c FROM banded GROUP BY 1, 2),
+        eligible AS (
+          SELECT banded.* FROM banded JOIN bsz USING (band, bh)
+          WHERE c > 1 AND c <= 200),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM eligible a JOIN eligible b USING (band, bh)
+          WHERE a.id < b.id),
+        pairs AS (
+          SELECT c.id_a, c.id_b,
+                 len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0
+                   AS est_jaccard
+          FROM cand c
+          JOIN sigl sa ON sa.id = c.id_a
+          JOIN sigl sb ON sb.id = c.id_b)
+        SELECT id_a, id_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB mirror of q33's md5-mode SimHash (dedup.py): 60-bit per-token
+    hash from the first 15 md5 hex chars, per-bit majority vote (ties set
+    the bit, matching c*2 >= n), 4×15-bit pigeonhole chunks, bucket_cap
+    200, bit_count(xor) hamming verify. Empty-token docs majority-vote to
+    the all-ones fingerprint on both sides (0*2 >= 0)."""
+    counts = ",\n                 ".join(
+        f"coalesce(sum((h >> {i}) & 1), 0) AS c{i}" for i in range(60))
+    shp = " + ".join(f"(CASE WHEN c{i} * 2 >= n THEN {1 << i} ELSE 0 END)"
+                     for i in range(60))
+    chunks = "\n          UNION ALL ".join(
+        f"SELECT id, {ci} AS ci, (sh >> {ci * 15}) & 32767 AS cv FROM sh"
+        for ci in range(4))
+    tok = _TOKENS.format(c="text")
+    return f"""
+        WITH t AS (SELECT doc_id AS id, {tok} AS tok FROM documents),
+        ex AS (
+          SELECT id,
+                 ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h
+          FROM (SELECT id, unnest(tok) AS tk FROM t)),
+        cnt AS (
+          SELECT id, count(*) AS n,
+                 {counts}
+          FROM ex GROUP BY id),
+        fl AS (
+          SELECT t.id, coalesce(n, 0) AS n,
+                 {", ".join(f"coalesce(c{i}, 0) AS c{i}" for i in range(60))}
+          FROM t LEFT JOIN cnt USING (id)),
+        sh AS (SELECT id, {shp} AS sh FROM fl),
+        chunked AS (
+          {chunks}),
+        bsz AS (SELECT ci, cv, count(*) AS c FROM chunked GROUP BY 1, 2),
+        eligible AS (
+          SELECT chunked.* FROM chunked JOIN bsz USING (ci, cv)
+          WHERE c > 1 AND c <= 200),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM eligible a JOIN eligible b USING (ci, cv)
+          WHERE a.id < b.id),
+        pairs AS (
+          SELECT c.id_a, c.id_b,
+                 CAST(bit_count(xor(sa.sh, sb.sh)) AS INT) AS hamming
+          FROM cand c
+          JOIN sh sa ON sa.id = c.id_a
+          JOIN sh sb ON sb.id = c.id_b)
+        SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+        ORDER BY id_a, id_b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     tok_doc = _TOKENS.format(c="text")
     norm_doc = _NORM.format(c="text")
@@ -1617,6 +1736,8 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS example_id
             FROM chunks ORDER BY doc_id, chunk_id
         """,
+        "q32_dedup_minhash": _minhash_oracle_sql(),
+        "q33_dedup_simhash": _simhash_oracle_sql(),
         "q30_dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, md5({norm_doc}) AS content_hash,
                    CAST(count(*) AS BIGINT) AS n_copies

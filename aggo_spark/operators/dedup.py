@@ -166,6 +166,22 @@ def minhash_signature(
     )
 
 
+def _base_hash(col: Column, hash_fn: str) -> Column:
+    """Shingle → 31-bit base hash. ``xxhash64`` is the scale default (fast,
+    JVM-native, differentially tested against a pure-Python mirror);
+    ``md5`` takes the first 60 bits of md5 — slightly slower but exactly
+    reproducible in DuckDB (('0x' || substr(md5(s), 1, 15))::BIGINT), which
+    upgrades the LSH pipeline from a rows-only driver check to a full
+    value-hash oracle."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(_MAX31))
+    if hash_fn == "md5":
+        return F.pmod(
+            F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"),
+            F.lit(_MAX31))
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -174,6 +190,7 @@ def minhash_signatures(
     k: int = 5,
     seed: int = 42,
     unit: str = "char",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<long>) MinHash signatures — the 100 TB path.
 
@@ -188,7 +205,7 @@ def minhash_signatures(
     params = _perm_params(num_perm, seed)
     # duplicates don't change a min, so no distinct pass is needed
     ex = explode_shingles(df, text_col, id_col, k, unit=unit).select(
-        "id", F.pmod(F.xxhash64("s"), F.lit(_MAX31)).alias("h")
+        "id", _base_hash(F.col("s"), hash_fn).alias("h")
     )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MAX31))).alias(f"m{i}")
@@ -208,6 +225,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     bucket_cap: int = 200,
     unit: str = "char",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, with the
     estimated Jaccard (signature agreement rate) attached.
@@ -218,16 +236,23 @@ def minhash_lsh_pairs(
     is the difference between a shuffle and a cartesian explosion.
     """
     rows = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm, k, unit=unit)
+    sig = minhash_signatures(df, text_col, id_col, num_perm, k, unit=unit,
+                             hash_fn=hash_fn)
     # Band keys with literal positions: element_at + multi-arg xxhash64 stay
     # in whole-stage codegen (a transform/slice/concat_ws form is interpreted
-    # CodegenFallback and dominated banding time).
+    # CodegenFallback and dominated banding time). md5 mode hashes the
+    # comma-joined decimal strings — reproducible bit-for-bit in DuckDB.
+    def _band_hash(js: list[int]) -> Column:
+        if hash_fn == "md5":
+            return F.conv(F.substring(F.md5(F.concat_ws(
+                ",", *[F.element_at("sig", j).cast("string") for j in js]
+            )), 1, 15), 16, 10).cast("long")
+        return F.xxhash64(*[F.element_at("sig", j) for j in js])
+
     band_keys = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.element_at("sig", j) for j in range(b * rows + 1, (b + 1) * rows + 1)]
-            ).alias("bh"),
+            _band_hash(list(range(b * rows + 1, (b + 1) * rows + 1))).alias("bh"),
         )
         for b in range(bands)
     ]
@@ -277,20 +302,30 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(text: Column) -> Column:
-    """64-bit SimHash over whitespace tokens (long).
+def simhash(text: Column, hash_fn: str = "xxhash64") -> Column:
+    """SimHash over whitespace tokens (long): 64-bit with the xxhash64
+    default; 60-bit in ``md5`` mode (first 15 md5 hex chars → fits a signed
+    BIGINT in BOTH Spark and DuckDB, making the whole pipeline
+    oracle-reproducible — DuckDB has no 64-bit unsigned shift-safe type).
 
-    Single aggregate pass: fold token hashes into 64 bit-counters
-    (zip_with against a static powers-of-two array — bit tests are
-    ``hash & 2^i``, since Spark's shift builtins take only literal shift
-    amounts), then majority-vote the bits. All columnar, no UDF.
+    Single aggregate pass: fold token hashes into bit-counters (zip_with
+    against a static powers-of-two array — bit tests are ``hash & 2^i``,
+    since Spark's shift builtins take only literal shift amounts), then
+    majority-vote the bits. All columnar, no UDF.
     """
-    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    nbits = _simhash_bits(hash_fn)
+    if hash_fn == "md5":
+        hashes = F.transform(
+            tokens(text),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    else:
+        hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
     n = F.size(hashes)
-    pow2 = F.array(*[F.lit(1 << i if i < 63 else -(1 << 63)).cast("long") for i in range(64)])
+    pow2 = F.array(*[F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+                     for i in range(nbits)])
     counts = F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
+        F.array_repeat(F.lit(0).cast("long"), nbits),
         lambda acc, h: F.zip_with(
             acc, pow2, lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(0)
         ),
@@ -303,26 +338,39 @@ def simhash(text: Column) -> Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x))
 
 
+def _simhash_bits(hash_fn: str) -> int:
+    if hash_fn == "md5":
+        return 60
+    if hash_fn == "xxhash64":
+        return 64
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bucket_cap: int = 200,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming.
 
-    Pigeonhole: split the 64-bit hash into 4 16-bit chunks — any pair within
+    Pigeonhole: split the hash into 4 chunks (16-bit for the 64-bit
+    default, 15-bit for md5 mode's 60-bit hash) — any pair within
     hamming 3 agrees on >= 1 chunk, so candidates come from equi-joins on
     (chunk_idx, chunk_value) instead of all-pairs. Verification is a cheap
     bit_count(xor).
     """
-    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    width = _simhash_bits(hash_fn) // 4
+    mask = (1 << width) - 1
+    sh = df.select(F.col(id_col).alias("id"),
+                   simhash(F.col(text_col), hash_fn=hash_fn).alias("sh"))
     chunks = F.array(
         *[
             F.struct(
                 F.lit(ci).alias("ci"),
-                F.shiftright(F.col("sh"), ci * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                F.shiftright(F.col("sh"), ci * width).bitwiseAND(F.lit(mask)).alias("cv"),
             )
             for ci in range(4)
         ]
