@@ -175,10 +175,18 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     max_train_rows: int = 100_000,
+    centroids: "str | list" = "kmeans",
 ) -> DataFrame:
-    """IVF approximate cosine top-k: KMeans coarse quantizer (trained on a
-    bounded sample), corpus partitioned by nearest centroid, queries probe
-    their ``nprobe`` nearest cells.
+    """IVF approximate cosine top-k: coarse quantizer cells, corpus
+    partitioned by nearest centroid, queries probe their ``nprobe``
+    nearest cells.
+
+    ``centroids``: ``"kmeans"`` (default) trains a KMeans quantizer on a
+    bounded sample — the real IVF, but the trained centers make results
+    impossible for a SQL oracle to reproduce. Passing an explicit list of
+    centroid vectors (e.g. a deterministic seed set) keeps the IDENTICAL
+    cell-assignment/probe/search pipeline while making every step
+    DuckDB-mirrorable.
 
     Scale shape: training is the one iterative step and runs on ≤
     ``max_train_rows`` sampled vectors; assignment + search are single-pass
@@ -186,15 +194,20 @@ def ivf_topk(
     column so a probe prunes file groups; here it is the equi-join key —
     scanned fraction ≈ nprobe / n_centroids.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if isinstance(centroids, list):
+        centers = centroids
+    elif centroids == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    n = corpus.count()
-    frac = min(1.0, max_train_rows / max(n, 1))
-    train = corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="__features")
-    model = km.fit(train.select(array_to_vector(F.col(vec_col)).alias("__features")))
-    centers = [c.tolist() for c in model.clusterCenters()]
+        n = corpus.count()
+        frac = min(1.0, max_train_rows / max(n, 1))
+        train = corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
+        km = KMeans(k=n_centroids, seed=seed, featuresCol="__features")
+        model = km.fit(train.select(array_to_vector(F.col(vec_col)).alias("__features")))
+        centers = [c.tolist() for c in model.clusterCenters()]
+    else:
+        raise ValueError("centroids must be 'kmeans' or a list of vectors")
 
     # distance-to-centroid as a column expression against the broadcast
     # literal centers (tiny), so assignment is a pure projection
