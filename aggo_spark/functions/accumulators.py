@@ -46,8 +46,14 @@ def _order_inverted(col: Column, dtype: T.DataType | None) -> Column | None:
     Spark's nulls-first struct ordering either way; COMPAT.md notes the
     null-sort delta vs MongoDB for desc components.
     """
-    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                          T.FloatType, T.DoubleType, T.DecimalType)):
+    if isinstance(dtype, T.LongType):
+        # plain negation wraps (or throws under ANSI) at Long.MIN_VALUE —
+        # widen to decimal(20,0), where every long's negation is exact
+        return -col.cast("decimal(20,0)")
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType)):
+        # widen first: -Int.MIN overflows int but fits long
+        return -col.cast("long")
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
         return -col
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         return -F.unix_micros(col.cast("timestamp"))

@@ -245,9 +245,10 @@ def bm25_search(
     ).collect()[0]
     if not stats["n"]:
         # empty corpus: avgdl is NULL and no doc can score — return the
-        # (deterministically) empty result with the contract schema
+        # (deterministically) empty result, preserving the input id type
+        id_type = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
-            [], f"`{id_col}` long, score double, n_hit_terms long")
+            [], f"`{id_col}` {id_type}, score double, n_hit_terms long")
     n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
 
     tok = df.select(

@@ -842,9 +842,16 @@ def stage_documents(df: DataFrame, spec, engine) -> DataFrame:
         raise InvalidPipeline("$documents entries must be documents")
     if not any(_contains_expr(v) for d in spec for v in d.values()):
         return df.sparkSession.createDataFrame(spec)
+    # split: literal documents load in ONE createDataFrame; only documents
+    # that actually hold expressions pay a per-doc projection — a uniform
+    # per-doc union would build an N-branch plan (analysis blowup for big
+    # literal lists)
     ctx = ExprContext(schema=T.StructType([]))
-    out = None
+    literal = [d for d in spec if not any(_contains_expr(v) for v in d.values())]
+    out = df.sparkSession.createDataFrame(literal) if literal else None
     for doc in spec:
+        if not any(_contains_expr(v) for v in doc.values()):
+            continue
         cols = [translate_expr(v, ctx).alias(k) for k, v in doc.items()]
         row = df.sparkSession.range(1).select(*cols)
         out = row if out is None else out.unionByName(row, allowMissingColumns=True)
@@ -1097,7 +1104,17 @@ def _bucket_auto_granular(
     number series (min rounds down, splits and max round up; the topmost
     boundary rounds strictly up so the max value stays inside the last
     bucket). _id = the {min, max} series boundaries of each bucket."""
-    tmp = df.withColumn("__aggo_gb", group_by.cast("double")).filter(
+    gb = group_by.cast("double")
+    # MongoDB: granularity requires non-negative values; raise the same
+    # clear error lazily (raise_error keeps the plan codegen'd) instead of
+    # the obscure element_at(-1) failure a negative bucket index would hit
+    gb = F.when(
+        gb < 0,
+        F.raise_error(F.lit(
+            "$bucketAuto granularity requires non-negative groupBy values"
+        )).cast("double"),
+    ).otherwise(gb)
+    tmp = df.withColumn("__aggo_gb", gb).filter(
         F.col("__aggo_gb").isNotNull())
     cuts = [i / n for i in range(1, n)]
     aggs = [F.min("__aggo_gb").alias("__mn"), F.max("__aggo_gb").alias("__mx")]
@@ -1294,7 +1311,12 @@ def stage_graph_lookup(df: DataFrame, spec: dict, engine) -> DataFrame:
         # AND truncates lineage — without it each hop's plan nests every
         # previous hop's join, and deep traversals (a 40-long chain) blow
         # up plan analysis itself. Same pattern as connected_components
-        # (dedup.py); r2 judge item.
+        # (dedup.py); r2 judge item. Trade-off: localCheckpoint blocks are
+        # non-recomputable (an executor loss mid-traversal fails the query
+        # — connected_components' reliable-checkpoint option is the
+        # durable variant) and live until the session ends; acceptable
+        # because traversals are maxDepth-bounded and the per-hop frontier
+        # is small relative to the data.
         hits = hits.localCheckpoint(eager=True)
         if hits.isEmpty():
             break

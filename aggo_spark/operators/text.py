@@ -51,12 +51,22 @@ def tokens(col: Column) -> Column:
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Repartition ONLY an under-partitioned input up to the session's
-    default parallelism (a pre-explode guard: explodes multiply rows ~100×,
-    so a single-split upstream starves every core but one). On an already
-    well-partitioned table this is a no-op — no shuffle of full text bytes,
-    and no blind trust in ``defaultParallelism`` (which can be stale under
-    dynamic allocation on a real cluster)."""
+    """Repartition ONLY an under-partitioned scan-shaped input up to the
+    session's default parallelism (a pre-explode guard: explodes multiply
+    rows ~100×, so a single-split upstream starves every core but one).
+
+    Two escape hatches keep this safe on a real cluster:
+    - If the plan already contains a shuffle boundary (join/aggregate/
+      window/repartition), we leave sizing to AQE and skip entirely —
+      calling ``df.rdd`` on such a plan would eagerly materialize AQE
+      query stages AND report the pre-coalesce partition count.
+    - On a plain scan plan, ``df.rdd.getNumPartitions()`` is pure metadata
+      (no jobs run), so probing it is free; well-partitioned inputs are a
+      no-op — no shuffle of full text bytes.
+    """
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(m in plan for m in ("Join", "Aggregate", "Window", "Repartition", "Sort")):
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= par:
         return df
@@ -148,7 +158,8 @@ def word_ngrams(tok: Column, n: int = 3) -> Column:
         out = F.zip_with(
             out, F.slice(tok, k + 1, out_len),
             lambda a, b: F.concat_ws(" ", a, b))
-    return out
+    # null token array (null text) yields [] like the pre-r3 form, not null
+    return F.coalesce(out, F.array().cast("array<string>"))
 
 
 # BPE-ish word/number/punct segmentation — same regex is valid in Java

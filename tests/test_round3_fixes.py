@@ -152,3 +152,51 @@ def test_word_ngrams_no_subtree_in_lambda(spark):
     assert "zip_with" in plan
     rows = out.first()["g"]
     assert rows == ["a b c", "b c d", "c d e"]
+
+
+def test_bucket_auto_granularity_rejects_negative_values(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, -3.0)], "id long, v double")
+    eng = Engine({"t": df})
+    with pytest.raises(Exception, match="non-negative"):
+        eng.aggregate("t", [{"$bucketAuto": {
+            "groupBy": "$v", "buckets": 2, "granularity": "R5"}}]).collect()
+
+
+def test_documents_large_literal_list_single_source(spark):
+    # 300 literal docs + 1 expression doc: plan must not be a 301-way union
+    eng = Engine()
+    df = spark.createDataFrame([(1,)], "x long")
+    spec = [{"a": i} for i in range(300)] + [{"a": {"$add": [1000, 1]}}]
+    out = eng.aggregate(df, [{"$documents": spec}])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Union") <= 2, plan.count("Union")
+    rows = out.collect()
+    assert len(rows) == 301 and max(r["a"] for r in rows) == 1001
+
+
+def test_word_ngrams_null_text_yields_empty(spark):
+    from aggo_spark.operators import text
+
+    df = spark.createDataFrame([(1, None)], "id long, text string")
+    r = df.select(text.word_ngrams(text.tokens(F.col("text")), 2).alias("g")).first()
+    assert r["g"] == []
+
+
+def test_bm25_empty_corpus_preserves_id_type(spark):
+    from aggo_spark.operators import search
+
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    out = search.bm25_search(empty, "spark", limit=5)
+    assert dict(out.dtypes)["doc_id"] == "string"
+
+
+def test_first_last_mixed_long_min_no_overflow(spark):
+    rows = [(1, "min", -(1 << 63)), (1, "five", 5)]
+    df = spark.createDataFrame(rows, "g long, name string, b long")
+    eng = Engine({"t": df})
+    out = eng.aggregate("t", [
+        {"$sort": {"g": 1, "b": -1}},
+        {"$group": {"_id": "$g", "fn": {"$first": "$name"}}},
+    ]).collect()
+    # desc order of b: 5 comes before Long.MIN — "five" must be first
+    assert out[0]["fn"] == "five"
