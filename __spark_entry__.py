@@ -1697,10 +1697,10 @@ def oracle_sql() -> dict[str, str]:
         "q71_token_budget": """
             WITH b AS (
               SELECT doc_id, source, lang, n_chars,
-                     sum(n_chars) OVER (
+                     CAST(sum(n_chars) OVER (
                        PARTITION BY source
                        ORDER BY md5(CAST(doc_id AS VARCHAR))
-                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
               FROM documents),
             st AS (
               SELECT doc_id,

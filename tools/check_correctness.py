@@ -56,6 +56,20 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
         return False, f"rows {len(a)} vs {len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver's value hash is exact: an int column on one side vs a
+        # float column on the other (e.g. DuckDB HUGEINT widened to float64)
+        # hashes "1006" vs "1006.0" and fails even when values agree.  Mirror
+        # that strictness here instead of silently passing via the tolerant
+        # float path below.
+        int_a = pd.api.types.is_integer_dtype(av)
+        int_b = pd.api.types.is_integer_dtype(bv)
+        flt_a = pd.api.types.is_float_dtype(av)
+        flt_b = pd.api.types.is_float_dtype(bv)
+        if (int_a and flt_b) or (flt_a and int_b):
+            return False, (
+                f"col {c}: dtype mismatch spark={av.dtype} oracle={bv.dtype} "
+                "(driver hashes exact reprs; CAST the oracle aggregate)"
+            )
         try:
             if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
                 ok = ((av.astype(float) - bv.astype(float)).abs() < 1e-9) | (av.isna() & bv.isna())
