@@ -1789,7 +1789,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((sum(n_chunk_tokens) OVER (
                         PARTITION BY shard ORDER BY doc_id, chunk_id
                         ROWS UNBOUNDED PRECEDING) - n_chunk_tokens) / 128)
-                        AS INT) AS example_id
+                        AS BIGINT) AS example_id
             FROM chunks ORDER BY doc_id, chunk_id
         """,
         "q32_dedup_minhash": _minhash_oracle_sql(),

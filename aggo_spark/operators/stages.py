@@ -845,17 +845,25 @@ def stage_documents(df: DataFrame, spec, engine) -> DataFrame:
     # split: literal documents load in ONE createDataFrame; only documents
     # that actually hold expressions pay a per-doc projection — a uniform
     # per-doc union would build an N-branch plan (analysis blowup for big
-    # literal lists)
+    # literal lists). MongoDB emits $documents in array order, so every row
+    # carries its spec ordinal and the union is re-sorted on it — otherwise
+    # a mixed literal/expression list would emit all literals first and a
+    # following $limit/$skip would see the wrong rows.
     ctx = ExprContext(schema=T.StructType([]))
-    literal = [d for d in spec if not any(_contains_expr(v) for v in d.values())]
+    ordinal = "__documents_ordinal__"
+    literal = [
+        {**d, ordinal: i} for i, d in enumerate(spec)
+        if not any(_contains_expr(v) for v in d.values())
+    ]
     out = df.sparkSession.createDataFrame(literal) if literal else None
-    for doc in spec:
+    for i, doc in enumerate(spec):
         if not any(_contains_expr(v) for v in doc.values()):
             continue
         cols = [translate_expr(v, ctx).alias(k) for k, v in doc.items()]
-        row = df.sparkSession.range(1).select(*cols)
+        row = df.sparkSession.range(1).select(
+            *cols, F.lit(i).cast("long").alias(ordinal))
         out = row if out is None else out.unionByName(row, allowMissingColumns=True)
-    return out
+    return out.orderBy(ordinal).drop(ordinal)
 
 
 def stage_sample(df: DataFrame, spec, engine) -> DataFrame:
@@ -1010,9 +1018,12 @@ def _series_snap(col: Column, granularity: str, mode: str) -> Column:
     mode: 'down' = largest series value <= v; 'up' = smallest >= v;
     'up_strict' = smallest > v (used for the topmost boundary so the max
     value itself still falls inside the last [lo, hi) bucket).
-    Zero snaps to zero (the series spans (0, inf)); a relative epsilon
-    absorbs log10/pow float noise for values sitting exactly on a series
-    point.
+    Zero snaps to zero for 'down'/'up' (the series spans (0, inf)); for
+    'up_strict' zero snaps to the series' smallest value at a tiny decade
+    so the strictly-greater invariant holds even for an all-zero domain
+    (otherwise the last bucket's _id.max would be a null element_at, or an
+    ANSI error — ADVICE r3). A relative epsilon absorbs log10/pow float
+    noise for values sitting exactly on a series point.
     """
     if granularity == "POWERSOF2":
         l2 = F.log2(col)
@@ -1044,6 +1055,9 @@ def _series_snap(col: Column, granularity: str, mode: str) -> Column:
                 cond = (mant < F.lit(s) - rel) if strict else (mant <= F.lit(s) + rel)
                 m = F.when(cond, F.lit(round(s * 100))).otherwise(m)
         snapped = F.round(m * base / F.lit(100.0), 10)
+    if mode == "up_strict":
+        tiny = 2.0 ** -30 if granularity == "POWERSOF2" else _R_SERIES[granularity][0] * 1e-9
+        return F.when(col <= 0, F.lit(tiny)).otherwise(snapped)
     return F.when(col <= 0, F.lit(0.0)).otherwise(snapped)
 
 
@@ -1255,6 +1269,18 @@ def stage_merge(df: DataFrame, spec, engine) -> DataFrame:
     return merged
 
 
+def _release_local_checkpoint(cp: DataFrame) -> None:
+    """Free a localCheckpoint's cached blocks. Spark keeps them until the
+    session ends otherwise; the frame is NOT readable afterwards (local
+    checkpoints are non-recomputable), so call only once its rows live on
+    in a consolidated checkpoint. Best-effort: the analyzed plan of a
+    checkpointed Dataset is a LogicalRDD whose rdd() holds the blocks."""
+    try:
+        cp._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - plan shape varies across versions
+        pass
+
+
 def stage_graph_lookup(df: DataFrame, spec: dict, engine) -> DataFrame:
     """$graphLookup (extension; absent from the reference, SURVEY.md §2.2):
     recursive traversal of a foreign collection.
@@ -1298,6 +1324,7 @@ def stage_graph_lookup(df: DataFrame, spec: dict, engine) -> DataFrame:
     frontier = src.select("__gl_uid", F.explode(_values(start, start_type)).alias("__v"))
     from_type = foreign.schema[from_f].dataType
     visited = None
+    hop_cps: list[DataFrame] = []  # per-hop checkpoints, released after consolidation
     for depth in range(max_depth + 1):
         hits = (
             frontier.join(foreign, frontier["__v"] == foreign[to_f])
@@ -1314,17 +1341,27 @@ def stage_graph_lookup(df: DataFrame, spec: dict, engine) -> DataFrame:
         # (dedup.py); r2 judge item. Trade-off: localCheckpoint blocks are
         # non-recomputable (an executor loss mid-traversal fails the query
         # — connected_components' reliable-checkpoint option is the
-        # durable variant) and live until the session ends; acceptable
-        # because traversals are maxDepth-bounded and the per-hop frontier
-        # is small relative to the data.
+        # durable variant). Per-hop blocks are released below once the
+        # traversal is consolidated, so a long-lived session running many
+        # graphLookups holds one result-sized block set per query, not one
+        # per hop (ADVICE r3).
         hits = hits.localCheckpoint(eager=True)
         if hits.isEmpty():
+            _release_local_checkpoint(hits)
             break
+        hop_cps.append(hits)
         visited = hits if visited is None else visited.unionByName(hits)
         frontier = hits.select(
             "__gl_uid",
             F.explode(_values(F.col("__doc").getField(from_f), from_type)).alias("__v"),
         )
+    if len(hop_cps) > 1:
+        # consolidate the traversal into ONE checkpoint and free every
+        # per-hop block set (their rows were just copied); the lazy result
+        # below must only reference the consolidated frame
+        visited = visited.localCheckpoint(eager=True)
+        for cp in hop_cps:
+            _release_local_checkpoint(cp)
     struct_ddl = ",".join(
         f"`{f.name}`:{f.dataType.simpleString()}" for f in foreign.schema.fields
     )

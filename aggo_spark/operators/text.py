@@ -64,9 +64,20 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
       (no jobs run), so probing it is free; well-partitioned inputs are a
       no-op — no shuffle of full text bytes.
     """
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if any(m in plan for m in ("Join", "Aggregate", "Window", "Repartition", "Sort")):
-        return df
+    # Walk the optimized plan's NODE CLASSES, not its rendered string: a
+    # column named e.g. "SortKey" appears in the string form and would
+    # silently skip the repartition (ADVICE r3). Class names are exact.
+    shuffly = ("Join", "Aggregate", "Window", "Sort", "Repartition",
+               "RepartitionByExpression", "Distinct", "Deduplicate")
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if any(cls == s or cls.startswith(s) for s in shuffly):
+            return df
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= par:
         return df
@@ -619,8 +630,11 @@ def pack_chunks(
     cum = F.sum(tokens_col).over(w)
     return df.withColumn("pack_cum_tokens", cum).withColumn(
         "example_id",
+        # long, not int: a per-shard cumsum of hundreds of billions of
+        # tokens / example_size exceeds 2^31 at the 100 TB scale this is
+        # designed for (ADVICE r3)
         F.floor((F.col("pack_cum_tokens") - F.col(tokens_col))
-                / F.lit(example_size)).cast("int"),
+                / F.lit(example_size)).cast("long"),
     )
 
 

