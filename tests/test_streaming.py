@@ -408,3 +408,113 @@ def test_incremental_stream_static_lookup(spark, tmp_path):
         assert got == {"y": (1, 2)}  # group x fully retracted → disappears
     finally:
         coll.stop()
+
+
+class TestRetractionFuzz:
+    """Randomized add/remove sequences vs an independent pure-Python model
+    (NOT the engine's own recompute, which would be a tautology) — the
+    reference's randomized IVM parity strategy
+    (/root/reference/tests/parity-ivm-hotpath.spec.js:56+). 10 seeds × 2
+    registered pipelines = 20 fuzzed sequences, parity-checked after every
+    mutation."""
+
+    FUZZ_SCHEMA = "category string, price double, qty long, ts long"
+
+    NONINV_PIPE = [
+        {"$sort": {"ts": 1}},
+        {"$group": {
+            "_id": "$category",
+            "lo": {"$min": "$price"},
+            "hi": {"$max": "$price"},
+            "first_p": {"$first": "$price"},
+            "last_p": {"$last": "$price"},
+            "prices": {"$push": "$price"},
+            "uniq_qty": {"$addToSet": "$qty"},
+        }},
+    ]
+    INV_PIPE = [
+        {"$group": {
+            "_id": "$category",
+            "n": {"$sum": 1},
+            "rev": {"$sum": {"$multiply": ["$price", "$qty"]}},
+            "avg_price": {"$avg": "$price"},
+        }},
+    ]
+
+    @staticmethod
+    def _model(live):
+        """Expected results per category from the list of live docs."""
+        cats = {}
+        for d in live:
+            cats.setdefault(d["category"], []).append(d)
+        out = {}
+        for c, docs in cats.items():
+            by_ts = sorted(docs, key=lambda d: d["ts"])
+            out[c] = {
+                "lo": min(d["price"] for d in docs),
+                "hi": max(d["price"] for d in docs),
+                "first_p": by_ts[0]["price"],
+                "last_p": by_ts[-1]["price"],
+                "prices": [d["price"] for d in by_ts],
+                "uniq_qty": sorted({d["qty"] for d in docs}),
+                "n": len(docs),
+                "rev": sum(d["price"] * d["qty"] for d in docs),
+                "avg_price": sum(d["price"] for d in docs) / len(docs),
+            }
+        return out
+
+    @pytest.mark.parametrize("seed", range(10))
+    def test_random_sequences_match_model(self, spark, tmp_path, seed):
+        import random
+
+        rng = random.Random(1000 + seed)
+        coll = StreamingCollection(
+            spark, self.FUZZ_SCHEMA, workdir=str(tmp_path / f"fuzz{seed}"))
+        try:
+            coll.stream(self.NONINV_PIPE, "noninv")
+            coll.stream(self.INV_PIPE, "inv")
+            assert not pipeline_is_incremental(self.NONINV_PIPE)
+            assert pipeline_is_incremental(self.INV_PIPE)
+
+            live: list[dict] = []
+            ts = 0
+            for _ in range(10):
+                op = rng.random()
+                if op < 0.55 or not live:
+                    k = rng.randint(1, 3)
+                    docs = []
+                    for _ in range(k):
+                        if live and rng.random() < 0.2:
+                            docs.append(dict(rng.choice(live)))  # duplicate doc
+                        else:
+                            ts += 1
+                            docs.append({
+                                "category": rng.choice("abc"),
+                                "price": float(rng.randint(1, 20)),
+                                "qty": rng.randint(1, 5),
+                                "ts": ts,
+                            })
+                    coll.add_bulk(docs)
+                    live.extend(docs)
+                else:
+                    victim = rng.choice(live)
+                    coll.remove(dict(victim))
+                    live.remove(victim)
+
+                expected = self._model(live)
+                got_ni = by_id(coll.result("noninv"))
+                got_inv = by_id(coll.result("inv"))
+                assert set(got_ni) == set(expected), "noninv group keys diverged"
+                assert set(got_inv) == set(expected), "inv group keys diverged"
+                for c, exp in expected.items():
+                    ni, inv = got_ni[c], got_inv[c]
+                    assert ni["lo"] == exp["lo"] and ni["hi"] == exp["hi"]
+                    assert ni["first_p"] == exp["first_p"]
+                    assert ni["last_p"] == exp["last_p"]
+                    assert ni["prices"] == exp["prices"]
+                    assert sorted(ni["uniq_qty"]) == exp["uniq_qty"]
+                    assert inv["n"] == exp["n"]
+                    assert inv["rev"] == pytest.approx(exp["rev"])
+                    assert inv["avg_price"] == pytest.approx(exp["avg_price"])
+        finally:
+            coll.stop()
