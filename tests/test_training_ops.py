@@ -194,6 +194,69 @@ class TestIVFAndNearDup:
             emb, threshold=0.4, bits=8).collect()
         assert all(r.score >= 0.4 and r.id_a < r.id_b for r in out)
 
+    @pytest.fixture(scope="class")
+    def bf10(self, emb):
+        """Exact top-10 over ALL 500 queries — the recall denominator."""
+        return {(r.query_id, r.neighbor_id)
+                for r in similarity.brute_force_topk(emb, emb, k=10).collect()}
+
+    @staticmethod
+    def _recall(approx_df, bf_pairs):
+        a = {(r.query_id, r.neighbor_id) for r in approx_df.collect()}
+        return len(a & bf_pairs) / len(bf_pairs)
+
+    def test_bucketed_recall_pinned(self, emb, bf10):
+        """Pinned at the measured levels from the docstring table in
+        similarity.py (sf0.001 is fixed data + a deterministic plan, so
+        these are exact reproductions, not flaky statistics). The tuned
+        (6, 8, 1) configuration clears the >=0.7 target; the cheap
+        (8, 8, 1) point documents the 25%-scan trade-off."""
+        r_tuned = self._recall(
+            similarity.bucketed_topk(emb, emb, k=10, bits=6, tables=8,
+                                     probe_hamming=1), bf10)
+        assert r_tuned >= 0.85, f"tuned recall {r_tuned:.3f} (measured 0.886)"
+        r_cheap = self._recall(
+            similarity.bucketed_topk(emb, emb, k=10, bits=8, tables=8,
+                                     probe_hamming=1), bf10)
+        assert r_cheap >= 0.55, f"cheap recall {r_cheap:.3f} (measured 0.592)"
+
+    def test_bucketed_single_table_unchanged(self, emb, bf10):
+        """Default params must keep the historical single-table behavior
+        (the oracle-verified q34 contract depends on it)."""
+        r = self._recall(similarity.bucketed_topk(emb, emb, k=10, bits=4), bf10)
+        assert 0.10 <= r <= 0.16, f"recall {r:.3f} (measured 0.129)"
+
+    def test_ivf_recall_pinned(self, emb, bf10):
+        """nprobe sweep pinned at the measured levels from the docstring
+        table in similarity.py; nprobe=4 clears the >=0.9 target."""
+        floors = {1: 0.35, 2: 0.55, 4: 0.90}
+        for nprobe, floor in floors.items():
+            r = self._recall(
+                similarity.ivf_topk(emb, emb, k=10, n_centroids=8,
+                                    nprobe=nprobe), bf10)
+            assert r >= floor, f"nprobe={nprobe} recall {r:.3f} < {floor}"
+
+    def test_bucketed_multiprobe_scores_deduped(self, emb):
+        """A pair colliding in several tables must appear once, with the
+        same score the exact search gives it."""
+        out = similarity.bucketed_topk(
+            emb, emb.filter(F.col("vec_id") < 5), k=10, bits=4, tables=8,
+            probe_hamming=1)
+        rows = out.collect()
+        pairs = [(r.query_id, r.neighbor_id) for r in rows]
+        assert len(pairs) == len(set(pairs))
+        exact = {(r.query_id, r.neighbor_id): r.score
+                 for r in similarity.brute_force_topk(
+                     emb, emb.filter(F.col("vec_id") < 5), k=500).collect()}
+        for r in rows:
+            assert abs(exact[(r.query_id, r.neighbor_id)] - r.score) < 1e-9
+
+    def test_bucketed_rejects_bad_params(self, emb):
+        with pytest.raises(ValueError):
+            similarity.bucketed_topk(emb, emb, probe_hamming=2)
+        with pytest.raises(ValueError):
+            similarity.bucketed_topk(emb, emb, tables=0)
+
 
 def test_multimodal_decoder_injection(docs):
     """The decoder is a plug-in point: a custom bytes->dict rides the same
