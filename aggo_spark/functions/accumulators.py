@@ -64,6 +64,29 @@ def _order_inverted(col: Column, dtype: T.DataType | None) -> Column | None:
     return None
 
 
+def uninvertible_desc_keys(order_by: dict, ctx: ExprContext) -> list[str]:
+    """Sort-spec paths that block a mixed-direction min_by/max_by mapping.
+
+    A descending component whose type has no order-preserving sign inversion
+    (strings, and any other type `_order_inverted` declines) can't join the
+    ascending struct key directly. ``stage_group`` pre-computes a dense-rank
+    surrogate for each returned path (see `stages._rank_invert_keys`) so
+    `$first`/`$last` stay deterministic instead of falling back to
+    partition-order ``F.first``. Uniform-direction sorts never need this —
+    min_by/max_by just flips — so only mixed-direction specs return paths.
+    """
+    dirs = [1 if v in (1, True) else -1 for v in order_by.values()]
+    if len(set(dirs)) == 1:
+        return []
+    out = []
+    for k, v in order_by.items():
+        if v in (1, True):
+            continue
+        if _order_inverted(ctx.resolve_path(k), ctx.path_type(k)) is None:
+            out.append(k)
+    return out
+
+
 def _ordered_pick(arg, ctx: ExprContext, order_by: dict, last: bool) -> Column | None:
     """min_by/max_by mapping for $first/$last after $sort.
 
@@ -71,10 +94,11 @@ def _ordered_pick(arg, ctx: ExprContext, order_by: dict, last: bool) -> Column |
     (e.g. ``{a: 1, b: -1}``) normalize every component to ascending by
     sign-inverting the descending ones (numeric / date / timestamp /
     boolean) so a single min_by/max_by struct key still works —
-    deterministic under distributed grouping. Only when a descending
-    component has no order-preserving inversion (strings) does this return
-    None (caller falls back to partition-order F.first/F.last; COMPAT.md).
-    Reference semantics: src/aggo/accumulators.ts:96-106.
+    deterministic under distributed grouping. Descending components with no
+    order-preserving inversion (strings) never reach this in the $group path:
+    `stage_group` pre-substitutes dense-rank surrogates (uninvertible_desc_keys
+    + stages._rank_invert_keys), so returning None here only hits callers
+    without a prepass hook. Reference semantics: src/aggo/accumulators.ts:96-106.
     """
     dirs = [1 if v in (1, True) else -1 for v in order_by.values()]
     out = translate_expr(arg, ctx)

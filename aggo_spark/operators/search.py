@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.pyhash import bucket_of
 from .text import normalize_text, tokens
 
 __all__ = [
@@ -72,16 +73,10 @@ def search_with_index(
     toks = query_tokens(query)
     if not toks:
         return df
-    spark = df.sparkSession
-    # token_bucket values for partition pruning; xxhash64 must match Spark's
-    # own implementation, so compute them with one tiny Spark job
-    buckets = [
-        r["b"]
-        for r in spark.createDataFrame([(t,) for t in toks], "t string")
-        .select(F.pmod(F.xxhash64("t"), F.lit(N_BUCKETS)).alias("b"))
-        .distinct()
-        .collect()
-    ]
+    # bucket ids via the driver-side xxhash64 mirror (functions/pyhash.py,
+    # differentially pinned against the JVM) — no Spark job on the hot
+    # per-query path
+    buckets = sorted({bucket_of(t, N_BUCKETS) for t in toks})
     hits = (
         index.filter(F.col("token_bucket").isin(buckets))  # partition pruning
         .filter(F.col("token").isin(toks))                 # pushed to scan
@@ -156,14 +151,7 @@ def regex_search_with_index(
     grams = sorted({l[i:i + 3] for l in lits for i in range(len(l) - 2)})
     if not grams:
         return df.filter(exact)
-    spark = df.sparkSession
-    buckets = [
-        r["b"]
-        for r in spark.createDataFrame([(g,) for g in grams], "g string")
-        .select(F.pmod(F.xxhash64("g"), F.lit(N_BUCKETS)).alias("b"))
-        .distinct()
-        .collect()
-    ]
+    buckets = sorted({bucket_of(g, N_BUCKETS) for g in grams})
     hits = (
         index.filter(F.col("gram_bucket").isin(buckets))
         .filter(F.col("gram").isin(grams))

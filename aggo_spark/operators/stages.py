@@ -308,9 +308,56 @@ def stage_unset(df: DataFrame, spec, engine) -> DataFrame:
 # $group  (reference aggregation.ts:541-580)
 # ---------------------------------------------------------------------------
 
+def _rank_invert_keys(df: DataFrame, order_by: dict, keys: list[str]):
+    """Replace uninvertible descending sort components with ascending
+    dense-rank surrogates so `$first`/`$last` compile to min_by/max_by.
+
+    For each path in ``keys`` (descending strings, typically): rank the
+    *distinct* values of the column descending (nulls first, matching the
+    engine's numeric-desc null placement; COMPAT.md notes the MongoDB
+    delta), null-safe-join the rank back, and rewrite that component to
+    ascending on the surrogate. Scale note: dense_rank over an unpartitioned
+    window funnels the distinct values through one task — acceptable here
+    because it runs on the *distinct* set of one sort column and only for
+    the rare mixed-direction-with-string-desc spec; every other shape takes
+    the pure-Column inversion path in `accumulators._order_inverted`.
+    """
+    for j, key in enumerate(keys):
+        val = translate_expr(f"${key}", _ctx(df))
+        aux = f"__aggo_rk_{j}"
+        ranks = (
+            df.select(val.alias("__aggo_rv"))
+            .distinct()
+            .withColumn(
+                aux,
+                F.dense_rank().over(Window.orderBy(F.col("__aggo_rv").desc_nulls_first())),
+            )
+        )
+        df = df.join(
+            ranks, val.eqNullSafe(F.col("__aggo_rv")), "left"
+        ).drop("__aggo_rv")
+        order_by = {
+            (aux if kk == key else kk): (1 if kk == key else vv)
+            for kk, vv in order_by.items()
+        }
+    return df, order_by
+
+
 def stage_group(df: DataFrame, spec: dict, engine, order_by: dict | None = None) -> DataFrame:
     if "_id" not in spec:
         raise InvalidPipeline("$group requires _id")
+    if order_by:
+        from ..functions.accumulators import uninvertible_desc_keys
+
+        uses_pick = any(
+            isinstance(v, dict) and len(v) == 1 and next(iter(v)) in ("$first", "$last")
+            for k, v in spec.items()
+            if k != "_id"
+        )
+        if uses_pick:
+            hard = uninvertible_desc_keys(order_by, _ctx(df))
+            if hard:
+                df, order_by = _rank_invert_keys(df, order_by, hard)
     ctx = _ctx(df)
     accs = [
         accumulator_to_column(k, v, ctx, order_by=order_by)

@@ -17,65 +17,10 @@ from pyspark.sql import functions as F
 from aggo_spark.operators import dedup
 from aggo_spark.operators.dedup import _MAX31, _perm_params
 
-# ---------------------------------------------------------------------------
-# pure-Python XXH64 (public algorithm; Spark's xxhash64 = XXH64(utf8, seed=42)
-# returned as a signed 64-bit long)
-# ---------------------------------------------------------------------------
-
-_M64 = (1 << 64) - 1
-_P1 = 11400714785074694791
-_P2 = 14029467366897019727
-_P3 = 1609587929392839161
-_P4 = 9650029242287828579
-_P5 = 2870177450012600261
-
-
-def _rotl(x: int, r: int) -> int:
-    return ((x << r) | (x >> (64 - r))) & _M64
-
-
-def _round(acc: int, lane: int) -> int:
-    return (_rotl((acc + lane * _P2) & _M64, 31) * _P1) & _M64
-
-
-def xxh64(data: bytes, seed: int = 42) -> int:
-    n, i = len(data), 0
-    if n >= 32:
-        v1, v2 = (seed + _P1 + _P2) & _M64, (seed + _P2) & _M64
-        v3, v4 = seed & _M64, (seed - _P1) & _M64
-        while i + 32 <= n:
-            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
-            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
-            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
-            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
-            i += 32
-        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
-        for v in (v1, v2, v3, v4):
-            h = ((h ^ _round(0, v)) * _P1 + _P4) & _M64
-    else:
-        h = (seed + _P5) & _M64
-    h = (h + n) & _M64
-    while i + 8 <= n:
-        k = _round(0, int.from_bytes(data[i : i + 8], "little"))
-        h = ((_rotl(h ^ k, 27) * _P1) + _P4) & _M64
-        i += 8
-    if i + 4 <= n:
-        h = ((_rotl(h ^ ((int.from_bytes(data[i : i + 4], "little") * _P1) & _M64), 23) * _P2) + _P3) & _M64
-        i += 4
-    while i < n:
-        h = (_rotl(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
-        i += 1
-    h ^= h >> 33
-    h = (h * _P2) & _M64
-    h ^= h >> 29
-    h = (h * _P3) & _M64
-    h ^= h >> 32
-    return h
-
-
-def xxh64_signed(s: str, seed: int = 42) -> int:
-    h = xxh64(s.encode("utf-8"), seed)
-    return h - (1 << 64) if h >= (1 << 63) else h
+# The pure-Python XXH64 mirror lives in the package (r4: it now serves the
+# index-search bucket computation, functions/pyhash.py) — this suite is what
+# pins it bit-exact against the JVM implementation.
+from aggo_spark.functions.pyhash import bucket_of, xxh64, xxh64_signed
 
 
 # ---------------------------------------------------------------------------
@@ -150,6 +95,19 @@ def test_xxh64_matches_spark(spark):
     )
     for r in got:
         assert xxh64_signed(r["s"]) == r["h"], f"xxh64 mismatch on {r['s']!r}"
+
+
+def test_bucket_of_matches_spark_pmod(spark):
+    from aggo_spark.operators.search import N_BUCKETS
+
+    cases = ["", "a", "token", "the", "lorem", "héllo", "x" * 40]
+    got = (
+        spark.createDataFrame([(c,) for c in cases], "s string")
+        .select("s", F.pmod(F.xxhash64("s"), F.lit(N_BUCKETS)).alias("b"))
+        .collect()
+    )
+    for r in got:
+        assert bucket_of(r["s"], N_BUCKETS) == r["b"], f"bucket mismatch on {r['s']!r}"
 
 
 def test_minhash_signatures_match_python(sample):

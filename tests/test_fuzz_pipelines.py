@@ -247,3 +247,118 @@ def test_random_lookup_unwind_matches_python(spark):
                              canon(expected, flds)[:3]))
 
     assert not failures, f"{len(failures)} mismatches; first: {failures[0]}"
+
+
+def test_random_unwind_lookup_group_matches_python(spark):
+    """Differential fuzz for the $unwind → $lookup(+$unwind fused) → $group
+    chain — the composition shape behind the r3 query consolidation (merged
+    contract queries stack these), which fixed oracles alone wouldn't guard."""
+    rng = random.Random(SEED + 2)
+
+    failures = []
+    for trial in range(15):
+        eng = Engine()
+        rows = [
+            {"d": n, "g": rng.choice(GROUPS),
+             "arr": [rng.randint(0, 9) for _ in range(rng.randint(0, 4))]}
+            for n in range(30)
+        ]
+        df = spark.createDataFrame(rows, "d long, g string, arr array<long>")
+        fkeys = rng.sample(range(0, 10), k=rng.randint(3, 7))
+        frows = [{"fk": k_, "fv": k_ * 10 + d}
+                 for k_ in fkeys for d in range(rng.randint(1, 2))]
+        eng.register("f", spark.createDataFrame(frows, "fk long, fv long"))
+        preserve = rng.random() < 0.5
+        unwind_m = ({"$unwind": {"path": "$m", "preserveNullAndEmptyArrays": True}}
+                    if preserve else {"$unwind": "$m"})
+        pipeline = [
+            {"$unwind": "$arr"},
+            {"$lookup": {"from": "f", "localField": "arr",
+                         "foreignField": "fk", "as": "m"}},
+            unwind_m,
+            {"$group": {"_id": "$g", "n": {"$sum": 1}, "sa": {"$sum": "$arr"},
+                        "mx": {"$max": "$m.fv"}}},
+        ]
+
+        flat = []
+        for r in rows:
+            for a in r["arr"]:
+                matches = [fr for fr in frows if fr["fk"] == a]
+                if matches:
+                    flat.extend({"g": r["g"], "a": a, "fv": m["fv"]} for m in matches)
+                elif preserve:
+                    flat.append({"g": r["g"], "a": a, "fv": None})
+        expected = []
+        buckets: dict = {}
+        for fr in flat:
+            buckets.setdefault(fr["g"], []).append(fr)
+        for g, rs in buckets.items():
+            fvs = [x["fv"] for x in rs if x["fv"] is not None]
+            expected.append({"_id": g, "n": len(rs), "sa": sum(x["a"] for x in rs),
+                             "mx": max(fvs) if fvs else None})
+
+        got = [r.asDict() for r in eng.aggregate(df, pipeline).collect()]
+        flds = ["_id", "n", "sa", "mx"]
+        if canon(got, flds) != canon(expected, flds):
+            failures.append((trial, preserve, canon(got, flds)[:3],
+                             canon(expected, flds)[:3]))
+
+    assert not failures, f"{len(failures)} mismatches; first: {failures[0]}"
+
+
+def test_random_group_then_window_matches_python(spark):
+    """Differential fuzz for post-$group $setWindowFields compositions:
+    random grouped measures feed a window with rank / bounded running sum /
+    full-partition total, vs a pure-Python mirror. Sort keys carry an _id
+    tiebreak so document-frame semantics are total-order deterministic."""
+    rng = random.Random(SEED + 3)
+    base_rows = make_rows(rng)
+    df = spark.createDataFrame(base_rows, "i long, j long, k long, g string")
+
+    failures = []
+    for trial in range(15):
+        eng = Engine()
+        e, e_fn = gen_num_expr(rng, FIELDS + ["g"], depth=1)
+        m0_dir = rng.choice([1, -1])
+        nparts = rng.choice([1, 2, 3])
+        pipeline = [
+            {"$group": {"_id": "$g", "m0": {"$sum": e}, "m1": {"$sum": 1}}},
+            {"$addFields": {"p": {"$mod": ["$m1", nparts]}}},
+            {"$setWindowFields": {
+                "partitionBy": "$p",
+                "sortBy": {"m0": m0_dir, "_id": 1},
+                "output": {
+                    "rk": {"$rank": {}},
+                    "run": {"$sum": "$m0",
+                            "window": {"documents": ["unbounded", "current"]}},
+                    "tot": {"$sum": "$m0"},
+                },
+            }},
+        ]
+
+        groups: dict = {}
+        for r in base_rows:
+            groups.setdefault(r["g"], []).append(r)
+        grows = [{"_id": g, "m0": sum(e_fn(r) for r in rs), "m1": len(rs)}
+                 for g, rs in groups.items()]
+        for gr in grows:
+            gr["p"] = gr["m1"] % nparts
+        expected = []
+        parts: dict = {}
+        for gr in grows:
+            parts.setdefault(gr["p"], []).append(gr)
+        for _, rs in parts.items():
+            rs = sorted(rs, key=lambda r: (r["m0"] * m0_dir, r["_id"]))
+            tot = sum(r["m0"] for r in rs)
+            run = 0
+            for pos, r in enumerate(rs):
+                run += r["m0"]
+                # _id tiebreak makes keys distinct -> rank == position + 1
+                expected.append({**r, "rk": pos + 1, "run": run, "tot": tot})
+
+        got = [r.asDict() for r in eng.aggregate(df, pipeline).collect()]
+        flds = ["_id", "m0", "m1", "p", "rk", "run", "tot"]
+        if canon(got, flds) != canon(expected, flds):
+            failures.append((trial, canon(got, flds)[:3], canon(expected, flds)[:3]))
+
+    assert not failures, f"{len(failures)} mismatches; first: {failures[0]}"

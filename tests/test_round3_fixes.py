@@ -47,14 +47,42 @@ def test_first_last_mixed_direction_plan_uses_min_by(eng):
     assert "min_by" in plan and "first(" not in plan
 
 
-def test_first_last_mixed_string_desc_falls_back(eng):
-    # string desc has no order-preserving inversion -> falls back to F.first
+def test_first_last_mixed_string_desc_uses_rank_surrogate(eng):
+    # string desc has no sign inversion -> a dense-rank surrogate keeps the
+    # min_by mapping (r4: no more partition-order F.first fallback)
     q = eng.aggregate("t", [
         {"$sort": {"score": 1, "name": -1}},
         {"$group": {"_id": "$g", "fn": {"$first": "$name"}}},
     ])
     plan = q._jdf.queryExecution().optimizedPlan().toString()
-    assert "first(" in plan
+    assert "min_by" in plan and "first(" not in plan
+
+
+def test_first_last_mixed_string_desc_values(eng):
+    out = eng.aggregate("t", [
+        {"$sort": {"score": 1, "name": -1}},
+        {"$group": {"_id": "$g",
+                    "fn": {"$first": "$name"},
+                    "ln": {"$last": "$name"}}},
+        {"$sort": {"_id": 1}},
+    ]).collect()
+    # g=1 sorted by (score asc, name desc): a(5), b(9), a2(9) -> first a, last a2
+    assert out[0]["fn"] == "a" and out[0]["ln"] == "a2"
+    # g=2: ties at score=1, name desc -> d, c
+    assert out[1]["fn"] == "d" and out[1]["ln"] == "c"
+
+
+def test_first_last_string_desc_null_keys(spark):
+    # nulls in the desc string component sort FIRST (engine-wide desc null
+    # placement; COMPAT.md notes the MongoDB nulls-last delta)
+    rows = [(1, None, 5), (1, "z", 5), (1, "a", 5)]
+    df = spark.createDataFrame(rows, "g long, name string, score long")
+    eng2 = Engine({"t": df})
+    out = eng2.aggregate("t", [
+        {"$sort": {"score": 1, "name": -1}},
+        {"$group": {"_id": "$g", "fn": {"$first": "$name"}, "ln": {"$last": "$name"}}},
+    ]).collect()
+    assert out[0]["fn"] is None and out[0]["ln"] == "a"
 
 
 def test_bucket_auto_granularity(spark):
