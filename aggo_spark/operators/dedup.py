@@ -142,7 +142,9 @@ def minhash_signature(
 
     NOTE: Spark higher-order functions are CodegenFallback (interpreted
     per-row), so this form is only for small inputs / API parity. The scale
-    path is :func:`minhash_signatures`, which stays in whole-stage codegen.
+    path is :func:`minhash_signatures`, which stays in whole-stage codegen —
+    measured r4 at sf0.1 (5k docs, 64 perms): 47.6 s for this HOF fold vs
+    0.9 s for the explode+groupBy form, a ~50x gap.
     """
     params = _perm_params(num_perm, seed)
     pa = F.array(*[F.lit(a).cast("long") for a, _ in params])

@@ -306,6 +306,63 @@ def test_random_unwind_lookup_group_matches_python(spark):
     assert not failures, f"{len(failures)} mismatches; first: {failures[0]}"
 
 
+def test_random_sort_first_last_matches_python(spark):
+    """Differential fuzz for $sort → $group $first/$last across random
+    direction mixes — including descending STRING components, which take the
+    r4 dense-rank-surrogate path instead of a partition-order fallback.
+    Sort keys always end with the unique doc id, so picks are total-order
+    deterministic and the Python mirror is exact."""
+    rng = random.Random(SEED + 4)
+
+    failures = []
+    for trial in range(25):
+        rows = [
+            {"d": n, "g": rng.choice(GROUPS), "i": rng.randint(-9, 9),
+             "s": rng.choice(["ap", "be", "ca", "do", "el", None])}
+            for n in range(40)
+        ]
+        df = spark.createDataFrame(rows, "d long, g string, i long, s string")
+        keys = rng.sample(["i", "s"], k=rng.randint(1, 2)) + ["d"]
+        sort_spec = {k: rng.choice([1, -1]) for k in keys}
+        pipeline = [
+            {"$sort": dict(sort_spec)},
+            {"$group": {"_id": "$g", "f": {"$first": "$d"}, "l": {"$last": "$d"}}},
+        ]
+
+        uniform = len(set(sort_spec.values())) == 1
+
+        def keyfn(r, spec=sort_spec, uniform=uniform):
+            ks = []
+            for f, d in spec.items():
+                v = r[f]
+                # engine null placement (COMPAT.md): asc -> nulls first
+                # (struct nulls-first). desc in a UNIFORM spec -> max_by over
+                # the same struct, so nulls (smallest) land LAST; desc in a
+                # MIXED spec -> inverted-key/rank path keeps nulls first.
+                if d == 1:
+                    ks.append((0, 0) if v is None else (1, v))
+                elif uniform:
+                    ks.append((2, 0) if v is None else (1, _neg(v)))
+                else:
+                    ks.append((0, 0) if v is None else (1, _neg(v)))
+            return tuple(ks)
+
+        expected = []
+        buckets: dict = {}
+        for r in sorted(rows, key=keyfn):
+            buckets.setdefault(r["g"], []).append(r["d"])
+        for g, ds in buckets.items():
+            expected.append({"_id": g, "f": ds[0], "l": ds[-1]})
+
+        got = [r.asDict() for r in Engine().aggregate(df, pipeline).collect()]
+        flds = ["_id", "f", "l"]
+        if canon(got, flds) != canon(expected, flds):
+            failures.append((trial, sort_spec, canon(got, flds)[:3],
+                             canon(expected, flds)[:3]))
+
+    assert not failures, f"{len(failures)} mismatches; first: {failures[0]}"
+
+
 def test_random_group_then_window_matches_python(spark):
     """Differential fuzz for post-$group $setWindowFields compositions:
     random grouped measures feed a window with rank / bounded running sum /
