@@ -82,9 +82,19 @@ def uninvertible_desc_keys(order_by: dict, ctx: ExprContext) -> list[str]:
     for k, v in order_by.items():
         if v in (1, True):
             continue
-        if _order_inverted(ctx.resolve_path(k), ctx.path_type(k)) is None:
+        col, dtype = _mongo_sort_key(ctx.resolve_path(k), ctx.path_type(k), asc=False)
+        if _order_inverted(col, dtype) is None:
             out.append(k)
     return out
+
+
+def _mongo_sort_key(col: Column, dtype: T.DataType | None, asc: bool):
+    """(key column, key dtype) under MongoDB sort semantics: array fields
+    sort by min element ascending / max element descending (matching
+    stages._sort_cols), everything else as-is."""
+    if isinstance(dtype, T.ArrayType):
+        return (F.array_min(col) if asc else F.array_max(col)), dtype.elementType
+    return col, dtype
 
 
 def _ordered_pick(arg, ctx: ExprContext, order_by: dict, last: bool) -> Column | None:
@@ -103,19 +113,24 @@ def _ordered_pick(arg, ctx: ExprContext, order_by: dict, last: bool) -> Column |
     dirs = [1 if v in (1, True) else -1 for v in order_by.values()]
     out = translate_expr(arg, ctx)
     if len(set(dirs)) == 1:
-        keys = [ctx.resolve_path(k).alias(f"__ok{i}") for i, k in enumerate(order_by)]
-        key = keys[0] if len(keys) == 1 else F.struct(*keys)
         ascending = dirs[0] == 1
+        keys = [
+            _mongo_sort_key(ctx.resolve_path(k), ctx.path_type(k), asc=ascending)[0]
+            .alias(f"__ok{i}")
+            for i, k in enumerate(order_by)
+        ]
+        key = keys[0] if len(keys) == 1 else F.struct(*keys)
         # $first under asc = smallest key; $last under asc = largest; flipped desc
         want_min = ascending != last
         return F.min_by(out, key) if want_min else F.max_by(out, key)
     keys = []
     for i, (k, v) in enumerate(order_by.items()):
-        col = ctx.resolve_path(k)
-        if v in (1, True):
+        asc = v in (1, True)
+        col, dtype = _mongo_sort_key(ctx.resolve_path(k), ctx.path_type(k), asc=asc)
+        if asc:
             keys.append(col.alias(f"__ok{i}"))
             continue
-        inv = _order_inverted(col, ctx.path_type(k))
+        inv = _order_inverted(col, dtype)
         if inv is None:
             return None
         keys.append(inv.alias(f"__ok{i}"))

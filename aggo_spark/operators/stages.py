@@ -322,8 +322,11 @@ def _rank_invert_keys(df: DataFrame, order_by: dict, keys: list[str]):
     the rare mixed-direction-with-string-desc spec; every other shape takes
     the pure-Column inversion path in `accumulators._order_inverted`.
     """
+    from ..functions.accumulators import _mongo_sort_key
+
     for j, key in enumerate(keys):
-        val = translate_expr(f"${key}", _ctx(df))
+        ctx0 = _ctx(df)
+        val, _ = _mongo_sort_key(ctx0.resolve_path(key), ctx0.path_type(key), asc=False)
         aux = f"__aggo_rk_{j}"
         ranks = (
             df.select(val.alias("__aggo_rv"))
@@ -410,6 +413,13 @@ def _sort_cols(spec: dict, ctx: ExprContext) -> list[Column]:
     cols = []
     for field, direction in spec.items():
         col = ctx.resolve_path(field)
+        # MongoDB sorts an ARRAY field by its minimum element ascending and
+        # its maximum element descending (r4; was a COMPAT delta — Spark's
+        # native array ordering is lexicographic). Empty arrays yield null
+        # sort keys, which matches MongoDB's "empty array sorts with
+        # null/missing" placement under both directions.
+        if isinstance(ctx.path_type(field), T.ArrayType):
+            col = F.array_min(col) if direction in (1, True) else F.array_max(col)
         if direction in (1, True):
             cols.append(col.asc_nulls_first())  # nulls sort lowest (MongoDB)
         elif direction in (-1,):

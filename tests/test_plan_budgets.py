@@ -1,0 +1,100 @@
+"""Structural shuffle budgets for every driver-contract query.
+
+Each contract query's *initial* physical plan (pre-AQE; deterministic for a
+fixed schema + config) is pinned to a maximum Exchange count measured at r4.
+A regression that introduces an extra shuffle — a lost map-side partial, a
+broken broadcast, a window that stopped sharing its partitioning — trips the
+budget even when the query output is still correct. This is the plan-shape
+analogue of the value oracles: CORRECTNESS catches wrong answers, this
+catches right-answers-computed-wastefully.
+
+Budgets are ceilings (<=), not exact counts, so beneficial plan improvements
+never fail; tightening a budget after an improvement is a deliberate commit.
+Counts include BroadcastExchange (cheap but not free) and were measured at
+sf0.001 / local[8] / 8 shuffle partitions — counts are config-independent
+for these plans (verified identical under the test session's local[4]/4).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# measured r4 (initial executedPlan, pre-AQE). Comment = dominant structure.
+BUDGETS = {
+    "q01_group_agg": 2,        # agg + final sort
+    "q02_filter": 0,           # pure scan+filter: zero shuffles
+    "q03_complex": 1,
+    "q04_lookup_unwind": 2,    # fused lookup join
+    "q05_tokens": 1,
+    "q06_match_ops": 1,
+    "q07_dates": 1,
+    "q08_strings": 1,
+    "q09_array_hof": 1,
+    "q11_window": 2,           # two windows share one exchange + final sort
+    "q12_topk": 0,             # TakeOrderedAndProject, no exchange
+    "q13_global_agg": 5,       # several single-row global aggs
+    "q14_switch": 2,
+    "q17_sort_by_count": 2,
+    "q18_union_with": 2,
+    "q20_lookup_pipeline": 3,
+    "q22_sessionize": 1,       # both windows + group share one exchange
+    "q23_bucket": 2,
+    "q24_facet": 7,            # one per facet branch + 1-row joins
+    "q25_replace_root": 1,
+    "q26_lookup_group": 4,
+    "q30_dedup_exact": 1,
+    "q31_dedup_jaccard": 16,   # inverted-index self-join; dist subtree
+                               # reuses its exchange at runtime (AQE)
+    "q32_dedup_minhash": 4,
+    "q33_dedup_simhash": 3,
+    "q34_ann_brute": 8,        # four ANN variants unioned (4 broadcasts)
+    "q36_langid": 2,
+    "q37_quality": 1,
+    "q39_fingerprint": 11,     # multi-fingerprint union
+    "q40_multimodal": 2,
+    "q42_stream_agg": 1,
+    "q43_stream_window": 1,
+    "q44_topn": 3,
+    "q45_percentile": 2,
+    "q46_densify_fill": 5,
+    "q48_ann_ivf": 3,
+    "q49_text_index": 7,
+    "q50_lookup_subpipe": 4,
+    "q51_stream_stateful": 1,
+    "q53_regex_replace": 2,
+    "q57_lookup_group_subpipe": 5,
+    "q58_dedup_clusters": 2,   # post-convergence plan (iterations checkpointed)
+    "q59_asof_join": 3,
+    "q61_curation_pipeline": 5,
+    "q64_graph_lookup": 4,
+    "q66_skew_salted": 2,      # salt + merge: exactly the two designed stages
+    "q70_decontaminate": 6,
+    "q71_token_budget": 4,
+    "q75_tfidf": 11,           # tf/df/idf/window/bm25 union
+    "q77_chunking": 2,
+}
+
+# Queries whose construction runs Spark jobs (streaming registration,
+# iterative convergence) — still budgeted, but slow; keep in one test run.
+_QUERIES = entry.queries()
+
+
+def test_budget_covers_every_contract_query():
+    assert set(BUDGETS) == set(_QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_plan_shuffle_budget(spark, name):
+    df = _QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = len(re.findall(r"(?<!Reused)Exchange", plan))
+    assert n <= BUDGETS[name], (
+        f"{name}: {n} exchanges > budget {BUDGETS[name]} — a shuffle crept "
+        f"into the plan; inspect df.explain('formatted')"
+    )

@@ -72,6 +72,32 @@ def test_first_last_mixed_string_desc_values(eng):
     assert out[1]["fn"] == "d" and out[1]["ln"] == "c"
 
 
+def test_sort_array_field_min_max_element(spark):
+    # MongoDB semantics (r4): asc sorts by MIN element, desc by MAX element
+    rows = [(1, [5, 9]), (2, [3, 20]), (3, [7])]
+    df = spark.createDataFrame(rows, "id long, a array<long>")
+    eng2 = Engine({"t": df})
+    asc = [r["id"] for r in eng2.aggregate(
+        "t", [{"$sort": {"a": 1}}, {"$project": {"id": 1}}]).collect()]
+    assert asc == [2, 1, 3]  # mins: 3, 5, 7
+    desc = [r["id"] for r in eng2.aggregate(
+        "t", [{"$sort": {"a": -1}}, {"$project": {"id": 1}}]).collect()]
+    assert desc == [2, 1, 3]  # maxes: 20, 9, 7
+
+
+def test_first_after_array_sort_uses_same_key(spark):
+    rows = [(1, "x", [5, 9]), (1, "y", [3, 20]), (1, "z", [7])]
+    df = spark.createDataFrame(rows, "g long, name string, a array<long>")
+    eng2 = Engine({"t": df})
+    out = eng2.aggregate("t", [
+        {"$sort": {"a": -1}},
+        {"$group": {"_id": "$g", "fn": {"$first": "$name"},
+                    "ln": {"$last": "$name"}}},
+    ]).collect()
+    # desc by max element: y(20), x(9), z(7)
+    assert out[0]["fn"] == "y" and out[0]["ln"] == "z"
+
+
 def test_first_last_string_desc_null_keys(spark):
     # nulls in the desc string component sort FIRST (engine-wide desc null
     # placement; COMPAT.md notes the MongoDB nulls-last delta)
