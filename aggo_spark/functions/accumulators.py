@@ -119,7 +119,12 @@ def _ordered_pick(arg, ctx: ExprContext, order_by: dict, last: bool) -> Column |
             .alias(f"__ok{i}")
             for i, k in enumerate(order_by)
         ]
-        key = keys[0] if len(keys) == 1 else F.struct(*keys)
+        # ALWAYS struct-wrap, even a single key: min_by/max_by SKIP rows
+        # whose bare ordering key is null, which would silently drop
+        # null-key documents from the pick (and array sort keys produce
+        # exactly that for empty arrays). A one-field struct is never null,
+        # and its nulls-first field ordering matches $sort's placement.
+        key = F.struct(*keys)
         # $first under asc = smallest key; $last under asc = largest; flipped desc
         want_min = ascending != last
         return F.min_by(out, key) if want_min else F.max_by(out, key)

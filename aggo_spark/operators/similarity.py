@@ -179,6 +179,14 @@ def bucketed_topk(
         raise ValueError("probe_hamming must be 0 or 1")
     if tables < 1:
         raise ValueError("tables must be >= 1")
+    # enforce the documented tables*bits <= dim precondition: offsets past
+    # the vector end make element_at return null, silently degenerating the
+    # out-of-range tables to one giant bucket (or erroring under ANSI)
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if dim_row and dim_row[0]["d"] is not None and tables * bits > dim_row[0]["d"]:
+        raise ValueError(
+            f"tables*bits = {tables * bits} exceeds embedding dim {dim_row[0]['d']}"
+        )
     v = F.col(vec_col)
     c_keys = F.array(*[
         F.struct(F.lit(t).alias("t"),

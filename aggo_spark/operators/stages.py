@@ -410,16 +410,21 @@ def stage_group(df: DataFrame, spec: dict, engine, order_by: dict | None = None)
 # ---------------------------------------------------------------------------
 
 def _sort_cols(spec: dict, ctx: ExprContext) -> list[Column]:
+    from ..functions.accumulators import _mongo_sort_key
+
     cols = []
     for field, direction in spec.items():
-        col = ctx.resolve_path(field)
         # MongoDB sorts an ARRAY field by its minimum element ascending and
         # its maximum element descending (r4; was a COMPAT delta — Spark's
         # native array ordering is lexicographic). Empty arrays yield null
         # sort keys, which matches MongoDB's "empty array sorts with
-        # null/missing" placement under both directions.
-        if isinstance(ctx.path_type(field), T.ArrayType):
-            col = F.array_min(col) if direction in (1, True) else F.array_max(col)
+        # null/missing" placement under both directions. The mapping is
+        # shared with $first/$last key construction so sort and pick can
+        # never disagree.
+        col, _ = _mongo_sort_key(
+            ctx.resolve_path(field), ctx.path_type(field),
+            asc=direction in (1, True),
+        )
         if direction in (1, True):
             cols.append(col.asc_nulls_first())  # nulls sort lowest (MongoDB)
         elif direction in (-1,):

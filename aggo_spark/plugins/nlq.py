@@ -102,19 +102,27 @@ def parse_response(text: str) -> tuple[list, str | None]:
     fence = re.search(r"```(?:json)?\s*(.*?)```", candidate, re.DOTALL)
     if fence:
         candidate = fence.group(1).strip()
-    if not candidate.startswith("{"):
-        brace = candidate.find("{")
-        if brace < 0:
-            raise PipelineGenerationError("no JSON object in response")
-        candidate = candidate[brace:]
     decoder = json.JSONDecoder()
-    try:
-        parsed, _ = decoder.raw_decode(candidate)
-    except json.JSONDecodeError as exc:
-        raise PipelineGenerationError(f"invalid JSON in response: {exc}") from exc
-    if not isinstance(parsed, dict) or not isinstance(parsed.get("pipeline"), list):
-        raise PipelineGenerationError('response must contain a "pipeline" array')
-    return parsed["pipeline"], parsed.get("explanation")
+    # scan successive '{' positions: prose may contain braces before (or
+    # instead of) the real object, so the first decodable dict with a
+    # "pipeline" list wins rather than the first brace
+    err: Exception | None = None
+    pos = candidate.find("{")
+    while pos >= 0:
+        try:
+            parsed, _ = decoder.raw_decode(candidate[pos:])
+        except json.JSONDecodeError as exc:
+            err = exc
+        else:
+            if isinstance(parsed, dict) and isinstance(parsed.get("pipeline"), list):
+                return parsed["pipeline"], parsed.get("explanation")
+            err = PipelineGenerationError('response must contain a "pipeline" array')
+        pos = candidate.find("{", pos + 1)
+    if err is None:
+        raise PipelineGenerationError("no JSON object in response")
+    if isinstance(err, PipelineGenerationError):
+        raise err
+    raise PipelineGenerationError(f"invalid JSON in response: {err}") from err
 
 
 def validate_pipeline(pipeline: list) -> list:

@@ -89,8 +89,14 @@ def _derived(
     source: Observable, transform: Callable[[object], list[dict]],
     distinct_only: bool,
 ) -> Observable:
+    """Derived observable with refcounted teardown: the source subscription
+    is taken when the FIRST downstream subscriber arrives and released when
+    the LAST one unsubscribes, so an abandoned derived stream costs nothing
+    — no Spark job runs per emission once nobody is listening (the
+    reference relies on RxJS subscription semantics for the same)."""
     out = Observable()
     last: list[str | None] = [None]
+    upstream: list[Callable[[], None] | None] = [None]
 
     def on_next(value) -> None:
         result = transform(value)
@@ -101,7 +107,22 @@ def _derived(
             last[0] = key
         out._push(result)
 
-    source.subscribe(on_next)
+    base_subscribe = out.subscribe
+
+    def subscribe(cb: Callable) -> Callable[[], None]:
+        if upstream[0] is None:
+            upstream[0] = source.subscribe(on_next)
+        off_cb = base_subscribe(cb)
+
+        def off() -> None:
+            off_cb()
+            if not out._subs and upstream[0] is not None:
+                upstream[0]()
+                upstream[0] = None
+
+        return off
+
+    out.subscribe = subscribe  # type: ignore[method-assign]
     return out
 
 
@@ -172,7 +193,11 @@ def observe(collection, pipeline: list, *, rid: str | None = None) -> Observable
     ``streaming/core.py``), and every update event pushes the new result.
     The current result is emitted to each NEW subscriber immediately
     (BehaviorSubject semantics — reactive dashboards want the latest value
-    on connect).
+    on connect). The returned observable carries a ``dispose()`` method that
+    detaches its update callback from the collection — call it when done on
+    a long-lived collection; the pipeline registration itself (and its
+    maintained result) stays, mirroring the reference where registered
+    streams outlive individual consumers.
     """
     import uuid
 
@@ -186,7 +211,7 @@ def observe(collection, pipeline: list, *, rid: str | None = None) -> Observable
         state["last"] = result
         out._push(result)
 
-    collection.on_update(reg_id, on_update)
+    off_update = collection.on_update(reg_id, on_update)
 
     original_subscribe = out.subscribe
 
@@ -196,4 +221,5 @@ def observe(collection, pipeline: list, *, rid: str | None = None) -> Observable
         return off
 
     out.subscribe = subscribe  # type: ignore[method-assign]
+    out.dispose = off_update  # type: ignore[attr-defined]
     return out

@@ -399,9 +399,20 @@ class StreamingCollection:
     def result(self, rid: str) -> list[dict]:
         return list(self._registered[rid].result_rows)
 
-    def on_update(self, rid: str, cb: Callable) -> None:
-        """Reference event-bus 'result-updated' analogue (streaming.ts:24-33)."""
-        self._registered[rid].on_update.append(cb)
+    def on_update(self, rid: str, cb: Callable) -> Callable[[], None]:
+        """Reference event-bus 'result-updated' analogue (streaming.ts:24-33).
+        Returns an unsubscribe callable (r4) so long-lived collections don't
+        accumulate dead callbacks."""
+        cbs = self._registered[rid].on_update
+        cbs.append(cb)
+
+        def off() -> None:
+            try:
+                cbs.remove(cb)
+            except ValueError:
+                pass  # double-unsubscribe race; already gone
+
+        return off
 
     def count(self) -> int:
         return self._live_rows_df().count()

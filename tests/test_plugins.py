@@ -104,6 +104,41 @@ def test_unsubscribe_stops_emissions(spark):
     assert len(seen) == 1
 
 
+def test_unsubscribe_tears_down_source_subscription(spark):
+    # last unsubscribe releases the source subscription entirely — no
+    # transform (= no Spark job) runs for later emissions
+    src = Subject()
+    seen = []
+    obs = aggregate(src, GROUP_SUM, spark=spark)
+    off = obs.subscribe(seen.append)
+    src.next({"g": "a", "v": 1})
+    off()
+    assert not src._subs  # upstream released, not just the downstream cb
+    # resubscribing re-attaches
+    obs.subscribe(seen.append)
+    src.next({"g": "b", "v": 2})
+    assert len(seen) == 2 and _ids(seen[-1]) == [("b", 2)]
+
+
+def test_observe_dispose_detaches_update_callback(spark):
+    from aggo_spark.engine import create_streaming_collection
+
+    coll = create_streaming_collection(
+        spark, "g string, v long", initial_data=[{"g": "a", "v": 1}]
+    )
+    try:
+        obs = observe(coll, GROUP_SUM, rid="obs-dispose")
+        seen = []
+        obs.subscribe(seen.append)
+        obs.dispose()
+        coll.add({"g": "b", "v": 5})
+        coll.flush()
+        assert len(seen) == 1  # only the on-subscribe snapshot
+        assert not coll._registered["obs-dispose"].on_update
+    finally:
+        coll.stop()
+
+
 def test_observe_streaming_collection(spark, tmp_path):
     from aggo_spark.engine import create_streaming_collection
 
@@ -157,6 +192,15 @@ def test_parse_response_tolerates_fences_and_prose():
     assert pipe == [{"$limit": 2}] and expl == "e"
     pipe2, _ = parse_response('{"pipeline": []} trailing garbage')
     assert pipe2 == []
+
+
+def test_parse_response_skips_prose_braces():
+    # a brace in prose before the real object must not derail parsing
+    raw = 'Given {N} docs, the object {"pipeline": ...} looks like:\n{"pipeline": [{"$limit": 3}]}'
+    pipe, _ = parse_response(raw)
+    assert pipe == [{"$limit": 3}]
+    with pytest.raises(PipelineGenerationError):
+        parse_response("no json here { at all")
 
 
 def test_validate_pipeline_rejects_unknown_stage():

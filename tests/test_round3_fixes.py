@@ -98,6 +98,46 @@ def test_first_after_array_sort_uses_same_key(spark):
     assert out[0]["fn"] == "y" and out[0]["ln"] == "z"
 
 
+def test_first_last_single_null_sort_key_not_dropped(spark):
+    # bare min_by/max_by skip rows whose ordering key is null — the r4
+    # struct wrap keeps them in the pick with nulls-first placement
+    rows = [(1, "n", None), (1, "x", 5), (1, "y", 9)]
+    df = spark.createDataFrame(rows, "g long, name string, k long")
+    eng2 = Engine({"t": df})
+    out = eng2.aggregate("t", [
+        {"$sort": {"k": 1}},
+        {"$group": {"_id": "$g", "fn": {"$first": "$name"},
+                    "ln": {"$last": "$name"}}},
+    ]).collect()
+    assert out[0]["fn"] == "n" and out[0]["ln"] == "y"  # null key sorts first
+    # desc: nulls last (desc_nulls_last), so $last picks the null-key row
+    out2 = eng2.aggregate("t", [
+        {"$sort": {"k": -1}},
+        {"$group": {"_id": "$g", "fn": {"$first": "$name"},
+                    "ln": {"$last": "$name"}}},
+    ]).collect()
+    assert out2[0]["fn"] == "y" and out2[0]["ln"] == "n"
+    # all-null keys: the pick returns a document's value, not null
+    df3 = spark.createDataFrame([(1, "a", None), (1, "b", None)],
+                                "g long, name string, k long")
+    out3 = Engine({"t": df3}).aggregate("t", [
+        {"$sort": {"k": 1}},
+        {"$group": {"_id": "$g", "fn": {"$first": "$name"}}},
+    ]).collect()
+    assert out3[0]["fn"] in ("a", "b")
+
+
+def test_first_after_empty_array_sort_key(spark):
+    # empty array -> null sort key; must still participate in the pick
+    rows = [(1, "e", []), (1, "x", [5])]
+    df = spark.createDataFrame(rows, "g long, name string, a array<long>")
+    out = Engine({"t": df}).aggregate("t", [
+        {"$sort": {"a": 1}},
+        {"$group": {"_id": "$g", "fn": {"$first": "$name"}}},
+    ]).collect()
+    assert out[0]["fn"] == "e"
+
+
 def test_first_last_string_desc_null_keys(spark):
     # nulls in the desc string component sort FIRST (engine-wide desc null
     # placement; COMPAT.md notes the MongoDB nulls-last delta)

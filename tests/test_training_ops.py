@@ -257,6 +257,14 @@ class TestIVFAndNearDup:
         with pytest.raises(ValueError):
             similarity.bucketed_topk(emb, emb, tables=0)
 
+    def test_bucketed_rejects_tables_bits_past_dim(self, emb):
+        # 64-d embeddings: 16 tables x 8 bits = 128 > 64 would silently
+        # degenerate the out-of-range tables to one giant bucket
+        with pytest.raises(ValueError, match="exceeds embedding dim"):
+            similarity.bucketed_topk(emb, emb, bits=8, tables=16)
+        # exactly at the boundary is fine
+        similarity.bucketed_topk(emb, emb, bits=8, tables=8)
+
 
 def test_multimodal_decoder_injection(docs):
     """The decoder is a plug-in point: a custom bytes->dict rides the same
