@@ -308,11 +308,54 @@ _RANK_OPS = {
     "$documentNumber": F.row_number,
 }
 
+# shared with stages._RANGE_UNIT_MS (defined here to avoid a circular import)
+RANGE_UNIT_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 604_800_000,
+}
 
-def window_function_to_column(spec: dict, ctx: ExprContext):
-    """Translate one $setWindowFields output spec → (agg Column builder, needs_frame).
 
-    Returns (fn, takes_frame) where fn(window_spec) → Column.
+def _numeric_sort_key(sort_by: dict | None, ctx: ExprContext, op: str,
+                      unit: str | None) -> Column:
+    """The single ascending sortBy key as a double, for the time-series
+    window operators ($derivative/$integral/$linearFill): numeric keys pass
+    through; date/timestamp keys become epoch millis scaled by ``unit``
+    (required for $derivative/$integral over dates, per MongoDB; $linearFill
+    interpolates on raw millis, so it passes unit=None and gets factor 1)."""
+    if not sort_by or len(sort_by) != 1:
+        raise InvalidPipeline(f"{op} requires exactly one sortBy key")
+    key, direction = next(iter(sort_by.items()))
+    if direction not in (1, True):
+        raise InvalidPipeline(f"{op} requires an ascending sortBy")
+    col = ctx.resolve_path(key)
+    dtype = ctx.path_type(key)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        factor = RANGE_UNIT_MS.get(unit, 1) if unit else 1
+        if unit is not None and unit not in RANGE_UNIT_MS:
+            raise InvalidPipeline(f"unsupported unit {unit!r}")
+        return F.unix_millis(col.cast("timestamp")).cast("double") / F.lit(float(factor))
+    if unit is not None:
+        raise InvalidPipeline(f"{op}: unit requires a date/timestamp sortBy")
+    return col.cast("double")
+
+
+def window_function_to_column(
+    spec: dict, ctx: ExprContext, sort_by: dict | None = None,
+    out_name: str = "out",
+):
+    """Translate one $setWindowFields output spec →
+    (fn, takes_frame, pre_cols).
+
+    ``fn(window_spec) -> Column``; ``pre_cols`` maps hidden column names to
+    builders ``(base_window) -> Column`` that the stage materializes BEFORE
+    applying ``fn`` (used by $integral, whose per-row trapezoid needs a lag
+    that Spark can't nest inside the framed sum). Both window layers share
+    the same partitioning, so the pre-pass adds a WindowExec but no
+    exchange.
     """
     items = [(k, v) for k, v in spec.items() if k != "window"]
     if len(items) != 1:
@@ -320,13 +363,81 @@ def window_function_to_column(spec: dict, ctx: ExprContext):
     op, arg = items[0]
     if op in _RANK_OPS:
         fn = _RANK_OPS[op]
-        return (lambda w: fn().over(w)), False
+        return (lambda w: fn().over(w)), False, {}
     if op == "$shift":
         offset = arg.get("by", 1)
         default = arg.get("default")
         out_expr = translate_expr(arg["output"], ctx)
         if offset >= 0:
-            return (lambda w: F.lead(out_expr, offset, default).over(w)), False
-        return (lambda w: F.lag(out_expr, -offset, default).over(w)), False
+            return (lambda w: F.lead(out_expr, offset, default).over(w)), False, {}
+        return (lambda w: F.lag(out_expr, -offset, default).over(w)), False, {}
+    if op == "$locf":
+        # last observation carried forward (MongoDB 5.2): last non-null of
+        # the expression up to the current document in sort order; ignores
+        # any window spec, like MongoDB
+        out_expr = translate_expr(arg, ctx)
+
+        def _locf(w):
+            from pyspark.sql import Window as W
+
+            return F.last(out_expr, ignorenulls=True).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow))
+
+        return _locf, False, {}
+    if op == "$linearFill":
+        # linear interpolation between the surrounding non-null values,
+        # positioned on the sortBy key (MongoDB 5.3). Edge nulls (no
+        # neighbor on one side) stay null, as in MongoDB.
+        v = translate_expr(arg, ctx).cast("double")
+        x = _numeric_sort_key(sort_by, ctx, "$linearFill", None)
+
+        def _lfill(w):
+            from pyspark.sql import Window as W
+
+            wb = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            wf = w.rowsBetween(W.currentRow, W.unboundedFollowing)
+            pv = F.last(F.when(v.isNotNull(), v), ignorenulls=True).over(wb)
+            px = F.last(F.when(v.isNotNull(), x), ignorenulls=True).over(wb)
+            nv = F.first(F.when(v.isNotNull(), v), ignorenulls=True).over(wf)
+            nx = F.first(F.when(v.isNotNull(), x), ignorenulls=True).over(wf)
+            interp = pv + (nv - pv) * (x - px) / (nx - px)
+            return F.when(v.isNotNull(), v).otherwise(
+                F.when(px.isNotNull() & nx.isNotNull() & (nx != px), interp))
+
+        return _lfill, False, {}
+    if op == "$derivative":
+        # (last input − first input) / Δ(sort key) over the frame
+        # (MongoDB 5.0); dates need `unit`, numeric sort keys forbid it
+        inp = translate_expr(arg["input"], ctx).cast("double")
+        x = _numeric_sort_key(sort_by, ctx, "$derivative", arg.get("unit"))
+
+        def _deriv(w):
+            dx = F.last(x).over(w) - F.first(x).over(w)
+            dv = F.last(inp).over(w) - F.first(inp).over(w)
+            return F.when(dx != 0, dv / dx)
+
+        return _deriv, True, {}
+    if op == "$integral":
+        # trapezoidal rule over the frame (MongoDB 5.0). The per-row
+        # trapezoid (v_i + v_{i-1})/2 · Δx references the PREVIOUS document,
+        # so only frames starting at unbounded-preceding sum exactly the
+        # trapezoids inside the frame (the frame-first row's lag is either
+        # the partition edge → null → skipped, or inside the frame).
+        win = spec.get("window", {})
+        bounds = win.get("documents") or win.get("range")
+        if bounds is not None and bounds[0] != "unbounded":
+            raise InvalidPipeline(
+                "$integral requires an unbounded-preceding window frame")
+        inp = translate_expr(arg["input"], ctx).cast("double")
+        x = _numeric_sort_key(sort_by, ctx, "$integral", arg.get("unit"))
+        hid = f"__aggo_trap_{out_name}"
+
+        def _trap(w0):
+            return (inp + F.lag(inp).over(w0)) / 2 * (x - F.lag(x).over(w0))
+
+        def _integ(w):
+            return F.coalesce(F.sum(F.col(hid)).over(w), F.lit(0.0))
+
+        return _integ, True, {hid: _trap}
     agg = _accumulator(op, arg, ctx)
-    return (lambda w: agg.over(w)), True
+    return (lambda w: agg.over(w)), True, {}

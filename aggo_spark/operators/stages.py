@@ -16,7 +16,11 @@ from pyspark.sql import types as T
 
 from ..errors import InvalidPipeline, UnsupportedStage
 from ..plans.context import REMOVE, ExprContext
-from ..functions.accumulators import accumulator_to_column, window_function_to_column
+from ..functions.accumulators import (
+    RANGE_UNIT_MS,
+    accumulator_to_column,
+    window_function_to_column,
+)
 from ..functions.expressions import translate_expr
 from ..functions.match import match_to_column
 
@@ -971,11 +975,19 @@ def stage_set_window_fields(df: DataFrame, spec: dict, engine) -> DataFrame:
 
     out = df
     new_cols: dict[str, Column] = {}
+    hidden: dict[str, Column] = {}
     for name, ospec in spec.get("output", {}).items():
-        fn, takes_frame = window_function_to_column(ospec, ctx)
+        fn, takes_frame, pre = window_function_to_column(
+            ospec, ctx, sort_by=sort_by, out_name=name)
         w = Window.partitionBy(*part_cols)
         if order_cols:
             w = w.orderBy(*order_cols)
+        if pre:
+            # hidden pre-pass columns (e.g. $integral's per-row trapezoid)
+            # ride the UNFRAMED base window — same partitioning, so the
+            # extra WindowExec adds no exchange
+            for hname, pfn in pre.items():
+                hidden[hname] = pfn(w)
         if takes_frame:
             win = ospec.get("window", {})
             if "documents" in win:
@@ -1013,17 +1025,13 @@ def stage_set_window_fields(df: DataFrame, spec: dict, engine) -> DataFrame:
                 # MongoDB default window is the whole partition
                 w = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         new_cols[name] = fn(w)
+    if hidden:
+        return out.withColumns(hidden).withColumns(new_cols).drop(*hidden)
     return out.withColumns(new_cols)
 
 
-_RANGE_UNIT_MS = {
-    "millisecond": 1,
-    "second": 1000,
-    "minute": 60_000,
-    "hour": 3_600_000,
-    "day": 86_400_000,
-    "week": 604_800_000,
-}
+# time-unit scale for `range` frames (shared with $derivative/$integral)
+_RANGE_UNIT_MS = RANGE_UNIT_MS
 
 
 def stage_bucket(df: DataFrame, spec: dict, engine) -> DataFrame:

@@ -560,3 +560,100 @@ def test_stddev_variance(spark):
     r = out.collect()[0]
     assert abs(r["vp"] - 2 / 3) < 1e-9 and abs(r["vs"] - 1.0) < 1e-9
     assert abs(r["sp"] ** 2 - 2 / 3) < 1e-9 and abs(r["ss"] - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# time-series window operators (MongoDB 5.x): $locf $linearFill $derivative
+# $integral (r4 extensions to $setWindowFields)
+# ---------------------------------------------------------------------------
+
+def test_window_locf(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, None), (1, 3, None), (1, 4, 7.0), (2, 1, None)],
+        "u long, t long, v double")
+    out = aggregate(df, [
+        {"$setWindowFields": {"partitionBy": "$u", "sortBy": {"t": 1},
+                              "output": {"f": {"$locf": "$v"}}}}])
+    got = {(r["u"], r["t"]): r["f"] for r in out.collect()}
+    assert got == {(1, 1): 10.0, (1, 2): 10.0, (1, 3): 10.0, (1, 4): 7.0,
+                   (2, 1): None}
+
+
+def test_window_linear_fill(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 0.0), (1, 1, None), (1, 3, None), (1, 4, 8.0),
+         (1, 5, None),               # trailing edge: stays null
+         (2, 1, 5.0)],
+        "u long, t long, v double")
+    out = aggregate(df, [
+        {"$setWindowFields": {"partitionBy": "$u", "sortBy": {"t": 1},
+                              "output": {"f": {"$linearFill": "$v"}}}}])
+    got = {(r["u"], r["t"]): r["f"] for r in out.collect()}
+    # interpolate on t between (0, 0.0) and (4, 8.0): slope 2
+    assert got[(1, 1)] == 2.0 and got[(1, 3)] == 6.0
+    assert got[(1, 0)] == 0.0 and got[(1, 4)] == 8.0
+    assert got[(1, 5)] is None and got[(2, 1)] == 5.0
+
+
+def test_window_derivative_numeric_and_unit(spark):
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, base, 0.0), (1, base + _dt.timedelta(minutes=30), 30.0),
+         (1, base + _dt.timedelta(minutes=60), 90.0)],
+        "u long, ts timestamp, v double")
+    out = aggregate(df, [
+        {"$setWindowFields": {"partitionBy": "$u", "sortBy": {"ts": 1},
+                              "output": {"rate": {
+                                  "$derivative": {"input": "$v", "unit": "hour"},
+                                  "window": {"documents": [-1, 0]}}}}}])
+    got = sorted(r["rate"] for r in out.collect() if r["rate"] is not None)
+    # per-30min windows: (30-0)/(0.5h)=60, (90-30)/(0.5h)=120; first row null
+    assert got == [60.0, 120.0]
+
+    dfn = spark.createDataFrame([(1, 0, 0.0), (1, 2, 10.0)], "u long, x long, v double")
+    outn = aggregate(dfn, [
+        {"$setWindowFields": {"partitionBy": "$u", "sortBy": {"x": 1},
+                              "output": {"d": {"$derivative": {"input": "$v"}}}}}])
+    assert {r["d"] for r in outn.collect()} == {5.0}  # whole-partition default
+
+
+def test_window_integral(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 0.0), (1, 1, 2.0), (1, 3, 2.0)], "u long, x long, v double")
+    out = aggregate(df, [
+        {"$setWindowFields": {"partitionBy": "$u", "sortBy": {"x": 1},
+                              "output": {
+                                  "cum": {"$integral": {"input": "$v"},
+                                          "window": {"documents": ["unbounded", "current"]}},
+                                  "tot": {"$integral": {"input": "$v"}}}}}])
+    got = {r["x"]: (r["cum"], r["tot"]) for r in out.collect()}
+    # trapezoids: [0,1]: (0+2)/2*1 = 1 ; [1,3]: (2+2)/2*2 = 4
+    assert got[0] == (0.0, 5.0)
+    assert got[1] == (1.0, 5.0)
+    assert got[3] == (5.0, 5.0)
+
+
+def test_window_integral_rejects_bounded_start(spark):
+    from aggo_spark.errors import InvalidPipeline
+
+    df = spark.createDataFrame([(1, 0, 0.0)], "u long, x long, v double")
+    with pytest.raises(InvalidPipeline, match="unbounded"):
+        aggregate(df, [
+            {"$setWindowFields": {"partitionBy": "$u", "sortBy": {"x": 1},
+                                  "output": {"i": {"$integral": {"input": "$v"},
+                                                   "window": {"documents": [-2, 0]}}}}}
+        ]).collect()
+
+
+def test_window_derivative_unit_requires_date_sort(spark):
+    from aggo_spark.errors import InvalidPipeline
+
+    df = spark.createDataFrame([(1, 0, 0.0)], "u long, x long, v double")
+    with pytest.raises(InvalidPipeline, match="unit"):
+        aggregate(df, [
+            {"$setWindowFields": {"partitionBy": "$u", "sortBy": {"x": 1},
+                                  "output": {"d": {"$derivative": {
+                                      "input": "$v", "unit": "hour"}}}}}
+        ]).collect()
