@@ -959,6 +959,73 @@ def _frame_bound(v, side: str) -> int:
     return int(v)
 
 
+def _exp_moving_avg(
+    df: DataFrame, part_cols: list[Column], sort_by: dict,
+    ema_specs: dict, ctx: ExprContext,
+) -> DataFrame:
+    """$expMovingAvg (MongoDB 5.0 window operator) via ``applyInPandas``.
+
+    EMA is a sequential recurrence (EMA_i = α·x_i + (1−α)·EMA_{i−1}) with
+    no closed-form Spark window expression, so this is one of the engine's
+    few legitimate Python spots: Arrow-batched per-group computation with
+    ``pandas.Series.ewm(alpha, adjust=False)`` — exactly the recurrence —
+    after an in-group sort. One shuffle on the partition key, same as any
+    other window output. MongoDB accepts ``{input, N}`` (α = 2/(N+1)) or
+    ``{input, alpha}``; a window spec is not allowed, matching MongoDB.
+    Null inputs do not update the EMA state; the document receives the
+    previous EMA value (pandas ``ignore_na=True`` semantics — verified:
+    [10, null, 30] with α=0.5 → [10, 10, 20]).
+    """
+    if not sort_by:
+        raise InvalidPipeline("$expMovingAvg requires sortBy")
+    plans = []
+    for name, ospec in ema_specs.items():
+        if set(ospec) != {"$expMovingAvg"}:
+            raise InvalidPipeline("$expMovingAvg does not accept a window spec")
+        arg = ospec["$expMovingAvg"]
+        if not isinstance(arg, dict) or "input" not in arg:
+            raise InvalidPipeline("$expMovingAvg requires {input, N | alpha}")
+        if ("N" in arg) == ("alpha" in arg):
+            raise InvalidPipeline("$expMovingAvg requires exactly one of N, alpha")
+        alpha = float(arg["alpha"]) if "alpha" in arg else 2.0 / (int(arg["N"]) + 1)
+        plans.append((name, alpha))
+
+    # materialize hidden group/sort keys so arbitrary expressions work
+    hid_part = [f"__aggo_emap_{i}" for i in range(len(part_cols))]
+    hid_sort = [f"__aggo_emas_{i}" for i in range(len(sort_by))]
+    ascending = [v in (1, True) for v in sort_by.values()]
+    prepared = df.withColumns(
+        {
+            **{h: c for h, c in zip(hid_part, part_cols)},
+            **{h: ctx.resolve_path(k) for h, k in zip(hid_sort, sort_by)},
+            **{
+                f"__aggo_emav_{name}": translate_expr(
+                    ema_specs[name]["$expMovingAvg"]["input"], ctx
+                ).cast("double")
+                for name, _ in plans
+            },
+        }
+    )
+    out_schema = T.StructType(
+        prepared.schema.fields
+        + [T.StructField(name, T.DoubleType()) for name, _ in plans]
+    )
+
+    def compute(pdf):
+        pdf = pdf.sort_values(by=hid_sort, ascending=ascending, kind="mergesort")
+        for name, alpha in plans:
+            pdf[name] = pdf[f"__aggo_emav_{name}"].ewm(
+                alpha=alpha, adjust=False, ignore_na=True
+            ).mean()
+        return pdf
+
+    result = prepared.groupBy(*[F.col(h) for h in hid_part]).applyInPandas(
+        compute, schema=out_schema
+    )
+    drop = hid_part + hid_sort + [f"__aggo_emav_{name}" for name, _ in plans]
+    return result.drop(*drop)
+
+
 def stage_set_window_fields(df: DataFrame, spec: dict, engine) -> DataFrame:
     """$setWindowFields (MongoDB 5.0) → Spark window functions.
 
@@ -973,10 +1040,20 @@ def stage_set_window_fields(df: DataFrame, spec: dict, engine) -> DataFrame:
     part_cols = [translate_expr(part, ctx)] if part is not None else [F.lit(0)]
     order_cols = _sort_cols(sort_by, ctx)
 
+    outputs = dict(spec.get("output", {}))
+    ema_specs = {
+        name: ospec for name, ospec in outputs.items()
+        if isinstance(ospec, dict) and "$expMovingAvg" in ospec
+    }
     out = df
+    if ema_specs:
+        out = _exp_moving_avg(out, part_cols, sort_by, ema_specs, ctx)
+        for name in ema_specs:
+            outputs.pop(name)
+
     new_cols: dict[str, Column] = {}
     hidden: dict[str, Column] = {}
-    for name, ospec in spec.get("output", {}).items():
+    for name, ospec in outputs.items():
         fn, takes_frame, pre = window_function_to_column(
             ospec, ctx, sort_by=sort_by, out_name=name)
         w = Window.partitionBy(*part_cols)

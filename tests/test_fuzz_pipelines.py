@@ -419,3 +419,92 @@ def test_random_group_then_window_matches_python(spark):
             failures.append((trial, canon(got, flds)[:3], canon(expected, flds)[:3]))
 
     assert not failures, f"{len(failures)} mismatches; first: {failures[0]}"
+
+
+def test_random_timeseries_window_ops_match_python(spark):
+    """Differential fuzz for the r4 time-series window operators ($locf,
+    $linearFill, $derivative, $integral) on random gappy series vs exact
+    Python mirrors. Sort keys are unique ints per partition, so every
+    semantics question (null runs, edges, frame math) is deterministic."""
+    rng = random.Random(SEED + 5)
+
+    failures = []
+    for trial in range(12):
+        rows_in = []
+        for u in range(3):
+            ts = sorted(rng.sample(range(0, 40), k=rng.randint(2, 10)))
+            for t in ts:
+                v = None if rng.random() < 0.35 else float(rng.randint(-20, 20))
+                rows_in.append({"u": u, "t": t, "v": v})
+        df = spark.createDataFrame(
+            [(r["u"], r["t"], r["v"]) for r in rows_in], "u long, t long, v double")
+        out = Engine().aggregate(df, [
+            {"$setWindowFields": {"partitionBy": "$u", "sortBy": {"t": 1},
+                                  "output": {
+                                      "locf": {"$locf": "$v"},
+                                      "lf": {"$linearFill": "$v"},
+                                      "dv": {"$derivative": {"input": "$v"},
+                                             "window": {"documents": [-1, 0]}},
+                                      "ig": {"$integral": {"input": "$v"},
+                                             "window": {"documents": ["unbounded", "current"]}},
+                                  }}}]).collect()
+        got = {(r["u"], r["t"]): (r["locf"], r["lf"], r["dv"], r["ig"])
+               for r in out}
+
+        expected = {}
+        parts: dict = {}
+        for r in rows_in:
+            parts.setdefault(r["u"], []).append(r)
+        for u, rs in parts.items():
+            rs = sorted(rs, key=lambda r: r["t"])
+            n = len(rs)
+            # locf
+            last_v = None
+            locf = []
+            for r in rs:
+                if r["v"] is not None:
+                    last_v = r["v"]
+                locf.append(last_v)
+            # linearFill
+            lf = []
+            for i, r in enumerate(rs):
+                if r["v"] is not None:
+                    lf.append(r["v"])
+                    continue
+                prev = next(((rs[j]["t"], rs[j]["v"]) for j in range(i - 1, -1, -1)
+                             if rs[j]["v"] is not None), None)
+                nxt = next(((rs[j]["t"], rs[j]["v"]) for j in range(i + 1, n)
+                            if rs[j]["v"] is not None), None)
+                if prev and nxt and nxt[0] != prev[0]:
+                    px, pv = prev
+                    nx, nv = nxt
+                    lf.append(pv + (nv - pv) * (r["t"] - px) / (nx - px))
+                else:
+                    lf.append(None)
+            # derivative over [-1, 0] frame: (v_i - v_{i-1}) / (t_i - t_{i-1})
+            dv = []
+            for i, r in enumerate(rs):
+                if i == 0 or r["v"] is None or rs[i - 1]["v"] is None:
+                    dv.append(None)
+                else:
+                    dv.append((r["v"] - rs[i - 1]["v"]) / (r["t"] - rs[i - 1]["t"]))
+            # integral unbounded..current: sum of trapezoids; null endpoints
+            # make that trapezoid null -> skipped by the sum
+            ig, acc = [], 0.0
+            for i, r in enumerate(rs):
+                if i > 0 and r["v"] is not None and rs[i - 1]["v"] is not None:
+                    acc += (r["v"] + rs[i - 1]["v"]) / 2 * (r["t"] - rs[i - 1]["t"])
+                ig.append(acc)
+            for r, a, b, c, d in zip(rs, locf, lf, dv, ig):
+                expected[(u, r["t"])] = (a, b, c, d)
+
+        for key in expected:
+            g, e = got[key], expected[key]
+            for gi, ei in zip(g, e):
+                ok = (gi is None and ei is None) or (
+                    gi is not None and ei is not None and abs(gi - ei) < 1e-9)
+                if not ok:
+                    failures.append((trial, key, g, e))
+                    break
+
+    assert not failures, f"{len(failures)} mismatches; first: {failures[0]}"

@@ -657,3 +657,47 @@ def test_window_derivative_unit_requires_date_sort(spark):
                                   "output": {"d": {"$derivative": {
                                       "input": "$v", "unit": "hour"}}}}}
         ]).collect()
+
+
+def test_window_exp_moving_avg(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 4.0)],
+        "u long, t long, v double")
+    out = aggregate(df, [
+        {"$setWindowFields": {"partitionBy": "$u", "sortBy": {"t": 1},
+                              "output": {"ema": {"$expMovingAvg": {
+                                  "input": "$v", "N": 3}}}}}])
+    got = {(r["u"], r["t"]): r["ema"] for r in out.collect()}
+    # alpha = 2/(3+1) = 0.5: 10, 15, 22.5
+    assert got[(1, 1)] == 10.0 and got[(1, 2)] == 15.0 and got[(1, 3)] == 22.5
+    assert got[(2, 1)] == 4.0
+
+    # alpha form + coexisting plain window output
+    out2 = aggregate(df, [
+        {"$setWindowFields": {"partitionBy": "$u", "sortBy": {"t": 1},
+                              "output": {
+                                  "ema": {"$expMovingAvg": {"input": "$v", "alpha": 0.8}},
+                                  "run": {"$sum": "$v", "window": {
+                                      "documents": ["unbounded", "current"]}}}}}])
+    got2 = {(r["u"], r["t"]): (round(r["ema"], 4), r["run"]) for r in out2.collect()}
+    assert got2[(1, 2)] == (round(10 + 0.8 * 10, 4), 30.0)
+
+
+def test_window_exp_moving_avg_validation(spark):
+    from aggo_spark.errors import InvalidPipeline
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "u long, t long, v double")
+    with pytest.raises(InvalidPipeline, match="exactly one of"):
+        aggregate(df, [
+            {"$setWindowFields": {"partitionBy": "$u", "sortBy": {"t": 1},
+                                  "output": {"e": {"$expMovingAvg": {
+                                      "input": "$v", "N": 3, "alpha": 0.5}}}}}])
+    with pytest.raises(InvalidPipeline, match="window"):
+        aggregate(df, [
+            {"$setWindowFields": {"partitionBy": "$u", "sortBy": {"t": 1},
+                                  "output": {"e": {"$expMovingAvg": {"input": "$v", "N": 3},
+                                                   "window": {"documents": [-1, 0]}}}}}])
+    with pytest.raises(InvalidPipeline, match="sortBy"):
+        aggregate(df, [
+            {"$setWindowFields": {"partitionBy": "$u",
+                                  "output": {"e": {"$expMovingAvg": {"input": "$v", "N": 3}}}}}])
