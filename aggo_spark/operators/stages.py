@@ -1371,6 +1371,17 @@ def stage_merge(df: DataFrame, spec, engine) -> DataFrame:
     except Exception:
         engine.register(into, df)
         return df
+    if when_not_matched == "fail":
+        # MongoDB: error if any source doc has no target match. Eager by
+        # nature — MongoDB also fails at execution time.
+        if df.join(target.select(*keys), keys, "left_anti").limit(1).count():
+            raise InvalidPipeline("$merge whenNotMatched:fail — unmatched source document")
+    if when_matched == "fail":
+        if df.join(target.select(*keys), keys, "left_semi").limit(1).count():
+            raise InvalidPipeline("$merge whenMatched:fail — matching target document")
+        merged = target.unionByName(df, allowMissingColumns=True)
+        engine.register(into, merged)
+        return merged
     if when_matched == "replace":
         kept_target = target.join(df.select(*keys), keys, "left_anti")
         merged = kept_target.unionByName(df, allowMissingColumns=True)

@@ -233,6 +233,33 @@ class TestOutMerge:
         got = {r.k: r.v for r in eng.collection("t").collect()}
         assert got == {1: "old"}
 
+    def test_merge_fail_modes(self, spark):
+        from aggo_spark.errors import InvalidPipeline
+
+        eng = Engine()
+        eng.register("t", spark.createDataFrame([(1, "old")], "k long, v string"))
+        # whenMatched: fail — raises on a matching key
+        with pytest.raises(InvalidPipeline, match="whenMatched:fail"):
+            eng.aggregate(
+                spark.createDataFrame([(1, "dup")], "k long, v string"),
+                [{"$merge": {"into": "t", "on": "k", "whenMatched": "fail"}}])
+        # no match -> clean append
+        eng.aggregate(
+            spark.createDataFrame([(3, "ins")], "k long, v string"),
+            [{"$merge": {"into": "t", "on": "k", "whenMatched": "fail"}}])
+        assert {r.k: r.v for r in eng.collection("t").collect()} == {1: "old", 3: "ins"}
+        # whenNotMatched: fail — raises on an unmatched key
+        with pytest.raises(InvalidPipeline, match="whenNotMatched:fail"):
+            eng.aggregate(
+                spark.createDataFrame([(9, "x")], "k long, v string"),
+                [{"$merge": {"into": "t", "on": "k",
+                             "whenNotMatched": "fail"}}])
+        # all matched -> behaves as replace
+        eng.aggregate(
+            spark.createDataFrame([(1, "new")], "k long, v string"),
+            [{"$merge": {"into": "t", "on": "k", "whenNotMatched": "fail"}}])
+        assert {r.k: r.v for r in eng.collection("t").collect()} == {1: "new", 3: "ins"}
+
 
 class TestSkewAndSources:
     def test_salted_group_agg_matches_plain(self, spark):
