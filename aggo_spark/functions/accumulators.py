@@ -320,12 +320,14 @@ RANGE_UNIT_MS = {
 
 
 def _numeric_sort_key(sort_by: dict | None, ctx: ExprContext, op: str,
-                      unit: str | None) -> Column:
+                      unit: str | None, require_unit: bool = False) -> Column:
     """The single ascending sortBy key as a double, for the time-series
     window operators ($derivative/$integral/$linearFill): numeric keys pass
-    through; date/timestamp keys become epoch millis scaled by ``unit``
-    (required for $derivative/$integral over dates, per MongoDB; $linearFill
-    interpolates on raw millis, so it passes unit=None and gets factor 1)."""
+    through; date/timestamp keys become epoch millis scaled by ``unit``.
+    ``require_unit`` enforces MongoDB's rule that $derivative/$integral over
+    a date sortBy MUST name a unit (a silent per-millisecond default would
+    wrong-scale ported pipelines); $linearFill interpolates on raw millis,
+    so it passes unit=None without the requirement."""
     if not sort_by or len(sort_by) != 1:
         raise InvalidPipeline(f"{op} requires exactly one sortBy key")
     key, direction = next(iter(sort_by.items()))
@@ -334,9 +336,14 @@ def _numeric_sort_key(sort_by: dict | None, ctx: ExprContext, op: str,
     col = ctx.resolve_path(key)
     dtype = ctx.path_type(key)
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-        factor = RANGE_UNIT_MS.get(unit, 1) if unit else 1
-        if unit is not None and unit not in RANGE_UNIT_MS:
-            raise InvalidPipeline(f"unsupported unit {unit!r}")
+        if unit is None:
+            if require_unit:
+                raise InvalidPipeline(f"{op} over a date sortBy requires unit")
+            factor = 1
+        else:
+            if unit not in RANGE_UNIT_MS:
+                raise InvalidPipeline(f"unsupported unit {unit!r}")
+            factor = RANGE_UNIT_MS[unit]
         return F.unix_millis(col.cast("timestamp")).cast("double") / F.lit(float(factor))
     if unit is not None:
         raise InvalidPipeline(f"{op}: unit requires a date/timestamp sortBy")
@@ -375,6 +382,10 @@ def window_function_to_column(
         # last observation carried forward (MongoDB 5.2): last non-null of
         # the expression up to the current document in sort order; ignores
         # any window spec, like MongoDB
+        if not sort_by:
+            # without a sort the carry order is physical row order —
+            # nondeterministic under repartition; MongoDB rejects it too
+            raise InvalidPipeline("$locf requires sortBy")
         out_expr = translate_expr(arg, ctx)
 
         def _locf(w):
@@ -409,7 +420,8 @@ def window_function_to_column(
         # (last input − first input) / Δ(sort key) over the frame
         # (MongoDB 5.0); dates need `unit`, numeric sort keys forbid it
         inp = translate_expr(arg["input"], ctx).cast("double")
-        x = _numeric_sort_key(sort_by, ctx, "$derivative", arg.get("unit"))
+        x = _numeric_sort_key(sort_by, ctx, "$derivative", arg.get("unit"),
+                              require_unit=True)
 
         def _deriv(w):
             dx = F.last(x).over(w) - F.first(x).over(w)
@@ -429,14 +441,19 @@ def window_function_to_column(
             raise InvalidPipeline(
                 "$integral requires an unbounded-preceding window frame")
         inp = translate_expr(arg["input"], ctx).cast("double")
-        x = _numeric_sort_key(sort_by, ctx, "$integral", arg.get("unit"))
-        hid = f"__aggo_trap_{out_name}"
+        x = _numeric_sort_key(sort_by, ctx, "$integral", arg.get("unit"),
+                              require_unit=True)
+        # hidden-column name must be a plain identifier: dotted/special
+        # output names would otherwise parse as struct access in F.col
+        import re as _re
+
+        hid = "__aggo_trap_" + _re.sub(r"\W", "_", out_name)
 
         def _trap(w0):
             return (inp + F.lag(inp).over(w0)) / 2 * (x - F.lag(x).over(w0))
 
         def _integ(w):
-            return F.coalesce(F.sum(F.col(hid)).over(w), F.lit(0.0))
+            return F.coalesce(F.sum(F.col(f"`{hid}`")).over(w), F.lit(0.0))
 
         return _integ, True, {hid: _trap}
     agg = _accumulator(op, arg, ctx)

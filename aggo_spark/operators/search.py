@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.pyhash import bucket_of
-from .text import normalize_text, tokens
+from .text import tokens
 
 __all__ = [
     "build_text_index", "search_with_index", "query_tokens",

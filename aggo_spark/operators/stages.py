@@ -987,7 +987,15 @@ def _exp_moving_avg(
             raise InvalidPipeline("$expMovingAvg requires {input, N | alpha}")
         if ("N" in arg) == ("alpha" in arg):
             raise InvalidPipeline("$expMovingAvg requires exactly one of N, alpha")
-        alpha = float(arg["alpha"]) if "alpha" in arg else 2.0 / (int(arg["N"]) + 1)
+        if "alpha" in arg:
+            alpha = float(arg["alpha"])
+            if not 0.0 < alpha < 1.0:
+                raise InvalidPipeline("$expMovingAvg alpha must be in (0, 1)")
+        else:
+            n = int(arg["N"])
+            if n < 1:
+                raise InvalidPipeline("$expMovingAvg N must be a positive integer")
+            alpha = 2.0 / (n + 1)
         plans.append((name, alpha))
 
     # materialize hidden group/sort keys so arbitrary expressions work
@@ -1006,10 +1014,15 @@ def _exp_moving_avg(
             },
         }
     )
+    # output names may OVERWRITE existing columns (MongoDB allows it, and
+    # the plain-window path's withColumns does too) — replace in place so
+    # the applyInPandas schema has no duplicate fields
+    ema_names = {name for name, _ in plans}
     out_schema = T.StructType(
-        prepared.schema.fields
+        [f for f in prepared.schema.fields if f.name not in ema_names]
         + [T.StructField(name, T.DoubleType()) for name, _ in plans]
     )
+    col_order = [f.name for f in out_schema.fields]
 
     def compute(pdf):
         pdf = pdf.sort_values(by=hid_sort, ascending=ascending, kind="mergesort")
@@ -1017,7 +1030,7 @@ def _exp_moving_avg(
             pdf[name] = pdf[f"__aggo_emav_{name}"].ewm(
                 alpha=alpha, adjust=False, ignore_na=True
             ).mean()
-        return pdf
+        return pdf[col_order]
 
     result = prepared.groupBy(*[F.col(h) for h in hid_part]).applyInPandas(
         compute, schema=out_schema
@@ -1053,9 +1066,11 @@ def stage_set_window_fields(df: DataFrame, spec: dict, engine) -> DataFrame:
 
     new_cols: dict[str, Column] = {}
     hidden: dict[str, Column] = {}
-    for name, ospec in outputs.items():
+    for i, (name, ospec) in enumerate(outputs.items()):
+        # ordinal prefix keeps hidden pre-pass column names unique even when
+        # two sanitized output names collide (e.g. "a.b" vs "a_b")
         fn, takes_frame, pre = window_function_to_column(
-            ospec, ctx, sort_by=sort_by, out_name=name)
+            ospec, ctx, sort_by=sort_by, out_name=f"{i}_{name}")
         w = Window.partitionBy(*part_cols)
         if order_cols:
             w = w.orderBy(*order_cols)
@@ -1371,15 +1386,23 @@ def stage_merge(df: DataFrame, spec, engine) -> DataFrame:
     except Exception:
         engine.register(into, df)
         return df
+    if when_not_matched == "fail" or when_matched == "fail":
+        # MongoDB: error if a (non-)matching doc exists — eager by nature
+        # (MongoDB also fails at execution time). The probe executes the
+        # source pipeline, so pin its rows first: a nondeterministic source
+        # (rand-derived keys, $sample) must merge exactly the rows the
+        # probe validated, not a recomputed set.
+        df = df.localCheckpoint()
     if when_not_matched == "fail":
-        # MongoDB: error if any source doc has no target match. Eager by
-        # nature — MongoDB also fails at execution time.
         if df.join(target.select(*keys), keys, "left_anti").limit(1).count():
             raise InvalidPipeline("$merge whenNotMatched:fail — unmatched source document")
     if when_matched == "fail":
         if df.join(target.select(*keys), keys, "left_semi").limit(1).count():
             raise InvalidPipeline("$merge whenMatched:fail — matching target document")
-        merged = target.unionByName(df, allowMissingColumns=True)
+        # no source doc matches, so whenNotMatched governs them ALL:
+        # insert appends, discard drops (fail already raised above)
+        to_add = df if when_not_matched != "discard" else df.limit(0)
+        merged = target.unionByName(to_add, allowMissingColumns=True)
         engine.register(into, merged)
         return merged
     if when_matched == "replace":

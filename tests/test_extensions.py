@@ -475,3 +475,17 @@ class TestFillLinear:
                 {"$fill": {"partitionBy": "$g",
                            "output": {"v": {"method": "linear"}}}},
             ], spark=spark).collect()
+
+
+def test_merge_fail_respects_discard(spark):
+    # r4 review: whenMatched:fail + whenNotMatched:discard must DROP the
+    # (all-unmatched) source docs, not append them
+    from aggo_spark import Engine
+
+    eng = Engine()
+    eng.register("t", spark.createDataFrame([(1, "old")], "k long, v string"))
+    eng.aggregate(
+        spark.createDataFrame([(9, "x")], "k long, v string"),
+        [{"$merge": {"into": "t", "on": "k", "whenMatched": "fail",
+                     "whenNotMatched": "discard"}}])
+    assert {r.k: r.v for r in eng.collection("t").collect()} == {1: "old"}

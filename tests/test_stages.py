@@ -701,3 +701,56 @@ def test_window_exp_moving_avg_validation(spark):
         aggregate(df, [
             {"$setWindowFields": {"partitionBy": "$u",
                                   "output": {"e": {"$expMovingAvg": {"input": "$v", "N": 3}}}}}])
+
+
+def test_window_ts_ops_review_fixes(spark):
+    """r4 review findings: dotted $integral names, EMA overwrite/validation,
+    $locf sortBy requirement, date-sort unit requirement."""
+    from aggo_spark.errors import InvalidPipeline
+    import datetime as _dt
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0)], "u long, t long, v double")
+
+    # $integral with a dotted output name resolves its hidden column
+    out = aggregate(df, [
+        {"$setWindowFields": {"partitionBy": "$u", "sortBy": {"t": 1},
+                              "output": {"a.b": {"$integral": {"input": "$v"}}}}}])
+    assert {r["a.b"] for r in out.collect()} == {15.0}
+
+    # $expMovingAvg may overwrite an existing column
+    out2 = aggregate(df, [
+        {"$setWindowFields": {"partitionBy": "$u", "sortBy": {"t": 1},
+                              "output": {"v": {"$expMovingAvg": {"input": "$v", "N": 1}}}}}])
+    assert {(r["t"], r["v"]) for r in out2.collect()} == {(1, 10.0), (2, 20.0)}
+
+    # validation errors (InvalidPipeline, not raw Python/pandas errors)
+    with pytest.raises(InvalidPipeline, match="positive integer"):
+        aggregate(df, [{"$setWindowFields": {"sortBy": {"t": 1},
+                        "output": {"e": {"$expMovingAvg": {"input": "$v", "N": -1}}}}}])
+    with pytest.raises(InvalidPipeline, match="alpha"):
+        aggregate(df, [{"$setWindowFields": {"sortBy": {"t": 1},
+                        "output": {"e": {"$expMovingAvg": {"input": "$v", "alpha": 2.0}}}}}])
+    with pytest.raises(InvalidPipeline, match="sortBy"):
+        aggregate(df, [{"$setWindowFields": {"partitionBy": "$u",
+                        "output": {"f": {"$locf": "$v"}}}}])
+
+    base = _dt.datetime(2024, 1, 1)
+    dft = spark.createDataFrame(
+        [(1, base, 1.0), (1, base + _dt.timedelta(seconds=1), 2.0)],
+        "u long, ts timestamp, v double")
+    with pytest.raises(InvalidPipeline, match="requires unit"):
+        aggregate(dft, [{"$setWindowFields": {"sortBy": {"ts": 1},
+                         "output": {"d": {"$derivative": {"input": "$v"}}}}}])
+    with pytest.raises(InvalidPipeline, match="requires unit"):
+        aggregate(dft, [{"$setWindowFields": {"sortBy": {"ts": 1},
+                         "output": {"i": {"$integral": {"input": "$v"}}}}}])
+    # $linearFill over a date sortBy needs no unit (interpolates on millis)
+    dfn = spark.createDataFrame(
+        [(1, base, 0.0), (1, base + _dt.timedelta(seconds=1), None),
+         (1, base + _dt.timedelta(seconds=2), 4.0)],
+        "u long, ts timestamp, v double")
+    outl = aggregate(dfn, [
+        {"$setWindowFields": {"partitionBy": "$u", "sortBy": {"ts": 1},
+                              "output": {"f": {"$linearFill": "$v"}}}}])
+    assert sorted(r["f"] for r in outl.collect()) == [0.0, 2.0, 4.0]
