@@ -508,3 +508,42 @@ def test_random_timeseries_window_ops_match_python(spark):
                     break
 
     assert not failures, f"{len(failures)} mismatches; first: {failures[0]}"
+
+
+def test_random_exp_moving_avg_matches_python(spark):
+    """Differential fuzz for the applyInPandas $expMovingAvg path: random
+    gappy series vs the textbook recurrence EMA_i = a*x_i + (1-a)*EMA_{i-1}
+    (nulls skip the state update and inherit the previous EMA)."""
+    rng = random.Random(SEED + 6)
+
+    failures = []
+    for trial in range(8):
+        rows_in = []
+        for u in range(3):
+            for t in sorted(rng.sample(range(0, 30), k=rng.randint(1, 8))):
+                v = None if rng.random() < 0.25 else float(rng.randint(-9, 9))
+                rows_in.append({"u": u, "t": t, "v": v})
+        alpha = rng.choice([0.2, 0.5, 0.8])
+        df = spark.createDataFrame(
+            [(r["u"], r["t"], r["v"]) for r in rows_in], "u long, t long, v double")
+        out = Engine().aggregate(df, [
+            {"$setWindowFields": {"partitionBy": "$u", "sortBy": {"t": 1},
+                                  "output": {"e": {"$expMovingAvg": {
+                                      "input": "$v", "alpha": alpha}}}}}]).collect()
+        got = {(r["u"], r["t"]): r["e"] for r in out}
+
+        parts: dict = {}
+        for r in rows_in:
+            parts.setdefault(r["u"], []).append(r)
+        for u, rs in parts.items():
+            ema = None
+            for r in sorted(rs, key=lambda r: r["t"]):
+                if r["v"] is not None:
+                    ema = r["v"] if ema is None else alpha * r["v"] + (1 - alpha) * ema
+                g = got[(u, r["t"])]
+                ok = (g is None and ema is None) or (
+                    g is not None and ema is not None and abs(g - ema) < 1e-9)
+                if not ok:
+                    failures.append((trial, u, r["t"], g, ema))
+
+    assert not failures, f"{len(failures)} mismatches; first: {failures[0]}"

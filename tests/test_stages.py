@@ -754,3 +754,22 @@ def test_window_ts_ops_review_fixes(spark):
         {"$setWindowFields": {"partitionBy": "$u", "sortBy": {"ts": 1},
                               "output": {"f": {"$linearFill": "$v"}}}}])
     assert sorted(r["f"] for r in outl.collect()) == [0.0, 2.0, 4.0]
+
+
+def test_window_ts_ops_single_exchange(spark):
+    """All time-series window outputs (incl. $integral's lag pre-pass) share
+    ONE exchange on the partition key — the pre-pass adds a WindowExec, not
+    a shuffle."""
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0)], "u long, t long, v double")
+    out = aggregate(df, [
+        {"$setWindowFields": {"partitionBy": "$u", "sortBy": {"t": 1},
+                              "output": {
+                                  "f": {"$locf": "$v"},
+                                  "lf": {"$linearFill": "$v"},
+                                  "ig": {"$integral": {"input": "$v"}},
+                                  "run": {"$sum": "$v", "window": {
+                                      "documents": ["unbounded", "current"]}}}}}])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert len(re.findall(r"(?<!Reused)Exchange", plan)) == 1
