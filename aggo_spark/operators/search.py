@@ -85,7 +85,19 @@ def search_with_index(
         .filter(F.col("__nt") == len(toks))
         .select(F.col("id").alias(id_col))
     )
-    return df.join(hits, id_col, "left_semi")
+    result = df.join(hits, id_col, "left_semi")
+    from . import search_diag as _diag
+
+    if _diag._text_config.enable_stats:  # opt-in: costs extra count jobs
+        import time as _time
+
+        t0 = _time.time()
+        after = hits.count()
+        t1 = _time.time()
+        # the posting intersection is exact: every candidate is a match
+        _diag._record(_diag._text_stats, before=df.count(), after=after,
+                      matches=after, t_prefilter=t1 - t0, t_verify=0.0)
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -160,7 +172,21 @@ def regex_search_with_index(
         .filter(F.col("__ng") == len(grams))
         .select(F.col("id").alias(id_col))
     )
-    return df.join(hits, id_col, "left_semi").filter(exact)
+    candidates = df.join(hits, id_col, "left_semi")
+    result = candidates.filter(exact)
+    from . import search_diag as _diag
+
+    if _diag._regex_config.enable_stats:  # opt-in: costs extra count jobs
+        import time as _time
+
+        t0 = _time.time()
+        after = candidates.count()
+        t1 = _time.time()
+        matches = result.count()
+        t2 = _time.time()
+        _diag._record(_diag._regex_stats, before=df.count(), after=after,
+                      matches=matches, t_prefilter=t1 - t0, t_verify=t2 - t1)
+    return result
 
 
 # ---------------------------------------------------------------------------

@@ -103,6 +103,38 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_parquet_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    expected_ndv: int | None = None,
+    fpp: float | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet with column Bloom filters — the storage-native
+    re-expression of the reference's in-memory per-collection Bloom gate
+    (``/root/reference/src/aggo/bloom-filter.ts:15-371``).
+
+    The reference probes a RAM filter before scanning documents; at 100 TB
+    the filter must live WITH the data, so it goes into the parquet column
+    chunk metadata (`parquet.bloom.filter.enabled#col`). Point-lookup /
+    IN-list predicates on ``bloom_cols`` then skip row groups whose filter
+    proves the key absent — the same "definitely not here" fast path,
+    evaluated inside the scan with zero driver state. Complements (not
+    replaces) min/max stats: Blooms prune on high-cardinality ids where
+    min/max ranges overlap every row group.
+    """
+    writer = df.write.mode(mode)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        if expected_ndv is not None:
+            writer = writer.option(
+                f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv))
+        if fpp is not None:
+            writer = writer.option(f"parquet.bloom.filter.fpp#{c}", str(fpp))
+    writer.parquet(path)
+
+
 def _enable_nanos(spark: SparkSession) -> None:
     # Runtime-settable engine defaults, applied here too (not only in
     # build_session) because a host application may hand us its own session:

@@ -1,0 +1,147 @@
+"""Search diagnostics/config parity (reference text-search.ts:15-51,257-283,
+regex-search.ts:297-321, bloom-filter.ts:374-429) and the parquet-native
+Bloom filter writer."""
+
+from __future__ import annotations
+
+import pytest
+
+from aggo_spark.operators import search, search_diag
+
+
+DOCS = [
+    {"doc_id": 1, "text": "spark makes distributed queries fast"},
+    {"doc_id": 2, "text": "the quick brown fox"},
+    {"doc_id": 3, "text": "Spark queries over parquet"},
+    {"doc_id": 4, "text": "unrelated document entirely"},
+    {"doc_id": 5, "text": "queries about spark streaming"},
+]
+
+
+@pytest.fixture(autouse=True)
+def _reset_diag():
+    search_diag.reset_text_search_stats()
+    search_diag.reset_regex_search_stats()
+    search_diag.configure_text_search(enable_stats=False)
+    search_diag.configure_regex_search(enable_stats=False)
+    yield
+    search_diag.configure_text_search(enable_stats=False)
+    search_diag.configure_regex_search(enable_stats=False)
+
+
+def test_extract_tokens_matches_query_tokens():
+    assert search_diag.extract_tokens("The QUICK, quick fox!") == ["fox", "quick", "the"]
+
+
+def test_extract_trigrams_raw_and_ordered():
+    assert search_diag.extract_trigrams("Spark") == ["Spa", "par", "ark"]
+    assert search_diag.extract_trigrams("ab") == []
+    # case-exact (regexes match raw text) and deduped
+    assert search_diag.extract_trigrams("aaaa") == ["aaa"]
+
+
+def test_analyze_regex_pattern_literals_and_suitability():
+    info = search_diag.analyze_regex_pattern(r"error: (disk|net) timeout")
+    assert "error: " in info["literals"] and " timeout" in info["literals"]
+    assert "err" in info["trigrams"]
+    assert info["prefilter_pushable"] is True
+    assert info["suitable_for_trigram_index"] is True
+    # complexity formula: length + metachar count (reference regex-search.ts:310)
+    assert info["complexity"] > len(r"error: (disk|net) timeout")
+
+
+def test_analyze_regex_pattern_case_insensitive_not_indexable():
+    info = search_diag.analyze_regex_pattern("spark", options="i")
+    # the trigram index is case-exact, so "i" patterns can't use it,
+    # but literal extraction itself still succeeds
+    assert info["suitable_for_trigram_index"] is False
+
+
+def test_analyze_regex_pattern_no_literals():
+    info = search_diag.analyze_regex_pattern(r"^\d+$")
+    assert info["literals"] == []
+    assert info["prefilter_pushable"] is False
+    assert info["suitable_for_trigram_index"] is False
+
+
+def test_analyze_regex_pattern_invalid():
+    # invalid patterns degrade gracefully to an empty analysis
+    info = search_diag.analyze_regex_pattern("(unclosed")
+    assert info["suitable_for_trigram_index"] is False
+    assert info["prefilter_pushable"] is False
+    assert info["literals"] == []
+
+
+def test_text_search_stats_opt_in(spark):
+    df = spark.createDataFrame(DOCS)
+    index = search.build_text_index(df)
+
+    # default: disabled — no stats recorded
+    search.search_with_index(df, index, "spark queries").count()
+    assert search_diag.get_text_search_stats().total_queries == 0
+
+    search_diag.configure_text_search(enable_stats=True)
+    n = search.search_with_index(df, index, "spark queries").count()
+    stats = search_diag.get_text_search_stats()
+    assert n == 3  # docs 1, 3 (tokenizer lowercases "Spark"), 5
+    assert stats.total_queries == 1
+    assert stats.candidates_before_filter == 5
+    assert stats.candidates_after_filter == stats.actual_matches == n
+    # posting intersection is exact → FP rate 0 by construction
+    assert stats.false_positive_rate == 0.0
+    assert stats.average_speedup_ratio == pytest.approx(5 / n)
+    assert stats.prefilter_hits == 1
+    d = stats.as_dict()
+    assert d["total_queries"] == 1 and d["false_positive_rate"] == 0.0
+
+
+def test_regex_search_stats_fp_rate(spark):
+    df = spark.createDataFrame(DOCS)
+    index = search.build_trigram_index(df)
+    search_diag.configure_regex_search(enable_stats=True)
+    # required literal "queries " appears in docs 1, 3, 5; the full regex
+    # (one more word, then end-of-string) matches only doc 1
+    out = search.regex_search_with_index(df, index, r"queries [a-z]+$").count()
+    stats = search_diag.get_regex_search_stats()
+    assert out == 1
+    assert stats.candidates_after_filter == 3   # trigram candidates
+    assert stats.actual_matches == 1
+    assert stats.false_positive_rate == pytest.approx(2 / 3)
+    assert stats.total_verification_time >= 0.0
+    search_diag.reset_regex_search_stats()
+    assert search_diag.get_regex_search_stats().total_queries == 0
+
+
+def test_configure_returns_updated_config():
+    cfg = search_diag.configure_text_search(enable_stats=True)
+    assert cfg.enable_stats is True
+    cfg2 = search_diag.configure_text_search(enable_stats=False)
+    assert cfg2.enable_stats is False
+
+
+def test_write_parquet_bloom_metadata_and_readback(spark, tmp_path):
+    from aggo_spark.sources.io import write_parquet_bloom
+
+    df = spark.range(0, 1000).selectExpr(
+        "id AS doc_id", "concat('doc-', id) AS name")
+    path = str(tmp_path / "bloomed")
+    write_parquet_bloom(df.coalesce(1), path, ["doc_id"], expected_ndv=1000)
+
+    # bloom filter actually present in the parquet footer
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(path + "/*.parquet")
+    assert files
+    meta = pq.ParquetFile(files[0]).metadata
+    col_idx = next(i for i in range(meta.num_columns)
+                   if meta.schema.column(i).name == "doc_id")
+    col_meta = meta.row_group(0).column(col_idx)
+    # pyarrow >= 14 exposes the offset; older versions lack the attribute —
+    # then the read-back check below still validates the file is sound
+    if hasattr(col_meta, "bloom_filter_offset"):
+        assert col_meta.bloom_filter_offset is not None
+
+    back = spark.read.parquet(path).filter("doc_id = 437")
+    assert [r.name for r in back.collect()] == ["doc-437"]

@@ -1,0 +1,86 @@
+"""Scaling-curve measurement: runtime vs scale factor for representative
+queries.
+
+At 100 TB the thing that matters is the exponent, not the constant: an
+operator whose runtime grows ~linearly in SF on local[32] has a plan with
+no all-pairs joins, no driver materialization, and no per-row interpreter
+blowup hiding in it. This tool runs each query at sf0.001 / sf0.01 / sf0.1
+(a 100× input range) in ONE warm session and reports sec per SF plus the
+observed growth ratio per 10× step (ideal ≈ 10 once out of the
+fixed-overhead floor; sub-10 means fixed costs still dominate at that SF).
+
+Usage: python tools/scaling_curve.py [q01_group_agg ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+DEFAULT = [
+    "q01_group_agg", "q02_filter", "q03_complex", "q22_sessionize",
+    "q30_dedup_exact", "q31_dedup_jaccard", "q33_dedup_simhash",
+    "q36_langid", "q37_quality", "q59_asof_join", "q64_graph_lookup",
+    "q75_tfidf", "q77_chunking",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("scaling_curve")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = sys.argv[1:] or DEFAULT
+
+    # warm up JVM/codegen once per SF so the smallest SF isn't charged for it
+    for sf in SFS:
+        entry.queries()["q02_filter"](spark, sf).write.format("noop").mode(
+            "overwrite").save()
+
+    results: dict[str, dict] = {}
+    for name in names:
+        fn = qs[name]
+        per_sf = {}
+        for sf in SFS:
+            t0 = time.time()
+            fn(spark, sf).write.format("noop").mode("overwrite").save()
+            t1 = time.time()
+            # best of 2: second run reuses parquet footers/broadcast state
+            fn(spark, sf).write.format("noop").mode("overwrite").save()
+            per_sf[sf.rsplit("sf", 1)[-1]] = round(
+                min(t1 - t0, time.time() - t1), 3)
+        r1 = per_sf["0.01"] / per_sf["0.001"] if per_sf["0.001"] else None
+        r2 = per_sf["0.1"] / per_sf["0.01"] if per_sf["0.01"] else None
+        results[name] = {
+            "sec": per_sf,
+            "ratio_10x": [round(r1, 2) if r1 else None,
+                          round(r2, 2) if r2 else None],
+        }
+        print(f"{name:28s} {per_sf}  x10 ratios {results[name]['ratio_10x']}",
+              file=sys.stderr)
+
+    print(json.dumps(results, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
