@@ -27,6 +27,8 @@ __all__ = [
     "build_text_index", "search_with_index", "query_tokens",
     "build_trigram_index", "regex_search_with_index",
     "tfidf_top_terms", "bm25_search",
+    "enhanced_text_search", "enhanced_regex_match",
+    "clear_text_search_index", "clear_regex_search_index",
 ]
 
 N_BUCKETS = 64
@@ -286,3 +288,113 @@ def bm25_search(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(limit)
     )
+
+
+# ---------------------------------------------------------------------------
+# auto-strategy search + per-collection index registry (reference
+# ``enhancedRegexMatch`` regex-search.ts:99-200 and the index lifecycle
+# exports ``clearTextSearchIndex`` text-search.ts:302-310 /
+# ``clearRegexSearchIndex`` regex-search.ts:371-379)
+# ---------------------------------------------------------------------------
+
+# (id(df), field, id_col) -> (df strong-ref, persisted index frame).
+# The strong ref is deliberate: it pins the exact DataFrame the index was
+# built from so a re-created frame over changed data can't silently reuse a
+# stale index; clear_*_search_index() releases both.
+_text_indexes: dict[tuple, tuple] = {}
+_regex_indexes: dict[tuple, tuple] = {}
+
+
+def _get_or_build(
+    cache: dict, df: DataFrame, field: str, id_col: str, builder, build: bool,
+) -> DataFrame | None:
+    key = (id(df), field, id_col)
+    hit = cache.get(key)
+    if hit is not None and hit[0] is df:
+        return hit[1]
+    if not build:
+        return None
+    idx = builder(df, field, id_col).persist()
+    cache[key] = (df, idx)
+    return idx
+
+
+def enhanced_text_search(
+    df: DataFrame, query: str, text_col: str = "text", id_col: str = "doc_id",
+    *, build_index: bool = False,
+) -> DataFrame:
+    """Best-strategy ``$text``: posting-table index when one is registered
+    for ``(df, text_col)``, else the scan strategy (codegen'd token
+    containment, ``functions/match.py:_text_search``) — both yield identical
+    rows by construction (same tokenizer).
+
+    The reference builds its per-collection index lazily on first query
+    (``text-search.ts:87+``) because an in-process build is cheap. Here a
+    build is a full explode+shuffle over the corpus, so it must be explicit:
+    pass ``build_index=True`` on the first call (amortized across subsequent
+    queries on the same frame — the index is persisted), or pre-register via
+    ``build_text_index`` + this function finds nothing and scans.
+    """
+    idx = _get_or_build(_text_indexes, df, text_col, id_col,
+                        lambda d, f, i: build_text_index(d, f, i), build_index)
+    if idx is not None:
+        return search_with_index(df, idx, query, id_col)
+    from ..functions.match import match_to_column
+    from ..plans.context import ExprContext
+
+    return df.filter(
+        match_to_column({"$text": {"$search": query}}, ExprContext(schema=df.schema)))
+
+
+def enhanced_regex_match(
+    df: DataFrame, field: str, pattern: str, options: str = "",
+    id_col: str = "doc_id", *, build_index: bool = False,
+) -> DataFrame:
+    """Best-strategy ``$regex`` over one field (reference
+    ``enhancedRegexMatch``, regex-search.ts:99-200).
+
+    Strategy ladder, decided by ``search_diag.analyze_regex_pattern``:
+
+    1. trigram posting index, when the pattern is index-suitable (required
+       literals exist, case-sensitive) AND an index is registered for
+       ``(df, field)`` (or ``build_index=True`` builds+persists one now);
+    2. otherwise the scan strategy — which still pushes a ``contains()``
+       prefilter conjunct to the parquet scan when the pattern has required
+       literals (``functions/regex_prefilter``), the reference's Bloom-gate
+       idea expressed as predicate pushdown.
+
+    Stats (opt-in via ``configure_regex_search(enable_stats=True)``) are
+    recorded only on the index path, where candidate sets exist to count.
+    """
+    from .search_diag import analyze_regex_pattern
+
+    info = analyze_regex_pattern(pattern, options)
+    if info["suitable_for_trigram_index"] and id_col in df.columns:
+        idx = _get_or_build(
+            _regex_indexes, df, field, id_col,
+            lambda d, f, i: build_trigram_index(d, f, i), build_index)
+        if idx is not None:
+            return regex_search_with_index(df, idx, pattern, options, field, id_col)
+    from ..functions.match import match_to_column
+    from ..plans.context import ExprContext
+
+    return df.filter(match_to_column(
+        {field: {"$regex": pattern, "$options": options}},
+        ExprContext(schema=df.schema)))
+
+
+def clear_text_search_index() -> None:
+    """Release every registered text posting index (reference
+    ``clearTextSearchIndex``): unpersist the cached frames and drop the
+    strong refs pinning their source DataFrames."""
+    for _df, idx in _text_indexes.values():
+        idx.unpersist()
+    _text_indexes.clear()
+
+
+def clear_regex_search_index() -> None:
+    """Release every registered trigram posting index (reference
+    ``clearRegexSearchIndex``)."""
+    for _df, idx in _regex_indexes.values():
+        idx.unpersist()
+    _regex_indexes.clear()

@@ -52,7 +52,10 @@ BUDGETS = {
     "q31_dedup_jaccard": 16,   # inverted-index self-join; dist subtree
                                # reuses its exchange at runtime (AQE)
     "q32_dedup_minhash": 4,
-    "q33_dedup_simhash": 3,
+    "q33_dedup_simhash": 4,    # +1 vs r3: simhash_table's groupBy(id) —
+                               # buys codegen'd bit counting over the HOF
+                               # fold (21.4 s → ~3 s at sf0.1); the added
+                               # exchange carries one 61-long row per doc
     "q34_ann_brute": 8,        # four ANN variants unioned (4 broadcasts)
     "q36_langid": 2,
     "q37_quality": 1,

@@ -145,3 +145,63 @@ def test_write_parquet_bloom_metadata_and_readback(spark, tmp_path):
 
     back = spark.read.parquet(path).filter("doc_id = 437")
     assert [r.name for r in back.collect()] == ["doc-437"]
+
+
+# ---------------------------------------------------------------------------
+# auto-strategy entry points + index lifecycle (reference enhancedRegexMatch
+# regex-search.ts:99-200, clear*SearchIndex text-search.ts:302/regex-search.ts:371)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(autouse=True)
+def _clear_indexes():
+    yield
+    search.clear_text_search_index()
+    search.clear_regex_search_index()
+
+
+def test_enhanced_text_search_scan_vs_index_agree(spark):
+    df = spark.createDataFrame(DOCS)
+    scan = sorted(r.doc_id for r in search.enhanced_text_search(df, "spark queries").collect())
+    # first indexed call builds + registers; second reuses the cache
+    idx1 = sorted(r.doc_id for r in
+                  search.enhanced_text_search(df, "spark queries", build_index=True).collect())
+    idx2 = sorted(r.doc_id for r in search.enhanced_text_search(df, "spark queries").collect())
+    assert scan == idx1 == idx2 == [1, 3, 5]
+    assert len(search._text_indexes) == 1
+
+
+def test_enhanced_regex_match_strategy_ladder(spark):
+    df = spark.createDataFrame(DOCS)
+    # no index registered, suitable pattern → scan path (no registry entry)
+    out = search.enhanced_regex_match(df, "text", r"queries [a-z]+$")
+    assert sorted(r.doc_id for r in out.collect()) == [1]
+    assert len(search._regex_indexes) == 0
+    # build_index=True registers and routes through the posting table
+    out2 = search.enhanced_regex_match(df, "text", r"queries [a-z]+$", build_index=True)
+    assert sorted(r.doc_id for r in out2.collect()) == [1]
+    assert len(search._regex_indexes) == 1
+    # case-insensitive pattern is not index-suitable → scan path even though
+    # an index exists (the trigram table is case-exact)
+    out3 = search.enhanced_regex_match(df, "text", r"SPARK", options="i")
+    assert sorted(r.doc_id for r in out3.collect()) == [1, 3, 5]
+
+
+def test_enhanced_regex_match_no_literals_falls_back(spark):
+    df = spark.createDataFrame(DOCS)
+    out = search.enhanced_regex_match(df, "text", r"^[a-z ]+$", build_index=True)
+    # pure character-class pattern: no trigrams, nothing registered
+    assert len(search._regex_indexes) == 0
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 4, 5]
+
+
+def test_clear_search_indexes_release_cache(spark):
+    df = spark.createDataFrame(DOCS)
+    search.enhanced_text_search(df, "spark", build_index=True).count()
+    search.enhanced_regex_match(df, "text", "queries", build_index=True).count()
+    assert search._text_indexes and search._regex_indexes
+    search.clear_text_search_index()
+    search.clear_regex_search_index()
+    assert not search._text_indexes and not search._regex_indexes
+    # post-clear queries still work (scan strategy)
+    assert search.enhanced_text_search(df, "spark").count() == 3
