@@ -164,3 +164,26 @@ def test_simhash_matches_python(sample):
     }
     for d, t in {r["doc_id"]: r["text"] for r in sample.collect()}.items():
         assert spark_sh[d] == py_simhash(t), f"simhash mismatch for doc {d}"
+
+
+def test_simhash_table_matches_column_form(sample, spark):
+    """The codegen scale path (simhash_table: explode + per-bit sum aggs)
+    must be bit-for-bit the Column HOF form, in both hash modes — including
+    the empty-doc all-ones majority vote (0*2 >= 0 sets every bit)."""
+    with_empty = sample.union(
+        spark.createDataFrame([(999999, "")], "doc_id bigint, text string"))
+    for mode in ("xxhash64", "md5"):
+        col_form = {
+            r["doc_id"]: r["sh"]
+            for r in with_empty.select(
+                "doc_id", dedup.simhash(F.col("text"), hash_fn=mode).alias("sh")
+            ).collect()
+        }
+        tbl_form = {
+            r["id"]: r["sh"]
+            for r in dedup.simhash_table(with_empty, hash_fn=mode).collect()
+        }
+        assert tbl_form == col_form, f"simhash_table diverges in {mode} mode"
+        nbits = 64 if mode == "xxhash64" else 60
+        allones = -1 if nbits == 64 else (1 << nbits) - 1
+        assert tbl_form[999999] == allones
