@@ -32,6 +32,15 @@ DEFAULT = [
 
 
 def main() -> None:
+    # Same cached-table mode as bench.py: the driver's parquet is ONE row
+    # group per table, so an uncached scan is a single task and every
+    # "growth ratio" above sf0.01 mostly measures serial-scan time, not the
+    # plan. The cached mode repartitions to full core width — the shape a
+    # real cluster (many files) gets natively — so ratios reflect the
+    # operators themselves.
+    import os
+
+    os.environ.setdefault("AGGO_SPARK_CACHE_TABLES", "1")
     from pyspark.sql import SparkSession
 
     spark = (
