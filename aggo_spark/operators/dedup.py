@@ -79,9 +79,13 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    # distinct (id, shingle) pairs, all codegen; the identical exchange under
-    # `dist`'s two consumers is computed once (ReusedExchange)
-    dist = explode_shingles(df, text_col, id_col, k).distinct()
+    # distinct (id, shingle) pairs, all codegen. Pre-partitioning by id makes
+    # ONE exchange serve both consumers: HashPartitioning(id) satisfies the
+    # distinct's ClusteredDistribution(id, s) (subset rule) AND the window's
+    # ClusteredDistribution(id), so the posting stream is shuffled once
+    # instead of once per consumer — at corpus scale that halves the largest
+    # shuffle in the plan (r4; verified plan-shape + equal output).
+    dist = explode_shingles(df, text_col, id_col, k).repartition("id").distinct()
     base = dist.select(
         "id", "s", F.count(F.lit(1)).over(Window.partitionBy("id")).alias("n_sh")
     )

@@ -49,19 +49,38 @@ def main() -> None:
     # unchanged; correctness checks run uncached.
     os.environ.setdefault("AGGO_SPARK_CACHE_TABLES", "1")
     # Ambient-load gate (judge r3): BENCH_r02/r03 both started under
-    # loadavg > 3, overstating every timing. Wait (up to ~5 min) for the
-    # machine to quiet down before starting the JVM; record how long we
-    # waited and the load we finally started at.
-    load_start, load_waited_s = None, 0
-    try:
-        for _ in range(20):
+    # loadavg > 3, overstating every timing. Gate on MEASURED cpu-busy
+    # fraction from /proc/stat, not loadavg: this VM reports phantom
+    # loadavg (observed 17+ with vmstat 100% idle — virtualization
+    # artifact), so loadavg alone would spin the gate forever and then
+    # mislabel an idle run as contaminated. Both numbers are recorded.
+    def _cpu_busy_frac(interval: float = 1.0) -> float | None:
+        def snap():
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()[1:]
+            vals = list(map(int, parts))
+            idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle+iowait
+            return idle, sum(vals)
+        try:
+            i0, t0 = snap()
+            time.sleep(interval)
+            i1, t1 = snap()
+        except (OSError, ValueError, IndexError):
+            return None
+        dt = t1 - t0
+        return round(1.0 - (i1 - i0) / dt, 4) if dt else None
+
+    load_start, busy_start, load_waited_s = None, None, 0
+    for _ in range(20):
+        try:
             load_start = round(os.getloadavg()[0], 2)
-            if load_start <= 2.0:
-                break
-            time.sleep(15)
-            load_waited_s += 15
-    except OSError:
-        pass
+        except OSError:
+            load_start = None
+        busy_start = _cpu_busy_frac()
+        if busy_start is None or busy_start <= 0.25:
+            break
+        time.sleep(14)
+        load_waited_s += 15
     from pyspark.sql import SparkSession
 
     spark = (
@@ -148,6 +167,7 @@ def main() -> None:
         "throughput": throughput,
         "sf": sf,
         "loadavg_1m_start": load_start,
+        "cpu_busy_frac_start": busy_start,
         "loadavg_gate_waited_sec": load_waited_s,
         "loadavg_1m_end": load_1m,
     }))
