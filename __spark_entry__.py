@@ -1245,7 +1245,8 @@ def _simhash_oracle_sql() -> str:
         for ci in range(4))
     tok = _TOKENS.format(c="text")
     return f"""
-        WITH t AS (SELECT doc_id AS id, {tok} AS tok FROM documents),
+        WITH t AS (SELECT doc_id AS id, {tok} AS tok FROM documents
+                   WHERE text IS NOT NULL),
         ex AS (
           SELECT id,
                  ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h

@@ -372,8 +372,11 @@ def simhash_table(
     ``explode_outer`` keeps zero-token documents: their group has n=0 and
     all-zero counters, so every bit ties (0*2 >= 0) and they majority-vote
     to the all-ones fingerprint — identical to the Column form and the
-    DuckDB oracle's LEFT JOIN + coalesce path. The map-side partial agg
-    collapses each doc to nbits+1 longs before the one exchange.
+    DuckDB oracle's LEFT JOIN + coalesce path. NULL text (as opposed to
+    empty) fingerprints to NULL, again like the Column form, where
+    ``tokens(NULL)`` propagates; NULL rows then drop out of pair joins.
+    The map-side partial agg collapses each doc to nbits+2 longs before
+    the one exchange.
     """
     nbits = _simhash_bits(hash_fn)
     if hash_fn == "md5":
@@ -384,22 +387,25 @@ def simhash_table(
         h = F.when(F.col("tk").isNotNull(), F.xxhash64(F.col("tk")))
     ex = df.select(
         F.col(id_col).alias("id"),
+        F.col(text_col).isNull().alias("tnull"),
         F.explode_outer(tokens(F.col(text_col))).alias("tk"),
-    ).select("id", h.alias("h"))
+    ).select("id", "tnull", h.alias("h"))
     aggs = [
         F.coalesce(
             F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))), F.lit(0)
         ).alias(f"c{i}")
         for i in range(nbits)
     ]
-    cnt = ex.groupBy("id").agg(F.count(F.col("h")).alias("n"), *aggs)
+    cnt = ex.groupBy("id").agg(
+        F.count(F.col("h")).alias("n"), F.first("tnull").alias("tnull"), *aggs)
     pow2 = [1 << i if i < 63 else -(1 << 63) for i in range(nbits)]
     sh = F.lit(0).cast("long")
     for i in range(nbits):
         sh = sh.bitwiseOR(
             F.when(F.col(f"c{i}") * 2 >= F.col("n"),
                    F.lit(pow2[i]).cast("long")).otherwise(F.lit(0).cast("long")))
-    return cnt.select("id", sh.alias("sh"))
+    return cnt.select(
+        "id", F.when(~F.col("tnull"), sh).alias("sh"))
 
 
 def simhash_pairs(
@@ -420,7 +426,10 @@ def simhash_pairs(
     """
     width = _simhash_bits(hash_fn) // 4
     mask = (1 << width) - 1
-    sh = simhash_table(df, text_col, id_col, hash_fn=hash_fn)
+    # NULL fingerprints (NULL text) can never satisfy hamming <= r; drop
+    # them before chunking so they don't congregate in a NULL-cv bucket
+    sh = simhash_table(df, text_col, id_col, hash_fn=hash_fn).filter(
+        F.col("sh").isNotNull())
     chunks = F.array(
         *[
             F.struct(

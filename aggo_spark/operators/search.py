@@ -323,10 +323,12 @@ def enhanced_text_search(
     df: DataFrame, query: str, text_col: str = "text", id_col: str = "doc_id",
     *, build_index: bool = False,
 ) -> DataFrame:
-    """Best-strategy ``$text``: posting-table index when one is registered
-    for ``(df, text_col)``, else the scan strategy (codegen'd token
-    containment, ``functions/match.py:_text_search``) — both yield identical
-    rows by construction (same tokenizer).
+    """Best-strategy ``$text`` over ``text_col``: posting-table index when
+    one is registered for ``(df, text_col)``, else a codegen'd token-
+    containment scan of the same column — both yield identical rows by
+    construction (same tokenizer, same column). Note this is narrower than
+    the ``$match`` ``$text`` operator, which searches every string column
+    (MongoDB semantics) and therefore cannot be index-accelerated.
 
     The reference builds its per-collection index lazily on first query
     (``text-search.ts:87+``) because an in-process build is cheap. Here a
@@ -335,15 +337,23 @@ def enhanced_text_search(
     queries on the same frame — the index is persisted), or pre-register via
     ``build_text_index`` + this function finds nothing and scans.
     """
-    idx = _get_or_build(_text_indexes, df, text_col, id_col,
-                        lambda d, f, i: build_text_index(d, f, i), build_index)
-    if idx is not None:
-        return search_with_index(df, idx, query, id_col)
-    from ..functions.match import match_to_column
-    from ..plans.context import ExprContext
-
-    return df.filter(
-        match_to_column({"$text": {"$search": query}}, ExprContext(schema=df.schema)))
+    if id_col in df.columns:
+        idx = _get_or_build(_text_indexes, df, text_col, id_col,
+                            build_text_index, build_index)
+        if idx is not None:
+            return search_with_index(df, idx, query, id_col)
+    # scan strategy over the SAME column the index would cover. (The $match
+    # `$text` operator intentionally searches every string column, MongoDB-
+    # style; using it here would make results depend on whether an index
+    # happens to be registered — review r4.)
+    toks = query_tokens(query)
+    if not toks:
+        return df
+    blob = tokens(F.col(text_col))
+    cond = F.array_contains(blob, toks[0])
+    for t in toks[1:]:
+        cond = cond & F.array_contains(blob, t)
+    return df.filter(cond)
 
 
 def enhanced_regex_match(
@@ -372,7 +382,7 @@ def enhanced_regex_match(
     if info["suitable_for_trigram_index"] and id_col in df.columns:
         idx = _get_or_build(
             _regex_indexes, df, field, id_col,
-            lambda d, f, i: build_trigram_index(d, f, i), build_index)
+            build_trigram_index, build_index)
         if idx is not None:
             return regex_search_with_index(df, idx, pattern, options, field, id_col)
     from ..functions.match import match_to_column

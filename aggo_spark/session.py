@@ -7,8 +7,10 @@ Defaults chosen for MongoDB-pipeline semantics and scale:
 - AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
   and dynamic broadcast conversion — load-bearing at 100 TB where static
   partition counts are always wrong somewhere.
-- ``spark.sql.shuffle.partitions`` left to the caller/cluster default in
-  production; tests/bench pass an explicit value sized to the data.
+- ``spark.sql.shuffle.partitions``: on a LOCAL master, defaults to the
+  core count (Spark's 200 is ~4× per-task overhead at laptop scale and AQE
+  coalescing does not recover it); on a cluster master it is left to the
+  caller/cluster default. Tests/bench pass an explicit value.
 """
 
 from __future__ import annotations
@@ -40,14 +42,19 @@ def build_session(
         # must stay inside whole-stage codegen; default maxFields=100 bails
         .config("spark.sql.codegen.maxFields", "256")
     )
-    # Default the shuffle width to the executor core count rather than
-    # Spark's 200: at local/laptop scale 200 reduce tasks are pure per-task
-    # overhead (measured 2.7 s vs 0.7 s for a 270k-row string-key agg), and
-    # AQE's partition coalescing does not recover it. On a real cluster the
-    # caller passes an explicit value (or tunes AQE advisory sizes); the
-    # env-driven default keeps local behavior aligned with bench.py.
-    if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if str(cpus).isdigit() else None
+    # Default the shuffle width to the local core count rather than Spark's
+    # 200: at local/laptop scale 200 reduce tasks are pure per-task overhead
+    # (measured 2.7 s vs 0.7 s for a 270k-row string-key agg), and AQE's
+    # partition coalescing does not recover it. LOCAL masters only — on a
+    # cluster master the local box's core count says nothing about the
+    # cluster, so the cluster/site default stands unless the caller passes
+    # an explicit value (review r4).
+    effective_master = master or f"local[{cpus}]"
+    if shuffle_partitions is None and effective_master.startswith("local"):
+        if str(cpus).isdigit():
+            shuffle_partitions = int(cpus)
+        else:  # SPARK_GRAFT_CPUS='*' → local[*]: use the real core count
+            shuffle_partitions = os.cpu_count()
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():

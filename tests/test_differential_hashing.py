@@ -169,9 +169,13 @@ def test_simhash_matches_python(sample):
 def test_simhash_table_matches_column_form(sample, spark):
     """The codegen scale path (simhash_table: explode + per-bit sum aggs)
     must be bit-for-bit the Column HOF form, in both hash modes — including
-    the empty-doc all-ones majority vote (0*2 >= 0 sets every bit)."""
+    the empty-doc all-ones majority vote (0*2 >= 0 sets every bit) and the
+    NULL-text → NULL fingerprint propagation (review r4: explode_outer
+    emits the same NULL token for an empty and a NULL array, so the table
+    form must track text nullness explicitly)."""
     with_empty = sample.union(
-        spark.createDataFrame([(999999, "")], "doc_id bigint, text string"))
+        spark.createDataFrame([(999999, ""), (999998, None)],
+                              "doc_id bigint, text string"))
     for mode in ("xxhash64", "md5"):
         col_form = {
             r["doc_id"]: r["sh"]
@@ -187,3 +191,4 @@ def test_simhash_table_matches_column_form(sample, spark):
         nbits = 64 if mode == "xxhash64" else 60
         allones = -1 if nbits == 64 else (1 << nbits) - 1
         assert tbl_form[999999] == allones
+        assert tbl_form[999998] is None

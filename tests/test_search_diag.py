@@ -205,3 +205,22 @@ def test_clear_search_indexes_release_cache(spark):
     assert not search._text_indexes and not search._regex_indexes
     # post-clear queries still work (scan strategy)
     assert search.enhanced_text_search(df, "spark").count() == 3
+
+
+def test_enhanced_text_search_multi_string_column_consistency(spark):
+    """Review r4: the scan path must cover ONLY text_col (like the index
+    path), not every string column — otherwise results change when an
+    index gets registered."""
+    rows = [(1, "spark rocks", "en"), (2, "plain words", "en"), (3, "more text", "de")]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    scan = sorted(r.doc_id for r in search.enhanced_text_search(df, "en").collect())
+    idx = sorted(r.doc_id for r in
+                 search.enhanced_text_search(df, "en", build_index=True).collect())
+    assert scan == idx == []  # "en" appears in lang, never in text
+
+
+def test_enhanced_text_search_no_id_col_falls_back(spark):
+    df = spark.createDataFrame([("spark streaming",), ("other",)], "text string")
+    out = search.enhanced_text_search(df, "spark", build_index=True)
+    assert out.count() == 1  # scan path; no doc_id needed, no exception
+    assert len(search._text_indexes) == 0
