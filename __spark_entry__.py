@@ -631,9 +631,11 @@ def q37_quality(spark, sf_dir):
     """Per-document metrics panel (merged r3: former q38_token_stats,
     q67_repetition, q68_c4_filters): quality scoring, whitespace/BPE-ish
     token counting, Gopher repetition signals (Rae et al. 2021 §A1.1),
-    C4 curation flags (Raffel et al. 2020 §2.2). All shuffle-free per-row
-    Column panels over ONE documents scan — scales with the scan at
-    100 TB."""
+    C4 curation flags (Raffel et al. 2020 §2.2), and URL signals (r4:
+    n_urls + url_char_frac; the domain-level blocklist filter lives in
+    text.filter_blocked_domains — parse_url has no DuckDB mirror, so it is
+    test-verified). All shuffle-free per-row Column panels over ONE
+    documents scan — scales with the scan at 100 TB."""
     df = _t(spark, sf_dir, "documents")
     return text.doc_metrics(df).orderBy("doc_id")
 
@@ -2009,7 +2011,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text, {tok_doc} AS tok,
                      length({norm_doc}) AS nch,
                      list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls,
-                     len(regexp_extract_all(text, '[.!?]+', 0)) AS n_sent
+                     len(regexp_extract_all(text, '[.!?]+', 0)) AS n_sent,
+                     regexp_extract_all(text,
+                       'https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%\[\]-]+', 0) AS urls
               FROM documents),
             m AS (
               SELECT doc_id,
@@ -2073,7 +2077,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_sent AS INT) AS n_sentences,
                    round(CASE WHEN n_sent > 0
                               THEN CAST(len(tok) AS DOUBLE) / n_sent
-                              ELSE 0.0 END, 6) AS mean_words_per_sentence
+                              ELSE 0.0 END, 6) AS mean_words_per_sentence,
+                   CAST(len(urls) AS INT) AS n_urls,
+                   round(CASE WHEN length(text) > 0
+                              THEN CAST(coalesce(list_sum(
+                                     list_transform(urls, x -> length(x))), 0)
+                                   AS DOUBLE) / length(text)
+                              ELSE 0.0 END, 6) AS url_char_frac
             FROM t JOIN r ON t.doc_id = r.doc_id
                  LEFT JOIN g2 ON t.doc_id = g2.doc_id
                  LEFT JOIN g3 ON t.doc_id = g3.doc_id

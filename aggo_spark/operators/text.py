@@ -34,6 +34,10 @@ __all__ = [
     "min_shingle_fingerprint",
     "min_shingle_fingerprints",
     "LANG_STOPWORDS",
+    "URL_PATTERN",
+    "url_stats",
+    "extract_url_domains",
+    "filter_blocked_domains",
 ]
 
 
@@ -479,14 +483,23 @@ def doc_metrics(
         tokens(text).alias("__tok"),
         F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "").alias("__lines"),
         F.length(normalize_text(text)).alias("__nch"),
+        F.regexp_extract_all(text, F.lit(URL_PATTERN), F.lit(0)).alias("__urls"),
     )
     tok, lines, nch = F.col("__tok"), F.col("__lines"), F.col("__nch")
     q = quality_score(text, tok=tok, norm_chars=nch)
     t = token_stats(text, tok=tok, norm_chars=nch)
     r = repetition_stats(text, tok=tok, lines=lines, norm_chars=nch)
     c = c4_quality_flags(text, tok=tok, lines=lines)
+    u = {
+        "n_urls": F.size("__urls"),
+        "url_char_frac": F.when(
+            F.length(text) > 0,
+            F.round(F.aggregate("__urls", F.lit(0),
+                                lambda a, x: a + F.length(x)).cast("double")
+                    / F.length(text), 6)).otherwise(0.0),
+    }
     cols = {**q, **{k: v for k, v in t.items() if k != "mean_token_len"},
-            **r, **c}
+            **r, **c, **u}
     return base.select(id_col, *[v.alias(k) for k, v in cols.items()])
 
 
@@ -660,3 +673,111 @@ def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(F.count(F.lit(1)) / F.sum("freq"), 6).alias("ttr"),
         F.max("freq").alias("max_term_freq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain curation (C4 §2.2 / RefinedWeb §3.1 style source filtering).
+# Web-scraped pretraining corpora filter documents by the domains they cite;
+# these operators extract URLs with a codegen'd regexp, resolve hosts JVM-
+# side (parse_url), and apply a BROADCAST blocklist — the corpus is never
+# shuffled, so the shapes hold at 100 TB.
+# ---------------------------------------------------------------------------
+
+# Java∩RE2-safe: scheme + one-or-more allowed URL characters (no lookaround)
+URL_PATTERN = r"https?://[A-Za-z0-9._~:/?#@!$&'()*+,;=%\[\]-]+"
+
+
+def url_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document URL signals: ``(id_col, n_urls, n_unique_domains,
+    url_char_frac)``.
+
+    One narrow pass: ``regexp_extract_all`` (whole-stage codegen) pulls the
+    URLs, hosts come from ``parse_url`` after an explode confined to docs
+    that actually contain URLs, and the per-doc re-aggregation rides the
+    explode's partitioning. Docs with no URLs keep zeros via the left join.
+    """
+    text = F.col(text_col)
+    urls = df.select(
+        F.col(id_col),
+        F.length(text).alias("__len"),
+        F.regexp_extract_all(text, F.lit(URL_PATTERN), F.lit(0)).alias("__urls"),
+    )
+    base = urls.select(
+        id_col,
+        F.size("__urls").alias("n_urls"),
+        F.when(F.col("__len") > 0,
+               F.round(F.aggregate("__urls", F.lit(0),
+                                   lambda a, u: a + F.length(u)).cast("double")
+                       / F.col("__len"), 6)).otherwise(0.0).alias("url_char_frac"),
+    )
+    domains = (
+        urls.filter(F.size("__urls") > 0)
+        .select(id_col, F.explode("__urls").alias("__url"))
+        .select(id_col, F.lower(F.parse_url(F.col("__url"), F.lit("HOST"))).alias("d"))
+        .filter(F.col("d").isNotNull())
+        .groupBy(id_col)
+        .agg(F.count_distinct("d").alias("n_unique_domains"))
+    )
+    return (
+        base.join(domains, id_col, "left")
+        .select(id_col, "n_urls",
+                F.coalesce("n_unique_domains", F.lit(0)).alias("n_unique_domains"),
+                "url_char_frac")
+    )
+
+
+def extract_url_domains(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct ``(id_col, domain)`` pairs — lowercased hosts of every URL
+    in the document. The posting shape downstream blocklist/statistics
+    joins want."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+            ).alias("__url"))
+        .select(id_col, F.lower(F.parse_url(F.col("__url"), F.lit("HOST"))).alias("domain"))
+        .filter(F.col("domain").isNotNull())
+        .distinct()
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    match_subdomains: bool = True,
+) -> DataFrame:
+    """Drop documents citing any blocked domain (C4-style source filter).
+
+    ``blocklist`` is a list of domain strings or a 1-column DataFrame; it is
+    BROADCAST (blocklists are thousands of rows; the corpus side never
+    shuffles). ``match_subdomains`` also blocks ``*.domain`` hosts — that
+    join has an ``endswith`` conjunct, fine under broadcast-nested-loop at
+    blocklist size but never attempted as a shuffle join.
+    """
+    spark = df.sparkSession
+    if not isinstance(blocklist, DataFrame):
+        blocklist = spark.createDataFrame(
+            [(str(d).lower(),) for d in blocklist], "blocked string")
+    else:
+        cols = blocklist.columns
+        blocklist = blocklist.select(F.lower(F.col(cols[0])).alias("blocked"))
+
+    doms = extract_url_domains(df, text_col, id_col)
+    if match_subdomains:
+        cond = (F.col("domain") == F.col("blocked")) | F.col("domain").endswith(
+            F.concat(F.lit("."), F.col("blocked")))
+    else:
+        cond = F.col("domain") == F.col("blocked")
+    blocked_ids = (
+        doms.join(F.broadcast(blocklist), cond, "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(blocked_ids, id_col, "left_anti")
