@@ -38,6 +38,8 @@ __all__ = [
     "url_stats",
     "extract_url_domains",
     "filter_blocked_domains",
+    "unigram_logprob_score",
+    "explode_paragraphs",
 ]
 
 
@@ -781,3 +783,69 @@ def filter_blocked_domains(
         .distinct()
     )
     return df.join(blocked_ids, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# LM-score filtering (CCNet §4.3 / Gopher §A1.2 use a KenLM 5-gram
+# perplexity filter; no LM runtime exists in this environment, so this is
+# the honest in-engine version: a unigram LM *trained on the corpus
+# itself*, add-k smoothed. Low mean log-prob still flags the same tails —
+# gibberish, OCR noise, wrong-language text — and at 100 TB the shape is
+# two aggregations plus one equi-join, all map-side-combinable.)
+# ---------------------------------------------------------------------------
+
+def unigram_logprob_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus' own
+    unigram distribution: ``(id_col, n_tokens, mean_logprob)``.
+
+    p(t) = (freq(t) + add_k) / (N + add_k·|V|); docs with no tokens get a
+    NULL score (no evidence ≠ bad text — filter explicitly if desired).
+
+    Plan: one explode → term-frequency aggregate (exchange carries one row
+    per distinct type), corpus scalars reduced driver-side (two numbers),
+    then the per-(doc, token) stream joins the frequency table on term —
+    AQE handles the stopword skew, and the frequency table is broadcast
+    when it fits — and re-aggregates per doc. Nothing driver-sized scales
+    with the corpus.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    n_tokens, n_types = tf.select(
+        F.sum("freq"), F.count(F.lit(1))).collect()[0]
+    if not n_types:
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"`{id_col}` {id_type}, n_tokens long, mean_logprob double")
+    denom = float(n_tokens) + add_k * float(n_types)
+    logp = F.log((F.col("freq") + F.lit(add_k)) / F.lit(denom))
+    scored = tok.join(tf, "term").select(id_col, logp.alias("__lp"))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+    )
+    ids = df.select(F.col(id_col)).distinct()
+    return ids.join(per_doc, id_col, "left").select(
+        id_col, F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "mean_logprob")
+
+
+def explode_paragraphs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> DataFrame:
+    """One row per non-empty paragraph: ``(id_col, para_idx, para)`` —
+    paragraphs are blank-line-separated blocks, trimmed. Narrow (posexplode
+    keeps the split partition-local), so paragraph-granularity versions of
+    every document operator — exact dedup, MinHash, decontamination — are
+    just this explode composed with the existing op on ``para`` as the text
+    column and ``(id, para_idx)`` as the identity.
+    """
+    paras = F.split(F.col(text_col), r"\n\s*\n")
+    return (
+        df.select(F.col(id_col), F.posexplode(paras).alias("para_idx", "para"))
+        .withColumn("para", F.trim(F.col("para")))
+        .filter(F.length("para") >= min_chars)
+    )

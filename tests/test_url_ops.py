@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from aggo_spark.operators import text
 
 
@@ -63,3 +65,53 @@ def test_blocklist_join_is_broadcast(docs, spark):
     plan = text.filter_blocked_domains(docs, ["spam.io"])._jdf.queryExecution(
         ).executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# LM-score filter (CCNet-style, unigram-LM honest version) + paragraphs
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logprob_score(spark):
+    from math import log
+    df = spark.createDataFrame(
+        [(1, "the the the"), (2, "the zzz"), (3, "")],
+        "doc_id int, text string")
+    out = {r.doc_id: r for r in text.unigram_logprob_score(df, add_k=0.5).collect()}
+    # corpus: the×4, zzz×1 → N=5, V=2, denom=6
+    p_the, p_zzz = (4 + 0.5) / 6.0, (1 + 0.5) / 6.0
+    assert out[1].n_tokens == 3
+    assert out[1].mean_logprob == pytest.approx(log(p_the), abs=1e-6)
+    assert out[2].mean_logprob == pytest.approx((log(p_the) + log(p_zzz)) / 2, abs=1e-6)
+    # common-word doc scores higher than the one with a rare token
+    assert out[1].mean_logprob > out[2].mean_logprob
+    # empty doc: no evidence → NULL score, zero tokens, row preserved
+    assert out[3].n_tokens == 0 and out[3].mean_logprob is None
+
+
+def test_unigram_logprob_empty_corpus(spark):
+    df = spark.createDataFrame([], "doc_id int, text string")
+    out = text.unigram_logprob_score(df)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "n_tokens", "mean_logprob"]
+
+
+def test_explode_paragraphs_and_paragraph_dedup(spark):
+    from aggo_spark.operators import dedup
+    df = spark.createDataFrame(
+        [(1, "Alpha beta.\n\nShared paragraph here.\n \nGamma."),
+         (2, "Shared paragraph here.\n\nUnique tail.")],
+        "doc_id int, text string")
+    paras = text.explode_paragraphs(df)
+    got = {(r.doc_id, r.para_idx, r.para) for r in paras.collect()}
+    assert got == {
+        (1, 0, "Alpha beta."), (1, 1, "Shared paragraph here."), (1, 2, "Gamma."),
+        (2, 0, "Shared paragraph here."), (2, 1, "Unique tail."),
+    }
+    # paragraph-granularity exact dedup = compose with the existing operator
+    keyed = paras.select(
+        F.concat_ws("#", "doc_id", "para_idx").alias("pid"), "para")
+    reps = dedup.exact_dedup(keyed, text_col="para", id_col="pid")
+    n_copies = {r.pid: r.n_copies for r in reps.collect()}
+    assert n_copies["1#1"] == 2  # the shared paragraph, min-id representative
+    assert sum(n_copies.values()) == 5
