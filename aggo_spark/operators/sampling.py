@@ -22,6 +22,9 @@ __all__ = [
     "shard_assign",
     "shard_stats",
     "write_training_shards",
+    "mixture_token_budgets",
+    "mixture_sample",
+    "upsample_sources",
 ]
 
 
@@ -125,3 +128,107 @@ def write_training_shards(
     out.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(path)
+
+
+def mixture_token_budgets(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    group_col: str = "source",
+    token_col: str = "n_chars",
+) -> dict[str, int]:
+    """Target-mixture → per-group token budgets, clamped to availability.
+
+    Pretraining recipes state the mix as weights over sources (The Pile
+    §2, DoReMi §3: "15% web, 5% code, ..."); execution needs an absolute
+    token budget per source. ``weights`` are normalized; each group's ideal
+    share of ``total_tokens`` is clamped to what the group actually has
+    (one small aggregate — the exchange carries one row per group; the
+    result is a dict of |groups| numbers, never data).
+    """
+    if total_tokens <= 0:
+        raise ValueError(f"total_tokens must be positive, got {total_tokens}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    avail = {
+        r["g"]: r["avail"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sum(token_col).alias("avail")).collect()
+    }
+    return {
+        g: int(min(avail.get(g, 0) or 0, total_tokens * (w / wsum)))
+        for g, w in weights.items()
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    group_col: str = "source",
+    token_col: str = "n_chars",
+    order_col=None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic target-mixture selection: rows whose group's running
+    token total (in content-hash order) fits that group's share of
+    ``total_tokens``. Groups absent from ``weights`` are dropped.
+
+    Composition of :func:`mixture_token_budgets` (per-group scalars) and
+    the :func:`token_budget_sample` window walk, with per-group budgets
+    applied via a broadcast map — still ONE window exchange over the
+    corpus. Output keeps ``cum_tokens`` for audit.
+    """
+    budgets = mixture_token_budgets(
+        df, weights, total_tokens, group_col, token_col)
+    order = order_col if order_col is not None else hash_order(F.col(id_col))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget_expr = F.create_map(
+        *[x for g, b in budgets.items() for x in (F.lit(g), F.lit(b))])
+    return (
+        df.withColumn("cum_tokens", F.sum(token_col).over(w))
+        .withColumn("__budget", budget_expr[F.col(group_col)])
+        .filter(F.col("__budget").isNotNull()
+                & (F.col("cum_tokens") <= F.col("__budget")))
+        .drop("__budget")
+    )
+
+
+def upsample_sources(
+    df: DataFrame,
+    factors: dict[str, float],
+    group_col: str = "source",
+) -> DataFrame:
+    """Epoch-style source upsampling (Llama-recipe "N epochs of source X"):
+    repeat each row ``floor(f)`` times plus one more with probability
+    ``frac(f)`` decided by CONTENT HASH, so the output is deterministic and
+    identical across cluster sizes. Adds ``epoch`` (0-based copy index).
+    Sources absent from ``factors`` keep factor 1.0.
+
+    Narrow plan: a posexplode of a per-row sequence — no shuffle; the
+    output inflates by sum(factors) exactly where the recipe says so.
+    """
+    for g, f in factors.items():
+        if f < 0:
+            raise ValueError(f"negative upsample factor for {g!r}: {f}")
+    fmap = F.create_map(
+        *[x for g, f in factors.items() for x in (F.lit(g), F.lit(float(f)))])
+    f_col = F.coalesce(fmap[F.col(group_col)], F.lit(1.0))
+    # deterministic fractional coin: first 8 md5 hex chars of the row's
+    # columns → uniform in [0, 1)
+    coin = (
+        F.conv(F.substring(F.md5(F.concat_ws("\x1f", *df.columns)), 1, 8),
+               16, 10).cast("double") / F.lit(float(1 << 32)))
+    n_copies = (F.floor(f_col).cast("int")
+                + F.when(coin < f_col - F.floor(f_col), 1).otherwise(0))
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .select("*", F.posexplode(F.expr("array_repeat(0, __n)")).alias("epoch", "__z"))
+        .drop("__n", "__z")
+    )

@@ -504,3 +504,62 @@ def test_pack_chunks(docs):
         cum = r["pack_cum_tokens"]
     with pytest.raises(ValueError):
         text.pack_chunks(chunks, example_size=0)
+
+
+def test_mixture_token_budgets_and_sample(spark):
+    from aggo_spark.operators import sampling
+
+    rows = [(i, "web" if i < 8 else "code", 100) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id int, source string, n_chars int")
+    # web has 800 tokens, code 400; ask for 600 at weights 2:1
+    budgets = sampling.mixture_token_budgets(
+        df, {"web": 2.0, "code": 1.0}, total_tokens=600)
+    assert budgets == {"web": 400, "code": 200}
+    # clamped by availability: code share of 6000 would be 2000 > its 400
+    budgets2 = sampling.mixture_token_budgets(
+        df, {"web": 2.0, "code": 1.0}, total_tokens=6000)
+    assert budgets2 == {"web": 800, "code": 400}
+
+    out = sampling.mixture_sample(df, {"web": 2.0, "code": 1.0}, 600)
+    got = out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.max("cum_tokens").alias("t")).collect()
+    by = {r.source: (r.n, r.t) for r in got}
+    assert by == {"web": (4, 400), "code": (2, 200)}
+    # deterministic: identical reruns pick identical rows
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in sampling.mixture_sample(
+        df, {"web": 2.0, "code": 1.0}, 600).collect())
+    assert ids1 == ids2
+    # unknown sources are dropped entirely
+    assert sampling.mixture_sample(df, {"web": 1.0}, 600).filter(
+        F.col("source") == "code").count() == 0
+
+    with pytest.raises(ValueError):
+        sampling.mixture_token_budgets(df, {"web": 1.0}, 0)
+    with pytest.raises(ValueError):
+        sampling.mixture_token_budgets(df, {"web": -1.0, "code": 1.0}, 100)
+
+
+def test_upsample_sources(spark):
+    from aggo_spark.operators import sampling
+
+    rows = [(i, "code" if i % 2 else "web", f"text {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    out = sampling.upsample_sources(df, {"code": 2.0})
+    # integral factor: every code row exactly twice (epoch 0 and 1), web once
+    code = out.filter(F.col("source") == "code")
+    assert code.count() == 20
+    assert sorted(r.epoch for r in code.filter(F.col("doc_id") == 1).collect()) == [0, 1]
+    assert out.filter(F.col("source") == "web").count() == 10
+    # fractional factor: 1.5 keeps all rows at least once, upsamples ~half,
+    # and the choice is content-deterministic (two runs agree row-for-row)
+    o1 = sampling.upsample_sources(df, {"code": 1.5})
+    o2 = sampling.upsample_sources(df, {"code": 1.5})
+    n1 = o1.filter(F.col("source") == "code").count()
+    assert 10 <= n1 <= 20
+    assert sorted(map(tuple, o1.collect())) == sorted(map(tuple, o2.collect()))
+    # factor 0 drops the source
+    assert sampling.upsample_sources(df, {"web": 0.0}).filter(
+        F.col("source") == "web").count() == 0
+    with pytest.raises(ValueError):
+        sampling.upsample_sources(df, {"web": -1.0})
