@@ -1735,6 +1735,46 @@ def stage_session_window(df: DataFrame, spec: dict, engine) -> DataFrame:
     return _event_time_window(df, spec, "session")
 
 
+def stage_dedup_window(df: DataFrame, spec: dict, engine) -> DataFrame:
+    """``$dedupWindow {keys: [...], on: "$ts", watermark: "10 minutes"}`` —
+    event-time deduplication (Spark-native extension, a streaming superset
+    like the window stages; the reference's streaming layer has no dedup).
+
+    Streaming: ``withWatermark`` + ``dropDuplicatesWithinWatermark`` — per-
+    key state is dropped once the watermark passes, so state stays bounded
+    on an unbounded stream (a plain dropDuplicates would retain every key
+    forever). Batch: the deterministic equivalent — keep the EARLIEST event
+    per key, ties broken by content hash, so reruns and replayed streams
+    agree on the kept row.
+    """
+    keys = spec.get("keys")
+    if not keys or not isinstance(keys, list):
+        raise InvalidPipeline("$dedupWindow requires 'keys': [field, ...]")
+    keys = [k[1:] if isinstance(k, str) and k.startswith("$") else k for k in keys]
+    on = spec.get("on")
+    if not on or not str(on).startswith("$"):
+        raise InvalidPipeline("$dedupWindow requires 'on': '$<timestamp field>'")
+    col_name = str(on)[1:]
+    if df.isStreaming:
+        wm = spec.get("watermark")
+        if not wm:
+            raise InvalidPipeline(
+                "$dedupWindow on a stream requires 'watermark' — without one "
+                "the dedup state would grow forever")
+        if isinstance(df.schema[col_name].dataType, T.TimestampNTZType):
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+        return df.withWatermark(col_name, wm).dropDuplicatesWithinWatermark(keys)
+    from pyspark.sql import Window as W
+
+    tiebreak = F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+    w = W.partitionBy(*keys).orderBy(F.col(col_name).asc_nulls_last(), tiebreak)
+    return (
+        df.withColumn("__aggo_ddw_rn", F.row_number().over(w))
+        .filter(F.col("__aggo_ddw_rn") == 1)
+        .drop("__aggo_ddw_rn")
+    )
+
+
 STAGES = {
     "$match": stage_match,
     "$project": stage_project,
@@ -1769,4 +1809,5 @@ STAGES = {
     "$tumblingWindow": stage_tumbling_window,
     "$slidingWindow": stage_sliding_window,
     "$sessionWindow": stage_session_window,
+    "$dedupWindow": stage_dedup_window,
 }

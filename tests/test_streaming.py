@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 
 from aggo_spark import Engine, StreamingCollection
+from aggo_spark.errors import InvalidPipeline
 from aggo_spark.streaming import pipeline_is_incremental, signed_group_rewrite
 
 DOC_SCHEMA = "category string, price double, qty long"
@@ -518,3 +519,76 @@ class TestRetractionFuzz:
                     assert inv["avg_price"] == pytest.approx(exp["avg_price"])
         finally:
             coll.stop()
+
+
+class TestDedupWindow:
+    def test_batch_keeps_earliest_deterministically(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("u1", base + dt.timedelta(minutes=5), "late"),
+             ("u1", base, "first"),
+             ("u2", base, "only"),
+             ("u3", base, "tie-b"),
+             ("u3", base, "tie-a")],
+            "user string, ts timestamp, tag string")
+        out = Engine().aggregate(df, [
+            {"$dedupWindow": {"keys": ["$user"], "on": "$ts"}},
+            {"$sort": {"user": 1}},
+        ])
+        got = [(r.user, r.tag) for r in out.collect()]
+        # u1: earliest event wins; u3: equal timestamps → content-hash tie
+        # break, stable across runs
+        assert got[0] == ("u1", "first") and got[1] == ("u2", "only")
+        rerun = [(r.user, r.tag) for r in Engine().aggregate(df, [
+            {"$dedupWindow": {"keys": ["$user"], "on": "$ts"}},
+            {"$sort": {"user": 1}},
+        ]).collect()]
+        assert rerun == got
+
+    def test_batch_requires_keys_and_on(self, spark):
+        df = spark.createDataFrame([("a",)], "user string")
+        with pytest.raises(InvalidPipeline):
+            Engine().aggregate(df, [{"$dedupWindow": {"on": "$ts"}}]).collect()
+        with pytest.raises(InvalidPipeline):
+            Engine().aggregate(df, [{"$dedupWindow": {"keys": ["$user"]}}]).collect()
+
+    def test_streaming_dedup_within_watermark(self, spark, tmp_path):
+        """readStream → $dedupWindow(watermark) → availableNow: duplicate
+        keys inside the watermark are suppressed; state is watermark-bounded."""
+        import json as _json
+
+        src = tmp_path / "src"
+        src.mkdir()
+        rows = [
+            {"user": "u1", "ts": "2024-01-01T00:01:00.000Z", "v": 1},
+            {"user": "u1", "ts": "2024-01-01T00:02:00.000Z", "v": 2},
+            {"user": "u2", "ts": "2024-01-01T00:03:00.000Z", "v": 3},
+        ]
+        (src / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+        sdf = spark.readStream.schema("user string, ts timestamp, v long").json(str(src))
+        out = Engine().aggregate(sdf, [
+            {"$dedupWindow": {"keys": ["$user"], "on": "$ts",
+                              "watermark": "10 minutes"}},
+        ])
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory").queryName("ddw_test")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted((r.user,) for r in spark.sql(
+            "select * from ddw_test").collect())
+        assert got == [("u1",), ("u2",)]
+
+    def test_streaming_requires_watermark(self, spark, tmp_path):
+        src = tmp_path / "s2"
+        src.mkdir()
+        (src / "a.jsonl").write_text('{"user":"u","ts":"2024-01-01T00:00:00Z"}')
+        sdf = spark.readStream.schema("user string, ts timestamp").json(str(src))
+        with pytest.raises(InvalidPipeline):
+            Engine().aggregate(sdf, [
+                {"$dedupWindow": {"keys": ["$user"], "on": "$ts"}}])
