@@ -2012,8 +2012,10 @@ def oracle_sql() -> dict[str, str]:
                      length({norm_doc}) AS nch,
                      list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls,
                      len(regexp_extract_all(text, '[.!?]+', 0)) AS n_sent,
-                     regexp_extract_all(text,
-                       'https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%\[\]-]+', 0) AS urls
+                     list_transform(
+                       regexp_extract_all(text,
+                         'https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%\[\]-]+', 0),
+                       u -> regexp_replace(u, '[.,;:!?''")\]]+$', '')) AS urls
               FROM documents),
             m AS (
               SELECT doc_id,
@@ -2078,7 +2080,7 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN n_sent > 0
                               THEN CAST(len(tok) AS DOUBLE) / n_sent
                               ELSE 0.0 END, 6) AS mean_words_per_sentence,
-                   CAST(len(urls) AS INT) AS n_urls,
+                   CAST(coalesce(len(urls), 0) AS INT) AS n_urls,
                    round(CASE WHEN length(text) > 0
                               THEN CAST(coalesce(list_sum(
                                      list_transform(urls, x -> length(x))), 0)

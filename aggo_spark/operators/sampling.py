@@ -148,6 +148,9 @@ def mixture_token_budgets(
     """
     if total_tokens <= 0:
         raise ValueError(f"total_tokens must be positive, got {total_tokens}")
+    for g, w in weights.items():
+        if w < 0:  # a negative weight would silently drop the whole group
+            raise ValueError(f"negative mixture weight for {g!r}: {w}")
     wsum = float(sum(weights.values()))
     if wsum <= 0:
         raise ValueError("weights must sum to a positive value")
@@ -219,10 +222,12 @@ def upsample_sources(
     fmap = F.create_map(
         *[x for g, f in factors.items() for x in (F.lit(g), F.lit(float(f)))])
     f_col = F.coalesce(fmap[F.col(group_col)], F.lit(1.0))
-    # deterministic fractional coin: first 8 md5 hex chars of the row's
-    # columns → uniform in [0, 1)
+    # deterministic fractional coin: md5 prefix of the row's JSON identity
+    # → uniform in [0, 1). to_json(struct(*)) — not concat_ws — so struct/
+    # map columns serialize instead of erroring and NULLs stay
+    # distinguishable from empty strings (review r4).
     coin = (
-        F.conv(F.substring(F.md5(F.concat_ws("\x1f", *df.columns)), 1, 8),
+        F.conv(F.substring(F.md5(F.to_json(F.struct(*df.columns))), 1, 8),
                16, 10).cast("double") / F.lit(float(1 << 32)))
     n_copies = (F.floor(f_col).cast("int")
                 + F.when(coin < f_col - F.floor(f_col), 1).otherwise(0))

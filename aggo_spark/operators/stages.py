@@ -1743,9 +1743,16 @@ def stage_dedup_window(df: DataFrame, spec: dict, engine) -> DataFrame:
     Streaming: ``withWatermark`` + ``dropDuplicatesWithinWatermark`` — per-
     key state is dropped once the watermark passes, so state stays bounded
     on an unbounded stream (a plain dropDuplicates would retain every key
-    forever). Batch: the deterministic equivalent — keep the EARLIEST event
-    per key, ties broken by content hash, so reruns and replayed streams
-    agree on the kept row.
+    forever). Batch: keep the EARLIEST event per key, ties broken by
+    content hash — deterministic across reruns.
+
+    The two modes agree on WHICH KEYS survive for duplicates inside the
+    watermark, but not necessarily on which ROW represents a key: streaming
+    keeps the first-ARRIVING row (arrival order is the only order a stream
+    has), batch the earliest EVENT-TIME row; and duplicates spaced further
+    apart than the watermark are both emitted by streaming (state already
+    expired — that is the point of the bound) while batch, which sees all
+    data at once, ignores ``watermark`` and keeps one row per key globally.
     """
     keys = spec.get("keys")
     if not keys or not isinstance(keys, list):

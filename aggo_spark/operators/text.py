@@ -35,6 +35,7 @@ __all__ = [
     "min_shingle_fingerprints",
     "LANG_STOPWORDS",
     "URL_PATTERN",
+    "extract_urls",
     "url_stats",
     "extract_url_domains",
     "filter_blocked_domains",
@@ -485,21 +486,14 @@ def doc_metrics(
         tokens(text).alias("__tok"),
         F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "").alias("__lines"),
         F.length(normalize_text(text)).alias("__nch"),
-        F.regexp_extract_all(text, F.lit(URL_PATTERN), F.lit(0)).alias("__urls"),
+        extract_urls(text).alias("__urls"),
     )
     tok, lines, nch = F.col("__tok"), F.col("__lines"), F.col("__nch")
     q = quality_score(text, tok=tok, norm_chars=nch)
     t = token_stats(text, tok=tok, norm_chars=nch)
     r = repetition_stats(text, tok=tok, lines=lines, norm_chars=nch)
     c = c4_quality_flags(text, tok=tok, lines=lines)
-    u = {
-        "n_urls": F.size("__urls"),
-        "url_char_frac": F.when(
-            F.length(text) > 0,
-            F.round(F.aggregate("__urls", F.lit(0),
-                                lambda a, x: a + F.length(x)).cast("double")
-                    / F.length(text), 6)).otherwise(0.0),
-    }
+    u = _url_signal_cols(text, F.col("__urls"))
     cols = {**q, **{k: v for k, v in t.items() if k != "mean_token_len"},
             **r, **c, **u}
     return base.select(id_col, *[v.alias(k) for k, v in cols.items()])
@@ -687,6 +681,43 @@ def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # Java∩RE2-safe: scheme + one-or-more allowed URL characters (no lookaround)
 URL_PATTERN = r"https?://[A-Za-z0-9._~:/?#@!$&'()*+,;=%\[\]-]+"
+# sentence punctuation the greedy char class swallows off a URL's tail
+# ("see https://spam.io, here" → "https://spam.io,"), stripped post-match.
+# This also trims a legitimate trailing ')' from parenthesized-path URLs —
+# the conservative trade every curation pipeline makes (review r4: without
+# it the HOST parse fails and blocked domains escape the blocklist).
+_URL_TRAIL = r"[.,;:!?'\")\]]+$"
+
+
+def extract_urls(text: Column) -> Column:
+    """All URLs in ``text`` (array<string>), trailing sentence punctuation
+    stripped per match. Codegen regexp + one small per-element cleanup."""
+    raw = F.regexp_extract_all(text, F.lit(URL_PATTERN), F.lit(0))
+    cleaned = F.transform(raw, lambda u: F.regexp_replace(u, _URL_TRAIL, ""))
+    # NULL text → [] so every consumer (size, aggregate, explode-guard)
+    # sees zeros rather than NULL/-1 (size(NULL) is -1 under non-ANSI)
+    return F.coalesce(cleaned, F.array().cast("array<string>"))
+
+
+def _url_signal_cols(text: Column, urls: Column) -> dict[str, Column]:
+    """The n_urls / url_char_frac panel columns over a pre-extracted URL
+    array — ONE definition shared by :func:`url_stats` and
+    :func:`doc_metrics` so both always match the q37 DuckDB oracle."""
+    return {
+        "n_urls": F.size(urls),  # extract_urls maps NULL text to []
+        "url_char_frac": F.when(
+            F.length(text) > 0,
+            F.round(F.aggregate(urls, F.lit(0),
+                                lambda a, u: a + F.length(u)).cast("double")
+                    / F.length(text), 6)).otherwise(0.0),
+    }
+
+
+def _host_of(url: Column) -> Column:
+    """Lowercased host; NULL (never an error) on malformed input —
+    try_parse_url, because a stock Spark 4 session runs ANSI mode where
+    parse_url would abort the job on the first bad URL (review r4)."""
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
 def url_stats(
@@ -696,28 +727,19 @@ def url_stats(
     url_char_frac)``.
 
     One narrow pass: ``regexp_extract_all`` (whole-stage codegen) pulls the
-    URLs, hosts come from ``parse_url`` after an explode confined to docs
-    that actually contain URLs, and the per-doc re-aggregation rides the
-    explode's partitioning. Docs with no URLs keep zeros via the left join.
+    URLs, hosts come from ``try_parse_url`` after an explode confined to
+    docs that actually contain URLs, and the per-doc re-aggregation rides
+    the explode's partitioning. Docs with no URLs (or NULL text) keep zeros.
     """
     text = F.col(text_col)
     urls = df.select(
-        F.col(id_col),
-        F.length(text).alias("__len"),
-        F.regexp_extract_all(text, F.lit(URL_PATTERN), F.lit(0)).alias("__urls"),
-    )
-    base = urls.select(
-        id_col,
-        F.size("__urls").alias("n_urls"),
-        F.when(F.col("__len") > 0,
-               F.round(F.aggregate("__urls", F.lit(0),
-                                   lambda a, u: a + F.length(u)).cast("double")
-                       / F.col("__len"), 6)).otherwise(0.0).alias("url_char_frac"),
-    )
+        F.col(id_col), text, extract_urls(text).alias("__urls"))
+    sig = _url_signal_cols(text, F.col("__urls"))
+    base = urls.select(id_col, *[v.alias(k) for k, v in sig.items()])
     domains = (
         urls.filter(F.size("__urls") > 0)
         .select(id_col, F.explode("__urls").alias("__url"))
-        .select(id_col, F.lower(F.parse_url(F.col("__url"), F.lit("HOST"))).alias("d"))
+        .select(id_col, _host_of(F.col("__url")).alias("d"))
         .filter(F.col("d").isNotNull())
         .groupBy(id_col)
         .agg(F.count_distinct("d").alias("n_unique_domains"))
@@ -739,10 +761,8 @@ def extract_url_domains(
     return (
         df.select(
             F.col(id_col),
-            F.explode(
-                F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
-            ).alias("__url"))
-        .select(id_col, F.lower(F.parse_url(F.col("__url"), F.lit("HOST"))).alias("domain"))
+            F.explode(extract_urls(F.col(text_col))).alias("__url"))
+        .select(id_col, _host_of(F.col("__url")).alias("domain"))
         .filter(F.col("domain").isNotNull())
         .distinct()
     )
@@ -805,23 +825,25 @@ def unigram_logprob_score(
     NULL score (no evidence ≠ bad text — filter explicitly if desired).
 
     Plan: one explode → term-frequency aggregate (exchange carries one row
-    per distinct type), corpus scalars reduced driver-side (two numbers),
-    then the per-(doc, token) stream joins the frequency table on term —
-    AQE handles the stopword skew, and the frequency table is broadcast
-    when it fits — and re-aggregates per doc. Nothing driver-sized scales
-    with the corpus.
+    per distinct type); the corpus scalars N/|V| come from a 1-row
+    re-aggregate of the SAME tf subtree broadcast onto the scored stream —
+    Spark's exchange reuse computes tf once (no collect, no persist; review
+    r4 replaced a driver-side collect that re-ran the tokenize+aggregate
+    lineage a second time for the join). The per-(doc, token) stream then
+    joins the frequency table on term — AQE handles the stopword skew, and
+    the frequency table is broadcast when it fits — and re-aggregates per
+    doc. Nothing driver-sized scales with the corpus.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
-    n_tokens, n_types = tf.select(
-        F.sum("freq"), F.count(F.lit(1))).collect()[0]
-    if not n_types:
-        id_type = df.schema[id_col].dataType.simpleString()
-        return df.sparkSession.createDataFrame(
-            [], f"`{id_col}` {id_type}, n_tokens long, mean_logprob double")
-    denom = float(n_tokens) + add_k * float(n_types)
-    logp = F.log((F.col("freq") + F.lit(add_k)) / F.lit(denom))
-    scored = tok.join(tf, "term").select(id_col, logp.alias("__lp"))
+    totals = tf.agg(F.sum("freq").alias("__N"), F.count(F.lit(1)).alias("__V"))
+    denom = F.col("__N").cast("double") + F.lit(add_k) * F.col("__V")
+    logp = F.log((F.col("freq") + F.lit(add_k)) / denom)
+    scored = (
+        tok.join(tf, "term")
+        .join(F.broadcast(totals))
+        .select(id_col, logp.alias("__lp"))
+    )
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("__lp"), 6).alias("mean_logprob"),

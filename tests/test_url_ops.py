@@ -115,3 +115,47 @@ def test_explode_paragraphs_and_paragraph_dedup(spark):
     n_copies = {r.pid: r.n_copies for r in reps.collect()}
     assert n_copies["1#1"] == 2  # the shared paragraph, min-id representative
     assert sum(n_copies.values()) == 5
+
+
+def test_url_trailing_punctuation_stripped(spark):
+    """Review r4: sentence punctuation glued to a URL must not defeat host
+    parsing — 'see https://spam.io.' cites spam.io."""
+    df = spark.createDataFrame(
+        [(1, "read https://spam.io, it is bad"),
+         (2, "see https://spam.io."),
+         (3, "wiki (https://en.example.org/wiki/A) link")],
+        "doc_id int, text string")
+    pairs = {(r.doc_id, r.domain)
+             for r in text.extract_url_domains(df).collect()}
+    assert pairs == {(1, "spam.io"), (2, "spam.io"), (3, "en.example.org")}
+    kept = sorted(r.doc_id for r in
+                  text.filter_blocked_domains(df, ["spam.io"]).collect())
+    assert kept == [3]
+
+
+def test_url_stats_null_text_zeroes(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "x https://a.io y")], "doc_id int, text string")
+    rows = {r.doc_id: r for r in text.url_stats(df).collect()}
+    assert rows[1].n_urls == 0 and rows[1].n_unique_domains == 0
+    assert rows[1].url_char_frac == 0.0
+    assert rows[2].n_urls == 1
+
+
+def test_mixture_negative_weight_rejected(spark):
+    from aggo_spark.operators import sampling
+    df = spark.createDataFrame(
+        [(1, "web", 100)], "doc_id int, source string, n_chars int")
+    with pytest.raises(ValueError, match="negative mixture weight"):
+        sampling.mixture_token_budgets(df, {"web": 2.0, "code": -0.5}, 100)
+
+
+def test_upsample_handles_struct_columns(spark):
+    from aggo_spark.operators import sampling
+    df = spark.range(4).selectExpr(
+        "cast(id as int) AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 'web' ELSE 'code' END AS source",
+        "named_struct('a', id, 'b', cast(NULL as string)) AS meta")
+    out = sampling.upsample_sources(df, {"code": 2.0})
+    assert out.filter(F.col("source") == "code").count() == 4
+    assert out.filter(F.col("source") == "web").count() == 2
