@@ -44,6 +44,27 @@ from .sources.io import (
 from .sources.schema import infer_schema, sample_documents, simplified_schema
 from .streaming import StreamingCollection
 
+# search diagnostics / auto-strategy surface — top-level exports for parity
+# with the reference package root (/root/reference/src/index.ts:457-489)
+from .operators.search import (
+    clear_regex_search_index,
+    clear_text_search_index,
+    enhanced_regex_match,
+    enhanced_text_search,
+)
+from .operators.search_diag import (
+    analyze_regex_pattern,
+    configure_regex_search,
+    configure_text_search,
+    extract_literals_from_regex,
+    extract_tokens,
+    extract_trigrams,
+    get_regex_search_stats,
+    get_text_search_stats,
+    reset_regex_search_stats,
+    reset_text_search_stats,
+)
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -80,4 +101,19 @@ __all__ = [
     "UnknownCollection",
     "UnsupportedExpression",
     "UnsupportedStage",
+    # search diagnostics / auto-strategy (reference index.ts:457-489)
+    "enhanced_text_search",
+    "enhanced_regex_match",
+    "clear_text_search_index",
+    "clear_regex_search_index",
+    "configure_text_search",
+    "configure_regex_search",
+    "get_text_search_stats",
+    "get_regex_search_stats",
+    "reset_text_search_stats",
+    "reset_regex_search_stats",
+    "analyze_regex_pattern",
+    "extract_tokens",
+    "extract_trigrams",
+    "extract_literals_from_regex",
 ]

@@ -31,6 +31,7 @@ HEADLINE = [
     "q26_lookup_group",   # multi-table join + re-aggregate
     "q30_dedup_exact",    # exact dedup
     "q32_dedup_minhash",  # MinHash LSH
+    "q33_dedup_simhash",  # SimHash pigeonhole (r4 codegen fingerprints)
     "q34_ann_brute",      # ANN: brute/bucketed/int8/near-dup union (r3)
     "q36_langid",         # language ID
     "q37_quality",        # per-doc metrics panel (token stats merged r3)
