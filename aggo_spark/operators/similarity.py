@@ -31,6 +31,7 @@ __all__ = [
     "bucketed_topk",
     "ivf_topk",
     "embedding_near_dup_pairs",
+    "semantic_dedup",
 ]
 
 
@@ -232,6 +233,49 @@ def bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _resolve_centroids(
+    corpus: DataFrame, vec_col: str, n_centroids: int, seed: int,
+    max_train_rows: int, centroids: "str | list",
+) -> list:
+    """Centroid list for cell assignment: an explicit list (deterministic /
+    oracle-mirrorable) or KMeans trained on a bounded sample (the real
+    quantizer; training is the only iterative step and never sees more
+    than ``max_train_rows`` vectors)."""
+    if isinstance(centroids, list):
+        return centroids
+    if centroids == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        n = corpus.count()
+        frac = min(1.0, max_train_rows / max(n, 1))
+        train = corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
+        km = KMeans(k=n_centroids, seed=seed, featuresCol="__features")
+        model = km.fit(train.select(array_to_vector(F.col(vec_col)).alias("__features")))
+        return [c.tolist() for c in model.clusterCenters()]
+    raise ValueError("centroids must be 'kmeans' or a list of vectors")
+
+
+def _cell_ranked_expr(centers: list, vec: Column, rank_n: int) -> Column:
+    """The ``rank_n`` nearest cells (by squared L2) as a sorted struct
+    array — distance-to-centroid against the broadcast literal centers
+    (tiny), so assignment is a pure projection; ties break to the lower
+    cell id via the struct sort."""
+    dists = F.array(*[
+        F.struct(
+            _dot(
+                F.zip_with(vec, F.array(*[F.lit(x) for x in c]),
+                           lambda a, b: a.cast("double") - b),
+                F.zip_with(vec, F.array(*[F.lit(x) for x in c]),
+                           lambda a, b: a.cast("double") - b),
+            ).alias("d"),
+            F.lit(ci).alias("cell"),
+        )
+        for ci, c in enumerate(centers)
+    ])
+    return F.slice(F.sort_array(dists), 1, rank_n)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -275,37 +319,11 @@ def ivf_topk(
     nprobe=4 is the pinned >=0.9-recall configuration
     (tests/test_training_ops.py).
     """
-    if isinstance(centroids, list):
-        centers = centroids
-    elif centroids == "kmeans":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
+    centers = _resolve_centroids(
+        corpus, vec_col, n_centroids, seed, max_train_rows, centroids)
 
-        n = corpus.count()
-        frac = min(1.0, max_train_rows / max(n, 1))
-        train = corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
-        km = KMeans(k=n_centroids, seed=seed, featuresCol="__features")
-        model = km.fit(train.select(array_to_vector(F.col(vec_col)).alias("__features")))
-        centers = [c.tolist() for c in model.clusterCenters()]
-    else:
-        raise ValueError("centroids must be 'kmeans' or a list of vectors")
-
-    # distance-to-centroid as a column expression against the broadcast
-    # literal centers (tiny), so assignment is a pure projection
     def _cell_ranked(vec: Column, rank_n: int) -> Column:
-        dists = F.array(*[
-            F.struct(
-                _dot(
-                    F.zip_with(vec, F.array(*[F.lit(x) for x in c]),
-                               lambda a, b: a.cast("double") - b),
-                    F.zip_with(vec, F.array(*[F.lit(x) for x in c]),
-                               lambda a, b: a.cast("double") - b),
-                ).alias("d"),
-                F.lit(ci).alias("cell"),
-            )
-            for ci, c in enumerate(centers)
-        ])
-        return F.slice(F.sort_array(dists), 1, rank_n)
+        return _cell_ranked_expr(centers, vec, rank_n)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -362,4 +380,86 @@ def embedding_near_dup_pairs(
             F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
         )
         .filter(F.col("score") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 64,
+    cell_cap: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+    centroids: "str | list" = "kmeans",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning via
+    embedding clusters. Returns one row per input vector:
+    ``(id_col, cell, centroid_sim, component, is_representative)`` — a
+    keep-one-per-group dedup retains the ``is_representative`` rows.
+
+    The paper's recipe, Spark-shaped:
+
+    1. k-means cells over a bounded training sample (``_resolve_centroids``;
+       pass an explicit centroid list for a deterministic run) — cell
+       assignment is a pure projection against broadcast literal centers.
+    2. candidate pairs only WITHIN a cell (equi self-join on cell, never
+       all-pairs); cells above ``cell_cap`` members are skipped with the
+       same honest-degenerate-bucket semantics as the LSH ``bucket_cap``.
+    3. pairs with exact cosine ≥ ``threshold`` form edges; duplicate groups
+       are connected components (min-label propagation, shared with every
+       other dedup tier — ``dedup.connected_components``).
+    4. per group, keep the member FARTHEST from its centroid (lowest
+       cosine-to-centroid — the paper keeps the outlier as the most
+       informative exemplar), ties to the lowest id.
+
+    Scale shape: one cell exchange + the within-cell pair join + the
+    O(diameter) component rounds over only the PAIRED vectors (a tiny
+    fraction of the corpus at real duplicate rates); singletons never
+    enter the component loop.
+    """
+    from .dedup import connected_components
+
+    centers = _resolve_centroids(
+        df, vec_col, n_centroids, seed, max_train_rows, centroids)
+    centers_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centers])
+    cell = F.element_at(_cell_ranked_expr(centers, F.col(vec_col), 1), 1)["cell"]
+    coded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        cell.alias("cell"),
+    ).withColumn(
+        "centroid_sim",
+        F.round(cosine(F.col("v"), F.element_at(centers_lit, F.col("cell") + 1)), 6),
+    )
+
+    from pyspark.sql import Window as W
+
+    sized = coded.withColumn(
+        "__n", F.count(F.lit(1)).over(W.partitionBy("cell")))
+    pairable = sized.filter(F.col("__n") <= cell_cap)
+    a = pairable.select("cell", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = pairable.select("cell", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+
+    labeled = (
+        coded.join(comp, "id", "left")
+        .withColumn("component", F.coalesce("component", F.col("id")))
+    )
+    w = W.partitionBy("component").orderBy(
+        F.asc("centroid_sim"), F.asc("id"))
+    return (
+        labeled.withColumn("__rk", F.row_number().over(w))
+        .select(
+            F.col("id").alias(id_col), "cell", "centroid_sim", "component",
+            (F.col("__rk") == 1).alias("is_representative"),
+        )
     )

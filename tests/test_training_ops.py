@@ -563,3 +563,60 @@ def test_upsample_sources(spark):
         F.col("source") == "web").count() == 0
     with pytest.raises(ValueError):
         sampling.upsample_sources(df, {"web": -1.0})
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup: two near-identical vectors in one cluster collapse to one
+    representative (the one farther from the centroid); distinct vectors
+    and other clusters survive as singletons."""
+    from aggo_spark.operators import similarity
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # same half-space, not a dup
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+        (5, [-0.999, -0.01, 0.0, 0.0]), # near-dup of 4
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = [[1.0, 0.5, 0.0, 0.0], [-1.0, -0.5, 0.0, 0.0]]
+    out = similarity.semantic_dedup(
+        df, threshold=0.98, centroids=cents, n_centroids=2)
+    rowsd = {r.vec_id: r for r in out.collect()}
+    assert len(rowsd) == 5
+    # 1 and 2 share a component; exactly one representative
+    assert rowsd[1].component == rowsd[2].component
+    reps_12 = [i for i in (1, 2) if rowsd[i].is_representative]
+    assert len(reps_12) == 1
+    # the kept member is the one with LOWER cosine to the centroid
+    kept = reps_12[0]
+    other = 3 - kept
+    assert rowsd[kept].centroid_sim <= rowsd[other].centroid_sim
+    # 3 is a singleton representative in the same cell as 1/2
+    assert rowsd[3].is_representative and rowsd[3].component == 3
+    assert rowsd[3].cell == rowsd[1].cell
+    # the negative half-space pair collapses in the other cell
+    assert rowsd[4].component == rowsd[5].component != rowsd[1].component
+    assert sum(1 for i in (4, 5) if rowsd[i].is_representative) == 1
+    # keep-one-per-group result size: 3 representatives
+    assert out.filter("is_representative").count() == 3
+
+
+def test_semantic_dedup_kmeans_runs(spark):
+    """KMeans-trained centroids path: sane output shape on real embeddings."""
+    from aggo_spark.operators import similarity
+    from aggo_spark import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001",
+                      names=["embeddings"])["embeddings"]
+    out = similarity.semantic_dedup(emb, threshold=0.99, n_centroids=4,
+                                    max_train_rows=200)
+    n = emb.count()
+    assert out.count() == n
+    reps = out.filter("is_representative").count()
+    assert 0 < reps <= n
+    # every component has exactly one representative
+    bad = (out.groupBy("component")
+           .agg(F.sum(F.col("is_representative").cast("int")).alias("k"))
+           .filter("k != 1").count())
+    assert bad == 0
