@@ -32,6 +32,7 @@ __all__ = [
     "ivf_topk",
     "embedding_near_dup_pairs",
     "semantic_dedup",
+    "rank_fusion",
 ]
 
 
@@ -463,3 +464,46 @@ def semantic_dedup(
             (F.col("__rk") == 1).alias("is_representative"),
         )
     )
+
+
+def rank_fusion(
+    ranked: "list[DataFrame]",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    weights: "list[float] | None" = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked result lists (the MongoDB 8
+    ``$rankFusion`` hybrid-search combiner; Cormack et al. 2009):
+    ``score(d) = Σ_i w_i / (k + rank_i(d))``.
+
+    Each input carries ``(id_col, rank_col)`` (1-based ranks, e.g. a BM25
+    list and a ``$vectorSearch`` list); absent ids simply contribute
+    nothing from that list. Plan: union of N tiny ranked lists → one
+    groupBy exchange on id → TakeOrdered — the corpus itself is never
+    touched. Returns ``(id_col, score, fused_rank)``, ties broken by id.
+    """
+    if not ranked:
+        raise ValueError("rank_fusion needs at least one ranked input")
+    if weights is None:
+        weights = [1.0] * len(ranked)
+    if len(weights) != len(ranked):
+        raise ValueError(f"{len(ranked)} inputs but {len(weights)} weights")
+    parts = [
+        df.select(
+            F.col(id_col),
+            (F.lit(float(w)) / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+             ).alias("__contrib"))
+        for df, w in zip(ranked, weights)
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    fused = (
+        un.groupBy(id_col)
+        .agg(F.round(F.sum("__contrib"), 6).alias("score"))
+    )
+    w_rank = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    out = fused.withColumn("fused_rank", F.row_number().over(w_rank))
+    return out.filter(F.col("fused_rank") <= limit) if limit else out

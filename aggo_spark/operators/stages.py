@@ -1735,6 +1735,68 @@ def stage_session_window(df: DataFrame, spec: dict, engine) -> DataFrame:
     return _event_time_window(df, spec, "session")
 
 
+def stage_vector_search(df: DataFrame, spec: dict, engine) -> DataFrame:
+    """``$vectorSearch`` (MongoDB 7.x Atlas surface, re-expressed on the
+    ANN operators): k-nearest rows to ``queryVector`` by cosine over
+    ``path``, with the similarity in a score field.
+
+    Spec: ``{queryVector: [...], path: "embedding", limit: k,
+    numCandidates: N (optional), index: "exact"|"ivf" (default exact),
+    scoreField: "score", filter: {<$match query>} (optional pre-filter)}``.
+
+    - ``exact``: one corpus scan scoring cosine against the broadcast
+      literal query vector, then TakeOrderedAndProject — no shuffle of the
+      corpus, the plan every small-query vector search wants.
+    - ``ivf``: trains/loads centroids (``similarity.ivf_topk`` machinery)
+      and probes ``numCandidates``-derived cells first — the scale path
+      when the table is partitioned by cell.
+    """
+    from . import similarity as _sim
+
+    qv = spec.get("queryVector")
+    if not isinstance(qv, (list, tuple)) or not qv:
+        raise InvalidPipeline("$vectorSearch requires a non-empty queryVector")
+    path = spec.get("path")
+    if not path:
+        raise InvalidPipeline("$vectorSearch requires 'path' (the vector field)")
+    path = path[1:] if isinstance(path, str) and path.startswith("$") else path
+    k = int(spec.get("limit", 10))
+    score_field = spec.get("scoreField", "score")
+    if spec.get("filter"):
+        from ..functions.match import match_to_column
+        from ..plans.context import ExprContext
+
+        df = df.filter(match_to_column(spec["filter"], ExprContext(schema=df.schema)))
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    mode = spec.get("index", "exact")
+    if mode == "ivf":
+        n_cand = int(spec.get("numCandidates", max(4 * k, 64)))
+        n_cells = int(spec.get("nCentroids", 16))
+        centers = _sim._resolve_centroids(
+            df.select(F.col(path).alias("__v")), "__v", n_cells,
+            int(spec.get("seed", 42)), 100_000, spec.get("centroids", "kmeans"))
+        # probe enough of the query's nearest cells to plausibly hold
+        # numCandidates rows: ceil(numCandidates / avg cell size), in [1, cells]
+        n_rows = df.count()
+        per_cell = max(n_rows // max(n_cells, 1), 1)
+        nprobe = min(max((n_cand + per_cell - 1) // per_cell, 1), n_cells)
+        probed = F.transform(
+            _sim._cell_ranked_expr(centers, qlit, nprobe), lambda s: s["cell"])
+        cell_of_row = F.element_at(
+            _sim._cell_ranked_expr(centers, F.col(path), 1), 1)["cell"]
+        df = (
+            df.withColumn("__vs_cell", cell_of_row)
+            .filter(F.array_contains(probed, F.col("__vs_cell")))
+            .drop("__vs_cell")
+        )
+    elif mode != "exact":
+        raise InvalidPipeline(f"$vectorSearch index must be 'exact' or 'ivf', got {mode!r}")
+    scored = df.withColumn(
+        score_field, F.round(_sim.cosine(F.col(path), qlit), 6))
+    return scored.orderBy(F.col(score_field).desc(), *[
+        F.col(c).asc() for c in df.columns if c != path][:1]).limit(k)
+
+
 def stage_dedup_window(df: DataFrame, spec: dict, engine) -> DataFrame:
     """``$dedupWindow {keys: [...], on: "$ts", watermark: "10 minutes"}`` —
     event-time deduplication (Spark-native extension, a streaming superset
@@ -1817,4 +1879,5 @@ STAGES = {
     "$slidingWindow": stage_sliding_window,
     "$sessionWindow": stage_session_window,
     "$dedupWindow": stage_dedup_window,
+    "$vectorSearch": stage_vector_search,
 }

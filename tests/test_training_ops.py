@@ -620,3 +620,79 @@ def test_semantic_dedup_kmeans_runs(spark):
            .agg(F.sum(F.col("is_representative").cast("int")).alias("k"))
            .filter("k != 1").count())
     assert bad == 0
+
+
+def test_vector_search_stage_exact(spark):
+    from aggo_spark import Engine
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((9, [0.9, 0.1, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = Engine().aggregate(df, [
+        {"$vectorSearch": {"queryVector": [1.0, 0.0, 0.0, 0.0],
+                           "path": "$embedding", "limit": 2}},
+        {"$project": {"_id": 0, "vec_id": 1, "score": 1}},
+    ]).collect()
+    assert [r.vec_id for r in out] == [0, 9]     # exact match, then near
+    assert out[0].score == 1.0 and out[1].score > 0.99
+
+
+def test_vector_search_stage_filter_and_ivf(spark):
+    from aggo_spark import Engine
+
+    rows = [(i, "a" if i % 2 == 0 else "b",
+             [float(i), 1.0, 0.0, 0.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id int, grp string, embedding array<double>")
+    # pre-filter: only grp='a' rows are searchable
+    out = Engine().aggregate(df, [
+        {"$vectorSearch": {"queryVector": [0.0, 1.0, 0.0, 0.0],
+                           "path": "$embedding", "limit": 3,
+                           "filter": {"grp": "a"}}},
+    ]).collect()
+    assert all(r.grp == "a" for r in out)
+    assert out[0].vec_id == 0  # [0,1,0,0] is the exact direction match
+    # ivf mode with deterministic centroids returns the same top hit
+    out2 = Engine().aggregate(df, [
+        {"$vectorSearch": {"queryVector": [0.0, 1.0, 0.0, 0.0],
+                           "path": "$embedding", "limit": 3, "index": "ivf",
+                           "numCandidates": 20, "nCentroids": 2,
+                           "centroids": [[0.0, 1.0, 0.0, 0.0],
+                                         [10.0, 1.0, 0.0, 0.0]]}},
+    ]).collect()
+    assert out2[0].vec_id == 0
+
+
+def test_vector_search_stage_validation(spark):
+    from aggo_spark import Engine
+    from aggo_spark.errors import InvalidPipeline
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id int, embedding array<double>")
+    for bad in ({"path": "$embedding"}, {"queryVector": []},
+                {"queryVector": [1.0]},
+                {"queryVector": [1.0], "path": "$embedding", "index": "hnsw"}):
+        with pytest.raises(InvalidPipeline):
+            Engine().aggregate(df, [{"$vectorSearch": bad}]).collect()
+
+
+def test_rank_fusion(spark):
+    from aggo_spark.operators import similarity
+
+    bm25 = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id int, rank int")
+    vect = spark.createDataFrame(
+        [(3, 1), (1, 2), (4, 3)], "doc_id int, rank int")
+    out = similarity.rank_fusion([bm25, vect], k=60).collect()
+    by = {r.doc_id: r for r in out}
+    # doc 1: 1/61 + 1/62; doc 3: 1/63 + 1/61; doc 1 wins
+    assert by[1].fused_rank == 1 and by[3].fused_rank == 2
+    assert by[1].score == pytest.approx(1 / 61 + 1 / 62, abs=1e-6)
+    # docs seen in one list only still score
+    assert by[2].score == pytest.approx(1 / 62, abs=1e-6)
+    assert by[4].score == pytest.approx(1 / 63, abs=1e-6)
+    # weights skew the fusion; limit caps output
+    wout = similarity.rank_fusion([bm25, vect], weights=[0.0, 1.0], limit=1).collect()
+    assert len(wout) == 1 and wout[0].doc_id == 3
+    with pytest.raises(ValueError):
+        similarity.rank_fusion([])
+    with pytest.raises(ValueError):
+        similarity.rank_fusion([bm25, vect], weights=[1.0])
