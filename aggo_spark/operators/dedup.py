@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import char_shingles, explode_shingles, fingerprint, tokens
 
@@ -611,9 +612,18 @@ def connected_components(
         def ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
+    # numeric ids unify to long (int vs long edge columns must union);
+    # any other orderable type (string doc hashes/URLs) propagates as-is —
+    # min-label propagation only needs F.min/F.least, which are defined for
+    # strings too. A blanket cast("long") here used to NULL string ids and
+    # silently drop every edge (review r4).
+    def _edge(c: str):
+        if isinstance(pairs.schema[c].dataType, T.NumericType):
+            return F.col(c).cast("long")
+        return F.col(c)
+
     edges = (
-        pairs.select(F.col(a_col).cast("long").alias("a"),
-                     F.col(b_col).cast("long").alias("b"))
+        pairs.select(_edge(a_col).alias("a"), _edge(b_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
     # symmetrize once; propagation then only needs one join direction

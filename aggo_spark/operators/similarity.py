@@ -237,18 +237,20 @@ def bucketed_topk(
 def _resolve_centroids(
     corpus: DataFrame, vec_col: str, n_centroids: int, seed: int,
     max_train_rows: int, centroids: "str | list",
+    n_rows: int | None = None,
 ) -> list:
     """Centroid list for cell assignment: an explicit list (deterministic /
     oracle-mirrorable) or KMeans trained on a bounded sample (the real
     quantizer; training is the only iterative step and never sees more
-    than ``max_train_rows`` vectors)."""
+    than ``max_train_rows`` vectors). Pass ``n_rows`` when the caller has
+    already counted the corpus so this does not re-run the upstream plan."""
     if isinstance(centroids, list):
         return centroids
     if centroids == "kmeans":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        n = corpus.count()
+        n = corpus.count() if n_rows is None else n_rows
         frac = min(1.0, max_train_rows / max(n, 1))
         train = corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
         km = KMeans(k=n_centroids, seed=seed, featuresCol="__features")
@@ -480,8 +482,10 @@ def rank_fusion(
 
     Each input carries ``(id_col, rank_col)`` (1-based ranks, e.g. a BM25
     list and a ``$vectorSearch`` list); absent ids simply contribute
-    nothing from that list. Plan: union of N tiny ranked lists → one
-    groupBy exchange on id → TakeOrdered — the corpus itself is never
+    nothing from that list. Plan: union of N ranked lists → one groupBy
+    exchange on id → a GLOBAL rank window (single partition — fine for the
+    k-to-hundreds-sized lists hybrid search fuses, by design; do not feed
+    full-corpus rankings through this). The corpus itself is never
     touched. Returns ``(id_col, score, fused_rank)``, ties broken by id.
     """
     if not ranked:
@@ -506,4 +510,5 @@ def rank_fusion(
     )
     w_rank = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     out = fused.withColumn("fused_rank", F.row_number().over(w_rank))
-    return out.filter(F.col("fused_rank") <= limit) if limit else out
+    # `is not None`: limit=0 legitimately means "return nothing"
+    return out.filter(F.col("fused_rank") <= limit) if limit is not None else out

@@ -1748,8 +1748,13 @@ def stage_vector_search(df: DataFrame, spec: dict, engine) -> DataFrame:
       literal query vector, then TakeOrderedAndProject — no shuffle of the
       corpus, the plan every small-query vector search wants.
     - ``ivf``: trains/loads centroids (``similarity.ivf_topk`` machinery)
-      and probes ``numCandidates``-derived cells first — the scale path
-      when the table is partitioned by cell.
+      and probes the query's nearest cells first — the scale path when the
+      table is partitioned by cell. Pass ``nprobe`` explicitly to avoid the
+      one corpus count the numCandidates→cells heuristic needs (kmeans
+      training itself still scans a bounded sample).
+
+    The score is Atlas' cosine normalization ``(1 + cos) / 2`` ∈ [0, 1], so
+    pipelines ported from Atlas that post-filter on score behave the same.
     """
     from . import similarity as _sim
 
@@ -1762,24 +1767,33 @@ def stage_vector_search(df: DataFrame, spec: dict, engine) -> DataFrame:
     path = path[1:] if isinstance(path, str) and path.startswith("$") else path
     k = int(spec.get("limit", 10))
     score_field = spec.get("scoreField", "score")
+    # dimension check: zip_with pads the shorter array with NULLs, which
+    # would silently poison every score; Atlas errors on mismatch too
+    dim_row = df.select(F.size(F.col(path)).alias("d")).limit(1).collect()
+    if dim_row and dim_row[0]["d"] is not None and dim_row[0]["d"] != len(qv):
+        raise InvalidPipeline(
+            f"$vectorSearch queryVector has {len(qv)} dims but '{path}' "
+            f"has {dim_row[0]['d']}")
     if spec.get("filter"):
-        from ..functions.match import match_to_column
-        from ..plans.context import ExprContext
-
-        df = df.filter(match_to_column(spec["filter"], ExprContext(schema=df.schema)))
+        df = df.filter(match_to_column(spec["filter"], _ctx(df)))
     qlit = F.array(*[F.lit(float(x)) for x in qv])
     mode = spec.get("index", "exact")
     if mode == "ivf":
-        n_cand = int(spec.get("numCandidates", max(4 * k, 64)))
         n_cells = int(spec.get("nCentroids", 16))
+        if "nprobe" in spec:
+            nprobe = min(max(int(spec["nprobe"]), 1), n_cells)
+            n_rows = None
+        else:
+            # probe enough of the query's nearest cells to plausibly hold
+            # numCandidates rows: ceil(numCandidates / avg cell size)
+            n_cand = int(spec.get("numCandidates", max(4 * k, 64)))
+            n_rows = df.count()
+            per_cell = max(n_rows // max(n_cells, 1), 1)
+            nprobe = min(max((n_cand + per_cell - 1) // per_cell, 1), n_cells)
         centers = _sim._resolve_centroids(
             df.select(F.col(path).alias("__v")), "__v", n_cells,
-            int(spec.get("seed", 42)), 100_000, spec.get("centroids", "kmeans"))
-        # probe enough of the query's nearest cells to plausibly hold
-        # numCandidates rows: ceil(numCandidates / avg cell size), in [1, cells]
-        n_rows = df.count()
-        per_cell = max(n_rows // max(n_cells, 1), 1)
-        nprobe = min(max((n_cand + per_cell - 1) // per_cell, 1), n_cells)
+            int(spec.get("seed", 42)), 100_000, spec.get("centroids", "kmeans"),
+            n_rows=n_rows)
         probed = F.transform(
             _sim._cell_ranked_expr(centers, qlit, nprobe), lambda s: s["cell"])
         cell_of_row = F.element_at(
@@ -1792,7 +1806,8 @@ def stage_vector_search(df: DataFrame, spec: dict, engine) -> DataFrame:
     elif mode != "exact":
         raise InvalidPipeline(f"$vectorSearch index must be 'exact' or 'ivf', got {mode!r}")
     scored = df.withColumn(
-        score_field, F.round(_sim.cosine(F.col(path), qlit), 6))
+        score_field,
+        F.round((F.lit(1.0) + _sim.cosine(F.col(path), qlit)) / 2.0, 6))
     return scored.orderBy(F.col(score_field).desc(), *[
         F.col(c).asc() for c in df.columns if c != path][:1]).limit(k)
 

@@ -696,3 +696,48 @@ def test_rank_fusion(spark):
         similarity.rank_fusion([])
     with pytest.raises(ValueError):
         similarity.rank_fusion([bm25, vect], weights=[1.0])
+
+
+def test_semantic_dedup_string_ids(spark):
+    """Review r4: string doc ids must dedup too — connected_components used
+    to cast ids to long, nulling strings and silently dropping every edge."""
+    from aggo_spark.operators import similarity
+
+    rows = [("a", [1.0, 0.0]), ("b", [0.999, 0.01]), ("c", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = similarity.semantic_dedup(
+        df, threshold=0.98, centroids=[[1.0, 0.5]], n_centroids=1)
+    by = {r.vec_id: r for r in out.collect()}
+    assert by["a"].component == by["b"].component
+    assert sum(1 for i in ("a", "b") if by[i].is_representative) == 1
+    assert by["c"].is_representative
+
+
+def test_vector_search_dim_mismatch_raises(spark):
+    from aggo_spark import Engine
+    from aggo_spark.errors import InvalidPipeline
+
+    df = spark.createDataFrame([(1, [1.0, 0.0, 0.0])],
+                               "vec_id int, embedding array<double>")
+    with pytest.raises(InvalidPipeline, match="dims"):
+        Engine().aggregate(df, [{"$vectorSearch": {
+            "queryVector": [1.0, 0.0], "path": "$embedding"}}]).collect()
+
+
+def test_vector_search_atlas_score_normalization(spark):
+    from aggo_spark import Engine
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [-1.0, 0.0])], "vec_id int, embedding array<double>")
+    out = Engine().aggregate(df, [{"$vectorSearch": {
+        "queryVector": [1.0, 0.0], "path": "$embedding", "limit": 2}}]).collect()
+    by = {r.vec_id: r.score for r in out}
+    assert by[1] == 1.0      # (1 + 1) / 2
+    assert by[2] == 0.0      # (1 - 1) / 2: anti-correlated floors at 0
+
+
+def test_rank_fusion_limit_zero(spark):
+    from aggo_spark.operators import similarity
+
+    bm25 = spark.createDataFrame([(1, 1)], "doc_id int, rank int")
+    assert similarity.rank_fusion([bm25], limit=0).count() == 0
