@@ -1812,6 +1812,97 @@ def stage_vector_search(df: DataFrame, spec: dict, engine) -> DataFrame:
         F.col(c).asc() for c in df.columns if c != path][:1]).limit(k)
 
 
+def _rank_order_of(sub: list, out: DataFrame) -> "list[Column]":
+    """The deterministic ordering a $rankFusion input pipeline is ranked
+    by: walk back over trailing $limit/$skip to the last $sort (its
+    compiled keys + a rank-stability requirement MongoDB shares) or a
+    $vectorSearch (score desc, matching the stage's own emission order)."""
+    for st in reversed(sub):
+        name = next(iter(st))
+        if name in ("$limit", "$skip"):
+            continue
+        if name == "$sort":
+            return _sort_cols(st["$sort"], _ctx(out))
+        if name == "$vectorSearch":
+            sf = st["$vectorSearch"].get("scoreField", "score")
+            rest = [c for c in out.columns if c != sf]
+            return [F.col(sf).desc()] + ([F.col(rest[0]).asc()] if rest else [])
+        break
+    raise InvalidPipeline(
+        "$rankFusion input pipelines must be RANKED: end with $sort "
+        "(optionally + $limit/$skip) or $vectorSearch")
+
+
+def stage_rank_fusion(df: DataFrame, spec: dict, engine) -> DataFrame:
+    """``$rankFusion`` (MongoDB 8.x hybrid search): run the named input
+    pipelines over the same collection, fuse their rankings by reciprocal
+    rank (fixed k=60, as MongoDB), and return each document once, ordered
+    by fused score.
+
+    Spec: ``{input: {pipelines: {name: [...], ...}},
+    combination: {weights: {name: w}} (optional),
+    idField: "_id" (extension — the document-identity column; MongoDB
+    always has _id, our frames name their own key),
+    scoreField: "score" (added to the output)}``.
+
+    Plan shape: each input pipeline's (usually k-sized) output gets a
+    global rank window; contributions union → one groupBy on the id; the
+    representative document is the earliest (pipeline-order, then rank)
+    version, so heterogeneous projections across pipelines are allowed
+    (missing columns null-fill). Everything after the input pipelines
+    operates on k×N rows, never the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    pipes = (spec.get("input") or {}).get("pipelines")
+    if not isinstance(pipes, dict) or not pipes:
+        raise InvalidPipeline("$rankFusion requires input.pipelines: {name: [...]}")
+    if spec.get("scoreDetails"):
+        raise InvalidPipeline("$rankFusion scoreDetails is not supported")
+    weights = (spec.get("combination") or {}).get("weights") or {}
+    for name, w in weights.items():
+        if name not in pipes:
+            raise InvalidPipeline(f"$rankFusion weight for unknown pipeline {name!r}")
+        if not isinstance(w, (int, float)) or w < 0:
+            raise InvalidPipeline(f"$rankFusion weight for {name!r} must be >= 0")
+    id_field = spec.get("idField", "_id")
+    score_field = spec.get("scoreField", "score")
+
+    ranked_parts = []
+    for i, (name, sub) in enumerate(pipes.items()):
+        out = apply_pipeline(df, sub, engine)
+        if id_field not in out.columns:
+            raise InvalidPipeline(
+                f"$rankFusion pipeline {name!r} output lacks idField {id_field!r}")
+        order = _rank_order_of(sub, out)
+        ranked_parts.append(
+            out.withColumn("__rf_rank", F.row_number().over(W.orderBy(*order)))
+            .withColumn("__rf_src", F.lit(i))
+            .withColumn("__rf_w", F.lit(float(weights.get(name, 1.0))))
+        )
+    un = ranked_parts[0]
+    for p in ranked_parts[1:]:
+        un = un.unionByName(p, allowMissingColumns=True)
+
+    contrib = (
+        un.groupBy(id_field)
+        .agg(F.round(F.sum(F.col("__rf_w") / (F.lit(60.0) + F.col("__rf_rank"))), 6)
+             .alias(score_field))
+    )
+    pick = W.partitionBy(id_field).orderBy(F.asc("__rf_src"), F.asc("__rf_rank"))
+    docs = (
+        un.withColumn("__rf_pick", F.row_number().over(pick))
+        .filter(F.col("__rf_pick") == 1)
+        # a per-pipeline score column (e.g. $vectorSearch's) is an
+        # intermediate; the FUSED score owns the name in the output
+        .drop("__rf_rank", "__rf_src", "__rf_w", "__rf_pick", score_field)
+    )
+    return (
+        docs.join(contrib, id_field)
+        .orderBy(F.col(score_field).desc(), F.col(id_field).asc())
+    )
+
+
 def stage_dedup_window(df: DataFrame, spec: dict, engine) -> DataFrame:
     """``$dedupWindow {keys: [...], on: "$ts", watermark: "10 minutes"}`` —
     event-time deduplication (Spark-native extension, a streaming superset
@@ -1895,4 +1986,5 @@ STAGES = {
     "$sessionWindow": stage_session_window,
     "$dedupWindow": stage_dedup_window,
     "$vectorSearch": stage_vector_search,
+    "$rankFusion": stage_rank_fusion,
 }

@@ -741,3 +741,64 @@ def test_rank_fusion_limit_zero(spark):
 
     bm25 = spark.createDataFrame([(1, 1)], "doc_id int, rank int")
     assert similarity.rank_fusion([bm25], limit=0).count() == 0
+
+
+def test_rank_fusion_stage(spark):
+    """MongoDB 8 $rankFusion: sort-ranked and vector-ranked pipelines fuse
+    by RRF(k=60); each doc appears once, ordered by fused score."""
+    from aggo_spark import Engine
+
+    rows = [(1, 5.0, [1.0, 0.0]), (2, 9.0, [0.9, 0.1]),
+            (3, 7.0, [0.0, 1.0]), (4, 1.0, [0.8, 0.2])]
+    df = spark.createDataFrame(rows, "doc_id int, pop double, embedding array<double>")
+    out = Engine().aggregate(df, [{"$rankFusion": {
+        "input": {"pipelines": {
+            "popular": [{"$sort": {"pop": -1}}, {"$limit": 3}],
+            "vector": [{"$vectorSearch": {"queryVector": [1.0, 0.0],
+                                          "path": "$embedding", "limit": 3}}],
+        }},
+        "idField": "doc_id",
+    }}]).collect()
+    ids = [r.doc_id for r in out]
+    assert set(ids) == {1, 2, 3, 4}
+    by = {r.doc_id: r for r in out}
+    # popularity ranks: 2(9.0)=1, 3(7.0)=2, 1(5.0)=3; vector ranks by cosine
+    # to [1,0]: 1(cos 1.0)=1, 2(0.994)=2, 4(0.970)=3
+    assert by[2].score == pytest.approx(1 / 61 + 1 / 62, abs=1e-6)
+    assert by[1].score == pytest.approx(1 / 61 + 1 / 63, abs=1e-6)
+    assert by[3].score == pytest.approx(1 / 62, abs=1e-6)
+    assert by[4].score == pytest.approx(1 / 63, abs=1e-6)
+    assert ids == [2, 1, 3, 4]
+    # every doc carries its original columns (first-pipeline version)
+    assert by[3].pop == 7.0
+
+    # weights: zeroing the popularity list reorders by pure vector rank
+    out2 = Engine().aggregate(df, [{"$rankFusion": {
+        "input": {"pipelines": {
+            "popular": [{"$sort": {"pop": -1}}, {"$limit": 3}],
+            "vector": [{"$vectorSearch": {"queryVector": [1.0, 0.0],
+                                          "path": "$embedding", "limit": 3}}],
+        }},
+        "combination": {"weights": {"popular": 0.0}},
+        "idField": "doc_id",
+    }}]).collect()
+    assert out2[0].doc_id == 1  # exact vector match leads
+
+
+def test_rank_fusion_stage_validation(spark):
+    from aggo_spark import Engine
+    from aggo_spark.errors import InvalidPipeline
+
+    df = spark.createDataFrame([(1, 2.0)], "doc_id int, pop double")
+    with pytest.raises(InvalidPipeline):  # unranked input pipeline
+        Engine().aggregate(df, [{"$rankFusion": {
+            "input": {"pipelines": {"a": [{"$match": {"pop": 2.0}}]}},
+            "idField": "doc_id"}}]).collect()
+    with pytest.raises(InvalidPipeline):  # unknown weight name
+        Engine().aggregate(df, [{"$rankFusion": {
+            "input": {"pipelines": {"a": [{"$sort": {"pop": 1}}]}},
+            "combination": {"weights": {"zz": 1.0}},
+            "idField": "doc_id"}}]).collect()
+    with pytest.raises(InvalidPipeline):  # missing idField in output
+        Engine().aggregate(df, [{"$rankFusion": {
+            "input": {"pipelines": {"a": [{"$sort": {"pop": 1}}]}}}}]).collect()
