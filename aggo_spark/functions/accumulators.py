@@ -138,6 +138,12 @@ def _ordered_pick(arg, ctx: ExprContext, order_by: dict, last: bool) -> Column |
         inv = _order_inverted(col, dtype)
         if inv is None:
             return None
+        # $sort desc places nulls LAST (_sort_cols desc_nulls_last), but a
+        # null survives sign inversion as null and the struct's nulls-first
+        # field ordering would pick it FIRST — the pick would contradict
+        # the engine's own sorted stream (r4). A 0/1 null flag ahead of the
+        # inverted value restores desc-nulls-last in the ascending space.
+        keys.append(col.isNull().cast("int").alias(f"__on{i}"))
         keys.append(inv.alias(f"__ok{i}"))
     key = F.struct(*keys)
     return F.max_by(out, key) if last else F.min_by(out, key)

@@ -317,10 +317,11 @@ def _rank_invert_keys(df: DataFrame, order_by: dict, keys: list[str]):
     dense-rank surrogates so `$first`/`$last` compile to min_by/max_by.
 
     For each path in ``keys`` (descending strings, typically): rank the
-    *distinct* values of the column descending (nulls first, matching the
-    engine's numeric-desc null placement; COMPAT.md notes the MongoDB
-    delta), null-safe-join the rank back, and rewrite that component to
-    ascending on the surrogate. Scale note: dense_rank over an unpartitioned
+    *distinct* values of the column descending with nulls LAST — the same
+    placement the engine's own `$sort` desc uses (`_sort_cols`
+    desc_nulls_last; r4 fixed a nulls-first surrogate that made the pick
+    contradict the sorted stream) — null-safe-join the rank back, and
+    rewrite that component to ascending on the surrogate. Scale note: dense_rank over an unpartitioned
     window funnels the distinct values through one task — acceptable here
     because it runs on the *distinct* set of one sort column and only for
     the rare mixed-direction-with-string-desc spec; every other shape takes
@@ -337,7 +338,7 @@ def _rank_invert_keys(df: DataFrame, order_by: dict, keys: list[str]):
             .distinct()
             .withColumn(
                 aux,
-                F.dense_rank().over(Window.orderBy(F.col("__aggo_rv").desc_nulls_first())),
+                F.dense_rank().over(Window.orderBy(F.col("__aggo_rv").desc_nulls_last())),
             )
         )
         df = df.join(

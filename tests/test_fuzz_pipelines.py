@@ -335,16 +335,15 @@ def test_random_sort_first_last_matches_python(spark):
             ks = []
             for f, d in spec.items():
                 v = r[f]
-                # engine null placement (COMPAT.md): asc -> nulls first
-                # (struct nulls-first). desc in a UNIFORM spec -> max_by over
-                # the same struct, so nulls (smallest) land LAST; desc in a
-                # MIXED spec -> inverted-key/rank path keeps nulls first.
+                # engine null placement matches $sort in EVERY pick path
+                # (r4): asc -> nulls first, desc -> nulls last — MongoDB's
+                # placement too. (Before r4 the mixed-direction inverted/
+                # rank paths put desc nulls first, contradicting the
+                # engine's own sorted stream.)
                 if d == 1:
                     ks.append((0, 0) if v is None else (1, v))
-                elif uniform:
-                    ks.append((2, 0) if v is None else (1, _neg(v)))
                 else:
-                    ks.append((0, 0) if v is None else (1, _neg(v)))
+                    ks.append((2, 0) if v is None else (1, _neg(v)))
             return tuple(ks)
 
         expected = []

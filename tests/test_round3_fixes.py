@@ -139,8 +139,9 @@ def test_first_after_empty_array_sort_key(spark):
 
 
 def test_first_last_string_desc_null_keys(spark):
-    # nulls in the desc string component sort FIRST (engine-wide desc null
-    # placement; COMPAT.md notes the MongoDB nulls-last delta)
+    # nulls in the desc string component sort LAST, matching the engine's
+    # own $sort desc (desc_nulls_last) and MongoDB (r4; the rank surrogate
+    # used to rank nulls first, contradicting the sorted stream)
     rows = [(1, None, 5), (1, "z", 5), (1, "a", 5)]
     df = spark.createDataFrame(rows, "g long, name string, score long")
     eng2 = Engine({"t": df})
@@ -148,7 +149,7 @@ def test_first_last_string_desc_null_keys(spark):
         {"$sort": {"score": 1, "name": -1}},
         {"$group": {"_id": "$g", "fn": {"$first": "$name"}, "ln": {"$last": "$name"}}},
     ]).collect()
-    assert out[0]["fn"] is None and out[0]["ln"] == "a"
+    assert out[0]["fn"] == "z" and out[0]["ln"] is None
 
 
 def test_bucket_auto_granularity(spark):
