@@ -138,12 +138,19 @@ def _ordered_pick(arg, ctx: ExprContext, order_by: dict, last: bool) -> Column |
         inv = _order_inverted(col, dtype)
         if inv is None:
             return None
-        # $sort desc places nulls LAST (_sort_cols desc_nulls_last), but a
-        # null survives sign inversion as null and the struct's nulls-first
-        # field ordering would pick it FIRST — the pick would contradict
-        # the engine's own sorted stream (r4). A 0/1 null flag ahead of the
-        # inverted value restores desc-nulls-last in the ascending space.
-        keys.append(col.isNull().cast("int").alias(f"__on{i}"))
+        # $sort desc places NaN FIRST (Spark orders NaN largest) and nulls
+        # LAST (desc_nulls_last), but both survive sign inversion in place:
+        # null stays null (struct nulls-first would pick it first) and -NaN
+        # is still NaN (sorts last ascending, so min_by would skip it). A
+        # 0/1/2 placement flag ahead of the inverted value restores the
+        # $sort desc order in the ascending space (r4; NaN leg from the
+        # late-r4 review).
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            flag = (F.when(col.isNull(), F.lit(2))
+                    .when(F.isnan(col), F.lit(0)).otherwise(F.lit(1)))
+        else:
+            flag = F.when(col.isNull(), F.lit(2)).otherwise(F.lit(1))
+        keys.append(flag.alias(f"__on{i}"))
         keys.append(inv.alias(f"__ok{i}"))
     key = F.struct(*keys)
     return F.max_by(out, key) if last else F.min_by(out, key)

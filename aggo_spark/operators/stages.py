@@ -1825,8 +1825,14 @@ def _rank_order_of(sub: list, out: DataFrame) -> "list[Column]":
         if name == "$sort":
             return _sort_cols(st["$sort"], _ctx(out))
         if name == "$vectorSearch":
-            sf = st["$vectorSearch"].get("scoreField", "score")
-            rest = [c for c in out.columns if c != sf]
+            vs = st["$vectorSearch"]
+            sf = vs.get("scoreField", "score")
+            p = vs.get("path", "")
+            p = p[1:] if isinstance(p, str) and p.startswith("$") else p
+            # the SAME tiebreak stage_vector_search emits/limits by: the
+            # first non-path column of its input (score excluded — it is
+            # appended after the tiebreak list is chosen)
+            rest = [c for c in out.columns if c != sf and c != p]
             return [F.col(sf).desc()] + ([F.col(rest[0]).asc()] if rest else [])
         break
     raise InvalidPipeline(
@@ -1847,13 +1853,19 @@ def stage_rank_fusion(df: DataFrame, spec: dict, engine) -> DataFrame:
     scoreField: "score" (added to the output)}``.
 
     Plan shape: each input pipeline's (usually k-sized) output gets a
-    global rank window; contributions union → one groupBy on the id; the
-    representative document is the earliest (pipeline-order, then rank)
-    version, so heterogeneous projections across pipelines are allowed
-    (missing columns null-fill). Everything after the input pipelines
-    operates on k×N rows, never the corpus.
+    global rank window — NOTE an input pipeline with no ``$limit`` funnels
+    its ENTIRE output through that single-partition window (a warning is
+    emitted); bound your inputs. Fusion itself delegates to
+    ``similarity.rank_fusion`` (one formula in the codebase), after
+    collapsing duplicate ids WITHIN a pipeline to their best rank (an
+    ``$unwind`` upstream must not let one document contribute twice from
+    the same list). The representative document is the earliest
+    (pipeline-order, then rank) version, so heterogeneous projections
+    across pipelines are allowed (missing columns null-fill).
     """
     from pyspark.sql import Window as W
+
+    from . import similarity as _sim
 
     pipes = (spec.get("input") or {}).get("pipelines")
     if not isinstance(pipes, dict) or not pipes:
@@ -1869,38 +1881,52 @@ def stage_rank_fusion(df: DataFrame, spec: dict, engine) -> DataFrame:
     id_field = spec.get("idField", "_id")
     score_field = spec.get("scoreField", "score")
 
-    ranked_parts = []
+    ranked_parts, rank_lists, weight_list = [], [], []
     for i, (name, sub) in enumerate(pipes.items()):
+        if not any(next(iter(st)) in ("$limit", "$vectorSearch") for st in sub):
+            import warnings
+
+            warnings.warn(
+                f"$rankFusion pipeline {name!r} has no $limit: its whole "
+                "output funnels through one global-rank task", stacklevel=2)
         out = apply_pipeline(df, sub, engine)
         if id_field not in out.columns:
             raise InvalidPipeline(
                 f"$rankFusion pipeline {name!r} output lacks idField {id_field!r}")
         order = _rank_order_of(sub, out)
-        ranked_parts.append(
+        ranked = (
             out.withColumn("__rf_rank", F.row_number().over(W.orderBy(*order)))
             .withColumn("__rf_src", F.lit(i))
-            .withColumn("__rf_w", F.lit(float(weights.get(name, 1.0))))
         )
+        ranked_parts.append(ranked)
+        # one contribution per document per pipeline: best (min) rank wins
+        rank_lists.append(
+            ranked.groupBy(id_field).agg(F.min("__rf_rank").alias("rank")))
+        weight_list.append(float(weights.get(name, 1.0)))
+
+    fused = _sim.rank_fusion(
+        rank_lists, id_col=id_field, rank_col="rank", k=60,
+        weights=weight_list)
+    contrib = fused.select(
+        F.col(id_field).alias("__rf_id"), F.col("score").alias(score_field))
+
     un = ranked_parts[0]
     for p in ranked_parts[1:]:
         un = un.unionByName(p, allowMissingColumns=True)
-
-    contrib = (
-        un.groupBy(id_field)
-        .agg(F.round(F.sum(F.col("__rf_w") / (F.lit(60.0) + F.col("__rf_rank"))), 6)
-             .alias(score_field))
-    )
     pick = W.partitionBy(id_field).orderBy(F.asc("__rf_src"), F.asc("__rf_rank"))
     docs = (
         un.withColumn("__rf_pick", F.row_number().over(pick))
         .filter(F.col("__rf_pick") == 1)
         # a per-pipeline score column (e.g. $vectorSearch's) is an
         # intermediate; the FUSED score owns the name in the output
-        .drop("__rf_rank", "__rf_src", "__rf_w", "__rf_pick", score_field)
+        .drop("__rf_rank", "__rf_src", "__rf_pick", score_field)
     )
     return (
-        docs.join(contrib, id_field)
-        .orderBy(F.col(score_field).desc(), F.col(id_field).asc())
+        # null-safe: a null id is a legitimate ranked document, not a
+        # join casualty
+        docs.join(contrib, docs[id_field].eqNullSafe(contrib["__rf_id"]))
+        .drop("__rf_id")
+        .orderBy(F.col(score_field).desc(), F.col(id_field).asc_nulls_last())
     )
 
 

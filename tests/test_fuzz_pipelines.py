@@ -329,9 +329,7 @@ def test_random_sort_first_last_matches_python(spark):
             {"$group": {"_id": "$g", "f": {"$first": "$d"}, "l": {"$last": "$d"}}},
         ]
 
-        uniform = len(set(sort_spec.values())) == 1
-
-        def keyfn(r, spec=sort_spec, uniform=uniform):
+        def keyfn(r, spec=sort_spec):
             ks = []
             for f, d in spec.items():
                 v = r[f]

@@ -802,3 +802,40 @@ def test_rank_fusion_stage_validation(spark):
     with pytest.raises(InvalidPipeline):  # missing idField in output
         Engine().aggregate(df, [{"$rankFusion": {
             "input": {"pipelines": {"a": [{"$sort": {"pop": 1}}]}}}}]).collect()
+
+
+def test_rank_fusion_stage_dedups_within_pipeline(spark):
+    """A doc duplicated by $unwind before the trailing sort must contribute
+    ONE rank (its best) from that pipeline, not inflate its fused score."""
+    from aggo_spark import Engine
+
+    rows = [(1, 9.0, ["x", "y"]), (2, 5.0, ["x"])]
+    df = spark.createDataFrame(rows, "doc_id int, pop double, tags array<string>")
+    out = Engine().aggregate(df, [{"$rankFusion": {
+        "input": {"pipelines": {
+            "t": [{"$unwind": "$tags"}, {"$sort": {"pop": -1}}, {"$limit": 10}],
+        }},
+        "idField": "doc_id",
+    }}]).collect()
+    by = {r.doc_id: r.score for r in out}
+    # doc 1 appears at ranks 1 and 2 → only rank 1 counts
+    assert by[1] == pytest.approx(1 / 61, abs=1e-6)
+    assert by[2] == pytest.approx(1 / 63, abs=1e-6)
+
+
+def test_first_last_nan_desc_matches_sort(spark):
+    """Mixed-direction picks place NaN where $sort desc does (first)."""
+    rows = [(1, 1, float("nan"), "nan-row"), (1, 1, 5.0, "five"),
+            (1, 1, None, "null-row")]
+    df = spark.createDataFrame(rows, "g int, a int, b double, v string")
+    from aggo_spark import Engine
+
+    eng = Engine({"t": df})
+    sorted_v = [r["v"] for r in eng.aggregate(
+        "t", [{"$sort": {"a": 1, "b": -1}}]).collect()]
+    out = eng.aggregate("t", [
+        {"$sort": {"a": 1, "b": -1}},
+        {"$group": {"_id": "$g", "f": {"$first": "$v"}, "l": {"$last": "$v"}}},
+    ]).collect()[0]
+    assert out["f"] == sorted_v[0] == "nan-row"
+    assert out["l"] == sorted_v[-1] == "null-row"
