@@ -39,12 +39,14 @@ def accumulator_to_column(
 
 
 def _order_inverted(col: Column, dtype: T.DataType | None) -> Column | None:
-    """A column whose ASCENDING order equals the DESCENDING order of ``col``.
+    """A column whose ASCENDING order equals the DESCENDING order of ``col``
+    for non-null, non-NaN values.
 
     Only types with an order-preserving negation qualify; None otherwise.
-    (Strings have no such transform — the caller falls back.) Nulls keep
-    Spark's nulls-first struct ordering either way; COMPAT.md notes the
-    null-sort delta vs MongoDB for desc components.
+    (Strings have no such transform — the caller falls back.) Null and NaN
+    do NOT invert in place (null stays null, -NaN is NaN), so the caller
+    prepends a placement flag to restore $sort desc's NaN-first /
+    nulls-last order — see `_ordered_pick`.
     """
     if isinstance(dtype, T.LongType):
         # plain negation wraps (or throws under ANSI) at Long.MIN_VALUE —
