@@ -36,6 +36,7 @@ __all__ = [
     "simhash_table",
     "simhash_pairs",
     "benchmark_ngram_overlap",
+    "dedup_corpus_lines",
     "duplicate_ngram_fraction",
     "connected_components",
     "dedup_clusters",
@@ -684,4 +685,79 @@ def dedup_clusters(
     )
     return out.withColumn(
         "is_representative", (F.col(id_col).cast("long") == F.col("component"))
+    )
+
+
+def dedup_corpus_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "keep_first",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level duplicate-LINE removal (C4 §2.2: "discarded any line
+    that occurred more than once" across the whole dataset — the
+    boilerplate killer: nav bars, cookie banners, license headers).
+
+    Returns ``(id_col, text, n_lines_kept, n_lines_dropped)`` with ``text``
+    rebuilt from the surviving lines in original order. Counts cover
+    EXAMINED lines only (content statistics); blank / below-
+    ``min_line_chars`` separator lines pass through unexamined and
+    uncounted — structure, not boilerplate. ``mode``:
+
+    - ``"keep_first"`` (C4's choice): the globally-first occurrence — by
+      (id, line position), deterministic — survives; later copies drop.
+    - ``"drop_all"``: every copy of a repeated line drops (stricter;
+      leaves only corpus-unique lines).
+
+    Plan shape at 100 TB: posexplode (narrow, order index carried; OUTER so
+    NULL-text docs keep their row) → one line-hash frequency aggregate over
+    the EXAMINED lines only (map-side partial; the exchange carries one row
+    per DISTINCT line, plus — in keep_first mode only — its first (id, pos))
+    → equi join back on the hash, which unexamined rows skip via a NULL key
+    → per-doc reassembly groupBy. Never all-pairs, no driver state; md5
+    line keys make reruns and resharded runs land identically.
+    """
+    if mode not in ("keep_first", "drop_all"):
+        raise ValueError(f"mode must be 'keep_first' or 'drop_all', got {mode!r}")
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "examined",
+        F.coalesce(F.length(F.trim("line")) >= min_line_chars, F.lit(False)),
+    ).withColumn(
+        # NULL hash for unexamined rows: they carry no frequency question,
+        # so the left join passes them through without a match probe
+        "h", F.when(F.col("examined"), F.md5("line")),
+    )
+    aggs = [F.count(F.lit(1)).alias("c")]
+    if mode == "keep_first":
+        aggs.append(F.min(F.struct("id", "pos")).alias("first_at"))
+    freq = lines.filter("examined").groupBy("h").agg(*aggs)
+    joined = lines.join(freq, "h", "left")
+    if mode == "keep_first":
+        # c == 1 implies this row IS first_at, so one disjunct covers both
+        keep = (~F.col("examined")) | (
+            (F.col("first_at.id") == F.col("id"))
+            & (F.col("first_at.pos") == F.col("pos")))
+    else:
+        keep = (~F.col("examined")) | (F.col("c") == 1)
+    marked = joined.withColumn("keep", keep)
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("keep") & F.col("line").isNotNull(),
+                               F.struct("pos", "line")))),
+                    lambda s: s["line"],
+                ), "\n").alias(text_col),
+            F.sum((F.col("keep") & F.col("examined")).cast("int"))
+            .alias("n_lines_kept"),
+            F.sum((~F.col("keep")).cast("int")).alias("n_lines_dropped"),
+        )
+        .select(F.col("id").alias(id_col), text_col,
+                "n_lines_kept", "n_lines_dropped")
     )

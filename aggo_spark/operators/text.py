@@ -41,7 +41,6 @@ __all__ = [
     "filter_blocked_domains",
     "unigram_logprob_score",
     "explode_paragraphs",
-    "dedup_corpus_lines",
 ]
 
 
@@ -873,77 +872,3 @@ def explode_paragraphs(
         .filter(F.length("para") >= min_chars)
     )
 
-
-def dedup_corpus_lines(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    mode: str = "keep_first",
-    min_line_chars: int = 1,
-) -> DataFrame:
-    """Corpus-level duplicate-LINE removal (C4 §2.2: "discarded any line
-    that occurred more than once" across the whole dataset — the
-    boilerplate killer: nav bars, cookie banners, license headers).
-
-    Returns ``(id_col, text, n_lines_kept, n_lines_dropped)`` with ``text``
-    rebuilt from the surviving lines in original order. ``mode``:
-
-    - ``"keep_first"`` (C4's choice): the globally-first occurrence — by
-      (id, line position), deterministic — survives; later copies drop.
-    - ``"drop_all"``: every copy of a repeated line drops (stricter;
-      leaves only corpus-unique lines).
-
-    Lines shorter than ``min_line_chars`` (after trim) pass through
-    unexamined — single characters / blank separators are structure, not
-    boilerplate.
-
-    Plan shape at 100 TB: posexplode (narrow, order index carried) → one
-    line-hash frequency aggregate (map-side partial; the exchange carries
-    one row per DISTINCT line) → [keep_first: min-position per hash, same
-    exchange shape] → equi join back on the hash → per-doc reassembly
-    groupBy. Never all-pairs, no driver state; md5 line keys make reruns
-    and resharded runs land identically.
-    """
-    if mode not in ("keep_first", "drop_all"):
-        raise ValueError(f"mode must be 'keep_first' or 'drop_all', got {mode!r}")
-    # posexplode_OUTER: a NULL-text doc must keep its row (it comes back
-    # with empty text and zero counts), not vanish from the corpus
-    lines = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn(
-        "examined",
-        F.coalesce(F.length(F.trim("line")) >= min_line_chars, F.lit(False)),
-    ).withColumn("h", F.md5("line"))
-    freq = (
-        lines.filter("examined")
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c"),
-             F.min(F.struct("id", "pos")).alias("first_at"))
-    )
-    joined = lines.join(freq, "h", "left")
-    if mode == "keep_first":
-        keep = (~F.col("examined")) | (F.col("c") == 1) | (
-            (F.col("first_at.id") == F.col("id"))
-            & (F.col("first_at.pos") == F.col("pos")))
-    else:
-        keep = (~F.col("examined")) | (F.col("c") == 1)
-    marked = joined.withColumn("keep", keep)
-    return (
-        marked.groupBy("id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(
-                        F.when(F.col("keep"), F.struct("pos", "line")))),
-                    lambda s: s["line"],
-                ), "\n").alias(text_col),
-            # the outer-explode NULL placeholder of a NULL-text doc is not
-            # a line — exclude it from both counts
-            F.sum((F.col("keep") & F.col("line").isNotNull()).cast("int"))
-            .alias("n_lines_kept"),
-            F.sum((~F.col("keep")).cast("int")).alias("n_lines_dropped"),
-        )
-        .select(F.col("id").alias(id_col), text_col,
-                "n_lines_kept", "n_lines_dropped")
-    )

@@ -839,3 +839,42 @@ def test_first_last_nan_desc_matches_sort(spark):
     ]).collect()[0]
     assert out["f"] == sorted_v[0] == "nan-row"
     assert out["l"] == sorted_v[-1] == "null-row"
+
+
+def test_dedup_corpus_lines_keep_first(spark):
+    """C4 §2.2 corpus-level line dedup: the globally-first occurrence of a
+    repeated line survives; counts cover examined (content) lines only."""
+    boiler = "Accept cookies to continue"
+    rows = [
+        (1, f"Intro one.\n{boiler}\nBody of doc one."),
+        (2, f"{boiler}\nBody of doc two."),
+        (3, "Unique throughout."),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in dedup.dedup_corpus_lines(df).collect()}
+    assert len(out) == 4
+    assert out[1].text == f"Intro one.\n{boiler}\nBody of doc one."
+    assert out[1].n_lines_kept == 3 and out[1].n_lines_dropped == 0
+    assert out[2].text == "Body of doc two."
+    assert out[2].n_lines_kept == 1 and out[2].n_lines_dropped == 1
+    assert out[3].text == "Unique throughout." and out[3].n_lines_dropped == 0
+    # NULL-text doc keeps its row: empty text, zero content lines
+    assert out[4].text == "" and out[4].n_lines_kept == 0
+
+
+def test_dedup_corpus_lines_drop_all_and_min_chars(spark):
+    rows = [
+        (1, "dup\nkeep me\n\nx"),
+        (2, "dup\nother"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in dedup.dedup_corpus_lines(
+        df, mode="drop_all", min_line_chars=2).collect()}
+    # "dup" occurs twice -> every copy dropped; blank line and single "x"
+    # are below min_line_chars -> pass through unexamined AND uncounted
+    assert out[1].text == "keep me\n\nx"
+    assert out[1].n_lines_kept == 1 and out[1].n_lines_dropped == 1
+    assert out[2].text == "other"
+    with pytest.raises(ValueError):
+        dedup.dedup_corpus_lines(df, mode="fancy")

@@ -160,43 +160,3 @@ def test_upsample_handles_struct_columns(spark):
     assert out.filter(F.col("source") == "code").count() == 4
     assert out.filter(F.col("source") == "web").count() == 2
 
-
-# ---------------------------------------------------------------------------
-# corpus-level duplicate-line removal (C4 §2.2)
-# ---------------------------------------------------------------------------
-
-
-def test_dedup_corpus_lines_keep_first(spark):
-    boiler = "Accept cookies to continue"
-    rows = [
-        (1, f"Intro one.\n{boiler}\nBody of doc one."),
-        (2, f"{boiler}\nBody of doc two."),
-        (3, "Unique throughout."),
-        (4, None),
-    ]
-    df = spark.createDataFrame(rows, "doc_id int, text string")
-    out = {r.doc_id: r for r in text.dedup_corpus_lines(df).collect()}
-    assert len(out) == 4
-    # first occurrence (doc 1, position 1) survives; doc 2's copy drops
-    assert out[1].text == f"Intro one.\n{boiler}\nBody of doc one."
-    assert out[1].n_lines_dropped == 0
-    assert out[2].text == "Body of doc two."
-    assert out[2].n_lines_dropped == 1
-    assert out[3].text == "Unique throughout." and out[3].n_lines_dropped == 0
-    assert out[4].text == "" and out[4].n_lines_kept == 0
-
-
-def test_dedup_corpus_lines_drop_all_and_min_chars(spark):
-    rows = [
-        (1, "dup\nkeep me\n\nx"),
-        (2, "dup\nother"),
-    ]
-    df = spark.createDataFrame(rows, "doc_id int, text string")
-    out = {r.doc_id: r for r in
-           text.dedup_corpus_lines(df, mode="drop_all", min_line_chars=2).collect()}
-    # "dup" occurs twice -> every copy dropped; blank line and single "x"
-    # are below min_line_chars -> pass through unexamined
-    assert out[1].text == "keep me\n\nx"
-    assert out[2].text == "other"
-    with pytest.raises(ValueError):
-        text.dedup_corpus_lines(df, mode="fancy")
