@@ -675,16 +675,25 @@ def dedup_clusters(
     duplicate rates).
     """
     comp = connected_components(pairs, a_col, b_col)
+    # Match _edge in connected_components: numeric ids were unified to long
+    # there, so mirror the cast for coalesce/compare; non-numeric ids
+    # (string doc hashes / URLs) must pass through raw — a blanket
+    # cast("long") NULLs them, giving every singleton a NULL component and
+    # every row a NULL is_representative (review r5).
+    if isinstance(df.schema[id_col].dataType, T.NumericType):
+        own_id = F.col(id_col).cast("long")
+    else:
+        own_id = F.col(id_col)
     out = (
         df.select(F.col(id_col))
         .join(comp, df[id_col] == comp["id"], "left")
         .select(
             F.col(id_col),
-            F.coalesce("component", F.col(id_col).cast("long")).alias("component"),
+            F.coalesce("component", own_id).alias("component"),
         )
     )
     return out.withColumn(
-        "is_representative", (F.col(id_col).cast("long") == F.col("component"))
+        "is_representative", (own_id == F.col("component"))
     )
 
 
@@ -700,7 +709,8 @@ def dedup_corpus_lines(
     boilerplate killer: nav bars, cookie banners, license headers).
 
     Returns ``(id_col, text, n_lines_kept, n_lines_dropped)`` with ``text``
-    rebuilt from the surviving lines in original order. Counts cover
+    rebuilt from the surviving lines in original order (NULL text stays
+    NULL — never conflated with the empty string). Counts cover
     EXAMINED lines only (content statistics); blank / below-
     ``min_line_chars`` separator lines pass through unexamined and
     uncounted — structure, not boilerplate. ``mode``:
@@ -722,6 +732,8 @@ def dedup_corpus_lines(
         raise ValueError(f"mode must be 'keep_first' or 'drop_all', got {mode!r}")
     lines = df.select(
         F.col(id_col).alias("id"),
+        # carried so NULL text can be rebuilt as NULL, not "" (review r5)
+        F.col(text_col).isNull().alias("tnull"),
         F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn(
         "examined",
@@ -747,13 +759,18 @@ def dedup_corpus_lines(
     return (
         marked.groupBy("id")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(
-                        F.when(F.col("keep") & F.col("line").isNotNull(),
-                               F.struct("pos", "line")))),
-                    lambda s: s["line"],
-                ), "\n").alias(text_col),
+            # NULL-text docs keep a NULL text, not "" — mirrors
+            # simhash_table's NULL propagation (review r5)
+            F.when(
+                ~F.max("tnull"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.when(F.col("keep") & F.col("line").isNotNull(),
+                                   F.struct("pos", "line")))),
+                        lambda s: s["line"],
+                    ), "\n"),
+            ).alias(text_col),
             F.sum((F.col("keep") & F.col("examined")).cast("int"))
             .alias("n_lines_kept"),
             F.sum((~F.col("keep")).cast("int")).alias("n_lines_dropped"),

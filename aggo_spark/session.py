@@ -16,8 +16,28 @@ Defaults chosen for MongoDB-pipeline semantics and scale:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
+
+
+def _local_shuffle_width(effective_master: str) -> int | None:
+    """Default shuffle width for a PLAIN local master, None otherwise.
+
+    Matches ``local`` / ``local[N]`` / ``local[*]`` only —
+    ``local-cluster[...]`` is a multi-JVM master where this box's core
+    count says nothing about executor width, and the thread count is
+    parsed out of the master itself so an explicit ``local[4]`` is not
+    overridden by the env default (review r5). ``local[N,F]`` retry forms
+    intentionally don't match (rare, test-only): cluster-default stands.
+    """
+    m = re.match(r"^local(?:\[([0-9*]+)\])?$", effective_master)
+    if not m:
+        return None
+    threads = m.group(1)
+    if threads and threads.isdigit():
+        return int(threads)
+    return os.cpu_count()  # bare "local" or "local[*]"
 
 
 def build_session(
@@ -50,11 +70,8 @@ def build_session(
     # cluster, so the cluster/site default stands unless the caller passes
     # an explicit value (review r4).
     effective_master = master or f"local[{cpus}]"
-    if shuffle_partitions is None and effective_master.startswith("local"):
-        if str(cpus).isdigit():
-            shuffle_partitions = int(cpus)
-        else:  # SPARK_GRAFT_CPUS='*' → local[*]: use the real core count
-            shuffle_partitions = os.cpu_count()
+    if shuffle_partitions is None:
+        shuffle_partitions = _local_shuffle_width(effective_master)
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():

@@ -7,12 +7,22 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Materialization is via the noop sink (full execution, no driver collect),
 after one warmup query to amortize JVM/codegen/parquet-footer startup.
+
+Self-validation (judge r4): BENCH_r04 recorded a 9x q30 inflation from
+ambient load arriving MID-run — the start-only gate could not see it. Now
+every query is checked against its expected time (SCALING_r*.json curve,
+else the pinned fallback table): a min-of-3 exceeding 3x expected triggers
+a wait-for-idle + full rerun (up to 2 rescues), and the final artifact
+carries a `contaminated` flag plus per-query busy-fraction telemetry so a
+dirty recording can never masquerade as a code regression again.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -39,6 +49,99 @@ HEADLINE = [
     "q61_curation_pipeline",  # composed curation: quality+lang+dedup+tokens
 ]
 
+# Expected clean-machine seconds at sf0.1 for queries the scaling curve
+# does not cover — pinned from the judge's idle-machine r4 re-measure and
+# the (clean) BENCH_r03 recording. Used only as a >3x contamination
+# trigger, never reported as a measurement.
+EXPECTED_FALLBACK_SF01 = {
+    "q05_tokens": 0.4,
+    "q11_window": 0.85,
+    "q12_topk": 0.15,
+    "q20_lookup_pipeline": 0.9,
+    "q26_lookup_group": 0.55,
+    "q32_dedup_minhash": 3.7,
+    "q32_dedup_minhash_md5": 2.0,
+    "q34_ann_brute": 0.9,
+    "q61_curation_pipeline": 2.5,
+}
+
+RERUN_FACTOR = 3.0      # min-of-3 above expected*factor => suspect, rescue
+MAX_RESCUES = 2         # extra min-of-3 blocks after wait-for-idle
+
+
+def _cpu_busy_frac(interval: float = 1.0) -> float | None:
+    """Measured busy fraction from /proc/stat (loadavg lies on this VM:
+    phantom 17+ loadavg with vmstat 100% idle — virtualization artifact)."""
+    def snap():
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        vals = list(map(int, parts))
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle+iowait
+        return idle, sum(vals)
+    try:
+        i0, t0 = snap()
+        time.sleep(interval)
+        i1, t1 = snap()
+    except (OSError, ValueError, IndexError):
+        return None
+    dt = t1 - t0
+    return round(1.0 - (i1 - i0) / dt, 4) if dt else None
+
+
+def _loadavg() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
+
+def _wait_for_idle(max_wait_s: int = 300, busy_thresh: float = 0.25):
+    """Block until measured cpu-busy <= busy_thresh (or timeout).
+
+    Returns (busy_frac, loadavg, waited_s, gate). gate is one of
+    "idle" (measured quiet), "timeout" (never went quiet),
+    "unmeasured" (/proc/stat unreadable — loadavg fallback used; review
+    r5: busy=None used to short-circuit as a silent pass)."""
+    waited = 0
+    busy = load = None
+    while waited <= max_wait_s:
+        load = _loadavg()
+        busy = _cpu_busy_frac()
+        if busy is None:
+            # can't measure real busy: fall back to loadavg, generously
+            # thresholded because of the phantom-loadavg artifact
+            if load is None or load <= 4.0:
+                return busy, load, waited, "unmeasured"
+        elif busy <= busy_thresh:
+            return busy, load, waited, "idle"
+        time.sleep(14)
+        waited += 15
+    return busy, load, waited, "timeout"
+
+
+def _load_expected(sf: float) -> dict[str, float]:
+    """Per-query expected seconds: newest SCALING_r*.json at this sf,
+    overlaid on the pinned fallback table (sf0.1 only)."""
+    expected: dict[str, float] = {}
+    if abs(sf - 0.1) < 1e-9:
+        expected.update(EXPECTED_FALLBACK_SF01)
+    here = Path(__file__).resolve().parent
+    curves = sorted(
+        glob.glob(str(here / "SCALING_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    if curves:
+        try:
+            results = json.load(open(curves[-1])).get("results", {})
+            key = f"{sf:g}"
+            for q, rec in results.items():
+                sec = (rec.get("sec") or {}).get(key)
+                if isinstance(sec, (int, float)) and sec > 0:
+                    expected[q] = float(sec)
+        except (OSError, ValueError, AttributeError):
+            pass
+    return expected
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,39 +152,8 @@ def main() -> None:
     # i.e. a one-task scan) is the apples-to-apples setting. Query plans are
     # unchanged; correctness checks run uncached.
     os.environ.setdefault("AGGO_SPARK_CACHE_TABLES", "1")
-    # Ambient-load gate (judge r3): BENCH_r02/r03 both started under
-    # loadavg > 3, overstating every timing. Gate on MEASURED cpu-busy
-    # fraction from /proc/stat, not loadavg: this VM reports phantom
-    # loadavg (observed 17+ with vmstat 100% idle — virtualization
-    # artifact), so loadavg alone would spin the gate forever and then
-    # mislabel an idle run as contaminated. Both numbers are recorded.
-    def _cpu_busy_frac(interval: float = 1.0) -> float | None:
-        def snap():
-            with open("/proc/stat") as fh:
-                parts = fh.readline().split()[1:]
-            vals = list(map(int, parts))
-            idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle+iowait
-            return idle, sum(vals)
-        try:
-            i0, t0 = snap()
-            time.sleep(interval)
-            i1, t1 = snap()
-        except (OSError, ValueError, IndexError):
-            return None
-        dt = t1 - t0
-        return round(1.0 - (i1 - i0) / dt, 4) if dt else None
+    busy_start, load_start, load_waited_s, start_gate = _wait_for_idle()
 
-    load_start, busy_start, load_waited_s = None, None, 0
-    for _ in range(20):
-        try:
-            load_start = round(os.getloadavg()[0], 2)
-        except OSError:
-            load_start = None
-        busy_start = _cpu_busy_frac()
-        if busy_start is None or busy_start <= 0.25:
-            break
-        time.sleep(14)
-        load_waited_s += 15
     from pyspark.sql import SparkSession
 
     spark = (
@@ -116,6 +188,9 @@ def main() -> None:
     qs["q32_dedup_minhash_md5"] = qs["q32_dedup_minhash"]
     qs["q32_dedup_minhash"] = _q32_xxhash64
 
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    expected = _load_expected(sf)
+
     def run(name: str) -> float:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -128,28 +203,36 @@ def main() -> None:
         eng.collection(tbl).write.format("noop").mode("overwrite").save()
 
     # best-of-3 per query (the reference baseline averages 5 iterations
-    # after warmup, BASELINE.md — min-of-3 is the cheap equivalent and is
-    # robust to ambient-load spikes that best-of-2 let through)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        timings[name] = round(min(run(name) for _ in range(3)), 3)
+    # after warmup, BASELINE.md — min-of-3 is the cheap equivalent), then
+    # self-validate: a min-of-3 that still exceeds 3x the expected clean
+    # time is treated as ambient-load contamination — wait for measured
+    # idle and rerun, up to MAX_RESCUES times, keeping the global min.
+    busy_at: dict[str, float | None] = {}
+    reruns: dict[str, int] = {}
+    suspect: list[str] = []
+
+    def timed(name: str) -> float:
+        busy_at[name] = _cpu_busy_frac(0.25)
+        best = min(run(name) for _ in range(3))
+        exp = expected.get(name)
+        rescues = 0
+        while exp and best > RERUN_FACTOR * exp and rescues < MAX_RESCUES:
+            rescues += 1
+            _wait_for_idle(max_wait_s=120)
+            best = min(best, *(run(name) for _ in range(3)))
+        if rescues:
+            reruns[name] = rescues
+        if exp and best > RERUN_FACTOR * exp:
+            suspect.append(name)
+        return round(best, 3)
+
+    timings = {name: timed(name) for name in HEADLINE}
 
     # not part of the headline total: the oracle-reproducible md5 mode,
     # timed for visibility next to the xxhash64 scale mode above
-    extras = {
-        "q32_dedup_minhash_md5": round(
-            min(run("q32_dedup_minhash_md5") for _ in range(3)), 3)
-    }
+    extras = {"q32_dedup_minhash_md5": timed("q32_dedup_minhash_md5")}
 
     total = round(sum(timings.values()), 3)
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    # ambient-load telemetry: a loadavg far above the bench's own footprint
-    # means the machine was busy and the timings overstate true runtime
-    # (BENCH_r02 was contaminated exactly this way — judge verdict r2)
-    try:
-        load_1m = round(os.getloadavg()[0], 2)
-    except OSError:
-        load_1m = None
     # per-row throughput for the BASELINE.md comparison classes
     # (input-rows / wall-clock; lineitem for q01/q02, orders for q03)
     n_lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
@@ -167,10 +250,18 @@ def main() -> None:
         "extras": extras,
         "throughput": throughput,
         "sf": sf,
+        # contamination self-report: suspect = queries still >3x expected
+        # after rescue reruns. contaminated=false means every query landed
+        # within 3x of its pinned clean-machine time.
+        "contaminated": bool(suspect) or start_gate == "timeout",
+        "suspect_queries": suspect,
+        "rescue_reruns": reruns,
+        "busy_frac_at_query_start": busy_at,
+        "start_gate": start_gate,
         "loadavg_1m_start": load_start,
         "cpu_busy_frac_start": busy_start,
         "loadavg_gate_waited_sec": load_waited_s,
-        "loadavg_1m_end": load_1m,
+        "loadavg_1m_end": _loadavg(),
     }))
     spark.stop()
 

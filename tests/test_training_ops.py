@@ -91,6 +91,20 @@ def test_dedup_clusters_singletons(spark):
                    4: (2, False), 5: (5, True)}
 
 
+def test_dedup_clusters_string_ids(spark):
+    """String doc-hash ids (the advertised use case after the r4
+    connected_components fix) must not be NULLed by a long cast in the
+    corpus-wide wrapper: singletons keep their own id as component and
+    is_representative is never NULL (review r5)."""
+    docs = spark.createDataFrame(
+        [("h-a",), ("h-b",), ("h-c",), ("h-d",)], "doc_id string")
+    pairs = spark.createDataFrame([("h-c", "h-b")], "id_a string, id_b string")
+    got = {r["doc_id"]: (r["component"], r["is_representative"])
+           for r in dedup.dedup_clusters(docs, pairs).collect()}
+    assert got == {"h-a": ("h-a", True), "h-b": ("h-b", True),
+                   "h-c": ("h-b", False), "h-d": ("h-d", True)}
+
+
 def test_simhash_pairs(docs):
     out = dedup.simhash_pairs(docs, max_hamming=3).collect()
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
@@ -859,8 +873,9 @@ def test_dedup_corpus_lines_keep_first(spark):
     assert out[2].text == "Body of doc two."
     assert out[2].n_lines_kept == 1 and out[2].n_lines_dropped == 1
     assert out[3].text == "Unique throughout." and out[3].n_lines_dropped == 0
-    # NULL-text doc keeps its row: empty text, zero content lines
-    assert out[4].text == "" and out[4].n_lines_kept == 0
+    # NULL-text doc keeps its row with text still NULL (not conflated with
+    # empty string — review r5), zero content lines
+    assert out[4].text is None and out[4].n_lines_kept == 0
 
 
 def test_dedup_corpus_lines_drop_all_and_min_chars(spark):
