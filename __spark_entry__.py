@@ -657,12 +657,19 @@ def q39_fingerprint(spark, sf_dir):
 
 
 def q40_multimodal(spark, sf_dir):
-    """Binary-column metadata decode via Arrow mapInPandas (deterministic
-    stub) joined with the video frame-sampling plan rows (merged r3:
-    former q41_frame_plan) — the multimodal scaffold end to end: schema,
-    partitioning, UDF signature, batch shape."""
+    """Multimodal scaffold end to end: binary-column metadata decode via
+    Arrow mapInPandas joined with the video frame-sampling plan rows
+    (merged r3: former q41_frame_plan), PLUS — new r5 — a REAL pure-Python
+    PNG decode: each doc gets a synthesized solid-color PNG whose
+    dimensions/color are arithmetic functions of doc_id, the executor
+    decodes the actual bytes (header parse + zlib inflate + de-filter +
+    channel stats), and the oracle recomputes the expectations
+    arithmetically — so a decoder that fakes instead of parsing fails the
+    hash. Text bytes (no container magic) keep the deterministic fake."""
+    import pandas as _pd
+
     df = multimodal.attach_binary(_t(spark, sf_dir, "documents"), "text")
-    meta = multimodal.decode_image_metadata(df).select(
+    meta = multimodal.decode_image_metadata(df, decoder=multimodal.fake_decode).select(
         "doc_id",
         F.col("img_meta.byte_len").alias("img_bytes"),
         F.col("img_meta.format").alias("format"),
@@ -670,7 +677,34 @@ def q40_multimodal(spark, sf_dir):
         F.col("img_meta.phash").alias("phash"),
     )
     frames = multimodal.frame_sample_plan(df, n_frames=4)
-    return meta.join(frames, "doc_id").orderBy("doc_id", "frame_idx")
+
+    def _synth_png(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield _pd.DataFrame({
+                "doc_id": ids,
+                "content": [multimodal.encode_png(
+                    1 + (i * 7) % 24, 1 + (i * 13) % 24,
+                    (i % 256, (i * 3) % 256, (i * 5) % 256),
+                ) for i in ids],
+            })
+    pngs = df.select("doc_id").mapInPandas(
+        _synth_png, schema="doc_id long, content binary")
+    decoded = multimodal.decode_image_metadata(
+        pngs, decoder=multimodal.py_decode).select(
+        "doc_id",
+        F.col("img_meta.width").alias("png_width"),
+        F.col("img_meta.height").alias("png_height"),
+        F.col("img_meta.channels").alias("png_channels"),
+        F.round(F.col("img_meta.channel_means")[0], 6).alias("png_mean_r"),
+        F.round(F.col("img_meta.channel_means")[1], 6).alias("png_mean_g"),
+        F.round(F.col("img_meta.channel_means")[2], 6).alias("png_mean_b"),
+        F.col("img_meta.phash").alias("png_phash"),
+    )
+    return (
+        meta.join(frames, "doc_id").join(decoded, "doc_id")
+        .orderBy("doc_id", "frame_idx")
+    )
 
 
 def q42_stream_agg(spark, sf_dir):
@@ -1622,7 +1656,18 @@ def oracle_sql() -> dict[str, str]:
                    total_bytes,
                    CAST(frame_idx AS INT) AS frame_idx,
                    CAST(floor(total_bytes * frame_idx / 4) AS BIGINT) AS byte_offset,
-                   CAST(floor(total_bytes / 4) AS BIGINT) AS byte_len
+                   CAST(floor(total_bytes / 4) AS BIGINT) AS byte_len,
+                   -- real PNG decode check: the Spark side synthesizes a
+                   -- solid-color PNG per doc (dims/color arithmetic in
+                   -- doc_id) and decodes the BYTES; the oracle recomputes
+                   -- the same values arithmetically
+                   CAST(1 + (d.doc_id * 7) % 24 AS INT) AS png_width,
+                   CAST(1 + (d.doc_id * 13) % 24 AS INT) AS png_height,
+                   CAST(3 AS INT) AS png_channels,
+                   CAST(d.doc_id % 256 AS DOUBLE) AS png_mean_r,
+                   CAST((d.doc_id * 3) % 256 AS DOUBLE) AS png_mean_g,
+                   CAST((d.doc_id * 5) % 256 AS DOUBLE) AS png_mean_b,
+                   'ffffffffffffffff' AS png_phash
             FROM f JOIN documents d ON f.doc_id = d.doc_id
             ORDER BY f.doc_id, frame_idx
         """,

@@ -4,9 +4,22 @@ Policy: media travels as opaque ``binary`` columns + typed metadata structs;
 decode / feature-extraction runs as Arrow-batched ``mapInPandas`` (the one
 place Python is the right tool — per-byte work on blobs, not relational
 logic). Batch shape, schema evolution, and partitioning are real and tested.
-The codec is a pluggable ``bytes -> dict`` function: ``pil_decode`` (real
-PIL metadata + average-hash) when PIL is importable, else a clearly-marked
-deterministic fake so plumbing tests are exact in codec-less containers.
+
+The codec is a pluggable ``bytes -> dict`` function. Built-ins, in the
+order ``auto_decode`` (the default) tries them:
+
+- ``py_decode`` — REAL pure-Python PNG + BMP decode (stdlib zlib only):
+  header parse, IDAT inflate, scanline de-filter, per-channel means, and
+  the 8x8 average-hash. Magic-byte gated; corrupt container bytes → None
+  (null meta row). This is a validation/metadata decoder — correct, not
+  fast; swap in ``pil_decode`` via the plug-in point for production-rate
+  pixel work.
+- ``pil_decode`` — PIL-backed decode when PIL is importable (covers JPEG
+  et al.). Not present in this container; driven by a stub in tests.
+- ``fake_decode`` — clearly-marked deterministic fake for bytes that are
+  no known container (the test shim: synthetic tables carry text, not
+  blobs). Every value is a pure function of the bytes, so oracles are
+  stable.
 
 At 100 TB: mapInPandas is a narrow transformation — no shuffle; throughput
 scales with executors × Arrow batch size. Keep blobs out of shuffle keys;
@@ -16,6 +29,9 @@ extract features first, then drop the binary column before any wide op.
 from __future__ import annotations
 
 import hashlib
+import math
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -27,8 +43,14 @@ from pyspark.sql import types as T
 __all__ = [
     "attach_binary",
     "decode_image_metadata",
+    "auto_decode",
     "fake_decode",
     "pil_decode",
+    "py_decode",
+    "png_decode",
+    "bmp_decode",
+    "encode_png",
+    "encode_bmp",
     "frame_sample_plan",
 ]
 
@@ -39,6 +61,8 @@ try:  # pragma: no cover - not present in this container
     HAVE_PIL = True
 except ImportError:
     pass
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def attach_binary(df: DataFrame, source_col: str, out_col: str = "content") -> DataFrame:
@@ -52,26 +76,202 @@ _META_FIELDS = [
     T.StructField("format", T.StringType()),
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("channel_means", T.ArrayType(T.DoubleType())),
     T.StructField("phash", T.StringType()),
 ]
 
 
 def fake_decode(b: bytes) -> dict | None:
-    """DETERMINISTIC FAKE decode (this container has no codecs): every
-    derived value is a pure function of the bytes, so tests and oracles
-    are stable."""
+    """DETERMINISTIC FAKE decode (for bytes that are no known container):
+    every derived value is a pure function of the bytes, so tests and
+    oracles are stable."""
     digest = hashlib.md5(b).hexdigest()
     return {
         "byte_len": len(b),
         "format": ["jpeg", "png", "webp"][len(b) % 3],
         "width": 64 + (len(b) % 1024),
         "height": 64 + (int(digest[:4], 16) % 1024),
+        "channels": 3,
+        "channel_means": [float(len(b) % 256)] * 3,
         "phash": digest[:16],
     }
 
 
+def _avg_hash(luma_rows: list[list[float]]) -> str:
+    """8x8 average-hash over a luma matrix: nearest-pixel downsample to
+    8x8 (deterministic — no interpolation), threshold at the mean, pack
+    row-major MSB-first into 16 hex chars."""
+    h, w = len(luma_rows), len(luma_rows[0])
+    px = [
+        luma_rows[(i * h) // 8][(j * w) // 8]
+        for i in range(8)
+        for j in range(8)
+    ]
+    # fsum: exactly-rounded sum, so a uniform image ties p == avg exactly
+    # (naive sum drifts a ulp above for non-representable lumas like 275/3,
+    # flipping every bit to 0)
+    avg = math.fsum(px) / 64.0
+    bits = 0
+    for p in px:
+        bits = (bits << 1) | (1 if p >= avg else 0)
+    return f"{bits:016x}"
+
+
+def _pixel_stats(rows: list[list[tuple]], channels: int) -> tuple[list[float], str]:
+    """(per-channel means, average-hash) from decoded pixel rows."""
+    n = len(rows) * len(rows[0])
+    sums = [0] * channels
+    luma_rows: list[list[float]] = []
+    for row in rows:
+        lr = []
+        for px in row:
+            for c in range(channels):
+                sums[c] += px[c]
+            if channels >= 3:
+                lr.append((px[0] + px[1] + px[2]) / 3.0)
+            else:
+                lr.append(float(px[0]))
+        luma_rows.append(lr)
+    return [s / n for s in sums], _avg_hash(luma_rows)
+
+
+def png_decode(b: bytes) -> dict | None:
+    """Pure-Python PNG decode (stdlib zlib): IHDR parse, IDAT inflate,
+    scanline de-filter (None/Sub/Up/Average/Paeth), per-channel means and
+    average-hash. Supports bit depth 8, color types 0/2/4/6, no interlace.
+    Anything else / corrupt → None."""
+    if not b.startswith(_PNG_SIG):
+        return None
+    try:
+        pos = len(_PNG_SIG)
+        width = height = None
+        channels = 0
+        idat = bytearray()
+        while pos + 8 <= len(b):
+            (length,) = struct.unpack(">I", b[pos:pos + 4])
+            ctype = b[pos + 4:pos + 8]
+            data = b[pos + 8:pos + 8 + length]
+            pos += 12 + length  # len + type + data + crc
+            if ctype == b"IHDR":
+                width, height, depth, color, _comp, _filt, interlace = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+                if depth != 8 or interlace != 0:
+                    return None
+                channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color, 0)
+                if channels == 0:
+                    return None
+            elif ctype == b"IDAT":
+                idat.extend(data)
+            elif ctype == b"IEND":
+                break
+        if not width or not height or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        stride = width * channels
+        if len(raw) < height * (stride + 1):
+            return None
+        rows: list[list[tuple]] = []
+        prev = bytearray(stride)
+        p = 0
+        for _ in range(height):
+            ft = raw[p]
+            line = bytearray(raw[p + 1:p + 1 + stride])
+            p += 1 + stride
+            if ft == 1:  # Sub
+                for i in range(channels, stride):
+                    line[i] = (line[i] + line[i - channels]) & 0xFF
+            elif ft == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ft == 3:  # Average
+                for i in range(stride):
+                    left = line[i - channels] if i >= channels else 0
+                    line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+            elif ft == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    up = prev[i]
+                    c = prev[i - channels] if i >= channels else 0
+                    pp = a + up - c
+                    pa, pb, pc = abs(pp - a), abs(pp - up), abs(pp - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 0xFF
+            elif ft != 0:
+                return None
+            prev = line
+            rows.append([tuple(line[i:i + channels])
+                         for i in range(0, stride, channels)])
+        means, phash = _pixel_stats(rows, channels)
+        return {
+            "byte_len": len(b),
+            "format": "png",
+            "width": int(width),
+            "height": int(height),
+            "channels": int(channels),
+            "channel_means": means,
+            "phash": phash,
+        }
+    except (struct.error, zlib.error, IndexError, ValueError):
+        return None
+
+
+def bmp_decode(b: bytes) -> dict | None:
+    """Pure-Python BMP decode: BITMAPINFOHEADER, uncompressed 24/32 bpp.
+    Rows are bottom-up (top-down when height < 0), 4-byte aligned, BGR(A)
+    order — reordered to RGB(A) for stats. Anything else → None."""
+    if not b.startswith(b"BM") or len(b) < 54:
+        return None
+    try:
+        (data_off,) = struct.unpack_from("<I", b, 10)
+        width, height = struct.unpack_from("<ii", b, 18)
+        (bpp,) = struct.unpack_from("<H", b, 28)
+        (compression,) = struct.unpack_from("<I", b, 30)
+        if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+            return None
+        top_down = height < 0
+        height = abs(height)
+        nch = bpp // 8
+        stride = ((nch * width + 3) // 4) * 4
+        if len(b) < data_off + stride * height:
+            return None
+        rows: list[list[tuple]] = []
+        for r in range(height):
+            src = r if top_down else height - 1 - r
+            base = data_off + src * stride
+            row = []
+            for x in range(width):
+                o = base + x * nch
+                bl, g, rch = b[o], b[o + 1], b[o + 2]
+                row.append((rch, g, bl, b[o + 3]) if nch == 4 else (rch, g, bl))
+            rows.append(row)
+        means, phash = _pixel_stats(rows, nch)
+        return {
+            "byte_len": len(b),
+            "format": "bmp",
+            "width": int(width),
+            "height": int(height),
+            "channels": int(nch),
+            "channel_means": means,
+            "phash": phash,
+        }
+    except (struct.error, IndexError):
+        return None
+
+
+def py_decode(b: bytes) -> dict | None:
+    """Real pure-Python decode for known containers (PNG, BMP), magic-byte
+    dispatched; None for unknown/corrupt bytes."""
+    if b.startswith(_PNG_SIG):
+        return png_decode(b)
+    if b.startswith(b"BM"):
+        return bmp_decode(b)
+    return None
+
+
 def pil_decode(b: bytes) -> dict | None:
-    """Real codec branch: PIL metadata + 8×8 average-hash perceptual hash.
+    """PIL codec branch: metadata, per-band means, 8×8 average-hash.
     Undecodable blobs → None (null meta row), mirroring the reference's
     skip-bad-media behavior."""
     import io
@@ -82,6 +282,11 @@ def pil_decode(b: bytes) -> dict | None:
         with Image.open(io.BytesIO(b)) as im:
             width, height = im.size
             fmt = (im.format or "unknown").lower()
+            bands = im.getbands()
+            means = []
+            for band in im.split():
+                data = list(band.getdata())
+                means.append(sum(data) / len(data))
             gray = im.convert("L").resize((8, 8))
             px = list(gray.getdata())
     except Exception:
@@ -95,8 +300,63 @@ def pil_decode(b: bytes) -> dict | None:
         "format": fmt,
         "width": int(width),
         "height": int(height),
+        "channels": len(bands),
+        "channel_means": means,
         "phash": f"{bits:016x}",
     }
+
+
+def auto_decode(b: bytes) -> dict | None:
+    """Default decoder chain: real pure-Python decode for known containers
+    (PNG/BMP — corrupt container bytes stay None, never faked); PIL for
+    other formats when importable; else the deterministic fake (test-shim
+    path for non-media bytes)."""
+    if b.startswith(_PNG_SIG) or b.startswith(b"BM"):
+        return py_decode(b)
+    if HAVE_PIL:  # pragma: no cover - PIL not in this container
+        return pil_decode(b)
+    return fake_decode(b)
+
+
+def encode_png(width: int, height: int, pixel) -> bytes:
+    """Minimal pure-Python PNG writer (color type 2 / RGB8, filter 0) for
+    synthesizing REAL image bytes in tests and oracles. ``pixel`` is either
+    an (r, g, b) tuple (solid fill) or a ``(x, y) -> (r, g, b)`` function."""
+    fn = pixel if callable(pixel) else (lambda x, y: pixel)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter: None
+        for x in range(width):
+            raw.extend(fn(x, y))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def encode_bmp(width: int, height: int, pixel) -> bytes:
+    """Minimal 24-bpp uncompressed BMP writer (bottom-up rows, 4-byte
+    aligned) for synthesizing real bytes in tests."""
+    fn = pixel if callable(pixel) else (lambda x, y: pixel)
+    stride = ((3 * width + 3) // 4) * 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = fn(x, y)
+            row.extend((b, g, r))
+        row.extend(b"\x00" * (stride - len(row)))
+        body.extend(row)
+    data_off = 14 + 40
+    header = (b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return header + bytes(body)
 
 
 def decode_image_metadata(
@@ -109,8 +369,9 @@ def decode_image_metadata(
     mapInPandas.
 
     ``decoder`` is the plug-in point: any ``bytes -> dict|None`` with the
-    _META_FIELDS keys. Default: ``pil_decode`` when PIL is importable,
-    else the deterministic ``fake_decode``. The chosen function is
+    _META_FIELDS keys (missing keys → null fields). Default:
+    ``auto_decode`` — real pure-Python PNG/BMP decode, PIL when importable,
+    deterministic fake for non-media bytes. The chosen function is
     serialized into the task closure, so the decision is made driver-side
     and the Spark plumbing (schema, Arrow batching, narrow no-shuffle
     plan) is identical for every decoder.
@@ -118,7 +379,7 @@ def decode_image_metadata(
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.StructType(_META_FIELDS))]
     )
-    decode_one = decoder or (pil_decode if HAVE_PIL else fake_decode)
+    decode_one = decoder or auto_decode
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -60,7 +60,8 @@ BUDGETS = {
     "q36_langid": 2,
     "q37_quality": 1,
     "q39_fingerprint": 11,     # multi-fingerprint union
-    "q40_multimodal": 2,
+    "q40_multimodal": 3,       # +1 r5: real-PNG-decode branch joins on
+                               # doc_id (one narrow 7-col row per doc)
     "q42_stream_agg": 1,
     "q43_stream_window": 1,
     "q44_topn": 3,

@@ -311,6 +311,12 @@ def test_pil_decode_branch(monkeypatch):
         def resize(self, wh):
             return self
 
+        def getbands(self):
+            return ("L",)
+
+        def split(self):
+            return [self]
+
         def getdata(self):
             # half dark / half bright -> avg hash = 32 zeros then 32 ones
             return [0] * 32 + [255] * 32
@@ -339,6 +345,8 @@ def test_pil_decode_branch(monkeypatch):
         "format": "png",
         "width": 640,
         "height": 480,
+        "channels": 1,
+        "channel_means": [127.5],
         "phash": f"{(1 << 32) - 1:016x}",
     }
     assert multimodal.pil_decode(b"NOPE") is None
