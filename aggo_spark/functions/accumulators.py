@@ -99,6 +99,21 @@ def _mongo_sort_key(col: Column, dtype: T.DataType | None, asc: bool):
     return col, dtype
 
 
+def empty_array_flag(raw: Column, dtype: T.DataType | None) -> Column | None:
+    """0 for an EMPTY array, 1 otherwise; None for non-array fields.
+
+    MongoDB ranks an empty array below null ascending (BSON Undefined <
+    Null), but `array_min([])` is NULL so the value key alone ties them
+    (was COMPAT row 6, closed r5). Ordering this flag ahead of the min/max
+    value key — asc for ascending sorts, desc for descending — reproduces
+    asc `[] < null < values` and desc `values > null > []`. Shared by
+    `$sort` (stages._sort_cols) and the `$first/$last` pick keys so sort
+    and pick can never disagree."""
+    if not isinstance(dtype, T.ArrayType):
+        return None
+    return F.when(raw.isNotNull() & (F.size(raw) == 0), F.lit(0)).otherwise(F.lit(1))
+
+
 def _ordered_pick(arg, ctx: ExprContext, order_by: dict, last: bool) -> Column | None:
     """min_by/max_by mapping for $first/$last after $sort.
 
@@ -116,11 +131,18 @@ def _ordered_pick(arg, ctx: ExprContext, order_by: dict, last: bool) -> Column |
     out = translate_expr(arg, ctx)
     if len(set(dirs)) == 1:
         ascending = dirs[0] == 1
-        keys = [
-            _mongo_sort_key(ctx.resolve_path(k), ctx.path_type(k), asc=ascending)[0]
-            .alias(f"__ok{i}")
-            for i, k in enumerate(order_by)
-        ]
+        keys = []
+        for i, k in enumerate(order_by):
+            raw, rdt = ctx.resolve_path(k), ctx.path_type(k)
+            # empty-array flag ahead of the value key: min/max over the
+            # struct then lands [] below null exactly like $sort (the same
+            # 0/1 flag works for both directions because desc only swaps
+            # min_by <-> max_by, never the struct field comparison)
+            eflag = empty_array_flag(raw, rdt)
+            if eflag is not None:
+                keys.append(eflag.alias(f"__of{i}"))
+            keys.append(
+                _mongo_sort_key(raw, rdt, asc=ascending)[0].alias(f"__ok{i}"))
         # ALWAYS struct-wrap, even a single key: min_by/max_by SKIP rows
         # whose bare ordering key is null, which would silently drop
         # null-key documents from the pick (and array sort keys produce
@@ -133,8 +155,12 @@ def _ordered_pick(arg, ctx: ExprContext, order_by: dict, last: bool) -> Column |
     keys = []
     for i, (k, v) in enumerate(order_by.items()):
         asc = v in (1, True)
-        col, dtype = _mongo_sort_key(ctx.resolve_path(k), ctx.path_type(k), asc=asc)
+        raw, rdt = ctx.resolve_path(k), ctx.path_type(k)
+        eflag = empty_array_flag(raw, rdt)
+        col, dtype = _mongo_sort_key(raw, rdt, asc=asc)
         if asc:
+            if eflag is not None:  # [] below null ascending, like $sort
+                keys.append(eflag.alias(f"__of{i}"))
             keys.append(col.alias(f"__ok{i}"))
             continue
         inv = _order_inverted(col, dtype)
@@ -152,6 +178,10 @@ def _ordered_pick(arg, ctx: ExprContext, order_by: dict, last: bool) -> Column |
                     .when(F.isnan(col), F.lit(0)).otherwise(F.lit(1)))
         else:
             flag = F.when(col.isNull(), F.lit(2)).otherwise(F.lit(1))
+        if eflag is not None:
+            # desc places [] after null ($sort: values, null, []): in the
+            # normalized-ascending space that is placement 3, past null's 2
+            flag = F.when(eflag == 0, F.lit(3)).otherwise(flag)
         keys.append(flag.alias(f"__on{i}"))
         keys.append(inv.alias(f"__ok{i}"))
     key = F.struct(*keys)

@@ -144,6 +144,223 @@ class TestPurePythonCodec:
             assert out[i]["channel_means"] == [float(i * 9 % 256)] * 3
 
 
+class TestEmptyArrayVsNullSort:
+    """VERDICT r4 next-round #6 / COMPAT row 6 closed: MongoDB ranks an
+    EMPTY array below null ascending (BSON Undefined < Null), so
+    asc: [] < null < values and desc: values > null > []."""
+
+    @pytest.fixture()
+    def adf(self, spark):
+        return spark.createDataFrame(
+            [(1, []), (2, None), (3, [1]), (4, [5, 2])],
+            "doc_id int, arr array<int>")
+
+    def test_sort_asc_places_empty_before_null(self, adf):
+        from aggo_spark import Engine
+
+        out = Engine().aggregate(adf, [{"$sort": {"arr": 1}}]).collect()
+        assert [r.doc_id for r in out] == [1, 2, 3, 4]  # [], null, [1], [5,2]
+
+    def test_sort_desc_places_empty_after_null(self, adf):
+        from aggo_spark import Engine
+
+        out = Engine().aggregate(adf, [{"$sort": {"arr": -1}}]).collect()
+        assert [r.doc_id for r in out] == [4, 3, 2, 1]  # [5,2], [1], null, []
+
+    def test_first_last_picks_agree_with_sort(self, adf):
+        from aggo_spark import Engine
+        from pyspark.sql import functions as F
+
+        grp = adf.withColumn("g", F.lit(1))
+        for direction, first_id, last_id in ((1, 1, 4), (-1, 4, 1)):
+            out = Engine().aggregate(grp, [
+                {"$sort": {"arr": direction}},
+                {"$group": {"_id": "$g", "f": {"$first": "$doc_id"},
+                            "l": {"$last": "$doc_id"}}},
+            ]).collect()[0]
+            assert (out.f, out.l) == (first_id, last_id), f"dir={direction}"
+
+    def test_mixed_direction_pick_with_array_component(self, spark):
+        from aggo_spark import Engine
+
+        df = spark.createDataFrame(
+            [(1, 1, []), (2, 1, None), (3, 1, [9]), (4, 2, [3])],
+            "doc_id int, g int, arr array<int>")
+        out = {r["_id"]: (r.f, r.l) for r in Engine().aggregate(df, [
+            {"$sort": {"g": 1, "arr": -1}},
+            {"$group": {"_id": "$g", "f": {"$first": "$doc_id"},
+                        "l": {"$last": "$doc_id"}}},
+        ]).collect()}
+        # g=1 sorted by arr desc: [9], null, [] -> first=3, last=1
+        assert out[1] == (3, 1) and out[2] == (4, 4)
+
+    def test_string_array_desc_rank_surrogate(self, spark):
+        """Desc STRING arrays take the dense-rank surrogate path; empty
+        and null arrays must still rank apart there."""
+        from aggo_spark import Engine
+
+        df = spark.createDataFrame(
+            [(1, 1, []), (2, 1, None), (3, 1, ["zz"]), (4, 1, ["aa"])],
+            "doc_id int, g int, arr array<string>")
+        out = Engine().aggregate(df, [
+            {"$sort": {"g": 1, "arr": -1}},
+            {"$group": {"_id": "$g", "f": {"$first": "$doc_id"},
+                        "l": {"$last": "$doc_id"}}},
+        ]).collect()[0]
+        # arr desc: ["zz"], ["aa"], null, [] -> first=3, last=1
+        assert (out.f, out.l) == (3, 1)
+
+
+class TestBoundedRankFusion:
+    """VERDICT r4 next-round #5 — an unbounded $rankFusion input pipeline
+    no longer funnels its whole output through one global-rank task: it is
+    bounded by maxRank via orderBy+limit => TakeOrderedAndProject
+    (per-partition top-k + merge), and every rank Window runs over that
+    bounded input."""
+
+    def _fusion_df(self, spark, max_rank=None):
+        from aggo_spark import Engine
+
+        rows = [(i, float(100 - i), float(i % 7)) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id int, pop double, rec double")
+        spec = {"input": {"pipelines": {
+            "by_pop": [{"$sort": {"pop": -1}}],          # unbounded
+            "by_rec": [{"$sort": {"rec": -1}}],          # unbounded
+        }}, "idField": "doc_id"}
+        if max_rank is not None:
+            spec["maxRank"] = max_rank
+        return Engine().aggregate(df, [{"$rankFusion": spec}])
+
+    def test_no_unbounded_single_partition_window(self, spark):
+        out = self._fusion_df(spark)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # each unbounded pipe got the TakeOrdered shape...
+        assert plan.count("TakeOrderedAndProject") >= 2
+        # ...and every rank Window sits above a bounded (TakeOrdered) input
+        tail = plan
+        for _ in range(plan.count("Window [")):
+            idx = tail.find("Window [")
+            assert idx != -1
+            below = tail[idx:]
+            assert "TakeOrderedAndProject" in below, (
+                "Window over unbounded input:\n" + below[:800])
+            tail = tail[idx + 8:]
+
+    def test_fusion_results_unchanged_and_maxrank_truncates(self, spark):
+        out = self._fusion_df(spark).collect()
+        assert len(out) == 40
+        assert out[0].doc_id in (0, 6)  # top by either ranking
+        # maxRank=5: only the per-pipeline top-5 can appear at all
+        few = self._fusion_df(spark, max_rank=5).collect()
+        ids = {r.doc_id for r in few}
+        assert len(few) <= 10 and ids <= {0, 1, 2, 3, 4, 34, 35, 36, 37, 38, 39, 6, 13, 20, 27}
+
+    def test_rank_fusion_plan_budget(self, spark):
+        """Shuffle ceiling for the representative two-unbounded-pipe fusion
+        plan (the budget row the r4 verdict asked for)."""
+        import re
+
+        out = self._fusion_df(spark)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n = len(re.findall(r"(?<!Reused)Exchange", plan))
+        assert n <= 6, f"$rankFusion plan grew to {n} exchanges"
+
+    def test_bad_maxrank_rejected(self, spark):
+        from aggo_spark.errors import InvalidPipeline
+
+        with pytest.raises(InvalidPipeline):
+            self._fusion_df(spark, max_rank=0)
+
+
+class TestDedupWindowBatchStreamConvergence:
+    """VERDICT r4 next-round #7 — the batch fallback now replays the
+    streaming state machine (watermark horizon + first-arriving
+    representative), so batch and stream keep IDENTICAL ROWS on a
+    replayable fixture."""
+
+    # (batch, user, ts-minute, v) — watermark 10 minutes. Spark's eviction
+    # watermark for batch N lags: max event through batch N-2, minus delay.
+    # Expected kept (verified against the live streaming run):
+    #  b0: u1@01 v1 kept (anchor, expiry 00:11); u1@02 v2 in-batch dup;
+    #      u2@05 v3 kept (anchor 00:15)
+    #  b1: u1@30 v4 dropped — eviction wm is still unset (no batch <= -1)
+    #  b2: u1@60 v5 dropped — wm = maxev(b0)-10m = 23:55 < 00:11, state live;
+    #      u3@60 v6 kept
+    #  b3: u1@65 v7 kept — wm = maxev(b0,b1)-10m = 00:20 > 00:11, evicted;
+    #      u2@65 v8 kept — 00:20 > 00:15
+    ROWS = [
+        (0, "u1", 1, 1), (0, "u1", 2, 2), (0, "u2", 5, 3),
+        (1, "u1", 30, 4),
+        (2, "u1", 60, 5), (2, "u3", 60, 6),
+        (3, "u1", 65, 7), (3, "u2", 65, 8),
+    ]
+    EXPECTED_V = {1, 3, 6, 7, 8}
+
+    @staticmethod
+    def _ts(minute):
+        return f"2024-01-01T{minute // 60:02d}:{minute % 60:02d}:00.000Z"
+
+    def test_stream_and_batch_keep_identical_rows(self, spark, tmp_path):
+        import json as _json
+        import os as _os
+
+        from aggo_spark import Engine
+
+        src = tmp_path / "src"
+        src.mkdir()
+        for b in range(4):
+            rows = [r for r in self.ROWS if r[0] == b]
+            f = src / f"batch_{b}.jsonl"
+            f.write_text("\n".join(_json.dumps(
+                {"user": u, "ts": self._ts(m), "v": v})
+                for _, u, m, v in rows))
+            _os.utime(f, (1_700_000_000 + b, 1_700_000_000 + b))  # batch order
+
+        spec = {"keys": ["$user"], "on": "$ts", "watermark": "10 minutes"}
+        sdf = (spark.readStream
+               .schema("user string, ts timestamp, v long")
+               .option("maxFilesPerTrigger", 1).json(str(src)))
+        out = Engine().aggregate(sdf, [{"$dedupWindow": spec}])
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName("ddw_diff").option(
+                 "checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        stream_rows = {(r.user, r.ts, r.v) for r in
+                       spark.sql("select * from ddw_diff").collect()}
+
+        bdf = spark.createDataFrame(
+            [(b, u, self._ts(m).replace("T", " ").rstrip("Z"), v)
+             for b, u, m, v in self.ROWS],
+            "batch int, user string, ts string, v long",
+        ).selectExpr("batch", "user", "CAST(ts AS TIMESTAMP) ts", "v")
+        batch_rows = {(r.user, r.ts, r.v) for r in Engine().aggregate(
+            bdf, [{"$dedupWindow": {**spec, "arrival": "$batch"}},
+                  {"$project": {"user": 1, "ts": 1, "v": 1, "_id": 0}}]
+        ).collect()}
+
+        assert {v for _, _, v in stream_rows} == self.EXPECTED_V
+        assert stream_rows == batch_rows  # identical ROWS, not just keys
+
+    def test_batch_replay_without_arrival_uses_event_order(self, spark):
+        """No arrival column: event order is the replay order; duplicates
+        past the horizon re-emit exactly like an in-order stream."""
+        from aggo_spark import Engine
+
+        df = spark.createDataFrame(
+            [("u1", "2024-01-01 00:01:00", 1),
+             ("u1", "2024-01-01 00:05:00", 2),   # inside horizon: dropped
+             ("u2", "2024-01-01 01:00:00", 9),   # advances the watermark
+             ("u2", "2024-01-01 01:30:00", 8),   # absorbs the eviction lag
+             ("u1", "2024-01-01 02:00:00", 3)],  # state expired: re-emitted
+            "user string, ts string, v long",
+        ).selectExpr("user", "CAST(ts AS TIMESTAMP) ts", "v")
+        got = sorted(r.v for r in Engine().aggregate(df, [
+            {"$dedupWindow": {"keys": ["$user"], "on": "$ts",
+                              "watermark": "10 minutes"}}]).collect())
+        assert got == [1, 3, 9]
+
+
 class TestZeroPlanBuildJobs:
     """VERDICT r4 next-round #3 — embedding dims / bm25 corpus stats are
     memoized per (session, analyzed plan): the SECOND call over the same
