@@ -404,6 +404,7 @@ def semantic_dedup(
     seed: int = 42,
     max_train_rows: int = 100_000,
     centroids: "str | list" = "kmeans",
+    n_assign: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning via
     embedding clusters. Returns one row per input vector:
@@ -425,10 +426,33 @@ def semantic_dedup(
        cosine-to-centroid — the paper keeps the outlier as the most
        informative exemplar), ties to the lowest id.
 
+    ``n_assign`` (r5): number of nearest cells each vector participates in
+    for PAIRING (representative choice always uses the single nearest).
+    The paper's single-assignment (1) misses near-dup pairs split across a
+    cell boundary; 2 recovers most of them for 2× pairing work — the same
+    recall/cost dial as IVF's nprobe.
+
+    Measured vs the exact all-pairs cosine oracle (fixed synthetic
+    embeddings + seeded k-means ⇒ deterministic, pinned in
+    tests/test_round5_fixes.py::TestSemDedupQualityPins). PRECISION is 1.0
+    by construction — within-cell cosines are exact, so every merged pair
+    is a true ≥-threshold pair; the approximation only MISSES pairs.
+    Pair RECALL at the adversarial spread-pair setting (threshold 0.4 on
+    near-random synthetic vectors — far harder than the tight ≥0.9
+    clusters of real duplicate corpora):
+
+    | data    | n_centroids | n_assign | pair recall |
+    |---------|-------------|----------|-------------|
+    | sf0.001 | 4           | 1        | 0.561       |
+    | sf0.001 | 4           | 2        | 0.985       |
+    | sf0.1   | 4           | 1        | 0.493       |
+    | sf0.1   | 4           | 2        | 0.942       |
+
     Scale shape: one cell exchange + the within-cell pair join + the
     O(diameter) component rounds over only the PAIRED vectors (a tiny
     fraction of the corpus at real duplicate rates); singletons never
-    enter the component loop.
+    enter the component loop. ``n_assign=2`` doubles only the pairing
+    explode, never the component work (pairs are distinct-ed first).
     """
     from .dedup import connected_components
 
@@ -448,17 +472,28 @@ def semantic_dedup(
 
     from pyspark.sql import Window as W
 
-    sized = coded.withColumn(
-        "__n", F.count(F.lit(1)).over(W.partitionBy("cell")))
+    if n_assign < 1:
+        raise ValueError("n_assign must be >= 1")
+    n_assign = min(n_assign, max(len(centers), 1))
+    # pairing membership: each vector joins its n_assign nearest cells
+    # (representative choice above stays on the single nearest cell)
+    pcells = F.transform(
+        _cell_ranked_expr(centers, F.col("v"), n_assign), lambda s: s["cell"])
+    pairing = coded.select(
+        "id", "v", F.explode(pcells).alias("pcell"))
+    sized = pairing.withColumn(
+        "__n", F.count(F.lit(1)).over(W.partitionBy("pcell")))
     pairable = sized.filter(F.col("__n") <= cell_cap)
-    a = pairable.select("cell", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = pairable.select("cell", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    a = pairable.select("pcell", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = pairable.select("pcell", F.col("id").alias("id_b"), F.col("v").alias("vb"))
     pairs = (
-        a.join(b, "cell")
+        a.join(b, "pcell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
         .select("id_a", "id_b")
     )
+    if n_assign > 1:  # a pair can co-occur in several cells: one edge each
+        pairs = pairs.distinct()
     comp = connected_components(pairs)
 
     labeled = (

@@ -272,6 +272,93 @@ class TestBoundedRankFusion:
             self._fusion_df(spark, max_rank=0)
 
 
+class TestSemDedupQualityPins:
+    """VERDICT r4 next-round #8 — SemDeDup quality measured against the
+    exact all-pairs cosine oracle and pinned (like r4 pinned ANN recall).
+    Fixed synthetic embeddings + seeded k-means => deterministic numbers;
+    the measured table lives in similarity.semantic_dedup's docstring."""
+
+    THRESHOLD = 0.4  # near-random synthetic vectors: the ≥0.4 pairs are
+    # spread, not clustered — adversarial for cell-local pairing
+
+    @pytest.fixture(scope="class")
+    def oracle(self, spark):
+        import numpy as np
+
+        from aggo_spark import load_tables
+
+        emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])[
+            "embeddings"]
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = [r.vec_id for r in rows]
+        m = np.array([r.embedding for r in rows])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        s = m @ m.T
+        iu = np.triu_indices(len(ids), 1)
+        mask = s[iu] >= self.THRESHOLD
+        pairs = {(ids[i], ids[j]) for i, j in zip(iu[0][mask], iu[1][mask])}
+        assert len(pairs) == 66  # fixture sanity: the data has structure
+        return emb, pairs
+
+    def _pair_recall(self, emb, pairs, **kw):
+        from aggo_spark.operators import similarity
+
+        sd = similarity.semantic_dedup(
+            emb, threshold=self.THRESHOLD, n_centroids=4, id_col="vec_id",
+            **kw).collect()
+        comp = {r["vec_id"]: r["component"] for r in sd}
+        return sum(1 for a, b in pairs if comp[a] == comp[b]) / len(pairs)
+
+    def test_single_assignment_recall_pinned(self, oracle):
+        emb, pairs = oracle
+        r = self._pair_recall(emb, pairs)
+        assert r >= 0.53, f"recall {r:.3f} (measured 0.561)"
+
+    def test_two_cell_assignment_recovers_cross_cell_pairs(self, oracle):
+        emb, pairs = oracle
+        r = self._pair_recall(emb, pairs, n_assign=2)
+        assert r >= 0.95, f"recall {r:.3f} (measured 0.985)"
+
+    def test_precision_is_exact_by_construction(self, spark, oracle):
+        """Every pair SemDeDup merges is a true >=threshold pair: grouped
+        ids must co-occur in the oracle's component structure."""
+        emb, pairs = oracle
+        from aggo_spark.operators import similarity
+
+        sd = similarity.semantic_dedup(
+            emb, threshold=self.THRESHOLD, n_centroids=4, id_col="vec_id",
+            n_assign=2).collect()
+        # oracle components via union-find over exact pairs
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent.setdefault(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        by_comp = {}
+        for r in sd:
+            by_comp.setdefault(r["component"], []).append(r["vec_id"])
+        for members in by_comp.values():
+            if len(members) == 1:
+                continue
+            roots = {find(m) for m in members}
+            assert len(roots) == 1, f"false merge: {members}"
+
+    def test_bad_n_assign_rejected(self, oracle):
+        emb, _ = oracle
+        from aggo_spark.operators import similarity
+
+        with pytest.raises(ValueError):
+            similarity.semantic_dedup(emb, n_assign=0, id_col="vec_id")
+
+
 class TestDedupWindowBatchStreamConvergence:
     """VERDICT r4 next-round #7 — the batch fallback now replays the
     streaming state machine (watermark horizon + first-arriving
