@@ -49,8 +49,9 @@ BUDGETS = {
     "q25_replace_root": 1,
     "q26_lookup_group": 4,
     "q30_dedup_exact": 1,
-    "q31_dedup_jaccard": 16,   # inverted-index self-join; dist subtree
-                               # reuses its exchange at runtime (AQE)
+    "q31_dedup_jaccard": 14,   # inverted-index self-join; dist subtree
+                               # reuses its exchange at runtime (AQE);
+                               # tightened 16 -> 14 (measured, r5)
     "q32_dedup_minhash": 4,
     "q33_dedup_simhash": 4,    # +1 vs r3: simhash_table's groupBy(id) —
                                # buys codegen'd bit counting over the HOF
@@ -102,3 +103,19 @@ def test_plan_shuffle_budget(spark, name):
         f"{name}: {n} exchanges > budget {BUDGETS[name]} — a shuffle crept "
         f"into the plan; inspect df.explain('formatted')"
     )
+
+
+def test_minhash_xxhash64_scale_mode_budget(spark):
+    """The bench-only xxhash64 MinHash variant (the 100 TB scale path; the
+    contract query keeps md5 for the DuckDB oracle) is structurally pinned
+    too: same 4-exchange shape as the md5 mode (sig agg + band buckets),
+    measured r5."""
+    import __spark_entry__ as entry
+    from aggo_spark.operators import dedup
+
+    df = dedup.minhash_lsh_pairs(
+        entry._t(spark, SF_DIR, "documents"), num_perm=64, bands=16,
+        threshold=0.5, k=3, unit="word", hash_fn="xxhash64")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = len(re.findall(r"(?<!Reused)Exchange", plan))
+    assert n <= 4, f"xxhash64 MinHash plan grew to {n} exchanges"
