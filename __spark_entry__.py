@@ -701,8 +701,36 @@ def q40_multimodal(spark, sf_dir):
         F.round(F.col("img_meta.channel_means")[2], 6).alias("png_mean_b"),
         F.col("img_meta.phash").alias("png_phash"),
     )
+
+    # r6: REAL JPEG header parse — each doc gets a synthesized JPEG header
+    # (SOF0 for even ids, progressive SOF2 for odd; dims/channels arithmetic
+    # in doc_id); every 5th doc gets CORRUPT jpeg-magic bytes that must
+    # decode to a null meta row, not a fake
+    def _synth_jpg(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield _pd.DataFrame({
+                "doc_id": ids,
+                "content": [
+                    b"\xff\xd8\xff\x00" if i % 5 == 0 else
+                    multimodal.encode_jpeg_header(
+                        1 + (i * 11) % 2048, 1 + (i * 17) % 2048,
+                        [1, 3, 4][i % 3], progressive=(i % 2 == 1))
+                    for i in ids],
+            })
+    jpgs = df.select("doc_id").mapInPandas(
+        _synth_jpg, schema="doc_id long, content binary")
+    jdec = multimodal.decode_image_metadata(
+        jpgs, decoder=multimodal.py_decode).select(
+        "doc_id",
+        F.col("img_meta.format").alias("jpg_format"),
+        F.col("img_meta.width").alias("jpg_width"),
+        F.col("img_meta.height").alias("jpg_height"),
+        F.col("img_meta.channels").alias("jpg_channels"),
+    )
     return (
         meta.join(frames, "doc_id").join(decoded, "doc_id")
+        .join(jdec, "doc_id")
         .orderBy("doc_id", "frame_idx")
     )
 
@@ -1667,7 +1695,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.doc_id % 256 AS DOUBLE) AS png_mean_r,
                    CAST((d.doc_id * 3) % 256 AS DOUBLE) AS png_mean_g,
                    CAST((d.doc_id * 5) % 256 AS DOUBLE) AS png_mean_b,
-                   'ffffffffffffffff' AS png_phash
+                   'ffffffffffffffff' AS png_phash,
+                   -- r6 JPEG header parse: dims/channels arithmetic in
+                   -- doc_id; every 5th doc carries corrupt jpeg-magic
+                   -- bytes -> all-null meta (a faking decoder fails here)
+                   CASE WHEN d.doc_id % 5 = 0 THEN NULL ELSE 'jpeg' END AS jpg_format,
+                   CASE WHEN d.doc_id % 5 = 0 THEN NULL
+                        ELSE CAST(1 + (d.doc_id * 11) % 2048 AS INT) END AS jpg_width,
+                   CASE WHEN d.doc_id % 5 = 0 THEN NULL
+                        ELSE CAST(1 + (d.doc_id * 17) % 2048 AS INT) END AS jpg_height,
+                   CASE WHEN d.doc_id % 5 = 0 THEN NULL
+                        ELSE CAST(CASE d.doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                                  ELSE 4 END AS INT) END AS jpg_channels
             FROM f JOIN documents d ON f.doc_id = d.doc_id
             ORDER BY f.doc_id, frame_idx
         """,

@@ -34,8 +34,10 @@ def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="cap printed rows — pushed into the plan as limit(n), "
                         "so only n rows ever reach the driver")
     p.add_argument("--output", default=None, metavar="PATH",
-                   help="write the FULL result as JSONL to PATH via the "
-                        "distributed writer (no driver materialization); "
+                   help="write the full result via the distributed writer "
+                        "(no driver materialization). PATH becomes a "
+                        "DIRECTORY of JSONL part files (one per partition), "
+                        "and an existing PATH is REPLACED (mode=overwrite); "
                         "stdout then shows only --limit-output rows, if given")
     return p.parse_args(argv)
 
@@ -98,11 +100,14 @@ def main(argv: list[str] | None = None) -> int:
                 n += 1
             if args.limit_output is None:
                 n_out = n
+    if args.stats and n_out is None:
+        # limited/sunk output: count without collecting — inside the timed
+        # window, so execute_s covers the work output_rows reports
+        # (advice r5 #4)
+        n_out = out.count()
     t2 = time.time()
 
     if args.stats:
-        if n_out is None:  # limited/sunk output: count without collecting
-            n_out = out.count()
         print(
             json.dumps({
                 "input_rows": n_in,

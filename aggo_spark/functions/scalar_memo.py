@@ -42,15 +42,30 @@ def _key(df: DataFrame, label: str) -> tuple | None:
         return None  # non-JVM-backed df (mocks) → no memo, just compute
 
 
-def plan_scalar(df: DataFrame, label: str, compute: Callable[[], _V]) -> _V:
-    """Return ``compute()``, memoized per (session, analyzed plan, label)."""
+def plan_scalar(
+    df: DataFrame,
+    label: str,
+    compute: Callable[[], _V],
+    cache_if: Callable[[_V], bool] | None = None,
+) -> _V:
+    """Return ``compute()``, memoized per (session, analyzed plan, label).
+
+    ``cache_if``: only store the result when this predicate holds. Use it to
+    avoid pinning transient states — e.g. BM25 must not memoize (n=0, NULL
+    avgdl) from a not-yet-populated source, or every later search over the
+    now-full corpus would short-circuit to empty (wrong membership, not just
+    stale statistics).
+    """
     k = _key(df, label)
     if k is None:
         return compute()
     if k not in _MEMO:
+        v = compute()
+        if cache_if is not None and not cache_if(v):
+            return v
         if len(_MEMO) >= _MAX_ENTRIES:
             _MEMO.pop(next(iter(_MEMO)))
-        _MEMO[k] = compute()
+        _MEMO[k] = v
     return _MEMO[k]  # type: ignore[return-value]
 
 

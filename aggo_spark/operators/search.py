@@ -265,7 +265,11 @@ def bm25_search(
         lambda: df.select(
             F.count(F.lit(1)).alias("n"),
             F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"),
-        ).collect()[0])
+        ).collect()[0],
+        # never pin an empty/partially-loaded corpus: n=0 (NULL avgdl) would
+        # make every later search over the now-populated source return empty
+        # (advice r5 #1) — recompute until the corpus is non-empty
+        cache_if=lambda s: bool(s["n"]) and s["avgdl"] is not None)
     if not stats["n"]:
         # empty corpus: avgdl is NULL and no doc can score — return the
         # (deterministically) empty result, preserving the input id type

@@ -126,10 +126,13 @@ def _load_expected(sf: float) -> dict[str, float]:
     if abs(sf - 0.1) < 1e-9:
         expected.update(EXPECTED_FALLBACK_SF01)
     here = Path(__file__).resolve().parent
-    curves = sorted(
-        glob.glob(str(here / "SCALING_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
-    )
+    # only numeric-suffix files: SCALING_rerun.json etc. must not crash the
+    # sort with .group on a None match (advice r5 #3)
+    matched = [
+        (p, m) for p in glob.glob(str(here / "SCALING_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p))
+    ]
+    curves = [p for p, m in sorted(matched, key=lambda pm: int(pm[1].group(1)))]
     if curves:
         try:
             results = json.load(open(curves[-1])).get("results", {})

@@ -1,0 +1,227 @@
+"""Round-6 fixes: the five r5 ADVICE findings plus the verdict's
+library-level rank_fusion bound and scalar_memo auto-invalidation."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from aggo_spark.errors import InvalidPipeline
+from aggo_spark.functions import scalar_memo
+from aggo_spark.operators.search import bm25_search
+from aggo_spark.operators.similarity import rank_fusion, semantic_dedup
+
+
+class TestBM25EmptyCorpusNotMemoized:
+    """advice r5 #1: a bm25 over a not-yet-populated source must not pin
+    n=0 — later searches over the now-full corpus would return empty."""
+
+    def test_search_recovers_after_corpus_fills(self, spark, tmp_path):
+        path = str(tmp_path / "corpus")
+        schema = "doc_id long, body string"
+        spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+        empty = bm25_search(
+            spark.read.parquet(path), "spark engine", text_col="body",
+            id_col="doc_id")
+        assert empty.count() == 0
+        # same path, now populated: the second read has the same analyzed
+        # plan (same semanticHash), so a memoized n=0 would poison it
+        spark.createDataFrame(
+            [(1, "spark engine fast"), (2, "other text entirely")], schema
+        ).write.mode("overwrite").parquet(path)
+        hit = bm25_search(
+            spark.read.parquet(path), "spark engine", text_col="body",
+            id_col="doc_id")
+        got = {r["doc_id"] for r in hit.collect()}
+        assert 1 in got
+
+    def test_plan_scalar_cache_if(self, spark):
+        df = spark.range(3)
+        calls = []
+
+        def compute():
+            calls.append(1)
+            return len(calls)
+
+        # first result (1) rejected by cache_if -> recompute; second (2)
+        # accepted -> third call returns the cached 2
+        a = scalar_memo.plan_scalar(df, "t6ci", compute, cache_if=lambda v: v >= 2)
+        b = scalar_memo.plan_scalar(df, "t6ci", compute, cache_if=lambda v: v >= 2)
+        c = scalar_memo.plan_scalar(df, "t6ci", compute, cache_if=lambda v: v >= 2)
+        assert (a, b, c) == (1, 2, 2)
+        assert len(calls) == 2
+
+
+class TestStreamingVectorSearchFailsFast:
+    """advice r5 #2: streaming $vectorSearch ends in orderBy+limit which
+    Structured Streaming rejects; raise InvalidPipeline up front."""
+
+    def test_raises_invalid_pipeline(self, spark):
+        from aggo_spark.engine import Engine
+
+        sdf = spark.readStream.format("rate").load()
+        with pytest.raises(InvalidPipeline, match="Streaming"):
+            Engine().aggregate(sdf, [{"$vectorSearch": {
+                "queryVector": [1.0, 0.0], "path": "value", "limit": 3}}])
+
+
+class TestBenchScalingGlobRobust:
+    """advice r5 #3: a SCALING_* file without a numeric round suffix must
+    be skipped, not crash the expected-seconds loader."""
+
+    def test_non_numeric_suffix_skipped(self, tmp_path, monkeypatch):
+        import bench
+
+        good = tmp_path / "SCALING_r2.json"
+        good.write_text(json.dumps(
+            {"results": {"q99": {"sec": {"0.1": 1.5}}}}))
+        bad = tmp_path / "SCALING_rerun.json"
+        bad.write_text("{}")
+        monkeypatch.setattr(
+            bench.glob, "glob", lambda pat: [str(bad), str(good)])
+        expected = bench._load_expected(0.1)
+        assert expected["q99"] == 1.5  # loaded from r2, rerun ignored
+
+
+class TestCliOutputStatsTiming:
+    """advice r5 #4: with --stats + --output the result count runs inside
+    the timed window, and --output PATH is documented as a directory."""
+
+    def test_stats_with_output_counts_in_window(self, spark, tmp_path, capsys):
+        from aggo_spark import cli
+
+        src = tmp_path / "in.jsonl"
+        src.write_text('{"a": 1}\n{"a": 2}\n')
+        out_dir = str(tmp_path / "out")
+        rc = cli.main([
+            "[]", "--file", str(src), "--output", out_dir, "--stats"])
+        assert rc == 0
+        err = capsys.readouterr().err
+        stats = json.loads(err.strip().splitlines()[-1])
+        assert stats["output_rows"] == 2
+        assert stats["execute_s"] >= 0
+
+
+class TestSemDedupPrimaryCellCap:
+    """advice r5 #5: cell_cap gates on primary-membership sizes, so
+    n_assign>1 secondary members cannot push a cell over the cap."""
+
+    def test_n_assign_2_does_not_trip_cap(self, spark):
+        # two tight clusters; every vector's 2nd-nearest cell is the other
+        # one, so inflated per-cell counts double (6 > cap) while primary
+        # counts stay at 3 (<= cap)
+        centers = [[1.0, 0.0], [0.0, 1.0]]
+        rows = [
+            (1, [1.0, 0.01]), (2, [1.0, 0.02]), (3, [0.9, 0.05]),
+            (4, [0.01, 1.0]), (5, [0.02, 1.0]), (6, [0.05, 0.9]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = semantic_dedup(
+            df, threshold=0.99, centroids=centers, cell_cap=4, n_assign=2,
+        ).collect()
+        # under the old inflated-count cap every cell (6 members) was
+        # skipped -> no pairing at all; with the primary cap the tight
+        # pairs merge into shared components
+        comp = {r["vec_id"]: r["component"] for r in out}
+        assert comp[1] == comp[2]
+        assert comp[4] == comp[5]
+
+
+class TestRankFusionBounded:
+    """judge r5 #3: the library rank_fusion bounds every input by
+    max_rank before the global rank window."""
+
+    def test_deep_ranks_dropped_by_default(self, spark):
+        a = spark.range(1, 3001).select(
+            F.col("id").alias("doc_id"), F.col("id").cast("int").alias("rank"))
+        b = spark.range(1, 3001).select(
+            (F.col("id") + 10000).alias("doc_id"),
+            F.col("id").cast("int").alias("rank"))
+        out = rank_fusion([a, b])
+        assert out.count() == 2000  # 1000 per list survive the bound
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "1000" in plan  # the rank filter is in the plan
+
+    def test_max_rank_none_disables(self, spark):
+        a = spark.range(1, 2001).select(
+            F.col("id").alias("doc_id"), F.col("id").cast("int").alias("rank"))
+        assert rank_fusion([a], max_rank=None).count() == 2000
+
+    def test_max_rank_validation(self, spark):
+        a = spark.range(1, 5).select(
+            F.col("id").alias("doc_id"), F.col("id").cast("int").alias("rank"))
+        with pytest.raises(ValueError, match="max_rank"):
+            rank_fusion([a], max_rank=0)
+
+
+class TestJpegHeaderDecode:
+    """judge r5 #2: real JPEG header parse (SOFn marker walk) — the
+    dominant web-corpus format no longer falls through to the fake."""
+
+    def test_roundtrip_baseline_and_progressive(self):
+        from aggo_spark.operators import multimodal as mm
+
+        for w, h, c, prog in [(1, 1, 1, False), (640, 480, 3, False),
+                              (2047, 1023, 4, True)]:
+            m = mm.jpeg_decode(mm.encode_jpeg_header(w, h, c, progressive=prog))
+            assert (m["width"], m["height"], m["channels"]) == (w, h, c)
+            assert m["format"] == "jpeg"
+            # header-only: pixel stats are null, never fabricated
+            assert m["channel_means"] is None and m["phash"] is None
+
+    def test_corrupt_and_foreign_bytes(self):
+        from aggo_spark.operators import multimodal as mm
+
+        full = mm.encode_jpeg_header(100, 50, 3)
+        assert mm.jpeg_decode(b"\xff\xd8\xff\x00") is None  # broken stream
+        assert mm.jpeg_decode(full[:10]) is None  # truncated mid-segment
+        assert mm.jpeg_decode(b"not a jpeg") is None  # magic gate
+        # SOS before any SOF frame header -> invalid
+        import struct as s
+        bad = b"\xff\xd8" + bytes([0xFF, 0xDA]) + s.pack(">H", 4) + b"\x00\x00"
+        assert mm.jpeg_decode(bad) is None
+
+    def test_dispatch(self):
+        from aggo_spark.operators import multimodal as mm
+
+        b = mm.encode_jpeg_header(33, 44)
+        assert mm.py_decode(b)["width"] == 33
+        # no PIL in this container: auto_decode routes jpeg magic to the
+        # real header parse, not the fake
+        assert mm.auto_decode(b)["format"] == "jpeg"
+        assert mm.auto_decode(b)["height"] == 44
+
+    def test_mapinpandas_null_row(self, spark):
+        from aggo_spark.operators import multimodal as mm
+
+        df = spark.createDataFrame(
+            [(1, bytearray(mm.encode_jpeg_header(10, 20, 3))),
+             (2, bytearray(b"\xff\xd8\xff\x00"))],
+            "doc_id long, content binary")
+        out = {r["doc_id"]: r["img_meta"]
+               for r in mm.decode_image_metadata(
+                   df, decoder=mm.py_decode).collect()}
+        assert out[1]["width"] == 10 and out[1]["height"] == 20
+        assert out[2] is None or out[2]["width"] is None
+
+
+class TestScalarMemoAutoInvalidation:
+    """judge r5 #6: StreamingCollection mutations clear the scalar memo."""
+
+    def test_mutation_clears_memo(self, spark, tmp_path):
+        from aggo_spark.streaming.core import StreamingCollection
+
+        df = spark.range(5)
+        scalar_memo.plan_scalar(df, "t6inv", lambda: 42)
+        assert scalar_memo._MEMO  # populated
+        c = StreamingCollection(spark, "a long", workdir=str(tmp_path))
+        try:
+            c.add({"a": 1})
+            assert not scalar_memo._MEMO  # cleared by the mutation
+            scalar_memo.plan_scalar(df, "t6inv", lambda: 43)
+            c.remove({"a": 1})
+            assert not scalar_memo._MEMO
+        finally:
+            c.stop()
