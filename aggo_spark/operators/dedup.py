@@ -641,6 +641,11 @@ def connected_components(
         pairs.select(_edge(a_col).alias("a"), _edge(b_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
+    if algorithm == "star":
+        labels, rounds = _star_components(edges, max_iterations, ckpt)
+        connected_components.last_rounds = rounds
+        return labels
+
     # symmetrize once; propagation then only needs one join direction
     edges = ckpt(edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct())
@@ -650,7 +655,9 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("id"))
     )
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges["a"] == labels["id"])
             .groupBy(F.col("b").alias("id"))
@@ -670,7 +677,71 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    connected_components.last_rounds = rounds
     return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+connected_components.last_rounds = 0  # introspection: rounds of the last run
+
+
+def _star_components(edges: DataFrame, max_iterations: int, ckpt):
+    """Alternating large-star/small-star contraction (Kiveris et al. 2014):
+    O(log n) rounds on any graph shape, so a 1000-node chain converges in
+    ~10 rounds where min-label propagation needs ~1000.
+
+    One round = large-star (every node attaches its LARGER neighbors to
+    its local min) + small-star (every node attaches its not-larger
+    neighbors and itself to its local min). The edge set monotonically
+    contracts toward star graphs whose centers are the component minima.
+    Convergence is detected by an (edge count, xxhash64 sum) signature —
+    one scalar aggregation per round, no edge-set materialization on the
+    driver. Returns ``(labels_df, rounds)``.
+    """
+    # canonical oriented form (u=greater, v=lesser) for a stable signature
+    cur = ckpt(
+        edges.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct())
+    sig = None
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        # large-star: group by node a over the symmetrized edges; m = the
+        # local min of {a} ∪ N(a); every neighbor b > a re-attaches to m
+        sym = cur.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
+            cur.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        nmin = sym.groupBy("a").agg(F.min("b").alias("nmin"))
+        ls = (
+            sym.join(nmin, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("u"), F.least("a", "nmin").alias("v"))
+            .distinct()
+        )
+        # small-star: orient larger→smaller; m = min of {u} ∪ N_<=(u);
+        # every smaller neighbor AND u itself re-attach to m
+        m = ls.groupBy("u").agg(F.min("v").alias("m"))
+        joined = ls.join(m, "u")
+        ss = (
+            joined.select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .union(m.select(F.col("u").alias("x"), F.col("m").alias("y")))
+            .filter(F.col("x") != F.col("y"))
+            .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+            .distinct()
+        )
+        cur = ckpt(ss)
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("h")).collect()[0]
+        new_sig = (row["n"], row["h"])
+        if new_sig == sig:
+            break
+        sig = new_sig
+    labels = (
+        cur.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+        .union(cur.select(F.col("v").alias("id"), F.col("v").alias("comp")))
+        .groupBy("id")
+        .agg(F.min("comp").alias("component"))
+    )
+    return labels.select("id", "component"), rounds
 
 
 def dedup_clusters(

@@ -145,10 +145,15 @@ def bucketed_topk(
 
     ``tables`` independent hash tables (table t = sign bits of dimension
     slice [t*bits, (t+1)*bits); requires tables*bits <= dim) and
-    ``probe_hamming`` ∈ {0, 1} multiprobe (also probe every bucket one bit
-    flip away) trade scanned fraction for recall. Candidates are unioned
-    and deduped before scoring, so each (query, neighbor) pair is scored
-    once regardless of how many tables it collides in.
+    ``probe_hamming`` ∈ {0, 1, 2} multiprobe (also probe every bucket one —
+    or one and two — bit flips away) trade scanned fraction for recall.
+    Candidates are unioned and deduped before scoring, so each
+    (query, neighbor) pair is scored once regardless of how many tables it
+    collides in. Hamming-2 (r6) is feasible because probes are generated by
+    a two-stage explode — per-table base code once, then a literal mask
+    array XORed at runtime — so C(bits,2) extra probes add rows, not
+    codegen-expanded expression copies (the old formulation hit the JIT
+    method limit past hamming 1).
 
     Measured recall@10 vs brute force, sf0.001 embeddings (500×64d, all
     500 vectors as queries; scanned = candidate pairs / all pairs):
@@ -158,11 +163,15 @@ def bucketed_topk(
     ========  ======  =============  =========  =======
     8 (def)   1       0              0.016      ~1/256
     4         1       0              0.129      ~1/16
+    8         1       2              0.311      0.15
     8         8       1              0.592      0.25
     4         8       0              0.666      0.40
+    8         4       2              0.792      0.46
     6         8       1              0.886      0.60
     4         16      0              0.894      0.65
     4         4       1              0.919      0.78
+    8         8       2              0.966      0.71
+    6         8       2              1.000      0.97
     ========  ======  =============  =========  =======
 
     The 500-vector fixture makes LSH look weak (top-10 = the top 2% of the
@@ -175,10 +184,8 @@ def bucketed_topk(
     you'd *partition/cluster the table by it* so a probe prunes file groups;
     here it turns the cross join into an equi join on the bucket.
     """
-    if probe_hamming not in (0, 1):
-        # hamming-2 would mean tables*(1+bits+C(bits,2)) probe structs —
-        # the generated code blows past the JIT/codegen method limit
-        raise ValueError("probe_hamming must be 0 or 1")
+    if probe_hamming not in (0, 1, 2):
+        raise ValueError("probe_hamming must be 0, 1 or 2")
     if tables < 1:
         raise ValueError("tables must be >= 1")
     # enforce the documented tables*bits <= dim precondition: offsets past
@@ -208,20 +215,34 @@ def bucketed_topk(
         v.alias("cv"),
         F.explode(c_keys).alias("tb"),
     ).select("neighbor_id", "cv", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
-    probes = []
-    for t in range(tables):
-        base = sign_bucket(v, bits, t * bits)
-        masks = [0] + ([1 << i for i in range(bits)] if probe_hamming else [])
-        probes.extend(
-            F.struct(F.lit(t).alias("t"),
-                     base.bitwiseXOR(F.lit(m)).alias("b"))
-            for m in masks
-        )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        v.alias("qv"),
-        F.explode(F.array_distinct(F.array(*probes))).alias("tb"),
-    ).select("query_id", "qv", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    # two-stage probe explode (r6, lifts the old probe_hamming<=1 cap):
+    # stage 1 computes each table's base code ONCE (tables × sign_bucket
+    # trees); stage 2 explodes a LITERAL mask array and XORs at runtime —
+    # masks are row values, not codegen-expanded expression copies, so the
+    # expression size is O(tables·bits + masks) instead of the old
+    # O(tables·bits·masks) that blew the JIT method limit at hamming 2.
+    mask_list = [0]
+    if probe_hamming >= 1:
+        mask_list += [1 << i for i in range(bits)]
+    if probe_hamming >= 2:
+        mask_list += [(1 << i) | (1 << j)
+                      for i in range(bits) for j in range(i + 1, bits)]
+    base_arr = F.array(*[
+        F.struct(F.lit(t).alias("t"), sign_bucket(v, bits, t * bits).alias("base"))
+        for t in range(tables)
+    ])
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), v.alias("qv"),
+            F.explode(base_arr).alias("tb"))
+        .select(
+            "query_id", "qv", F.col("tb.t").alias("t"),
+            F.col("tb.base").alias("__base"),
+            F.explode(F.array(*[F.lit(m) for m in mask_list])).alias("__m"))
+        .select(
+            "query_id", "qv", "t",
+            F.col("__base").bitwiseXOR(F.col("__m")).alias("b"))
+    )
     cand = (
         c.join(F.broadcast(q), ["t", "b"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -441,6 +441,18 @@ class TestRetractionFuzz:
             "avg_price": {"$avg": "$price"},
         }},
     ]
+    # $match* + $group{_id: "$field"} with non-invertible accumulators:
+    # rides the r6 KEYED recompute path (dirty keys only) — parity-checked
+    # against the same independent model
+    KEYED_PIPE = [
+        {"$match": {"qty": {"$gte": 1}}},
+        {"$group": {
+            "_id": "$category",
+            "lo": {"$min": "$price"},
+            "hi": {"$max": "$price"},
+            "uniq_qty": {"$addToSet": "$qty"},
+        }},
+    ]
 
     @staticmethod
     def _model(live):
@@ -474,8 +486,12 @@ class TestRetractionFuzz:
         try:
             coll.stream(self.NONINV_PIPE, "noninv")
             coll.stream(self.INV_PIPE, "inv")
+            coll.stream(self.KEYED_PIPE, "keyed")
             assert not pipeline_is_incremental(self.NONINV_PIPE)
             assert pipeline_is_incremental(self.INV_PIPE)
+            from aggo_spark.streaming.core import keyed_recompute_field
+            assert keyed_recompute_field(self.KEYED_PIPE) == "category"
+            assert keyed_recompute_field(self.NONINV_PIPE) is None
 
             live: list[dict] = []
             ts = 0
@@ -505,10 +521,12 @@ class TestRetractionFuzz:
                 expected = self._model(live)
                 got_ni = by_id(coll.result("noninv"))
                 got_inv = by_id(coll.result("inv"))
+                got_k = by_id(coll.result("keyed"))
                 assert set(got_ni) == set(expected), "noninv group keys diverged"
                 assert set(got_inv) == set(expected), "inv group keys diverged"
+                assert set(got_k) == set(expected), "keyed group keys diverged"
                 for c, exp in expected.items():
-                    ni, inv = got_ni[c], got_inv[c]
+                    ni, inv, ky = got_ni[c], got_inv[c], got_k[c]
                     assert ni["lo"] == exp["lo"] and ni["hi"] == exp["hi"]
                     assert ni["first_p"] == exp["first_p"]
                     assert ni["last_p"] == exp["last_p"]
@@ -517,6 +535,11 @@ class TestRetractionFuzz:
                     assert inv["n"] == exp["n"]
                     assert inv["rev"] == pytest.approx(exp["rev"])
                     assert inv["avg_price"] == pytest.approx(exp["avg_price"])
+                    assert ky["lo"] == exp["lo"] and ky["hi"] == exp["hi"]
+                    assert sorted(ky["uniq_qty"]) == exp["uniq_qty"]
+            # after the first (registration) fold, every mutation flush must
+            # have taken the keyed path, never a silent full recompute
+            assert coll._registered["keyed"].last_recompute_mode == "keyed"
         finally:
             coll.stop()
 

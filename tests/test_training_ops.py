@@ -266,8 +266,10 @@ class TestIVFAndNearDup:
             assert abs(exact[(r.query_id, r.neighbor_id)] - r.score) < 1e-9
 
     def test_bucketed_rejects_bad_params(self, emb):
+        # probe_hamming 2 is supported since r6 (two-stage explode); 3 is
+        # still out of range
         with pytest.raises(ValueError):
-            similarity.bucketed_topk(emb, emb, probe_hamming=2)
+            similarity.bucketed_topk(emb, emb, probe_hamming=3)
         with pytest.raises(ValueError):
             similarity.bucketed_topk(emb, emb, tables=0)
 
