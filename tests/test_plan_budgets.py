@@ -74,8 +74,9 @@ BUDGETS = {
     "q36_langid": 2,
     "q37_quality": 1,
     "q39_fingerprint": 11,     # multi-fingerprint union
-    "q40_multimodal": 3,       # +1 r5: real-PNG-decode branch joins on
-                               # doc_id (one narrow 7-col row per doc)
+    "q40_multimodal": 4,       # +1 r5: real-PNG-decode branch joins on
+                               # doc_id (one narrow 7-col row per doc);
+                               # +1 r6: JPEG-header branch join (4-col row)
     "q42_stream_agg": 1,
     "q43_stream_window": 1,
     "q44_topn": 3,
@@ -88,7 +89,9 @@ BUDGETS = {
     "q53_regex_replace": 2,
     "q57_lookup_group_subpipe": 5,
     "q58_dedup_clusters": 2,   # post-convergence plan (iterations checkpointed)
-    "q59_asof_join": 3,
+    "q59_asof_join": 3,        # see SF1_OVERRIDES: the click side outgrows
+                               # autoBroadcastJoinThreshold at sf1 and
+                               # Catalyst correctly flips broadcast -> SMJ
     "q61_curation_pipeline": 5,
     "q64_graph_lookup": 4,
     "q66_skew_salted": 2,      # salt + merge: exactly the two designed stages
@@ -96,6 +99,18 @@ BUDGETS = {
     "q71_token_budget": 4,
     "q75_tfidf": 11,           # tf/df/idf/window/bm25 union
     "q77_chunking": 2,
+}
+
+# sf1 (scaledata) re-pin: budgets are identical at every SF EXCEPT the rows
+# below, each a documented SIZE-CONDITIONAL decision Catalyst is RIGHT to
+# make — found by the r6 10x validation run, which is exactly what it was
+# for. q59: the per-(user, ts) click aggregate grows past
+# autoBroadcastJoinThreshold at sf1, so the broadcast-hash join becomes a
+# sort-merge join (+2 hash exchanges, -1 broadcast) — the correct plan for
+# a fact-fact as-of join at scale; forcing broadcast of a 10x-growing side
+# would OOM executors at 100x.
+SF1_OVERRIDES = {
+    "q59_asof_join": 4,
 }
 
 # Queries whose construction runs Spark jobs (streaming registration,
@@ -112,8 +127,11 @@ def test_plan_shuffle_budget(spark, name):
     df = _QUERIES[name](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = len(re.findall(r"(?<!Reused)Exchange", plan))
-    assert n <= BUDGETS[name], (
-        f"{name}: {n} exchanges > budget {BUDGETS[name]} — a shuffle crept "
+    budget = BUDGETS[name]
+    if "scaledata" in SF_DIR:
+        budget = SF1_OVERRIDES.get(name, budget)
+    assert n <= budget, (
+        f"{name}: {n} exchanges > budget {budget} — a shuffle crept "
         f"into the plan; inspect df.explain('formatted')"
     )
 
