@@ -23,12 +23,17 @@ class TestLocalShuffleWidth:
         assert _local_shuffle_width("local[*]") == os.cpu_count()
         assert _local_shuffle_width("local") == os.cpu_count()
 
+    def test_retry_forms_match_since_r6(self):
+        # local[N,F]/local[*,F]: thread count is the first bracket term
+        assert _local_shuffle_width("local[4,2]") == 4
+        assert _local_shuffle_width("local[*,3]") == os.cpu_count()
+
     @pytest.mark.parametrize("master", [
         "local-cluster[2,1,1024]",   # multi-JVM: box cores ≠ executor width
         "spark://host:7077",
         "yarn",
         "k8s://https://host:443",
-        "local[4,2]",                # retry form: leave to cluster default
+        "local[4,]",                 # malformed retry form
     ])
     def test_non_plain_local_masters_get_no_default(self, master):
         assert _local_shuffle_width(master) is None

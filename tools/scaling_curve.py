@@ -22,6 +22,11 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# r6: include the generated sf1 world when present (tools/gen_scale_data.py)
+# for a 4th, 1000x-total datapoint
+_SF1 = "/root/repo/scaledata/sf1"
+if Path(_SF1 + "/lineitem.parquet").exists():
+    SFS.append(_SF1)
 
 DEFAULT = [
     "q01_group_agg", "q02_filter", "q03_complex", "q22_sessionize",
@@ -77,13 +82,12 @@ def main() -> None:
             fn(spark, sf).write.format("noop").mode("overwrite").save()
             per_sf[sf.rsplit("sf", 1)[-1]] = round(
                 min(t1 - t0, time.time() - t1), 3)
-        r1 = per_sf["0.01"] / per_sf["0.001"] if per_sf["0.001"] else None
-        r2 = per_sf["0.1"] / per_sf["0.01"] if per_sf["0.01"] else None
-        results[name] = {
-            "sec": per_sf,
-            "ratio_10x": [round(r1, 2) if r1 else None,
-                          round(r2, 2) if r2 else None],
-        }
+        keys = [sf.rsplit("sf", 1)[-1] for sf in SFS]
+        ratios = [
+            round(per_sf[b] / per_sf[a], 2) if per_sf.get(a) else None
+            for a, b in zip(keys, keys[1:])
+        ]
+        results[name] = {"sec": per_sf, "ratio_10x": ratios}
         print(f"{name:28s} {per_sf}  x10 ratios {results[name]['ratio_10x']}",
               file=sys.stderr)
 
