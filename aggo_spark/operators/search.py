@@ -203,14 +203,16 @@ def tfidf_top_terms(
     score(d, t) = tf(d, t) * (ln((N + 1) / (df(t) + 1)) + 1)  (smoothed idf,
     the sklearn formulation — deterministic and oracle-reproducible).
 
-    Plan shape at 100 TB:
+    Plan shape at 100 TB (ONE corpus scan end to end, r6):
       1. explode tokens → per-(doc, term) tf             — one shuffle on (doc, term)
-      2. term → document frequency                       — one agg on term (map-side
-         partial; exchange carries one row per distinct term)
-      3. equi join tf × df on term (AQE-skew-safe; a stopword-ish hot term
-         is split by AQE, and its idf ≈ 0 anyway)
-      4. per-doc top-k via window over doc               — reuses the (doc, term)
-         clustering from step 1; ties broken by term for determinism
+      2. df(t) via a window count over tf on term        — rides the tf rows
+         (one row per (doc, term), scalars only) through one term exchange;
+         a tf.groupBy(term) joined back would re-run the entire explode
+         subtree for the second branch (no exchange reuse across join
+         sides — measured 2x the scan cost at sf1). AQE splits a
+         stopword-hot term's partition, and its idf ≈ 0 anyway.
+      3. per-doc top-k via window over doc               — ties broken by
+         term for determinism
 
     Returns (doc_id, term, tfidf, term_rank), term_rank in 1..k.
     """
@@ -222,9 +224,10 @@ def tfidf_top_terms(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    with_df = tf.withColumn(
+        "df_t", F.count(F.lit(1)).over(Window.partitionBy("term")))
     idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df_t") + 1.0)) + 1.0
-    scored = tf.join(df_t, "term").select(
+    scored = with_df.select(
         id_col, "term", F.round(F.col("tf") * idf, 6).alias("tfidf")
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
@@ -278,19 +281,33 @@ def bm25_search(
             [], f"`{id_col}` {id_type}, score double, n_hit_terms long")
     n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
 
-    tok = df.select(
+    # tokenize ONCE in a child projection under the Generate: putting
+    # size(tokens(..)) in the same select as explode(tokens(..)) lands the
+    # size's tokenize AFTER the explode, re-running the regex+split chain
+    # per exploded row (~doc-length x) — measured 19 s vs 4.6 s for this
+    # stage at sf1 (r6)
+    arr = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    tok = arr.select(
         F.col(id_col),
-        F.size(tokens(F.col(text_col))).alias("dl"),
-        F.explode(tokens(F.col(text_col))).alias("term"),
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
     ).filter(F.col("term").isin(terms))
     tf = tok.groupBy(id_col, "term", "dl").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    # df(t) as a WINDOW count over tf, not a second aggregate joined back:
+    # a tf.groupBy(term) side would re-run the whole explode subtree (no
+    # exchange reuse across the join's two branches — measured 2x the scan
+    # at sf1, r6); the window repartitions the already-tiny tf rows by term
+    # instead (|docs with a query term| rows, scalars only)
+    from pyspark.sql import Window as _W
+
+    with_df = tf.withColumn(
+        "df_t", F.count(F.lit(1)).over(_W.partitionBy("term")))
     idf = F.log(1.0 + (F.lit(n_docs) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
     tf_part = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
     )
     return (
-        tf.join(df_t, "term")
+        with_df
         .groupBy(id_col)
         .agg(
             F.round(F.sum(idf * tf_part), 6).alias("score"),

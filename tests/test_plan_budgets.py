@@ -97,7 +97,12 @@ BUDGETS = {
     "q66_skew_salted": 2,      # salt + merge: exactly the two designed stages
     "q70_decontaminate": 6,
     "q71_token_budget": 4,
-    "q75_tfidf": 11,           # tf/df/idf/window/bm25 union
+    "q75_tfidf": 7,            # tightened 11 -> 7 (r6): df(t) became a
+                               # window count RIDING the tf rows instead of
+                               # a second aggregate joined back, which
+                               # re-ran the whole explode subtree per join
+                               # branch (no cross-branch exchange reuse);
+                               # q75 at sf1: 48.6 s -> 7.5 s
     "q77_chunking": 2,
 }
 
