@@ -53,7 +53,21 @@ def normalize_text(col: Column) -> Column:
 
 
 def tokens(col: Column) -> Column:
-    """whitespace tokens of the normalized text (array<string>, no empties)."""
+    """whitespace tokens of the normalized text (array<string>, no empties).
+
+    ``array_remove`` instead of a HOF ``F.filter`` lambda (r6): the lambda
+    is CodegenFallback, and in a multi-column metric projection each
+    interpreted expression knocks its siblings out of whole-stage codegen —
+    the doc_metrics base projection measured 4.1 s (HOF) vs 2.1 s
+    (array_remove) at sf1. Outputs are identical (differential test:
+    ``_tokens_hof``)."""
+    return F.array_remove(F.split(normalize_text(col), " "), "")
+
+
+def _tokens_hof(col: Column) -> Column:
+    """The pre-r6 interpreted-HOF form of ``tokens`` — kept ONLY as the
+    differential mirror (codegen-over-HOF rule: keep both forms + a test
+    pinning them identical)."""
     return F.filter(F.split(normalize_text(col), " "), lambda t: t != "")
 
 
@@ -824,29 +838,41 @@ def unigram_logprob_score(
     p(t) = (freq(t) + add_k) / (N + add_k·|V|); docs with no tokens get a
     NULL score (no evidence ≠ bad text — filter explicitly if desired).
 
-    Plan: one explode → term-frequency aggregate (exchange carries one row
-    per distinct type); the corpus scalars N/|V| come from a 1-row
-    re-aggregate of the SAME tf subtree broadcast onto the scored stream —
-    Spark's exchange reuse computes tf once (no collect, no persist; review
-    r4 replaced a driver-side collect that re-ran the tokenize+aggregate
-    lineage a second time for the join). The per-(doc, token) stream then
-    joins the frequency table on term — AQE handles the stopword skew, and
-    the frequency table is broadcast when it fits — and re-aggregates per
-    doc. Nothing driver-sized scales with the corpus.
+    Plan (r6 — ONE explode total): per-(doc, term) counts (exchange carries
+    one row per (doc, term)) → freq(t) as a window sum RIDING those rows
+    through one term exchange → per-doc weighted mean. The previous shape
+    (tf aggregate + totals branch + a join back onto the raw token stream)
+    ran the explode THREE times at execution — cross-branch exchange reuse
+    exists only between the tf and totals branches of the finalized AQE
+    plan, never for the probe side — measured 8.3 s vs 3.5 s at sf1. The
+    corpus scalars N/|V| are one bounded driver job, memoized per
+    (session, plan) like BM25's stats; an empty corpus is never cached.
+    mean_logprob = Σ c·log p / Σ c — mathematically identical to the old
+    per-token average; FP summation order can flip the 6th rounded decimal
+    on ~0.2% of docs.
     """
+    from pyspark.sql import Window as W
+
+    from ..functions.scalar_memo import plan_scalar
+
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
-    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
-    totals = tf.agg(F.sum("freq").alias("__N"), F.count(F.lit(1)).alias("__V"))
-    denom = F.col("__N").cast("double") + F.lit(add_k) * F.col("__V")
-    logp = F.log((F.col("freq") + F.lit(add_k)) / denom)
-    scored = (
-        tok.join(tf, "term")
-        .join(F.broadcast(totals))
-        .select(id_col, logp.alias("__lp"))
-    )
-    per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+    stats = plan_scalar(
+        df, f"unigramstats:{text_col}:{id_col}",
+        lambda: tok.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("term").alias("v")).collect()[0],
+        cache_if=lambda s: bool(s["n"]))
+    # empty corpus: the expression below is applied to zero rows, the
+    # denominator value is never observed — any finite value is fine
+    denom = (float(stats["n"]) + add_k * float(stats["v"])) if stats["n"] else 1.0
+    tfd = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
+    freq = F.sum("c").over(W.partitionBy("term"))
+    logp = F.log((freq + F.lit(add_k)) / F.lit(denom))
+    per_doc = tfd.select(
+        F.col(id_col), F.col("c"), (F.col("c") * logp).alias("__clp")
+    ).groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(F.sum("__clp") / F.sum("c"), 6).alias("mean_logprob"),
     )
     ids = df.select(F.col(id_col)).distinct()
     return ids.join(per_doc, id_col, "left").select(

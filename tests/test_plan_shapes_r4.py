@@ -34,17 +34,15 @@ def test_url_stats_single_agg_exchange(docs):
     assert _n_exchanges(text.url_stats(docs)) <= 3
 
 
-def test_unigram_logprob_reuses_tf_exchange(docs):
-    """The N/|V| scalars come from a re-aggregate of the SAME tf subtree;
-    at execution Spark must reuse the tf exchange, not recompute the
-    tokenize+aggregate lineage (review r4 replaced a driver collect that
-    ran it twice)."""
+def test_unigram_logprob_single_explode(docs):
+    """r6: freq(t) is a window sum riding the per-(doc, term) rows, so the
+    tokenize+explode lineage appears ONCE in the plan (the r4 join shape
+    ran it three times at execution — cross-branch exchange reuse never
+    covered the probe side; measured 8.3 s vs 3.5 s at sf1). The corpus
+    scalars are a memoized driver job, not a plan branch."""
     df = text.unigram_logprob_score(docs)
-    df.collect()  # finalize THIS DataFrame's own AQE plan (a noop write
-    # runs a separate query execution; this one would stay isFinalPlan=false)
     plan = _exec_plan(df)
-    assert "isFinalPlan=true" in plan
-    assert "ReusedExchange" in plan, plan[:2000]
+    assert plan.count("Generate explode") == 1, plan[:2000]
 
 
 def test_mixture_sample_single_window_exchange(docs):

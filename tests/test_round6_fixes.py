@@ -460,6 +460,35 @@ class TestKeyedIncrementalRetraction:
         assert keyed_recompute_field([]) is None
 
 
+class TestTokensCodegenForm:
+    """r6: tokens() moved from an interpreted HOF filter to codegen
+    array_remove — differential mirror pins identical outputs."""
+
+    def test_differential_vs_hof_mirror(self, spark):
+        from aggo_spark.operators.text import _tokens_hof, tokens
+
+        df = spark.createDataFrame(
+            [(1, "  a  b  "), (2, ""), (3, None), (4, "!!!"), (5, "x"),
+             (6, "   "), (7, "A-B c_d 9"), (8, "The quick brown fox")],
+            "doc_id long, text string")
+        a = df.select("doc_id", tokens(F.col("text")).alias("t")).collect()
+        b = df.select("doc_id", _tokens_hof(F.col("text")).alias("t")).collect()
+        assert [(r["doc_id"], r["t"]) for r in a] == \
+               [(r["doc_id"], r["t"]) for r in b]
+
+    def test_differential_on_real_docs(self, spark):
+        from aggo_spark import load_tables
+        from aggo_spark.operators.text import _tokens_hof, tokens
+
+        docs = load_tables(
+            spark, "/root/testdata/sf0.01", ["documents"])["documents"]
+        a = docs.select(F.md5(F.concat_ws(
+            "\x01", tokens(F.col("text")))).alias("h"))
+        b = docs.select(F.md5(F.concat_ws(
+            "\x01", _tokens_hof(F.col("text")))).alias("h"))
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 class TestScalarMemoAutoInvalidation:
     """judge r5 #6: StreamingCollection mutations clear the scalar memo."""
 
