@@ -434,7 +434,10 @@ class StreamingCollection:
             n_files = len(self._file_paths)
             delta_paths = self._file_paths[reg.file_pos:]
         first_run = reg.file_pos == 0
-        reg.file_pos = n_files
+        # file_pos advances only AFTER a successful fold: if the keyed
+        # aggregation below throws (transient executor loss), the deltas
+        # stay pending and the next flush retries them instead of silently
+        # skipping that window forever
         if reg.keyed_field is not None and not first_run:
             if not delta_paths:
                 reg.last_recompute_mode = "noop"
@@ -461,6 +464,7 @@ class StreamingCollection:
             out = self.engine.aggregate(live, reg.pipeline)
             reg.last_recompute_mode = "full"
             reg.result_rows = [r.asDict(recursive=True) for r in out.collect()]
+        reg.file_pos = n_files
         for cb in reg.on_update:
             cb(reg.result_rows)
         self._emit("result-updated", reg.id, reg.result_rows)

@@ -441,6 +441,33 @@ class TestKeyedIncrementalRetraction:
         finally:
             c.stop()
 
+    def test_failed_fold_retries_deltas(self, spark, tmp_path, monkeypatch):
+        """file_pos advances only after a successful fold: a transient
+        failure must not permanently skip the delta window."""
+        c = self._mk(spark, tmp_path)
+        try:
+            c.stream(self.PIPE, "r")
+            c.add({"cat": "a", "price": 5.0, "qty": 1})
+            reg = c._registered["r"]
+            orig = c.engine.aggregate
+            calls = {"n": 0}
+
+            def boom(*a, **kw):
+                calls["n"] += 1
+                raise RuntimeError("transient")
+
+            monkeypatch.setattr(c.engine, "aggregate", boom)
+            with pytest.raises(RuntimeError):
+                c.add({"cat": "b", "price": 7.0, "qty": 2})
+            monkeypatch.setattr(c.engine, "aggregate", orig)
+            # the failed delta window is still pending -> a later flush
+            # folds BOTH the failed and the new mutation
+            c.add({"cat": "c", "price": 9.0, "qty": 3})
+            got = {r["_id"]: r["lo"] for r in c.result("r")}
+            assert got == {"a": 5.0, "b": 7.0, "c": 9.0}
+        finally:
+            c.stop()
+
     def test_qualification_rules(self):
         from aggo_spark.streaming.core import keyed_recompute_field
 
