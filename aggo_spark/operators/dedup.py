@@ -750,6 +750,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     a_col: str = "id_a",
     b_col: str = "id_b",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Cluster assignment for the whole corpus: every document gets a
     component (singletons are their own), plus is_representative = the
@@ -757,9 +758,11 @@ def dedup_clusters(
 
     One left join against the component map (broadcast-eligible — the map
     has one row per *paired* doc, a tiny fraction of the corpus at real
-    duplicate rates).
+    duplicate rates). ``algorithm`` passes through to
+    :func:`connected_components` — use ``"star"`` when the pair graph may
+    contain long transitive chains.
     """
-    comp = connected_components(pairs, a_col, b_col)
+    comp = connected_components(pairs, a_col, b_col, algorithm=algorithm)
     # Match _edge in connected_components: numeric ids were unified to long
     # there, so mirror the cast for coalesce/compare; non-numeric ids
     # (string doc hashes / URLs) must pass through raw — a blanket

@@ -426,6 +426,7 @@ def semantic_dedup(
     max_train_rows: int = 100_000,
     centroids: "str | list" = "kmeans",
     n_assign: int = 1,
+    cc_algorithm: str = "label",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning via
     embedding clusters. Returns one row per input vector:
@@ -526,7 +527,7 @@ def semantic_dedup(
     )
     if n_assign > 1:  # a pair can co-occur in several cells: one edge each
         pairs = pairs.distinct()
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, algorithm=cc_algorithm)
 
     labeled = (
         coded.join(comp, "id", "left")

@@ -268,15 +268,36 @@ class TestStarConnectedComponents:
         out = connected_components(df, algorithm=algorithm)
         return {r["id"]: r["component"] for r in out.collect()}
 
-    def test_differential_random_graph(self, spark):
+    @pytest.mark.parametrize("seed", [6, 61, 66])
+    def test_differential_random_graph(self, spark, seed):
         import random
 
-        rng = random.Random(6)
+        rng = random.Random(seed)
         edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
         edges = [e for e in edges if e[0] != e[1]]
         a = self._cc(spark, edges, "label")
         b = self._cc(spark, edges, "star")
         assert a == b
+
+    def test_dedup_clusters_and_semantic_dedup_accept_star(self, spark):
+        from aggo_spark.operators.dedup import dedup_clusters
+        from aggo_spark.operators.similarity import semantic_dedup
+
+        docs = spark.createDataFrame(
+            [(1,), (2,), (3,), (4,)], "doc_id long")
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+        out = {r["doc_id"]: (r["component"], r["is_representative"])
+               for r in dedup_clusters(docs, pairs, algorithm="star").collect()}
+        assert out == {1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True)}
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])],
+            "vec_id long, embedding array<double>")
+        sd = semantic_dedup(
+            emb, threshold=0.99, centroids=[[1.0, 0.0], [0.0, 1.0]],
+            cc_algorithm="star").collect()
+        comp = {r["vec_id"]: r["component"] for r in sd}
+        assert comp[1] == comp[2] and comp[3] != comp[1]
 
     def test_chain_converges_in_log_rounds(self, spark):
         from aggo_spark.operators.dedup import connected_components
