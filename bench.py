@@ -54,15 +54,25 @@ HEADLINE = [
 # the (clean) BENCH_r03 recording. Used only as a >3x contamination
 # trigger, never reported as a measurement.
 EXPECTED_FALLBACK_SF01 = {
-    "q05_tokens": 0.4,
-    "q11_window": 0.85,
+    # refreshed r6 (clean full run at measured-idle, post BM25/tokens
+    # optimization): tighter values make the >3x gate more sensitive
+    "q01_group_agg": 0.35,
+    "q03_complex": 0.3,
+    "q05_tokens": 0.3,
+    "q11_window": 0.75,
     "q12_topk": 0.15,
-    "q20_lookup_pipeline": 0.9,
-    "q26_lookup_group": 0.55,
-    "q32_dedup_minhash": 3.7,
+    "q20_lookup_pipeline": 0.55,
+    "q22_sessionize": 0.6,
+    "q26_lookup_group": 0.6,
+    "q30_dedup_exact": 0.45,
+    "q32_dedup_minhash": 2.5,
     "q32_dedup_minhash_md5": 2.0,
-    "q34_ann_brute": 0.9,
-    "q61_curation_pipeline": 2.5,
+    "q33_dedup_simhash": 1.25,
+    "q34_ann_brute": 0.7,
+    "q36_langid": 0.6,
+    "q37_quality": 1.1,
+    "q59_asof_join": 1.0,
+    "q61_curation_pipeline": 1.9,
 }
 
 RERUN_FACTOR = 3.0      # min-of-3 above expected*factor => suspect, rescue
@@ -140,7 +150,11 @@ def _load_expected(sf: float) -> dict[str, float]:
             for q, rec in results.items():
                 sec = (rec.get("sec") or {}).get(key)
                 if isinstance(sec, (int, float)) and sec > 0:
-                    expected[q] = float(sec)
+                    # min with the pinned fallback: "expected" means the
+                    # CLEAN time, and the scaling tool's best-of-2 numbers
+                    # are noisier than the bench's own best-of-3 pins — a
+                    # noisy-high overlay would loosen the >3x gate (r6)
+                    expected[q] = min(float(sec), expected.get(q, float(sec)))
         except (OSError, ValueError, AttributeError):
             pass
     return expected
