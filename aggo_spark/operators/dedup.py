@@ -480,6 +480,7 @@ def benchmark_ngram_overlap(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 13,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """Train/test decontamination: flag corpus docs sharing any word n-gram
     with a benchmark set (the GPT-3 appendix-C recipe; n=13 is standard).
@@ -492,9 +493,23 @@ def benchmark_ngram_overlap(
          ~0 rows for a clean corpus)
       4. left join counts back onto corpus ids for the flag column
 
+    ``strategy`` (r6): ``"broadcast"`` (default) forces the benchmark gram
+    set executor-resident — right whenever the benchmark fits in memory
+    (every real eval suite). ``"shuffle"`` removes the hint for a
+    BENCHMARK SET TOO BIG TO BROADCAST (e.g. decontaminating against a
+    whole held-out corpus): Catalyst plans a shuffle join and, with
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` (on by default in
+    this engine's sessions), injects a runtime bloom filter from the
+    benchmark side into the corpus-gram scan — the corpus stream is
+    pre-pruned to probable matches before the exchange, which is the
+    hand-rolled bloom-decontamination design, supplied by the optimizer.
+
     md5 grams (not xxhash) so a DuckDB oracle reproduces the set bit-for-bit.
     """
     from .text import word_ngrams
+
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"strategy must be 'broadcast' or 'shuffle', got {strategy!r}")
 
     def gram_hashes(df):
         tok = tokens(F.col(text_col))
@@ -505,7 +520,9 @@ def benchmark_ngram_overlap(
         )
 
     corpus_grams = gram_hashes(corpus)
-    bench_grams = F.broadcast(gram_hashes(benchmark).select("h").distinct())
+    bench_grams = gram_hashes(benchmark).select("h").distinct()
+    if strategy == "broadcast":
+        bench_grams = F.broadcast(bench_grams)
     overlap = (
         corpus_grams.join(bench_grams, "h")
         .groupBy(id_col)

@@ -62,6 +62,11 @@ def build_session(
         # wide aggregations (e.g. 64-permutation MinHash = 64 min buffers)
         # must stay inside whole-stage codegen; default maxFields=100 bails
         .config("spark.sql.codegen.maxFields", "256")
+        # runtime bloom filters on shuffle joins (Spark default, pinned
+        # explicitly because operators rely on it: decontamination's
+        # strategy='shuffle' path expects the optimizer to pre-prune the
+        # corpus-gram stream with a bloom built from the benchmark side)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     # Default the shuffle width to the local core count rather than Spark's
     # 200: at local/laptop scale 200 reduce tasks are pure per-task overhead

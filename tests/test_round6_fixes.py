@@ -508,6 +508,56 @@ class TestKeyedIncrementalRetraction:
         assert keyed_recompute_field([]) is None
 
 
+class TestDecontaminationShuffleStrategy:
+    """r6: strategy='shuffle' for benchmark sets too big to broadcast —
+    identical results, no forced broadcast of the benchmark grams."""
+
+    def _data(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f g h i j k l m n o p"),
+             (2, "totally different words entirely here now ok yes " * 2),
+             (3, None)],
+            "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(100, "a b c d e f g h i j k l m extra tail")],
+            "doc_id long, text string")
+        return corpus, bench
+
+    def test_strategies_agree(self, spark):
+        from aggo_spark.operators.dedup import benchmark_ngram_overlap
+
+        corpus, bench = self._data(spark)
+        a = sorted(benchmark_ngram_overlap(
+            corpus, bench, strategy="broadcast").collect())
+        b = sorted(benchmark_ngram_overlap(
+            corpus, bench, strategy="shuffle").collect())
+        assert a == b
+        by = {r["doc_id"]: r["contaminated"] for r in a}
+        assert by[1] is True and by[2] is False and by[3] is False
+
+    def test_shuffle_plan_has_no_forced_broadcast_hint(self, spark):
+        from aggo_spark.operators.dedup import benchmark_ngram_overlap
+
+        corpus, bench = self._data(spark)
+        out = benchmark_ngram_overlap(corpus, bench, strategy="shuffle")
+        optimized = out._jdf.queryExecution().optimizedPlan().toString()
+        # the left join back onto corpus ids may still broadcast the tiny
+        # counts; the BENCHMARK-side hint specifically must be absent from
+        # the logical plan (Catalyst remains free to choose)
+        assert "ResolvedHint" not in optimized
+
+    def test_validation(self, spark):
+        from aggo_spark.operators.dedup import benchmark_ngram_overlap
+
+        corpus, bench = self._data(spark)
+        with pytest.raises(ValueError, match="strategy"):
+            benchmark_ngram_overlap(corpus, bench, strategy="bloom")
+
+    def test_session_pins_runtime_bloom(self, spark):
+        assert spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+
+
 class TestTokensCodegenForm:
     """r6: tokens() moved from an interpreted HOF filter to codegen
     array_remove — differential mirror pins identical outputs."""
