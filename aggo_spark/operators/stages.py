@@ -2019,6 +2019,158 @@ def stage_rank_fusion(df: DataFrame, spec: dict, engine) -> DataFrame:
         F.col(score_field).desc(), F.col(id_field).asc_nulls_last())
 
 
+def stage_score_fusion(df: DataFrame, spec: dict, engine) -> DataFrame:
+    """``$scoreFusion`` (MongoDB 8.1 hybrid search): run the named SCORED
+    input pipelines over the same collection, normalize each pipeline's
+    scores, and combine them as a weighted sum or average.
+
+    Spec: ``{input: {pipelines: {name: [...]},
+    normalization: "none"|"sigmoid"|"minMaxScaler"},
+    combination: {weights: {name: w}, method: "avg"|"sum"},
+    idField: "_id", scoreField: "score" (the per-pipeline INPUT score
+    column and the fused OUTPUT column), maxDocs: 1000,
+    scoreDetails: bool}``.
+
+    Every input pipeline must emit ``scoreField`` — ``$vectorSearch``
+    does, and any pipeline can via ``$addFields`` (our engine has no
+    ``$meta: "score"`` channel, so the score travels as a column; COMPAT).
+    Per pipeline: the output is BOUNDED (own ``$limit``/``$vectorSearch``,
+    else ``orderBy(score desc).limit(maxDocs)`` → TakeOrderedAndProject),
+    a document's best (max) score wins, then normalization:
+
+    - ``none`` — raw scores;
+    - ``sigmoid`` — ``1/(1+e^-s)`` (MongoDB's default);
+    - ``minMaxScaler`` — ``(s - min)/(max - min)`` over THAT pipeline's
+      bounded result (1-row min/max aggregate, broadcast); a constant
+      score list maps to 1.0 (present = max).
+
+    Combination: ``sum`` → ``Σ w_i·n_i``; ``avg`` (default) →
+    ``Σ w_i·n_i / Σ_{returning} w_i`` — both over only the pipelines that
+    returned the document. Output rows ordered by fused score desc, ties
+    id asc; representative document columns follow the same
+    earliest-pipeline rule as ``$rankFusion``.
+    """
+    from pyspark.sql import Window as W
+
+    pipes = (spec.get("input") or {}).get("pipelines")
+    if not isinstance(pipes, dict) or not pipes:
+        raise InvalidPipeline("$scoreFusion requires input.pipelines: {name: [...]}")
+    norm = (spec.get("input") or {}).get("normalization", "sigmoid")
+    if norm not in ("none", "sigmoid", "minMaxScaler"):
+        raise InvalidPipeline(
+            f"$scoreFusion normalization must be 'none', 'sigmoid' or "
+            f"'minMaxScaler', got {norm!r}")
+    comb = spec.get("combination") or {}
+    method = comb.get("method", "avg")
+    if method not in ("avg", "sum"):
+        raise InvalidPipeline(f"$scoreFusion combination.method must be 'avg' or 'sum', got {method!r}")
+    weights = comb.get("weights") or {}
+    for name, w in weights.items():
+        if name not in pipes:
+            raise InvalidPipeline(f"$scoreFusion weight for unknown pipeline {name!r}")
+        if not isinstance(w, (int, float)) or w < 0:
+            raise InvalidPipeline(f"$scoreFusion weight for {name!r} must be >= 0")
+    id_field = spec.get("idField", "_id")
+    score_field = spec.get("scoreField", "score")
+    max_docs = int(spec.get("maxDocs", 1000))
+    if max_docs < 1:
+        raise InvalidPipeline("$scoreFusion maxDocs must be >= 1")
+    want_details = bool(spec.get("scoreDetails"))
+
+    doc_parts, score_lists = [], []
+    for i, (name, sub) in enumerate(pipes.items()):
+        out = apply_pipeline(df, sub, engine)
+        for col in (id_field, score_field):
+            if col not in out.columns:
+                raise InvalidPipeline(
+                    f"$scoreFusion pipeline {name!r} output lacks {col!r} "
+                    f"(input pipelines must be SCORED: $vectorSearch or an "
+                    f"explicit score column)")
+        if not any(next(iter(st)) in ("$limit", "$vectorSearch") for st in sub):
+            out = out.orderBy(
+                F.col(score_field).desc(), F.col(id_field).asc_nulls_last()
+            ).limit(max_docs)
+        # best (max) raw score per document within a pipeline
+        best = out.groupBy(id_field).agg(F.max(score_field).alias("__raw"))
+        if norm == "sigmoid":
+            normed = best.withColumn(
+                "__norm", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__raw"))))
+        elif norm == "minMaxScaler":
+            rng = best.agg(
+                F.min("__raw").alias("__mn"), F.max("__raw").alias("__mx"))
+            normed = best.crossJoin(F.broadcast(rng)).withColumn(
+                "__norm",
+                F.when(F.col("__mx") == F.col("__mn"), F.lit(1.0)).otherwise(
+                    (F.col("__raw") - F.col("__mn"))
+                    / (F.col("__mx") - F.col("__mn")))
+            ).drop("__mn", "__mx")
+        else:
+            normed = best.withColumn("__norm", F.col("__raw").cast("double"))
+        w = float(weights.get(name, 1.0))
+        score_lists.append(normed.select(
+            F.col(id_field),
+            F.lit(i).alias("__sf_pos"),
+            F.lit(name).alias("__sf_name"),
+            F.lit(w).alias("__sf_w"),
+            F.col("__raw").cast("double").alias("__sf_raw"),
+            F.col("__norm").cast("double").alias("__sf_norm"),
+        ))
+        doc_parts.append(
+            out.withColumn("__sf_src", F.lit(i))
+            .withColumn("__sf_score", F.col(score_field)))
+
+    un_scores = score_lists[0]
+    for p in score_lists[1:]:
+        un_scores = un_scores.unionByName(p)
+    agg_cols = [
+        F.round(
+            F.sum(F.col("__sf_w") * F.col("__sf_norm"))
+            / (F.sum("__sf_w") if method == "avg" else F.lit(1.0)),
+            6).alias(score_field),
+    ]
+    if want_details:
+        agg_cols.append(F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("__sf_pos").alias("pos"),
+                F.col("__sf_name").alias("inputPipelineName"),
+                F.col("__sf_w").alias("weight"),
+                F.round("__sf_raw", 6).alias("rawScore"),
+                F.round("__sf_norm", 6).alias("normalizedScore"),
+                F.round(F.col("__sf_w") * F.col("__sf_norm"), 6)
+                .alias("contribution")))),
+            lambda s: s.dropFields("pos")).alias("__sf_details"))
+    fused = un_scores.groupBy(id_field).agg(*agg_cols)
+    contrib = fused.withColumnRenamed(id_field, "__sf_id")
+
+    # representative document: earliest pipeline, then best raw score
+    un_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        un_docs = un_docs.unionByName(p, allowMissingColumns=True)
+    pick = W.partitionBy(id_field).orderBy(
+        F.asc("__sf_src"), F.desc_nulls_last("__sf_score"))
+    docs = (
+        un_docs.withColumn("__sf_pick", F.row_number().over(pick))
+        .filter(F.col("__sf_pick") == 1)
+        .drop("__sf_src", "__sf_score", "__sf_pick", score_field)
+    )
+    out = (
+        docs.join(contrib, docs[id_field].eqNullSafe(contrib["__sf_id"]))
+        .drop("__sf_id")
+    )
+    if want_details:
+        desc = (
+            f"value output by score fusion algorithm, computed as the "
+            f"{'weighted average' if method == 'avg' else 'weighted sum'} of "
+            f"{norm}-normalized scores across input pipelines from which "
+            f"this document is output, from: {list(pipes)}")
+        out = out.withColumn("scoreDetails", F.struct(
+            F.col(score_field).alias("value"),
+            F.lit(desc).alias("description"),
+            F.col("__sf_details").alias("details"))).drop("__sf_details")
+    return out.orderBy(
+        F.col(score_field).desc(), F.col(id_field).asc_nulls_last())
+
+
 def stage_dedup_window(df: DataFrame, spec: dict, engine) -> DataFrame:
     """``$dedupWindow {keys: [...], on: "$ts", watermark: "10 minutes",
     arrival: "$batch"}`` — event-time deduplication (Spark-native
@@ -2186,4 +2338,5 @@ STAGES = {
     "$dedupWindow": stage_dedup_window,
     "$vectorSearch": stage_vector_search,
     "$rankFusion": stage_rank_fusion,
+    "$scoreFusion": stage_score_fusion,
 }

@@ -257,6 +257,119 @@ class TestRankFusionScoreDetails:
         assert by[1].scoreDetails.value == pytest.approx(1 / 61, abs=1e-6)
 
 
+class TestScoreFusion:
+    """$scoreFusion (MongoDB 8.1 surface, r6): normalized weighted score
+    combination over scored input pipelines — hand-computed values."""
+
+    def _df(self, spark):
+        rows = [(1, 2.0, [1.0, 0.0]), (2, 1.0, [0.8, 0.6]),
+                (3, 0.0, [0.0, 1.0])]
+        return spark.createDataFrame(
+            rows, "doc_id int, pop double, embedding array<double>")
+
+    def test_none_normalization_weighted_sum(self, spark):
+        from aggo_spark import Engine
+
+        df = self._df(spark)
+        out = Engine().aggregate(df, [{"$scoreFusion": {
+            "input": {"pipelines": {
+                "pop": [{"$addFields": {"score": "$pop"}},
+                        {"$sort": {"score": -1}}, {"$limit": 3}],
+                "vec": [{"$vectorSearch": {"queryVector": [1.0, 0.0],
+                                           "path": "$embedding", "limit": 3}}],
+            }, "normalization": "none"},
+            "combination": {"weights": {"pop": 2.0, "vec": 1.0},
+                            "method": "sum"},
+            "idField": "doc_id",
+        }}]).collect()
+        by = {r.doc_id: r.score for r in out}
+        # vec scores: Atlas (1+cos)/2 -> d1: 1.0, d2: 0.9, d3: 0.5
+        assert by[1] == pytest.approx(2 * 2.0 + 1.0, abs=1e-6)
+        assert by[2] == pytest.approx(2 * 1.0 + 0.9, abs=1e-6)
+        assert by[3] == pytest.approx(2 * 0.0 + 0.5, abs=1e-6)
+        assert [r.doc_id for r in out] == [1, 2, 3]
+
+    def test_sigmoid_avg_and_missing_pipeline(self, spark):
+        import math
+
+        from aggo_spark import Engine
+
+        df = self._df(spark)
+        out = Engine().aggregate(df, [{"$scoreFusion": {
+            "input": {"pipelines": {
+                "pop": [{"$addFields": {"score": "$pop"}},
+                        {"$sort": {"score": -1}}, {"$limit": 2}],
+                "vec": [{"$vectorSearch": {"queryVector": [1.0, 0.0],
+                                           "path": "$embedding", "limit": 3}}],
+            }},  # normalization defaults to sigmoid; method defaults to avg
+            "idField": "doc_id",
+            "scoreDetails": True,
+        }}]).collect()
+        by = {r.doc_id: r for r in out}
+        sig = lambda s: 1.0 / (1.0 + math.exp(-s))
+        # doc 1: pop 2.0 + vec 1.0 -> avg of sigmoids
+        assert by[1].score == pytest.approx((sig(2.0) + sig(1.0)) / 2, abs=1e-6)
+        # doc 3 cut by pop's $limit 2: only vec contributes -> avg over vec
+        assert by[3].score == pytest.approx(sig(0.5), abs=1e-6)
+        assert [x.inputPipelineName for x in by[3].scoreDetails.details] == ["vec"]
+        d1 = by[1].scoreDetails.details
+        assert [x.inputPipelineName for x in d1] == ["pop", "vec"]
+        assert d1[0].rawScore == pytest.approx(2.0)
+        assert d1[0].normalizedScore == pytest.approx(sig(2.0), abs=1e-6)
+
+    def test_minmax_scaler(self, spark):
+        from aggo_spark import Engine
+
+        df = self._df(spark)
+        out = Engine().aggregate(df, [{"$scoreFusion": {
+            "input": {"pipelines": {
+                "pop": [{"$addFields": {"score": "$pop"}},
+                        {"$sort": {"score": -1}}, {"$limit": 3}],
+            }, "normalization": "minMaxScaler"},
+            "idField": "doc_id",
+        }}]).collect()
+        by = {r.doc_id: r.score for r in out}
+        # pop 2/1/0 min-max scaled -> 1.0 / 0.5 / 0.0
+        assert by[1] == pytest.approx(1.0) and by[2] == pytest.approx(0.5)
+        assert by[3] == pytest.approx(0.0)
+
+    def test_validation(self, spark):
+        from aggo_spark import Engine
+        from aggo_spark.errors import InvalidPipeline
+
+        df = self._df(spark)
+        with pytest.raises(InvalidPipeline, match="SCORED"):
+            Engine().aggregate(df, [{"$scoreFusion": {
+                "input": {"pipelines": {"p": [{"$sort": {"pop": -1}}]}},
+                "idField": "doc_id"}}])
+        with pytest.raises(InvalidPipeline, match="normalization"):
+            Engine().aggregate(df, [{"$scoreFusion": {
+                "input": {"pipelines": {"p": [{"$addFields": {"score": "$pop"}},
+                                              {"$limit": 3}]},
+                          "normalization": "zscore"},
+                "idField": "doc_id"}}])
+        with pytest.raises(InvalidPipeline, match="weight"):
+            Engine().aggregate(df, [{"$scoreFusion": {
+                "input": {"pipelines": {"p": [{"$addFields": {"score": "$pop"}},
+                                              {"$limit": 3}]}},
+                "combination": {"weights": {"zz": 1.0}},
+                "idField": "doc_id"}}])
+
+    def test_unbounded_pipeline_gets_bounded(self, spark):
+        from aggo_spark import Engine
+
+        df = self._df(spark)
+        out = Engine().aggregate(df, [{"$scoreFusion": {
+            "input": {"pipelines": {
+                "pop": [{"$addFields": {"score": "$pop"}},
+                        {"$sort": {"score": -1}}],
+            }, "normalization": "none"},
+            "idField": "doc_id",
+            "maxDocs": 2,
+        }}]).collect()
+        assert len(out) == 2  # bounded by maxDocs
+
+
 class TestStarConnectedComponents:
     """judge r5 #4: large-star/small-star contraction — O(log n) rounds on
     high-diameter graphs, label-identical to min-label propagation."""
