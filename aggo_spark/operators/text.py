@@ -788,14 +788,19 @@ def filter_blocked_domains(
     text_col: str = "text",
     id_col: str = "doc_id",
     match_subdomains: bool = True,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Drop documents citing any blocked domain (C4-style source filter).
 
-    ``blocklist`` is a list of domain strings or a 1-column DataFrame; it is
-    BROADCAST (blocklists are thousands of rows; the corpus side never
-    shuffles). ``match_subdomains`` also blocks ``*.domain`` hosts — that
-    join has an ``endswith`` conjunct, fine under broadcast-nested-loop at
-    blocklist size but never attempted as a shuffle join.
+    ``blocklist`` is a list of domain strings or a 1-column DataFrame; by
+    default it is BROADCAST (typical blocklists are thousands to a few
+    million rows; the corpus side never shuffles). ``broadcast=False`` (r6)
+    drops the hint for a blocklist too big to hold executor-resident —
+    only valid with ``match_subdomains=False`` (the subdomain variant's
+    ``endswith`` conjunct has no equi key, so a non-broadcast plan would
+    degenerate to a cartesian product; exact-host matching shuffle-joins
+    on the domain and gets the optimizer's runtime bloom filter).
+    ``match_subdomains`` also blocks ``*.domain`` hosts.
     """
     spark = df.sparkSession
     if not isinstance(blocklist, DataFrame):
@@ -804,6 +809,11 @@ def filter_blocked_domains(
     else:
         cols = blocklist.columns
         blocklist = blocklist.select(F.lower(F.col(cols[0])).alias("blocked"))
+    if not broadcast and match_subdomains:
+        raise ValueError(
+            "broadcast=False requires match_subdomains=False: the subdomain "
+            "endswith condition has no equi key, so a non-broadcast join "
+            "would be a cartesian product")
 
     doms = extract_url_domains(df, text_col, id_col)
     if match_subdomains:
@@ -811,8 +821,9 @@ def filter_blocked_domains(
             F.concat(F.lit("."), F.col("blocked")))
     else:
         cond = F.col("domain") == F.col("blocked")
+    bl = F.broadcast(blocklist) if broadcast else blocklist
     blocked_ids = (
-        doms.join(F.broadcast(blocklist), cond, "left_semi")
+        doms.join(bl, cond, "left_semi")
         .select(id_col)
         .distinct()
     )

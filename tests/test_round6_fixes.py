@@ -671,6 +671,32 @@ class TestDecontaminationShuffleStrategy:
             "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
 
 
+class TestBlocklistShuffleOption:
+    """r6: broadcast=False for corpus-sized blocklists (exact-host only)."""
+
+    def test_shuffle_agrees_with_broadcast(self, spark):
+        from aggo_spark.operators.text import filter_blocked_domains
+
+        df = spark.createDataFrame(
+            [(1, "see https://bad.example.com/x ok"),
+             (2, "see https://good.example.org/y ok"),
+             (3, "no urls at all")],
+            "doc_id long, text string")
+        bl = ["bad.example.com"]
+        a = sorted(r["doc_id"] for r in filter_blocked_domains(
+            df, bl, match_subdomains=False).collect())
+        b = sorted(r["doc_id"] for r in filter_blocked_domains(
+            df, bl, match_subdomains=False, broadcast=False).collect())
+        assert a == b == [2, 3]
+
+    def test_shuffle_with_subdomains_rejected(self, spark):
+        from aggo_spark.operators.text import filter_blocked_domains
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="match_subdomains"):
+            filter_blocked_domains(df, ["a.com"], broadcast=False)
+
+
 class TestTokensCodegenForm:
     """r6: tokens() moved from an interpreted HOF filter to codegen
     array_remove — differential mirror pins identical outputs."""
