@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..errors import InvalidPipeline, UnsupportedStage
+from ..errors import InvalidPipeline, UnsupportedExpression, UnsupportedStage
 from ..plans.context import REMOVE, ExprContext
 from ..functions.accumulators import (
     RANGE_UNIT_MS,
@@ -2046,9 +2046,14 @@ def stage_score_fusion(df: DataFrame, spec: dict, engine) -> DataFrame:
 
     Combination: ``sum`` → ``Σ w_i·n_i``; ``avg`` (default) →
     ``Σ w_i·n_i / Σ_{returning} w_i`` — both over only the pipelines that
-    returned the document. Output rows ordered by fused score desc, ties
-    id asc; representative document columns follow the same
-    earliest-pipeline rule as ``$rankFusion``.
+    returned the document. ``expression`` (MongoDB 8.1's third form) —
+    an aggregation expression over the per-pipeline normalized scores,
+    referenced as ``$$<pipelineName>`` (e.g. ``{"$add": [{"$multiply":
+    ["$$vec", 0.7]}, "$$kw"]}``); a pipeline that did not return the
+    document scores 0, and ``weights`` cannot be combined with it.
+    Output rows ordered by fused score desc, ties id asc; representative
+    document columns follow the same earliest-pipeline rule as
+    ``$rankFusion``.
     """
     from pyspark.sql import Window as W
 
@@ -2062,8 +2067,23 @@ def stage_score_fusion(df: DataFrame, spec: dict, engine) -> DataFrame:
             f"'minMaxScaler', got {norm!r}")
     comb = spec.get("combination") or {}
     method = comb.get("method", "avg")
-    if method not in ("avg", "sum"):
-        raise InvalidPipeline(f"$scoreFusion combination.method must be 'avg' or 'sum', got {method!r}")
+    if method not in ("avg", "sum", "expression"):
+        raise InvalidPipeline(
+            f"$scoreFusion combination.method must be 'avg', 'sum' or "
+            f"'expression', got {method!r}")
+    comb_expr = comb.get("expression")
+    if method == "expression":
+        if comb_expr is None:
+            raise InvalidPipeline(
+                "$scoreFusion combination.method 'expression' requires "
+                "combination.expression")
+        if comb.get("weights"):
+            raise InvalidPipeline(
+                "$scoreFusion combination.weights cannot be combined with "
+                "method 'expression' (encode weights in the expression)")
+    elif comb_expr is not None:
+        raise InvalidPipeline(
+            "$scoreFusion combination.expression requires method 'expression'")
     weights = comb.get("weights") or {}
     for name, w in weights.items():
         if name not in pipes:
@@ -2122,12 +2142,25 @@ def stage_score_fusion(df: DataFrame, spec: dict, engine) -> DataFrame:
     un_scores = score_lists[0]
     for p in score_lists[1:]:
         un_scores = un_scores.unionByName(p)
-    agg_cols = [
-        F.round(
-            F.sum(F.col("__sf_w") * F.col("__sf_norm"))
-            / (F.sum("__sf_w") if method == "avg" else F.lit(1.0)),
-            6).alias(score_field),
-    ]
+    if method == "expression":
+        # Pivot each pipeline's normalized score into its own column so
+        # `combination.expression` can reference it as `$$<pipelineName>`
+        # (MongoDB 8.1). A pipeline that did not return the document
+        # contributes 0 — the only total semantics for an arbitrary
+        # expression (matches MongoDB's stated behavior).
+        pivot_cols = {name: f"__sf_p{i}" for i, name in enumerate(pipes)}
+        agg_cols = [
+            F.max(F.when(F.col("__sf_pos") == i, F.col("__sf_norm")))
+            .alias(f"__sf_p{i}")
+            for i in range(len(pipes))
+        ]
+    else:
+        agg_cols = [
+            F.round(
+                F.sum(F.col("__sf_w") * F.col("__sf_norm"))
+                / (F.sum("__sf_w") if method == "avg" else F.lit(1.0)),
+                6).alias(score_field),
+        ]
     if want_details:
         agg_cols.append(F.transform(
             F.array_sort(F.collect_list(F.struct(
@@ -2140,6 +2173,21 @@ def stage_score_fusion(df: DataFrame, spec: dict, engine) -> DataFrame:
                 .alias("contribution")))),
             lambda s: s.dropFields("pos")).alias("__sf_details"))
     fused = un_scores.groupBy(id_field).agg(*agg_cols)
+    if method == "expression":
+        score_vars = {
+            name: F.coalesce(F.col(c), F.lit(0.0))
+            for name, c in pivot_cols.items()}
+        ctx = ExprContext(schema=fused.schema).with_vars(
+            score_vars, {n: T.DoubleType() for n in score_vars})
+        try:
+            fused_score = translate_expr(comb_expr, ctx)
+        except UnsupportedExpression as e:
+            raise InvalidPipeline(
+                f"$scoreFusion combination.expression: {e} (pipeline score "
+                f"variables in scope: {[f'$${n}' for n in pipes]})") from e
+        fused = fused.withColumn(
+            score_field, F.round(fused_score.cast("double"), 6)
+        ).drop(*pivot_cols.values())
     contrib = fused.withColumnRenamed(id_field, "__sf_id")
 
     # representative document: earliest pipeline, then best raw score
@@ -2158,9 +2206,14 @@ def stage_score_fusion(df: DataFrame, spec: dict, engine) -> DataFrame:
         .drop("__sf_id")
     )
     if want_details:
+        how = {
+            "avg": "weighted average",
+            "sum": "weighted sum",
+            "expression": "custom expression",
+        }[method]
         desc = (
             f"value output by score fusion algorithm, computed as the "
-            f"{'weighted average' if method == 'avg' else 'weighted sum'} of "
+            f"{how} of "
             f"{norm}-normalized scores across input pipelines from which "
             f"this document is output, from: {list(pipes)}")
         out = out.withColumn("scoreDetails", F.struct(

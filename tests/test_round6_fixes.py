@@ -355,6 +355,60 @@ class TestScoreFusion:
                 "combination": {"weights": {"zz": 1.0}},
                 "idField": "doc_id"}}])
 
+    def test_expression_combination(self, spark):
+        from aggo_spark import Engine
+
+        df = self._df(spark)
+        out = Engine().aggregate(df, [{"$scoreFusion": {
+            "input": {"pipelines": {
+                "pop": [{"$addFields": {"score": "$pop"}},
+                        {"$sort": {"score": -1}}, {"$limit": 2}],
+                "vec": [{"$vectorSearch": {"queryVector": [1.0, 0.0],
+                                           "path": "$embedding", "limit": 3}}],
+            }, "normalization": "none"},
+            "combination": {"method": "expression",
+                            "expression": {"$add": [
+                                {"$multiply": ["$$pop", 0.5]}, "$$vec"]}},
+            "idField": "doc_id",
+        }}]).collect()
+        by = {r.doc_id: r.score for r in out}
+        # vec (Atlas (1+cos)/2): d1 1.0, d2 0.9, d3 0.5; pop limited to 2
+        assert by[1] == pytest.approx(0.5 * 2.0 + 1.0, abs=1e-6)
+        assert by[2] == pytest.approx(0.5 * 1.0 + 0.9, abs=1e-6)
+        # doc 3 not returned by pop -> $$pop is 0 in the expression
+        assert by[3] == pytest.approx(0.5 * 0.0 + 0.5, abs=1e-6)
+        assert [r.doc_id for r in out] == [1, 2, 3]
+
+    def test_expression_validation(self, spark):
+        from aggo_spark import Engine
+        from aggo_spark.errors import InvalidPipeline
+
+        df = self._df(spark)
+        pipes = {"pop": [{"$addFields": {"score": "$pop"}}, {"$limit": 3}]}
+        with pytest.raises(InvalidPipeline, match="weights cannot"):
+            Engine().aggregate(df, [{"$scoreFusion": {
+                "input": {"pipelines": pipes},
+                "combination": {"method": "expression",
+                                "expression": "$$pop",
+                                "weights": {"pop": 2.0}},
+                "idField": "doc_id"}}])
+        with pytest.raises(InvalidPipeline, match="requires method"):
+            Engine().aggregate(df, [{"$scoreFusion": {
+                "input": {"pipelines": pipes},
+                "combination": {"method": "sum", "expression": "$$pop"},
+                "idField": "doc_id"}}])
+        with pytest.raises(InvalidPipeline, match="requires combination.expression"):
+            Engine().aggregate(df, [{"$scoreFusion": {
+                "input": {"pipelines": pipes},
+                "combination": {"method": "expression"},
+                "idField": "doc_id"}}])
+        with pytest.raises(InvalidPipeline, match=r"variables in scope.*\$\$pop"):
+            Engine().aggregate(df, [{"$scoreFusion": {
+                "input": {"pipelines": pipes},
+                "combination": {"method": "expression",
+                                "expression": {"$add": ["$$pop", "$$nope"]}},
+                "idField": "doc_id"}}])
+
     def test_unbounded_pipeline_gets_bounded(self, spark):
         from aggo_spark import Engine
 
@@ -672,7 +726,9 @@ class TestDecontaminationShuffleStrategy:
 
 
 class TestBlocklistShuffleOption:
-    """r6: broadcast=False for corpus-sized blocklists (exact-host only)."""
+    """r6: broadcast=False for corpus-sized blocklists — exact-host
+    shuffle join, and (late r6) subdomain matching via the dot-suffix
+    explode equi-join instead of a rejection."""
 
     def test_shuffle_agrees_with_broadcast(self, spark):
         from aggo_spark.operators.text import filter_blocked_domains
@@ -689,12 +745,31 @@ class TestBlocklistShuffleOption:
             df, bl, match_subdomains=False, broadcast=False).collect())
         assert a == b == [2, 3]
 
-    def test_shuffle_with_subdomains_rejected(self, spark):
+    def test_shuffle_subdomains_agrees_with_broadcast(self, spark):
         from aggo_spark.operators.text import filter_blocked_domains
 
-        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
-        with pytest.raises(ValueError, match="match_subdomains"):
-            filter_blocked_domains(df, ["a.com"], broadcast=False)
+        df = spark.createDataFrame(
+            [(1, "https://a.b.spam.io/x"),       # subdomain of blocked
+             (2, "https://spam.io/y"),           # exact blocked host
+             (3, "https://notspam.io/z"),        # suffix NOT at a label dot
+             (4, "https://spam.io.safe.org/w"),  # blocked string mid-host
+             (5, "no urls")],
+            "doc_id long, text string")
+        bl = ["spam.io"]
+        a = sorted(r["doc_id"] for r in filter_blocked_domains(
+            df, bl).collect())
+        b = sorted(r["doc_id"] for r in filter_blocked_domains(
+            df, bl, broadcast=False).collect())
+        assert a == b == [3, 4, 5]
+
+    def test_shuffle_subdomain_plan_has_no_nested_loop(self, spark):
+        from aggo_spark.operators.text import filter_blocked_domains
+
+        df = spark.createDataFrame(
+            [(1, "https://a.spam.io/x")], "doc_id long, text string")
+        out = filter_blocked_domains(df, ["spam.io"], broadcast=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
 class TestTokensCodegenForm:
