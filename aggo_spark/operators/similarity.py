@@ -41,6 +41,7 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_topk",
+    "ivf_pq_topk",
     "embedding_near_dup_pairs",
     "semantic_dedup",
     "rank_fusion",
@@ -479,9 +480,18 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes_col: str = "codes",
+    centroids: list | None = None,
+    cell_col: str = "cell",
 ) -> DataFrame:
     """Encode an embedding column to PQ codes: ``(id_col, codes_col)``
     where ``codes[j]`` is the nearest centroid of subspace ``j``.
+
+    ``centroids`` (optional) additionally assigns each vector its nearest
+    COARSE cell (full-dim centroid list, e.g. from ``_resolve_centroids``
+    or any IVF trainer) in ``cell_col`` — the faiss IVF-PQ layout that
+    :func:`ivf_pq_topk` consumes. On a real table the cell becomes the
+    partition column, so a probe prunes file groups before any byte of
+    codes is read.
 
     Arrow-batched ``mapInPandas`` with a vectorized numpy argmin per
     subspace — the same justified-Python category as the multimodal
@@ -496,10 +506,17 @@ def pq_encode(
     books = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
     m, _k, sub = books.shape
     bn2 = (books ** 2).sum(-1)  # (m, k) centroid squared norms
-    out_schema = T.StructType([
+    cents = None if centroids is None else np.asarray(centroids, dtype=np.float64)
+    fields = [
         df.schema[id_col],
         T.StructField(codes_col, T.ArrayType(T.IntegerType())),
-    ])
+    ]
+    if cents is not None:
+        if cents.shape[1] != m * sub:
+            raise ValueError(
+                f"centroid dim {cents.shape[1]} != codebook dim {m * sub}")
+        fields.append(T.StructField(cell_col, T.IntegerType()))
+    out_schema = T.StructType(fields)
 
     def encode(batches):
         import pandas as pd
@@ -513,8 +530,11 @@ def pq_encode(
                 Xj = X[:, j * sub:(j + 1) * sub]
                 d2 = -2.0 * Xj @ books[j].T + bn2[j][None, :]
                 codes[:, j] = d2.argmin(1)  # ||x||^2 constant per row
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], codes_col: list(codes.tolist())})
+            out = {id_col: pdf[id_col], codes_col: list(codes.tolist())}
+            if cents is not None:
+                cd2 = -2.0 * X @ cents.T + (cents ** 2).sum(1)[None, :]
+                out[cell_col] = cd2.argmin(1).astype(np.int32)
+            yield pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
 
@@ -612,6 +632,121 @@ def pq_topk(
 
     scored = (
         codes.select(id_col, codes_col).mapInPandas(score, out_schema)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round("score", 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    centroids: list,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """faiss-style IVF-PQ: the two approximations composed — IVF cuts the
+    SCANNED ROWS (each query probes its ``nprobe`` nearest coarse cells),
+    PQ cuts the BYTES PER ROW (ADC over m-byte codes). ``codes`` is
+    :func:`pq_encode` output with ``centroids=`` set (id, codes, cell).
+
+    Queries are collected driver-side (bounded, as in :func:`pq_topk`),
+    so cell probing is a driver-side numpy argsort against the same
+    centroid list the encoder used. The corpus is first filtered to the
+    UNION of probed cells — a plain ``isin`` that prunes partitions/file
+    groups when the table is partitioned by cell — then the ADC kernel
+    masks each query's scores to ITS OWN probed cells, so a query never
+    scores candidates that only another query's probe pulled in (the
+    union filter alone would quietly inflate recall as the query batch
+    grows).
+
+    Measured vs brute force, sf0.001 embeddings (500×64d, all 500 as
+    queries; m=16, k_codes=256 PQ → 0.819 full-scan ceiling from the
+    :func:`pq_topk` table; n_centroids=8 kmeans cells):
+
+    ======  =========  ============
+    nprobe  recall@10  scanned frac
+    ======  =========  ============
+    1       0.395      ~1/8
+    2       0.594      ~2/8
+    4       0.773      ~4/8
+    8       0.819      1 (= PQ ceiling)
+    ======  =========  ============
+    """
+    import numpy as np
+
+    if k < 1 or nprobe < 1:
+        raise ValueError("k and nprobe must be >= 1")
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _kc, sub = books.shape
+    cents = np.asarray(centroids, dtype=np.float64)
+    if cents.shape[1] != m * sub:
+        raise ValueError(
+            f"centroid dim {cents.shape[1]} != codebook dim {m * sub}")
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    if Q.shape[1] != m * sub:
+        raise ValueError(f"query dim {Q.shape[1]} != codebook dim {m * sub}")
+    np_ = min(nprobe, len(cents))
+    cd2 = -2.0 * Q @ cents.T + (cents ** 2).sum(1)[None, :]
+    qcells = np.argsort(cd2, axis=1)[:, :np_]  # (nq, nprobe)
+    probed_union = [int(c) for c in np.unique(qcells)]
+
+    tables = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m, sub), books)
+    bn2 = (books ** 2).sum(-1)
+    qnorm = np.sqrt((Q ** 2).sum(1))
+    take = k + 1
+    out_schema = T.StructType([
+        T.StructField("query_id", queries.schema[id_col].dataType),
+        T.StructField("neighbor_id", codes.schema[id_col].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
+    jidx = np.arange(m)[None, :]
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.asarray(pdf[codes_col].tolist(), dtype=np.int64)
+            cells = pdf[cell_col].to_numpy()
+            ip = tables[:, jidx, C].sum(2)
+            rnorm = np.sqrt(bn2[jidx, C].sum(1))
+            denom = np.maximum(qnorm[:, None] * rnorm[None, :], 1e-30)
+            cos = ip / denom
+            # per-query probe mask: row allowed iff its cell is one the
+            # query probed (cells (n,), qcells (nq, nprobe))
+            allowed = (cells[None, :, None] == qcells[:, None, :]).any(-1)
+            cos = np.where(allowed, cos, -np.inf)
+            t = min(take, cos.shape[1])
+            top = np.argpartition(-cos, t - 1, axis=1)[:, :t]
+            sc = np.take_along_axis(cos, top, axis=1).ravel()
+            nb = pdf[id_col].to_numpy()
+            out = pd.DataFrame({
+                "query_id": np.repeat(qids, t),
+                "neighbor_id": nb[top.ravel()],
+                "score": sc,
+            })
+            yield out[np.isfinite(sc)]  # drop out-of-probe placeholders
+
+    scored = (
+        codes.filter(F.col(cell_col).isin(probed_union))
+        .select(id_col, codes_col, cell_col)
+        .mapInPandas(score, out_schema)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", F.round("score", 6))
     )
