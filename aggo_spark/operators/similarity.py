@@ -741,7 +741,9 @@ def ivf_pq_topk(
                 "neighbor_id": nb[top.ravel()],
                 "score": sc,
             })
-            yield out[np.isfinite(sc)]  # drop out-of-probe placeholders
+            out = out[np.isfinite(sc)]  # drop out-of-probe placeholders
+            if len(out):  # empty object-dtype frames can trip Arrow
+                yield out
 
     scored = (
         codes.filter(F.col(cell_col).isin(probed_union))
