@@ -565,14 +565,17 @@ def q34_ann_brute(spark, sf_dir):
 
 
 def q48_ann_ivf(spark, sf_dir):
-    """IVF ANN with deterministic seed centroids (r3): the first 16
-    corpus vectors serve as the coarse quantizer, so cell assignment →
-    nprobe probing → in-cell cosine top-k — the IDENTICAL pipeline the
-    KMeans-trained mode runs — is fully reproduced by the DuckDB oracle.
-    (Rows-only through r2: trained centers cannot be mirrored in SQL. The
-    KMeans mode remains the production default of similarity.ivf_topk and
-    is exercised in tests.) The 16-row centroid collect is a constant-size
-    probe, the documented exception class (SCALE.md)."""
+    """IVF + PQ ANN with deterministic seed parameters, one driver row per
+    (method, query, rank). IVF (r3): the first 16 corpus vectors serve as
+    the coarse quantizer, so cell assignment → nprobe probing → in-cell
+    cosine top-k — the IDENTICAL pipeline the KMeans-trained mode runs —
+    is fully reproduced by the DuckDB oracle. PQ (late r6): codebooks =
+    the m=4 subspace slices of the first 8 corpus vectors (k_codes=8), so
+    pq_encode's per-subspace argmin and pq_topk's asymmetric-distance
+    scoring are fully reproduced too. (The KMeans / pq_train modes remain
+    the production defaults and are exercised in tests — trained
+    parameters cannot be mirrored in SQL.) The 16-row centroid collect is
+    a constant-size probe, the documented exception class (SCALE.md)."""
     emb = _t(spark, sf_dir, "embeddings")
     seed_rows = (
         emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
@@ -580,9 +583,17 @@ def q48_ann_ivf(spark, sf_dir):
     )
     centers = [list(r["embedding"]) for r in seed_rows]
     q = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(
+    ivf = similarity.ivf_topk(
         emb, q, k=10, n_centroids=16, nprobe=4, centroids=centers
-    ).orderBy("query_id", "rank")
+    ).withColumn("method", F.lit("ivf"))
+    books = [
+        [[float(x) for x in centers[c][j * 16:(j + 1) * 16]] for c in range(8)]
+        for j in range(4)
+    ]
+    codes = similarity.pq_encode(emb, books)
+    pq = similarity.pq_topk(codes, q, books, k=10).withColumn(
+        "method", F.lit("pq"))
+    return ivf.unionByName(pq).orderBy("method", "query_id", "rank")
 
 
 def q49_text_index(spark, sf_dir):
@@ -1346,11 +1357,20 @@ def _simhash_oracle_sql() -> str:
 
 
 def _ivf_oracle_sql() -> str:
-    """DuckDB mirror of q48's seed-centroid IVF (similarity.py): centroids
-    = embeddings vec_id < 16; every vector assigns to the argmin
-    squared-L2 cell (ties break toward the lower cell id, matching
+    """DuckDB mirror of q48's seed-parameter IVF + PQ (similarity.py).
+
+    IVF: centroids = embeddings vec_id < 16; every vector assigns to the
+    argmin squared-L2 cell (ties break toward the lower cell id, matching
     Spark's sort_array over struct(d, cell)); queries probe their 4
-    nearest cells; candidates score by exact cosine; top-10 per query."""
+    nearest cells; candidates score by exact cosine; top-10 per query.
+
+    PQ: codebooks = the 4 16-dim subspace slices of embeddings vec_id < 8
+    (the same books q48 builds). Encoding mirrors pq_encode's argmin in
+    the SAME arithmetic form it computes (``-2·x·c + |c|²`` — the |x|²
+    term is constant per row and dropped); ADC score =
+    ``Σ_j table_j / (|q| · sqrt(Σ_j |c_j|²))`` with the round-then-rank
+    order pq_topk uses.
+    """
     sqdist = ("list_sum(list_transform(range(1, 65), "
               "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) "
               "* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))))")
@@ -1383,9 +1403,55 @@ def _ivf_oracle_sql() -> str:
           SELECT query_id, neighbor_id, score,
                  CAST(row_number() OVER (PARTITION BY query_id
                       ORDER BY score DESC, neighbor_id) AS INT) AS rank
-          FROM scored)
-        SELECT query_id, neighbor_id, score, rank FROM ranked
-        WHERE rank <= 10 ORDER BY query_id, rank
+          FROM scored),
+        subs AS (SELECT unnest(range(0, 4)) AS j),
+        books AS (
+          SELECT s.j, c.vec_id AS code,
+                 list_transform(range(1, 17),
+                   i -> CAST(c.embedding[s.j * 16 + i] AS DOUBLE)) AS bv
+          FROM subs s CROSS JOIN
+               (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) c),
+        slices AS (
+          SELECT e.vec_id, s.j,
+                 list_transform(range(1, 17),
+                   i -> CAST(e.embedding[s.j * 16 + i] AS DOUBLE)) AS sv
+          FROM embeddings e CROSS JOIN subs s),
+        enc_d AS (
+          SELECT s.vec_id, s.j, b.code,
+                 -2.0 * list_dot_product(s.sv, b.bv)
+                   + list_dot_product(b.bv, b.bv) AS d2
+          FROM slices s JOIN books b ON b.j = s.j),
+        enc AS (
+          SELECT vec_id, j, code FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+            FROM enc_d) WHERE rn = 1),
+        contrib AS (
+          SELECT qs.vec_id AS query_id, en.vec_id AS neighbor_id,
+                 list_dot_product(qs.sv, b.bv) AS ip_j,
+                 list_dot_product(b.bv, b.bv) AS n2_j
+          FROM enc en
+          JOIN books b ON b.j = en.j AND b.code = en.code
+          JOIN slices qs ON qs.j = en.j AND qs.vec_id < 5
+          WHERE en.vec_id <> qs.vec_id),
+        adc AS (
+          SELECT c.query_id, c.neighbor_id,
+                 round(sum(c.ip_j)
+                       / (sqrt(list_dot_product(qv.v, qv.v))
+                          * sqrt(sum(c.n2_j))), 6) AS score
+          FROM contrib c JOIN v qv ON qv.vec_id = c.query_id
+          GROUP BY c.query_id, c.neighbor_id, qv.v),
+        pq_ranked AS (
+          SELECT query_id, neighbor_id, score,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+          FROM adc)
+        SELECT query_id, neighbor_id, score, rank, 'ivf' AS method
+        FROM ranked WHERE rank <= 10
+        UNION ALL
+        SELECT query_id, neighbor_id, score, rank, 'pq' AS method
+        FROM pq_ranked WHERE rank <= 10
+        ORDER BY method, query_id, rank
     """
 
 

@@ -82,7 +82,9 @@ BUDGETS = {
     "q44_topn": 3,
     "q45_percentile": 2,
     "q46_densify_fill": 5,
-    "q48_ann_ivf": 3,
+    "q48_ann_ivf": 4,          # +1 late r6: PQ branch union (ADC kernel
+                               # emits k+1 rows/query/batch into one rank
+                               # window exchange; corpus never shuffles)
     "q49_text_index": 7,
     "q50_lookup_subpipe": 4,
     "q51_stream_stateful": 1,
