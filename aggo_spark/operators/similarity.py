@@ -539,6 +539,18 @@ def pq_encode(
     return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
 
 
+def _check_table_bytes(nq: int, m: int, kc: int, cap_mb: int = 512) -> None:
+    """The ADC lookup tables (nq × m × k_codes doubles) ship in the task
+    closure — fail fast with the remedy when a query batch would exceed
+    ``cap_mb`` instead of silently serializing a multi-GB closure."""
+    mb = nq * m * kc * 8 / (1024 * 1024)
+    if mb > cap_mb:
+        raise ValueError(
+            f"ADC tables for {nq} queries would be {mb:.0f} MB of task "
+            f"closure (> {cap_mb} MB). Batch the queries (each batch is an "
+            f"independent pq_topk/ivf_pq_topk call) or reduce m·k_codes.")
+
+
 def pq_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -598,6 +610,7 @@ def pq_topk(
         raise ValueError(
             f"query dim {Q.shape[1]} != codebook dim {m * sub}")
     # per-query inner-product tables (nq, m, kc); per-code squared norms
+    _check_table_bytes(len(Q), m, _kc)
     tables = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m, sub), books)
     bn2 = (books ** 2).sum(-1)  # (m, kc)
     qnorm = np.sqrt((Q ** 2).sum(1))  # (nq,)
@@ -705,6 +718,7 @@ def ivf_pq_topk(
     qcells = np.argsort(cd2, axis=1)[:, :np_]  # (nq, nprobe)
     probed_union = [int(c) for c in np.unique(qcells)]
 
+    _check_table_bytes(len(Q), m, _kc)
     tables = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m, sub), books)
     bn2 = (books ** 2).sum(-1)
     qnorm = np.sqrt((Q ** 2).sum(1))

@@ -1006,3 +1006,10 @@ class TestIvfPq:
             (plan.find(s) for s in ("Filter (isnotnull(cell", "Filter (cell")),
         )
         assert cell_filter_at > kernel_at
+
+    def test_adc_table_closure_guard(self):
+        from aggo_spark.operators.similarity import _check_table_bytes
+
+        _check_table_bytes(1000, 16, 256)  # 32 MB: fine
+        with pytest.raises(ValueError, match="Batch the queries"):
+            _check_table_bytes(20_000_000, 16, 256)  # would be ~610 GB
