@@ -69,6 +69,7 @@ EXPECTED_FALLBACK_SF01 = {
     "q32_dedup_minhash_md5": 2.0,
     "q33_dedup_simhash": 1.25,
     "q34_ann_brute": 0.7,
+    "q48_ann_pq": 1.0,
     "q36_langid": 0.6,
     "q37_quality": 1.1,
     "q59_asof_join": 1.0,
@@ -205,6 +206,30 @@ def main() -> None:
     qs["q32_dedup_minhash_md5"] = qs["q32_dedup_minhash"]
     qs["q32_dedup_minhash"] = _q32_xxhash64
 
+    # PQ extra (late r6): seed-codebook encode + ADC top-k over the whole
+    # embeddings table — times the Arrow-batched kernels without KMeans
+    # training noise (same deterministic parameters as q48's 'pq' branch)
+    from aggo_spark.operators import similarity as _sim
+
+    def _q48_pq(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        emb = entry._t(spark, sf_dir, "embeddings")
+        seeds = (
+            emb.filter(F.col("vec_id") < 8).orderBy("vec_id")
+            .select("embedding").collect())
+        centers = [list(r["embedding"]) for r in seeds]
+        books = [
+            [[float(x) for x in centers[c][j * 16:(j + 1) * 16]]
+             for c in range(8)]
+            for j in range(4)
+        ]
+        codes = _sim.pq_encode(emb, books)
+        q = emb.filter(F.col("vec_id") < 5)
+        return _sim.pq_topk(codes, q, books, k=10)
+
+    qs["q48_ann_pq"] = _q48_pq
+
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     expected = _load_expected(sf)
 
@@ -247,7 +272,10 @@ def main() -> None:
 
     # not part of the headline total: the oracle-reproducible md5 mode,
     # timed for visibility next to the xxhash64 scale mode above
-    extras = {"q32_dedup_minhash_md5": timed("q32_dedup_minhash_md5")}
+    extras = {
+        "q32_dedup_minhash_md5": timed("q32_dedup_minhash_md5"),
+        "q48_ann_pq": timed("q48_ann_pq"),
+    }
 
     total = round(sum(timings.values()), 3)
     # per-row throughput for the BASELINE.md comparison classes
