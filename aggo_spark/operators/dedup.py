@@ -32,6 +32,7 @@ __all__ = [
     "minhash_signature",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_decontaminate",
     "simhash",
     "simhash_table",
     "simhash_pairs",
@@ -224,6 +225,30 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
 
+def _band_key_structs(bands: int, rows: int, hash_fn: str) -> list:
+    """``struct(band, bh)`` expressions over a ``sig`` column, one per band.
+
+    Band keys with literal positions: element_at + multi-arg xxhash64 stay
+    in whole-stage codegen (a transform/slice/concat_ws form is interpreted
+    CodegenFallback and dominated banding time). md5 mode hashes the
+    comma-joined decimal strings — reproducible bit-for-bit in DuckDB.
+    """
+    def _band_hash(js: list[int]) -> Column:
+        if hash_fn == "md5":
+            return F.conv(F.substring(F.md5(F.concat_ws(
+                ",", *[F.element_at("sig", j).cast("string") for j in js]
+            )), 1, 15), 16, 10).cast("long")
+        return F.xxhash64(*[F.element_at("sig", j) for j in js])
+
+    return [
+        F.struct(
+            F.lit(b).alias("band"),
+            _band_hash(list(range(b * rows + 1, (b + 1) * rows + 1))).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -247,24 +272,7 @@ def minhash_lsh_pairs(
     rows = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, num_perm, k, unit=unit,
                              hash_fn=hash_fn)
-    # Band keys with literal positions: element_at + multi-arg xxhash64 stay
-    # in whole-stage codegen (a transform/slice/concat_ws form is interpreted
-    # CodegenFallback and dominated banding time). md5 mode hashes the
-    # comma-joined decimal strings — reproducible bit-for-bit in DuckDB.
-    def _band_hash(js: list[int]) -> Column:
-        if hash_fn == "md5":
-            return F.conv(F.substring(F.md5(F.concat_ws(
-                ",", *[F.element_at("sig", j).cast("string") for j in js]
-            )), 1, 15), 16, 10).cast("long")
-        return F.xxhash64(*[F.element_at("sig", j) for j in js])
-
-    band_keys = [
-        F.struct(
-            F.lit(b).alias("band"),
-            _band_hash(list(range(b * rows + 1, (b + 1) * rows + 1))).alias("bh"),
-        )
-        for b in range(bands)
-    ]
+    band_keys = _band_key_structs(bands, rows, hash_fn)
     banded = sig.select(
         "id", "sig", F.explode(F.array(*band_keys)).alias("bk")
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
@@ -535,6 +543,82 @@ def benchmark_ngram_overlap(
             id_col,
             F.coalesce("n_overlap_grams", F.lit(0)).cast("int").alias("n_overlap_grams"),
             (F.coalesce("n_overlap_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def minhash_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    threshold: float = 0.8,
+    unit: str = "word",
+    hash_fn: str = "xxhash64",
+    seed: int = 42,
+    broadcast: bool = True,
+) -> DataFrame:
+    """FUZZY train/test decontamination: flag corpus docs whose
+    MinHash-estimated Jaccard against ANY benchmark doc reaches
+    ``threshold`` — the near-duplicate complement of
+    :func:`benchmark_ngram_overlap`'s exact 13-gram rule (paraphrased or
+    lightly-edited eval items share most shingles but not necessarily one
+    verbatim 13-gram; FineWeb/Dolma-style pipelines run both).
+
+    Returns one row per corpus doc: ``(id_col, max_est_jaccard,
+    contaminated)``. Docs with no shingles estimate 0.0.
+
+    Plan: signatures for BOTH sides with identical (seed, k, unit,
+    hash_fn) parameters → banded keys (shared codegen band hash) →
+    equi-join corpus bands to benchmark bands on (band, bh) — the
+    benchmark side is broadcast by default (eval suites are tiny next to
+    the corpus; ``broadcast=False`` shuffle-joins for benchmark-sized
+    "benchmarks"). Agreement is verified on the full signatures, so a
+    band collision alone never flags anything; multi-band collisions
+    collapse in the per-doc max aggregate, no distinct pass needed. The
+    corpus text never shuffles — only signatures move.
+    """
+    if num_perm % bands:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
+    rows = num_perm // bands
+    band_keys = _band_key_structs(bands, rows, hash_fn)
+
+    def banded(df: DataFrame) -> DataFrame:
+        sig = minhash_signatures(
+            df, text_col, id_col, num_perm, k, seed=seed, unit=unit,
+            hash_fn=hash_fn)
+        return sig.select(
+            "id", "sig", F.explode(F.array(*band_keys)).alias("bk")
+        ).select("id", "sig", F.col("bk.band").alias("band"),
+                 F.col("bk.bh").alias("bh"))
+
+    c = banded(corpus)
+    b = banded(benchmark).select(
+        F.col("id").alias("bid"), F.col("sig").alias("bsig"), "band", "bh")
+    if broadcast:
+        b = F.broadcast(b)
+    est = (
+        F.size(F.filter(
+            F.zip_with("sig", "bsig", lambda p, q: p == q), lambda e: e
+        )).cast("double") / F.lit(float(num_perm))
+    )
+    hits = (
+        c.join(b, ["band", "bh"])
+        .select("id", est.alias("est"))
+        .groupBy("id")
+        .agg(F.round(F.max("est"), 6).alias("max_est_jaccard"))
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(hits.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("max_est_jaccard", F.lit(0.0)).alias("max_est_jaccard"),
+            (F.coalesce("max_est_jaccard", F.lit(0.0)) >= threshold
+             ).alias("contaminated"),
         )
     )
 

@@ -1013,3 +1013,55 @@ class TestIvfPq:
         _check_table_bytes(1000, 16, 256)  # 32 MB: fine
         with pytest.raises(ValueError, match="Batch the queries"):
             _check_table_bytes(20_000_000, 16, 256)  # would be ~610 GB
+
+
+class TestMinhashDecontaminate:
+    """late r6: fuzzy train/test decontamination — MinHash-estimated
+    Jaccard vs any benchmark doc, banded equi-join candidates."""
+
+    def _data(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog near "
+                   "the river bank today")],
+            "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog near "
+                 "the river bank today"),      # exact copy
+             (2, "a quick brown fox jumps over the lazy dog near "
+                 "the river bank yesterday"),  # light edit
+             (3, "completely unrelated text about spark query planning"),
+             (4, "")],                         # no shingles
+            "doc_id long, text string")
+        return corpus, bench
+
+    def test_flags_and_estimates(self, spark):
+        from aggo_spark.operators.dedup import minhash_decontaminate
+
+        corpus, bench = self._data(spark)
+        out = {r.doc_id: r for r in minhash_decontaminate(
+            corpus, bench, k=2, threshold=0.8).collect()}
+        assert out[1].max_est_jaccard == 1.0 and out[1].contaminated
+        # light edit: high estimate but under the 0.8 flag threshold
+        assert 0.3 < out[2].max_est_jaccard < 0.8 and not out[2].contaminated
+        assert out[3].max_est_jaccard == 0.0 and not out[3].contaminated
+        assert out[4].max_est_jaccard == 0.0  # empty text -> no signature
+
+    def test_broadcast_and_shuffle_agree(self, spark):
+        from aggo_spark.operators.dedup import minhash_decontaminate
+
+        corpus, bench = self._data(spark)
+        a = sorted(map(tuple, minhash_decontaminate(
+            corpus, bench, k=2).collect()))
+        b = sorted(map(tuple, minhash_decontaminate(
+            corpus, bench, k=2, broadcast=False).collect()))
+        assert a == b
+        plan = minhash_decontaminate(corpus, bench, k=2)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # benchmark side broadcast
+
+    def test_validation(self, spark):
+        from aggo_spark.operators.dedup import minhash_decontaminate
+
+        corpus, bench = self._data(spark)
+        with pytest.raises(ValueError, match="divide"):
+            minhash_decontaminate(corpus, bench, num_perm=64, bands=7)
