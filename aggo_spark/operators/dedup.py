@@ -596,8 +596,9 @@ def minhash_decontaminate(
                  F.col("bk.bh").alias("bh"))
 
     c = banded(corpus)
-    b = banded(benchmark).select(
-        F.col("id").alias("bid"), F.col("sig").alias("bsig"), "band", "bh")
+    # benchmark ids are never reported — only the signatures travel, so the
+    # broadcast ships (num_perm longs + band keys) per benchmark doc
+    b = banded(benchmark).select(F.col("sig").alias("bsig"), "band", "bh")
     if broadcast:
         b = F.broadcast(b)
     est = (
