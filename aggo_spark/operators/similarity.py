@@ -536,7 +536,13 @@ def pq_encode(
                 out[cell_col] = cd2.argmin(1).astype(np.int32)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
+    # NULL vectors have no codes (and would break the fixed-width numpy
+    # batch); they are dropped, like empty-text docs in minhash_signatures
+    return (
+        df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(encode, out_schema)
+    )
 
 
 def _check_table_bytes(nq: int, m: int, kc: int, cap_mb: int = 512) -> None:

@@ -1065,3 +1065,13 @@ class TestMinhashDecontaminate:
         corpus, bench = self._data(spark)
         with pytest.raises(ValueError, match="divide"):
             minhash_decontaminate(corpus, bench, num_perm=64, bands=7)
+
+    def test_null_embedding_rows_dropped(self, spark):
+        from aggo_spark.operators.similarity import pq_encode
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+            "vec_id long, embedding array<double>")
+        books = [[[1.0], [0.0]], [[1.0], [0.0]]]
+        got = {r.vec_id for r in pq_encode(df, books).collect()}
+        assert got == {1, 3}  # the NULL-vector row has no codes
