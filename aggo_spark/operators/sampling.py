@@ -25,6 +25,7 @@ __all__ = [
     "mixture_token_budgets",
     "mixture_sample",
     "upsample_sources",
+    "quantile_threshold_filter",
 ]
 
 
@@ -237,3 +238,43 @@ def upsample_sources(
         .select("*", F.posexplode(F.expr("array_repeat(0, __n)")).alias("epoch", "__z"))
         .drop("__n", "__z")
     )
+
+
+def quantile_threshold_filter(
+    df: DataFrame,
+    score_col: str,
+    keep_top: float = 0.3,
+    by: str | None = None,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Keep the rows whose ``score_col`` is at or above the per-group
+    ``(1 - keep_top)`` quantile — "top 30% by quality score per source",
+    the threshold form every curation recipe that filters on a learned or
+    heuristic score ends up needing (CCNet buckets by perplexity tertiles;
+    FineWeb ablations sweep score-percentile cuts).
+
+    Scale shape: the threshold comes from ``percentile_approx`` — a
+    MERGEABLE sketch aggregate (map-side partial, one tiny row per group)
+    joined back broadcast — NOT from a ``percent_rank`` window, which
+    would sort every group's full partition (and with ``by=None`` would
+    funnel the whole corpus through a single-partition window). NULL
+    scores never pass the filter; NULL group keys form their own group
+    (null-safe join). The sketch's ``relative_error`` shifts the cut
+    point by at most that rank fraction — set it to 0 for the exact (but
+    memory-heavier) percentile.
+    """
+    if not 0.0 < keep_top <= 1.0:
+        raise ValueError(f"keep_top must be in (0, 1], got {keep_top}")
+    q = 1.0 - keep_top
+    acc = int(1.0 / relative_error) if relative_error > 0 else 2147483647
+    thr = F.percentile_approx(score_col, q, F.lit(acc)).alias("__thr")
+    if by is None:
+        cut = df.agg(thr)
+        joined = df.crossJoin(F.broadcast(cut))
+    else:
+        cut = df.groupBy(by).agg(thr)
+        joined = df.join(
+            F.broadcast(cut.withColumnRenamed(by, "__by")),
+            F.col(by).eqNullSafe(F.col("__by")),
+        ).drop("__by")
+    return joined.filter(F.col(score_col) >= F.col("__thr")).drop("__thr")

@@ -1075,3 +1075,54 @@ class TestMinhashDecontaminate:
         books = [[[1.0], [0.0]], [[1.0], [0.0]]]
         got = {r.vec_id for r in pq_encode(df, books).collect()}
         assert got == {1, 3}  # the NULL-vector row has no codes
+
+
+class TestQuantileThresholdFilter:
+    """late r6: per-group score-percentile cut via a mergeable sketch
+    aggregate + broadcast join (never a percent_rank window)."""
+
+    def test_global_and_grouped_cut(self, spark):
+        from aggo_spark.operators.sampling import quantile_threshold_filter
+
+        rows = [(i, "a" if i < 10 else "b", float(i)) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, src string, score double")
+        # the contract is "score >= the group's q-quantile" with Spark's
+        # (element-valued) percentile_approx as the quantile definition —
+        # assert against the independently computed threshold, not a
+        # hand-pinned small-data cut
+        thr = df.agg(
+            F.percentile_approx("score", 0.75, 1000).alias("t")).first()["t"]
+        top = quantile_threshold_filter(df, "score", keep_top=0.25)
+        got = sorted(r.doc_id for r in top.collect())
+        assert got == [i for i in range(20) if float(i) >= thr]
+        assert 19 in got and 0 not in got and len(got) <= 7
+        # per-source: each group of ten gets its own cut
+        by = quantile_threshold_filter(df, "score", keep_top=0.3, by="src")
+        per = sorted(r.doc_id for r in by.collect())
+        n_a = sum(1 for i in per if i < 10)
+        n_b = sum(1 for i in per if i >= 10)
+        assert n_a == n_b  # identical score shape -> identical cut per group
+        assert 9 in per and 19 in per and 0 not in per and 10 not in per
+
+    def test_null_scores_and_null_groups(self, spark):
+        from aggo_spark.operators.sampling import quantile_threshold_filter
+
+        rows = [(1, "a", 1.0), (2, "a", 2.0), (3, "a", None),
+                (4, None, 5.0), (5, None, 6.0)]
+        df = spark.createDataFrame(rows, "doc_id long, src string, score double")
+        out = quantile_threshold_filter(df, "score", keep_top=0.5, by="src")
+        got = sorted(r.doc_id for r in out.collect())
+        assert 3 not in got          # NULL score never passes
+        assert 2 in got and 5 in got  # group maxima always pass
+        assert 4 in got or 5 in got  # NULL group forms its own group
+
+    def test_broadcast_plan_and_validation(self, spark):
+        from aggo_spark.operators.sampling import quantile_threshold_filter
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.0)], "doc_id long, src string, score double")
+        plan = quantile_threshold_filter(df, "score", by="src")._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan and "Window" not in plan
+        with pytest.raises(ValueError, match="keep_top"):
+            quantile_threshold_filter(df, "score", keep_top=0.0)
