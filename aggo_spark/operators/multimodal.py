@@ -22,6 +22,11 @@ order ``auto_decode`` (the default) tries them:
   blobs). Every value is a pure function of the bytes, so oracles are
   stable.
 
+Transforms: ``resize_images`` (nearest-neighbor thumbnail/normalize —
+real pure-Python for PNG/BMP via the shared pixel core, PIL plug-in for
+production rate, pluggable ``(bytes, w, h) -> bytes``) and
+``frame_sample_plan`` (relational frame-window scaffold).
+
 At 100 TB: mapInPandas is a narrow transformation — no shuffle; throughput
 scales with executors × Arrow batch size. Keep blobs out of shuffle keys;
 extract features first, then drop the binary column before any wide op.
@@ -54,6 +59,10 @@ __all__ = [
     "encode_png",
     "encode_bmp",
     "encode_jpeg_header",
+    "py_pixels",
+    "resize_nearest",
+    "pil_resize",
+    "resize_images",
     "frame_sample_plan",
 ]
 
@@ -139,11 +148,10 @@ def _pixel_stats(rows: list[list[tuple]], channels: int) -> tuple[list[float], s
     return [s / n for s in sums], _avg_hash(luma_rows)
 
 
-def png_decode(b: bytes) -> dict | None:
-    """Pure-Python PNG decode (stdlib zlib): IHDR parse, IDAT inflate,
-    scanline de-filter (None/Sub/Up/Average/Paeth), per-channel means and
-    average-hash. Supports bit depth 8, color types 0/2/4/6, no interlace.
-    Anything else / corrupt → None."""
+def _png_pixels(b: bytes) -> tuple | None:
+    """(width, height, channels, pixel rows) for a PNG, or None — the
+    shared de-filter core behind :func:`png_decode` (metadata/stats) and
+    :func:`resize_nearest` (pixel access)."""
     if not b.startswith(_PNG_SIG):
         return None
     try:
@@ -206,24 +214,35 @@ def png_decode(b: bytes) -> dict | None:
             prev = line
             rows.append([tuple(line[i:i + channels])
                          for i in range(0, stride, channels)])
-        means, phash = _pixel_stats(rows, channels)
-        return {
-            "byte_len": len(b),
-            "format": "png",
-            "width": int(width),
-            "height": int(height),
-            "channels": int(channels),
-            "channel_means": means,
-            "phash": phash,
-        }
+        return int(width), int(height), int(channels), rows
     except (struct.error, zlib.error, IndexError, ValueError):
         return None
 
 
-def bmp_decode(b: bytes) -> dict | None:
-    """Pure-Python BMP decode: BITMAPINFOHEADER, uncompressed 24/32 bpp.
-    Rows are bottom-up (top-down when height < 0), 4-byte aligned, BGR(A)
-    order — reordered to RGB(A) for stats. Anything else → None."""
+def png_decode(b: bytes) -> dict | None:
+    """Pure-Python PNG decode (stdlib zlib): IHDR parse, IDAT inflate,
+    scanline de-filter (None/Sub/Up/Average/Paeth), per-channel means and
+    average-hash. Supports bit depth 8, color types 0/2/4/6, no interlace.
+    Anything else / corrupt → None."""
+    px = _png_pixels(b)
+    if px is None:
+        return None
+    width, height, channels, rows = px
+    means, phash = _pixel_stats(rows, channels)
+    return {
+        "byte_len": len(b),
+        "format": "png",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "channel_means": means,
+        "phash": phash,
+    }
+
+
+def _bmp_pixels(b: bytes) -> tuple | None:
+    """(width, height, channels, pixel rows) for a BMP, or None — shared
+    core behind :func:`bmp_decode` and :func:`resize_nearest`."""
     if not b.startswith(b"BM") or len(b) < 54:
         return None
     try:
@@ -249,18 +268,29 @@ def bmp_decode(b: bytes) -> dict | None:
                 bl, g, rch = b[o], b[o + 1], b[o + 2]
                 row.append((rch, g, bl, b[o + 3]) if nch == 4 else (rch, g, bl))
             rows.append(row)
-        means, phash = _pixel_stats(rows, nch)
-        return {
-            "byte_len": len(b),
-            "format": "bmp",
-            "width": int(width),
-            "height": int(height),
-            "channels": int(nch),
-            "channel_means": means,
-            "phash": phash,
-        }
+        return int(width), int(height), int(nch), rows
     except (struct.error, IndexError):
         return None
+
+
+def bmp_decode(b: bytes) -> dict | None:
+    """Pure-Python BMP decode: BITMAPINFOHEADER, uncompressed 24/32 bpp.
+    Rows are bottom-up (top-down when height < 0), 4-byte aligned, BGR(A)
+    order — reordered to RGB(A) for stats. Anything else → None."""
+    px = _bmp_pixels(b)
+    if px is None:
+        return None
+    width, height, nch, rows = px
+    means, phash = _pixel_stats(rows, nch)
+    return {
+        "byte_len": len(b),
+        "format": "bmp",
+        "width": width,
+        "height": height,
+        "channels": nch,
+        "channel_means": means,
+        "phash": phash,
+    }
 
 
 _JPEG_SIG = b"\xff\xd8\xff"
@@ -404,6 +434,94 @@ def encode_png(width: int, height: int, pixel) -> bytes:
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
+
+
+def py_pixels(b: bytes) -> tuple | None:
+    """(width, height, channels, pixel rows) for known containers (PNG,
+    BMP), magic-byte dispatched; None for unknown/corrupt bytes."""
+    if b.startswith(_PNG_SIG):
+        return _png_pixels(b)
+    if b.startswith(b"BM"):
+        return _bmp_pixels(b)
+    return None
+
+
+def resize_nearest(b: bytes, width: int, height: int) -> bytes | None:
+    """Pure-Python nearest-neighbor resize of a PNG/BMP container,
+    re-encoded as RGB8 PNG (gray replicates to RGB, alpha is dropped) —
+    the same deterministic ``(i·h)//H`` sampling the average-hash uses,
+    so results are bit-stable across runs. Unknown/corrupt bytes → None;
+    pixel-rate JPEG needs the PIL plug-in (header-only here)."""
+    px = py_pixels(b)
+    if px is None:
+        return None
+    w, h, ch, rows = px
+
+    def rgb(p: tuple) -> tuple:
+        if ch >= 3:
+            return (p[0], p[1], p[2])
+        return (p[0], p[0], p[0])
+
+    grid = [
+        [rgb(rows[(i * h) // height][(j * w) // width]) for j in range(width)]
+        for i in range(height)
+    ]
+    return encode_png(width, height, lambda x, y: grid[y][x])
+
+
+def pil_resize(b: bytes, width: int, height: int) -> bytes | None:  # pragma: no cover - PIL absent here
+    """PIL-backed resize (covers JPEG et al.); RGB8 PNG out like
+    :func:`resize_nearest`."""
+    import io
+
+    from PIL import Image
+
+    try:
+        im = Image.open(io.BytesIO(b)).convert("RGB").resize(
+            (width, height), resample=0)  # NEAREST, matching the py path
+        out = io.BytesIO()
+        im.save(out, format="PNG")
+        return out.getvalue()
+    except Exception:
+        return None
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    out_col: str = "resized",
+    resizer=None,
+) -> DataFrame:
+    """Resize a binary image column via Arrow-batched ``mapInPandas`` —
+    the thumbnail/normalize step of an image-curation pipeline (every
+    vision-training recipe resizes to a fixed grid before featurizing).
+
+    ``resizer`` is the plug-in point: any ``(bytes, w, h) -> bytes|None``.
+    Default: :func:`pil_resize` when PIL is importable (production rate,
+    all formats), else the REAL pure-Python :func:`resize_nearest`
+    (PNG/BMP). Output column is nullable binary (None for undecodable
+    bytes); like the metadata decoder this is a narrow transformation —
+    no shuffle, and blobs should be dropped before any wide op.
+    """
+    if width < 1 or height < 1:
+        raise ValueError("width and height must be >= 1")
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
+    )
+    fn = resizer or (pil_resize if HAVE_PIL else resize_nearest)
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                None if blob is None else fn(bytes(blob), width, height)
+                for blob in pdf[content_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(work, schema=out_schema)
 
 
 def encode_jpeg_header(

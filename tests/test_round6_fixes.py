@@ -1126,3 +1126,66 @@ class TestQuantileThresholdFilter:
         assert "Broadcast" in plan and "Window" not in plan
         with pytest.raises(ValueError, match="keep_top"):
             quantile_threshold_filter(df, "score", keep_top=0.0)
+
+
+class TestResizeImages:
+    """late r6: the brief's multimodal resize op — real pure-Python
+    nearest-neighbor for PNG/BMP, PIL plug-in point, mapInPandas plumbing."""
+
+    def test_resize_nearest_png_roundtrip(self):
+        from aggo_spark.operators.multimodal import (
+            encode_png, png_decode, py_pixels, resize_nearest)
+
+        # 4x4 gradient; nearest 2x2 picks pixels (0,0),(0,2),(2,0),(2,2)
+        src = encode_png(4, 4, lambda x, y: (x * 10, y * 10, 100))
+        out = resize_nearest(src, 2, 2)
+        meta = png_decode(out)
+        assert (meta["width"], meta["height"], meta["channels"]) == (2, 2, 3)
+        _, _, _, rows = py_pixels(out)
+        assert rows == [
+            [(0, 0, 100), (20, 0, 100)],
+            [(0, 20, 100), (20, 20, 100)],
+        ]
+
+    def test_resize_bmp_and_gray_and_corrupt(self):
+        from aggo_spark.operators.multimodal import (
+            encode_bmp, py_pixels, resize_nearest)
+
+        bmp = encode_bmp(3, 3, lambda x, y: (x * 20, y * 20, 7))
+        out = resize_nearest(bmp, 1, 1)
+        _, _, _, rows = py_pixels(out)
+        assert rows == [[(0, 0, 7)]]  # nearest picks (0,0)
+        assert resize_nearest(b"not an image", 2, 2) is None
+
+    def test_upscale(self):
+        from aggo_spark.operators.multimodal import (
+            encode_png, py_pixels, resize_nearest)
+
+        src = encode_png(1, 1, (9, 8, 7))
+        _, _, _, rows = py_pixels(resize_nearest(src, 3, 2))
+        assert rows == [[(9, 8, 7)] * 3] * 2
+
+    def test_resize_images_dataframe(self, spark):
+        from aggo_spark.operators.multimodal import (
+            encode_png, png_decode, resize_images)
+
+        blobs = [(1, bytearray(encode_png(4, 4, (1, 2, 3)))),
+                 (2, bytearray(b"junk")), (3, None)]
+        df = spark.createDataFrame(blobs, "doc_id long, content binary")
+        out = resize_images(df, 2, 2)
+        by = {r.doc_id: r.resized for r in out.collect()}
+        assert png_decode(bytes(by[1]))["width"] == 2
+        assert by[2] is None and by[3] is None
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # narrow, no shuffle
+
+    def test_resizer_plugin_point(self, spark):
+        from aggo_spark.operators.multimodal import resize_images
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"xx"))], "doc_id long, content binary")
+        out = resize_images(
+            df, 5, 5, resizer=lambda b, w, h: bytes([w, h]) + b)
+        assert bytes(out.first().resized) == b"\x05\x05xx"
+        with pytest.raises(ValueError, match="width"):
+            resize_images(df, 0, 5)
