@@ -24,8 +24,11 @@ order ``auto_decode`` (the default) tries them:
 
 Transforms: ``resize_images`` (nearest-neighbor thumbnail/normalize —
 real pure-Python for PNG/BMP via the shared pixel core, PIL plug-in for
-production rate, pluggable ``(bytes, w, h) -> bytes``) and
-``frame_sample_plan`` (relational frame-window scaffold).
+production rate, pluggable ``(bytes, w, h) -> bytes``),
+``decode_audio_metadata`` (real stdlib WAV chunk-walk: sample rate /
+channels / bit depth / duration; pluggable decoder for other audio
+containers), and ``frame_sample_plan`` (relational frame-window
+scaffold).
 
 At 100 TB: mapInPandas is a narrow transformation — no shuffle; throughput
 scales with executors × Arrow batch size. Keep blobs out of shuffle keys;
@@ -59,6 +62,9 @@ __all__ = [
     "encode_png",
     "encode_bmp",
     "encode_jpeg_header",
+    "wav_decode",
+    "encode_wav",
+    "decode_audio_metadata",
     "py_pixels",
     "resize_nearest",
     "pil_resize",
@@ -434,6 +440,108 @@ def encode_png(width: int, height: int, pixel) -> bytes:
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
+
+
+_AUDIO_FIELDS = [
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("bits_per_sample", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+]
+
+
+def wav_decode(b: bytes) -> dict | None:
+    """Pure-Python WAV (RIFF) metadata parse: fmt chunk → sample rate /
+    channels / bit depth, data chunk → frame count and duration. PCM and
+    IEEE-float formats; corrupt/truncated chunk streams → None. The audio
+    analogue of :func:`jpeg_decode` — real container metadata without a
+    sample decoder (resampling/feature work plugs in via the decoder
+    hook)."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    try:
+        pos = 12
+        rate = channels = bits = None
+        fmt_tag = None
+        data_len = None
+        while pos + 8 <= len(b):
+            cid = b[pos:pos + 4]
+            (clen,) = struct.unpack_from("<I", b, pos + 4)
+            body = pos + 8
+            if cid == b"fmt " and clen >= 16:
+                fmt_tag, channels, rate, _br, block, bits = struct.unpack_from(
+                    "<HHIIHH", b, body)
+                if fmt_tag not in (1, 3) or not channels or not rate or not bits:
+                    return None  # PCM / IEEE float only
+                if block != channels * bits // 8:
+                    return None
+            elif cid == b"data":
+                data_len = min(clen, len(b) - body)
+            pos = body + clen + (clen & 1)  # chunks are word-aligned
+        if rate is None or data_len is None:
+            return None
+        frame_bytes = channels * bits // 8
+        n_frames = data_len // frame_bytes if frame_bytes else 0
+        return {
+            "byte_len": len(b),
+            "format": "wav-float" if fmt_tag == 3 else "wav-pcm",
+            "sample_rate": int(rate),
+            "channels": int(channels),
+            "bits_per_sample": int(bits),
+            "n_frames": int(n_frames),
+            "duration_s": round(n_frames / rate, 6),
+        }
+    except struct.error:
+        return None
+
+
+def encode_wav(
+    sample_rate: int = 16000, channels: int = 1, bits: int = 16,
+    n_frames: int = 0,
+) -> bytes:
+    """Synthesize a structurally-valid PCM WAV (silence) for tests: the
+    chunk walk sees real fmt/data metadata."""
+    frame_bytes = channels * bits // 8
+    data = bytes(n_frames * frame_bytes)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * frame_bytes,
+        frame_bytes, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_audio_metadata(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "audio_meta",
+    decoder=None,
+) -> DataFrame:
+    """Decode audio metadata from a binary column via Arrow-batched
+    mapInPandas — same narrow no-shuffle plumbing as
+    :func:`decode_image_metadata`; ``decoder`` is any ``bytes ->
+    dict|None`` with the _AUDIO_FIELDS keys (default :func:`wav_decode`;
+    non-WAV bytes → null row — plug in a soundfile/librosa-backed decoder
+    for other containers)."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.StructType(_AUDIO_FIELDS))]
+    )
+    decode_one = decoder or wav_decode
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                None if blob is None else decode_one(bytes(blob))
+                for blob in pdf[content_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(decode, schema=out_schema)
 
 
 def py_pixels(b: bytes) -> tuple | None:

@@ -1189,3 +1189,40 @@ class TestResizeImages:
         assert bytes(out.first().resized) == b"\x05\x05xx"
         with pytest.raises(ValueError, match="width"):
             resize_images(df, 0, 5)
+
+
+class TestAudioMetadata:
+    """late r6: audio multimodal column — real stdlib WAV chunk-walk
+    metadata (the audio analogue of the JPEG header parse)."""
+
+    def test_wav_roundtrip(self):
+        from aggo_spark.operators.multimodal import encode_wav, wav_decode
+
+        b = encode_wav(sample_rate=16000, channels=2, bits=16, n_frames=8000)
+        m = wav_decode(b)
+        assert (m["format"], m["sample_rate"], m["channels"],
+                m["bits_per_sample"], m["n_frames"]) == \
+               ("wav-pcm", 16000, 2, 16, 8000)
+        assert m["duration_s"] == pytest.approx(0.5)
+
+    def test_corrupt_and_non_wav(self):
+        from aggo_spark.operators.multimodal import encode_wav, wav_decode
+
+        assert wav_decode(b"junk bytes") is None
+        assert wav_decode(b"RIFF\x00\x00\x00\x00WAVE") is None  # no fmt/data
+        good = encode_wav(n_frames=10)
+        assert wav_decode(good[:20]) is None  # truncated before data
+
+    def test_dataframe_plumbing(self, spark):
+        from aggo_spark.operators.multimodal import (
+            decode_audio_metadata, encode_wav)
+
+        rows = [(1, bytearray(encode_wav(8000, 1, 16, 4000))),
+                (2, bytearray(b"not audio")), (3, None)]
+        df = spark.createDataFrame(rows, "doc_id long, content binary")
+        out = decode_audio_metadata(df)
+        by = {r.doc_id: r.audio_meta for r in out.collect()}
+        assert by[1].sample_rate == 8000 and by[1].duration_s == 0.5
+        assert by[2] is None and by[3] is None
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
