@@ -26,9 +26,10 @@ Transforms: ``resize_images`` (nearest-neighbor thumbnail/normalize —
 real pure-Python for PNG/BMP via the shared pixel core, PIL plug-in for
 production rate, pluggable ``(bytes, w, h) -> bytes``),
 ``decode_audio_metadata`` (real stdlib WAV chunk-walk: sample rate /
-channels / bit depth / duration; pluggable decoder for other audio
-containers), and ``frame_sample_plan`` (relational frame-window
-scaffold).
+channels / bit depth / duration), ``decode_video_metadata`` (real
+ISO-BMFF/MP4 box walk: brand / duration / track dimensions) — each with
+a pluggable decoder for other containers — and ``frame_sample_plan``
+(relational frame-window scaffold).
 
 At 100 TB: mapInPandas is a narrow transformation — no shuffle; throughput
 scales with executors × Arrow batch size. Keep blobs out of shuffle keys;
@@ -63,6 +64,9 @@ __all__ = [
     "encode_bmp",
     "encode_jpeg_header",
     "wav_decode",
+    "mp4_decode",
+    "encode_mp4_header",
+    "decode_video_metadata",
     "encode_wav",
     "decode_audio_metadata",
     "py_pixels",
@@ -531,6 +535,153 @@ def decode_audio_metadata(
         list(df.schema.fields) + [T.StructField(out_col, T.StructType(_AUDIO_FIELDS))]
     )
     decode_one = decoder or wav_decode
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                None if blob is None else decode_one(bytes(blob))
+                for blob in pdf[content_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+_VIDEO_FIELDS = [
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("brand", T.StringType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_tracks", T.IntegerType()),
+]
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the ISO-BMFF boxes in
+    b[start:end]; stops on a malformed size rather than looping."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", b, pos)
+        btype = b[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack_from(">Q", b, pos + 8)
+            body = pos + 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            return
+        yield btype, body, pos + size
+        pos += size
+
+
+def mp4_decode(b: bytes) -> dict | None:
+    """Pure-Python MP4/ISO-BMFF metadata parse: box walk to ftyp (brand)
+    and moov → mvhd (timescale/duration, v0 + v1) and per-track tkhd
+    (16.16 fixed-point width/height — the max over tracks, since audio
+    tracks carry 0×0). The video analogue of :func:`jpeg_decode` /
+    :func:`wav_decode`: real container metadata, no sample decode (frame
+    pixels need a codec — compose :func:`frame_sample_plan` + a PIL/ffmpeg
+    plug-in for that). Corrupt/truncated box trees → None."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    try:
+        brand = b[8:12].decode("ascii", "replace")
+        duration_s = None
+        width = height = 0
+        n_tracks = 0
+        for btype, s, e in _mp4_boxes(b, 0, len(b)):
+            if btype != b"moov":
+                continue
+            for ctype, cs, ce in _mp4_boxes(b, s, e):
+                if ctype == b"mvhd" and ce - cs >= 4:
+                    ver = b[cs]
+                    if ver == 1 and ce - cs >= 28 + 4:
+                        (scale,) = struct.unpack_from(">I", b, cs + 20)
+                        (dur,) = struct.unpack_from(">Q", b, cs + 24)
+                    elif ver == 0 and ce - cs >= 20 + 4:
+                        scale, dur = struct.unpack_from(">II", b, cs + 12)
+                    else:
+                        continue
+                    if scale:
+                        duration_s = round(dur / scale, 6)
+                elif ctype == b"trak":
+                    n_tracks += 1
+                    for t, ts, te in _mp4_boxes(b, cs, ce):
+                        if t == b"tkhd" and te - ts >= 4:
+                            # width/height (16.16 fixed) follow ver+flags(4)
+                            # + times/id/reserved/duration (20 v0 / 32 v1)
+                            # + reserved(8) + layer/group/volume(8)
+                            # + matrix(36)
+                            ver = b[ts]
+                            off = ts + (88 if ver == 1 else 76)
+                            if off + 8 <= te:
+                                w16, h16 = struct.unpack_from(">II", b, off)
+                                width = max(width, w16 >> 16)
+                                height = max(height, h16 >> 16)
+        if duration_s is None:
+            return None
+        return {
+            "byte_len": len(b),
+            "format": "mp4",
+            "brand": brand,
+            "duration_s": duration_s,
+            "width": int(width),
+            "height": int(height),
+            "n_tracks": int(n_tracks),
+        }
+    except (struct.error, IndexError):
+        return None
+
+
+def encode_mp4_header(
+    duration_s: float = 1.0, width: int = 640, height: int = 360,
+    timescale: int = 1000, brand: bytes = b"isom",
+) -> bytes:
+    """Synthesize a structurally-valid MP4 metadata skeleton (ftyp +
+    moov[mvhd + trak[tkhd]]) for tests: the box walk sees real duration
+    and dimensions; there is no mdat, so a sample decoder would reject
+    it — the header-only contract :func:`mp4_decode` implements."""
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    dur = int(round(duration_s * timescale))
+    mvhd = (bytes(4)                     # version 0 + flags
+            + struct.pack(">II", 0, 0)   # ctime, mtime
+            + struct.pack(">II", timescale, dur)
+            + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+            + bytes(10) + bytes(36)      # reserved + identity matrix slot
+            + bytes(24) + struct.pack(">I", 2))
+    tkhd = (bytes(4)
+            + struct.pack(">III", 0, 0, 1)   # times, track id
+            + bytes(4) + struct.pack(">I", dur)
+            + bytes(8) + bytes(8) + bytes(36)
+            + struct.pack(">II", width << 16, height << 16))
+    moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    return ftyp + moov
+
+
+def decode_video_metadata(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "video_meta",
+    decoder=None,
+) -> DataFrame:
+    """Decode video metadata from a binary column — the same narrow
+    Arrow-batched plumbing as the image/audio decoders; ``decoder`` is any
+    ``bytes -> dict|None`` with the _VIDEO_FIELDS keys (default
+    :func:`mp4_decode`; plug in an ffprobe/pyav-backed decoder for other
+    containers)."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.StructType(_VIDEO_FIELDS))]
+    )
+    decode_one = decoder or mp4_decode
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

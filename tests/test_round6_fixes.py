@@ -1226,3 +1226,44 @@ class TestAudioMetadata:
         assert by[2] is None and by[3] is None
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestVideoMetadata:
+    """late r6: video multimodal column — real ISO-BMFF (MP4) box walk
+    for brand/duration/dimensions, completing the image/audio/video trio."""
+
+    def test_mp4_roundtrip(self):
+        from aggo_spark.operators.multimodal import (
+            encode_mp4_header, mp4_decode)
+
+        b = encode_mp4_header(duration_s=2.5, width=1280, height=720)
+        m = mp4_decode(b)
+        assert (m["format"], m["brand"], m["duration_s"],
+                m["width"], m["height"], m["n_tracks"]) == \
+               ("mp4", "isom", 2.5, 1280, 720, 1)
+
+    def test_corrupt_and_non_mp4(self):
+        from aggo_spark.operators.multimodal import (
+            encode_mp4_header, mp4_decode)
+
+        assert mp4_decode(b"not a video at all") is None
+        good = encode_mp4_header()
+        assert mp4_decode(good[:16]) is None  # truncated before moov
+        # malformed inner box size must terminate, not loop or crash
+        bad = bytearray(good)
+        bad[40] = 0xFF
+        mp4_decode(bytes(bad))  # any result, but no hang/exception
+
+    def test_dataframe_plumbing(self, spark):
+        from aggo_spark.operators.multimodal import (
+            decode_video_metadata, encode_mp4_header)
+
+        rows = [(1, bytearray(encode_mp4_header(duration_s=1.25))),
+                (2, bytearray(b"junk")), (3, None)]
+        df = spark.createDataFrame(rows, "doc_id long, content binary")
+        out = decode_video_metadata(df)
+        by = {r.doc_id: r.video_meta for r in out.collect()}
+        assert by[1].duration_s == 1.25 and by[1].brand == "isom"
+        assert by[2] is None and by[3] is None
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
