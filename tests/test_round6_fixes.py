@@ -1267,3 +1267,63 @@ class TestVideoMetadata:
         assert by[2] is None and by[3] is None
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestContainerCodecFuzz:
+    """Property-based round-trips for the pure-Python container codecs:
+    whatever the synthesizers write, the parsers must read back exactly."""
+
+    def test_wav_roundtrip_fuzz(self):
+        from hypothesis import given, settings, strategies as st
+
+        from aggo_spark.operators.multimodal import encode_wav, wav_decode
+
+        @settings(max_examples=60, deadline=None)
+        @given(rate=st.integers(8000, 192000),
+               channels=st.integers(1, 8),
+               bits=st.sampled_from([8, 16, 24, 32]),
+               frames=st.integers(0, 2000))
+        def check(rate, channels, bits, frames):
+            m = wav_decode(encode_wav(rate, channels, bits, frames))
+            assert (m["sample_rate"], m["channels"], m["bits_per_sample"],
+                    m["n_frames"]) == (rate, channels, bits, frames)
+            assert m["duration_s"] == pytest.approx(frames / rate, abs=1e-6)
+
+        check()
+
+    def test_mp4_roundtrip_fuzz(self):
+        from hypothesis import given, settings, strategies as st
+
+        from aggo_spark.operators.multimodal import (
+            encode_mp4_header, mp4_decode)
+
+        @settings(max_examples=60, deadline=None)
+        @given(ts=st.integers(1, 90000),
+               dur_ticks=st.integers(0, 10**7),
+               w=st.integers(0, 8192), h=st.integers(0, 8192))
+        def check(ts, dur_ticks, w, h):
+            m = mp4_decode(encode_mp4_header(
+                duration_s=dur_ticks / ts, width=w, height=h, timescale=ts))
+            assert m["width"] == w and m["height"] == h
+            assert m["duration_s"] == pytest.approx(dur_ticks / ts, abs=1e-5)
+
+        check()
+
+    def test_png_pixels_roundtrip_fuzz(self):
+        from hypothesis import given, settings, strategies as st
+
+        from aggo_spark.operators.multimodal import encode_png, py_pixels
+
+        @settings(max_examples=25, deadline=None)
+        @given(w=st.integers(1, 9), h=st.integers(1, 9),
+               seed=st.integers(0, 2**31))
+        def check(w, h, seed):
+            def px(x, y):
+                v = (seed + 31 * x + 97 * y) & 0xFFFFFF
+                return (v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF)
+
+            gw, gh, ch, rows = py_pixels(encode_png(w, h, px))
+            assert (gw, gh, ch) == (w, h, 3)
+            assert rows == [[px(x, y) for x in range(w)] for y in range(h)]
+
+        check()
