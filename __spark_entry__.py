@@ -739,9 +739,50 @@ def q40_multimodal(spark, sf_dir):
         F.col("img_meta.height").alias("jpg_height"),
         F.col("img_meta.channels").alias("jpg_channels"),
     )
+
+    # late r6: audio (WAV RIFF chunk walk) + video (MP4 box walk) — real
+    # parses of synthesized containers with arithmetic params; every 7th
+    # doc gets corrupt magic bytes that must yield a NULL meta row. MP4
+    # durations are exact halves so round(dur/scale, 6) is FP-safe.
+    def _synth_av(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield _pd.DataFrame({
+                "doc_id": ids,
+                "wav": [
+                    b"RIFFxxxx" if i % 7 == 0 else
+                    multimodal.encode_wav(
+                        8000 + (i % 5) * 8000, 1 + i % 2, 16,
+                        int(i % 100) * 160)
+                    for i in ids],
+                "mp4": [
+                    b"\x00\x00\x00\x08ftyp" if i % 7 == 0 else
+                    multimodal.encode_mp4_header(
+                        duration_s=(1 + i % 30) / 2.0,
+                        width=16 * (1 + i % 120), height=16 * (1 + i % 68))
+                    for i in ids],
+            })
+    av = df.select("doc_id").mapInPandas(
+        _synth_av, schema="doc_id long, wav binary, mp4 binary")
+    wavdec = multimodal.decode_audio_metadata(
+        av.select("doc_id", F.col("wav").alias("content"))).select(
+        "doc_id",
+        F.col("audio_meta.sample_rate").alias("wav_rate"),
+        F.col("audio_meta.channels").alias("wav_channels"),
+        F.col("audio_meta.n_frames").alias("wav_frames"),
+        F.col("audio_meta.duration_s").alias("wav_duration"),
+    )
+    mp4dec = multimodal.decode_video_metadata(
+        av.select("doc_id", F.col("mp4").alias("content"))).select(
+        "doc_id",
+        F.col("video_meta.duration_s").alias("mp4_duration"),
+        F.col("video_meta.width").alias("mp4_width"),
+        F.col("video_meta.height").alias("mp4_height"),
+        F.col("video_meta.n_tracks").alias("mp4_tracks"),
+    )
     return (
         meta.join(frames, "doc_id").join(decoded, "doc_id")
-        .join(jdec, "doc_id")
+        .join(jdec, "doc_id").join(wavdec, "doc_id").join(mp4dec, "doc_id")
         .orderBy("doc_id", "frame_idx")
     )
 
@@ -1772,7 +1813,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(1 + (d.doc_id * 17) % 2048 AS INT) END AS jpg_height,
                    CASE WHEN d.doc_id % 5 = 0 THEN NULL
                         ELSE CAST(CASE d.doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
-                                  ELSE 4 END AS INT) END AS jpg_channels
+                                  ELSE 4 END AS INT) END AS jpg_channels,
+                   -- late r6: WAV RIFF + MP4 box-walk parses; every 7th doc
+                   -- carries corrupt magic -> all-null meta
+                   CASE WHEN d.doc_id % 7 = 0 THEN NULL
+                        ELSE CAST(8000 + (d.doc_id % 5) * 8000 AS INT) END AS wav_rate,
+                   CASE WHEN d.doc_id % 7 = 0 THEN NULL
+                        ELSE CAST(1 + d.doc_id % 2 AS INT) END AS wav_channels,
+                   CASE WHEN d.doc_id % 7 = 0 THEN NULL
+                        ELSE CAST((d.doc_id % 100) * 160 AS BIGINT) END AS wav_frames,
+                   CASE WHEN d.doc_id % 7 = 0 THEN NULL
+                        ELSE round(CAST((d.doc_id % 100) * 160 AS DOUBLE)
+                                   / (8000 + (d.doc_id % 5) * 8000), 6)
+                        END AS wav_duration,
+                   CASE WHEN d.doc_id % 7 = 0 THEN NULL
+                        ELSE CAST((1 + d.doc_id % 30) / 2.0 AS DOUBLE) END AS mp4_duration,
+                   CASE WHEN d.doc_id % 7 = 0 THEN NULL
+                        ELSE CAST(16 * (1 + d.doc_id % 120) AS INT) END AS mp4_width,
+                   CASE WHEN d.doc_id % 7 = 0 THEN NULL
+                        ELSE CAST(16 * (1 + d.doc_id % 68) AS INT) END AS mp4_height,
+                   CASE WHEN d.doc_id % 7 = 0 THEN NULL
+                        ELSE CAST(1 AS INT) END AS mp4_tracks
             FROM f JOIN documents d ON f.doc_id = d.doc_id
             ORDER BY f.doc_id, frame_idx
         """,

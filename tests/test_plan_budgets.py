@@ -74,9 +74,11 @@ BUDGETS = {
     "q36_langid": 2,
     "q37_quality": 1,
     "q39_fingerprint": 11,     # multi-fingerprint union
-    "q40_multimodal": 4,       # +1 r5: real-PNG-decode branch joins on
+    "q40_multimodal": 6,       # +1 r5: real-PNG-decode branch joins on
                                # doc_id (one narrow 7-col row per doc);
-                               # +1 r6: JPEG-header branch join (4-col row)
+                               # +1 r6: JPEG-header branch join (4-col row);
+                               # +2 late r6: WAV + MP4 metadata branch
+                               # joins (scalar meta rows per doc)
     "q42_stream_agg": 1,
     "q43_stream_window": 1,
     "q44_topn": 3,
