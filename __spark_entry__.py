@@ -564,6 +564,17 @@ def q34_ann_brute(spark, sf_dir):
 
 
 
+def _seed_pq_books(centers: list) -> list:
+    """q48's deterministic PQ codebooks: the m=4 16-dim subspace slices of
+    the first 8 seed vectors (k_codes=8). One definition shared by the
+    contract query, bench.py's q48_ann_pq extra, and — by construction —
+    the DuckDB oracle's `books` CTE; change all three together."""
+    return [
+        [[float(x) for x in centers[c][j * 16:(j + 1) * 16]] for c in range(8)]
+        for j in range(4)
+    ]
+
+
 def q48_ann_ivf(spark, sf_dir):
     """IVF + PQ ANN with deterministic seed parameters, one driver row per
     (method, query, rank). IVF (r3): the first 16 corpus vectors serve as
@@ -586,10 +597,7 @@ def q48_ann_ivf(spark, sf_dir):
     ivf = similarity.ivf_topk(
         emb, q, k=10, n_centroids=16, nprobe=4, centroids=centers
     ).withColumn("method", F.lit("ivf"))
-    books = [
-        [[float(x) for x in centers[c][j * 16:(j + 1) * 16]] for c in range(8)]
-        for j in range(4)
-    ]
+    books = _seed_pq_books(centers)
     codes = similarity.pq_encode(emb, books)
     pq = similarity.pq_topk(codes, q, books, k=10).withColumn(
         "method", F.lit("pq"))

@@ -573,13 +573,17 @@ def minhash_decontaminate(
 
     Plan: signatures for BOTH sides with identical (seed, k, unit,
     hash_fn) parameters → banded keys (shared codegen band hash) →
-    equi-join corpus bands to benchmark bands on (band, bh) — the
-    benchmark side is broadcast by default (eval suites are tiny next to
-    the corpus; ``broadcast=False`` shuffle-joins for benchmark-sized
-    "benchmarks"). Agreement is verified on the full signatures, so a
-    band collision alone never flags anything; multi-band collisions
-    collapse in the per-doc max aggregate, no distinct pass needed. The
-    corpus text never shuffles — only signatures move.
+    equi-join corpus bands to benchmark BAND KEYS on (band, bh), then a
+    second (benchmark-keyed) join attaches the benchmark signature for
+    the agreement verify — the broadcast side ships each benchmark doc's
+    signature ONCE plus ``bands`` 3-long key rows, not the signature
+    duplicated into every band row (review r6: that was a ~bands×
+    inflation). Defaults broadcast both tiny tables (eval suites are tiny
+    next to the corpus); ``broadcast=False`` shuffle-joins for
+    benchmark-sized "benchmarks". A band collision alone never flags
+    anything; multi-band collisions collapse in the per-doc max
+    aggregate, no distinct pass needed. The corpus text never shuffles —
+    only signatures move.
     """
     if num_perm % bands:
         raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
@@ -596,18 +600,26 @@ def minhash_decontaminate(
                  F.col("bk.bh").alias("bh"))
 
     c = banded(corpus)
-    # benchmark ids are never reported — only the signatures travel, so the
-    # broadcast ships (num_perm longs + band keys) per benchmark doc
-    b = banded(benchmark).select(F.col("sig").alias("bsig"), "band", "bh")
+    bsig = minhash_signatures(
+        benchmark, text_col, id_col, num_perm, k, seed=seed, unit=unit,
+        hash_fn=hash_fn).select(
+        F.col("id").alias("bid"), F.col("sig").alias("bsig"))
+    bkeys = (
+        bsig.select("bid", F.col("bsig").alias("sig"))
+        .select("bid", F.explode(F.array(*band_keys)).alias("bk"))
+        .select("bid", F.col("bk.band").alias("band"),
+                F.col("bk.bh").alias("bh"))
+    )
     if broadcast:
-        b = F.broadcast(b)
+        bkeys, bsig = F.broadcast(bkeys), F.broadcast(bsig)
     est = (
         F.size(F.filter(
             F.zip_with("sig", "bsig", lambda p, q: p == q), lambda e: e
         )).cast("double") / F.lit(float(num_perm))
     )
     hits = (
-        c.join(b, ["band", "bh"])
+        c.join(bkeys, ["band", "bh"])
+        .join(bsig, "bid")
         .select("id", est.alias("est"))
         .groupBy("id")
         .agg(F.round(F.max("est"), 6).alias("max_est_jaccard"))

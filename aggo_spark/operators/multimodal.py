@@ -519,6 +519,31 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _map_binary_column(
+    df: DataFrame, content_col: str, out_col: str, fn, out_type,
+) -> DataFrame:
+    """Shared plumbing for every per-blob transform in this module
+    (image/audio/video metadata decode, resize): append ``out_col`` of
+    ``out_type`` computed by ``fn(bytes) -> value|None`` over the binary
+    column, as an Arrow-batched narrow ``mapInPandas`` (NULL blobs -> NULL
+    out). The per-modality entries differ only in ``fn`` and the output
+    type — one copy of the batch loop, not four (review r6)."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, out_type)]
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                None if blob is None else fn(bytes(blob))
+                for blob in pdf[content_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(work, schema=out_schema)
+
+
 def decode_audio_metadata(
     df: DataFrame,
     content_col: str = "content",
@@ -531,21 +556,9 @@ def decode_audio_metadata(
     dict|None`` with the _AUDIO_FIELDS keys (default :func:`wav_decode`;
     non-WAV bytes → null row — plug in a soundfile/librosa-backed decoder
     for other containers)."""
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.StructType(_AUDIO_FIELDS))]
-    )
-    decode_one = decoder or wav_decode
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf[out_col] = [
-                None if blob is None else decode_one(bytes(blob))
-                for blob in pdf[content_col]
-            ]
-            yield pdf
-
-    return df.mapInPandas(decode, schema=out_schema)
+    return _map_binary_column(
+        df, content_col, out_col, decoder or wav_decode,
+        T.StructType(_AUDIO_FIELDS))
 
 
 _VIDEO_FIELDS = [
@@ -678,21 +691,9 @@ def decode_video_metadata(
     ``bytes -> dict|None`` with the _VIDEO_FIELDS keys (default
     :func:`mp4_decode`; plug in an ffprobe/pyav-backed decoder for other
     containers)."""
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.StructType(_VIDEO_FIELDS))]
-    )
-    decode_one = decoder or mp4_decode
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf[out_col] = [
-                None if blob is None else decode_one(bytes(blob))
-                for blob in pdf[content_col]
-            ]
-            yield pdf
-
-    return df.mapInPandas(decode, schema=out_schema)
+    return _map_binary_column(
+        df, content_col, out_col, decoder or mp4_decode,
+        T.StructType(_VIDEO_FIELDS))
 
 
 def py_pixels(b: bytes) -> tuple | None:
@@ -766,21 +767,10 @@ def resize_images(
     """
     if width < 1 or height < 1:
         raise ValueError("width and height must be >= 1")
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
-    )
     fn = resizer or (pil_resize if HAVE_PIL else resize_nearest)
-
-    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf[out_col] = [
-                None if blob is None else fn(bytes(blob), width, height)
-                for blob in pdf[content_col]
-            ]
-            yield pdf
-
-    return df.mapInPandas(work, schema=out_schema)
+    return _map_binary_column(
+        df, content_col, out_col, lambda b: fn(b, width, height),
+        T.BinaryType())
 
 
 def encode_jpeg_header(
@@ -841,22 +831,9 @@ def decode_image_metadata(
     and the Spark plumbing (schema, Arrow batching, narrow no-shuffle
     plan) is identical for every decoder.
     """
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.StructType(_META_FIELDS))]
-    )
-    decode_one = decoder or auto_decode
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            metas = [
-                None if blob is None else decode_one(bytes(blob))
-                for blob in pdf[content_col]
-            ]
-            pdf = pdf.copy()
-            pdf[out_col] = metas
-            yield pdf
-
-    return df.mapInPandas(decode, schema=out_schema)
+    return _map_binary_column(
+        df, content_col, out_col, decoder or auto_decode,
+        T.StructType(_META_FIELDS))
 
 
 def frame_sample_plan(

@@ -265,6 +265,9 @@ def quantile_threshold_filter(
     """
     if not 0.0 < keep_top <= 1.0:
         raise ValueError(f"keep_top must be in (0, 1], got {keep_top}")
+    if relative_error < 0:
+        raise ValueError(
+            f"relative_error must be >= 0 (0 = exact), got {relative_error}")
     q = 1.0 - keep_top
     acc = int(1.0 / relative_error) if relative_error > 0 else 2147483647
     thr = F.percentile_approx(score_col, q, F.lit(acc)).alias("__thr")

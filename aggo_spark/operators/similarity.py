@@ -413,12 +413,20 @@ def _lloyd(X, k: int, rng, iters: int = 20):
             + (C ** 2).sum(1)[None, :]
         )
         assign = d2.argmin(1)
+        empties = []
         for j in range(k):
             mask = assign == j
             if mask.any():
                 C[j] = X[mask].mean(0)
             else:
-                C[j] = X[d2.min(1).argmax()]
+                empties.append(j)
+        if empties:
+            # reseed each empty cluster with a DISTINCT farthest point
+            # (one shared argmax would leave duplicate codewords that
+            # waste codebook capacity — ties always pick the lower index)
+            far = np.argsort(-d2.min(1))
+            for i, j in enumerate(empties):
+                C[j] = X[far[i % n]]
     return C
 
 
@@ -453,11 +461,13 @@ def pq_train(
 
     if m < 1 or k_codes < 2:
         raise ValueError("need m >= 1 and k_codes >= 2")
-    n = corpus.count()
+    vecs = corpus.select(vec_col).filter(F.col(vec_col).isNotNull())
+    n = vecs.count()
     frac = min(1.0, max_train_rows / max(n, 1))
-    train = corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
-    X = np.asarray(
-        [r[0] for r in train.select(vec_col).collect()], dtype=np.float64)
+    train = vecs.sample(fraction=frac, seed=seed) if frac < 1.0 else vecs
+    # NULL vectors dropped above (the pq_encode contract) so a single
+    # NULL row cannot crash the fixed-width asarray
+    X = np.asarray([r[0] for r in train.collect()], dtype=np.float64)
     if X.ndim != 2 or len(X) == 0:
         raise ValueError(f"{vec_col} must be a non-empty fixed-dim array column")
     d = X.shape[1]
@@ -601,33 +611,75 @@ def pq_topk(
     32   256      32         0.929
     ===  =======  =========  =========
     """
+    return _adc_topk(codes, queries, codebooks, k, id_col, vec_col, codes_col)
+
+
+def _collect_queries(queries, id_col: str, vec_col: str, m: int, sub: int):
+    """Driver-side query collect shared by the PQ entries: NULL query
+    vectors are dropped (the contract :func:`pq_encode` applies to the
+    corpus side), dims validated against the codebooks."""
+    import numpy as np
+
+    qrows = (
+        queries.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("queries is empty (or every query vector is NULL)")
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    if Q.ndim != 2:
+        raise ValueError("query vectors are ragged (mixed dimensions)")
+    if Q.shape[1] != m * sub:
+        raise ValueError(f"query dim {Q.shape[1]} != codebook dim {m * sub}")
+    return qids, Q
+
+
+def _adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    codes_col: str,
+    cell_col: str | None = None,
+    qcells=None,
+    pre=None,
+) -> DataFrame:
+    """Shared ADC kernel behind :func:`pq_topk` and :func:`ivf_pq_topk`:
+    per-query lookup tables, a per-batch local top-(k+1) cut, optional
+    per-query probe-cell masking (``cell_col`` + ``qcells``), final exact
+    rank window.
+
+    The batch-local cut is selected by the SAME order the final window
+    ranks on — ``round(score, 6) desc, neighbor_id asc`` — so a
+    rounding-induced tie at the cut boundary can never be dropped locally
+    yet rank ≤ k globally (review r6; an unrounded argpartition could
+    discard the smaller-id member of a rounded tie).
+    """
     import numpy as np
 
     if k < 1:
         raise ValueError("k must be >= 1")
     books = np.asarray(codebooks, dtype=np.float64)  # (m, kc, sub)
     m, _kc, sub = books.shape
-    qrows = queries.select(id_col, vec_col).collect()
-    if not qrows:
-        raise ValueError("queries is empty")
-    qids = [r[0] for r in qrows]
-    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
-    if Q.shape[1] != m * sub:
-        raise ValueError(
-            f"query dim {Q.shape[1]} != codebook dim {m * sub}")
-    # per-query inner-product tables (nq, m, kc); per-code squared norms
+    qids, Q = pre if pre is not None else _collect_queries(
+        queries, id_col, vec_col, m, sub)
     _check_table_bytes(len(Q), m, _kc)
+    # per-query inner-product tables (nq, m, kc); per-code squared norms
     tables = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m, sub), books)
     bn2 = (books ** 2).sum(-1)  # (m, kc)
     qnorm = np.sqrt((Q ** 2).sum(1))  # (nq,)
     take = k + 1  # +1 absorbs a self-match removed later
-    id_type = codes.schema[id_col].dataType
     out_schema = T.StructType([
         T.StructField("query_id", queries.schema[id_col].dataType),
-        T.StructField("neighbor_id", id_type),
+        T.StructField("neighbor_id", codes.schema[id_col].dataType),
         T.StructField("score", T.DoubleType()),
     ])
     jidx = np.arange(m)[None, :]
+    sel_cols = [id_col, codes_col] + ([cell_col] if cell_col else [])
 
     def score(batches):
         import pandas as pd
@@ -640,17 +692,33 @@ def pq_topk(
             rnorm = np.sqrt(bn2[jidx, C].sum(1))  # (n,) reconstruction norms
             denom = np.maximum(qnorm[:, None] * rnorm[None, :], 1e-30)
             cos = ip / denom
-            t = min(take, cos.shape[1])
-            top = np.argpartition(-cos, t - 1, axis=1)[:, :t]  # (nq, t)
+            if qcells is not None:
+                # probe mask: row allowed iff its cell is one the query
+                # probed (cells (n,), qcells (nq, nprobe))
+                cells = pdf[cell_col].to_numpy()
+                allowed = (cells[None, :, None] == qcells[:, None, :]).any(-1)
+                cos = np.where(allowed, cos, -np.inf)
             nb = pdf[id_col].to_numpy()
-            yield pd.DataFrame({
-                "query_id": np.repeat(qids, t),
-                "neighbor_id": nb[top.ravel()],
-                "score": np.take_along_axis(cos, top, axis=1).ravel(),
-            })
+            t = min(take, cos.shape[1])
+            rounded = np.round(cos, 6)
+            by_id = np.argsort(nb, kind="stable")  # id-asc tie base
+            rows = []
+            for qi in range(len(qids)):
+                order = by_id[
+                    np.argsort(-rounded[qi][by_id], kind="stable")][:t]
+                sc = cos[qi][order]
+                keep = np.isfinite(sc)  # out-of-probe placeholders
+                if keep.any():
+                    rows.append(pd.DataFrame({
+                        "query_id": [qids[qi]] * int(keep.sum()),
+                        "neighbor_id": nb[order][keep],
+                        "score": sc[keep],
+                    }))
+            if rows:  # empty object-dtype frames can trip Arrow
+                yield pd.concat(rows, ignore_index=True)
 
     scored = (
-        codes.select(id_col, codes_col).mapInPandas(score, out_schema)
+        codes.select(*sel_cols).mapInPandas(score, out_schema)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", F.round("score", 6))
     )
@@ -704,79 +772,24 @@ def ivf_pq_topk(
     """
     import numpy as np
 
-    if k < 1 or nprobe < 1:
-        raise ValueError("k and nprobe must be >= 1")
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
     books = np.asarray(codebooks, dtype=np.float64)
     m, _kc, sub = books.shape
     cents = np.asarray(centroids, dtype=np.float64)
     if cents.shape[1] != m * sub:
         raise ValueError(
             f"centroid dim {cents.shape[1]} != codebook dim {m * sub}")
-    qrows = queries.select(id_col, vec_col).collect()
-    if not qrows:
-        raise ValueError("queries is empty")
-    qids = [r[0] for r in qrows]
-    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
-    if Q.shape[1] != m * sub:
-        raise ValueError(f"query dim {Q.shape[1]} != codebook dim {m * sub}")
+    qids, Q = _collect_queries(queries, id_col, vec_col, m, sub)
     np_ = min(nprobe, len(cents))
     cd2 = -2.0 * Q @ cents.T + (cents ** 2).sum(1)[None, :]
     qcells = np.argsort(cd2, axis=1)[:, :np_]  # (nq, nprobe)
     probed_union = [int(c) for c in np.unique(qcells)]
 
-    _check_table_bytes(len(Q), m, _kc)
-    tables = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m, sub), books)
-    bn2 = (books ** 2).sum(-1)
-    qnorm = np.sqrt((Q ** 2).sum(1))
-    take = k + 1
-    out_schema = T.StructType([
-        T.StructField("query_id", queries.schema[id_col].dataType),
-        T.StructField("neighbor_id", codes.schema[id_col].dataType),
-        T.StructField("score", T.DoubleType()),
-    ])
-    jidx = np.arange(m)[None, :]
-
-    def score(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            C = np.asarray(pdf[codes_col].tolist(), dtype=np.int64)
-            cells = pdf[cell_col].to_numpy()
-            ip = tables[:, jidx, C].sum(2)
-            rnorm = np.sqrt(bn2[jidx, C].sum(1))
-            denom = np.maximum(qnorm[:, None] * rnorm[None, :], 1e-30)
-            cos = ip / denom
-            # per-query probe mask: row allowed iff its cell is one the
-            # query probed (cells (n,), qcells (nq, nprobe))
-            allowed = (cells[None, :, None] == qcells[:, None, :]).any(-1)
-            cos = np.where(allowed, cos, -np.inf)
-            t = min(take, cos.shape[1])
-            top = np.argpartition(-cos, t - 1, axis=1)[:, :t]
-            sc = np.take_along_axis(cos, top, axis=1).ravel()
-            nb = pdf[id_col].to_numpy()
-            out = pd.DataFrame({
-                "query_id": np.repeat(qids, t),
-                "neighbor_id": nb[top.ravel()],
-                "score": sc,
-            })
-            out = out[np.isfinite(sc)]  # drop out-of-probe placeholders
-            if len(out):  # empty object-dtype frames can trip Arrow
-                yield out
-
-    scored = (
-        codes.filter(F.col(cell_col).isin(probed_union))
-        .select(id_col, codes_col, cell_col)
-        .mapInPandas(score, out_schema)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round("score", 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return _adc_topk(
+        codes.filter(F.col(cell_col).isin(probed_union)),
+        queries, codebooks, k, id_col, vec_col, codes_col,
+        cell_col=cell_col, qcells=qcells, pre=(qids, Q),
     )
 
 

@@ -2162,15 +2162,24 @@ def stage_score_fusion(df: DataFrame, spec: dict, engine) -> DataFrame:
                 6).alias(score_field),
         ]
     if want_details:
+        # expression mode has no per-pipeline weights and no linear
+        # contribution decomposition (the combiner is arbitrary): those
+        # details fields are NULL so no consumer mistakes the default 1.0
+        # for a real weight or sums contributions expecting the fused value
+        if method == "expression":
+            w_col = F.lit(None).cast("double")
+            contrib_col = F.lit(None).cast("double")
+        else:
+            w_col = F.col("__sf_w")
+            contrib_col = F.round(F.col("__sf_w") * F.col("__sf_norm"), 6)
         agg_cols.append(F.transform(
             F.array_sort(F.collect_list(F.struct(
                 F.col("__sf_pos").alias("pos"),
                 F.col("__sf_name").alias("inputPipelineName"),
-                F.col("__sf_w").alias("weight"),
+                w_col.alias("weight"),
                 F.round("__sf_raw", 6).alias("rawScore"),
                 F.round("__sf_norm", 6).alias("normalizedScore"),
-                F.round(F.col("__sf_w") * F.col("__sf_norm"), 6)
-                .alias("contribution")))),
+                contrib_col.alias("contribution")))),
             lambda s: s.dropFields("pos")).alias("__sf_details"))
     fused = un_scores.groupBy(id_field).agg(*agg_cols)
     if method == "expression":

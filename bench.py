@@ -219,11 +219,7 @@ def main() -> None:
             emb.filter(F.col("vec_id") < 8).orderBy("vec_id")
             .select("embedding").collect())
         centers = [list(r["embedding"]) for r in seeds]
-        books = [
-            [[float(x) for x in centers[c][j * 16:(j + 1) * 16]]
-             for c in range(8)]
-            for j in range(4)
-        ]
+        books = entry._seed_pq_books(centers)
         codes = _sim.pq_encode(emb, books)
         q = emb.filter(F.col("vec_id") < 5)
         return _sim.pq_topk(codes, q, books, k=10)

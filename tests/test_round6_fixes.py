@@ -379,6 +379,25 @@ class TestScoreFusion:
         assert by[3] == pytest.approx(0.5 * 0.0 + 0.5, abs=1e-6)
         assert [r.doc_id for r in out] == [1, 2, 3]
 
+    def test_expression_score_details_null_weight(self, spark):
+        from aggo_spark import Engine
+
+        df = self._df(spark)
+        out = Engine().aggregate(df, [{"$scoreFusion": {
+            "input": {"pipelines": {
+                "pop": [{"$addFields": {"score": "$pop"}}, {"$limit": 3}],
+            }, "normalization": "none"},
+            "combination": {"method": "expression",
+                            "expression": {"$multiply": ["$$pop", 0.5]}},
+            "idField": "doc_id",
+            "scoreDetails": True,
+        }}]).collect()
+        d = out[0].scoreDetails.details[0]
+        # weights are rejected for expression mode, so the details must not
+        # fabricate weight=1.0 / contribution=norm (review r6)
+        assert d.weight is None and d.contribution is None
+        assert d.normalizedScore is not None
+
     def test_expression_validation(self, spark):
         from aggo_spark import Engine
         from aggo_spark.errors import InvalidPipeline
@@ -924,6 +943,16 @@ class TestProductQuantization:
             pq_topk(df, emb.limit(0), books)
 
 
+    def test_null_embedding_rows_dropped(self, spark):
+        from aggo_spark.operators.similarity import pq_encode
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+            "vec_id long, embedding array<double>")
+        books = [[[1.0], [0.0]], [[1.0], [0.0]]]
+        got = {r.vec_id for r in pq_encode(df, books).collect()}
+        assert got == {1, 3}  # the NULL-vector row has no codes
+
 class TestIvfPq:
     """late r6: IVF-PQ composition — coarse-cell probe (scanned rows) on
     top of PQ codes (bytes per row), per-query probe masking."""
@@ -1066,16 +1095,6 @@ class TestMinhashDecontaminate:
         with pytest.raises(ValueError, match="divide"):
             minhash_decontaminate(corpus, bench, num_perm=64, bands=7)
 
-    def test_null_embedding_rows_dropped(self, spark):
-        from aggo_spark.operators.similarity import pq_encode
-
-        df = spark.createDataFrame(
-            [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
-            "vec_id long, embedding array<double>")
-        books = [[[1.0], [0.0]], [[1.0], [0.0]]]
-        got = {r.vec_id for r in pq_encode(df, books).collect()}
-        assert got == {1, 3}  # the NULL-vector row has no codes
-
 
 class TestQuantileThresholdFilter:
     """late r6: per-group score-percentile cut via a mergeable sketch
@@ -1126,6 +1145,8 @@ class TestQuantileThresholdFilter:
         assert "Broadcast" in plan and "Window" not in plan
         with pytest.raises(ValueError, match="keep_top"):
             quantile_threshold_filter(df, "score", keep_top=0.0)
+        with pytest.raises(ValueError, match="relative_error"):
+            quantile_threshold_filter(df, "score", relative_error=-0.001)
 
 
 class TestResizeImages:
