@@ -1348,3 +1348,71 @@ class TestContainerCodecFuzz:
             assert rows == [[px(x, y) for x in range(w)] for y in range(h)]
 
         check()
+
+
+class TestRealBpe:
+    """late r6: real learned BPE (Sennrich 2016) — distributed word-count
+    training, hand-computed merges, Arrow-batched encode."""
+
+    def test_hand_computed_merges(self, spark):
+        from aggo_spark.operators.tokenize import train_bpe
+
+        df = spark.createDataFrame(
+            [(1, "aa aa ab")], "doc_id long, text string")
+        # words: aa x2, ab x1. round 1: (a,</w>) and (a,a) both count 2,
+        # lexicographic tie-break -> ['a', '</w>']; round 2: (a, 'a</w>')
+        # count 2 -> merged; remaining pairs are singletons -> stop
+        assert train_bpe(df, num_merges=10) == [
+            ["a", "</w>"], ["a", "a</w>"]]
+
+    def test_encode_and_stats(self, spark):
+        from aggo_spark.operators.tokenize import (
+            bpe_encode, bpe_token_stats, train_bpe)
+
+        df = spark.createDataFrame(
+            [(1, "aa aa ab"), (2, None)], "doc_id long, text string")
+        merges = train_bpe(df, num_merges=10)
+        enc = {r.doc_id: r.bpe_tokens
+               for r in bpe_encode(df, merges).collect()}
+        assert enc[1] == ["aa</w>", "aa</w>", "a", "b", "</w>"]
+        assert enc[2] is None  # NULL text propagates
+        st = {r.doc_id: r.n_bpe_real
+              for r in bpe_token_stats(df, merges).collect()}
+        assert st == {1: 5, 2: 0}
+
+    def test_classic_lowest_example(self, spark):
+        from aggo_spark.operators.tokenize import bpe_encode, train_bpe
+
+        df = spark.createDataFrame(
+            [(1, "low low low low low"), (2, "lower lower"),
+             (3, "newest newest newest newest newest newest"),
+             (4, "widest widest widest")],
+            "doc_id long, text string")
+        merges = train_bpe(df, num_merges=10)
+        enc = {r.doc_id: r.bpe_tokens
+               for r in bpe_encode(df, merges).collect()}
+        # the dominant word fuses to a single token; rarer words stay
+        # partially segmented (the Sennrich running example)
+        assert enc[3] == ["newest</w>"] * 6
+        assert all(t in ("low", "e", "r", "</w>", "lower</w>")
+                   for t in enc[2])
+
+    def test_deterministic_and_narrow(self, spark):
+        from aggo_spark import load_tables
+        from aggo_spark.operators.tokenize import bpe_encode, train_bpe
+
+        docs = load_tables(
+            spark, "/root/testdata/sf0.001", ["documents"])["documents"]
+        a = train_bpe(docs, num_merges=40)
+        b = train_bpe(docs, num_merges=40)
+        assert a == b  # exact counts + lexicographic ties -> reproducible
+        plan = bpe_encode(docs, a)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan  # encode never shuffles
+
+    def test_empty_corpus_raises(self, spark):
+        from aggo_spark.operators.tokenize import train_bpe
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        with pytest.raises(ValueError, match="no tokens"):
+            train_bpe(df)
