@@ -28,6 +28,13 @@ __all__ = ["plan_scalar", "clear_scalar_memo"]
 _V = TypeVar("_V")
 
 _MEMO: dict[tuple, object] = {}
+# key → newline-joined df.inputFiles(), captured at store time (a store
+# already runs a Spark job, so the one-time file listing is noise); lets
+# clear_scalar_memo(scope=...) drop only the entries whose plan reads a
+# given source path instead of wiping stats for every immutable batch
+# table in the session (advisor r6). The analyzed-plan render can't serve
+# here: LogicalRelation.toString omits the path.
+_SOURCES: dict[tuple, str] = {}
 _MAX_ENTRIES = 1024
 
 
@@ -64,11 +71,33 @@ def plan_scalar(
         if cache_if is not None and not cache_if(v):
             return v
         if len(_MEMO) >= _MAX_ENTRIES:
-            _MEMO.pop(next(iter(_MEMO)))
+            old = next(iter(_MEMO))
+            _MEMO.pop(old)
+            _SOURCES.pop(old, None)
         _MEMO[k] = v
+        try:
+            _SOURCES[k] = "\n".join(df.inputFiles())
+        except Exception:
+            _SOURCES[k] = ""  # unknown provenance → cleared by any scope
     return _MEMO[k]  # type: ignore[return-value]
 
 
-def clear_scalar_memo() -> None:
-    """Drop every memoized scalar (call after mutating a source table)."""
-    _MEMO.clear()
+def clear_scalar_memo(scope: str | None = None) -> None:
+    """Drop memoized scalars. ``scope=None`` drops everything.
+
+    ``scope=<path substring>`` drops only entries whose plan read files
+    under that source (e.g. a StreamingCollection's spool directory) — so
+    frequent small streaming writes no longer wipe BM25/$vectorSearch
+    stats memoized over unrelated immutable batch tables (advisor r6).
+    Entries with unknown or empty provenance (no listable input files at
+    store time) are conservatively dropped by any scoped clear — staleness
+    on the mutated source is never risked to save an ambiguous entry.
+    """
+    if scope is None:
+        _MEMO.clear()
+        _SOURCES.clear()
+        return
+    hit = [k for k in _MEMO if scope in _SOURCES.get(k, "") or not _SOURCES.get(k)]
+    for k in hit:
+        _MEMO.pop(k, None)
+        _SOURCES.pop(k, None)

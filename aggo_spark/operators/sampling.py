@@ -265,19 +265,30 @@ def quantile_threshold_filter(
     """
     if not 0.0 < keep_top <= 1.0:
         raise ValueError(f"keep_top must be in (0, 1], got {keep_top}")
-    if relative_error < 0:
+    if not 0.0 <= relative_error <= 1.0:
+        # > 1 would floor the sketch accuracy to 0 — an invalid
+        # percentile_approx argument that only fails later with an opaque
+        # executor error (advisor r6)
         raise ValueError(
-            f"relative_error must be >= 0 (0 = exact), got {relative_error}")
+            f"relative_error must be in [0, 1] (0 = exact), got {relative_error}")
     q = 1.0 - keep_top
     acc = int(1.0 / relative_error) if relative_error > 0 else 2147483647
-    thr = F.percentile_approx(score_col, q, F.lit(acc)).alias("__thr")
+    # collision-safe internal names (advisor r6): a user column literally
+    # named __thr/__by must survive the join+drop untouched
+    thr_col = "__thr"
+    while thr_col in df.columns:
+        thr_col += "_"
+    by_col = "__by"
+    while by_col in df.columns or by_col == thr_col:
+        by_col += "_"
+    thr = F.percentile_approx(score_col, q, F.lit(acc)).alias(thr_col)
     if by is None:
         cut = df.agg(thr)
         joined = df.crossJoin(F.broadcast(cut))
     else:
         cut = df.groupBy(by).agg(thr)
         joined = df.join(
-            F.broadcast(cut.withColumnRenamed(by, "__by")),
-            F.col(by).eqNullSafe(F.col("__by")),
-        ).drop("__by")
-    return joined.filter(F.col(score_col) >= F.col("__thr")).drop("__thr")
+            F.broadcast(cut.withColumnRenamed(by, by_col)),
+            F.col(by).eqNullSafe(F.col(by_col)),
+        ).drop(by_col)
+    return joined.filter(F.col(score_col) >= F.col(thr_col)).drop(thr_col)

@@ -972,10 +972,16 @@ def rank_fusion(
     before fusion: rows with rank > max_rank are dropped by a pushed-down
     filter on the already-materialized rank column (no sort needed — the
     equivalent of the ``$rankFusion`` stage's maxRank/TakeOrdered bound,
-    one exchange cheaper because the rank is given, not computed). At RRF
-    k=60, rank 1000 contributes <0.1% of rank 1, so the default loses
-    nothing; pass ``max_rank=None`` only if you have pre-bounded inputs and
-    accept an unbounded global window. Plan: per-input rank filter → union
+    one exchange cheaper because the rank is given, not computed).
+
+    **Membership caveat** (advisor r6): this bound changes MEMBERSHIP, not
+    just scores — a document whose best rank across every input list is
+    > max_rank vanishes from the fused output entirely (at RRF k=60 its
+    score would have been <0.1% of rank 1's, so any top-k consumer is
+    unaffected, but a consumer of the FULL fused list sees fewer rows than
+    with ``max_rank=None``). Pass ``max_rank=None`` to fuse unbounded
+    inputs exactly, accepting an unbounded global window. Plan: per-input
+    rank filter → union
     → one groupBy exchange on id → a GLOBAL rank window over ≤ N·max_rank
     rows (single partition — fine for the k-to-hundreds-sized lists hybrid
     search fuses, by design). The corpus itself is never touched. Returns

@@ -2106,7 +2106,19 @@ def stage_score_fusion(df: DataFrame, spec: dict, engine) -> DataFrame:
                     f"$scoreFusion pipeline {name!r} output lacks {col!r} "
                     f"(input pipelines must be SCORED: $vectorSearch or an "
                     f"explicit score column)")
-        if not any(next(iter(st)) in ("$limit", "$vectorSearch") for st in sub):
+        # A $limit/$vectorSearch only bounds the pipeline's OUTPUT if no
+        # later stage can expand rows again ($unwind/$lookup/... after a
+        # $limit re-inflates the result; advisor r6) — in that case the
+        # maxDocs TakeOrdered bound must still apply.
+        _EXPANDING = {"$unwind", "$lookup", "$unionWith", "$graphLookup",
+                      "$densify", "$facet", "$documents"}
+        bound_at = max(
+            (j for j, st in enumerate(sub)
+             if next(iter(st)) in ("$limit", "$vectorSearch")),
+            default=None)
+        output_bounded = bound_at is not None and not any(
+            next(iter(st)) in _EXPANDING for st in sub[bound_at + 1:])
+        if not output_bounded:
             out = out.orderBy(
                 F.col(score_field).desc(), F.col(id_field).asc_nulls_last()
             ).limit(max_docs)
@@ -2155,10 +2167,15 @@ def stage_score_fusion(df: DataFrame, spec: dict, engine) -> DataFrame:
             for i in range(len(pipes))
         ]
     else:
+        # avg denominator: Σ weights over the RETURNING pipelines can be 0
+        # (all-zero weights are legal) — guard so the fused score is 0.0,
+        # not a 0/0 NULL that would sort nondeterministically (advisor r6)
+        denom = (
+            F.when(F.sum("__sf_w") > 0, F.sum("__sf_w")).otherwise(F.lit(1.0))
+            if method == "avg" else F.lit(1.0))
         agg_cols = [
             F.round(
-                F.sum(F.col("__sf_w") * F.col("__sf_norm"))
-                / (F.sum("__sf_w") if method == "avg" else F.lit(1.0)),
+                F.sum(F.col("__sf_w") * F.col("__sf_norm")) / denom,
                 6).alias(score_field),
         ]
     if want_details:

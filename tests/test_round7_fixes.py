@@ -1,0 +1,208 @@
+"""Round-7 fixes: the five r6 ADVICE findings.
+
+1. rank_fusion max_rank membership caveat (docstring + behavior pinned).
+2. quantile_threshold_filter: relative_error > 1 rejected; __thr/__by
+   user-column collisions survive.
+3. $scoreFusion: a $limit before a row-expanding stage no longer skips the
+   maxDocs bound; avg with all-zero weights fuses to 0.0, not NULL.
+4. StreamingCollection keyed recompute: array/struct group keys fall back
+   to full recompute instead of crashing isin() at flush time.
+5. clear_scalar_memo(scope=...): a streaming write burst no longer wipes
+   stats memoized over unrelated immutable batch tables.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aggo_spark.functions import scalar_memo
+
+
+class TestRankFusionMaxRankMembership:
+    """advice r6 #1: max_rank changes membership — pinned both ways."""
+
+    def test_default_drops_deep_only_docs_none_keeps_them(self, spark):
+        from aggo_spark.operators.similarity import rank_fusion
+
+        l1 = spark.createDataFrame(
+            [("a", 1), ("deep", 1500)], "doc_id string, rank int")
+        l2 = spark.createDataFrame(
+            [("a", 2), ("deep", 2000)], "doc_id string, rank int")
+        got_default = {r.doc_id for r in rank_fusion([l1, l2]).collect()}
+        assert got_default == {"a"}  # membership change, documented
+        got_none = {r.doc_id
+                    for r in rank_fusion([l1, l2], max_rank=None).collect()}
+        assert got_none == {"a", "deep"}
+
+
+class TestQuantileThresholdValidation:
+    """advice r6 #2: relative_error > 1 must fail fast; internal temp
+    columns must not clobber user columns named __thr/__by."""
+
+    def test_relative_error_above_one_rejected(self, spark):
+        from aggo_spark.operators.sampling import quantile_threshold_filter
+
+        df = spark.createDataFrame([(1, 0.5)], "id int, score double")
+        with pytest.raises(ValueError, match="relative_error"):
+            quantile_threshold_filter(df, "score", relative_error=1.5)
+
+    def test_user_columns_named_like_internals_survive(self, spark):
+        from aggo_spark.operators.sampling import quantile_threshold_filter
+
+        rows = [(i, float(i), "u", "v") for i in range(10)]
+        df = spark.createDataFrame(
+            rows, "id int, score double, __thr string, __by string")
+        out = quantile_threshold_filter(df, "score", keep_top=0.3)
+        assert set(out.columns) == {"id", "score", "__thr", "__by"}
+        got = out.orderBy("id").collect()
+        # top ~30%: the approx quantile boundary may include the cut row
+        assert {r.id for r in got} <= {6, 7, 8, 9}
+        assert {8, 9} <= {r.id for r in got}
+        assert all(r["__thr"] == "u" and r["__by"] == "v" for r in got)
+
+    def test_user_by_column_with_groups(self, spark):
+        from aggo_spark.operators.sampling import quantile_threshold_filter
+
+        rows = [(i, float(i % 5), "g" + str(i % 2), "keep") for i in range(20)]
+        df = spark.createDataFrame(
+            rows, "id int, score double, src string, __by string")
+        out = quantile_threshold_filter(df, "score", keep_top=0.4, by="src")
+        assert "__by" in out.columns
+        assert out.count() > 0
+        assert all(r["__by"] == "keep" for r in out.collect())
+
+
+class TestScoreFusionBoundAndZeroWeights:
+    """advice r6 #3: $limit before $unwind must not skip the maxDocs
+    bound; all-zero avg weights must fuse to 0.0, not 0/0 NULL."""
+
+    def test_limit_before_unwind_still_bounded(self, spark):
+        from aggo_spark import Engine
+
+        df = spark.createDataFrame(
+            [(1, [10, 20, 30])], "doc_id int, items array<int>")
+        out = Engine().aggregate(df, [{"$scoreFusion": {
+            "input": {"pipelines": {
+                # $limit 3 is NOT an output bound: the later $unwind
+                # re-expands to 3 rows per doc — maxDocs=2 must re-bound
+                "p": [{"$limit": 3},
+                      {"$unwind": "$items"},
+                      {"$addFields": {"doc_id": "$items",
+                                      "score": "$items"}}],
+            }, "normalization": "none"},
+            "idField": "doc_id",
+            "maxDocs": 2,
+        }}]).collect()
+        assert [r.doc_id for r in out] == [30, 20]  # top-2 by score only
+
+    def test_trailing_limit_still_skips_rebound(self, spark):
+        from aggo_spark import Engine
+
+        df = spark.createDataFrame(
+            [(1, 3.0), (2, 2.0), (3, 1.0)], "doc_id int, pop double")
+        out = Engine().aggregate(df, [{"$scoreFusion": {
+            "input": {"pipelines": {
+                "p": [{"$addFields": {"score": "$pop"}},
+                      {"$sort": {"score": -1}}, {"$limit": 2}],
+            }, "normalization": "none"},
+            "idField": "doc_id",
+            "maxDocs": 1000,
+        }}]).collect()
+        assert [r.doc_id for r in out] == [1, 2]
+
+    def test_avg_all_zero_weights_gives_zero_not_null(self, spark):
+        from aggo_spark import Engine
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 1.0)], "doc_id int, pop double")
+        out = Engine().aggregate(df, [{"$scoreFusion": {
+            "input": {"pipelines": {
+                "p": [{"$addFields": {"score": "$pop"}},
+                      {"$sort": {"score": -1}}, {"$limit": 5}],
+            }, "normalization": "none"},
+            "combination": {"weights": {"p": 0.0}, "method": "avg"},
+            "idField": "doc_id",
+        }}]).collect()
+        assert len(out) == 2
+        assert all(r.score == 0.0 for r in out)
+
+
+class TestStreamingArrayGroupKey:
+    """advice r6 #4: an array-typed group key is a legal pipeline for the
+    recompute path — it must take the FULL path (isin() can't carry array
+    literals), not crash at the second flush."""
+
+    def test_array_key_group_full_recompute(self, spark, tmp_path):
+        from aggo_spark.streaming.core import StreamingCollection
+
+        sc = StreamingCollection(
+            spark, "tags array<string>, v long", workdir=str(tmp_path))
+        # $min is non-invertible -> recompute path; _id is a plain field
+        # path so keyed_recompute_field would have claimed it pre-fix
+        pipeline = [{"$group": {"_id": "$tags", "lo": {"$min": "$v"}}}]
+        sc.stream(pipeline, rid="r")
+        reg = sc._registered["r"]
+        assert reg.keyed_field is None  # array type disqualifies keyed path
+        sc.add({"tags": ["a", "b"], "v": 5})
+        sc.add({"tags": ["a", "b"], "v": 3})  # second flush: the old crash
+        assert reg.last_recompute_mode == "full"
+        got = {tuple(r["_id"]): r["lo"] for r in sc.result("r")}
+        assert got == {("a", "b"): 3}
+
+    def test_scalar_key_still_keyed(self, spark, tmp_path):
+        from aggo_spark.streaming.core import StreamingCollection
+
+        sc = StreamingCollection(
+            spark, "k string, v long", workdir=str(tmp_path))
+        sc.stream([{"$group": {"_id": "$k", "lo": {"$min": "$v"}}}], rid="r")
+        reg = sc._registered["r"]
+        assert reg.keyed_field == "k"
+        sc.add({"k": "a", "v": 5})
+        sc.add({"k": "a", "v": 3})
+        assert reg.last_recompute_mode == "keyed"
+        assert {r["_id"]: r["lo"] for r in sc.result("r")} == {"a": 3}
+
+
+class TestScopedScalarMemoClear:
+    """advice r6 #5: clearing must be scoped to the mutated source — a
+    streaming write burst keeps unrelated batch-table stats memoized."""
+
+    def test_scoped_clear_spares_unrelated_entries(self, spark, tmp_path):
+        d1, d2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+        spark.range(3).write.parquet(d1)
+        spark.range(4).write.parquet(d2)
+        df1, df2 = spark.read.parquet(d1), spark.read.parquet(d2)
+        calls = {"a": 0, "b": 0}
+
+        def mk(tag):
+            def compute():
+                calls[tag] += 1
+                return calls[tag]
+            return compute
+
+        assert scalar_memo.plan_scalar(df1, "r7scope", mk("a")) == 1
+        assert scalar_memo.plan_scalar(df2, "r7scope", mk("b")) == 1
+        scalar_memo.clear_scalar_memo(scope=d1)
+        # df1's entry recomputes, df2's survives
+        assert scalar_memo.plan_scalar(df1, "r7scope", mk("a")) == 2
+        assert scalar_memo.plan_scalar(df2, "r7scope", mk("b")) == 1
+        scalar_memo.clear_scalar_memo()  # unscoped: wipes everything
+        assert scalar_memo.plan_scalar(df2, "r7scope", mk("b")) == 2
+
+    def test_streaming_write_spares_batch_stats(self, spark, tmp_path):
+        from aggo_spark.streaming.core import StreamingCollection
+
+        batch_dir = str(tmp_path / "batch")
+        spark.range(5).write.parquet(batch_dir)
+        bdf = spark.read.parquet(batch_dir)
+        calls = []
+        v = scalar_memo.plan_scalar(
+            bdf, "r7batch", lambda: calls.append(1) or 42)
+        assert v == 42 and len(calls) == 1
+        sc = StreamingCollection(
+            spark, "k string, v long", workdir=str(tmp_path / "stream"))
+        sc.add({"k": "a", "v": 1})  # write burst: scoped clear only
+        v2 = scalar_memo.plan_scalar(
+            bdf, "r7batch", lambda: calls.append(1) or 42)
+        assert v2 == 42 and len(calls) == 1  # memo survived
