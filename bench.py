@@ -264,14 +264,21 @@ def main() -> None:
             suspect.append(name)
         return round(best, 3)
 
-    timings = {name: timed(name) for name in HEADLINE}
-
-    # not part of the headline total: the oracle-reproducible md5 mode,
-    # timed for visibility next to the xxhash64 scale mode above
-    extras = {
-        "q32_dedup_minhash_md5": timed("q32_dedup_minhash_md5"),
-        "q48_ann_pq": timed("q48_ann_pq"),
-    }
+    timings = {}
+    extras = {}
+    for name in HEADLINE:
+        timings[name] = timed(name)
+        if name == "q32_dedup_minhash":
+            # time the oracle-reproducible md5 sibling IMMEDIATELY adjacent
+            # so both hash modes see identical session warmth. r6's
+            # apparent "mode inversion" (2.79 vs 1.67 s at sf0.1) was a
+            # timing-position artifact — extras ran at end-of-session,
+            # fully JIT-warmed; controlled same-session alternation shows
+            # xxhash64 <= md5 at equal warmth (SCALE.md, r7), and sf1
+            # showed the two within noise (6.31 vs 6.08 s).
+            extras["q32_dedup_minhash_md5"] = timed("q32_dedup_minhash_md5")
+    # not part of the headline total
+    extras["q48_ann_pq"] = timed("q48_ann_pq")
 
     total = round(sum(timings.values()), 3)
     # per-row throughput for the BASELINE.md comparison classes
