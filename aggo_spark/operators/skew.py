@@ -25,6 +25,10 @@ _MERGE = {
     "count": F.sum,  # counts merge by summing partial counts
     "min": F.min,
     "max": F.max,
+    # the genuinely skew-prone op: partial aggregation does NOT collapse a
+    # hot key's collect_list map-side (unlike sum/count, where the partial
+    # agg already defuses key skew) — partial lists merge by flattening
+    "collect_list": lambda c: F.flatten(F.collect_list(c)),
 }
 
 
@@ -35,7 +39,9 @@ def salted_group_agg(
     salt_buckets: int = 32,
 ) -> DataFrame:
     """Two-phase aggregation: ``aggs`` maps output name → (op, column) with
-    op ∈ {sum, count, min, max}.
+    op ∈ {sum, count, min, max, collect_list}. (``collect_list`` output
+    order follows partial-merge order — a multiset, like Spark's own
+    collect_list under shuffle.)
 
     Phase 1 groups by (keys…, salt) where salt = pmod(rand-free row hash,
     salt_buckets) — deterministic (spark_partition_id + a per-row hash), so
