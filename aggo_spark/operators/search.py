@@ -79,10 +79,19 @@ def search_with_index(
     # differentially pinned against the JVM) — no Spark job on the hot
     # per-query path
     buckets = sorted({bucket_of(t, N_BUCKETS) for t in toks})
-    hits = (
+    idx = (
         index.filter(F.col("token_bucket").isin(buckets))  # partition pruning
         .filter(F.col("token").isin(toks))                 # pushed to scan
-        .groupBy("id")
+    )
+    if "sign" in index.columns:
+        # signed changelog index (StreamingCollection.maintain_index):
+        # net multiplicity per (id, token) decides posting liveness —
+        # retracted docs' postings cancel without an index rebuild
+        idx = (idx.groupBy("id", "token")
+               .agg(F.sum("sign").alias("__net"))
+               .filter(F.col("__net") > 0))
+    hits = (
+        idx.groupBy("id")
         .agg(F.count_distinct("token").alias("__nt"))
         .filter(F.col("__nt") == len(toks))
         .select(F.col("id").alias(id_col))
@@ -166,10 +175,16 @@ def regex_search_with_index(
     if not grams:
         return df.filter(exact)
     buckets = sorted({bucket_of(g, N_BUCKETS) for g in grams})
-    hits = (
+    idx = (
         index.filter(F.col("gram_bucket").isin(buckets))
         .filter(F.col("gram").isin(grams))
-        .groupBy("id")
+    )
+    if "sign" in index.columns:
+        idx = (idx.groupBy("id", "gram")
+               .agg(F.sum("sign").alias("__net"))
+               .filter(F.col("__net") > 0))
+    hits = (
+        idx.groupBy("id")
         .agg(F.count_distinct("gram").alias("__ng"))
         .filter(F.col("__ng") == len(grams))
         .select(F.col("id").alias(id_col))
