@@ -1365,7 +1365,8 @@ def stage_facet(df: DataFrame, spec: dict, engine) -> DataFrame:
     ``Engine(facet_reuse_source=False)`` for that shape.
     """
     src = df
-    if len(spec) > 1 and getattr(engine, "facet_reuse_source", False):
+    if (len(spec) > 1 and not df.isStreaming
+            and getattr(engine, "facet_reuse_source", False)):
         src = df.localCheckpoint(eager=False)
     facets = []
     for name, sub in spec.items():

@@ -821,21 +821,31 @@ class TestTokensCodegenForm:
 
 
 class TestScalarMemoAutoInvalidation:
-    """judge r5 #6: StreamingCollection mutations clear the scalar memo."""
+    """judge r5 #6: StreamingCollection mutations clear the scalar memo.
+    r7 (advisor r6 #5) scoped the clear: entries whose plans read the
+    mutated spool — or whose provenance is unknown (no listable input
+    files, like this range() frame) — are dropped; entries pinned to
+    unrelated file sources survive (TestScopedScalarMemoClear covers
+    those)."""
 
     def test_mutation_clears_memo(self, spark, tmp_path):
         from aggo_spark.streaming.core import StreamingCollection
 
         df = spark.range(5)
+
+        def key():
+            return scalar_memo._key(df, "t6inv")
+
         scalar_memo.plan_scalar(df, "t6inv", lambda: 42)
-        assert scalar_memo._MEMO  # populated
+        assert key() in scalar_memo._MEMO  # populated
         c = StreamingCollection(spark, "a long", workdir=str(tmp_path))
         try:
             c.add({"a": 1})
-            assert not scalar_memo._MEMO  # cleared by the mutation
+            # unknown-provenance entry dropped by the scoped clear
+            assert key() not in scalar_memo._MEMO
             scalar_memo.plan_scalar(df, "t6inv", lambda: 43)
             c.remove({"a": 1})
-            assert not scalar_memo._MEMO
+            assert key() not in scalar_memo._MEMO
         finally:
             c.stop()
 

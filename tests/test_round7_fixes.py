@@ -399,3 +399,34 @@ class TestDistributedPQTrain:
                                 F.col("embedding")).withColumn(
                 "embedding", F.expr("array(1.0d, 2.0d)")),
                 m=1, k_codes=16, distributed=True)
+
+
+class TestByteBPELosslessProperty:
+    """Invariant: BPE segmentation is a partition of the byte-mapped word
+    — concatenating a word's tokens reproduces the mapped bytes exactly,
+    for ANY merge table (merges only ever join adjacent symbols)."""
+
+    def test_segmentation_partitions_bytes(self, spark):
+        import random
+
+        from aggo_spark.operators.tokenize import (
+            _byte_syms, bpe_segment_word, train_bpe)
+
+        rng = random.Random(7)
+        words = ["lower", "newest", "café", "naïve", "日本語", "don't",
+                 " spaced", "x" * 40, "@#$%", "MiXeD123"]
+        corpus = " ".join(rng.choice(words) for _ in range(300))
+        df = spark.createDataFrame([(corpus,)], "text string")
+        merges = train_bpe(df, num_merges=40, byte_level=True)
+        ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+        for w in words:
+            toks = bpe_segment_word(w, ranks, byte_level=True)
+            assert "".join(toks) == "".join(_byte_syms(w))
+            assert all(toks)  # no empty symbols
+
+    def test_word_level_keeps_eow_exactly_once(self, spark):
+        from aggo_spark.operators.tokenize import bpe_segment_word
+
+        toks = bpe_segment_word("lower", {("l", "o"): 0, ("lo", "w"): 1})
+        assert toks == ["low", "e", "r", "</w>"]
+        assert "".join(toks) == "lower</w>"
