@@ -37,6 +37,7 @@ import json
 import os
 import tempfile
 import threading
+import time
 import uuid
 from typing import Callable
 
@@ -268,7 +269,29 @@ class StreamingCollection:
         engine=None,
         workdir: str | None = None,
         max_files_per_trigger: int = 64,  # fromJSONL batchSize analogue
+        autoflush: str = "eager",
+        batch_policy=None,
     ) -> None:
+        """``autoflush`` (reference streaming-delta-optimizer.ts:118-408):
+
+        - ``"eager"`` (default, reference ``StreamingCollection`` parity)
+          — every ``add``/``remove`` writes its own spool file and
+          synchronously advances all live queries: strict per-mutation
+          read-your-writes.
+        - ``"adaptive"`` — mutations coalesce in a driver-side pending
+          buffer (documents only, bounded by the policy's
+          ``max_pending``) and flush when the adaptive batch target,
+          deadline, or backpressure bound is hit — one spool file + one
+          micro-batch trigger per BATCH of mutations, ~batch× cheaper on
+          mutation-heavy streams. Reads (``result``/``result_df``/
+          ``count``) and explicit ``flush()`` drain first, so
+          read-your-writes still holds at every read point; 'data-added'
+          / 'data-removed' events fire at flush time with the coalesced
+          batch (the reference's 'batch-add'/'batch-remove' grouping).
+          ``batch_policy`` injects a configured
+          :class:`~aggo_spark.streaming.batching.AdaptiveBatchPolicy`;
+          ``delta_metrics()`` exposes its measurements.
+        """
         from ..engine import Engine
 
         self.spark = spark
@@ -287,6 +310,19 @@ class StreamingCollection:
             list(schema.fields)
             + [StructField(_SIGN, LongType()), StructField(_SEQ, LongType())]
         )
+        if autoflush not in ("eager", "adaptive"):
+            raise ValueError(
+                f"autoflush must be 'eager' or 'adaptive', got {autoflush!r}")
+        self.autoflush = autoflush
+        if autoflush == "adaptive":
+            from .batching import AdaptiveBatchPolicy
+
+            self._policy = batch_policy or AdaptiveBatchPolicy()
+        else:
+            self._policy = batch_policy  # inert unless adaptive
+        self._pending: list[tuple[dict, int]] = []
+        self._pending_t0 = 0.0
+        self._in_flush = False
         self._seq = 0
         self._file_no = 0
         self._file_paths: list[str] = []
@@ -308,6 +344,9 @@ class StreamingCollection:
         self.add_bulk([doc])
 
     def add_bulk(self, docs: list[dict]) -> None:
+        if self.autoflush == "adaptive":
+            self._buffer([(d, 1) for d in docs])
+            return
         self._write_rows([(d, 1) for d in docs])
         self._emit("data-added", docs)
         self.flush()
@@ -317,9 +356,48 @@ class StreamingCollection:
         The caller passes the same document values that were added."""
         if isinstance(docs, dict):
             docs = [docs]
+        if self.autoflush == "adaptive":
+            self._buffer([(d, -1) for d in docs])
+            return
         self._write_rows([(d, -1) for d in docs])
         self._emit("data-removed", docs)
         self.flush()
+
+    def _buffer(self, signed_docs: list[tuple[dict, int]]) -> None:
+        """Adaptive-mode enqueue: append to the pending buffer and flush
+        when the policy's trigger fires (size target / deadline /
+        backpressure). Re-entrant mutations from result callbacks buffer
+        without re-triggering (the flush in progress drains them on its
+        next pass via the deadline)."""
+        now = time.monotonic()
+        if not self._pending:
+            self._pending_t0 = now
+        self._pending.extend(signed_docs)
+        self._policy.record_enqueue(len(signed_docs))
+        if not self._in_flush and self._policy.should_flush(
+                len(self._pending), now - self._pending_t0):
+            self.flush()
+
+    def _drain_pending(self) -> None:
+        if not self._pending:
+            return
+        pending, self._pending = self._pending, []
+        self._write_rows(pending)
+        added = [d for d, s in pending if s > 0]
+        removed = [d for d, s in pending if s < 0]
+        if added:
+            self._emit("data-added", added)
+        if removed:
+            self._emit("data-removed", removed)
+
+    def delta_metrics(self) -> dict:
+        """Adaptive-batching measurements (reference getMetrics()):
+        totals, trailing throughput, p99 flush time, current adaptive
+        batch size, pending queue depth."""
+        if self._policy is None:
+            return {"autoflush": self.autoflush, "pending": len(self._pending)}
+        return {**self._policy.metrics(), "autoflush": self.autoflush,
+                "pending": len(self._pending)}
 
     # -- events -----------------------------------------------------------
 
@@ -487,15 +565,30 @@ class StreamingCollection:
 
     def flush(self) -> None:
         """Advance every live query over all pending deltas (deterministic
-        read-your-writes, like the reference's synchronous update loop)."""
-        for q in self._queries.values():
-            q.processAllAvailable()
-        for reg in self._registered.values():
-            if not reg.incremental:
-                self._recompute(reg)
-        for reg in self._registered.values():
-            if reg.sink == "parquet" and reg.sink_batches >= reg.compact_every:
-                self.compact_result(reg.id)
+        read-your-writes, like the reference's synchronous update loop).
+        In adaptive mode this first drains the pending mutation buffer
+        (one spool file for the whole batch) and feeds the measured
+        flush time back to the batch-size policy."""
+        n_pending = len(self._pending)
+        t0 = time.monotonic()
+        self._in_flush = True
+        try:
+            self._drain_pending()
+            for q in self._queries.values():
+                q.processAllAvailable()
+            for reg in self._registered.values():
+                if not reg.incremental:
+                    self._recompute(reg)
+            for reg in self._registered.values():
+                if (reg.sink == "parquet"
+                        and reg.sink_batches >= reg.compact_every):
+                    self.compact_result(reg.id)
+        finally:
+            self._in_flush = False
+        if self.autoflush == "adaptive" and n_pending:
+            self._policy.record_flush(
+                n_pending, time.monotonic() - t0,
+                pending_after=len(self._pending))
 
     def _recompute(self, reg: _Registered) -> None:
         """Fallback for non-incremental pipelines (reference
@@ -719,6 +812,8 @@ class StreamingCollection:
         ``sink="parquet"`` registrations; the plan is a scan of the result
         table (+ one latest-per-key window for appending regs), never a
         rerun of the pipeline, and nothing is materialized on the driver."""
+        if self._pending and not self._in_flush:
+            self.flush()  # adaptive mode: read-your-writes at read points
         reg = self._registered[rid]
         if reg.sink != "parquet":
             raise ValueError(
@@ -754,6 +849,8 @@ class StreamingCollection:
         """Current result rows. For ``sink="parquet"`` registrations this
         is an EXPLICIT driver materialization of the snapshot view (parity
         convenience — use ``result_df`` to stay distributed)."""
+        if self._pending and not self._in_flush:
+            self.flush()  # adaptive mode: read-your-writes at read points
         reg = self._registered[rid]
         if reg.sink == "parquet":
             return [r.asDict(recursive=True)
@@ -776,9 +873,13 @@ class StreamingCollection:
         return off
 
     def count(self) -> int:
+        if self._pending and not self._in_flush:
+            self.flush()  # adaptive mode: read-your-writes at read points
         return self._live_rows_df().count()
 
     def stop(self) -> None:
+        if self._pending:
+            self.flush()  # don't strand buffered mutations
         for q in self._queries.values():
             q.stop()
         self._queries.clear()

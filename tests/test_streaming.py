@@ -801,3 +801,164 @@ class TestIncrementalIndexMaintenance:
             assert got == {1, 2}
         finally:
             coll.stop()
+
+
+class TestAdaptiveBatching:
+    """Reference streaming-delta-optimizer.ts:118-408 analogue: adaptive
+    coalescing of mutations into shared spool files / micro-batch
+    triggers, with read-your-writes at every read point."""
+
+    def test_policy_triggers(self):
+        from aggo_spark.streaming.batching import AdaptiveBatchPolicy
+
+        p = AdaptiveBatchPolicy(batch_size=4, max_pending=10,
+                                max_delay_sec=0.5)
+        assert not p.should_flush(0, 99.0)        # nothing pending
+        assert not p.should_flush(3, 0.0)         # under target, fresh
+        assert p.should_flush(4, 0.0)             # size target
+        assert p.should_flush(3, 0.5)             # deadline
+        assert p.should_flush(10, 0.0)            # backpressure bound
+
+    def test_policy_adaptation_rules(self):
+        from aggo_spark.streaming.batching import AdaptiveBatchPolicy
+
+        # latency_high: over-budget flush shrinks x0.7 with a floor
+        p = AdaptiveBatchPolicy(batch_size=100, min_batch=8,
+                                latency_budget_sec=0.5)
+        assert p.record_flush(100, flush_sec=1.0, now=0.0) == "latency_high"
+        assert p.batch_size == 70
+        for t in range(1, 30):
+            p.record_flush(p.batch_size, flush_sec=1.0, now=float(t))
+        assert p.batch_size == 8  # floor holds
+
+        # queue_pressure: >80% full buffer grows x1.5
+        p = AdaptiveBatchPolicy(batch_size=32, max_pending=100,
+                                latency_budget_sec=0.5)
+        assert p.record_flush(32, 0.1, pending_after=90, now=0.0) \
+            == "queue_pressure"
+        assert p.batch_size == 48
+
+        # throughput_low: in-budget flushes below target grow x1.3, capped
+        # (cold start counts as below-target, like the reference's 0-init)
+        p = AdaptiveBatchPolicy(batch_size=32, max_batch=64,
+                                latency_budget_sec=0.5,
+                                target_throughput=1e9)
+        assert p.record_flush(32, 0.1, now=0.0) == "throughput_low"
+        assert p.batch_size == 42
+        assert p.record_flush(32, 0.1, now=1.0) == "throughput_low"
+        assert p.batch_size == 55
+        for t in range(2, 10):
+            p.record_flush(32, 0.1, now=float(t))
+        assert p.batch_size == 64  # cap holds
+
+        # stable: on-target throughput, in-budget latency, low pressure
+        p = AdaptiveBatchPolicy(batch_size=32, latency_budget_sec=0.5,
+                                target_throughput=1.0)
+        p.record_flush(32, 0.1, now=0.0)  # cold start: grows to 42
+        assert p.record_flush(32, 0.1, now=1.0) == "stable"
+        assert p.batch_size == 42  # unchanged by the stable flush
+
+    def test_policy_metrics_surface(self):
+        from aggo_spark.streaming.batching import AdaptiveBatchPolicy
+
+        p = AdaptiveBatchPolicy(batch_size=16)
+        p.record_enqueue(10)
+        p.record_flush(10, 0.2, now=0.0)
+        m = p.metrics()
+        assert m["total_deltas"] == 10 and m["total_flushes"] == 1
+        assert m["avg_batch_size"] == 10.0
+        assert m["p99_flush_sec"] == 0.2
+        assert m["adaptive_batch_size"] == p.batch_size
+
+    def test_coalesces_spool_writes_and_matches_eager(self, spark, tmp_path):
+        from aggo_spark.streaming.batching import AdaptiveBatchPolicy
+
+        eager = StreamingCollection(
+            spark, DOC_SCHEMA, workdir=str(tmp_path / "e"))
+        adaptive = StreamingCollection(
+            spark, DOC_SCHEMA, workdir=str(tmp_path / "a"),
+            autoflush="adaptive",
+            batch_policy=AdaptiveBatchPolicy(
+                batch_size=4, min_batch=4, max_batch=4, max_delay_sec=60.0))
+        try:
+            eager.stream(GROUP_PIPELINE, "g")
+            adaptive.stream(GROUP_PIPELINE, "g")
+            docs = [{"category": "ab"[i % 2], "price": float(i), "qty": i % 3}
+                    for i in range(8)]
+            for d in docs:
+                eager.add(d)
+                adaptive.add(d)
+            # 8 eager mutations -> 8 spool files (+1 seed); adaptive
+            # coalesced into 2 batches of 4 (+1 seed)
+            assert eager._file_no == 9
+            assert adaptive._file_no == 3
+            assert by_id(adaptive.result("g")) == by_id(eager.result("g"))
+            m = adaptive.delta_metrics()
+            assert m["total_deltas"] == 8 and m["total_flushes"] == 2
+        finally:
+            eager.stop()
+            adaptive.stop()
+
+    def test_read_your_writes_drains_pending(self, spark, tmp_path):
+        from aggo_spark.streaming.batching import AdaptiveBatchPolicy
+
+        c = StreamingCollection(
+            spark, DOC_SCHEMA, workdir=str(tmp_path),
+            autoflush="adaptive",
+            batch_policy=AdaptiveBatchPolicy(
+                batch_size=1000, max_delay_sec=60.0))
+        try:
+            c.stream(GROUP_PIPELINE, "g")
+            c.add({"category": "a", "price": 10.0, "qty": 2})
+            assert c.delta_metrics()["pending"] == 1  # buffered, unflushed
+            res = by_id(c.result("g"))  # read point drains first
+            assert res["a"]["n"] == 1 and res["a"]["revenue"] == 20.0
+            assert c.delta_metrics()["pending"] == 0
+            c.add({"category": "a", "price": 1.0, "qty": 1})
+            assert c.count() == 2  # count() is a read point too
+        finally:
+            c.stop()
+
+    def test_retraction_within_one_batch(self, spark, tmp_path):
+        from aggo_spark.streaming.batching import AdaptiveBatchPolicy
+
+        c = StreamingCollection(
+            spark, DOC_SCHEMA, workdir=str(tmp_path),
+            autoflush="adaptive",
+            batch_policy=AdaptiveBatchPolicy(
+                batch_size=1000, max_delay_sec=60.0))
+        try:
+            c.stream(GROUP_PIPELINE, "g")
+            c.add_bulk([
+                {"category": "a", "price": 10.0, "qty": 2},
+                {"category": "b", "price": 3.0, "qty": 4},
+            ])
+            c.remove({"category": "b", "price": 3.0, "qty": 4})
+            res = by_id(c.result("g"))  # add+remove cancel in ONE flush
+            assert res["a"]["n"] == 1 and "b" not in res
+        finally:
+            c.stop()
+
+    def test_coalesced_events_fire_at_flush(self, spark, tmp_path):
+        from aggo_spark.streaming.batching import AdaptiveBatchPolicy
+
+        c = StreamingCollection(
+            spark, DOC_SCHEMA, workdir=str(tmp_path),
+            autoflush="adaptive",
+            batch_policy=AdaptiveBatchPolicy(
+                batch_size=3, max_delay_sec=60.0))
+        try:
+            batches = []
+            c.on("data-added", lambda docs: batches.append(list(docs)))
+            for i in range(3):
+                c.add({"category": "a", "price": float(i), "qty": 1})
+            assert [len(b) for b in batches] == [3]  # one coalesced event
+        finally:
+            c.stop()
+
+    def test_eager_mode_rejects_nothing_changes(self, spark, tmp_path):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="autoflush"):
+            StreamingCollection(spark, DOC_SCHEMA,
+                                workdir=str(tmp_path), autoflush="bogus")
