@@ -102,24 +102,117 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "arrow",
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     Returns (query_id, neighbor_id, score, rank); self-matches excluded.
-    ``queries`` is expected small → broadcast join, corpus streamed once.
+
+    ``method="arrow"`` (default, r7): queries are collected driver-side
+    (bounded — this is the operator's stated contract; use
+    :func:`bucketed_topk`/:func:`ivf_topk` for large query sets) and the
+    corpus streams ONCE through an Arrow ``mapInPandas`` kernel that
+    scores each batch as one BLAS matmul (``Q @ V.T``) and emits only a
+    tie-safe local top-(k+1) per query per batch — the same kernel shape
+    as :func:`_adc_topk`. The corpus-sized cross join never materializes
+    and the per-pair interpreted-HOF fold (3 CodegenFallback aggregates
+    per pair) disappears; only ~(batches × nq × k) candidate rows reach
+    the final exact rank window.
+
+    ``method="hof"``: the pure-Column broadcast-crossJoin formulation,
+    kept as the differential mirror (codegen-over-HOF rule, SCALE.md).
+    Divergence notes for "arrow": NULL/zero-norm vectors produce no
+    candidate rows (the HOF form carries NULL scores, which rank last
+    anyway — visible only when the corpus has fewer than k scorable
+    rows); corpus batches must not be ragged in dimension.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+    if method == "hof":
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
         )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    if method != "arrow":
+        raise ValueError(f"method must be 'arrow' or 'hof', got {method!r}")
+    import numpy as np
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    qrows = (
+        queries.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("queries is empty (or every query vector is NULL)")
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([[float(x) for x in r[1]] for r in qrows],
+                   dtype=np.float64)
+    if Q.ndim != 2:
+        raise ValueError("query vectors are ragged (mixed dimensions)")
+    _check_table_bytes(len(Q), Q.shape[1], 1)  # query matrix closure bound
+    qnorm = np.sqrt((Q ** 2).sum(1))
+    take = k + 1  # +1 absorbs the self-match removed below
+    out_schema = T.StructType([
+        T.StructField("query_id", queries.schema[id_col].dataType),
+        T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)  # (n, d)
+            vnorm = np.sqrt((V ** 2).sum(1))
+            denom = np.maximum(qnorm[:, None] * vnorm[None, :], 1e-30)
+            cos = Q @ V.T / denom  # (nq, n)
+            cos[:, vnorm == 0] = -np.inf  # zero vectors never match
+            cos[qnorm == 0, :] = -np.inf
+            nb = pdf[id_col].to_numpy()
+            t = min(take, cos.shape[1])
+            # tie-safe batch cut in the FINAL window's order:
+            # round(score, 6) desc, neighbor_id asc (see _adc_topk)
+            rounded = np.round(cos, 6)
+            by_id = np.argsort(nb, kind="stable")
+            rows = []
+            for qi in range(len(qids)):
+                order = by_id[
+                    np.argsort(-rounded[qi][by_id], kind="stable")][:t]
+                sc = cos[qi][order]
+                keep = np.isfinite(sc)
+                if keep.any():
+                    rows.append(pd.DataFrame({
+                        "query_id": [qids[qi]] * int(keep.sum()),
+                        "neighbor_id": nb[order][keep],
+                        "score": sc[keep],
+                    }))
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
+
+    scored = (
+        corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round("score", 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()

@@ -510,3 +510,75 @@ class TestByteBPELosslessProperty:
         toks = bpe_segment_word("lower", {("l", "o"): 0, ("lo", "w"): 1})
         assert toks == ["low", "e", "r", "</w>"]
         assert "".join(toks) == "lower</w>"
+
+
+class TestArrowBruteForce:
+    """r7: brute_force_topk's default path is an Arrow matmul kernel
+    (query matrix in the task closure, tie-safe per-batch top-(k+1) cut,
+    exact final rank window) replacing the per-pair interpreted-HOF
+    cosine over a corpus-sized cross join. Must be EXACTLY the HOF form
+    on scorable vectors."""
+
+    def test_differential_vs_hof_on_fixture(self, spark):
+        from aggo_spark.operators.similarity import brute_force_topk
+
+        emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+               .select("vec_id", "embedding"))
+        q = emb.filter("vec_id < 7")
+        key = ["query_id", "neighbor_id", "score", "rank"]
+        arrow = sorted(tuple(r) for r in
+                       brute_force_topk(emb, q, k=10).select(*key).collect())
+        hof = sorted(tuple(r) for r in
+                     brute_force_topk(emb, q, k=10, method="hof")
+                     .select(*key).collect())
+        assert arrow == hof and len(arrow) == 70
+
+    def test_differential_on_int8_quantized(self, spark):
+        from pyspark.sql import functions as F
+
+        from aggo_spark.operators.similarity import (brute_force_topk,
+                                                     quantize8)
+
+        emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+               .select("vec_id", "embedding"))
+        qd = emb.select(
+            "vec_id", quantize8(F.col("embedding"))["q"].alias("embedding"))
+        key = ["query_id", "neighbor_id", "score", "rank"]
+        a = sorted(tuple(r) for r in brute_force_topk(
+            qd, qd.filter("vec_id < 3"), k=5).select(*key).collect())
+        h = sorted(tuple(r) for r in brute_force_topk(
+            qd, qd.filter("vec_id < 3"), k=5, method="hof")
+            .select(*key).collect())
+        assert a == h and len(a) == 15
+
+    def test_ties_and_small_corpus(self, spark):
+        from aggo_spark.operators.similarity import brute_force_topk
+
+        # identical vectors everywhere -> every score ties at 1.0; the
+        # tie-safe cut must keep the id-ascending winners exactly
+        rows = [(i, [1.0, 2.0, 3.0]) for i in range(6)]
+        df = spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>").repartition(3)
+        out = brute_force_topk(df, df.filter("vec_id = 0"), k=3).collect()
+        assert [(r.neighbor_id, r.score, r.rank) for r in
+                sorted(out, key=lambda r: r.rank)] == [
+            (1, 1.0, 1), (2, 1.0, 2), (3, 1.0, 3)]
+
+    def test_zero_and_null_vectors_never_match(self, spark):
+        from aggo_spark.operators.similarity import brute_force_topk
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (2, [0.0, 0.0]), (3, None)],
+            "vec_id int, embedding array<double>")
+        out = brute_force_topk(df, df.filter("vec_id = 0"), k=4).collect()
+        assert sorted(r.neighbor_id for r in out) == [1]
+
+    def test_bad_method_rejected(self, spark):
+        import pytest as _pytest
+
+        from aggo_spark.operators.similarity import brute_force_topk
+
+        df = spark.createDataFrame([(0, [1.0])],
+                                   "vec_id int, embedding array<double>")
+        with _pytest.raises(ValueError, match="method"):
+            brute_force_topk(df, df, k=1, method="bogus")
