@@ -582,3 +582,51 @@ class TestArrowBruteForce:
                                    "vec_id int, embedding array<double>")
         with _pytest.raises(ValueError, match="method"):
             brute_force_topk(df, df, k=1, method="bogus")
+
+
+class TestLangidBitmaskMap:
+    """r7: language_id_table's per-token probe is ONE literal-map lookup
+    to a language bitmask instead of five InSet probes (~1.35x at sf1).
+    Shared stopwords ("la" is es+fr+it, "de" is de+es+fr) must still
+    count for EVERY containing language, exactly like the isin sets."""
+
+    def test_differential_vs_column_form(self, spark):
+        from pyspark.sql import functions as F
+
+        from aggo_spark.operators.text import language_id, language_id_table
+
+        rows = [
+            (1, "the of and to in la la la"),
+            (2, "el la de que y los en un"),
+            (3, "le la les de des et est un"),
+            (4, "der die und das ist von de de"),
+            (5, "il la di che e un una per"),
+            (6, "zzz qqq frobnicate"),
+            (7, ""),
+            (8, None),
+            (9, "la la la la"),  # shared-only tokens: tie -> dict order
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        table = {r.doc_id: r.pred_lang
+                 for r in language_id_table(df).collect()}
+        column = {r.doc_id: r.lang for r in df.select(
+            "doc_id", language_id(F.col("text")).alias("lang")).collect()}
+        # the Column HOF form returns NULL for NULL text; the table form
+        # labels every input id (explode_outer) -> 'und'
+        column[8] = column[8] or "und"
+        assert table == column
+        assert table[9] == "es"  # earliest dict entry containing "la"
+
+    def test_fixture_differential(self, spark):
+        from pyspark.sql import functions as F
+
+        from aggo_spark.operators.text import language_id, language_id_table
+
+        docs = (spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(200))
+        table = {r.doc_id: r.pred_lang
+                 for r in language_id_table(docs).collect()}
+        column = {r.doc_id: r.lang for r in docs.select(
+            "doc_id", language_id(F.col("text")).alias("lang")).collect()}
+        assert table == column and len(table) == 200
