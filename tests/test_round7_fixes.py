@@ -630,3 +630,80 @@ class TestLangidBitmaskMap:
         column = {r.doc_id: r.lang for r in docs.select(
             "doc_id", language_id(F.col("text")).alias("lang")).collect()}
         assert table == column and len(table) == 200
+
+
+class TestArrowPairScorers:
+    """r7: candidate/verify cosine moved off the interpreted HOF fold —
+    pair sites score via cosine_arrow (einsum per Arrow batch) and
+    embedding_near_dup_pairs defaults to a bucket-grouped gram-matrix
+    kernel (V@V.T per bucket; candidate pairs never exist as rows).
+    All forms differentially pinned."""
+
+    def test_neardup_three_forms_identical(self, spark):
+        from aggo_spark.operators.similarity import embedding_near_dup_pairs
+
+        emb = (spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+            .select("vec_id", "embedding"))
+        outs = []
+        for kw in ({}, {"method": "join"},
+                   {"method": "join", "scorer": "column"}):
+            outs.append(sorted(
+                tuple(r) for r in embedding_near_dup_pairs(
+                    emb, threshold=0.3, bits=8, **kw).collect()))
+        assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 0
+
+    def test_neardup_gram_edges(self, spark):
+        from aggo_spark.operators.similarity import embedding_near_dup_pairs
+
+        # dup ids never self-pair; NULL and zero vectors never match;
+        # dup-id rows still pair with OTHER ids once per row (join parity)
+        rows = [(1, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [1.0, 1.0]),
+                (3, None), (4, [0.0, 0.0]), (5, [0.9, 1.1])]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        g = sorted(tuple(r) for r in embedding_near_dup_pairs(
+            df, threshold=0.9, bits=2).collect())
+        j = sorted(tuple(r) for r in embedding_near_dup_pairs(
+            df, threshold=0.9, bits=2, method="join",
+            scorer="column").collect())
+        assert g == j
+        assert [(a, b) for a, b, _ in g] == [(1, 2), (1, 2), (1, 5),
+                                             (1, 5), (2, 5)]
+
+    def test_bucketed_and_ivf_scorers_identical(self, spark):
+        from aggo_spark.operators.similarity import bucketed_topk, ivf_topk
+
+        emb = (spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+            .select("vec_id", "embedding"))
+        q = emb.filter("vec_id < 6")
+        key = ["query_id", "neighbor_id", "score", "rank"]
+        b_a = sorted(tuple(r) for r in bucketed_topk(
+            emb, q, k=5, bits=4, tables=4, probe_hamming=1)
+            .select(*key).collect())
+        b_c = sorted(tuple(r) for r in bucketed_topk(
+            emb, q, k=5, bits=4, tables=4, probe_hamming=1,
+            scorer="column").select(*key).collect())
+        assert b_a == b_c and len(b_a) > 0
+        seeds = [r.embedding for r in emb.orderBy("vec_id").limit(8).collect()]
+        centers = [[float(x) for x in v] for v in seeds]
+        i_a = sorted(tuple(r) for r in ivf_topk(
+            emb, q, k=5, nprobe=2, centroids=centers)
+            .select(*key).collect())
+        i_c = sorted(tuple(r) for r in ivf_topk(
+            emb, q, k=5, nprobe=2, centroids=centers, scorer="column")
+            .select(*key).collect())
+        assert i_a == i_c and len(i_a) > 0
+
+    def test_bad_args_rejected(self, spark):
+        import pytest as _pytest
+
+        from aggo_spark.operators.similarity import (
+            bucketed_topk, embedding_near_dup_pairs)
+
+        df = spark.createDataFrame([(0, [1.0, -1.0])],
+                                   "vec_id int, embedding array<double>")
+        with _pytest.raises(ValueError, match="scorer"):
+            bucketed_topk(df, df, k=1, bits=1, scorer="bogus").collect()
+        with _pytest.raises(ValueError, match="method"):
+            embedding_near_dup_pairs(df, method="bogus")
