@@ -1861,7 +1861,13 @@ def stage_vector_search(df: DataFrame, spec: dict, engine) -> DataFrame:
         )
     elif mode != "exact":
         raise InvalidPipeline(f"$vectorSearch index must be 'exact' or 'ivf', got {mode!r}")
-    score_expr = F.round((F.lit(1.0) + _sim.cosine(F.col(path), qlit)) / 2.0, 6)
+    # scorer "arrow" (default): one numpy einsum per Arrow batch against
+    # the repeated query literal — the corpus-scan scoring is the stage's
+    # hot loop and the Column HOF form is three interpreted folds per row
+    # (kept as scorer="column", the differential mirror; r7)
+    scorer = spec.get("scorer", "arrow")
+    cos = _sim._pair_cosine(F.col(path), qlit, scorer)
+    score_expr = F.round((F.lit(1.0) + cos) / 2.0, 6)
     scored = df.withColumn(score_field, score_expr)
     return scored.orderBy(F.col(score_field).desc(), *[
         F.col(c).asc() for c in df.columns if c != path][:1]).limit(k)

@@ -707,3 +707,25 @@ class TestArrowPairScorers:
             bucketed_topk(df, df, k=1, bits=1, scorer="bogus").collect()
         with _pytest.raises(ValueError, match="method"):
             embedding_near_dup_pairs(df, method="bogus")
+
+
+class TestVectorSearchArrowScorer:
+    """r7: $vectorSearch corpus scoring via cosine_arrow by default;
+    scorer:'column' is the spec-level differential mirror."""
+
+    def test_scorers_identical(self, spark):
+        from aggo_spark import Engine
+
+        emb = (spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+            .select("vec_id", "embedding"))
+        qv = [float(x) for x in emb.filter("vec_id = 0")
+              .collect()[0].embedding]
+        eng = Engine()
+        spec = {"path": "$embedding", "queryVector": qv, "limit": 8}
+        a = [(r.vec_id, r.score) for r in eng.aggregate(
+            emb, [{"$vectorSearch": dict(spec)}]).collect()]
+        c = [(r.vec_id, r.score) for r in eng.aggregate(
+            emb, [{"$vectorSearch": dict(spec, scorer="column")}]).collect()]
+        assert a == c and len(a) == 8
+        assert a[0][0] == 0 and a[0][1] == 1.0  # self-match, (1+1)/2
