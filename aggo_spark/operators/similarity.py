@@ -105,6 +105,31 @@ def _pair_cosine(a: Column, b: Column, scorer: str) -> Column:
     raise ValueError(f"scorer must be 'arrow' or 'column', got {scorer!r}")
 
 
+# corpora below this many vectors score their candidate pairs with the
+# codegen Column form: the Arrow kernels' fixed per-stage cost (python
+# worker round-trip + Arrow serialization, ~0.3-0.5 s) exceeds the
+# interpreted-HOF cost of the few pairs a small corpus generates. Measured
+# crossover on this hardware: column wins at 2k vectors (0.56 vs 1.04 s
+# near-dup), kernels win ≥20k (0.9 vs 39.5 s) — same size-conditional
+# strategy-flip class as the q59 broadcast→SMJ pin (SF1_OVERRIDES).
+AUTO_SMALL_CORPUS = 10_000
+
+
+def _auto_scorer(corpus: DataFrame, scorer: str) -> str:
+    """Resolve scorer='auto' by the memoized corpus row count (one tiny
+    job per (session, plan), free on re-runs — the engine's plan_scalar
+    memo). Streaming frames can't count: they take the arrow kernel,
+    matching the large-corpus assumption."""
+    if scorer != "auto":
+        return scorer
+    if corpus.isStreaming:
+        return "arrow"
+    from ..functions.scalar_memo import plan_scalar
+
+    n = plan_scalar(corpus, "count", corpus.count)
+    return "column" if n < AUTO_SMALL_CORPUS else "arrow"
+
+
 def normalize(vec: Column) -> Column:
     """L2-normalize (array<double>); zero vectors pass through unchanged.
     Normalizing once at ingest turns every downstream cosine into a plain
@@ -285,12 +310,14 @@ def bucketed_topk(
     vec_col: str = "embedding",
     tables: int = 1,
     probe_hamming: int = 0,
-    scorer: str = "arrow",
+    scorer: str = "auto",
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the query's sign
     bucket(s). Same output shape as brute_force_topk; recall < 1.
     ``scorer``: candidate pairs score through :func:`cosine_arrow`
-    (default) or the Column HOF form (``"column"``, differential mirror).
+    (``"arrow"``) or the Column HOF form (``"column"``, differential
+    mirror); ``"auto"`` (default) picks by the memoized corpus size
+    (``AUTO_SMALL_CORPUS``).
 
     ``tables`` independent hash tables (table t = sign bits of dimension
     slice [t*bits, (t+1)*bits); requires tables*bits <= dim) and
@@ -353,6 +380,7 @@ def bucketed_topk(
         raise ValueError(
             f"tables*bits = {tables * bits} exceeds embedding dim {dim}"
         )
+    scorer = _auto_scorer(corpus, scorer)
     v = F.col(vec_col)
     c_keys = F.array(*[
         F.struct(F.lit(t).alias("t"),
@@ -469,7 +497,7 @@ def ivf_topk(
     seed: int = 42,
     max_train_rows: int = 100_000,
     centroids: "str | list" = "kmeans",
-    scorer: str = "arrow",
+    scorer: str = "auto",
 ) -> DataFrame:
     """IVF approximate cosine top-k: coarse quantizer cells, corpus
     partitioned by nearest centroid, queries probe their ``nprobe``
@@ -502,6 +530,7 @@ def ivf_topk(
     nprobe=4 is the pinned >=0.9-recall configuration
     (tests/test_training_ops.py).
     """
+    scorer = _auto_scorer(corpus, scorer)
     centers = _resolve_centroids(
         corpus, vec_col, n_centroids, seed, max_train_rows, centroids)
 
@@ -989,15 +1018,20 @@ def embedding_near_dup_pairs(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    scorer: str = "arrow",
-    method: str = "gram",
+    scorer: str = "auto",
+    method: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector tier of the dedup
     family): candidates share a sign bucket (near-identical vectors almost
     always do; dims near zero can flip — recall < 1, documented), verified
     by exact cosine ≥ threshold.
 
-    ``method="gram"`` (default, r7): one shuffle groups each bucket's
+    ``method="auto"`` (default) resolves to ``"gram"`` for large corpora
+    and ``"join"`` below ``AUTO_SMALL_CORPUS`` (where the few candidate
+    pairs cost less in codegen than one kernel round-trip); ``scorer``
+    resolves the same way for the join form.
+
+    ``method="gram"`` (r7): one shuffle groups each bucket's
     VECTORS (n rows of d floats) into an ``applyInPandas`` kernel that
     scores all within-bucket pairs as a row-blocked BLAS gram matrix
     (``Vn[block] @ Vn.T``) and emits only pairs at ``>= threshold - 1e-6``
@@ -1013,6 +1047,11 @@ def embedding_near_dup_pairs(
     HOF mirror (``"column"``). Both join forms and the gram kernel are
     differentially pinned pairwise.
     """
+    if method == "auto":
+        # the same size flip as _auto_scorer: a small corpus's few pairs
+        # are cheaper in codegen than one applyInPandas round-trip
+        method = ("join" if _auto_scorer(df, "auto") == "column" else "gram")
+    scorer = _auto_scorer(df, scorer)
     coded = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -1098,7 +1137,7 @@ def semantic_dedup(
     centroids: "str | list" = "kmeans",
     n_assign: int = 1,
     cc_algorithm: str = "label",
-    scorer: str = "arrow",
+    scorer: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning via
     embedding clusters. Returns one row per input vector:
@@ -1150,6 +1189,7 @@ def semantic_dedup(
     """
     from .dedup import connected_components
 
+    scorer = _auto_scorer(df, scorer)
     centers = _resolve_centroids(
         df, vec_col, n_centroids, seed, max_train_rows, centroids)
     centers_lit = F.array(*[

@@ -1861,11 +1861,13 @@ def stage_vector_search(df: DataFrame, spec: dict, engine) -> DataFrame:
         )
     elif mode != "exact":
         raise InvalidPipeline(f"$vectorSearch index must be 'exact' or 'ivf', got {mode!r}")
-    # scorer "arrow" (default): one numpy einsum per Arrow batch against
-    # the repeated query literal — the corpus-scan scoring is the stage's
-    # hot loop and the Column HOF form is three interpreted folds per row
-    # (kept as scorer="column", the differential mirror; r7)
-    scorer = spec.get("scorer", "arrow")
+    # scorer "auto" (default): large corpora score via one numpy einsum
+    # per Arrow batch against the repeated query literal — the corpus-scan
+    # scoring is the stage's hot loop and the Column HOF form is three
+    # interpreted folds per row; small corpora stay on the codegen Column
+    # form (kernel round-trip costs more than the rows; r7). "arrow" /
+    # "column" force either; "column" is the differential mirror.
+    scorer = _sim._auto_scorer(df, spec.get("scorer", "auto"))
     cos = _sim._pair_cosine(F.col(path), qlit, scorer)
     score_expr = F.round((F.lit(1.0) + cos) / 2.0, 6)
     scored = df.withColumn(score_field, score_expr)

@@ -646,12 +646,12 @@ class TestArrowPairScorers:
             "/root/testdata/sf0.001/embeddings.parquet")
             .select("vec_id", "embedding"))
         outs = []
-        for kw in ({}, {"method": "join"},
-                   {"method": "join", "scorer": "column"}):
+        for kw in ({"method": "gram"}, {"method": "join", "scorer": "arrow"},
+                   {"method": "join", "scorer": "column"}, {}):  # {} = auto
             outs.append(sorted(
                 tuple(r) for r in embedding_near_dup_pairs(
                     emb, threshold=0.3, bits=8, **kw).collect()))
-        assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 0
+        assert outs[0] == outs[1] == outs[2] == outs[3] and len(outs[0]) > 0
 
     def test_neardup_gram_edges(self, spark):
         from aggo_spark.operators.similarity import embedding_near_dup_pairs
@@ -662,7 +662,7 @@ class TestArrowPairScorers:
                 (3, None), (4, [0.0, 0.0]), (5, [0.9, 1.1])]
         df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
         g = sorted(tuple(r) for r in embedding_near_dup_pairs(
-            df, threshold=0.9, bits=2).collect())
+            df, threshold=0.9, bits=2, method="gram").collect())
         j = sorted(tuple(r) for r in embedding_near_dup_pairs(
             df, threshold=0.9, bits=2, method="join",
             scorer="column").collect())
@@ -679,7 +679,7 @@ class TestArrowPairScorers:
         q = emb.filter("vec_id < 6")
         key = ["query_id", "neighbor_id", "score", "rank"]
         b_a = sorted(tuple(r) for r in bucketed_topk(
-            emb, q, k=5, bits=4, tables=4, probe_hamming=1)
+            emb, q, k=5, bits=4, tables=4, probe_hamming=1, scorer="arrow")
             .select(*key).collect())
         b_c = sorted(tuple(r) for r in bucketed_topk(
             emb, q, k=5, bits=4, tables=4, probe_hamming=1,
@@ -688,7 +688,7 @@ class TestArrowPairScorers:
         seeds = [r.embedding for r in emb.orderBy("vec_id").limit(8).collect()]
         centers = [[float(x) for x in v] for v in seeds]
         i_a = sorted(tuple(r) for r in ivf_topk(
-            emb, q, k=5, nprobe=2, centroids=centers)
+            emb, q, k=5, nprobe=2, centroids=centers, scorer="arrow")
             .select(*key).collect())
         i_c = sorted(tuple(r) for r in ivf_topk(
             emb, q, k=5, nprobe=2, centroids=centers, scorer="column")
@@ -724,8 +724,20 @@ class TestVectorSearchArrowScorer:
         eng = Engine()
         spec = {"path": "$embedding", "queryVector": qv, "limit": 8}
         a = [(r.vec_id, r.score) for r in eng.aggregate(
-            emb, [{"$vectorSearch": dict(spec)}]).collect()]
+            emb, [{"$vectorSearch": dict(spec, scorer="arrow")}]).collect()]
         c = [(r.vec_id, r.score) for r in eng.aggregate(
             emb, [{"$vectorSearch": dict(spec, scorer="column")}]).collect()]
-        assert a == c and len(a) == 8
+        auto = [(r.vec_id, r.score) for r in eng.aggregate(
+            emb, [{"$vectorSearch": dict(spec)}]).collect()]
+        assert a == c == auto and len(a) == 8
         assert a[0][0] == 0 and a[0][1] == 1.0  # self-match, (1+1)/2
+
+    def test_auto_scorer_resolution(self, spark):
+        from aggo_spark.operators.similarity import (AUTO_SMALL_CORPUS,
+                                                     _auto_scorer)
+
+        small = spark.range(10).selectExpr(
+            "id as vec_id", "array(1.0d, 2.0d) as embedding")
+        assert _auto_scorer(small, "auto") == "column"
+        assert _auto_scorer(small, "arrow") == "arrow"  # explicit wins
+        assert AUTO_SMALL_CORPUS == 10_000
