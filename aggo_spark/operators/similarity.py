@@ -67,6 +67,25 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# explicit DataType, not the "double" DDL string: DDL parsing needs an
+# active SparkSession, which module import must not require
+@F.pandas_udf(T.DoubleType())
+def _cosine_arrow_kernel(pa: pd.Series, pb: pd.Series) -> pd.Series:
+    import numpy as np
+
+    out = np.full(len(pa), np.nan)
+    mask = pa.notna().to_numpy() & pb.notna().to_numpy()
+    if mask.any():
+        A = np.asarray(pa[mask].tolist(), dtype=np.float64)
+        B = np.asarray(pb[mask].tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt((A * A).sum(1)) * np.sqrt((B * B).sum(1))
+        out[mask] = np.where(den > 0, num / np.where(den > 0, den, 1.0),
+                             np.nan)
+    # nullable Float64: NaN placeholders arrive as real SQL NULLs
+    return pd.Series(pd.array(out, dtype="Float64"))
+
+
 def cosine_arrow(a: Column, b: Column) -> Column:
     """Arrow-vectorized cosine for JOINED vector pairs: one numpy
     ``einsum`` per batch instead of three interpreted HOF folds per row
@@ -76,25 +95,11 @@ def cosine_arrow(a: Column, b: Column) -> Column:
     and rank windows behave identically. Used by the candidate/verify
     hot paths (``bucketed_topk``/``ivf_topk``/``embedding_near_dup_pairs``
     /``semantic_dedup``); the Column form remains for single-row/literal
-    sites and as the differential mirror."""
-
-    @F.pandas_udf("double")
-    def _cos(pa: pd.Series, pb: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = np.full(len(pa), np.nan)
-        mask = pa.notna().to_numpy() & pb.notna().to_numpy()
-        if mask.any():
-            A = np.asarray(pa[mask].tolist(), dtype=np.float64)
-            B = np.asarray(pb[mask].tolist(), dtype=np.float64)
-            num = np.einsum("ij,ij->i", A, B)
-            den = np.sqrt((A * A).sum(1)) * np.sqrt((B * B).sum(1))
-            out[mask] = np.where(den > 0, num / np.where(den > 0, den, 1.0),
-                                 np.nan)
-        # nullable Float64: NaN placeholders arrive as real SQL NULLs
-        return pd.Series(pd.array(out, dtype="Float64"))
-
-    return _cos(a, b)
+    sites and as the differential mirror. The kernel is a single
+    module-level pandas_udf (it captures nothing), so every call site
+    shares one UDF object and repeated ``_pair_cosine`` expressions in a
+    query are recognizably the same function."""
+    return _cosine_arrow_kernel(a, b)
 
 
 def _pair_cosine(a: Column, b: Column, scorer: str) -> Column:
@@ -187,10 +192,13 @@ def brute_force_topk(
 
     ``method="hof"``: the pure-Column broadcast-crossJoin formulation,
     kept as the differential mirror (codegen-over-HOF rule, SCALE.md).
-    Divergence notes for "arrow": NULL/zero-norm vectors produce no
-    candidate rows (the HOF form carries NULL scores, which rank last
+    Divergence notes for "arrow": NULL/zero-norm CORPUS vectors produce
+    no candidate rows (the HOF form carries NULL scores, which rank last
     anyway — visible only when the corpus has fewer than k scorable
-    rows); corpus batches must not be ragged in dimension.
+    rows); NULL-vector QUERIES likewise contribute no output rows (the
+    HOF form would emit them with all-NULL scores); corpus batches must
+    not be ragged in dimension. An empty / all-NULL query set returns an
+    empty DataFrame in both forms.
     """
     if method == "hof":
         q = queries.select(
@@ -220,13 +228,24 @@ def brute_force_topk(
 
     if k < 1:
         raise ValueError("k must be >= 1")
+    out_schema = T.StructType([
+        T.StructField("query_id", queries.schema[id_col].dataType),
+        T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
     qrows = (
         queries.select(id_col, vec_col)
         .filter(F.col(vec_col).isNotNull())
         .collect()
     )
     if not qrows:
-        raise ValueError("queries is empty (or every query vector is NULL)")
+        # same contract as the hof form: an empty (or all-NULL-vector)
+        # query set yields an empty result, never an error — callers
+        # build query sets dynamically and zero matches is a legal state
+        return (
+            queries.sparkSession.createDataFrame([], out_schema)
+            .withColumn("rank", F.lit(1).cast("int"))
+        )
     qids = [r[0] for r in qrows]
     Q = np.asarray([[float(x) for x in r[1]] for r in qrows],
                    dtype=np.float64)
@@ -235,11 +254,6 @@ def brute_force_topk(
     _check_table_bytes(len(Q), Q.shape[1], 1)  # query matrix closure bound
     qnorm = np.sqrt((Q ** 2).sum(1))
     take = k + 1  # +1 absorbs the self-match removed below
-    out_schema = T.StructType([
-        T.StructField("query_id", queries.schema[id_col].dataType),
-        T.StructField("neighbor_id", corpus.schema[id_col].dataType),
-        T.StructField("score", T.DoubleType()),
-    ])
 
     def score(batches):
         import pandas as pd
@@ -1051,7 +1065,10 @@ def embedding_near_dup_pairs(
         # the same size flip as _auto_scorer: a small corpus's few pairs
         # are cheaper in codegen than one applyInPandas round-trip
         method = ("join" if _auto_scorer(df, "auto") == "column" else "gram")
-    scorer = _auto_scorer(df, scorer)
+    if method == "join":
+        # only the join branch scores pairs; the gram kernel never looks
+        # at scorer, so don't pay the count job resolving it
+        scorer = _auto_scorer(df, scorer)
     coded = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

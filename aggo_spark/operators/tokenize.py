@@ -131,19 +131,28 @@ def train_bpe(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    counts = (
-        word_counts.orderBy(F.desc("n"), F.asc("w"))
-        .limit(max_vocab_words)
-        .collect()
-    )
-    if not counts:
-        raise ValueError("corpus has no tokens to train on")
-    # dropped word-mass accounting: one tiny aggregate over the already-
-    # shuffled word table — only run when the cap could have bitten
-    totals = (word_counts.agg(
-        F.count(F.lit(1)).alias("d"), F.sum("n").alias("m")).collect()[0]
-        if len(counts) == max_vocab_words
-        else None)
+    # the top-N collect and the dropped-mass totals are two separate
+    # actions: without a persist the second would re-run the corpus
+    # explode+shuffle from scratch (exchanges are not reused across
+    # jobs). The word table is O(distinct words) — far smaller than a
+    # corpus re-scan.
+    word_counts.persist()
+    try:
+        counts = (
+            word_counts.orderBy(F.desc("n"), F.asc("w"))
+            .limit(max_vocab_words)
+            .collect()
+        )
+        if not counts:
+            raise ValueError("corpus has no tokens to train on")
+        # dropped word-mass accounting: one tiny aggregate over the
+        # persisted word table — only run when the cap could have bitten
+        totals = (word_counts.agg(
+            F.count(F.lit(1)).alias("d"), F.sum("n").alias("m")).collect()[0]
+            if len(counts) == max_vocab_words
+            else None)
+    finally:
+        word_counts.unpersist()
     kept_mass = sum(r["n"] for r in counts)
     stats = {
         "distinct_words": int(totals["d"]) if totals else len(counts),

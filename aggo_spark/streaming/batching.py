@@ -69,10 +69,14 @@ class AdaptiveBatchPolicy:
     def should_flush(self, pending: int, age_sec: float) -> bool:
         if pending <= 0:
             return False
+        # backpressure first: with batch_size <= max_pending (the normal
+        # configuration) the size branch would shadow it into dead code;
+        # checked first it stays the binding bound whenever a user
+        # configures max_pending below the batch target
+        if pending >= self.max_pending:
+            return True  # drain, never drop
         if pending >= self.batch_size:
             return True
-        if pending >= self.max_pending:
-            return True  # backpressure: drain, never drop
         return age_sec >= self.max_delay_sec
 
     def record_flush(self, n_deltas: int, flush_sec: float,

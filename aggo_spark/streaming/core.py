@@ -250,6 +250,8 @@ class _Registered:
         self.result_schema = None  # user-facing StructType (batch analysis)
         self.sink_batches = 0  # changelog appends since last compaction
         self.compact_every = 64
+        self.result_gen = 0  # compaction generation (dir suffix)
+        self.retired_dirs: list[str] = []  # pre-compaction generations
 
 
 class StreamingCollection:
@@ -330,6 +332,13 @@ class StreamingCollection:
         self._registered: dict[str, _Registered] = {}
         self._queries: dict[str, object] = {}
         self._lock = threading.Lock()
+        # adaptive-mode deadline: serializes buffer/flush with the timer
+        # thread that enforces max_delay_sec when the producer goes idle
+        self._flush_lock = threading.RLock()
+        self._deadline_timer: "threading.Timer | None" = None
+        # maintained posting indexes (maintain_index): compaction state,
+        # drained driver-side in flush() — never on the streaming thread
+        self._indexes: dict[str, dict] = {}
         # collection-level event bus (reference streaming.ts:24-33 emits
         # 'data-added' / 'data-removed' / 'result-updated')
         self._listeners: dict[str, list[Callable]] = {
@@ -366,17 +375,37 @@ class StreamingCollection:
     def _buffer(self, signed_docs: list[tuple[dict, int]]) -> None:
         """Adaptive-mode enqueue: append to the pending buffer and flush
         when the policy's trigger fires (size target / deadline /
-        backpressure). Re-entrant mutations from result callbacks buffer
-        without re-triggering (the flush in progress drains them on its
-        next pass via the deadline)."""
-        now = time.monotonic()
-        if not self._pending:
-            self._pending_t0 = now
-        self._pending.extend(signed_docs)
-        self._policy.record_enqueue(len(signed_docs))
-        if not self._in_flush and self._policy.should_flush(
-                len(self._pending), now - self._pending_t0):
-            self.flush()
+        backpressure). The ``max_delay_sec`` deadline is enforced by a
+        one-shot daemon timer armed when the buffer goes non-empty — an
+        idle producer can't stall a buffered mutation (and its
+        'data-added' event) forever waiting for the next enqueue.
+        Re-entrant mutations from result callbacks buffer without
+        re-triggering; the timer they arm drains them after the flush in
+        progress completes."""
+        with self._flush_lock:
+            now = time.monotonic()
+            if not self._pending:
+                self._pending_t0 = now
+                self._arm_deadline()
+            self._pending.extend(signed_docs)
+            self._policy.record_enqueue(len(signed_docs))
+            if not self._in_flush and self._policy.should_flush(
+                    len(self._pending), now - self._pending_t0):
+                self.flush()
+
+    def _arm_deadline(self) -> None:
+        if self._deadline_timer is not None:
+            self._deadline_timer.cancel()
+        t = threading.Timer(self._policy.max_delay_sec, self._deadline_fire)
+        t.daemon = True
+        self._deadline_timer = t
+        t.start()
+
+    def _deadline_fire(self) -> None:
+        with self._flush_lock:
+            self._deadline_timer = None
+            if self._pending and not self._in_flush:
+                self.flush()
 
     def _drain_pending(self) -> None:
         if not self._pending:
@@ -527,9 +556,17 @@ class StreamingCollection:
                  .withColumn("__batch", F.lit(int(batch_id)).cast("long"))
                  .write.mode("append").parquet(reg.result_dir))
                 reg.sink_batches += 1
-                for cb in reg.on_update:
-                    cb(self.result_df(reg.id))
-                self._emit("result-updated", reg.id, self.result_df(reg.id))
+                # one snapshot plan shared by every consumer — and none
+                # built at all when nobody is listening (snapshot
+                # construction costs a parquet footer read per call).
+                # _snapshot_df, not result_df: this runs on the STREAMING
+                # thread inside processAllAvailable — the read barrier's
+                # flush lock is held by the flushing thread
+                if reg.on_update or self._listeners["result-updated"]:
+                    snap = self._snapshot_df(reg)
+                    for cb in reg.on_update:
+                        cb(snap)
+                    self._emit("result-updated", reg.id, snap)
 
             self._attach_query(reg, out, sink)
             return
@@ -569,26 +606,31 @@ class StreamingCollection:
         In adaptive mode this first drains the pending mutation buffer
         (one spool file for the whole batch) and feeds the measured
         flush time back to the batch-size policy."""
-        n_pending = len(self._pending)
-        t0 = time.monotonic()
-        self._in_flush = True
-        try:
-            self._drain_pending()
-            for q in self._queries.values():
-                q.processAllAvailable()
-            for reg in self._registered.values():
-                if not reg.incremental:
-                    self._recompute(reg)
-            for reg in self._registered.values():
-                if (reg.sink == "parquet"
-                        and reg.sink_batches >= reg.compact_every):
-                    self.compact_result(reg.id)
-        finally:
-            self._in_flush = False
-        if self.autoflush == "adaptive" and n_pending:
-            self._policy.record_flush(
-                n_pending, time.monotonic() - t0,
-                pending_after=len(self._pending))
+        with self._flush_lock:
+            if self._deadline_timer is not None:
+                self._deadline_timer.cancel()
+                self._deadline_timer = None
+            n_pending = len(self._pending)
+            t0 = time.monotonic()
+            self._in_flush = True
+            try:
+                self._drain_pending()
+                for q in self._queries.values():
+                    q.processAllAvailable()
+                for reg in self._registered.values():
+                    if not reg.incremental:
+                        self._recompute(reg)
+                for reg in self._registered.values():
+                    if (reg.sink == "parquet"
+                            and reg.sink_batches >= reg.compact_every):
+                        self.compact_result(reg.id)
+                self._compact_indexes()
+            finally:
+                self._in_flush = False
+            if self.autoflush == "adaptive" and n_pending:
+                self._policy.record_flush(
+                    n_pending, time.monotonic() - t0,
+                    pending_after=len(self._pending))
 
     def _recompute(self, reg: _Registered) -> None:
         """Fallback for non-incremental pipelines (reference
@@ -650,11 +692,14 @@ class StreamingCollection:
             else:
                 reg.result_rows = [r.asDict(recursive=True) for r in out.collect()]
         reg.file_pos = n_files
-        payload = (self.result_df(reg.id) if reg.sink == "parquet"
-                   else reg.result_rows)
-        for cb in reg.on_update:
-            cb(payload)
-        self._emit("result-updated", reg.id, payload)
+        if reg.on_update or self._listeners["result-updated"]:
+            # _recompute runs on the flush thread (RLock owner), but use
+            # the barrier-free snapshot for uniformity with the sink
+            payload = (self._snapshot_df(reg) if reg.sink == "parquet"
+                       else reg.result_rows)
+            for cb in reg.on_update:
+                cb(payload)
+            self._emit("result-updated", reg.id, payload)
 
     def _live_rows_df(self, key_filter=None) -> DataFrame:
         cdc = self.spark.read.schema(self.cdc_schema).json(self.data_dir)
@@ -693,12 +738,13 @@ class StreamingCollection:
         per (id, term), so retracted docs cancel out of results too.
 
         Every ``compact_every`` batches the changelog is compacted to its
-        net-positive postings (the Delta OPTIMIZE analogue, same swap as
-        ``compact_result``). ``kind``: ``"text"`` ($text tokens) or
+        net-positive postings (the Delta OPTIMIZE analogue). Compaction
+        runs DRIVER-SIDE in ``flush()`` — not on the streaming thread —
+        so in the collection's synchronous model (mutate → flush → read)
+        the directory swap can never interleave with a search scan built
+        between flushes. ``kind``: ``"text"`` ($text tokens) or
         ``"trigram"`` (raw char 3-grams for $regex). Returns the
         maintenance query id (stoppable via ``stop()``)."""
-        import shutil
-
         from ..operators import search as _search
         from ..operators.text import tokens as _tokens
 
@@ -719,27 +765,15 @@ class StreamingCollection:
             .withColumn(bucket, F.pmod(F.xxhash64(term),
                                        F.lit(_search.N_BUCKETS)))
         )
-        state = {"batches": 0}
+        state = {"path": path, "term": term, "bucket": bucket,
+                 "batches": 0, "compact_every": int(compact_every)}
+        self._indexes[rid] = state
 
         def sink(batch_df: DataFrame, _batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
             (batch_df.write.mode("append").partitionBy(bucket).parquet(path))
             state["batches"] += 1
-            if state["batches"] >= compact_every:
-                net = (
-                    self.spark.read.parquet(path)
-                    .groupBy(term, bucket, "id")
-                    .agg(F.sum("sign").cast("long").alias("sign"))
-                    .filter(F.col("sign") > 0)
-                    .select("id", "sign", term, bucket)
-                )
-                tmp = path + ".compact"
-                net.write.mode("overwrite").partitionBy(bucket).parquet(tmp)
-                with self._lock:
-                    shutil.rmtree(path)
-                    os.rename(tmp, path)
-                state["batches"] = 1
 
         ckpt = os.path.join(self.workdir, f"ckpt-{rid}")
         q = (
@@ -751,6 +785,32 @@ class StreamingCollection:
         self._queries[rid] = q
         q.processAllAvailable()
         return rid
+
+    def _compact_indexes(self) -> None:
+        """Driver-side posting-index compaction (called from flush, after
+        every query has drained): rewrite each due index changelog to its
+        net-positive postings and swap the directory. Running here — not
+        in the index's foreachBatch — keeps the swap out of the streaming
+        thread, so reads between flushes never race it."""
+        import shutil
+
+        for state in self._indexes.values():
+            if state["batches"] < state["compact_every"]:
+                continue
+            path, term, bucket = state["path"], state["term"], state["bucket"]
+            net = (
+                self.spark.read.parquet(path)
+                .groupBy(term, bucket, "id")
+                .agg(F.sum("sign").cast("long").alias("sign"))
+                .filter(F.col("sign") > 0)
+                .select("id", "sign", term, bucket)
+            )
+            tmp = path + ".compact"
+            net.write.mode("overwrite").partitionBy(bucket).parquet(tmp)
+            with self._lock:
+                shutil.rmtree(path)
+                os.rename(tmp, path)
+            state["batches"] = 1
 
     def _append_keyed_delta(self, reg: _Registered, out: DataFrame,
                             dirty: list, batch: int) -> None:
@@ -806,51 +866,72 @@ class StreamingCollection:
                    .filter(F.col("__rn") == 1).drop("__rn"))
         return log
 
-    def result_df(self, rid: str) -> DataFrame:
-        """The registered pipeline's current result as a (lazy) DataFrame —
-        the snapshot view over the parquet changelog. Only valid for
-        ``sink="parquet"`` registrations; the plan is a scan of the result
-        table (+ one latest-per-key window for appending regs), never a
-        rerun of the pipeline, and nothing is materialized on the driver."""
-        if self._pending and not self._in_flush:
-            self.flush()  # adaptive mode: read-your-writes at read points
-        reg = self._registered[rid]
-        if reg.sink != "parquet":
-            raise ValueError(
-                f"pipeline {rid!r} uses the list sink; call result() "
-                f"(register with sink='parquet' for a DataFrame result)")
+    def _drain_at_read(self) -> None:
+        """Read-your-writes barrier for every read point: drain pending
+        adaptive-mode mutations, and — because the deadline timer flushes
+        on its own thread — WAIT for any in-progress timer flush (the
+        RLock) instead of racing it with a stale snapshot. Re-entrant
+        calls from the flush thread (compact/recompute paths) already own
+        the RLock, so they pass straight through."""
+        with self._flush_lock:
+            if self._pending and not self._in_flush:
+                self.flush()
+
+    def _snapshot_df(self, reg: _Registered) -> DataFrame:
+        """The snapshot view over ``reg``'s parquet changelog, with NO
+        drain barrier — the form the streaming-thread sink hands to
+        callbacks (taking the flush lock there would deadlock against
+        processAllAvailable)."""
         user_cols = [f.name for f in reg.result_schema.fields]
         if not os.path.isdir(reg.result_dir):
             return self.spark.createDataFrame([], reg.result_schema)
         log = self._winning_rows(reg, self._changelog(reg))
         return log.filter(F.col("__live") == 1).select(*user_cols)
 
+    def result_df(self, rid: str) -> DataFrame:
+        """The registered pipeline's current result as a (lazy) DataFrame —
+        the snapshot view over the parquet changelog. Only valid for
+        ``sink="parquet"`` registrations; the plan is a scan of the result
+        table (+ one latest-per-key window for appending regs), never a
+        rerun of the pipeline, and nothing is materialized on the driver."""
+        self._drain_at_read()
+        reg = self._registered[rid]
+        if reg.sink != "parquet":
+            raise ValueError(
+                f"pipeline {rid!r} uses the list sink; call result() "
+                f"(register with sink='parquet' for a DataFrame result)")
+        return self._snapshot_df(reg)
+
     def compact_result(self, rid: str) -> None:
         """Rewrite the parquet changelog down to its winning live rows
         (markers preserved so later appends still order correctly) — the
         local analogue of Delta OPTIMIZE; called automatically every
-        ``compact_every`` appends. Directory-swap based: callers are
-        synchronous (add/remove→flush), so no concurrent writer exists."""
-        import shutil
-
+        ``compact_every`` appends. Generation-swap based: the compacted
+        rows land in a NEW generation directory and ``reg.result_dir`` is
+        repointed, so a previously returned ``result_df`` (whose file
+        index resolved the OLD generation's part-files) stays a valid —
+        just stale — snapshot instead of hitting FileNotFound mid-query.
+        Retired generations are deleted at ``stop()``. At scale this is a
+        table format's transactional OPTIMIZE + snapshot isolation."""
         reg = self._registered[rid]
         if reg.sink != "parquet" or not os.path.isdir(reg.result_dir):
             return
         winners = self._winning_rows(reg, self._changelog(reg)).filter(
             F.col("__live") == 1)
-        tmp = reg.result_dir + ".compact"
-        winners.write.mode("overwrite").parquet(tmp)
+        reg.result_gen += 1
+        base = os.path.join(self.workdir, f"result-{reg.id}")
+        new_dir = f"{base}-g{reg.result_gen}"
+        winners.write.mode("overwrite").parquet(new_dir)
         with self._lock:
-            shutil.rmtree(reg.result_dir)
-            os.rename(tmp, reg.result_dir)
+            reg.retired_dirs.append(reg.result_dir)
+            reg.result_dir = new_dir  # future appends follow the reg attr
         reg.sink_batches = 1
 
     def result(self, rid: str) -> list[dict]:
         """Current result rows. For ``sink="parquet"`` registrations this
         is an EXPLICIT driver materialization of the snapshot view (parity
         convenience — use ``result_df`` to stay distributed)."""
-        if self._pending and not self._in_flush:
-            self.flush()  # adaptive mode: read-your-writes at read points
+        self._drain_at_read()
         reg = self._registered[rid]
         if reg.sink == "parquet":
             return [r.asDict(recursive=True)
@@ -873,16 +954,31 @@ class StreamingCollection:
         return off
 
     def count(self) -> int:
-        if self._pending and not self._in_flush:
-            self.flush()  # adaptive mode: read-your-writes at read points
+        self._drain_at_read()
         return self._live_rows_df().count()
 
     def stop(self) -> None:
-        if self._pending:
-            self.flush()  # don't strand buffered mutations
-        for q in self._queries.values():
-            q.stop()
-        self._queries.clear()
+        import shutil
+
+        # under the flush lock: a deadline flush in progress on the timer
+        # thread must complete before queries stop, or q.stop() interrupts
+        # its in-flight micro-batch write mid-append
+        with self._flush_lock:
+            if self._deadline_timer is not None:
+                self._deadline_timer.cancel()
+                self._deadline_timer = None
+            if self._pending:
+                self.flush()  # don't strand buffered mutations
+            for q in self._queries.values():
+                q.stop()
+            self._queries.clear()
+        # retired changelog generations were kept on disk so result_df
+        # snapshots handed out before a compaction stayed readable; the
+        # collection's lifetime is over, release them
+        for reg in self._registered.values():
+            for d in reg.retired_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+            reg.retired_dirs.clear()
 
     # camelCase alias for API parity with the reference (streaming.ts:162)
     addBulk = add_bulk

@@ -741,3 +741,92 @@ class TestVectorSearchArrowScorer:
         assert _auto_scorer(small, "auto") == "column"
         assert _auto_scorer(small, "arrow") == "arrow"  # explicit wins
         assert AUTO_SMALL_CORPUS == 10_000
+
+
+class TestReviewPassFixes:
+    """Late-r7 adversarial review findings over the round diff."""
+
+    def test_brute_force_empty_queries_returns_empty(self, spark):
+        from aggo_spark.operators.similarity import brute_force_topk
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "vec_id int, embedding array<double>")
+        empty_q = corpus.filter("vec_id > 99")
+        null_q = spark.createDataFrame(
+            [(9, None)], "vec_id int, embedding array<double>")
+        for method in ("arrow", "hof"):
+            out = brute_force_topk(corpus, empty_q, k=3, method=method)
+            assert out.columns == ["query_id", "neighbor_id", "score", "rank"]
+            assert out.count() == 0
+        # all-NULL-vector query set: arrow returns empty; hof carries
+        # NULL-scored rows (the docstring's documented divergence)
+        assert brute_force_topk(corpus, null_q, k=3, method="arrow").count() == 0
+        hof_rows = brute_force_topk(corpus, null_q, k=3, method="hof").collect()
+        assert len(hof_rows) == 2 and all(r.score is None for r in hof_rows)
+
+    def test_adaptive_deadline_timer_fires_on_idle_producer(
+            self, spark, tmp_path):
+        import time as _time
+
+        from aggo_spark.streaming.batching import AdaptiveBatchPolicy
+        from aggo_spark.streaming.core import StreamingCollection
+
+        c = StreamingCollection(
+            spark, "category string, price double, qty long",
+            workdir=str(tmp_path), autoflush="adaptive",
+            batch_policy=AdaptiveBatchPolicy(
+                batch_size=1000, max_delay_sec=0.2))
+        try:
+            fired = []
+            c.on("data-added", lambda docs: fired.append(list(docs)))
+            c.add({"category": "a", "price": 1.0, "qty": 1})
+            assert c.delta_metrics()["pending"] == 1
+            # NO further enqueue/read: only the deadline timer can drain
+            deadline = _time.monotonic() + 20.0
+            while not fired and _time.monotonic() < deadline:
+                _time.sleep(0.05)
+            assert fired and len(fired[0]) == 1
+            assert c.delta_metrics()["pending"] == 0
+        finally:
+            c.stop()
+
+    def test_result_df_snapshot_survives_compaction(self, spark, tmp_path):
+        import os as _os
+
+        from aggo_spark.streaming.core import StreamingCollection
+
+        pipeline = [{"$group": {"_id": "$category", "n": {"$sum": 1}}}]
+        c = StreamingCollection(
+            spark, "category string, price double, qty long",
+            workdir=str(tmp_path))
+        try:
+            c.stream(pipeline, "g", sink="parquet", compact_every=2)
+            c.add({"category": "a", "price": 1.0, "qty": 1})
+            held = c.result_df("g")
+            n_before = held.count()
+            reg = c._registered["g"]
+            gen0 = reg.result_dir
+            # force a compaction: sink_batches reaches compact_every
+            c.add({"category": "b", "price": 2.0, "qty": 1})
+            c.add({"category": "a", "price": 3.0, "qty": 1})
+            assert reg.result_gen >= 1 and reg.result_dir != gen0
+            assert gen0 in reg.retired_dirs and _os.path.isdir(gen0)
+            # the held (pre-compaction) snapshot still reads — stale, not
+            # FileNotFound
+            assert held.count() == n_before
+            fresh = {r["_id"]: r["n"] for r in c.result_df("g").collect()}
+            assert fresh == {"a": 2, "b": 1}
+            retired = list(reg.retired_dirs)
+        finally:
+            c.stop()
+        for d in retired:
+            assert not _os.path.isdir(d)  # released with the collection
+
+    def test_backpressure_bound_reachable_below_batch_size(self):
+        from aggo_spark.streaming.batching import AdaptiveBatchPolicy
+
+        tight = AdaptiveBatchPolicy(batch_size=64, max_pending=8,
+                                    max_delay_sec=99.0)
+        assert not tight.should_flush(7, 0.0)
+        assert tight.should_flush(8, 0.0)

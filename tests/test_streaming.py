@@ -818,6 +818,12 @@ class TestAdaptiveBatching:
         assert p.should_flush(4, 0.0)             # size target
         assert p.should_flush(3, 0.5)             # deadline
         assert p.should_flush(10, 0.0)            # backpressure bound
+        # backpressure is its own (reachable) bound, not the size branch:
+        # a max_pending BELOW the batch target still forces a drain
+        tight = AdaptiveBatchPolicy(batch_size=64, max_pending=8,
+                                    max_delay_sec=99.0)
+        assert not tight.should_flush(7, 0.0)
+        assert tight.should_flush(8, 0.0)
 
     def test_policy_adaptation_rules(self):
         from aggo_spark.streaming.batching import AdaptiveBatchPolicy
