@@ -39,6 +39,8 @@ __all__ = [
     "benchmark_ngram_overlap",
     "dedup_corpus_lines",
     "duplicate_ngram_fraction",
+    "duplicate_spans",
+    "remove_duplicate_spans",
     "connected_components",
     "dedup_clusters",
 ]
@@ -686,6 +688,138 @@ def duplicate_ngram_fraction(
                 F.round(F.col("n_dup_grams") / F.col("n_grams"), 6),
             ).otherwise(F.lit(0.0)).alias("dup_frac"),
         )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 20,
+) -> DataFrame:
+    """Positions of exact duplicated substrings — the span-level tier of
+    exact-substring dedup (Lee et al. 2022 §4.1 ExactSubstr; reference
+    has no analogue). Their suffix array is a single-machine structure;
+    the Spark-first equivalent matches rolling windows of ``min_len``
+    tokens by hash, then merges overlapping duplicated windows into
+    maximal spans — every substring duplication of >= min_len tokens
+    contains at least one duplicated min_len-window, so span coverage is
+    identical to the suffix-array method at min_len granularity (span
+    BOUNDARIES are min_len-window-aligned, the documented approximation).
+
+    An occurrence is *redundant* when its window hash occurs more than
+    once corpus-wide (same doc or another) and it is not the globally
+    minimal (doc, position) occurrence — exactly one copy of every
+    duplicated substring stays canonical, Lee et al.'s removal policy.
+
+    Returns (doc_id, span_start, span_end, span_tokens): half-open token
+    -index spans of redundant text per doc, over the engine's normalized
+    ``tokens()`` stream.
+
+    Plan shape at 100 TB (all linear, no pair explosion; ONE Generate —
+    the per-hash stats ride the occurrence rows as whole-partition
+    window aggregates instead of a second aggregate joined back, whose
+    two branches would re-run the tokenize+explode subtree twice — the
+    same double-execution class as the r6 BM25 df(t) fix):
+      1. posexplode min_len-windows → (id, pos, xxhash64)       — narrow
+      2. count + min struct(id,pos) keeper over the hash partition — one
+         exchange on the hash (a hot boilerplate window concentrates its
+         occurrences in one task, but the aggregate is count/min — the
+         task is scan-cheap, the same trade BM25's df(t) window makes
+         with stopwords)
+      3. redundant windows → maximal spans: gaps-and-islands window
+         per doc (one exchange on id)
+    """
+    from .text import word_ngrams
+
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    from pyspark.sql import Window as W
+
+    tok = tokens(F.col(text_col))
+    occ = (
+        df.select(F.col(id_col), F.posexplode(word_ngrams(tok, min_len))
+                  .alias("pos", "g"))
+        .select(id_col, "pos", F.xxhash64("g").alias("h"))
+    )
+    w_h = W.partitionBy("h")
+    redundant = (
+        occ
+        .withColumn("cnt", F.count(F.lit(1)).over(w_h))
+        .withColumn("keeper",
+                    F.min(F.struct(F.col(id_col).alias("kid"),
+                                   F.col("pos").alias("kpos"))).over(w_h))
+        .filter(
+            (F.col("cnt") > 1)
+            & ~((F.col("keeper.kid") == F.col(id_col))
+                & (F.col("keeper.kpos") == F.col("pos"))))
+        .select(id_col, "pos", (F.col("pos") + min_len).alias("end"))
+    )
+    # gaps-and-islands: windows sorted by pos; a window starts a new span
+    # iff it begins past every earlier window's reach
+    w_order = W.partitionBy(id_col).orderBy("pos")
+    prev_reach = F.max("end").over(
+        w_order.rowsBetween(W.unboundedPreceding, -1))
+    spans = (
+        redundant
+        .withColumn("new_span",
+                    F.when(prev_reach.isNull() | (F.col("pos") > prev_reach),
+                           1).otherwise(0))
+        .withColumn("span_no", F.sum("new_span").over(w_order))
+        .groupBy(id_col, "span_no")
+        .agg(F.min("pos").alias("span_start"),
+             F.max("end").alias("span_end"))
+        .select(id_col,
+                F.col("span_start").cast("int"),
+                F.col("span_end").cast("int"),
+                (F.col("span_end") - F.col("span_start"))
+                .cast("int").alias("span_tokens"))
+    )
+    return spans
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 20,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Cut each doc's redundant duplicated spans (``duplicate_spans``)
+    out of its token stream, keeping the one canonical copy corpus-wide —
+    Lee et al. 2022's ExactSubstr removal. Adds ``out_col`` (the surviving
+    tokens re-joined with single spaces — reconstruction is over the
+    normalized token stream, not raw bytes; formatting/case/punctuation
+    inside kept text follow ``tokens()``) and ``n_removed_tokens``.
+
+    The span lists are per-doc small (collect_list after the islands
+    merge), so the cut is one left join + a per-row token filter; the
+    token-index membership test is a HOF (interpreted) but runs once per
+    doc over already-materialized spans — removal is an output transform,
+    not a metric hot loop.
+    """
+    spans = duplicate_spans(df, text_col, id_col, min_len=min_len)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans"))
+    tok = tokens(F.col(text_col))
+    joined = df.join(per_doc, id_col, "left")
+    no_spans = F.col("__spans").isNull()
+    kept = F.filter(
+        tok,
+        lambda x, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"])),
+    )
+    return (
+        joined
+        .withColumn(out_col,
+                    F.when(no_spans, F.col(text_col).cast("string"))
+                    .otherwise(F.concat_ws(" ", kept)))
+        .withColumn(
+            "n_removed_tokens",
+            F.when(no_spans, F.lit(0))
+            .otherwise(F.size(tok) - F.size(kept)).cast("int"))
+        .drop("__spans")
     )
 
 

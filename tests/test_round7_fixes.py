@@ -830,3 +830,116 @@ class TestReviewPassFixes:
                                     max_delay_sec=99.0)
         assert not tight.should_flush(7, 0.0)
         assert tight.should_flush(8, 0.0)
+
+
+class TestDuplicateSpans:
+    """Exact duplicate-substring spans + removal (Lee et al. 2022
+    ExactSubstr, Spark-first: rolling-window hash match + islands merge)."""
+
+    def _df(self, spark, docs):
+        return spark.createDataFrame(docs, "doc_id string, text string")
+
+    def test_cross_doc_span_detected_and_merged(self, spark):
+        from aggo_spark.operators.dedup import duplicate_spans
+
+        # A and B share a 6-token passage; min_len=5 gives two overlapping
+        # redundant windows in B that must merge into ONE maximal span
+        df = self._df(spark, [
+            ("a", "the quick brown fox jumps over x1 y1"),
+            ("b", "z2 the quick brown fox jumps over w2"),
+        ])
+        got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens)
+               for r in duplicate_spans(df, min_len=5).collect()}
+        # keeper is the globally minimal (doc_id, pos) — doc a keeps all
+        assert got == {("b", 1, 7, 6)}
+
+    def test_within_doc_self_duplication(self, spark):
+        from aggo_spark.operators.dedup import duplicate_spans
+
+        df = self._df(spark, [
+            ("c", "a b c d e f9 g9 a b c d e"),
+        ])
+        got = {(r.doc_id, r.span_start, r.span_end)
+               for r in duplicate_spans(df, min_len=5).collect()}
+        assert got == {("c", 7, 12)}  # second copy redundant, first kept
+
+    def test_removal_keeps_one_global_copy(self, spark):
+        from aggo_spark.operators.dedup import remove_duplicate_spans
+
+        df = self._df(spark, [
+            ("a", "the quick brown fox jumps over x1 y1"),
+            ("b", "z2 the quick brown fox jumps over w2"),
+            ("c", "a b c d e f9 g9 a b c d e"),
+            ("d", "nothing duplicated here at all"),
+        ])
+        out = {r.doc_id: (r.text_dedup, r.n_removed_tokens)
+               for r in remove_duplicate_spans(df, min_len=5).collect()}
+        assert out["a"] == ("the quick brown fox jumps over x1 y1", 0)
+        assert out["b"] == ("z2 w2", 6)
+        assert out["c"] == ("a b c d e f9 g9", 5)
+        assert out["d"] == ("nothing duplicated here at all", 0)
+
+    def test_null_and_short_docs(self, spark):
+        from aggo_spark.operators.dedup import (duplicate_spans,
+                                                remove_duplicate_spans)
+
+        df = self._df(spark, [("n", None), ("s", "too short")])
+        assert duplicate_spans(df, min_len=5).count() == 0
+        out = {r.doc_id: (r.text_dedup, r.n_removed_tokens)
+               for r in remove_duplicate_spans(df, min_len=5).collect()}
+        assert out["n"] == (None, 0)
+        assert out["s"] == ("too short", 0)
+
+    def test_min_len_validation(self, spark):
+        from aggo_spark.operators.dedup import duplicate_spans
+
+        with pytest.raises(ValueError, match="min_len"):
+            duplicate_spans(self._df(spark, [("a", "x y")]), min_len=1)
+
+    def test_differential_vs_python_mirror(self, spark):
+        import random
+
+        from aggo_spark.operators.dedup import duplicate_spans
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = []
+        for d in range(10):
+            n = rng.randint(0, 24)
+            docs.append((f"d{d:02d}", " ".join(rng.choice(vocab)
+                                               for _ in range(n))))
+        min_len = 3
+
+        # pure-Python mirror of the operator's contract
+        occ = []  # (doc, pos, gram)
+        for did, text in docs:
+            toks = text.split()
+            for p in range(len(toks) - min_len + 1):
+                occ.append((did, p, " ".join(toks[p:p + min_len])))
+        from collections import defaultdict
+        by_gram = defaultdict(list)
+        for did, p, g in occ:
+            by_gram[g].append((did, p))
+        redundant = defaultdict(list)
+        for g, occs in by_gram.items():
+            if len(occs) < 2:
+                continue
+            keeper = min(occs)
+            for o in occs:
+                if o != keeper:
+                    redundant[o[0]].append(o[1])
+        expected = set()
+        for did, starts in redundant.items():
+            spans = []
+            for p in sorted(starts):
+                if spans and p <= spans[-1][1]:
+                    spans[-1][1] = max(spans[-1][1], p + min_len)
+                else:
+                    spans.append([p, p + min_len])
+            for s, e in spans:
+                expected.add((did, s, e))
+
+        got = {(r.doc_id, r.span_start, r.span_end)
+               for r in duplicate_spans(self._df(spark, docs),
+                                        min_len=min_len).collect()}
+        assert got == expected and len(expected) > 0
