@@ -669,8 +669,22 @@ def q39_fingerprint(spark, sf_dir):
     fps = df.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
     mins = text.min_shingle_fingerprints(df, "text", "doc_id", 5)
     dup = dedup.duplicate_ngram_fraction(df, n=5)
+    # span-level exact-substring tier (r7): per-doc maximal duplicated
+    # 8-token spans; key="gram" is the oracle mode (xxhash64 scale mode
+    # differentially pinned in tests)
+    span_agg = (
+        dedup.duplicate_spans(df, min_len=8, key="gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"),
+             F.sum("span_tokens").alias("dup_span_tokens"))
+    )
     return (
         fps.join(mins, "doc_id", "left").join(dup, "doc_id", "left")
+        .join(span_agg, "doc_id", "left")
+        .withColumn("n_dup_spans",
+                    F.coalesce("n_dup_spans", F.lit(0)).cast("int"))
+        .withColumn("dup_span_tokens",
+                    F.coalesce("dup_span_tokens", F.lit(0)).cast("int"))
         .orderBy("doc_id")
     )
 
@@ -2324,15 +2338,61 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
                      CAST(count(CASE WHEN gram_docs > 1 THEN 1 END) AS INT)
                        AS n_dup_grams
-              FROM g JOIN gc USING (h) GROUP BY 1)
+              FROM g JOIN gc USING (h) GROUP BY 1),
+            -- span-level exact-substring tier (duplicate_spans, min_len=8,
+            -- key='gram'): redundant = any 8-token window occurring >1 time
+            -- corpus-wide minus its minimal (doc_id, pos) keeper; islands
+            -- merge overlapping windows into maximal spans
+            o8 AS (
+              SELECT doc_id, u['pos'] AS pos, u['g'] AS gm
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(1, greatest(len(tok) - 7, 0) + 1),
+                         i -> {{'pos': i - 1,
+                               'g': array_to_string(tok[i : i + 7], ' ')}}))
+                       AS u
+                FROM (SELECT doc_id, {tok_doc} AS tok FROM documents))),
+            m8 AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY gm) AS cnt,
+                     row_number() OVER (PARTITION BY gm
+                                        ORDER BY doc_id, pos) AS rn
+              FROM o8),
+            r8 AS (SELECT doc_id, pos, pos + 8 AS e
+                   FROM m8 WHERE cnt > 1 AND rn > 1),
+            i8 AS (
+              SELECT doc_id, pos, e,
+                     CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            IS NULL
+                          OR pos > max(e) OVER (PARTITION BY doc_id
+                            ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING)
+                          THEN 1 ELSE 0 END AS ns
+              FROM r8),
+            s8 AS (SELECT doc_id,
+                          sum(ns) OVER (PARTITION BY doc_id ORDER BY pos)
+                            AS sn,
+                          pos, e
+                   FROM i8),
+            sp8 AS (SELECT doc_id, sn, min(pos) AS sp_s, max(e) AS sp_e
+                    FROM s8 GROUP BY 1, 2),
+            spagg AS (SELECT doc_id, count(*) AS n_dup_spans,
+                             sum(sp_e - sp_s) AS dup_span_tokens
+                      FROM sp8 GROUP BY 1)
             SELECT d.doc_id, md5({norm_doc}) AS fp,
                    list_min(list_transform({_SHINGLES5.format(n=norm_doc)}, s -> md5(s))) AS min_shingle_fp,
                    coalesce(n_grams, 0) AS n_grams,
                    coalesce(n_dup_grams, 0) AS n_dup_grams,
                    CASE WHEN coalesce(n_grams, 0) > 0
                         THEN round(n_dup_grams * 1.0 / n_grams, 6)
-                        ELSE 0.0 END AS dup_frac
+                        ELSE 0.0 END AS dup_frac,
+                   CAST(coalesce(n_dup_spans, 0) AS INT) AS n_dup_spans,
+                   CAST(coalesce(dup_span_tokens, 0) AS INT)
+                     AS dup_span_tokens
             FROM documents d LEFT JOIN per USING (doc_id)
+                 LEFT JOIN spagg USING (doc_id)
             ORDER BY d.doc_id
         """,
         "q44_topn": """

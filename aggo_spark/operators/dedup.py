@@ -696,6 +696,7 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_len: int = 20,
+    key: str = "hash",
 ) -> DataFrame:
     """Positions of exact duplicated substrings — the span-level tier of
     exact-substring dedup (Lee et al. 2022 §4.1 ExactSubstr; reference
@@ -729,18 +730,28 @@ def duplicate_spans(
          with stopwords)
       3. redundant windows → maximal spans: gaps-and-islands window
          per doc (one exchange on id)
+
+    ``key``: ``"hash"`` (default) matches windows by ``xxhash64`` — the
+    scale mode, 8-byte exchange keys; ``"gram"`` matches on the window
+    STRING itself — collision-free and reproducible in any SQL engine
+    (the DuckDB-oracle mode, same hash-vs-oracle split as q32/q33).
+    Both produce identical spans absent 64-bit collisions
+    (differentially pinned).
     """
     from .text import word_ngrams
 
     if min_len < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
+    if key not in ("hash", "gram"):
+        raise ValueError(f"key must be 'hash' or 'gram', got {key!r}")
     from pyspark.sql import Window as W
 
     tok = tokens(F.col(text_col))
+    key_col = F.xxhash64("g") if key == "hash" else F.col("g")
     occ = (
         df.select(F.col(id_col), F.posexplode(word_ngrams(tok, min_len))
                   .alias("pos", "g"))
-        .select(id_col, "pos", F.xxhash64("g").alias("h"))
+        .select(id_col, "pos", key_col.alias("h"))
     )
     w_h = W.partitionBy("h")
     redundant = (

@@ -73,7 +73,10 @@ BUDGETS = {
     "q34_ann_brute": 8,        # four ANN variants unioned (4 broadcasts)
     "q36_langid": 2,
     "q37_quality": 1,
-    "q39_fingerprint": 11,     # multi-fingerprint union
+    "q39_fingerprint": 14,     # multi-fingerprint union (+3 r7: the
+                               # duplicate-spans tier — window-key
+                               # exchange, islands exchange, span-agg
+                               # join back to docs)
     "q40_multimodal": 6,       # +1 r5: real-PNG-decode branch joins on
                                # doc_id (one narrow 7-col row per doc);
                                # +1 r6: JPEG-header branch join (4-col row);

@@ -943,3 +943,20 @@ class TestDuplicateSpans:
                for r in duplicate_spans(self._df(spark, docs),
                                         min_len=min_len).collect()}
         assert got == expected and len(expected) > 0
+
+    def test_key_modes_agree_on_fixture(self, spark):
+        from aggo_spark.operators.dedup import duplicate_spans
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        h = {tuple(r) for r in duplicate_spans(
+            docs, min_len=8, key="hash").collect()}
+        g = {tuple(r) for r in duplicate_spans(
+            docs, min_len=8, key="gram").collect()}
+        assert h == g and len(h) > 0
+
+    def test_key_validation(self, spark):
+        from aggo_spark.operators.dedup import duplicate_spans
+
+        with pytest.raises(ValueError, match="key"):
+            duplicate_spans(self._df(spark, [("a", "x y z")]), key="md5")
