@@ -960,3 +960,89 @@ class TestDuplicateSpans:
 
         with pytest.raises(ValueError, match="key"):
             duplicate_spans(self._df(spark, [("a", "x y z")]), key="md5")
+
+
+class TestHtmlExtraction:
+    """HTML -> text tier (strip_html regex chain, jusText-lite block
+    classification, main-text reassembly) — the C4/CCNet front door."""
+
+    HTML = (
+        '<html><head><title>T</title><style>.x{color:red}</style></head>'
+        '<body><script>var x = "<p>not text</p>";</script>'
+        '<nav><ul><li>Home</li><li>About</li><li>Contact</li></ul></nav>'
+        '<h1>The Article &amp; Its Title</h1>'
+        '<p>This is the first paragraph of the article and it has enough '
+        'words to be considered content by the classifier because the '
+        'stopword density is high.</p>'
+        '<p>Short nav thing</p>'
+        '<div>Here is another long paragraph which should also be kept '
+        'as content since it is made of normal English prose with many '
+        'of the usual words.</div>'
+        '<!-- a comment -->footer &copy; 2026</body></html>'
+    )
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, self.HTML), (2, None), (3, "<p></p>")],
+            "doc_id int, html string")
+
+    def test_strip_html_removes_markup_decodes_entities(self, spark):
+        from aggo_spark.operators.html import strip_html
+
+        t = self._df(spark).select(
+            strip_html(F.col("html")).alias("t")).collect()[0].t
+        assert "not text" not in t          # script body gone
+        assert "color:red" not in t         # style body gone
+        assert "a comment" not in t         # comment gone
+        assert "<" not in t and ">" not in t.replace("& ", "")
+        assert "The Article & Its Title" in t  # &amp; decoded
+        assert not t.startswith("\n") and not t.endswith("\n")
+        assert "\n\n\n" not in t            # collapsed block breaks
+
+    def test_block_classification(self, spark):
+        from aggo_spark.operators.html import html_blocks
+
+        rows = html_blocks(self._df(spark)).filter(
+            "doc_id = 1").orderBy("block_no").collect()
+        content = [r.block for r in rows if r.is_content]
+        boiler = [r.block for r in rows if not r.is_content]
+        assert len(content) == 2
+        assert all("paragraph" in b for b in content)
+        assert any(b == "Home" for b in boiler)     # nav items rejected
+        assert all(r.n_words >= 0 for r in rows)    # no legacy -1
+
+    def test_null_and_empty_docs(self, spark):
+        from aggo_spark.operators.html import extract_main_text, html_blocks
+
+        out = {r.doc_id: r.main_text
+               for r in extract_main_text(self._df(spark)).collect()}
+        assert out[2] is None       # NULL html stays NULL
+        assert out[3] == ""         # all-boilerplate -> empty, not NULL
+        null_rows = html_blocks(self._df(spark)).filter(
+            "doc_id in (2, 3)").collect()
+        assert all(r.n_words is None and not r.is_content
+                   for r in null_rows)
+
+    def test_main_text_order_and_joinability(self, spark):
+        from aggo_spark.operators.html import extract_main_text
+
+        out = extract_main_text(self._df(spark))
+        main = out.filter("doc_id = 1").collect()[0].main_text
+        first = main.index("first paragraph")
+        second = main.index("another long paragraph")
+        assert first < second and "\n\n" in main
+        assert set(out.columns) == {"doc_id", "html", "main_text"}
+
+    def test_lang_validation(self, spark):
+        from aggo_spark.operators.html import html_blocks
+
+        with pytest.raises(ValueError, match="lang"):
+            html_blocks(self._df(spark), lang="xx")
+
+    def test_no_shuffle_in_blocks_plan(self, spark):
+        from aggo_spark.operators.html import html_blocks
+
+        plan = html_blocks(self._df(spark))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan       # scan-parallel, no shuffle
+        assert plan.count("Generate") == 1  # one explode
