@@ -1,0 +1,190 @@
+"""WARC (Web ARChive, ISO 28500) source — the raw-crawl end of the
+pipeline: ``read_warc`` → :mod:`..operators.html` → text/quality/dedup.
+
+Common Crawl ships WARC (raw request/response), WAT (metadata) and WET
+(extracted text); this reader handles WARC/1.0-1.1 record streams, both
+plain and gzip (per-record gzip members concatenated — the Common Crawl
+layout — or one whole-file member; Python's ``gzip`` reads concatenated
+members natively).
+
+Spark shape: files load through the ``binaryFile`` source (one task per
+file — WARC's gzip-member framing has no splittable midpoints without an
+external index, so file count IS the parallelism; Common Crawl segments
+are ~1 GB × 64k files per crawl, far wider than any cluster) and records
+parse inside ``mapInPandas`` — bytes stay executor-side, one Arrow batch
+per file, no driver materialization. HTTP response records additionally
+split status + headers from the body so the payload column is the raw
+entity bytes an HTML pipeline wants.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = ["read_warc", "parse_warc_bytes", "encode_warc"]
+
+WARC_SCHEMA = T.StructType([
+    T.StructField("warc_file", T.StringType()),
+    T.StructField("record_no", T.IntegerType()),
+    T.StructField("warc_type", T.StringType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_date", T.StringType()),
+    T.StructField("record_id", T.StringType()),
+    T.StructField("content_type", T.StringType()),
+    T.StructField("http_status", T.IntegerType()),
+    T.StructField("http_content_type", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def _maybe_gunzip(b: bytes) -> bytes:
+    if not b.startswith(b"\x1f\x8b"):
+        return b
+    import gzip
+    import io
+
+    out = bytearray()
+    with gzip.GzipFile(fileobj=io.BytesIO(b)) as fh:
+        # GzipFile.read() drains ALL concatenated members — exactly the
+        # per-record-member layout Common Crawl writes
+        while True:
+            chunk = fh.read(1 << 20)
+            if not chunk:
+                break
+            out.extend(chunk)
+    return bytes(out)
+
+
+def parse_warc_bytes(b: bytes) -> Iterator[dict]:
+    """Yield one dict per WARC record (pure Python, executor-side).
+
+    Tolerant of trailing garbage / truncated tails: a record that can't
+    parse ends the file's stream rather than raising — crawl archives
+    routinely carry truncated final records, and a reader that dies on
+    them loses the whole file.
+    """
+    b = _maybe_gunzip(b)
+    pos = 0
+    n = len(b)
+    while pos < n:
+        # skip inter-record blank lines
+        while pos < n and b[pos:pos + 2] in (b"\r\n", b"\n\n"):
+            pos += 2 if b[pos:pos + 2] == b"\r\n" else 1
+        if not b.startswith(b"WARC/", pos):
+            return
+        hdr_end = b.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            return
+        headers: dict[str, str] = {}
+        for line in b[pos:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            if _:
+                headers[k.strip().decode("ascii", "replace").lower()] = (
+                    v.strip().decode("utf-8", "replace"))
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        body_start = hdr_end + 4
+        body = b[body_start:body_start + length]
+        if len(body) < length:
+            return  # truncated tail
+        pos = body_start + length
+
+        rec = {
+            "warc_type": headers.get("warc-type"),
+            "url": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "record_id": headers.get("warc-record-id"),
+            "content_type": headers.get("content-type"),
+            "http_status": None,
+            "http_content_type": None,
+            "payload": body,
+        }
+        # response/request records wrap an HTTP message: split its
+        # headers off so payload is the entity body
+        ctype = (rec["content_type"] or "").lower()
+        if "application/http" in ctype and body[:5] in (b"HTTP/", b"GET /",
+                                                        b"POST "):
+            he = body.find(b"\r\n\r\n")
+            if he >= 0:
+                status_line = body[:body.find(b"\r\n")]
+                parts = status_line.split()
+                if body[:5] == b"HTTP/" and len(parts) >= 2:
+                    try:
+                        rec["http_status"] = int(parts[1])
+                    except ValueError:
+                        pass
+                for line in body[:he].split(b"\r\n")[1:]:
+                    k, _, v = line.partition(b":")
+                    if _ and k.strip().lower() == b"content-type":
+                        rec["http_content_type"] = (
+                            v.strip().decode("utf-8", "replace"))
+                        break
+                rec["payload"] = body[he + 4:]
+        yield rec
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC records as a DataFrame (``WARC_SCHEMA``).
+
+    ``path`` follows ``binaryFile`` semantics (dir / glob; e.g.
+    ``"crawl/*.warc.gz"``). Parallelism = file count; parsing runs in
+    ``mapInPandas`` so record bytes never visit the driver.
+    """
+    import pandas as pd
+
+    files = (
+        spark.read.format("binaryFile").load(path)
+        .select("path", "content")
+    )
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for i, rec in enumerate(parse_warc_bytes(bytes(content))):
+                    rec["warc_file"] = fpath
+                    rec["record_no"] = i
+                    rows.append(rec)
+            if rows:
+                out = pd.DataFrame(rows)
+                yield out[[f.name for f in WARC_SCHEMA.fields]]
+
+    return files.mapInPandas(parse, WARC_SCHEMA)
+
+
+def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
+    """Synthesize WARC bytes (test fixture helper, the ``encode_png`` /
+    ``encode_wav`` pattern): each record dict may carry ``warc_type``,
+    ``url``, ``payload`` (bytes), ``http`` (bool — wrap payload in an
+    HTTP/1.1 200 message), ``content_type``. ``gzip_members=True`` gzips
+    each record as its own member (the Common Crawl layout)."""
+    import gzip
+
+    out = bytearray()
+    for i, r in enumerate(records):
+        payload = r.get("payload", b"")
+        if r.get("http"):
+            http_ct = r.get("http_content_type", "text/html")
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: "
+                + http_ct.encode() + b"\r\n\r\n" + payload)
+            ctype = "application/http; msgtype=response"
+        else:
+            ctype = r.get("content_type", "text/plain")
+        hdr = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: {r.get('warc_type', 'response')}\r\n"
+            f"WARC-Record-ID: <urn:uuid:{i:032x}>\r\n"
+            f"WARC-Date: {r.get('warc_date', '2026-01-01T00:00:00Z')}\r\n"
+            + (f"WARC-Target-URI: {r['url']}\r\n" if r.get("url") else "")
+            + f"Content-Type: {ctype}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        member = hdr + payload + b"\r\n\r\n"
+        out.extend(gzip.compress(member) if gzip_members else member)
+    return bytes(out)

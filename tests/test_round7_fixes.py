@@ -1046,3 +1046,69 @@ class TestHtmlExtraction:
             .executedPlan().toString()
         assert "Exchange" not in plan       # scan-parallel, no shuffle
         assert plan.count("Generate") == 1  # one explode
+
+
+class TestWarcSource:
+    """WARC crawl-archive source: record parsing (plain + per-record
+    gzip members), HTTP envelope splitting, truncation tolerance, and
+    the WARC -> strip_html composition."""
+
+    RECORDS = [
+        {"warc_type": "warcinfo", "payload": b"software: test\r\n"},
+        {"warc_type": "response", "url": "http://a.example/x",
+         "http": True,
+         "payload": b"<html><body><p>hello crawl world</p></body></html>"},
+        {"warc_type": "response", "url": "http://b.example/y",
+         "http": True, "http_content_type": "text/plain",
+         "payload": b"just text"},
+    ]
+
+    def _write(self, tmp_path, name, data):
+        p = tmp_path / name
+        p.write_bytes(data)
+        return str(p)
+
+    def test_parse_plain_and_gzip_members(self, spark, tmp_path):
+        from aggo_spark.sources.warc import encode_warc, read_warc
+
+        self._write(tmp_path, "a.warc", encode_warc(self.RECORDS))
+        self._write(tmp_path, "b.warc.gz",
+                    encode_warc(self.RECORDS, gzip_members=True))
+        df = read_warc(spark, str(tmp_path))
+        rows = df.orderBy("warc_file", "record_no").collect()
+        assert len(rows) == 6  # 3 records x 2 files
+        for half in (rows[:3], rows[3:]):
+            assert [r.warc_type for r in half] == [
+                "warcinfo", "response", "response"]
+            assert half[1].url == "http://a.example/x"
+            assert half[1].http_status == 200
+            assert half[1].http_content_type == "text/html"
+            assert bytes(half[1].payload).startswith(b"<html>")
+            assert half[2].http_content_type == "text/plain"
+            assert bytes(half[2].payload) == b"just text"
+
+    def test_truncated_tail_keeps_parsed_records(self, spark, tmp_path):
+        from aggo_spark.sources.warc import encode_warc, parse_warc_bytes
+
+        data = encode_warc(self.RECORDS)
+        recs = list(parse_warc_bytes(data[:len(data) - 30]))  # cut tail
+        assert [r["warc_type"] for r in recs] == ["warcinfo", "response"]
+        assert list(parse_warc_bytes(b"not a warc")) == []
+
+    def test_compose_with_html_extraction(self, spark, tmp_path):
+        from aggo_spark.operators.html import strip_html
+        from aggo_spark.sources.warc import encode_warc, read_warc
+        from pyspark.sql import functions as F
+
+        self._write(tmp_path, "c.warc.gz",
+                    encode_warc(self.RECORDS, gzip_members=True))
+        pages = (
+            read_warc(spark, str(tmp_path))
+            .filter("warc_type = 'response' and http_content_type = 'text/html'")
+            .select("url", strip_html(
+                F.col("payload").cast("string")).alias("text"))
+        )
+        got = pages.collect()
+        assert len(got) == 1
+        assert got[0].url == "http://a.example/x"
+        assert got[0].text == "hello crawl world"
