@@ -795,42 +795,57 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     min_len: int = 20,
     out_col: str = "text_dedup",
+    key: str = "hash",
 ) -> DataFrame:
     """Cut each doc's redundant duplicated spans (``duplicate_spans``)
     out of its token stream, keeping the one canonical copy corpus-wide —
-    Lee et al. 2022's ExactSubstr removal. Adds ``out_col`` (the surviving
-    tokens re-joined with single spaces — reconstruction is over the
-    normalized token stream, not raw bytes; formatting/case/punctuation
-    inside kept text follow ``tokens()``) and ``n_removed_tokens``.
+    Lee et al. 2022's ExactSubstr removal. Adds ``out_col`` and
+    ``n_removed_tokens``.
+
+    ``out_col`` is ALWAYS the surviving ``tokens()`` re-joined with
+    single spaces — including for docs with nothing to cut — so one
+    output column carries ONE normalization regime (lowercased
+    alphanumeric token stream, not raw bytes): downstream exact-match /
+    casing / char-length filters behave identically whether or not a
+    doc happened to contain a duplicate. NULL text stays NULL.
+
+    ``key`` passes through to :func:`duplicate_spans`; removal is
+    destructive, so ``key="gram"`` (collision-free matching) is the
+    conservative choice when a 64-bit hash collision deleting unique
+    text is unacceptable.
 
     The span lists are per-doc small (collect_list after the islands
     merge), so the cut is one left join + a per-row token filter; the
-    token-index membership test is a HOF (interpreted) but runs once per
-    doc over already-materialized spans — removal is an output transform,
-    not a metric hot loop.
+    interpreted token-index membership HOF is materialized ONCE and both
+    outputs derive from it — removal is an output transform, not a
+    metric hot loop.
     """
-    spans = duplicate_spans(df, text_col, id_col, min_len=min_len)
+    spans = duplicate_spans(df, text_col, id_col, min_len=min_len, key=key)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans"))
     tok = tokens(F.col(text_col))
     joined = df.join(per_doc, id_col, "left")
-    no_spans = F.col("__spans").isNull()
+    spans_arr = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"))
     kept = F.filter(
         tok,
         lambda x, i: ~F.exists(
-            F.col("__spans"),
+            spans_arr,
             lambda s: (i >= s["span_start"]) & (i < s["span_end"])),
     )
     return (
         joined
+        .withColumn("__kept", kept)  # evaluate the interpreted HOF once
         .withColumn(out_col,
-                    F.when(no_spans, F.col(text_col).cast("string"))
-                    .otherwise(F.concat_ws(" ", kept)))
+                    F.when(F.col(text_col).isNull(),
+                           F.lit(None).cast("string"))
+                    .otherwise(F.concat_ws(" ", F.col("__kept"))))
         .withColumn(
             "n_removed_tokens",
-            F.when(no_spans, F.lit(0))
-            .otherwise(F.size(tok) - F.size(kept)).cast("int"))
-        .drop("__spans")
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(F.size(tok) - F.size(F.col("__kept"))).cast("int"))
+        .drop("__spans", "__kept")
     )
 
 

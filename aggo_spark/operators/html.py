@@ -62,10 +62,13 @@ def strip_html(col: Column) -> Column:
     c = F.regexp_replace(c, "(?i)<br\\s*/?>", "\n")
     c = F.regexp_replace(c, "(?s)<[^>]+>", " ")
     # the six entities that dominate real pages; numeric (&#...;) forms
-    # would need computed codepoints — beyond regexp_replace, documented
-    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-                     ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
-                     ("&apos;", "'")):
+    # would need computed codepoints — beyond regexp_replace, documented.
+    # &amp; decodes LAST: decoding it first would double-decode escaped
+    # entities ('&amp;lt;' must become the literal text '&lt;', never a
+    # live '<' reintroduced into stripped output)
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+                     ("&amp;", "&")):
         c = F.replace(c, F.lit(ent), F.lit(rep))
     c = F.regexp_replace(c, "[ \\t\\x0b\\f\\r]+", " ")
     c = F.regexp_replace(c, " ?\\n ?", "\n")

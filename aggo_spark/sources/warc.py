@@ -88,6 +88,10 @@ def parse_warc_bytes(b: bytes) -> Iterator[dict]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             return
+        if length < 0:
+            # a negative length would move pos BACKWARD and loop forever
+            # on the same record — treat like any other parse failure
+            return
         body_start = hdr_end + 4
         body = b[body_start:body_start + length]
         if len(body) < length:
@@ -105,15 +109,22 @@ def parse_warc_bytes(b: bytes) -> Iterator[dict]:
             "payload": body,
         }
         # response/request records wrap an HTTP message: split its
-        # headers off so payload is the entity body
+        # headers off so payload is the entity body. Trust the WARC
+        # Content-Type msgtype plus the HTTP message grammar (status
+        # line OR any-method request line), not a fixed prefix list —
+        # HEAD/PUT/absolute-form requests are HTTP messages too
+        import re as _re
+
         ctype = (rec["content_type"] or "").lower()
-        if "application/http" in ctype and body[:5] in (b"HTTP/", b"GET /",
-                                                        b"POST "):
+        first_line = body[:body.find(b"\r\n")] if b"\r\n" in body else b""
+        looks_http = (
+            body.startswith(b"HTTP/")
+            or _re.match(rb"^[A-Z]+ \S+ HTTP/\d", first_line) is not None)
+        if "application/http" in ctype and looks_http:
             he = body.find(b"\r\n\r\n")
             if he >= 0:
-                status_line = body[:body.find(b"\r\n")]
-                parts = status_line.split()
-                if body[:5] == b"HTTP/" and len(parts) >= 2:
+                parts = first_line.split()
+                if body.startswith(b"HTTP/") and len(parts) >= 2:
                     try:
                         rec["http_status"] = int(parts[1])
                     except ValueError:
@@ -121,8 +132,12 @@ def parse_warc_bytes(b: bytes) -> Iterator[dict]:
                 for line in body[:he].split(b"\r\n")[1:]:
                     k, _, v = line.partition(b":")
                     if _ and k.strip().lower() == b"content-type":
+                        # media type only, normalized: real crawls carry
+                        # 'text/html; charset=UTF-8' — an equality filter
+                        # on the raw header would silently match nothing
                         rec["http_content_type"] = (
-                            v.strip().decode("utf-8", "replace"))
+                            v.strip().decode("utf-8", "replace")
+                            .partition(";")[0].strip().lower())
                         break
                 rec["payload"] = body[he + 4:]
         yield rec

@@ -1112,3 +1112,65 @@ class TestWarcSource:
         assert len(got) == 1
         assert got[0].url == "http://a.example/x"
         assert got[0].text == "hello crawl world"
+
+
+class TestCrawlReviewFixes:
+    """Second review pass over the crawl-tier additions."""
+
+    def test_warc_negative_content_length_terminates(self):
+        from aggo_spark.sources.warc import parse_warc_bytes
+
+        evil = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"Content-Length: -00057\r\n\r\n")
+        assert list(parse_warc_bytes(evil)) == []  # no infinite loop
+
+    def test_warc_content_type_params_split_and_head_request(
+            self, spark, tmp_path):
+        from aggo_spark.sources.warc import encode_warc, parse_warc_bytes
+
+        recs = list(parse_warc_bytes(encode_warc([
+            {"warc_type": "response", "url": "http://x/1", "http": True,
+             "http_content_type": "TEXT/HTML; charset=UTF-8",
+             "payload": b"<p>x</p>"},
+        ])))
+        assert recs[0]["http_content_type"] == "text/html"  # params off
+        # a HEAD request is an HTTP message too: headers must split
+        head = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+                b"Content-Type: application/http; msgtype=request\r\n"
+                b"Content-Length: 59\r\n\r\n"
+                b"HEAD /x HTTP/1.1\r\nHost: a\r\n"
+                b"Content-Type: text/plain\r\n\r\nBODY")
+        (rec,) = parse_warc_bytes(head)
+        assert rec["http_content_type"] == "text/plain"
+        assert bytes(rec["payload"]) == b"BODY"
+
+    def test_html_escaped_entities_single_decode(self, spark):
+        from aggo_spark.operators.html import strip_html
+
+        df = spark.createDataFrame(
+            [("<p>use &amp;lt;div&amp;gt; tags &amp; enjoy</p>",)],
+            "html string")
+        t = df.select(strip_html(F.col("html")).alias("t")).collect()[0].t
+        # '&amp;lt;' is the ESCAPED text '&lt;' — never a live '<'
+        assert t == "use &lt;div&gt; tags & enjoy"
+
+    def test_removal_single_normalization_regime(self, spark):
+        from aggo_spark.operators.dedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(
+            [("a", "Hello, World! No Duplicates Here.")],
+            "doc_id string, text string")
+        out = remove_duplicate_spans(df, min_len=5).collect()[0]
+        # no-span docs get the SAME token-stream regime as span docs
+        assert out.text_dedup == "hello world no duplicates here"
+        assert out.n_removed_tokens == 0
+
+    def test_removal_key_modes_agree(self, spark):
+        from aggo_spark.operators.dedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(
+            [("a", "a b c d e f9 g9 a b c d e")],
+            "doc_id string, text string")
+        h = remove_duplicate_spans(df, min_len=5, key="hash").collect()[0]
+        g = remove_duplicate_spans(df, min_len=5, key="gram").collect()[0]
+        assert h.text_dedup == g.text_dedup == "a b c d e f9 g9"
