@@ -1,0 +1,154 @@
+"""Property-based fuzz for the crawl tier.
+
+The WARC parser consumes UNTRUSTED crawl bytes: the properties that
+matter are (1) faithful round-trip of well-formed archives — including
+payloads that embed ``\\r\\n\\r\\nWARC/1.0`` record-boundary look-alikes
+(Content-Length framing must win over delimiter scanning) — and
+(2) termination without exceptions on arbitrarily corrupted bytes.
+Both run pure-Python (no Spark session), so hypothesis can afford
+hundreds of examples.
+
+strip_html gets a structured-generator property instead: tag soup built
+from a known grammar must lose every tag and keep every text fragment
+in order — run as ONE Spark job over the whole corpus of examples, not
+one job per example.
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+payloads = st.binary(min_size=0, max_size=300)
+urls = st.from_regex(r"http://[a-z]{1,10}\.example/[a-z0-9]{0,8}",
+                     fullmatch=True)
+
+
+record_dicts = st.fixed_dictionaries(
+    {"payload": payloads},
+    optional={
+        "url": urls,
+        "http": st.booleans(),
+        "warc_type": st.sampled_from(["response", "request", "conversion",
+                                      "warcinfo", "metadata"]),
+        "http_content_type": st.sampled_from(
+            ["text/html", "text/plain; charset=utf-8", "image/png"]),
+    },
+)
+
+
+class TestWarcFuzz:
+    @given(recs=st.lists(record_dicts, min_size=1, max_size=8),
+           gz=st.booleans())
+    @settings(max_examples=150, deadline=None)
+    def test_round_trip(self, recs, gz):
+        from aggo_spark.sources.warc import encode_warc, parse_warc_bytes
+
+        got = list(parse_warc_bytes(encode_warc(recs, gzip_members=gz)))
+        assert len(got) == len(recs)
+        for want, rec in zip(recs, got):
+            assert rec["payload"] == want["payload"]
+            assert rec["url"] == want.get("url")
+            if want.get("http"):
+                assert rec["http_status"] == 200
+                assert rec["http_content_type"] == (
+                    want.get("http_content_type", "text/html")
+                    .partition(";")[0].strip().lower())
+
+    @given(recs=st.lists(record_dicts, min_size=1, max_size=4),
+           seed=st.integers(0, 2**32 - 1))
+    @settings(max_examples=150, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_corruption_terminates_without_raising(self, recs, seed):
+        from aggo_spark.sources.warc import encode_warc, parse_warc_bytes
+
+        data = bytearray(encode_warc(recs))
+        rng = random.Random(seed)
+        op = rng.randrange(3)
+        if op == 0 and data:  # random byte flips
+            for _ in range(rng.randint(1, 8)):
+                data[rng.randrange(len(data))] = rng.randrange(256)
+        elif op == 1:  # truncate anywhere
+            del data[rng.randrange(len(data) + 1):]
+        else:  # splice garbage into the middle
+            at = rng.randrange(len(data) + 1)
+            data[at:at] = bytes(rng.randrange(256) for _ in range(16))
+        out = list(parse_warc_bytes(bytes(data)))
+        # termination + sanity: never MORE records than the input held,
+        # and whatever parsed carries the declared fields
+        assert len(out) <= len(recs)
+        for rec in out:
+            assert isinstance(rec["payload"], (bytes, bytearray))
+
+    @given(recs=st.lists(record_dicts, min_size=1, max_size=3))
+    @settings(max_examples=50, deadline=None)
+    def test_boundary_lookalike_payloads(self, recs):
+        from aggo_spark.sources.warc import encode_warc, parse_warc_bytes
+
+        # adversarial payloads embedding record-boundary look-alikes:
+        # Content-Length framing must carry the parser straight past them
+        for r in recs:
+            r["payload"] = b"\r\n\r\nWARC/1.0\r\nContent-Length: 0\r\n" \
+                + r["payload"]
+        got = list(parse_warc_bytes(encode_warc(recs)))
+        assert len(got) == len(recs)
+        for want, rec in zip(recs, got):
+            assert rec["payload"] == want["payload"]
+
+
+# ---------------------------------------------------------------------------
+# strip_html structured-soup property — one Spark job for the whole corpus
+# ---------------------------------------------------------------------------
+
+_TAGS = ["p", "div", "b", "i", "span", "li", "h2", "td"]
+_CONTAINERS = ["script", "style", "noscript", "template"]
+
+
+def _soup(rng: random.Random, depth: int = 0) -> tuple[str, list[str]]:
+    """Random tag soup; returns (html, text fragments in order)."""
+    html, frags = [], []
+    for _ in range(rng.randint(1, 4)):
+        kind = rng.randrange(4)
+        if kind == 0 or depth >= 3:
+            word = "w%d" % rng.randrange(10_000)
+            html.append(word)
+            frags.append(word)
+        elif kind == 1:
+            t = rng.choice(_TAGS)
+            inner, inner_frags = _soup(rng, depth + 1)
+            attrs = ' class="c%d"' % rng.randrange(9) if rng.random() < .4 else ""
+            html.append(f"<{t}{attrs}>{inner}</{t}>")
+            frags.extend(inner_frags)
+        elif kind == 2:
+            c = rng.choice(_CONTAINERS)
+            html.append(f"<{c}>KILLME{rng.randrange(100)}</{c}>")
+        else:
+            html.append(f"<!-- GONE{rng.randrange(100)} -->")
+    return " ".join(html), frags
+
+
+def test_strip_html_soup_properties(spark):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from aggo_spark.operators.html import strip_html
+
+    rng = random.Random(99)
+    cases = [_soup(rng) for _ in range(200)]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i int, html string")
+    got = {r.i: r.t for r in
+           df.select("i", strip_html(F.col("html")).alias("t")).collect()}
+    for i, (_, frags) in enumerate(cases):
+        t = got[i]
+        assert "KILLME" not in t and "GONE" not in t
+        assert not re.search(r"</?[a-z]+[ >]", t)  # no surviving markup
+        # every text fragment survives, in document order
+        pos = 0
+        for w in frags:
+            nxt = t.find(w, pos)
+            assert nxt >= 0, (i, w, t)
+            pos = nxt + len(w)
