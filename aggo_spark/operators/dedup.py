@@ -652,14 +652,17 @@ def duplicate_ngram_fraction(
 
     Plan shape at 100 TB:
       1. explode distinct (doc, md5(n-gram))                    — narrow + agg
-      2. gram → doc-frequency count (map-side partial; the exchange carries
-         one row per distinct gram, not per occurrence)
-      3. join doc-grams to gram counts on the gram hash (equi, AQE-skew-safe)
-      4. per-doc fraction with count(freq > 1)                  — one agg
+      2. gram → doc-frequency count as a WINDOW over the distinct rows
+         (r7: a second aggregate joined back re-runs the tokenize+explode
+         subtree once per join branch — the BM25 df(t) lesson; the window
+         rides the rows the distinct already shuffled)
+      3. per-doc fraction with count(freq > 1)                  — one agg
 
     Returns (doc_id, n_grams, n_dup_grams, dup_frac); docs too short for any
     n-gram keep n_grams = 0 and dup_frac = 0.0.
     """
+    from pyspark.sql import Window as W
+
     from .text import word_ngrams
 
     doc_grams = (
@@ -667,9 +670,9 @@ def duplicate_ngram_fraction(
         .select(id_col, F.md5("g").alias("h"))
         .distinct()
     )
-    gram_df = doc_grams.groupBy("h").agg(F.count(F.lit(1)).alias("gram_docs"))
     per_doc = (
-        doc_grams.join(gram_df, "h")
+        doc_grams
+        .withColumn("gram_docs", F.count(F.lit(1)).over(W.partitionBy("h")))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -73,10 +73,13 @@ BUDGETS = {
     "q34_ann_brute": 8,        # four ANN variants unioned (4 broadcasts)
     "q36_langid": 2,
     "q37_quality": 1,
-    "q39_fingerprint": 14,     # multi-fingerprint union (+3 r7: the
-                               # duplicate-spans tier — window-key
+    "q39_fingerprint": 12,     # multi-fingerprint union; r7: +3 for the
+                               # duplicate-spans tier (window-key
                                # exchange, islands exchange, span-agg
-                               # join back to docs)
+                               # join), then -2 when dup-ngram-fraction's
+                               # gram_docs became a window riding the
+                               # distinct rows instead of an aggregate
+                               # joined back (the BM25 df(t) lesson)
     "q40_multimodal": 6,       # +1 r5: real-PNG-decode branch joins on
                                # doc_id (one narrow 7-col row per doc);
                                # +1 r6: JPEG-header branch join (4-col row);
