@@ -24,7 +24,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["read_warc", "parse_warc_bytes", "encode_warc"]
+__all__ = ["read_warc", "read_wet", "parse_warc_bytes", "encode_warc"]
 
 WARC_SCHEMA = T.StructType([
     T.StructField("warc_file", T.StringType()),
@@ -170,6 +170,21 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 yield out[[f.name for f in WARC_SCHEMA.fields]]
 
     return files.mapInPandas(parse, WARC_SCHEMA)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Common Crawl WET (pre-extracted text) as (url, warc_date, text):
+    the ``conversion`` records of a WARC stream with the payload decoded
+    as UTF-8 — the zero-HTML entry point for text pipelines."""
+    from pyspark.sql import functions as F
+
+    return (
+        read_warc(spark, path)
+        .filter(F.col("warc_type") == "conversion")
+        .select(
+            "url", "warc_date",
+            F.col("payload").cast("string").alias("text"))
+    )
 
 
 def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:

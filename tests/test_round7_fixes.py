@@ -1174,3 +1174,18 @@ class TestCrawlReviewFixes:
         h = remove_duplicate_spans(df, min_len=5, key="hash").collect()[0]
         g = remove_duplicate_spans(df, min_len=5, key="gram").collect()[0]
         assert h.text_dedup == g.text_dedup == "a b c d e f9 g9"
+
+    def test_read_wet_conversion_records(self, spark, tmp_path):
+        from aggo_spark.sources.warc import encode_warc, read_wet
+
+        data = encode_warc([
+            {"warc_type": "warcinfo", "payload": b"software: x\r\n"},
+            {"warc_type": "conversion", "url": "http://a/x",
+             "content_type": "text/plain",
+             "payload": "extracted text body é".encode("utf-8")},
+        ], gzip_members=True)
+        (tmp_path / "w.wet.gz").write_bytes(data)
+        rows = read_wet(spark, str(tmp_path)).collect()
+        assert len(rows) == 1
+        assert rows[0].url == "http://a/x"
+        assert rows[0].text == "extracted text body é"
