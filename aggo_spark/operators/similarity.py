@@ -47,6 +47,7 @@ __all__ = [
     "ivf_pq_topk",
     "embedding_near_dup_pairs",
     "semantic_dedup",
+    "cluster_balanced_sample",
     "rank_fusion",
 ]
 
@@ -1270,6 +1271,68 @@ def semantic_dedup(
             F.col("id").alias(id_col), "cell", "centroid_sim", "component",
             (F.col("__rk") == 1).alias("is_representative"),
         )
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    n_per_cell: int,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    order: str = "hash",
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+    centroids: "str | list" = "kmeans",
+) -> DataFrame:
+    """Diversity-aware subsampling over an embedding column: k-means
+    cells (the IVF/SemDeDup coarse quantizer, shared machinery), then at
+    most ``n_per_cell`` rows per cell — so a dominant mode of the corpus
+    cannot crowd the sample the way a global uniform draw lets it
+    (cluster-balanced sampling, the embedding-tier complement of
+    :func:`~..sampling.stratified_sample`'s key-tier quotas).
+
+    ``order`` picks WHICH rows represent a cell, all deterministic:
+
+    - ``"hash"`` — md5 content-hash order over the id: uniform within
+      the cell (the default; an unbiased per-mode subsample).
+    - ``"near"`` — ascending distance-to-centroid: prototypical
+      exemplars (cluster summaries).
+    - ``"far"`` — descending distance: edge/boundary exemplars
+      (hard-example mining; ties to lower id).
+
+    Returns the input rows (NULL vectors excluded — they belong to no
+    cell) plus ``cell`` and ``centroid_dist`` (squared L2). Plan: cell
+    assignment is a pure projection against the broadcast literal
+    centers; the quota is one per-cell rank window — a single exchange
+    on the cell id, and the OUTPUT (not the input) flows downstream.
+    """
+    from .sampling import hash_order
+
+    if n_per_cell < 1:
+        raise ValueError(f"n_per_cell must be >= 1, got {n_per_cell}")
+    if order not in ("hash", "near", "far"):
+        raise ValueError(
+            f"order must be 'hash', 'near' or 'far', got {order!r}")
+    centers = _resolve_centroids(
+        df, vec_col, n_centroids, seed, max_train_rows, centroids)
+    nearest = F.element_at(
+        _cell_ranked_expr(centers, F.col(vec_col), 1), 1)
+    coded = (
+        df.filter(F.col(vec_col).isNotNull())
+        .withColumn("cell", nearest["cell"])
+        .withColumn("centroid_dist", F.round(nearest["d"], 6))
+    )
+    order_col = {
+        "hash": hash_order(F.col(id_col).cast("string")).asc(),
+        "near": F.col("centroid_dist").asc(),
+        "far": F.col("centroid_dist").desc(),
+    }[order]
+    w = Window.partitionBy("cell").orderBy(order_col, F.col(id_col).asc())
+    return (
+        coded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_cell)
+        .drop("__rn")
     )
 
 

@@ -1189,3 +1189,74 @@ class TestCrawlReviewFixes:
         assert len(rows) == 1
         assert rows[0].url == "http://a/x"
         assert rows[0].text == "extracted text body é"
+
+
+class TestClusterBalancedSample:
+    """Embedding-tier diversity sampling: per-cell quotas with
+    deterministic hash/near/far selection."""
+
+    def _df(self, spark):
+        # two tight clusters around (0,10) and (10,0), sizes 4 and 2
+        rows = [(0, [0.0, 10.0]), (1, [0.1, 10.1]), (2, [0.2, 9.9]),
+                (3, [0.3, 10.3]),
+                (10, [10.0, 0.0]), (11, [10.4, 0.1]),
+                (99, None)]
+        return spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>")
+
+    CENTERS = [[0.0, 10.0], [10.0, 0.0]]
+
+    def test_quota_and_cells(self, spark):
+        from aggo_spark.operators.similarity import cluster_balanced_sample
+
+        out = cluster_balanced_sample(
+            self._df(spark), n_per_cell=2, centroids=self.CENTERS)
+        rows = out.collect()
+        by_cell = {}
+        for r in rows:
+            by_cell.setdefault(r.cell, []).append(r.vec_id)
+        assert len(by_cell[0]) == 2 and len(by_cell[1]) == 2
+        assert set(by_cell[0]) <= {0, 1, 2, 3}
+        assert set(by_cell[1]) == {10, 11}  # cell smaller than quota: all
+        assert all(r.vec_id != 99 for r in rows)  # NULL vector excluded
+
+    def test_near_and_far_orders(self, spark):
+        from aggo_spark.operators.similarity import cluster_balanced_sample
+
+        near = cluster_balanced_sample(
+            self._df(spark), 1, centroids=self.CENTERS, order="near")
+        far = cluster_balanced_sample(
+            self._df(spark), 1, centroids=self.CENTERS, order="far")
+        n = {r.cell: r.vec_id for r in near.collect()}
+        f = {r.cell: r.vec_id for r in far.collect()}
+        assert n[0] == 0     # exactly on the centroid
+        assert f[0] == 3     # farthest from (0,10)
+        assert n[1] == 10 and f[1] == 11
+
+    def test_hash_order_deterministic(self, spark):
+        from aggo_spark.operators.similarity import cluster_balanced_sample
+
+        a = sorted(r.vec_id for r in cluster_balanced_sample(
+            self._df(spark), 2, centroids=self.CENTERS).collect())
+        b = sorted(r.vec_id for r in cluster_balanced_sample(
+            self._df(spark), 2, centroids=self.CENTERS).collect())
+        assert a == b
+
+    def test_validation(self, spark):
+        from aggo_spark.operators.similarity import cluster_balanced_sample
+
+        with pytest.raises(ValueError, match="n_per_cell"):
+            cluster_balanced_sample(self._df(spark), 0, centroids=self.CENTERS)
+        with pytest.raises(ValueError, match="order"):
+            cluster_balanced_sample(self._df(spark), 1,
+                                    centroids=self.CENTERS, order="rand")
+
+    def test_kmeans_mode_on_fixture(self, spark):
+        from aggo_spark.operators.similarity import cluster_balanced_sample
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        out = cluster_balanced_sample(emb, 5, n_centroids=8)
+        cells = out.groupBy("cell").count().collect()
+        assert all(r["count"] <= 5 for r in cells)
+        assert out.count() <= 40 and len(cells) <= 8
