@@ -1314,14 +1314,21 @@ def cluster_balanced_sample(
     if order not in ("hash", "near", "far"):
         raise ValueError(
             f"order must be 'hash', 'near' or 'far', got {order!r}")
+    # filter BEFORE centroid resolution: KMeans training NPEs on a NULL
+    # vector, and NULL rows belong to no cell anyway
+    base = df.filter(F.col(vec_col).isNotNull())
     centers = _resolve_centroids(
-        df, vec_col, n_centroids, seed, max_train_rows, centroids)
+        base, vec_col, n_centroids, seed, max_train_rows, centroids)
     nearest = F.element_at(
         _cell_ranked_expr(centers, F.col(vec_col), 1), 1)
     coded = (
-        df.filter(F.col(vec_col).isNotNull())
-        .withColumn("cell", nearest["cell"])
-        .withColumn("centroid_dist", F.round(nearest["d"], 6))
+        # project the ranked-cell struct ONCE: its zip_with distance array
+        # is interpreted (no codegen subexpression elimination), so two
+        # references would double the dominant per-row cost
+        base.withColumn("__nearest", nearest)
+        .withColumn("cell", F.col("__nearest")["cell"])
+        .withColumn("centroid_dist", F.round(F.col("__nearest")["d"], 6))
+        .drop("__nearest")
     )
     order_col = {
         "hash": hash_order(F.col(id_col).cast("string")).asc(),

@@ -41,20 +41,28 @@ WARC_SCHEMA = T.StructType([
 
 
 def _maybe_gunzip(b: bytes) -> bytes:
+    """Drain concatenated gzip members (the Common Crawl per-record
+    layout) MEMBER BY MEMBER via zlib, so a truncated or corrupt tail
+    loses only itself — ``GzipFile.read`` would raise mid-read and
+    discard every already-decoded member with it, aborting the whole
+    ``mapInPandas`` task on one bad archive. A truncated final member
+    contributes its partial bytes; the record parser then drops that
+    truncated record (its Content-Length no longer fits)."""
     if not b.startswith(b"\x1f\x8b"):
         return b
-    import gzip
-    import io
+    import zlib
 
     out = bytearray()
-    with gzip.GzipFile(fileobj=io.BytesIO(b)) as fh:
-        # GzipFile.read() drains ALL concatenated members — exactly the
-        # per-record-member layout Common Crawl writes
-        while True:
-            chunk = fh.read(1 << 20)
-            if not chunk:
-                break
-            out.extend(chunk)
+    buf = b
+    while buf.startswith(b"\x1f\x8b"):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            out.extend(d.decompress(buf))
+        except zlib.error:
+            break  # corrupt member: keep everything before it
+        if not d.eof:
+            break  # truncated final member (partial bytes kept)
+        buf = d.unused_data
     return bytes(out)
 
 

@@ -58,13 +58,13 @@ class TestWarcFuzz:
                     .partition(";")[0].strip().lower())
 
     @given(recs=st.lists(record_dicts, min_size=1, max_size=4),
-           seed=st.integers(0, 2**32 - 1))
+           seed=st.integers(0, 2**32 - 1), gz=st.booleans())
     @settings(max_examples=150, deadline=None,
               suppress_health_check=[HealthCheck.too_slow])
-    def test_corruption_terminates_without_raising(self, recs, seed):
+    def test_corruption_terminates_without_raising(self, recs, seed, gz):
         from aggo_spark.sources.warc import encode_warc, parse_warc_bytes
 
-        data = bytearray(encode_warc(recs))
+        data = bytearray(encode_warc(recs, gzip_members=gz))
         rng = random.Random(seed)
         op = rng.randrange(3)
         if op == 0 and data:  # random byte flips

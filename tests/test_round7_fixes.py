@@ -1260,3 +1260,55 @@ class TestClusterBalancedSample:
         cells = out.groupBy("cell").count().collect()
         assert all(r["count"] <= 5 for r in cells)
         assert out.count() <= 40 and len(cells) <= 8
+
+
+class TestSecondCrawlReviewFixes:
+    """Review pass over the post-crawl additions."""
+
+    def test_warc_truncated_gzip_keeps_decoded_members(self):
+        from aggo_spark.sources.warc import encode_warc, parse_warc_bytes
+
+        data = encode_warc([
+            {"warc_type": "warcinfo", "payload": b"a" * 50},
+            {"warc_type": "response", "url": "http://x/1", "http": True,
+             "payload": b"<p>hello</p>"},
+        ], gzip_members=True)
+        # cut inside the SECOND gzip member: member 1 must still parse
+        recs = list(parse_warc_bytes(data[:len(data) - 20]))
+        assert [r["warc_type"] for r in recs] == ["warcinfo"]
+        # pure garbage after the gzip magic: empty, no raise
+        assert list(parse_warc_bytes(b"\x1f\x8b" + b"junk" * 10)) == []
+
+    def test_cluster_sample_kmeans_with_null_vector(self, spark):
+        from aggo_spark.operators.similarity import cluster_balanced_sample
+
+        df = spark.createDataFrame(
+            [(0, [0.0, 10.0]), (1, [10.0, 0.0]), (2, None)],
+            "vec_id int, embedding array<double>")
+        out = cluster_balanced_sample(df, 1, n_centroids=2)  # kmeans mode
+        assert sorted(r.vec_id for r in out.collect()) == [0, 1]
+
+    def test_cluster_sample_single_cell_evaluation(self, spark):
+        from aggo_spark.operators.similarity import cluster_balanced_sample
+
+        out = cluster_balanced_sample(
+            spark.createDataFrame([(0, [1.0, 2.0])],
+                                  "vec_id int, embedding array<double>"),
+            1, centroids=[[0.0, 0.0], [9.0, 9.0]])
+        opt = out._jdf.queryExecution().optimizedPlan().toString()
+        # the ranked-cell struct (interpreted HOF distances) must be
+        # projected once, not inlined into both derived columns
+        assert opt.count("sort_array") == 1
+
+    def test_dup_ngram_stats_modes_agree(self, spark):
+        from aggo_spark.operators.dedup import duplicate_ngram_fraction
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        w = sorted(tuple(r) for r in duplicate_ngram_fraction(
+            docs, n=5, stats="window").collect())
+        j = sorted(tuple(r) for r in duplicate_ngram_fraction(
+            docs, n=5, stats="join").collect())
+        assert w == j and len(w) > 0
+        with pytest.raises(ValueError, match="stats"):
+            duplicate_ngram_fraction(docs, stats="salted")
