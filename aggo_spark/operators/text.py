@@ -35,6 +35,9 @@ __all__ = [
     "min_shingle_fingerprints",
     "LANG_STOPWORDS",
     "URL_PATTERN",
+    "TRACKING_PARAM_RE",
+    "canonicalize_url",
+    "url_dedup_key",
     "extract_urls",
     "url_stats",
     "extract_url_domains",
@@ -746,6 +749,64 @@ def _host_of(url: Column) -> Column:
     try_parse_url, because a stock Spark 4 session runs ANSI mode where
     parse_url would abort the job on the first bad URL (review r4)."""
     return F.lower(F.try_parse_url(url, F.lit("HOST")))
+
+
+# query parameters that identify a CLICK, not a RESOURCE — the standard
+# strip set for URL-level dedup (utm_* per Google Analytics, the big ad/
+# mail-platform click ids, and bare ref)
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9_]+|gclid|gbraid|wbraid|fbclid|msclkid|twclid|igshid|"
+    r"mc_cid|mc_eid|mkt_tok|ref|ref_src|spm|_hsenc|_hsmi)=")
+
+
+def canonicalize_url(url: Column, strip_www: bool = False) -> Column:
+    """Canonical form of a URL for URL-level dedup — pure Column, codegen
+    except the small per-param HOF filter:
+
+    - scheme and host lowercased; userinfo dropped; default ports
+      (http:80 / https:443) dropped, others kept
+    - fragment dropped; empty path → ``/``
+    - tracking parameters removed (``TRACKING_PARAM_RE``) and the
+      surviving query parameters SORTED (param order is almost never
+      semantic; sorting makes ``?a=1&b=2`` and ``?b=2&a=1`` one key)
+    - ``strip_www=True`` additionally folds a leading ``www.``
+
+    Malformed input → NULL (try_parse_url), never an error. Percent-
+    encoding is NOT normalized (%2F vs / can be semantic); paths keep
+    their case (case-sensitive by spec).
+    """
+    proto = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    host = _host_of(url)
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    authority = F.try_parse_url(url, F.lit("AUTHORITY"))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((proto == "http") & (port == "80"))
+        & ~((proto == "https") & (port == "443")))
+    path = F.try_parse_url(url, F.lit("PATH"))
+    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
+    query = F.try_parse_url(url, F.lit("QUERY"))
+    params = F.array_sort(F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)))
+    qpart = F.when(F.size(params) > 0,
+                   F.concat(F.lit("?"), F.array_join(params, "&"))
+                   ).otherwise(F.lit(""))
+    return F.when(
+        proto.isNotNull() & host.isNotNull(),
+        F.concat(
+            proto, F.lit("://"), host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            path, qpart))
+
+
+def url_dedup_key(url: Column, strip_www: bool = True) -> Column:
+    """md5 over the canonical URL (``www.`` folded by default) — the
+    grouping key URL-level exact dedup shuffles on; NULL for malformed
+    URLs (group NULLs apart or filter, caller's choice)."""
+    return F.md5(canonicalize_url(url, strip_www=strip_www))
 
 
 def url_stats(

@@ -1312,3 +1312,46 @@ class TestSecondCrawlReviewFixes:
         assert w == j and len(w) > 0
         with pytest.raises(ValueError, match="stats"):
             duplicate_ngram_fraction(docs, stats="salted")
+
+
+class TestUrlCanonicalization:
+    """URL-level dedup keys: scheme/host case, default ports, tracking
+    params, param order, fragments."""
+
+    def _c(self, spark, urls, **kw):
+        from aggo_spark.operators.text import canonicalize_url
+        df = spark.createDataFrame([(u,) for u in urls], "u string")
+        return [r.c for r in df.select(
+            canonicalize_url(F.col("u"), **kw).alias("c")).collect()]
+
+    def test_normalizations(self, spark):
+        got = self._c(spark, [
+            "HTTP://Example.COM:80/Path?b=2&utm_source=x&a=1#frag",
+            "https://a.io:443/",
+            "https://a.io:8443/x",
+            "http://example.com",
+            "http://user:pw@example.com/x",
+            "not a url at all",
+        ])
+        assert got[0] == "http://example.com/Path?a=1&b=2"
+        assert got[1] == "https://a.io/"
+        assert got[2] == "https://a.io:8443/x"
+        assert got[3] == "http://example.com/"
+        assert got[4] == "http://example.com/x"  # userinfo dropped
+        assert got[5] is None
+
+    def test_param_order_and_tracking_equivalence(self, spark):
+        from aggo_spark.operators.text import url_dedup_key
+        df = spark.createDataFrame([
+            ("http://a.com/p?x=1&y=2",),
+            ("http://A.com/p?y=2&x=1&gclid=abc&utm_campaign=z",),
+            ("http://www.a.com/p?fbclid=q&x=1&y=2#sec",),
+        ], "u string")
+        keys = {r.k for r in df.select(
+            url_dedup_key(F.col("u")).alias("k")).collect()}
+        assert len(keys) == 1  # all three are the same resource
+
+    def test_strip_www_option(self, spark):
+        a = self._c(spark, ["http://www.a.com/x"], strip_www=True)[0]
+        b = self._c(spark, ["http://www.a.com/x"])[0]
+        assert a == "http://a.com/x" and b == "http://www.a.com/x"
