@@ -721,6 +721,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     min_len: int = 20,
     key: str = "hash",
+    stats: str = "window",
 ) -> DataFrame:
     """Positions of exact duplicated substrings — the span-level tier of
     exact-substring dedup (Lee et al. 2022 §4.1 ExactSubstr; reference
@@ -777,13 +778,30 @@ def duplicate_spans(
                   .alias("pos", "g"))
         .select(id_col, "pos", key_col.alias("h"))
     )
-    w_h = W.partitionBy("h")
+    if stats == "window":
+        w_h = W.partitionBy("h")
+        marked = (
+            occ
+            .withColumn("cnt", F.count(F.lit(1)).over(w_h))
+            .withColumn("keeper",
+                        F.min(F.struct(F.col(id_col).alias("kid"),
+                                       F.col("pos").alias("kpos"))).over(w_h))
+        )
+    elif stats == "join":
+        # AQE-skew-safe mirror (same trade as duplicate_ngram_fraction's
+        # stats="join"): the per-hash aggregate collapses a hot window
+        # map-side and the join back skew-splits, at the cost of the
+        # tokenize+explode subtree running once per join branch. Use
+        # when the corpus has not been boilerplate-stripped.
+        agg = occ.groupBy("h").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct(F.col(id_col).alias("kid"),
+                           F.col("pos").alias("kpos"))).alias("keeper"))
+        marked = occ.join(agg, "h")
+    else:
+        raise ValueError(f"stats must be 'window' or 'join', got {stats!r}")
     redundant = (
-        occ
-        .withColumn("cnt", F.count(F.lit(1)).over(w_h))
-        .withColumn("keeper",
-                    F.min(F.struct(F.col(id_col).alias("kid"),
-                                   F.col("pos").alias("kpos"))).over(w_h))
+        marked
         .filter(
             (F.col("cnt") > 1)
             & ~((F.col("keeper.kid") == F.col(id_col))

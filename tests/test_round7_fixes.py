@@ -1355,3 +1355,16 @@ class TestUrlCanonicalization:
         a = self._c(spark, ["http://www.a.com/x"], strip_www=True)[0]
         b = self._c(spark, ["http://www.a.com/x"])[0]
         assert a == "http://a.com/x" and b == "http://www.a.com/x"
+
+    def test_spans_stats_modes_agree(self, spark):
+        from aggo_spark.operators.dedup import duplicate_spans
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        w = sorted(tuple(r) for r in duplicate_spans(
+            docs, min_len=8, stats="window").collect())
+        j = sorted(tuple(r) for r in duplicate_spans(
+            docs, min_len=8, stats="join").collect())
+        assert w == j and len(w) > 0
+        with pytest.raises(ValueError, match="stats"):
+            duplicate_spans(docs, stats="salted").collect()
