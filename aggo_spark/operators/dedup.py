@@ -763,19 +763,31 @@ def duplicate_spans(
     Both produce identical spans absent 64-bit collisions
     (differentially pinned).
     """
-    from .text import word_ngrams
-
     if min_len < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
     if key not in ("hash", "gram"):
         raise ValueError(f"key must be 'hash' or 'gram', got {key!r}")
     from pyspark.sql import Window as W
 
+    # window construction: ONE transform building token-array slices,
+    # exploded, then keyed post-explode. ExactSubstr windows are LONG
+    # (min_len 20-50+), where word_ngrams' chained zip_with concat is
+    # min_len-1 interpreted passes re-building ~300-byte strings —
+    # measured 251 s vs 4 s at sf1/min_len=50 for this shape (55×).
+    # key="hash" hashes the token-array slice directly (no window string
+    # ever materializes); slices stay linear in tokens×min_len bytes
+    # (never carrying the whole token array per exploded row, which
+    # would be quadratic in document length).
     tok = tokens(F.col(text_col))
-    key_col = F.xxhash64("g") if key == "hash" else F.col("g")
+    base = (df.select(F.col(id_col), tok.alias("__w"))
+            .filter(F.size("__w") >= min_len))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("__w") - F.lit(min_len - 1)),
+        lambda i: F.slice(F.col("__w"), i, F.lit(min_len)))
+    key_col = (F.xxhash64(F.col("__win")) if key == "hash"
+               else F.array_join(F.col("__win"), " "))
     occ = (
-        df.select(F.col(id_col), F.posexplode(word_ngrams(tok, min_len))
-                  .alias("pos", "g"))
+        base.select(F.col(id_col), F.posexplode(wins).alias("pos", "__win"))
         .select(id_col, "pos", key_col.alias("h"))
     )
     if stats == "window":
