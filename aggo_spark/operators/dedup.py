@@ -516,15 +516,17 @@ def benchmark_ngram_overlap(
 
     md5 grams (not xxhash) so a DuckDB oracle reproduces the set bit-for-bit.
     """
-    from .text import word_ngrams
+    from .text import explode_word_ngrams
 
     if strategy not in ("broadcast", "shuffle"):
         raise ValueError(f"strategy must be 'broadcast' or 'shuffle', got {strategy!r}")
 
     def gram_hashes(df):
-        tok = tokens(F.col(text_col))
+        # explode_word_ngrams, not explode(word_ngrams(...)): the
+        # chained-zip_with gram build measured 12x slower at n=13/sf1
+        # (gram strings byte-identical, so the md5 oracle is unchanged)
         return (
-            df.select(F.col(id_col), F.explode(word_ngrams(tok, n)).alias("g"))
+            explode_word_ngrams(df, text_col, id_col, n)
             .select(id_col, F.md5("g").alias("h"))
             .distinct()
         )
@@ -676,12 +678,12 @@ def duplicate_ngram_fraction(
     """
     from pyspark.sql import Window as W
 
-    from .text import word_ngrams
+    from .text import explode_word_ngrams
 
     if stats not in ("window", "join"):
         raise ValueError(f"stats must be 'window' or 'join', got {stats!r}")
     doc_grams = (
-        df.select(F.col(id_col), F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("g"))
+        explode_word_ngrams(df, text_col, id_col, n)
         .select(id_col, F.md5("g").alias("h"))
         .distinct()
     )

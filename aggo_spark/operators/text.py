@@ -16,6 +16,7 @@ __all__ = [
     "tokens",
     "char_shingles",
     "word_ngrams",
+    "explode_word_ngrams",
     "token_stats",
     "chunk_tokens",
     "pack_chunks",
@@ -200,6 +201,38 @@ def word_ngrams(tok: Column, n: int = 3) -> Column:
 # BPE-ish word/number/punct segmentation — same regex is valid in Java
 # (Spark rlike/regexp_extract_all) and RE2-ish engines (DuckDB).
 TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def explode_word_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """One row per (id, word n-gram) — the SCALE path for n-gram
+    explodes (r7): tokens materialize as a column FIRST, then one
+    ``transform`` slices windows and the gram string joins POST-explode.
+
+    Why not ``explode(word_ngrams(...))``: word_ngrams' chained zip_with
+    is n−1 interpreted passes each re-building the gram strings —
+    measured at sf1 over documents: 25.6 s (n=5) / 65.5 s (n=13) vs
+    5.4 s for this shape at either n. And why the slice lambda is safe
+    here when r3 measured the same idea 100× slow: THAT slice closed
+    over the whole tokenize subtree (re-evaluated per element); this one
+    references a materialized column attribute. Gram strings are
+    byte-identical to ``word_ngrams`` (differential + oracle pinned).
+    """
+    if n < 1:
+        raise ValueError(f"explode_word_ngrams: n must be >= 1, got {n}")
+    base = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
+            .filter(F.size("__w") >= n))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("__w") - F.lit(n - 1)),
+        lambda i: F.slice(F.col("__w"), i, F.lit(n)))
+    return (
+        base.select(F.col(id_col), F.explode(wins).alias("__win"))
+        .select(id_col, F.array_join("__win", " ").alias("g"))
+    )
 
 
 def token_stats(
