@@ -744,17 +744,19 @@ def duplicate_spans(
     -index spans of redundant text per doc, over the engine's normalized
     ``tokens()`` stream.
 
-    Plan shape at 100 TB (all linear, no pair explosion; ONE Generate —
-    the per-hash stats ride the occurrence rows as whole-partition
-    window aggregates instead of a second aggregate joined back, whose
-    two branches would re-run the tokenize+explode subtree twice — the
-    same double-execution class as the r6 BM25 df(t) fix):
-      1. posexplode min_len-windows → (id, pos, xxhash64)       — narrow
-      2. count + min struct(id,pos) keeper over the hash partition — one
-         exchange on the hash (a hot boilerplate window concentrates its
-         occurrences in one task, but the aggregate is count/min — the
-         task is scan-cheap, the same trade BM25's df(t) window makes
-         with stopwords)
+    Plan shape at 100 TB (all linear, no pair explosion):
+      1. posexplode min_len-windows → (id, pos, key)            — narrow
+      2. count + min struct(id,pos) keeper per window key, via ``stats``:
+         ``"window"`` (default) rides the occurrence rows as
+         whole-partition window aggregates — ONE Generate, one hash
+         exchange (a second aggregate joined back would re-run the
+         tokenize+explode subtree per join branch, the r6 BM25 df(t)
+         double-execution class) — but a window partition cannot be
+         skew-split, so ONE boilerplate passage duplicated across a huge
+         doc fraction serializes through one task; ``"join"`` is that
+         aggregate-joined-back mirror — map-side collapse + AQE
+         skew-split, at the documented subtree-re-run cost. Pick join
+         for corpora that have not been boilerplate-stripped.
       3. redundant windows → maximal spans: gaps-and-islands window
          per doc (one exchange on id)
 
@@ -771,25 +773,20 @@ def duplicate_spans(
         raise ValueError(f"key must be 'hash' or 'gram', got {key!r}")
     from pyspark.sql import Window as W
 
-    # window construction: ONE transform building token-array slices,
-    # exploded, then keyed post-explode. ExactSubstr windows are LONG
-    # (min_len 20-50+), where word_ngrams' chained zip_with concat is
-    # min_len-1 interpreted passes re-building ~300-byte strings —
+    # window construction: the shared slice builder
+    # (text._explode_token_windows — ONE transform of token-array
+    # slices, exploded, keyed post-explode). ExactSubstr windows are
+    # LONG (min_len 20-50+), where word_ngrams' chained zip_with concat
+    # is min_len-1 interpreted passes re-building ~300-byte strings —
     # measured 251 s vs 4 s at sf1/min_len=50 for this shape (55×).
     # key="hash" hashes the token-array slice directly (no window string
-    # ever materializes); slices stay linear in tokens×min_len bytes
-    # (never carrying the whole token array per exploded row, which
-    # would be quadratic in document length).
-    tok = tokens(F.col(text_col))
-    base = (df.select(F.col(id_col), tok.alias("__w"))
-            .filter(F.size("__w") >= min_len))
-    wins = F.transform(
-        F.sequence(F.lit(1), F.size("__w") - F.lit(min_len - 1)),
-        lambda i: F.slice(F.col("__w"), i, F.lit(min_len)))
+    # ever materializes); slices stay linear in tokens×min_len bytes.
+    from .text import _explode_token_windows
+
     key_col = (F.xxhash64(F.col("__win")) if key == "hash"
                else F.array_join(F.col("__win"), " "))
     occ = (
-        base.select(F.col(id_col), F.posexplode(wins).alias("pos", "__win"))
+        _explode_token_windows(df, text_col, id_col, min_len)
         .select(id_col, "pos", key_col.alias("h"))
     )
     if stats == "window":
@@ -852,6 +849,7 @@ def remove_duplicate_spans(
     min_len: int = 20,
     out_col: str = "text_dedup",
     key: str = "hash",
+    stats: str = "window",
 ) -> DataFrame:
     """Cut each doc's redundant duplicated spans (``duplicate_spans``)
     out of its token stream, keeping the one canonical copy corpus-wide —
@@ -865,10 +863,11 @@ def remove_duplicate_spans(
     casing / char-length filters behave identically whether or not a
     doc happened to contain a duplicate. NULL text stays NULL.
 
-    ``key`` passes through to :func:`duplicate_spans`; removal is
-    destructive, so ``key="gram"`` (collision-free matching) is the
-    conservative choice when a 64-bit hash collision deleting unique
-    text is unacceptable.
+    ``key`` and ``stats`` pass through to :func:`duplicate_spans`;
+    removal is destructive, so ``key="gram"`` (collision-free matching)
+    is the conservative choice when a 64-bit hash collision deleting
+    unique text is unacceptable, and ``stats="join"`` the skew-safe one
+    for boilerplate-heavy corpora.
 
     The span lists are per-doc small (collect_list after the islands
     merge), so the cut is one left join + a per-row token filter; the
@@ -876,7 +875,8 @@ def remove_duplicate_spans(
     outputs derive from it — removal is an output transform, not a
     metric hot loop.
     """
-    spans = duplicate_spans(df, text_col, id_col, min_len=min_len, key=key)
+    spans = duplicate_spans(df, text_col, id_col, min_len=min_len, key=key,
+                            stats=stats)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans"))
     tok = tokens(F.col(text_col))

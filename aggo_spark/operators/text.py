@@ -222,17 +222,30 @@ def explode_word_ngrams(
     references a materialized column attribute. Gram strings are
     byte-identical to ``word_ngrams`` (differential + oracle pinned).
     """
+    return (
+        _explode_token_windows(df, text_col, id_col, n)
+        .select(id_col, F.array_join("__win", " ").alias("g"))
+    )
+
+
+def _explode_token_windows(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, pos, __win) — one row per n-token window, the shared slice
+    builder behind :func:`explode_word_ngrams` and the dedup span tier.
+    The guard PAIR matters and must stay together: ``filter(size >= n)``
+    protects ``sequence(1, size-n+1)`` from the sequence(1, 0) →
+    DESCENDING [1, 0] trap (it would fabricate windows for short docs).
+    ``pos`` is 0-based."""
     if n < 1:
-        raise ValueError(f"explode_word_ngrams: n must be >= 1, got {n}")
+        raise ValueError(f"token windows: n must be >= 1, got {n}")
     base = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
             .filter(F.size("__w") >= n))
     wins = F.transform(
         F.sequence(F.lit(1), F.size("__w") - F.lit(n - 1)),
         lambda i: F.slice(F.col("__w"), i, F.lit(n)))
-    return (
-        base.select(F.col(id_col), F.explode(wins).alias("__win"))
-        .select(id_col, F.array_join("__win", " ").alias("g"))
-    )
+    return base.select(F.col(id_col),
+                       F.posexplode(wins).alias("pos", "__win"))
 
 
 def token_stats(
@@ -785,11 +798,16 @@ def _host_of(url: Column) -> Column:
 
 
 # query parameters that identify a CLICK, not a RESOURCE — the standard
-# strip set for URL-level dedup (utm_* per Google Analytics, the big ad/
-# mail-platform click ids, and bare ref)
+# strip set for URL-level dedup (utm_* per Google Analytics plus the big
+# ad/mail-platform click ids), matched case-insensitively (UTM_SOURCE=
+# is the same tracker). Deliberately NOT stripped: bare "ref" — on many
+# sites (git hosting, docs) ?ref= selects CONTENT, and stripping a
+# semantic param merges distinct resources, the wrong-direction dedup
+# error; ref_src/ref_url (the Twitter attribution forms) are specific
+# enough to stay.
 TRACKING_PARAM_RE = (
-    r"^(utm_[a-z0-9_]+|gclid|gbraid|wbraid|fbclid|msclkid|twclid|igshid|"
-    r"mc_cid|mc_eid|mkt_tok|ref|ref_src|spm|_hsenc|_hsmi)=")
+    r"(?i)^(utm_[a-z0-9_]+|gclid|gbraid|wbraid|fbclid|msclkid|twclid|"
+    r"igshid|mc_cid|mc_eid|mkt_tok|ref_src|ref_url|spm|_hsenc|_hsmi)=")
 
 
 def canonicalize_url(url: Column, strip_www: bool = False) -> Column:

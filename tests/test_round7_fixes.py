@@ -961,6 +961,19 @@ class TestDuplicateSpans:
         with pytest.raises(ValueError, match="key"):
             duplicate_spans(self._df(spark, [("a", "x y z")]), key="md5")
 
+    def test_spans_stats_modes_agree(self, spark):
+        from aggo_spark.operators.dedup import duplicate_spans
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        w = sorted(tuple(r) for r in duplicate_spans(
+            docs, min_len=8, stats="window").collect())
+        j = sorted(tuple(r) for r in duplicate_spans(
+            docs, min_len=8, stats="join").collect())
+        assert w == j and len(w) > 0
+        with pytest.raises(ValueError, match="stats"):
+            duplicate_spans(docs, stats="salted").collect()
+
 
 class TestHtmlExtraction:
     """HTML -> text tier (strip_html regex chain, jusText-lite block
@@ -1356,15 +1369,45 @@ class TestUrlCanonicalization:
         b = self._c(spark, ["http://www.a.com/x"])[0]
         assert a == "http://a.com/x" and b == "http://www.a.com/x"
 
-    def test_spans_stats_modes_agree(self, spark):
-        from aggo_spark.operators.dedup import duplicate_spans
+    def test_tracking_params_case_insensitive_and_ref_kept(self, spark):
+        got = self._c(spark, [
+            "http://a.com/p?UTM_SOURCE=x&b=1",
+            "http://a.com/raw?ref=develop",
+            "http://a.com/raw?ref=main",
+        ])
+        assert got[0] == "http://a.com/p?b=1"   # case-variant tracker off
+        assert got[1] != got[2]                  # semantic ?ref= preserved
 
-        docs = spark.read.parquet(
-            "/root/testdata/sf0.001/documents.parquet")
-        w = sorted(tuple(r) for r in duplicate_spans(
-            docs, min_len=8, stats="window").collect())
-        j = sorted(tuple(r) for r in duplicate_spans(
-            docs, min_len=8, stats="join").collect())
-        assert w == j and len(w) > 0
-        with pytest.raises(ValueError, match="stats"):
-            duplicate_spans(docs, stats="salted").collect()
+
+class TestThirdReviewFixes:
+    """Review pass over the slice-builder / URL / spans-mirror commits."""
+
+    def test_explode_word_ngrams_differential_vs_column_form(self, spark):
+        import random
+
+        from aggo_spark.operators.text import (explode_word_ngrams,
+                                               word_ngrams, tokens)
+
+        rng = random.Random(11)
+        vocab = [f"w{i}" for i in range(9)]
+        rows = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(0, 20))))
+                for i in range(60)] + [(98, None), (99, "one")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        for n in (1, 2, 5, 13):
+            new = sorted((r.doc_id, r.g) for r in
+                         explode_word_ngrams(df, n=n).collect())
+            old = sorted((r.doc_id, r.g) for r in df.select(
+                "doc_id", F.explode(word_ngrams(
+                    tokens(F.col("text")), n)).alias("g")).collect())
+            assert new == old, f"divergence at n={n}"
+
+    def test_remove_spans_stats_plumbed(self, spark):
+        from aggo_spark.operators.dedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(
+            [("a", "a b c d e f9 g9 a b c d e")],
+            "doc_id string, text string")
+        w = remove_duplicate_spans(df, min_len=5).collect()[0]
+        j = remove_duplicate_spans(df, min_len=5, stats="join").collect()[0]
+        assert w.text_dedup == j.text_dedup == "a b c d e f9 g9"
