@@ -68,11 +68,25 @@ def ngram_jaccard_pairs(
     k: int = 5,
     threshold: float = 0.8,
     df_cap: int = 100,
+    unit: str = "char",
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs via inverted-index join.
 
+    ``unit``: ``"char"`` (default, the oracle-pinned contract form — k≈5
+    character shingles, near-exact similarity) or ``"word"`` (k≈3 token
+    shingles — ~word-length× fewer exploded posting rows for the same
+    corpus, the standard trade for document-level near-dup at 100 TB;
+    the same knob MinHash exposes). The Jaccard spaces differ, so the
+    two units are alternatives, not mirrors. Corpus-dependence caveat
+    (measured): on the synthetic fixture word-unit is SLOWER (45 vs
+    26 s at sf1) — its ~60-word vocabulary makes word-3-gram document
+    frequencies explode, so the df_cap machinery does more work than
+    the char space's higher diversity; on natural text (large vocab,
+    low gram df) the word unit's ~word-length× fewer posting rows win,
+    as MinHash's word mode does.
+
     Plan shape (scales to 100 TB):
-      1. explode distinct char-k-shingles      (narrow)
+      1. explode distinct k-shingles           (narrow)
       2. drop shingles with doc-frequency > df_cap  (hot-key guard — one
          groupBy; without it stop-shingles create O(n²) pairs)
       3. self-join on shingle → count common shingles per pair (shuffle on
@@ -90,7 +104,8 @@ def ngram_jaccard_pairs(
     # ClusteredDistribution(id), so the posting stream is shuffled once
     # instead of once per consumer — at corpus scale that halves the largest
     # shuffle in the plan (r4; verified plan-shape + equal output).
-    dist = explode_shingles(df, text_col, id_col, k).repartition("id").distinct()
+    dist = (explode_shingles(df, text_col, id_col, k, unit=unit)
+            .repartition("id").distinct())
     base = dist.select(
         "id", "s", F.count(F.lit(1)).over(Window.partitionBy("id")).alias("n_sh")
     )

@@ -1411,3 +1411,18 @@ class TestThirdReviewFixes:
         w = remove_duplicate_spans(df, min_len=5).collect()[0]
         j = remove_duplicate_spans(df, min_len=5, stats="join").collect()[0]
         assert w.text_dedup == j.text_dedup == "a b c d e f9 g9"
+
+    def test_jaccard_word_unit(self, spark):
+        from aggo_spark.operators.dedup import ngram_jaccard_pairs
+
+        df = spark.createDataFrame([
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different text with no shared word grams here"),
+        ], "doc_id int, text string")
+        pairs = ngram_jaccard_pairs(
+            df, k=3, threshold=0.5, unit="word").collect()
+        assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+        assert 0.5 <= pairs[0].jaccard < 1.0
+        with pytest.raises(ValueError, match="unit"):
+            ngram_jaccard_pairs(df, unit="byte").collect()
