@@ -944,6 +944,26 @@ class TestDuplicateSpans:
                                         min_len=min_len).collect()}
         assert got == expected and len(expected) > 0
 
+        # removal mirror: cut the expected spans from each token stream
+        from aggo_spark.operators.dedup import remove_duplicate_spans
+
+        spans_by_doc = {}
+        for did, s, e in expected:
+            spans_by_doc.setdefault(did, []).append((s, e))
+        want = {}
+        for did, text in docs:
+            toks = text.split()
+            cut = set()
+            for s, e in spans_by_doc.get(did, []):
+                cut.update(range(s, e))
+            keep = [t for i, t in enumerate(toks) if i not in cut]
+            want[did] = (" ".join(keep), len(toks) - len(keep))
+        out = {r.doc_id: (r.text_dedup, r.n_removed_tokens)
+               for r in remove_duplicate_spans(
+                   self._df(spark, docs), min_len=min_len).collect()}
+        assert out == want
+        assert any(n > 0 for _, n in want.values())
+
     def test_key_modes_agree_on_fixture(self, spark):
         from aggo_spark.operators.dedup import duplicate_spans
 
