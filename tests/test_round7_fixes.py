@@ -1446,3 +1446,52 @@ class TestThirdReviewFixes:
         assert 0.5 <= pairs[0].jaccard < 1.0
         with pytest.raises(ValueError, match="unit"):
             ngram_jaccard_pairs(df, unit="byte").collect()
+
+
+class TestDistinctSketches:
+    """Mergeable HLL sketch tables for corpus accounting: per-snapshot
+    sketches union into rollups without rescanning old data."""
+
+    def test_snapshot_merge_matches_exact(self, spark, tmp_path):
+        from aggo_spark.operators.sketches import (distinct_sketch_table,
+                                                   merge_sketch_tables,
+                                                   sketch_estimates)
+
+        # two "crawl snapshots" with overlapping URL sets per source
+        snap1 = spark.range(600).selectExpr(
+            "concat('s', id % 2) as source",
+            "concat('http://h/', id % 200) as url")
+        snap2 = spark.range(600).selectExpr(
+            "concat('s', id % 2) as source",
+            "concat('http://h/', 100 + (id % 200)) as url")
+        t1 = distinct_sketch_table(snap1, "url", by=["source"])
+        t2 = distinct_sketch_table(snap2, "url", by=["source"])
+        # per-snapshot estimates are near-exact at this cardinality
+        assert {r.source: r.estimate for r in t1.collect()} == {
+            "s0": 100, "s1": 100}  # ids of one parity -> 100 urls each
+        # write/read round-trip: sketches persist as parquet binary
+        p = str(tmp_path / "sk1")
+        t1.select("source", "sketch").write.parquet(p)
+        t1r = sketch_estimates(spark.read.parquet(p))
+        assert {r.source: r.estimate for r in t1r.collect()} == {
+            "s0": 100, "s1": 100}
+        # snapshot union per source, then global rollup — no re-scan
+        per_source = merge_sketch_tables([t1r, t2], by=["source"])
+        got = {r.source: r.estimate for r in per_source.collect()}
+        exact = {r.source: r.n for r in snap1.unionByName(snap2)
+                 .groupBy("source")
+                 .agg(F.countDistinct("url").alias("n")).collect()}
+        assert got == exact  # near-exact at these cardinalities
+        overall = merge_sketch_tables([t1r, t2]).collect()[0].estimate
+        assert overall == snap1.unionByName(snap2).select("url") \
+            .distinct().count()
+
+    def test_lgk_validation(self, spark):
+        from aggo_spark.operators.sketches import distinct_sketch_table
+
+        df = spark.range(3).selectExpr("cast(id as string) as v")
+        with pytest.raises(ValueError, match="lg_k"):
+            distinct_sketch_table(df, "v", lg_k=2)
+        from aggo_spark.operators.sketches import merge_sketch_tables
+        with pytest.raises(ValueError, match="at least one"):
+            merge_sketch_tables([])
