@@ -70,9 +70,13 @@ def merge_sketch_tables(
     if not tables:
         raise ValueError("merge_sketch_tables needs at least one table")
     by = by or []
-    u = tables[0]
-    for t in tables[1:]:
-        u = u.unionByName(t, allowMissingColumns=False)
+    # project to (keys, sketch) first: a table read back from a
+    # sketch-only parquet (no estimate column) merges the same as a
+    # freshly-built one, and extra bookkeeping columns never block union
+    proj = [t.select(*by, "sketch") for t in tables]
+    u = proj[0]
+    for t in proj[1:]:
+        u = u.unionByName(t)
     agg = F.hll_union_agg("sketch", F.lit(True)).alias("sketch")
     out = (u.groupBy(*by).agg(agg) if by else u.agg(agg))
     return out.withColumn(
