@@ -152,3 +152,55 @@ def test_strip_html_soup_properties(spark):
             nxt = t.find(w, pos)
             assert nxt >= 0, (i, w, t)
             pos = nxt + len(w)
+
+
+def test_canonicalize_url_differential_vs_urllib(spark):
+    """Pin the Column canonicalizer against a pure-Python urllib mirror
+    over generated URLs (scheme/host case, ports, tracking params, param
+    order, fragments, userinfo)."""
+    import re as _re
+    from urllib.parse import urlsplit
+
+    from pyspark.sql import functions as F
+
+    from aggo_spark.operators.text import TRACKING_PARAM_RE, canonicalize_url
+
+    rng = random.Random(42)
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    hosts = ["Example.COM", "a.io", "WWW.site.org", "x-y.example"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/Path/To/X", "/a%2Fb"]
+    params = ["a=1", "b=2", "utm_source=t", "UTM_Medium=m", "gclid=g",
+              "ref=main", "z="]
+    frags = ["", "#sec"]
+
+    def gen():
+        q = rng.sample(params, rng.randint(0, 4))
+        return (rng.choice(schemes) + "://" + rng.choice(hosts)
+                + rng.choice(ports) + rng.choice(paths)
+                + ("?" + "&".join(q) if q else "") + rng.choice(frags))
+
+    def mirror(u):
+        sp = urlsplit(u)
+        scheme = sp.scheme.lower()
+        host = (sp.hostname or "").lower()
+        if not scheme or not host:
+            return None
+        port = ""
+        if sp.port is not None and not (
+                (scheme == "http" and sp.port == 80)
+                or (scheme == "https" and sp.port == 443)):
+            port = f":{sp.port}"
+        path = sp.path or "/"
+        keep = sorted(p for p in sp.query.split("&")
+                      if p and not _re.match(TRACKING_PARAM_RE, p))
+        q = "?" + "&".join(keep) if keep else ""
+        return f"{scheme}://{host}{port}{path}{q}"
+
+    urls = [gen() for _ in range(150)]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i int, u string")
+    got = {r.i: r.c for r in df.select(
+        "i", canonicalize_url(F.col("u")).alias("c")).collect()}
+    for i, u in enumerate(urls):
+        assert got[i] == mirror(u), (u, got[i], mirror(u))
