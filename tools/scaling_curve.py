@@ -27,6 +27,11 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
 _SF1 = "/root/repo/scaledata/sf1"
 if Path(_SF1 + "/lineitem.parquet").exists():
     SFS.append(_SF1)
+# r7: and the sf10 world (gen_scale_data.py 100 .../sf10) — a 10,000x
+# total range when present
+_SF10 = "/root/repo/scaledata/sf10"
+if Path(_SF10 + "/lineitem.parquet").exists():
+    SFS.append(_SF10)
 
 DEFAULT = [
     "q01_group_agg", "q02_filter", "q03_complex", "q22_sessionize",
