@@ -70,6 +70,11 @@ def _memo(fn):
 
     wrapped.__name__ = fn.__name__
     wrapped.__doc__ = fn.__doc__
+    # marker for bench.py's memoization-parity assert: every TIMED bench
+    # callable must be _memo-wrapped or best-of-N re-pays its shuffles
+    # while memoized siblings get shuffle-file reuse (the r6 q32 "mode
+    # inversion" harness artifact; SCALE.md r7 note)
+    wrapped._aggo_memo = True
     return wrapped
 
 

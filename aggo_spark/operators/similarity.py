@@ -174,13 +174,21 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "arrow",
+    method: str = "auto",
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     Returns (query_id, neighbor_id, score, rank); self-matches excluded.
 
-    ``method="arrow"`` (default, r7): queries are collected driver-side
+    ``method="auto"`` (default, r8): resolves by the memoized corpus size —
+    corpora under ``AUTO_SMALL_CORPUS`` take the broadcast-crossJoin Column
+    form (a 2k-vector corpus's pairs cost less than the Arrow kernel's
+    fixed python-worker/Arrow round-trip; measured: q34's four branches
+    0.73 s column vs 1.00 s arrow at sf0.1/2k vectors, arrow 4× faster at
+    sf1/20k — the r7-verdict watch item, pinned in SCALE.md), larger ones
+    the Arrow matmul kernel.
+
+    ``method="arrow"`` (r7): queries are collected driver-side
     (bounded — this is the operator's stated contract; use
     :func:`bucketed_topk`/:func:`ivf_topk` for large query sets) and the
     corpus streams ONCE through an Arrow ``mapInPandas`` kernel that
@@ -201,6 +209,9 @@ def brute_force_topk(
     not be ragged in dimension. An empty / all-NULL query set returns an
     empty DataFrame in both forms.
     """
+    if method == "auto":
+        method = ("hof" if _auto_scorer(corpus, "auto") == "column"
+                  else "arrow")
     if method == "hof":
         q = queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -252,7 +263,23 @@ def brute_force_topk(
                    dtype=np.float64)
     if Q.ndim != 2:
         raise ValueError("query vectors are ragged (mixed dimensions)")
-    _check_table_bytes(len(Q), Q.shape[1], 1)  # query matrix closure bound
+    try:
+        _check_table_bytes(len(Q), Q.shape[1], 1)  # query closure bound
+    except ValueError:
+        # query set too large for the task closure: degrade to the
+        # distributed broadcast-crossJoin form (the pre-r7 behavior)
+        # instead of failing outright; large-query callers should prefer
+        # bucketed_topk / ivf_topk (ADVICE r7)
+        import warnings
+
+        warnings.warn(
+            f"brute_force_topk: {len(Q)} query vectors exceed the task-"
+            "closure bound for the arrow kernel; falling back to the "
+            "distributed 'hof' form. For large query sets prefer "
+            "bucketed_topk or ivf_topk.")
+        del Q, qids, qrows
+        return brute_force_topk(corpus, queries, k=k, id_col=id_col,
+                                vec_col=vec_col, method="hof")
     qnorm = np.sqrt((Q ** 2).sum(1))
     take = k + 1  # +1 absorbs the self-match removed below
 

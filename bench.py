@@ -232,6 +232,20 @@ def main() -> None:
 
     qs["q48_ann_pq"] = entry._memo(_q48_pq)  # same policy as contract queries
 
+    # memoization-parity guard (r8, verdict item): every TIMED callable
+    # must be entry._memo-wrapped so best-of-3 reuses shuffle files
+    # uniformly — one unmemoized variant benches ~1.6x slower than an
+    # identical memoized plan (the r6 q32 "mode inversion"). Exempt names
+    # must be listed here EXPLICITLY with a reason.
+    MEMO_EXEMPT: set = set()
+    for _name in [*HEADLINE, "q32_dedup_minhash_md5", "q48_ann_pq"]:
+        if _name not in MEMO_EXEMPT and not getattr(
+                qs[_name], "_aggo_memo", False):
+            raise AssertionError(
+                f"bench callable {_name} is not entry._memo-wrapped; wrap "
+                "it (or add it to MEMO_EXEMPT with a reason) — unmemoized "
+                "variants are not comparable (SCALE.md r7 note)")
+
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     expected = _load_expected(sf)
 

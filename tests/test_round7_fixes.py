@@ -570,8 +570,56 @@ class TestArrowBruteForce:
         df = spark.createDataFrame(
             [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (2, [0.0, 0.0]), (3, None)],
             "vec_id int, embedding array<double>")
-        out = brute_force_topk(df, df.filter("vec_id = 0"), k=4).collect()
+        # method="arrow" pinned: this is the arrow kernel's documented
+        # contract (NULL/zero-norm corpus rows emit no candidate rows);
+        # the hof form carries them as NULL scores ranking last, visible
+        # only when scorable rows < k as here (divergence documented in
+        # the brute_force_topk docstring)
+        out = brute_force_topk(df, df.filter("vec_id = 0"), k=4,
+                               method="arrow").collect()
         assert sorted(r.neighbor_id for r in out) == [1]
+
+    def test_auto_resolves_by_corpus_size(self, spark):
+        # r8: method="auto" (the new default) takes the broadcast-
+        # crossJoin form under AUTO_SMALL_CORPUS and the arrow kernel
+        # above it; both must agree on a NULL-free corpus
+        from aggo_spark.operators.similarity import brute_force_topk
+
+        rows = [(i, [float(i % 7 + 1), float(i % 3 + 1)])
+                for i in range(40)]
+        df = spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>")
+        key = ["query_id", "neighbor_id", "score", "rank"]
+        auto = sorted(tuple(r) for r in brute_force_topk(
+            df, df.filter("vec_id < 2"), k=3).select(*key).collect())
+        arrow = sorted(tuple(r) for r in brute_force_topk(
+            df, df.filter("vec_id < 2"), k=3, method="arrow")
+            .select(*key).collect())
+        hof = sorted(tuple(r) for r in brute_force_topk(
+            df, df.filter("vec_id < 2"), k=3, method="hof")
+            .select(*key).collect())
+        assert auto == arrow == hof and len(auto) == 6
+
+    def test_closure_bound_falls_back_to_hof(self, spark, monkeypatch):
+        # ADVICE r7: a query set exceeding the arrow task-closure bound
+        # degrades to the distributed hof form instead of raising
+        import aggo_spark.operators.similarity as sim
+
+        def tiny_cap(nq, m, kc, cap_mb=512):
+            raise ValueError("ADC tables would exceed the closure bound")
+
+        monkeypatch.setattr(sim, "_check_table_bytes", tiny_cap)
+        df = spark.createDataFrame(
+            [(i, [float(i + 1), 1.0]) for i in range(5)],
+            "vec_id int, embedding array<double>")
+        import warnings as _w
+
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            out = sim.brute_force_topk(
+                df, df.filter("vec_id = 0"), k=2, method="arrow").collect()
+        assert len(out) == 2
+        assert any("falling back" in str(w.message) for w in rec)
 
     def test_bad_method_rejected(self, spark):
         import pytest as _pytest
