@@ -612,11 +612,20 @@ class StreamingCollection:
                 self._deadline_timer = None
             n_pending = len(self._pending)
             t0 = time.monotonic()
+            trigger_elapsed = 0.0
             self._in_flush = True
             try:
                 self._drain_pending()
                 for q in self._queries.values():
                     q.processAllAvailable()
+                # the policy models the PER-TRIGGER cost it can amortize
+                # by coalescing (spool write + micro-batch drain). Stop
+                # the clock HERE: full/keyed recomputes and result/index
+                # compaction below are batch-size-independent maintenance
+                # — timing them too made every flush of a heavy registered
+                # pipeline exceed latency_budget_sec, pinning batch_size
+                # at min_batch and defeating the coalescing (ADVICE r7).
+                trigger_elapsed = time.monotonic() - t0
                 for reg in self._registered.values():
                     if not reg.incremental:
                         self._recompute(reg)
@@ -629,7 +638,7 @@ class StreamingCollection:
                 self._in_flush = False
             if self.autoflush == "adaptive" and n_pending:
                 self._policy.record_flush(
-                    n_pending, time.monotonic() - t0,
+                    n_pending, trigger_elapsed,
                     pending_after=len(self._pending))
 
     def _recompute(self, reg: _Registered) -> None:
@@ -740,11 +749,19 @@ class StreamingCollection:
         Every ``compact_every`` batches the changelog is compacted to its
         net-positive postings (the Delta OPTIMIZE analogue). Compaction
         runs DRIVER-SIDE in ``flush()`` — not on the streaming thread —
-        so in the collection's synchronous model (mutate → flush → read)
-        the directory swap can never interleave with a search scan built
-        between flushes. ``kind``: ``"text"`` ($text tokens) or
-        ``"trigram"`` (raw char 3-grams for $regex). Returns the
-        maintenance query id (stoppable via ``stop()``)."""
+        and is GENERATION-SWAP based (r8, ADVICE): compacted postings
+        land in a NEW directory (``<path>-g{N}``) and the maintenance
+        state repoints, so an index DataFrame a caller built earlier
+        (``spark.read.parquet(...)`` — naturally reused across queries)
+        stays a valid, merely stale, snapshot instead of hitting
+        FileNotFound mid-query (the same hazard ``compact_result``
+        already avoided). Read the CURRENT generation via
+        :meth:`index_df` / :meth:`index_path`; a raw read of the original
+        ``path`` is frozen at generation 0 once a compaction has run.
+        Retired generations are deleted at ``stop()``. ``kind``:
+        ``"text"`` ($text tokens) or ``"trigram"`` (raw char 3-grams for
+        $regex). Returns the maintenance query id (stoppable via
+        ``stop()``)."""
         from ..operators import search as _search
         from ..operators.text import tokens as _tokens
 
@@ -765,14 +782,18 @@ class StreamingCollection:
             .withColumn(bucket, F.pmod(F.xxhash64(term),
                                        F.lit(_search.N_BUCKETS)))
         )
-        state = {"path": path, "term": term, "bucket": bucket,
+        state = {"path": path, "base": path, "gen": 0, "retired": [],
+                 "term": term, "bucket": bucket,
                  "batches": 0, "compact_every": int(compact_every)}
         self._indexes[rid] = state
 
         def sink(batch_df: DataFrame, _batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            (batch_df.write.mode("append").partitionBy(bucket).parquet(path))
+            # follow the state attr, not the captured arg: compaction
+            # repoints the current generation directory
+            (batch_df.write.mode("append").partitionBy(bucket)
+             .parquet(state["path"]))
             state["batches"] += 1
 
         ckpt = os.path.join(self.workdir, f"ckpt-{rid}")
@@ -789,11 +810,13 @@ class StreamingCollection:
     def _compact_indexes(self) -> None:
         """Driver-side posting-index compaction (called from flush, after
         every query has drained): rewrite each due index changelog to its
-        net-positive postings and swap the directory. Running here — not
-        in the index's foreachBatch — keeps the swap out of the streaming
-        thread, so reads between flushes never race it."""
-        import shutil
-
+        net-positive postings in a NEW generation directory and repoint
+        (generation swap, r8 — never an in-place rmtree+rename, so index
+        DataFrames built against the previous generation keep resolving
+        their part-files; they are stale snapshots, not FileNotFound).
+        Running here — not in the index's foreachBatch — keeps the
+        repoint out of the streaming thread, so reads between flushes
+        never race it. Retired generation dirs are released at stop()."""
         for state in self._indexes.values():
             if state["batches"] < state["compact_every"]:
                 continue
@@ -805,12 +828,25 @@ class StreamingCollection:
                 .filter(F.col("sign") > 0)
                 .select("id", "sign", term, bucket)
             )
-            tmp = path + ".compact"
-            net.write.mode("overwrite").partitionBy(bucket).parquet(tmp)
+            state["gen"] += 1
+            new_dir = f"{state['base']}-g{state['gen']}"
+            net.write.mode("overwrite").partitionBy(bucket).parquet(new_dir)
             with self._lock:
-                shutil.rmtree(path)
-                os.rename(tmp, path)
+                state["retired"].append(state["path"])
+                state["path"] = new_dir  # future appends + index_df follow
             state["batches"] = 1
+
+    def index_path(self, rid: str) -> str:
+        """Current generation directory of a maintained posting index
+        (repointed by compaction — see :meth:`maintain_index`)."""
+        return self._indexes[rid]["path"]
+
+    def index_df(self, rid: str) -> DataFrame:
+        """Fresh read of a maintained posting index's CURRENT generation —
+        the compaction-safe way to get the index for
+        ``search_with_index`` / ``regex_search_with_index``."""
+        self._drain_at_read()
+        return self.spark.read.parquet(self.index_path(rid))
 
     def _append_keyed_delta(self, reg: _Registered, out: DataFrame,
                             dirty: list, batch: int) -> None:
@@ -979,6 +1015,11 @@ class StreamingCollection:
             for d in reg.retired_dirs:
                 shutil.rmtree(d, ignore_errors=True)
             reg.retired_dirs.clear()
+        # same lifetime rule for retired posting-index generations
+        for state in self._indexes.values():
+            for d in state["retired"]:
+                shutil.rmtree(d, ignore_errors=True)
+            state["retired"].clear()
 
     # camelCase alias for API parity with the reference (streaming.ts:162)
     addBulk = add_bulk

@@ -770,11 +770,17 @@ class TestIncrementalIndexMaintenance:
         try:
             idx_path = str(tmp_path / "textidx")
             coll.add({"doc_id": 1, "text": "alpha beta"})
-            coll.maintain_index(idx_path, kind="text", compact_every=2)
+            rid = coll.maintain_index(idx_path, kind="text", compact_every=2)
             coll.add({"doc_id": 2, "text": "alpha gamma"})
+            # an index DF built BEFORE compaction (the natural reuse
+            # pattern) — must survive the upcoming generation swap as a
+            # stale-but-valid snapshot, never FileNotFound (ADVICE r7)
+            held = coll.index_df(rid)
             coll.remove({"doc_id": 1, "text": "alpha beta"})
             coll.add({"doc_id": 3, "text": "alpha delta"})
-            idx = spark.read.parquet(idx_path)
+            # compaction repointed to a new generation dir
+            assert coll.index_path(rid) != idx_path
+            idx = coll.index_df(rid)
             # compaction ran: the retracted doc's postings are GONE from
             # storage (netted), not just filtered at query time
             assert idx.filter("id = 1").count() == 0
@@ -782,8 +788,17 @@ class TestIncrementalIndexMaintenance:
             got = {r["doc_id"] for r in
                    search_with_index(corpus, idx, "alpha").collect()}
             assert got == {2, 3}
+            # the held pre-compaction snapshot still executes (stale: it
+            # predates the remove/add), and the original path still reads
+            assert held.filter("id = 1").count() > 0
+            assert spark.read.parquet(idx_path).count() > 0
+            cur = coll.index_path(rid)
         finally:
             coll.stop()
+        # retired generations released at stop(); current gen survives
+        import os as _os
+        assert not _os.path.isdir(idx_path)
+        assert _os.path.isdir(cur)
 
     def test_trigram_index_regex(self, spark, tmp_path):
         from aggo_spark.operators.search import regex_search_with_index
@@ -904,6 +919,44 @@ class TestAdaptiveBatching:
         finally:
             eager.stop()
             adaptive.stop()
+
+    def test_flush_latency_excludes_recompute_and_compaction(
+            self, spark, tmp_path, monkeypatch):
+        # ADVICE r7: the policy models the per-trigger cost it can
+        # amortize; a heavy registered recompute (or compaction) must NOT
+        # count toward the latency it is fed, or every flush exceeds the
+        # budget and batch_size pins at min_batch
+        from aggo_spark.streaming.batching import AdaptiveBatchPolicy
+
+        pol = AdaptiveBatchPolicy(batch_size=8, min_batch=2,
+                                  max_delay_sec=60.0,
+                                  latency_budget_sec=0.3)
+        c = StreamingCollection(
+            spark, DOC_SCHEMA, workdir=str(tmp_path),
+            autoflush="adaptive", batch_policy=pol)
+        try:
+            import time as _time
+
+            orig = c._recompute
+
+            def slow_recompute(reg):
+                _time.sleep(0.6)  # 2x the latency budget
+                return orig(reg)
+
+            monkeypatch.setattr(c, "_recompute", slow_recompute)
+            # $sort makes the pipeline non-incremental -> recompute path
+            c.stream([{"$sort": {"price": 1}},
+                      {"$limit": 2}], "top")
+            for i in range(8):
+                c.add({"category": "a", "price": float(i), "qty": 1})
+            c.flush()
+            assert c._policy.total_flushes >= 1
+            # the slept recompute time is excluded from the fed latency
+            # (the trigger portion itself varies with VM load, so the
+            # one load-bearing bound is "strictly under the sleep")
+            assert c._policy.last_flush_sec < 0.6
+        finally:
+            c.stop()
 
     def test_read_your_writes_drains_pending(self, spark, tmp_path):
         from aggo_spark.streaming.batching import AdaptiveBatchPolicy
