@@ -12,8 +12,12 @@ standard tiers, Spark-first:
   parser: attribute values containing ``>`` and malformed nesting can
   leak fragments — the standard trade for running at crawl scale
   inside the scan. Script/style/comment bodies are removed, block-level
-  closers become paragraph breaks, the six ubiquitous named entities
-  are decoded (numeric entities are out of regex reach, documented).
+  openers AND closers become paragraph breaks (auto-closing <p>/<li>
+  included, r8), the six ubiquitous named entities are decoded, and
+  numeric character references (``&#8217;``/``&#x27;``, hex and
+  decimal, full astral range) decode through a contains-gated
+  split/transform/array_join rebuild (r8 — see
+  :func:`_decode_numeric_entities`).
 - :func:`html_blocks` — explode the stripped text into blocks and score
   each with codegen signals (word count, stopword density — the jusText
   heuristic, Pomikálek 2011): explode + plain columns rather than
@@ -43,6 +47,46 @@ _BLOCK_TAGS = ("p|div|h[1-6]|li|ul|ol|dl|dd|dt|table|tr|th|td|blockquote|"
                "figcaption|form|fieldset")
 
 
+def _decode_numeric_entities(c: Column) -> Column:
+    """Decode ``&#8217;`` / ``&#x27;``-class numeric character references
+    — pure Column (r8, r7-verdict #3): real crawl text is full of them,
+    and surviving as literal ``&#8217;`` text they pollute downstream
+    tokenize/quality/dedup signals.
+
+    Shape: split on lookahead ``(?=&#)`` boundaries (each part begins
+    with at most one candidate reference), ``transform`` each part —
+    decimal digits cast directly, hex via ``conv(.,16,10)``, codepoint →
+    character via ``decode(unhex(lpad(hex(cp),8)),'utf-32')`` (UTF-32BE,
+    full astral range — ``char()`` wraps at 256 and is useless here) —
+    then ``array_join`` rebuild. Invalid references (overflow digits,
+    cp 0, surrogates, > U+10FFFF, missing ``;``) pass through verbatim,
+    matching ``html.unescape``'s treatment of ill-formed numerics
+    closely enough for the differential test's supported subset.
+
+    The transform lambda is interpreted (CodegenFallback), so the whole
+    thing is gated on ``contains('&#')`` — entity-free documents (the
+    overwhelming majority of blocks) never leave codegen.
+    """
+    def dec(p: Column) -> Column:
+        dec_digits = F.regexp_extract(p, r"^&#([0-9]{1,7});", 1)
+        hex_digits = F.regexp_extract(p, r"^&#[xX]([0-9a-fA-F]{1,6});", 1)
+        cp = (
+            F.when(dec_digits != "", dec_digits.cast("long"))
+            .when(hex_digits != "",
+                  F.conv(hex_digits, 16, 10).cast("long"))
+        )
+        valid = (
+            cp.isNotNull() & (cp > 0) & (cp <= 0x10FFFF)
+            & ~((cp >= 0xD800) & (cp <= 0xDFFF))
+        )
+        ch = F.decode(F.unhex(F.lpad(F.hex(cp), 8, "0")), "utf-32")
+        rest = F.regexp_replace(p, r"^&#[xX]?[0-9a-fA-F]{1,7};", "")
+        return F.when(valid, F.concat(ch, rest)).otherwise(p)
+
+    decoded = F.array_join(F.transform(F.split(c, r"(?=&#)"), dec), "")
+    return F.when(c.contains("&#"), decoded).otherwise(c)
+
+
 def strip_html(col: Column) -> Column:
     """Markup-free text from an HTML column — pure Column, codegen.
 
@@ -63,17 +107,29 @@ def strip_html(col: Column) -> Column:
         ".*?</\\1>",
         " ")
     c = F.regexp_replace(c, "(?s)<!--.*?-->", " ")
-    # block boundaries before tags are dissolved
+    # block boundaries before tags are dissolved — OPENING tags too (r8,
+    # ADVICE): spec-valid HTML leaves <p>/<li>/<dd>... unclosed
+    # (auto-closing elements, ubiquitous in real crawls), and emitting
+    # boundaries only on closers merged such consecutive blocks into
+    # one, degrading html_blocks' length/stopword classification. A
+    # properly-closed block now yields newlines on both edges; the
+    # 3+-newline collapse below restores exactly one blank-line boundary
     c = F.regexp_replace(c, f"(?i)</({_BLOCK_TAGS})>", "\n\n")
+    c = F.regexp_replace(c, f"(?i)<({_BLOCK_TAGS})\\b[^>]*>", "\n\n")
     c = F.regexp_replace(c, "(?i)<br\\s*/?>", "\n")
     c = F.regexp_replace(c, "(?s)<[^>]+>", " ")
-    # the six entities that dominate real pages; numeric (&#...;) forms
-    # would need computed codepoints — beyond regexp_replace, documented.
+    # numeric character references first (r8 — see
+    # _decode_numeric_entities). Running BEFORE the named chain keeps
+    # the no-double-decode invariant: '&amp;#39;' has no '&#' substring,
+    # so it reaches the named pass intact and decodes to the literal
+    # text '&#39;' exactly like html.unescape
+    c = _decode_numeric_entities(c)
+    # the six named entities that dominate real pages.
     # &amp; decodes LAST: decoding it first would double-decode escaped
     # entities ('&amp;lt;' must become the literal text '&lt;', never a
     # live '<' reintroduced into stripped output)
     for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
-                     ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+                     ("&quot;", '"'), ("&apos;", "'"),
                      ("&amp;", "&")):
         c = F.replace(c, F.lit(ent), F.lit(rep))
     c = F.regexp_replace(c, "[ \\t\\x0b\\f\\r]+", " ")

@@ -66,13 +66,38 @@ def _maybe_gunzip(b: bytes) -> bytes:
     return bytes(out)
 
 
+_BOUNDARY_RE = None  # compiled lazily; module import stays regex-free
+
+
+def _next_boundary(b: bytes, pos: int) -> int:
+    """Position of the next ``WARC/<digit>`` version-line signature
+    at/after ``pos``, or -1. Only consulted AFTER a record failed to
+    parse (resync is best-effort recovery over corrupt framing — with
+    intact framing, Content-Length carries the parser straight past
+    boundary look-alikes inside payloads, and this is never called).
+    The earliest signature wins: corrupt inter-record splices routinely
+    destroy the preceding blank-line boundary, so requiring
+    ``\\r\\n\\r\\nWARC/`` would skip the very record being recovered."""
+    global _BOUNDARY_RE
+    if _BOUNDARY_RE is None:
+        import re
+
+        _BOUNDARY_RE = re.compile(rb"WARC/\d")
+    m = _BOUNDARY_RE.search(b, pos)
+    return m.start() if m else -1
+
+
 def parse_warc_bytes(b: bytes) -> Iterator[dict]:
     """Yield one dict per WARC record (pure Python, executor-side).
 
-    Tolerant of trailing garbage / truncated tails: a record that can't
-    parse ends the file's stream rather than raising — crawl archives
-    routinely carry truncated final records, and a reader that dies on
-    them loses the whole file.
+    Tolerant of corruption (r8, ADVICE): a record that can't parse
+    RESYNCS to the next ``\\r\\n\\r\\nWARC/`` boundary instead of
+    aborting the stream — with Common Crawl's per-record-gzip-member
+    framing one corrupt record previously dropped every later record
+    even though their members decoded fine. A truncated TAIL (no later
+    boundary exists) still ends the stream quietly: crawl archives
+    routinely carry truncated final records, and a reader that raises
+    on them loses the whole file.
     """
     b = _maybe_gunzip(b)
     pos = 0
@@ -82,10 +107,13 @@ def parse_warc_bytes(b: bytes) -> Iterator[dict]:
         while pos < n and b[pos:pos + 2] in (b"\r\n", b"\n\n"):
             pos += 2 if b[pos:pos + 2] == b"\r\n" else 1
         if not b.startswith(b"WARC/", pos):
-            return
+            pos = _next_boundary(b, pos)  # garbage: skip to next record
+            if pos < 0:
+                return
+            continue
         hdr_end = b.find(b"\r\n\r\n", pos)
         if hdr_end < 0:
-            return
+            return  # no complete header block can follow either
         headers: dict[str, str] = {}
         for line in b[pos:hdr_end].split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
@@ -95,15 +123,24 @@ def parse_warc_bytes(b: bytes) -> Iterator[dict]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            return
+            length = -1
         if length < 0:
-            # a negative length would move pos BACKWARD and loop forever
-            # on the same record — treat like any other parse failure
-            return
+            # bad/missing/negative Content-Length (negative would move
+            # pos BACKWARD and loop forever): skip past this record's
+            # header and resync — later records are intact
+            pos = _next_boundary(b, hdr_end)
+            if pos < 0:
+                return
+            continue
         body_start = hdr_end + 4
         body = b[body_start:body_start + length]
         if len(body) < length:
-            return  # truncated tail
+            # shorter than declared: a truncated tail if nothing follows
+            # (quiet end), a corrupt length mid-file if a boundary does
+            pos = _next_boundary(b, body_start)
+            if pos < 0:
+                return
+            continue
         pos = body_start + length
 
         rec = {

@@ -1,0 +1,193 @@
+"""Round-8 fixes: each class pins one r7-verdict or ADVICE item.
+
+Covered here:
+- WARC mid-file resync (ADVICE: one malformed record must not drop every
+  later record).
+See also (in their home files): brute_force_topk method='auto' +
+closure-bound fallback (test_round7_fixes.TestArrowBruteForce),
+generation-swap index compaction + adaptive-latency scope
+(test_streaming).
+"""
+import pytest
+
+from tests.conftest import *  # noqa: F401,F403  (spark fixture)
+
+
+class TestWarcResync:
+    """ADVICE r7: parse_warc_bytes aborted the whole remainder of a file
+    on the first malformed mid-file record; with Common Crawl's
+    per-record-gzip-member framing one corrupt record silently dropped
+    every later record even though their members decoded fine. Now it
+    resyncs to the next \\r\\n\\r\\nWARC/ boundary."""
+
+    def _recs(self):
+        return [
+            {"warc_type": "response", "url": f"http://x/{i}",
+             "payload": f"body {i}".encode()}
+            for i in range(4)
+        ]
+
+    def test_bad_content_length_mid_file_recovers_later_records(self):
+        from aggo_spark.sources.warc import encode_warc, parse_warc_bytes
+
+        data = encode_warc(self._recs())
+        # corrupt record 1's Content-Length header value (mid-file)
+        bad = data.replace(b"Content-Length: 6\r\n\r\nbody 1",
+                           b"Content-Length: xx\r\n\r\nbody 1", 1)
+        got = list(parse_warc_bytes(bad))
+        urls = [r["url"] for r in got]
+        assert urls == ["http://x/0", "http://x/2", "http://x/3"]
+
+    def test_corrupt_gzip_member_mid_file_loses_only_itself(self):
+        from aggo_spark.sources.warc import encode_warc, parse_warc_bytes
+
+        import gzip
+
+        recs = self._recs()
+        members = [gzip.compress(encode_warc([r])) for r in recs]
+        # destroy member 1's deflate stream body (keep the gzip magic so
+        # the member walk still sees it as a member)
+        m1 = bytearray(members[1])
+        for i in range(12, min(26, len(m1))):
+            m1[i] = 0xFF
+        members[1] = bytes(m1)
+        got = list(parse_warc_bytes(b"".join(members)))
+        urls = {r["url"] for r in got}
+        # record 0 always survives; the zlib member walk stops at the
+        # corrupt member, so at minimum nothing raises and the prefix
+        # parses — records AFTER a cleanly-skippable corruption return
+        # via the resync path (previous test); a shredded deflate stream
+        # can at worst cost the remaining members (documented)
+        assert "http://x/0" in urls
+
+    def test_garbage_between_records_skipped(self):
+        from aggo_spark.sources.warc import encode_warc, parse_warc_bytes
+
+        recs = self._recs()
+        a = encode_warc(recs[:2])
+        b = encode_warc(recs[2:])
+        data = a + b"\x00garbage\xff" * 4 + b
+        got = list(parse_warc_bytes(data))
+        assert [r["url"] for r in got] == [f"http://x/{i}" for i in range(4)]
+
+    def test_truncated_tail_still_quiet(self):
+        from aggo_spark.sources.warc import encode_warc, parse_warc_bytes
+
+        data = encode_warc(self._recs())
+        got = list(parse_warc_bytes(data[:-12]))
+        # final record truncated -> dropped quietly, earlier ones intact
+        assert [r["url"] for r in got] == [f"http://x/{i}" for i in range(3)]
+
+    def test_declared_length_too_long_mid_file(self):
+        from aggo_spark.sources.warc import encode_warc, parse_warc_bytes
+
+        data = encode_warc(self._recs())
+        # record 0's length inflated: its body "swallows" the rest of the
+        # stream under the old parser; resync recovers records 1..3
+        bad = data.replace(b"Content-Length: 6\r\n\r\nbody 0",
+                           b"Content-Length: 9999\r\n\r\nbody 0", 1)
+        got = list(parse_warc_bytes(bad))
+        urls = [r["url"] for r in got]
+        assert urls == [f"http://x/{i}" for i in range(1, 4)]
+
+
+class TestNumericEntities:
+    """r7-verdict #3: numeric HTML character references decode
+    pure-Column (hex + decimal, astral range) — previously they survived
+    as literal '&#8217;' text and skewed tokenize/quality/dedup."""
+
+    def _strip(self, spark, html_rows):
+        from aggo_spark.operators.html import strip_html
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(h,) for h in html_rows],
+                                   "html string")
+        return [r.t for r in
+                df.select(strip_html(F.col("html")).alias("t")).collect()]
+
+    def test_decimal_hex_and_astral(self, spark):
+        got = self._strip(spark, [
+            "<p>it&#8217;s here&#8230;</p>",
+            "<p>hex &#x27;quoted&#x27; and &#X2014; dash</p>",
+            "<p>astral &#128512; emoji</p>",
+            "<p>mixed &#8220;quotes&#8221; &amp; more</p>",
+        ])
+        assert got[0] == "it’s here…"
+        assert got[1] == "hex 'quoted' and — dash"
+        assert got[2] == "astral \U0001F600 emoji"
+        assert got[3] == "mixed “quotes” & more"
+
+    def test_invalid_references_pass_through(self, spark):
+        got = self._strip(spark, [
+            "<p>&#0; &#55296; &#1114112; &#xDEAD; &#; &#xZZ; &# 39;</p>",
+            "<p>unterminated &#8217 no semicolon</p>",
+        ])
+        # cp 0, surrogates (55296=0xD800, 0xDEAD), > U+10FFFF, empty,
+        # non-hex: all pass through verbatim
+        assert got[0] == "&#0; &#55296; &#1114112; &#xDEAD; &#; &#xZZ; &# 39;"
+        assert got[1] == "unterminated &#8217 no semicolon"
+
+    def test_escaped_numeric_single_decode(self, spark):
+        # '&amp;#39;' is the ESCAPED text '&#39;' — one decode, exactly
+        # html.unescape's behavior
+        (got,) = self._strip(spark, ["<p>use &amp;#39; as an entity</p>"])
+        assert got == "use &#39; as an entity"
+
+    def test_differential_vs_html_unescape(self, spark):
+        # differential over the supported subset (the 6 named entities +
+        # well-formed numeric refs), composed into fixture-like docs
+        import html as pyhtml
+        import random
+
+        rng = random.Random(8)
+        named = ["&nbsp;", "&lt;", "&gt;", "&quot;", "&apos;", "&amp;"]
+        pieces = (
+            ["word%d" % i for i in range(20)]
+            + named
+            + ["&#%d;" % rng.choice([39, 160, 8217, 8220, 8221, 169,
+                                     233, 128512]) for _ in range(10)]
+            + ["&#x%x;" % rng.choice([0x27, 0xE9, 0x2014, 0x1F600])
+               for _ in range(6)]
+        )
+        docs = [" ".join(rng.choice(pieces)
+                         for _ in range(rng.randint(5, 40)))
+                for _ in range(25)]
+        got = self._strip(spark, docs)
+        for doc, g in zip(docs, got):
+            want = pyhtml.unescape(doc)
+            # normalize BOTH sides identically: the differential is about
+            # entity decode, not whitespace policy (strip_html collapses
+            # ASCII space runs but deliberately keeps U+00A0 from &#160;,
+            # while str.split() treats U+00A0 as whitespace)
+            assert " ".join(g.split()) == " ".join(want.split()), \
+                (doc, g, want)
+
+
+class TestAutoClosingBlocks:
+    """ADVICE r7: opening block-level tags emit boundaries too, so
+    spec-valid unclosed <p>/<li> (auto-closing elements) segment into
+    separate blocks instead of merging."""
+
+    def test_unclosed_p_and_li_segment(self, spark):
+        from aggo_spark.operators.html import html_blocks
+
+        html = ("<ul><li>Home<li>About<li>Contact</ul>"
+                "<p>First paragraph text here"
+                "<p>Second paragraph text here")
+        df = spark.createDataFrame([(1, html)], "doc_id int, html string")
+        blocks = [r.block for r in
+                  html_blocks(df).orderBy("block_no").collect()]
+        assert blocks == ["Home", "About", "Contact",
+                          "First paragraph text here",
+                          "Second paragraph text here"]
+
+    def test_closed_blocks_unchanged(self, spark):
+        from aggo_spark.operators.html import strip_html
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("<p>one</p><p>two</p><div>three</div>",)], "html string")
+        t = df.select(strip_html(F.col("html")).alias("t")).collect()[0].t
+        # open+close both emit newlines; the 3+ collapse restores exactly
+        # one blank-line boundary per block
+        assert t == "one\n\ntwo\n\nthree"
