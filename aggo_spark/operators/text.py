@@ -810,6 +810,37 @@ TRACKING_PARAM_RE = (
     r"igshid|mc_cid|mc_eid|mkt_tok|ref_src|ref_url|spm|_hsenc|_hsmi)=")
 
 
+def _normalize_pct(c: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization, pure Column (r8,
+    r7-verdict #4): hex digits uppercased (``%2f`` → ``%2F``) and
+    UNRESERVED characters decoded (``%41`` → ``A``; unreserved =
+    ALPHA / DIGIT / ``-._~``) so equivalent URLs collide to one dedup
+    key. Reserved characters stay encoded — ``%2F`` vs ``/`` in a path
+    CAN be semantic, and decoding ``%3D``/``%26`` inside a query would
+    change its param structure. Malformed sequences (``%``, ``%2``,
+    ``%G1``) pass through verbatim. Same split-on-lookahead /
+    transform / array_join shape as the HTML numeric-entity decoder,
+    gated on ``contains('%')`` so the common encoded-free URL never
+    leaves codegen."""
+    def fix(p: Column) -> Column:
+        hx = F.upper(F.regexp_extract(p, r"^%([0-9a-fA-F]{2})", 1))
+        code = F.conv(hx, 16, 10).cast("int")
+        unreserved = (
+            ((code >= 48) & (code <= 57))      # 0-9
+            | ((code >= 65) & (code <= 90))    # A-Z
+            | ((code >= 97) & (code <= 122))   # a-z
+            | code.isin(45, 46, 95, 126))      # - . _ ~
+        rest = F.regexp_replace(p, r"^%[0-9a-fA-F]{2}", "")
+        ch = F.decode(F.unhex(hx), "US-ASCII")
+        return (
+            F.when(hx == "", p)  # bare/malformed '%': not an encoding
+            .when(unreserved, F.concat(ch, rest))
+            .otherwise(F.concat(F.lit("%"), hx, rest)))
+
+    out = F.array_join(F.transform(F.split(c, r"(?=%)"), fix), "")
+    return F.when(c.contains("%"), out).otherwise(c)
+
+
 def canonicalize_url(url: Column, strip_www: bool = False) -> Column:
     """Canonical form of a URL for URL-level dedup — pure Column, codegen
     except the small per-param HOF filter:
@@ -817,14 +848,23 @@ def canonicalize_url(url: Column, strip_www: bool = False) -> Column:
     - scheme and host lowercased; userinfo dropped; default ports
       (http:80 / https:443) dropped, others kept
     - fragment dropped; empty path → ``/``
-    - tracking parameters removed (``TRACKING_PARAM_RE``) and the
+    - percent-encoding normalized in path and query (r8): hex uppercased,
+      unreserved characters decoded (``%7Euser`` and ``~user`` are one
+      key) — see :func:`_normalize_pct`
+    - tracking parameters removed (``TRACKING_PARAM_RE``, matched AFTER
+      percent-normalization so ``%75tm_source`` can't sneak past) and the
       surviving query parameters SORTED (param order is almost never
       semantic; sorting makes ``?a=1&b=2`` and ``?b=2&a=1`` one key)
     - ``strip_www=True`` additionally folds a leading ``www.``
 
-    Malformed input → NULL (try_parse_url), never an error. Percent-
-    encoding is NOT normalized (%2F vs / can be semantic); paths keep
-    their case (case-sensitive by spec).
+    Malformed input → NULL (try_parse_url), never an error. Paths keep
+    their case (case-sensitive by spec). IDN hosts: only wire-form
+    (punycode ``xn--``) hosts parse — ``try_parse_url`` rejects
+    non-ASCII (Unicode-form) hosts as malformed, yielding a NULL key
+    (fuzz-pinned). Common Crawl URLs arrive in wire form, so
+    within-crawl keys collide correctly; for cross-source joins against
+    Unicode-form URL lists, pre-encode that side with Python ``idna``
+    at ingest (documented limitation, r7-verdict #4).
     """
     proto = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
     host = _host_of(url)
@@ -838,7 +878,11 @@ def canonicalize_url(url: Column, strip_www: bool = False) -> Column:
         & ~((proto == "https") & (port == "443")))
     path = F.try_parse_url(url, F.lit("PATH"))
     path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
-    query = F.try_parse_url(url, F.lit("QUERY"))
+    path = _normalize_pct(path)
+    # normalize the whole query BEFORE the param split: decoding never
+    # produces '&' or '=' (both reserved, both stay encoded), so the
+    # param structure is split-stable
+    query = _normalize_pct(F.try_parse_url(url, F.lit("QUERY")))
     params = F.array_sort(F.filter(
         F.split(F.coalesce(query, F.lit("")), "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)))

@@ -167,11 +167,17 @@ def test_canonicalize_url_differential_vs_urllib(spark):
 
     rng = random.Random(42)
     schemes = ["http", "HTTP", "https", "HTTPS"]
-    hosts = ["Example.COM", "a.io", "WWW.site.org", "x-y.example"]
+    # incl. IDN forms (r8): punycode and Unicode hosts pin the documented
+    # pass-through-lowercase behavior (no punycode conversion either way)
+    hosts = ["Example.COM", "a.io", "WWW.site.org", "x-y.example",
+             "XN--BCHER-KVA.example", "BÜcher.example"]
     ports = ["", ":80", ":443", ":8080"]
-    paths = ["", "/", "/Path/To/X", "/a%2Fb"]
+    # incl. percent-encoded forms (r8): unreserved decode (%41,%7e,%5F),
+    # reserved kept but hex-uppercased (%2f,%3d), malformed passthrough
+    paths = ["", "/", "/Path/To/X", "/a%2Fb", "/%41bc%7e", "/x%2f%5Fy",
+             "/bad%2", "/pct%"]
     params = ["a=1", "b=2", "utm_source=t", "UTM_Medium=m", "gclid=g",
-              "ref=main", "z="]
+              "ref=main", "z=", "k=%41%2f", "t%65st=1", "%75tm_source=x"]
     frags = ["", "#sec"]
 
     def gen():
@@ -180,24 +186,45 @@ def test_canonicalize_url_differential_vs_urllib(spark):
                 + rng.choice(ports) + rng.choice(paths)
                 + ("?" + "&".join(q) if q else "") + rng.choice(frags))
 
+    def norm_pct(s):
+        # the RFC 3986 6.2.2 mirror: uppercase hex, decode unreserved
+        def fix(m):
+            hx = m.group(1).upper()
+            ch = chr(int(hx, 16))
+            if ch.isascii() and (ch.isalnum() or ch in "-._~"):
+                return ch
+            return "%" + hx
+        return _re.sub(r"%([0-9a-fA-F]{2})", fix, s)
+
     def mirror(u):
         sp = urlsplit(u)
         scheme = sp.scheme.lower()
         host = (sp.hostname or "").lower()
         if not scheme or not host:
             return None
+        if not host.isascii():
+            # pinned behavior: Spark's try_parse_url rejects non-ASCII
+            # (Unicode-form IDN) hosts as malformed -> NULL key; only
+            # wire-form (punycode xn--) hosts parse (docstring, r8)
+            return None
+        if _re.search(r"%(?![0-9a-fA-F]{2})", sp.path + "?" + sp.query):
+            # likewise pinned: a malformed percent-escape makes the whole
+            # URL malformed at parse time (java.net.URI strictness), so
+            # the _normalize_pct passthrough branch is never reached via
+            # canonicalize_url — it guards direct/composed callers
+            return None
         port = ""
         if sp.port is not None and not (
                 (scheme == "http" and sp.port == 80)
                 or (scheme == "https" and sp.port == 443)):
             port = f":{sp.port}"
-        path = sp.path or "/"
-        keep = sorted(p for p in sp.query.split("&")
+        path = norm_pct(sp.path or "/")
+        keep = sorted(p for p in (norm_pct(p) for p in sp.query.split("&"))
                       if p and not _re.match(TRACKING_PARAM_RE, p))
         q = "?" + "&".join(keep) if keep else ""
         return f"{scheme}://{host}{port}{path}{q}"
 
-    urls = [gen() for _ in range(150)]
+    urls = [gen() for _ in range(250)]
     df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
                                "i int, u string")
     got = {r.i: r.c for r in df.select(
