@@ -91,6 +91,70 @@ class TestWarcResync:
         assert urls == [f"http://x/{i}" for i in range(1, 4)]
 
 
+class TestWarcIndex:
+    """r7-verdict #5: build_warc_index + read_warc_indexed — the CDX
+    pattern. Parallelism decoupled from file count; ranged reads bound
+    per-task memory by the largest record, not the archive."""
+
+    def _write_archive(self, tmp_path, n=6, gz=True, name="a.warc.gz"):
+        from aggo_spark.sources.warc import encode_warc
+
+        recs = [
+            {"warc_type": "response", "url": f"http://x/{i}", "http": True,
+             "payload": f"<p>doc {i} body</p>".encode()}
+            for i in range(n)
+        ]
+        p = tmp_path / name
+        p.write_bytes(encode_warc(recs, gzip_members=gz))
+        return str(p), recs
+
+    def test_index_roundtrip_gzip_members(self, spark, tmp_path):
+        from aggo_spark.sources.warc import (build_warc_index, read_warc,
+                                             read_warc_indexed)
+
+        path, recs = self._write_archive(tmp_path, n=8, gz=True)
+        idx = build_warc_index(spark, path)
+        rows = idx.orderBy("record_no").collect()
+        assert [r.record_no for r in rows] == list(range(8))
+        # ranges tile the file exactly (members are contiguous)
+        import os
+        assert rows[0].offset == 0
+        for a, b in zip(rows, rows[1:]):
+            assert a.offset + a.length == b.offset
+        assert rows[-1].offset + rows[-1].length == os.path.getsize(path)
+
+        full = {(r.record_no, r.url, bytes(r.payload))
+                for r in read_warc(spark, path).collect()}
+        ranged = {(r.record_no, r.url, bytes(r.payload))
+                  for r in read_warc_indexed(spark, idx).collect()}
+        assert ranged == full and len(full) == 8
+
+    def test_index_roundtrip_plain(self, spark, tmp_path):
+        from aggo_spark.sources.warc import (build_warc_index, read_warc,
+                                             read_warc_indexed)
+
+        path, _ = self._write_archive(tmp_path, n=5, gz=False,
+                                      name="a.warc")
+        idx = build_warc_index(spark, path)
+        assert idx.count() == 5
+        full = {(r.record_no, r.url) for r in read_warc(spark, path).collect()}
+        ranged = {(r.record_no, r.url)
+                  for r in read_warc_indexed(spark, idx).collect()}
+        assert ranged == full
+
+    def test_single_archive_fans_out_beyond_one_task(self, spark, tmp_path):
+        from aggo_spark.sources.warc import build_warc_index, read_warc_indexed
+
+        path, _ = self._write_archive(tmp_path, n=12, gz=True)
+        idx = build_warc_index(spark, path)
+        out = read_warc_indexed(spark, idx, num_partitions=4)
+        # the input-split test: ONE archive, >1 task
+        assert out.rdd.getNumPartitions() == 4
+        per_part = out.rdd.glom().map(len).collect()
+        assert sum(per_part) == 12
+        assert sum(1 for n in per_part if n > 0) > 1
+
+
 class TestNumericEntities:
     """r7-verdict #3: numeric HTML character references decode
     pure-Column (hex + decimal, astral range) — previously they survived
