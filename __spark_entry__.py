@@ -694,6 +694,56 @@ def q39_fingerprint(spark, sf_dir):
     )
 
 
+def _crawl_fixture_html(i: int) -> str:
+    """Deterministic per-doc HTML for the q40 crawl branch: unclosed
+    <li>/<p> (auto-closing elements), a numeric entity (&#8217;), a named
+    entity (&amp;), style/script/comment bodies — every strip_html tier.
+    Docs with ``i % 9 == 0`` share one fixed body (the duplicate cluster
+    the dedup signal counts). The oracle reconstructs the EXPECTED
+    stripped text arithmetically, so a reader/stripper that fakes any
+    step fails the value hash."""
+    if i % 9 == 0:
+        body = "Duplicate boilerplate body shared across mirror pages."
+    else:
+        body = f"Crawl doc {i} it&#8217;s body text {(i * 7) % 13}."
+    return ("<html><head><title>t</title><style>.x{color:red}</style></head>"
+            "<body><nav><li>Home<li>About</nav>"
+            f"<p>{body}"
+            "<p>Par two &amp; tail words.</p>"
+            "<script>var x=1;</script></body></html>")
+
+
+def _warc_fixture_dir(spark, sf_dir: str) -> str:
+    """Write (once per documents-count) the deterministic WARC fixture
+    the q40 crawl branch reads: one record per doc_id in 4 per-record-
+    gzip-member archives under /tmp — a FIXTURE generator (the
+    encode_png/encode_wav pattern scaled to a source that needs real
+    files on disk), not an operator collect; bytes are a few KB per
+    record and the write happens exactly once per scale factor."""
+    import os
+
+    n = _t(spark, sf_dir, "documents").count()
+    d = f"/tmp/aggo_spark_warc_fixture_n{n}"
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        from aggo_spark.sources.warc import encode_warc
+
+        os.makedirs(d, exist_ok=True)
+        shards = 4
+        for s in range(shards):
+            recs = [
+                {"warc_type": "response", "url": f"http://crawl.test/{i}",
+                 "http": True,
+                 "payload": _crawl_fixture_html(i).encode()}
+                for i in range(s, n, shards)
+            ]
+            with open(os.path.join(d, f"part-{s}.warc.gz"), "wb") as f:
+                f.write(encode_warc(recs, gzip_members=True))
+        with open(marker, "w") as f:
+            f.write(str(n))
+    return d
+
+
 def q40_multimodal(spark, sf_dir):
     """Multimodal scaffold end to end: binary-column metadata decode via
     Arrow mapInPandas joined with the video frame-sampling plan rows
@@ -703,7 +753,17 @@ def q40_multimodal(spark, sf_dir):
     decodes the actual bytes (header parse + zlib inflate + de-filter +
     channel stats), and the oracle recomputes the expectations
     arithmetically — so a decoder that fakes instead of parsing fails the
-    hash. Text bytes (no container magic) keep the deterministic fake."""
+    hash. Text bytes (no container magic) keep the deterministic fake.
+
+    r8 (r7-verdict #2): the CRAWL FRONT DOOR rides along — read_warc over
+    a deterministic 4-archive gzip-member fixture (one record per doc_id,
+    HTTP response envelopes) → strip_html (numeric + named entities,
+    auto-closing blocks, script/style/comment bodies) → curation signals
+    (whitespace word count, C4-ish keep rule, exact-duplicate copy count
+    over the extracted text). The oracle rebuilds the expected extracted
+    text per doc_id arithmetically and recomputes the same signals in
+    SQL, so the whole WARC → HTML → text → signals chain is value-hashed
+    end to end."""
     import pandas as _pd
 
     df = multimodal.attach_binary(_t(spark, sf_dir, "documents"), "text")
@@ -807,9 +867,38 @@ def q40_multimodal(spark, sf_dir):
         F.col("video_meta.height").alias("mp4_height"),
         F.col("video_meta.n_tracks").alias("mp4_tracks"),
     )
+    # r8 crawl branch: WARC -> strip_html -> curation signals
+    from pyspark.sql.window import Window as _W
+
+    from aggo_spark.operators.html import strip_html
+    from aggo_spark.sources import warc as _warc
+
+    wdir = _warc_fixture_dir(spark, sf_dir)
+    crawl = (
+        _warc.read_warc(spark, f"{wdir}/*.warc.gz")
+        .select(
+            F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+            .alias("doc_id"),
+            F.col("http_status").alias("crawl_status"),
+            F.col("http_content_type").alias("crawl_ctype"),
+            strip_html(F.col("payload").cast("string")).alias("warc_text"),
+        )
+        .withColumn(
+            "crawl_n_words",
+            F.size(F.split(F.trim(F.regexp_replace("warc_text", r"\s+", " ")),
+                           " ")).cast("int"))
+        .withColumn(
+            "crawl_keep",
+            ((F.col("crawl_n_words") >= 8)
+             & F.col("warc_text").endswith(".")).cast("int"))
+        .withColumn(
+            "crawl_copies",
+            F.count("*").over(_W.partitionBy("warc_text")).cast("long"))
+    )
     return (
         meta.join(frames, "doc_id").join(decoded, "doc_id")
         .join(jdec, "doc_id").join(wavdec, "doc_id").join(mp4dec, "doc_id")
+        .join(crawl, "doc_id")
         .orderBy("doc_id", "frame_idx")
     )
 
@@ -1808,7 +1897,32 @@ def oracle_sql() -> dict[str, str]:
             WITH f AS (
               SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS total_bytes,
                      unnest([0, 1, 2, 3]) AS frame_idx
-              FROM documents)
+              FROM documents),
+            -- r8 crawl branch: the expected strip_html output per doc_id,
+            -- rebuilt arithmetically (the WARC fixture's HTML is a pure
+            -- function of doc_id), then the same curation signals in SQL
+            crawl AS (
+              SELECT doc_id,
+                     'Home' || chr(10) || chr(10) || 'About'
+                       || chr(10) || chr(10)
+                       || CASE WHEN doc_id % 9 = 0
+                          THEN 'Duplicate boilerplate body shared across mirror pages.'
+                          ELSE 'Crawl doc ' || doc_id
+                               || ' it’s body text '
+                               || (doc_id * 7) % 13 || '.' END
+                       || chr(10) || chr(10) || 'Par two & tail words.'
+                       AS warc_text
+              FROM documents),
+            crawl_sig AS (
+              SELECT doc_id, warc_text,
+                     CAST(200 AS INT) AS crawl_status,
+                     'text/html' AS crawl_ctype,
+                     CAST(len(regexp_split_to_array(
+                          trim(regexp_replace(warc_text, '\\s+', ' ', 'g')),
+                          ' ')) AS INT) AS crawl_n_words,
+                     CAST(count(*) OVER (PARTITION BY warc_text) AS BIGINT)
+                       AS crawl_copies
+              FROM crawl)
             SELECT f.doc_id,
                    CAST(octet_length(CAST(d.text AS BLOB)) AS BIGINT) AS img_bytes,
                    CASE octet_length(CAST(d.text AS BLOB)) % 3
@@ -1860,8 +1974,15 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d.doc_id % 7 = 0 THEN NULL
                         ELSE CAST(16 * (1 + d.doc_id % 68) AS INT) END AS mp4_height,
                    CASE WHEN d.doc_id % 7 = 0 THEN NULL
-                        ELSE CAST(1 AS INT) END AS mp4_tracks
+                        ELSE CAST(1 AS INT) END AS mp4_tracks,
+                   c.crawl_status, c.crawl_ctype, c.warc_text,
+                   c.crawl_n_words,
+                   CAST(CASE WHEN c.crawl_n_words >= 8
+                             AND c.warc_text LIKE '%.'
+                        THEN 1 ELSE 0 END AS INT) AS crawl_keep,
+                   c.crawl_copies
             FROM f JOIN documents d ON f.doc_id = d.doc_id
+                   JOIN crawl_sig c ON f.doc_id = c.doc_id
             ORDER BY f.doc_id, frame_idx
         """,
         "q46_densify_fill": """

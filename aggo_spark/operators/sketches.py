@@ -8,9 +8,13 @@ binary per (group, snapshot) and MERGES: new data only ever scans
 itself, and any rollup (per-source, global, across snapshots) is a
 union of sketches — the same pattern as Delta/Iceberg column stats.
 
-Built entirely on Spark 4's native Apache DataSketches HLL functions
-(``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``):
-map-side combinable aggregates, JVM-side, no UDFs.
+Built entirely on Spark 4's native Apache DataSketches functions —
+HLL for cardinality (``hll_sketch_agg`` / ``hll_union_agg`` /
+``hll_sketch_estimate``) and, r8, KLL for quantiles
+(``kll_sketch_agg_double`` / ``kll_merge_agg_double`` /
+``kll_sketch_get_quantile_double``): map-side combinable aggregates,
+JVM-side, no UDFs. The same two sketches Delta/Iceberg-class table
+stats and crawl accounting pipelines standardize on.
 """
 
 from __future__ import annotations
@@ -22,6 +26,9 @@ __all__ = [
     "distinct_sketch_table",
     "merge_sketch_tables",
     "sketch_estimates",
+    "quantile_sketch_table",
+    "merge_quantile_tables",
+    "quantile_estimates",
 ]
 
 _LG_K_MIN, _LG_K_MAX = 4, 21  # datasketches HLL bounds
@@ -88,3 +95,88 @@ def sketch_estimates(table: DataFrame) -> DataFrame:
     after reading back from parquet, where only ``sketch`` persists)."""
     return table.withColumn(
         "estimate", F.hll_sketch_estimate("sketch").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# quantile sketches (KLL) — the distribution complement of the HLL tables
+# ---------------------------------------------------------------------------
+
+_KLL_K_MIN, _KLL_K_MAX = 8, 65535  # datasketches KllDoublesSketch bounds
+
+
+def _check_kll_k(k: int) -> int:
+    if not (_KLL_K_MIN <= k <= _KLL_K_MAX):
+        raise ValueError(
+            f"k must be in [{_KLL_K_MIN}, {_KLL_K_MAX}], got {k}")
+    return k
+
+
+def quantile_sketch_table(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    k: int = 200,
+) -> DataFrame:
+    """Per-group KLL quantile sketch of ``value_col`` — the distribution
+    complement of :func:`distinct_sketch_table` (r8, r7-verdict #6):
+    corpus length/score distributions per (source, snapshot) with the
+    same update-scans-only-new-data property. Spark 4.1 ships the
+    Apache DataSketches KllDoublesSketch as NATIVE aggregates
+    (``kll_sketch_agg_double`` — map-side combinable, JVM-side, no
+    UDFs), so no t-digest Python kernel is needed.
+
+    Returns ``(*by, qsketch, n)``; ``k=200`` (the library default) gives
+    ~1.65% rank error in a few KB. Persist ``qsketch`` (parquet binary)
+    per snapshot; roll up with :func:`merge_quantile_tables`; read
+    percentiles with :func:`quantile_estimates`."""
+    _check_kll_k(k)
+    by = by or []
+    agg = F.kll_sketch_agg_double(
+        F.col(value_col).cast("double"), F.lit(k)).alias("qsketch")
+    out = (df.groupBy(*by).agg(agg) if by else df.agg(agg))
+    return out.withColumn(
+        "n", F.kll_sketch_get_n_double("qsketch").cast("long"))
+
+
+def merge_quantile_tables(
+    tables: list[DataFrame],
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Union KLL quantile-sketch tables (one per crawl snapshot) into a
+    ``(*by, qsketch, n)`` rollup — sketch merges, never re-scanned rows;
+    grouping on a subset of the original ``by`` keys rolls the hierarchy
+    up (per-source → global with ``by=[]``), exactly like
+    :func:`merge_sketch_tables`."""
+    if not tables:
+        raise ValueError("merge_quantile_tables needs at least one table")
+    by = by or []
+    proj = [t.select(*by, "qsketch") for t in tables]
+    u = proj[0]
+    for t in proj[1:]:
+        u = u.unionByName(t)
+    agg = F.kll_merge_agg_double("qsketch").alias("qsketch")
+    out = (u.groupBy(*by).agg(agg) if by else u.agg(agg))
+    return out.withColumn(
+        "n", F.kll_sketch_get_n_double("qsketch").cast("long"))
+
+
+def quantile_estimates(
+    table: DataFrame, quantiles: list[float] | None = None
+) -> DataFrame:
+    """Materialize percentile columns from a stored quantile-sketch
+    table: one ``q<percent>`` column per requested rank (default
+    p50/p90/p99) plus the stream length ``n``."""
+    qs = quantiles if quantiles is not None else [0.5, 0.9, 0.99]
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile ranks must be in [0, 1], got {q}")
+    out = table.withColumn(
+        "n", F.kll_sketch_get_n_double("qsketch").cast("long"))
+    for q in qs:
+        pct = q * 100
+        name = (f"q{int(pct)}" if float(pct).is_integer()
+                else f"q{str(q)[2:]}")
+        out = out.withColumn(
+            name,
+            F.kll_sketch_get_quantile_double("qsketch", F.lit(float(q))))
+    return out

@@ -9,6 +9,7 @@ generation-swap index compaction + adaptive-latency scope
 (test_streaming).
 """
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import *  # noqa: F401,F403  (spark fixture)
 
@@ -225,6 +226,91 @@ class TestNumericEntities:
             # while str.split() treats U+00A0 as whitespace)
             assert " ".join(g.split()) == " ".join(want.split()), \
                 (doc, g, want)
+
+
+class TestQuantileSketches:
+    """r7-verdict #6: mergeable KLL quantile sketches next to the HLL
+    tables — distribution accounting whose updates scan only new
+    snapshots. Spark 4.1's native kll_* aggregates, no Python kernel."""
+
+    def _docs(self, spark):
+        return (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+                .select("doc_id", "lang", F.length("text").alias("len")))
+
+    def test_merge_equals_whole_and_is_associative(self, spark, tmp_path):
+        from aggo_spark.operators.sketches import (merge_quantile_tables,
+                                                   quantile_estimates,
+                                                   quantile_sketch_table)
+
+        docs = self._docs(spark)
+        whole = quantile_sketch_table(docs, "len", by=["lang"])
+        # three "snapshots" (disjoint doc_id ranges), sketched separately
+        parts = [quantile_sketch_table(
+            docs.filter(f"doc_id % 3 = {i}"), "len", by=["lang"])
+            for i in range(3)]
+        merged = merge_quantile_tables(parts, by=["lang"])
+        # associativity: (p0 + p1) + p2 == p0 + (p1 + p2) == whole
+        left = merge_quantile_tables(
+            [merge_quantile_tables(parts[:2], by=["lang"]), parts[2]],
+            by=["lang"])
+        right = merge_quantile_tables(
+            [parts[0], merge_quantile_tables(parts[1:], by=["lang"])],
+            by=["lang"])
+        def est(t):
+            return {r.lang: (r.n, r.q50, r.q90, r.q99) for r in
+                    quantile_estimates(t).collect()}
+        w, m, l, r = est(whole), est(merged), est(left), est(right)
+        # merge semantics: n (stream length) is EXACT under any merge
+        # order; quantile estimates are approximately associative — KLL
+        # compaction is order-dependent, so different merge trees keep
+        # different sample values, all within the k=200 rank-error budget
+        for other in (m, l, r):
+            assert {k: v[0] for k, v in other.items()} == \
+                   {k: v[0] for k, v in w.items()}
+            for lang, (_, *qs_o) in other.items():
+                for qo, qw in zip(qs_o, w[lang][1:]):
+                    assert abs(qo - qw) <= max(0.05 * abs(qw), 1.0), (lang,)
+
+    def test_error_vs_exact_percentile_pinned(self, spark):
+        from aggo_spark.operators.sketches import (quantile_estimates,
+                                                   quantile_sketch_table)
+
+        docs = self._docs(spark)
+        sk = quantile_estimates(
+            quantile_sketch_table(docs, "len"), [0.5, 0.9, 0.99])
+        got = sk.collect()[0]
+        exact = docs.agg(
+            F.expr("percentile(len, array(0.5, 0.9, 0.99))")).collect()[0][0]
+        n = docs.count()
+        assert got.n == n
+        # k=200 -> ~1.65% RANK error; convert to a value tolerance via
+        # the observed local value spread: check the sketch's quantile
+        # sits within the exact values at ranks +-2.5%
+        for q, g in zip([0.5, 0.9, 0.99], [got.q50, got.q90, got.q99]):
+            lo, hi = max(0.0, q - 0.025), min(1.0, q + 0.025)
+            lo_v, hi_v = docs.agg(F.expr(
+                f"percentile(len, array({lo}, {hi}))")).collect()[0][0]
+            assert lo_v <= g <= hi_v, (q, g, lo_v, hi_v, exact)
+
+    def test_roundtrip_parquet_and_rollup(self, spark, tmp_path):
+        from aggo_spark.operators.sketches import (merge_quantile_tables,
+                                                   quantile_estimates,
+                                                   quantile_sketch_table)
+
+        docs = self._docs(spark)
+        p = str(tmp_path / "qsk")
+        quantile_sketch_table(docs, "len", by=["lang"]) \
+            .select("lang", "qsketch").write.parquet(p)
+        back = spark.read.parquet(p)
+        # per-source -> global rollup: group subset (by=[])
+        glob = quantile_estimates(merge_quantile_tables([back]))
+        assert glob.collect()[0].n == docs.count()
+
+    def test_k_validation(self, spark):
+        from aggo_spark.operators.sketches import quantile_sketch_table
+
+        with pytest.raises(ValueError, match="k must be"):
+            quantile_sketch_table(self._docs(spark), "len", k=4)
 
 
 class TestAutoClosingBlocks:
