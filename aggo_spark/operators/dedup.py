@@ -32,6 +32,7 @@ __all__ = [
     "minhash_signature",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_probe",
     "minhash_decontaminate",
     "simhash",
     "simhash_table",
@@ -563,6 +564,65 @@ def benchmark_ngram_overlap(
             F.coalesce("n_overlap_grams", F.lit(0)).cast("int").alias("n_overlap_grams"),
             (F.coalesce("n_overlap_grams", F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+def minhash_probe(
+    index: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    threshold: float = 0.5,
+    unit: str = "char",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup lookup of NEW documents against a maintained MinHash band
+    table (r8, r7-verdict #7): ``index`` is the signed changelog written
+    by ``StreamingCollection.maintain_index(kind="minhash")`` (read via
+    ``index_df``) — or any (id, sign?, band, bh, sig) band table.
+    Returns ``(query_id, corpus_id, est_jaccard)`` for corpus docs whose
+    estimated Jaccard with the query meets ``threshold``.
+
+    Cost shape: the QUERIES get signatures (scan of the query set only —
+    the corpus is never re-signatured, that's the point of maintaining
+    the table); candidates come from the banded equi-join; a retracted
+    corpus doc's band rows cancel by net multiplicity before the join.
+    Parameters must match the ones the index was built with (they key
+    the band hashes)."""
+    rows = num_perm // bands
+    if "sign" in index.columns:
+        live = (
+            index.groupBy("id", "band", "bh")
+            .agg(F.sum("sign").alias("__net"), F.first("sig").alias("sig"))
+            .filter(F.col("__net") > 0)
+            .select("id", "band", "bh", "sig")
+        )
+    else:
+        live = index.select("id", "band", "bh", "sig")
+    qs = minhash_signatures(queries, text_col, id_col, num_perm, k,
+                            unit=unit, hash_fn=hash_fn)
+    band_keys = _band_key_structs(bands, rows, hash_fn)
+    qb = (
+        qs.select("id", "sig", F.explode(F.array(*band_keys)).alias("bk"))
+        .select(F.col("id").alias("query_id"), F.col("sig").alias("qsig"),
+                F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    )
+    est = (
+        F.size(F.filter(
+            F.zip_with("qsig", "sig", lambda p, q: p == q),
+            lambda e: e,
+        )).cast("double") / F.lit(float(num_perm))
+    )
+    return (
+        qb.join(live, ["band", "bh"])
+        .select("query_id", F.col("id").alias("corpus_id"),
+                est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .groupBy("query_id", "corpus_id")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
 
 

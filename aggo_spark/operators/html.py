@@ -161,6 +161,16 @@ def html_blocks(
     (one Generate) → per-block signals as plain columns. No shuffle;
     block signals stay inside whole-stage codegen except the InSet
     stopword probe.
+
+    SPACE-DELIMITED LANGUAGES ONLY (documented, r7-verdict #9): the
+    stopword tables are whitespace-token sets (``LANG_STOPWORDS`` — en/
+    de/es/fr/it...), so CJK blocks tokenize as one huge "word" and score
+    ``stop_frac = 0`` → always boilerplate. For mixed crawls, route by
+    ``add_language_id`` FIRST and run this classifier only on documents
+    whose language is in ``LANG_STOPWORDS``; CJK content selection needs
+    a segmenter (out of scope here) or a length-only rule
+    (``stopword_frac=0.0`` degrades to the length feature alone, which
+    jusText's evaluation shows is the weaker but still useful half).
     """
     if lang not in LANG_STOPWORDS:
         raise ValueError(

@@ -228,6 +228,92 @@ class TestNumericEntities:
                 (doc, g, want)
 
 
+class TestMinhashIndexMaintenance:
+    """r7-verdict #7: the signed-delta pattern extended to the MinHash
+    band table — a StreamingCollection answers "is this new doc a
+    near-dup of the corpus" without a full re-signature; retractions
+    cancel band rows as net multiplicity."""
+
+    A = ("the quick brown fox jumps over the lazy dog and then runs far "
+         "away into the deep green forest tonight")
+    A2 = ("the quick brown fox jumps over the lazy dog and then runs far "
+          "away into the deep green forest today")  # near-dup of A
+    B = ("completely different content about spark partitions shuffles "
+         "and adaptive query execution at scale")
+
+    def _coll(self, spark, tmp_path):
+        from aggo_spark.streaming.core import StreamingCollection
+
+        return StreamingCollection(
+            spark, "doc_id long, text string", workdir=str(tmp_path))
+
+    def test_probe_mutate_retract(self, spark, tmp_path):
+        from aggo_spark.operators.dedup import minhash_probe
+
+        coll = self._coll(spark, tmp_path)
+        try:
+            coll.add({"doc_id": 1, "text": self.A})
+            coll.add({"doc_id": 2, "text": self.B})
+            rid = coll.maintain_index(
+                str(tmp_path / "mh"), kind="minhash", unit="word",
+                shingle_k=3)
+            q = coll._queries[rid]
+
+            def probe(text):
+                qdf = spark.createDataFrame(
+                    [(100, text)], "doc_id long, text string")
+                return {(r.corpus_id, round(r.est_jaccard, 2)) for r in
+                        minhash_probe(coll.index_df(rid), qdf,
+                                      unit="word", k=3,
+                                      threshold=0.5).collect()}
+
+            hits = probe(self.A2)
+            assert {c for c, _ in hits} == {1}  # near-dup of A, not B
+            assert all(j >= 0.5 for _, j in hits)
+            assert probe("utterly unrelated words nothing shared "
+                         "whatsoever here at all today friends") == set()
+
+            # mutate: the maintenance batch reads ONLY the delta
+            # (input-metrics bound — a re-signature would read >= corpus)
+            coll.add({"doc_id": 3, "text": self.A2})
+            prog = q.lastProgress
+            # file-source numInputRows is approximate (can over-count by
+            # a spool-file boundary); the bound that matters is "the
+            # delta, not the corpus" — a re-signature would read all docs
+            assert prog is not None and prog["numInputRows"] <= 2
+            assert {c for c, _ in probe(self.A)} == {1, 3}
+
+            # retraction: band rows cancel, doc leaves the candidates
+            coll.remove({"doc_id": 1, "text": self.A})
+            assert {c for c, _ in probe(self.A)} == {3}
+        finally:
+            coll.stop()
+
+    def test_compaction_nets_band_rows(self, spark, tmp_path):
+        from aggo_spark.operators.dedup import minhash_probe
+
+        coll = self._coll(spark, tmp_path)
+        try:
+            coll.add({"doc_id": 1, "text": self.A})
+            rid = coll.maintain_index(
+                str(tmp_path / "mh"), kind="minhash", unit="word",
+                shingle_k=3, compact_every=2)
+            coll.add({"doc_id": 2, "text": self.B})
+            coll.remove({"doc_id": 1, "text": self.A})
+            # compaction ran (2 batches): retracted doc's band rows are
+            # GONE from storage, not just net-filtered at query time
+            idx = coll.index_df(rid)
+            assert idx.filter("id = 1").count() == 0
+            assert "sign" in idx.columns  # probe stays net-aware
+            qdf = spark.createDataFrame(
+                [(100, self.A2)], "doc_id long, text string")
+            got = {r.corpus_id for r in minhash_probe(
+                idx, qdf, unit="word", k=3, threshold=0.5).collect()}
+            assert got == set()
+        finally:
+            coll.stop()
+
+
 class TestQuantileSketches:
     """r7-verdict #6: mergeable KLL quantile sketches next to the HLL
     tables — distribution accounting whose updates scan only new
