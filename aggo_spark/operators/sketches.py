@@ -29,6 +29,9 @@ __all__ = [
     "quantile_sketch_table",
     "merge_quantile_tables",
     "quantile_estimates",
+    "theta_sketch_table",
+    "merge_theta_tables",
+    "snapshot_set_stats",
 ]
 
 _LG_K_MIN, _LG_K_MAX = 4, 21  # datasketches HLL bounds
@@ -158,6 +161,87 @@ def merge_quantile_tables(
     out = (u.groupBy(*by).agg(agg) if by else u.agg(agg))
     return out.withColumn(
         "n", F.kll_sketch_get_n_double("qsketch").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# theta sketches — SET OPERATIONS across snapshots (new-vs-seen accounting)
+# ---------------------------------------------------------------------------
+
+def theta_sketch_table(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Per-group Theta sketch of ``value_col``'s distinct values —
+    ``(*by, tsketch, estimate)``. HLL answers "how many distinct"; Theta
+    additionally supports INTERSECTION and DIFFERENCE, the two crawl
+    questions HLL can't: "how many of snapshot N's URLs are NEW vs
+    snapshot N−1" and "how much do two sources overlap". Native Spark
+    4.1 DataSketches aggregate (map-side combinable, JVM-side)."""
+    by = by or []
+    agg = F.theta_sketch_agg(F.col(value_col)).alias("tsketch")
+    out = (df.groupBy(*by).agg(agg) if by else df.agg(agg))
+    return out.withColumn(
+        "estimate", F.theta_sketch_estimate("tsketch").cast("long"))
+
+
+def merge_theta_tables(
+    tables: list[DataFrame],
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Union Theta sketch tables into a ``(*by, tsketch, estimate)``
+    rollup — same hierarchy semantics as :func:`merge_sketch_tables`."""
+    if not tables:
+        raise ValueError("merge_theta_tables needs at least one table")
+    by = by or []
+    proj = [t.select(*by, "tsketch") for t in tables]
+    u = proj[0]
+    for t in proj[1:]:
+        u = u.unionByName(t)
+    agg = F.theta_union_agg("tsketch").alias("tsketch")
+    out = (u.groupBy(*by).agg(agg) if by else u.agg(agg))
+    return out.withColumn(
+        "estimate", F.theta_sketch_estimate("tsketch").cast("long"))
+
+
+def snapshot_set_stats(
+    a: DataFrame,
+    b: DataFrame,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """New-vs-seen accounting between two Theta sketch tables (e.g. crawl
+    snapshot N vs N−1), per group: ``(*by, a_est, b_est, union_est,
+    intersection_est, only_a_est, only_b_est)`` — all sketch arithmetic,
+    no row data touched. Groups present in only one side count the other
+    as empty (full outer join; estimates 0). The standard dashboard row
+    for "this crawl added X new URLs, re-saw Y"."""
+    by = by or []
+    sa = a.select(*by, F.col("tsketch").alias("__ta"))
+    sb = b.select(*by, F.col("tsketch").alias("__tb"))
+    j = (sa.join(sb, by, "full_outer") if by
+         else sa.crossJoin(sb))  # two 1-row global tables
+    est = F.theta_sketch_estimate
+
+    def _safe(expr: F.Column, fallback: F.Column) -> F.Column:
+        return F.when(F.col("__ta").isNull() | F.col("__tb").isNull(),
+                      fallback).otherwise(expr)
+
+    zero = F.lit(0).cast("long")
+    a_est = F.coalesce(est("__ta").cast("long"), zero)
+    b_est = F.coalesce(est("__tb").cast("long"), zero)
+    return j.select(
+        *by,
+        a_est.alias("a_est"),
+        b_est.alias("b_est"),
+        _safe(est(F.theta_union("__ta", "__tb")).cast("long"),
+              a_est + b_est).alias("union_est"),
+        _safe(est(F.theta_intersection("__ta", "__tb")).cast("long"),
+              zero).alias("intersection_est"),
+        _safe(est(F.theta_difference("__ta", "__tb")).cast("long"),
+              a_est).alias("only_a_est"),
+        _safe(est(F.theta_difference("__tb", "__ta")).cast("long"),
+              b_est).alias("only_b_est"),
+    )
 
 
 def quantile_estimates(

@@ -399,6 +399,57 @@ class TestQuantileSketches:
             quantile_sketch_table(self._docs(spark), "len", k=4)
 
 
+class TestThetaSketches:
+    """r8 extension: Theta sketch tables — the set-operation complement
+    of HLL (intersection/difference across snapshots: new-vs-seen URL
+    accounting, source overlap) on Spark 4.1's native aggregates."""
+
+    def _snap(self, spark, lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("http://u/"), F.col("id")).alias("url"),
+            (F.col("id") % 2).cast("int").alias("src"))
+
+    def test_new_vs_seen_accounting(self, spark):
+        from aggo_spark.operators.sketches import (snapshot_set_stats,
+                                                   theta_sketch_table)
+
+        prev = theta_sketch_table(self._snap(spark, 0, 1000), "url")
+        cur = theta_sketch_table(self._snap(spark, 600, 1400), "url")
+        row = snapshot_set_stats(cur, prev).collect()[0]
+        # exact below the sketch's sampling threshold (small sets)
+        assert row.a_est == 800 and row.b_est == 1000
+        assert row.union_est == 1400
+        assert row.intersection_est == 400   # re-seen
+        assert row.only_a_est == 400         # new this snapshot
+        assert row.only_b_est == 600         # gone since last snapshot
+
+    def test_grouped_and_missing_groups(self, spark):
+        from aggo_spark.operators.sketches import (snapshot_set_stats,
+                                                   theta_sketch_table)
+
+        a = theta_sketch_table(
+            self._snap(spark, 0, 100), "url", by=["src"])
+        # side b covers only src=0 (filtering out src=1 entirely)
+        b = theta_sketch_table(
+            self._snap(spark, 50, 150).filter("src = 0"), "url", by=["src"])
+        out = {r.src: r for r in snapshot_set_stats(a, b, by=["src"]).collect()}
+        assert out[0].intersection_est == 25   # ids 50..98 even
+        assert out[0].only_a_est == 25
+        assert out[0].only_b_est == 25
+        # group absent on side b: a's counts pass through, zero overlap
+        assert out[1].b_est == 0 and out[1].intersection_est == 0
+        assert out[1].only_a_est == out[1].a_est == 50
+
+    def test_merge_rollup(self, spark):
+        from aggo_spark.operators.sketches import (merge_theta_tables,
+                                                   theta_sketch_table)
+
+        parts = [theta_sketch_table(self._snap(spark, i * 100, (i + 1) * 100),
+                                    "url") for i in range(3)]
+        merged = merge_theta_tables(parts)
+        assert merged.collect()[0].estimate == 300
+
+
 class TestAutoClosingBlocks:
     """ADVICE r7: opening block-level tags emit boundaries too, so
     spec-valid unclosed <p>/<li> (auto-closing elements) segment into
