@@ -32,6 +32,9 @@ __all__ = [
     "theta_sketch_table",
     "merge_theta_tables",
     "snapshot_set_stats",
+    "topk_sketch_table",
+    "merge_topk_tables",
+    "topk_estimates",
 ]
 
 _LG_K_MIN, _LG_K_MAX = 4, 21  # datasketches HLL bounds
@@ -241,6 +244,72 @@ def snapshot_set_stats(
               a_est).alias("only_a_est"),
         _safe(est(F.theta_difference("__tb", "__ta")).cast("long"),
               b_est).alias("only_b_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (approx_top_k sketches) — "top domains/tokens per snapshot"
+# ---------------------------------------------------------------------------
+
+def topk_sketch_table(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    max_items: int = 10_000,
+) -> DataFrame:
+    """Per-group heavy-hitter sketch of ``value_col`` —
+    ``(*by, ksketch)`` — via Spark 4's ``approx_top_k_accumulate``
+    (mergeable frequent-items state, map-side combinable). The fourth
+    corpus-accounting sketch: "which domains/tokens/templates dominate
+    this snapshot", updatable per snapshot and rolled up with
+    :func:`merge_topk_tables` without re-scanning history.
+    ``max_items`` bounds tracked-item state (items beyond it can be
+    under-counted — the standard frequent-items trade; size it ≫ the k
+    you will read)."""
+    if max_items < 1:
+        raise ValueError(f"max_items must be >= 1, got {max_items}")
+    by = by or []
+    agg = F.expr(
+        f"approx_top_k_accumulate({value_col}, {int(max_items)})"
+    ).alias("ksketch")
+    return df.groupBy(*by).agg(agg) if by else df.agg(agg)
+
+
+def merge_topk_tables(
+    tables: list[DataFrame],
+    by: list[str] | None = None,
+    max_items: int = 10_000,
+) -> DataFrame:
+    """Union heavy-hitter sketch tables into a ``(*by, ksketch)`` rollup
+    (``approx_top_k_combine``); same hierarchy semantics as the other
+    sketch merges."""
+    if not tables:
+        raise ValueError("merge_topk_tables needs at least one table")
+    by = by or []
+    proj = [t.select(*by, "ksketch") for t in tables]
+    u = proj[0]
+    for t in proj[1:]:
+        u = u.unionByName(t)
+    agg = F.expr(
+        f"approx_top_k_combine(ksketch, {int(max_items)})").alias("ksketch")
+    return u.groupBy(*by).agg(agg) if by else u.agg(agg)
+
+
+def topk_estimates(table: DataFrame, k: int = 10) -> DataFrame:
+    """Explode a heavy-hitter sketch table into its top-``k`` items:
+    ``(*keys, item, count, rank)`` — one row per heavy hitter per
+    group."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    keys = [c for c in table.columns if c != "ksketch"]
+    return (
+        table.select(
+            *keys,
+            F.posexplode(F.expr(f"approx_top_k_estimate(ksketch, {int(k)})"))
+            .alias("__rank0", "__it"))
+        .select(*keys, F.col("__it.item").alias("item"),
+                F.col("__it.count").alias("count"),
+                (F.col("__rank0") + 1).cast("int").alias("rank"))
     )
 
 

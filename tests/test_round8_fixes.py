@@ -450,6 +450,58 @@ class TestThetaSketches:
         assert merged.collect()[0].estimate == 300
 
 
+class TestTopkSketches:
+    """r8 extension: mergeable heavy-hitter sketches (approx_top_k
+    accumulate/combine/estimate) — top domains/tokens per snapshot,
+    rolled up without re-scanning history."""
+
+    def _snap(self, spark, seed):
+        # zipfian-ish: domain d0 dominates, d1 next, long tail
+        return spark.range(1000).select(
+            F.concat(F.lit("d"),
+                     (F.pmod(F.xxhash64(F.col("id") + seed), 100) / 25)
+                     .cast("int")).alias("dom"))
+
+    def test_accumulate_estimate(self, spark):
+        from aggo_spark.operators.sketches import (topk_estimates,
+                                                   topk_sketch_table)
+
+        df = spark.createDataFrame(
+            [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5, "dom string")
+        top = topk_estimates(topk_sketch_table(df, "dom"), k=2).collect()
+        # r["count"]: Row.count is a method, attribute access shadows it
+        assert [(r.item, r["count"], r.rank) for r in top] == [
+            ("a", 50, 1), ("b", 30, 2)]
+
+    def test_merge_matches_whole(self, spark):
+        from aggo_spark.operators.sketches import (merge_topk_tables,
+                                                   topk_estimates,
+                                                   topk_sketch_table)
+
+        snaps = [self._snap(spark, s) for s in (0, 7)]
+        whole = topk_sketch_table(snaps[0].unionAll(snaps[1]), "dom",
+                                  max_items=100)
+        merged = merge_topk_tables(
+            [topk_sketch_table(s, "dom", max_items=100) for s in snaps],
+            max_items=100)
+        w = [(r.item, r["count"]) for r in topk_estimates(whole, 4).collect()]
+        m = [(r.item, r["count"]) for r in topk_estimates(merged, 4).collect()]
+        # max_items covers the full domain alphabet -> counts are exact
+        # and merge == whole exactly
+        assert m == w and len(m) == 4
+
+    def test_grouped(self, spark):
+        from aggo_spark.operators.sketches import (topk_estimates,
+                                                   topk_sketch_table)
+
+        df = spark.createDataFrame(
+            [("s1", "a")] * 3 + [("s1", "b")] * 1 + [("s2", "b")] * 2,
+            "src string, dom string")
+        out = {(r.src, r.rank): (r.item, r["count"]) for r in topk_estimates(
+            topk_sketch_table(df, "dom", by=["src"]), k=1).collect()}
+        assert out == {("s1", 1): ("a", 3), ("s2", 1): ("b", 2)}
+
+
 class TestAutoClosingBlocks:
     """ADVICE r7: opening block-level tags emit boundaries too, so
     spec-valid unclosed <p>/<li> (auto-closing elements) segment into
