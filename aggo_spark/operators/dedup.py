@@ -37,6 +37,7 @@ __all__ = [
     "simhash",
     "simhash_table",
     "simhash_pairs",
+    "hamming_near_dup_pairs",
     "benchmark_ngram_overlap",
     "dedup_corpus_lines",
     "duplicate_ngram_fraction",
@@ -436,35 +437,43 @@ def simhash_table(
         "id", F.when(~F.col("tnull"), sh).alias("sh"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def hamming_near_dup_pairs(
+    fp: DataFrame,
+    fp_col: str = "sh",
+    id_col: str = "id",
+    bits: int = 64,
     max_hamming: int = 3,
     bucket_cap: int = 200,
-    hash_fn: str = "xxhash64",
+    n_chunks: int | None = None,
 ) -> DataFrame:
-    """Pairs with SimHash hamming distance <= max_hamming.
-
-    Pigeonhole: split the hash into 4 chunks (16-bit for the 64-bit
-    default, 15-bit for md5 mode's 60-bit hash) — any pair within
-    hamming 3 agrees on >= 1 chunk, so candidates come from equi-joins on
-    (chunk_idx, chunk_value) instead of all-pairs. Verification is a cheap
-    bit_count(xor).
-    """
-    width = _simhash_bits(hash_fn) // 4
+    """Pairs of rows whose integer fingerprints are within
+    ``max_hamming`` bit flips — the generic pigeonhole candidate scheme
+    (r8): split the ``bits``-wide fingerprint into ``max_hamming + 1``
+    chunks (any pair within hamming r agrees on >= 1 of r+1 chunks), so
+    candidates come from equi-joins on (chunk_idx, chunk_value) instead
+    of all-pairs; verification is one codegen ``bit_count(xor)``.
+    Returns (id_a, id_b, hamming). NULL fingerprints are dropped (they
+    can never satisfy the distance bound). Serves any 64-bit-class
+    fingerprint: SimHash text sketches (:func:`simhash_pairs`),
+    perceptual image hashes (``multimodal.image_near_dup_pairs``),
+    rolling content hashes."""
+    n_chunks = n_chunks or (max_hamming + 1)
+    if n_chunks < max_hamming + 1:
+        raise ValueError(
+            f"n_chunks must be >= max_hamming + 1 (pigeonhole), got "
+            f"{n_chunks} < {max_hamming + 1}")
+    width = bits // n_chunks
     mask = (1 << width) - 1
-    # NULL fingerprints (NULL text) can never satisfy hamming <= r; drop
-    # them before chunking so they don't congregate in a NULL-cv bucket
-    sh = simhash_table(df, text_col, id_col, hash_fn=hash_fn).filter(
-        F.col("sh").isNotNull())
+    sh = fp.select(F.col(id_col).alias("id"),
+                   F.col(fp_col).alias("sh")).filter(F.col("sh").isNotNull())
     chunks = F.array(
         *[
             F.struct(
                 F.lit(ci).alias("ci"),
-                F.shiftright(F.col("sh"), ci * width).bitwiseAND(F.lit(mask)).alias("cv"),
+                F.shiftright(F.col("sh"), ci * width)
+                .bitwiseAND(F.lit(mask)).alias("cv"),
             )
-            for ci in range(4)
+            for ci in range(n_chunks)
         ]
     )
     chunked = sh.select("id", "sh", F.explode(chunks).alias("c")).select(
@@ -498,6 +507,33 @@ def simhash_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.min("hamming").alias("hamming"))
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bucket_cap: int = 200,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming.
+
+    Pigeonhole: split the hash into 4 chunks (16-bit for the 64-bit
+    default, 15-bit for md5 mode's 60-bit hash) — any pair within
+    hamming 3 agrees on >= 1 chunk, so candidates come from equi-joins on
+    (chunk_idx, chunk_value) instead of all-pairs. Verification is a cheap
+    bit_count(xor). (r8: the chunk/bucket/verify machinery is the shared
+    :func:`hamming_near_dup_pairs`; plan and output unchanged.)
+    """
+    sh = simhash_table(df, text_col, id_col, hash_fn=hash_fn)
+    # 4 chunks for the classic hamming<=3 setting (unchanged plan);
+    # larger radii get the chunks the pigeonhole bound requires — the
+    # old code silently kept 4 and lost recall past hamming 3
+    return hamming_near_dup_pairs(
+        sh, fp_col="sh", id_col="id", bits=_simhash_bits(hash_fn),
+        max_hamming=max_hamming, bucket_cap=bucket_cap,
+        n_chunks=max(4, max_hamming + 1))
 
 
 def benchmark_ngram_overlap(

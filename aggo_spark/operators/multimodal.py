@@ -73,6 +73,8 @@ __all__ = [
     "resize_nearest",
     "pil_resize",
     "resize_images",
+    "image_near_dup_pairs",
+    "phash_to_long",
     "frame_sample_plan",
 ]
 
@@ -834,6 +836,46 @@ def decode_image_metadata(
     return _map_binary_column(
         df, content_col, out_col, decoder or auto_decode,
         T.StructType(_META_FIELDS))
+
+
+def phash_to_long(phash: Column) -> Column:
+    """16-hex-char perceptual hash → signed 64-bit long, preserving the
+    bit pattern (values above 2^63 wrap to negative exactly as the JVM
+    long does — ``conv(hex,16,10)`` alone would overflow to NULL there).
+    Two 32-bit halves recombine via shift+or; NULL/short input → NULL."""
+    hi = F.conv(F.substring(phash, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(phash, 9, 8), 16, 10).cast("long")
+    return F.when(
+        phash.isNotNull() & (F.length(phash) == 16),
+        F.shiftleft(hi, 32).bitwiseOR(lo))
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    phash_col: str = "phash",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance
+    (r8): the visual complement of the text dedup tiers — re-encoded,
+    resized, or lightly-edited copies of one image land within a few
+    pHash bit flips. ``df`` carries the 16-hex ``phash`` column that
+    ``decode_image_metadata`` emits (``img_meta.phash``); candidates
+    come from the shared pigeonhole chunk machinery
+    (``dedup.hamming_near_dup_pairs`` — equi-joins on fingerprint
+    chunks, never all-pairs), so the same plan that serves SimHash text
+    near-dup serves images. Returns (id_a, id_b, hamming).
+
+    Default ``max_hamming=6`` is the standard aHash near-dup band; the
+    64-bit hash splits into 7 chunks there (pigeonhole bound)."""
+    fp = df.select(F.col(id_col).alias("id"),
+                   phash_to_long(F.col(phash_col)).alias("fp"))
+    from .dedup import hamming_near_dup_pairs
+
+    return hamming_near_dup_pairs(
+        fp, fp_col="fp", id_col="id", bits=64,
+        max_hamming=max_hamming, bucket_cap=bucket_cap)
 
 
 def frame_sample_plan(

@@ -450,6 +450,68 @@ class TestThetaSketches:
         assert merged.collect()[0].estimate == 300
 
 
+class TestImageNearDup:
+    """r8 extension: perceptual-hash (aHash) image near-dup via the
+    shared pigeonhole chunk machinery — the visual complement of the
+    SimHash text tier."""
+
+    def test_phash_to_long_bit_pattern(self, spark):
+        from aggo_spark.operators.multimodal import phash_to_long
+
+        df = spark.createDataFrame(
+            [("ffffffffffffffff",), ("0000000000000001",),
+             ("8000000000000000",), (None,), ("short",)], "p string")
+        got = [r.v for r in df.select(
+            phash_to_long(F.col("p")).alias("v")).collect()]
+        assert got == [-1, 1, -(1 << 63), None, None]
+
+    def test_pairs_match_bruteforce(self, spark):
+        from aggo_spark.operators.dedup import hamming_near_dup_pairs
+
+        import random
+        rng = random.Random(5)
+        base = rng.getrandbits(63)
+        fps = {0: base}
+        for i in range(1, 8):  # progressively more distant variants
+            fp = base
+            for b in rng.sample(range(63), i):
+                fp ^= (1 << b)
+            fps[i] = fp
+        fps[9] = rng.getrandbits(63)  # unrelated
+        df = spark.createDataFrame(list(fps.items()), "id long, fp long")
+        got = {(r.id_a, r.id_b): r.hamming for r in hamming_near_dup_pairs(
+            df, fp_col="fp", id_col="id", max_hamming=6).collect()}
+        # brute force over the 9 fingerprints
+        want = {}
+        ids = sorted(fps)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = bin(fps[a] ^ fps[b]).count("1")
+                if h <= 6:
+                    want[(a, b)] = h
+        assert got == want and len(want) > 5
+
+    def test_image_pipeline_end_to_end(self, spark):
+        # decode -> phash -> near-dup pairs through the public surface.
+        # fake_decode's phash is an md5 prefix (uniformly random bits):
+        # exact byte copies pair at hamming 0; distinct content lands
+        # far outside the max_hamming=6 band with overwhelming odds —
+        # a deterministic fixture, same idea as q40's oracle
+        from aggo_spark.operators.multimodal import (attach_binary,
+                                                     decode_image_metadata,
+                                                     fake_decode,
+                                                     image_near_dup_pairs)
+
+        df = spark.createDataFrame(
+            [(1, "same content"), (2, "same content"), (3, "other stuff"),
+             (4, "yet another thing")], "doc_id long, text string")
+        meta = decode_image_metadata(
+            attach_binary(df, "text"), decoder=fake_decode).select(
+            "doc_id", F.col("img_meta.phash").alias("phash"))
+        pairs = image_near_dup_pairs(meta).collect()
+        assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
 class TestTopkSketches:
     """r8 extension: mergeable heavy-hitter sketches (approx_top_k
     accumulate/combine/estimate) — top domains/tokens per snapshot,
