@@ -33,6 +33,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_probe",
+    "content_seen",
     "minhash_decontaminate",
     "simhash",
     "simhash_table",
@@ -600,6 +601,44 @@ def benchmark_ngram_overlap(
             F.coalesce("n_overlap_grams", F.lit(0)).cast("int").alias("n_overlap_grams"),
             (F.coalesce("n_overlap_grams", F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+def content_seen(
+    index: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-duplicate membership of NEW documents against a maintained
+    content-hash table (r8): ``index`` is the signed changelog written by
+    ``StreamingCollection.maintain_index(kind="content")`` (or any
+    (id, sign?, content_hash) table). Returns one row per query doc:
+    ``(query_id, content_hash, seen, n_copies)`` — ``seen`` true when a
+    LIVE corpus doc carries the same normalized fingerprint. Retracted
+    corpus docs cancel by net multiplicity; the query side costs one
+    fingerprint projection, the corpus is never re-hashed."""
+    hcol = "content_hash" if "content_hash" in index.columns else "hash"
+    if "sign" in index.columns:
+        live = (
+            index.groupBy(hcol)
+            .agg(F.sum("sign").alias("__net"))
+            .filter(F.col("__net") > 0)
+            .select(F.col(hcol).alias("__h"),
+                    F.col("__net").alias("n_copies"))
+        )
+    else:
+        live = index.groupBy(F.col(hcol).alias("__h")).agg(
+            F.count(F.lit(1)).alias("n_copies"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        fingerprint(F.col(text_col)).alias("content_hash"))
+    return (
+        q.join(live, q["content_hash"] == live["__h"], "left")
+        .select("query_id", "content_hash",
+                F.col("__h").isNotNull().alias("seen"),
+                F.coalesce("n_copies", F.lit(0)).cast("long")
+                .alias("n_copies"))
     )
 
 

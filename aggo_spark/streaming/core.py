@@ -788,9 +788,19 @@ class StreamingCollection:
             grams = F.array_distinct(
                 _search._raw_char_grams(F.col(text_col)))
             term, bucket = "gram", "gram_bucket"
+        elif kind == "content":
+            # EXACT-dedup membership (r8): one signed row per doc
+            # carrying its normalized content fingerprint — the cheapest
+            # of the maintained indexes, answering "is this exact doc
+            # already in the corpus" (dedup.content_seen) per delta
+            from ..operators.text import fingerprint as _fp
+
+            grams = F.array(_fp(F.col(text_col)))
+            term, bucket = "content_hash", "content_bucket"
         else:
             raise ValueError(
-                f"kind must be 'text', 'trigram' or 'minhash', got {kind!r}")
+                f"kind must be 'text', 'trigram', 'minhash' or "
+                f"'content', got {kind!r}")
         rid = f"idx-{kind}-{uuid.uuid4().hex[:8]}"
         postings = (
             self._cdc_stream()

@@ -289,6 +289,34 @@ class TestMinhashIndexMaintenance:
         finally:
             coll.stop()
 
+    def test_content_index_membership(self, spark, tmp_path):
+        # r8: kind="content" — exact-duplicate membership per delta,
+        # completing the maintained-index family (text/trigram/minhash/
+        # content)
+        from aggo_spark.operators.dedup import content_seen
+
+        coll = self._coll(spark, tmp_path)
+        try:
+            coll.add({"doc_id": 1, "text": self.A})
+            rid = coll.maintain_index(str(tmp_path / "ch"), kind="content")
+
+            def probe(*texts):
+                qdf = spark.createDataFrame(
+                    [(100 + i, t) for i, t in enumerate(texts)],
+                    "doc_id long, text string")
+                return {r.query_id: (r.seen, r.n_copies) for r in
+                        content_seen(coll.index_df(rid), qdf).collect()}
+
+            assert probe(self.A, self.B) == {
+                100: (True, 1), 101: (False, 0)}
+            coll.add({"doc_id": 2, "text": self.A})   # second copy
+            assert probe(self.A) == {100: (True, 2)}
+            coll.remove({"doc_id": 1, "text": self.A})
+            coll.remove({"doc_id": 2, "text": self.A})
+            assert probe(self.A) == {100: (False, 0)}  # all retracted
+        finally:
+            coll.stop()
+
     def test_compaction_nets_band_rows(self, spark, tmp_path):
         from aggo_spark.operators.dedup import minhash_probe
 
