@@ -438,6 +438,14 @@ def simhash_table(
         "id", F.when(~F.col("tnull"), sh).alias("sh"))
 
 
+# below this single-chunk key width the bucket alphabet is too small
+# for corpus scale (2^11 = 2048 values: a 1M-row corpus averages ~500
+# rows per bucket — over any sane bucket_cap, so candidates silently
+# vanish); switch to the pair-of-chunks scheme, whose keys are twice as
+# wide (multi-index hashing, Norouzi et al. 2012)
+_MIN_CHUNK_WIDTH = 12
+
+
 def hamming_near_dup_pairs(
     fp: DataFrame,
     fp_col: str = "sh",
@@ -446,35 +454,69 @@ def hamming_near_dup_pairs(
     max_hamming: int = 3,
     bucket_cap: int = 200,
     n_chunks: int | None = None,
+    scheme: str = "auto",
 ) -> DataFrame:
     """Pairs of rows whose integer fingerprints are within
     ``max_hamming`` bit flips — the generic pigeonhole candidate scheme
-    (r8): split the ``bits``-wide fingerprint into ``max_hamming + 1``
-    chunks (any pair within hamming r agrees on >= 1 of r+1 chunks), so
-    candidates come from equi-joins on (chunk_idx, chunk_value) instead
-    of all-pairs; verification is one codegen ``bit_count(xor)``.
-    Returns (id_a, id_b, hamming). NULL fingerprints are dropped (they
-    can never satisfy the distance bound). Serves any 64-bit-class
+    (r8). Two key schemes, both equi-join candidates + one codegen
+    ``bit_count(xor)`` verify:
+
+    - ``"single"``: split into ``max_hamming + 1`` chunks; a pair within
+      hamming r agrees on >= 1 chunk (keys: (chunk_idx, chunk_value)).
+      Right when chunks are wide (SimHash's 16-bit chunks at r=3).
+    - ``"pair"``: split into ``max_hamming + 2`` chunks; a pair within
+      hamming r leaves >= 2 chunks untouched, hence >= 1 untouched
+      chunk PAIR (keys: (pair_idx, combined_value) over all C(m,2)
+      pairs — multi-index hashing). DOUBLES the key width: at r=6 over
+      64 bits the single scheme's 9-bit chunks give a 512-value bucket
+      alphabet — every bucket overflows ``bucket_cap`` at corpus scale
+      and recall silently collapses (r8 review) — while pair keys are
+      16-bit (65k values) at C(8,2)=28 exploded rows per fingerprint.
+
+    ``"auto"`` picks by chunk width (``_MIN_CHUNK_WIDTH``). Returns
+    (id_a, id_b, hamming). NULL fingerprints are dropped (they can
+    never satisfy the distance bound). Serves any 64-bit-class
     fingerprint: SimHash text sketches (:func:`simhash_pairs`),
     perceptual image hashes (``multimodal.image_near_dup_pairs``),
     rolling content hashes."""
-    n_chunks = n_chunks or (max_hamming + 1)
-    if n_chunks < max_hamming + 1:
+    if scheme not in ("auto", "single", "pair"):
         raise ValueError(
-            f"n_chunks must be >= max_hamming + 1 (pigeonhole), got "
-            f"{n_chunks} < {max_hamming + 1}")
+            f"scheme must be 'auto', 'single' or 'pair', got {scheme!r}")
+    if scheme == "auto":
+        single_width = bits // (n_chunks or (max_hamming + 1))
+        scheme = "single" if single_width >= _MIN_CHUNK_WIDTH else "pair"
+    n_chunks = n_chunks or (
+        max_hamming + 1 if scheme == "single" else max_hamming + 2)
+    min_chunks = max_hamming + (1 if scheme == "single" else 2)
+    if n_chunks < min_chunks:
+        raise ValueError(
+            f"n_chunks must be >= {min_chunks} for scheme={scheme!r} "
+            f"(pigeonhole), got {n_chunks}")
     width = bits // n_chunks
     mask = (1 << width) - 1
     sh = fp.select(F.col(id_col).alias("id"),
                    F.col(fp_col).alias("sh")).filter(F.col("sh").isNotNull())
+
+    def _cv(ci: int) -> Column:
+        return (F.shiftright(F.col("sh"), ci * width)
+                .bitwiseAND(F.lit(mask)))
+
+    if scheme == "single":
+        keys = [(ci, _cv(ci)) for ci in range(n_chunks)]
+    else:
+        # combined value of chunk pair (i, j): v_i * 2^width | v_j —
+        # fits a long whenever 2*width <= 62 (any bits <= 64 split >= 3)
+        keys = []
+        ki = 0
+        for i in range(n_chunks):
+            for j in range(i + 1, n_chunks):
+                keys.append(
+                    (ki, F.shiftleft(_cv(i), width).bitwiseOR(_cv(j))))
+                ki += 1
     chunks = F.array(
         *[
-            F.struct(
-                F.lit(ci).alias("ci"),
-                F.shiftright(F.col("sh"), ci * width)
-                .bitwiseAND(F.lit(mask)).alias("cv"),
-            )
-            for ci in range(n_chunks)
+            F.struct(F.lit(ki).alias("ci"), cv.alias("cv"))
+            for ki, cv in keys
         ]
     )
     chunked = sh.select("id", "sh", F.explode(chunks).alias("c")).select(
@@ -529,12 +571,13 @@ def simhash_pairs(
     """
     sh = simhash_table(df, text_col, id_col, hash_fn=hash_fn)
     # 4 chunks for the classic hamming<=3 setting (unchanged plan);
-    # larger radii get the chunks the pigeonhole bound requires — the
-    # old code silently kept 4 and lost recall past hamming 3
+    # larger radii get the chunk count/scheme the pigeonhole bound
+    # requires — the old code silently kept 4 and lost recall past
+    # hamming 3
     return hamming_near_dup_pairs(
         sh, fp_col="sh", id_col="id", bits=_simhash_bits(hash_fn),
         max_hamming=max_hamming, bucket_cap=bucket_cap,
-        n_chunks=max(4, max_hamming + 1))
+        n_chunks=4 if max_hamming <= 3 else None)
 
 
 def benchmark_ngram_overlap(
@@ -669,9 +712,14 @@ def minhash_probe(
     the band hashes)."""
     rows = num_perm // bands
     if "sign" in index.columns:
+        # net per (id, band, bh, SIG): an edited re-add shares band
+        # hashes with its retracted predecessor wherever the signature
+        # slice is unchanged — without sig in the key the retracted
+        # doc's FULL signature could survive the net and skew
+        # est_jaccard (r8 review)
         live = (
-            index.groupBy("id", "band", "bh")
-            .agg(F.sum("sign").alias("__net"), F.first("sig").alias("sig"))
+            index.groupBy("id", "band", "bh", "sig")
+            .agg(F.sum("sign").alias("__net"))
             .filter(F.col("__net") > 0)
             .select("id", "band", "bh", "sig")
         )

@@ -17,7 +17,7 @@ standard tiers, Spark-first:
   numeric character references (``&#8217;``/``&#x27;``, hex and
   decimal, full astral range) decode through a contains-gated
   split/transform/array_join rebuild (r8 — see
-  :func:`_decode_numeric_entities`).
+  :func:`_decode_entities` — single-pass with the named entities).
 - :func:`html_blocks` — explode the stripped text into blocks and score
   each with codegen signals (word count, stopword density — the jusText
   heuristic, Pomikálek 2011): explode + plain columns rather than
@@ -47,25 +47,36 @@ _BLOCK_TAGS = ("p|div|h[1-6]|li|ul|ol|dl|dd|dt|table|tr|th|td|blockquote|"
                "figcaption|form|fieldset")
 
 
-def _decode_numeric_entities(c: Column) -> Column:
-    """Decode ``&#8217;`` / ``&#x27;``-class numeric character references
-    — pure Column (r8, r7-verdict #3): real crawl text is full of them,
-    and surviving as literal ``&#8217;`` text they pollute downstream
-    tokenize/quality/dedup signals.
+# the six named entities that dominate real pages (case-sensitive, the
+# canonical HTML forms); decoded in ONE pass together with numeric refs
+_NAMED_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                   ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&"))
+_END = 0x7FFFFFFF  # substring 'to end of string' length
 
-    Shape: split on lookahead ``(?=&#)`` boundaries (each part begins
+
+def _decode_entities(c: Column) -> Column:
+    """Decode HTML character references — numeric (``&#8217;`` /
+    ``&#x27;``, full astral range) AND the six dominant named entities —
+    in a SINGLE pass, pure Column (r8; single-pass rebuilt after the r8
+    review found the two-pass form double-decoding ``&#38;lt;`` →
+    live ``<``).
+
+    Shape: split on lookahead ``(?=&)`` boundaries (each part begins
     with at most one candidate reference), ``transform`` each part —
-    decimal digits cast directly, hex via ``conv(.,16,10)``, codepoint →
-    character via ``decode(unhex(lpad(hex(cp),8)),'utf-32')`` (UTF-32BE,
-    full astral range — ``char()`` wraps at 256 and is useless here) —
-    then ``array_join`` rebuild. Invalid references (overflow digits,
-    cp 0, surrogates, > U+10FFFF, missing ``;``) pass through verbatim,
-    matching ``html.unescape``'s treatment of ill-formed numerics
-    closely enough for the differential test's supported subset.
+    numeric: decimal digits cast directly / hex via ``conv(.,16,10)``,
+    codepoint → character via ``decode(unhex(lpad(hex(cp),8)),'utf-32')``
+    (UTF-32BE; ``char()`` wraps at 256 and is useless here); named: a
+    startswith ladder — then ``array_join`` rebuild. Because each part
+    decodes at most its LEADING reference and the output is never
+    rescanned, escaped entities behave exactly like ``html.unescape``:
+    ``&amp;lt;`` and ``&#38;lt;`` both yield the literal text ``&lt;``,
+    never a live ``<``. Invalid references (overflow digits, cp 0,
+    surrogates, > U+10FFFF, missing ``;``, unknown names) pass through
+    verbatim.
 
     The transform lambda is interpreted (CodegenFallback), so the whole
-    thing is gated on ``contains('&#')`` — entity-free documents (the
-    overwhelming majority of blocks) never leave codegen.
+    thing is gated on ``contains('&')`` — ampersand-free documents never
+    leave codegen.
     """
     def dec(p: Column) -> Column:
         dec_digits = F.regexp_extract(p, r"^&#([0-9]{1,7});", 1)
@@ -81,10 +92,15 @@ def _decode_numeric_entities(c: Column) -> Column:
         )
         ch = F.decode(F.unhex(F.lpad(F.hex(cp), 8, "0")), "utf-32")
         rest = F.regexp_replace(p, r"^&#[xX]?[0-9a-fA-F]{1,7};", "")
-        return F.when(valid, F.concat(ch, rest)).otherwise(p)
+        expr = F.when(valid, F.concat(ch, rest))
+        for ent, rep in _NAMED_ENTITIES:
+            expr = expr.when(
+                p.startswith(ent),
+                F.concat(F.lit(rep), F.substring(p, len(ent) + 1, _END)))
+        return expr.otherwise(p)
 
-    decoded = F.array_join(F.transform(F.split(c, r"(?=&#)"), dec), "")
-    return F.when(c.contains("&#"), decoded).otherwise(c)
+    decoded = F.array_join(F.transform(F.split(c, r"(?=&)"), dec), "")
+    return F.when(c.contains("&"), decoded).otherwise(c)
 
 
 def strip_html(col: Column) -> Column:
@@ -118,20 +134,12 @@ def strip_html(col: Column) -> Column:
     c = F.regexp_replace(c, f"(?i)<({_BLOCK_TAGS})\\b[^>]*>", "\n\n")
     c = F.regexp_replace(c, "(?i)<br\\s*/?>", "\n")
     c = F.regexp_replace(c, "(?s)<[^>]+>", " ")
-    # numeric character references first (r8 — see
-    # _decode_numeric_entities). Running BEFORE the named chain keeps
-    # the no-double-decode invariant: '&amp;#39;' has no '&#' substring,
-    # so it reaches the named pass intact and decodes to the literal
-    # text '&#39;' exactly like html.unescape
-    c = _decode_numeric_entities(c)
-    # the six named entities that dominate real pages.
-    # &amp; decodes LAST: decoding it first would double-decode escaped
-    # entities ('&amp;lt;' must become the literal text '&lt;', never a
-    # live '<' reintroduced into stripped output)
-    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
-                     ("&quot;", '"'), ("&apos;", "'"),
-                     ("&amp;", "&")):
-        c = F.replace(c, F.lit(ent), F.lit(rep))
+    # entity decode — numeric references and the six named entities in
+    # ONE single-pass rebuild (see _decode_entities): each part decodes
+    # at most its leading reference and the output is never rescanned,
+    # so '&amp;lt;' and '&#38;lt;' both become the literal text '&lt;',
+    # never a live '<' reintroduced into stripped output
+    c = _decode_entities(c)
     c = F.regexp_replace(c, "[ \\t\\x0b\\f\\r]+", " ")
     c = F.regexp_replace(c, " ?\\n ?", "\n")
     c = F.regexp_replace(c, "\\n{3,}", "\n\n")

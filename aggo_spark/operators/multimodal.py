@@ -867,8 +867,11 @@ def image_near_dup_pairs(
     chunks, never all-pairs), so the same plan that serves SimHash text
     near-dup serves images. Returns (id_a, id_b, hamming).
 
-    Default ``max_hamming=6`` is the standard aHash near-dup band; the
-    64-bit hash splits into 7 chunks there (pigeonhole bound)."""
+    Default ``max_hamming=6`` is the standard aHash near-dup band; at
+    that radius the scheme auto-selects PAIR keys (multi-index hashing:
+    8 chunks, C(8,2)=28 16-bit composite keys) — single 9-bit chunks'
+    512-value bucket alphabet would overflow ``bucket_cap`` on any real
+    corpus and silently lose recall (r8 review)."""
     fp = df.select(F.col(id_col).alias("id"),
                    phash_to_long(F.col(phash_col)).alias("fp"))
     from .dedup import hamming_near_dup_pairs

@@ -269,10 +269,14 @@ def topk_sketch_table(
     if max_items < 1:
         raise ValueError(f"max_items must be >= 1, got {max_items}")
     by = by or []
+    # approx_top_k_* are SQL-only (no F. binding); alias the value
+    # column to a fixed name first so arbitrary column names (spaces,
+    # dots, backtick-needing) never splice into SQL text (r8 review)
+    src = df.select(*by, F.col(value_col).alias("__topk_v"))
     agg = F.expr(
-        f"approx_top_k_accumulate({value_col}, {int(max_items)})"
+        f"approx_top_k_accumulate(__topk_v, {int(max_items)})"
     ).alias("ksketch")
-    return df.groupBy(*by).agg(agg) if by else df.agg(agg)
+    return src.groupBy(*by).agg(agg) if by else src.agg(agg)
 
 
 def merge_topk_tables(

@@ -119,10 +119,18 @@ def parse_warc_bytes(b: bytes) -> Iterator[dict]:
     boundary exists) still ends the stream quietly: crawl archives
     routinely carry truncated final records, and a reader that raises
     on them loses the whole file.
+
+    Fabrication guard (r8 review): a record reached VIA RESYNC (i.e.
+    after corrupt framing, where the boundary scan may have landed on
+    WARC-header text QUOTED INSIDE a payload — pages about the WARC
+    format exist in real crawls) must additionally carry a WARC-Type
+    header, or it is skipped and the scan continues. Records reached
+    through clean Content-Length framing parse exactly as before.
     """
     b = _maybe_gunzip(b)
     pos = 0
     n = len(b)
+    resynced = False
     while pos < n:
         # skip inter-record blank lines
         while pos < n and b[pos:pos + 2] in (b"\r\n", b"\n\n"):
@@ -131,6 +139,7 @@ def parse_warc_bytes(b: bytes) -> Iterator[dict]:
             pos = _next_boundary(b, pos)  # garbage: skip to next record
             if pos < 0:
                 return
+            resynced = True
             continue
         hdr_end = b.find(b"\r\n\r\n", pos)
         if hdr_end < 0:
@@ -145,13 +154,16 @@ def parse_warc_bytes(b: bytes) -> Iterator[dict]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             length = -1
-        if length < 0:
+        if length < 0 or (resynced and "warc-type" not in headers):
             # bad/missing/negative Content-Length (negative would move
-            # pos BACKWARD and loop forever): skip past this record's
-            # header and resync — later records are intact
+            # pos BACKWARD and loop forever), or a resynced candidate
+            # without the mandatory WARC-Type header (payload
+            # look-alike): skip past this header block and resync —
+            # later records are intact
             pos = _next_boundary(b, hdr_end)
             if pos < 0:
                 return
+            resynced = True
             continue
         body_start = hdr_end + 4
         body = b[body_start:body_start + length]
@@ -161,8 +173,10 @@ def parse_warc_bytes(b: bytes) -> Iterator[dict]:
             pos = _next_boundary(b, body_start)
             if pos < 0:
                 return
+            resynced = True
             continue
         pos = body_start + length
+        resynced = False  # clean framing restored
 
         rec = {
             "warc_type": headers.get("warc-type"),
@@ -241,25 +255,50 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 def _record_ranges(b: bytes) -> Iterator[tuple[int, int]]:
     """(offset, compressed/raw length) of each independently-parsable
     unit in a WARC archive's raw bytes: gzip MEMBERS for the Common
-    Crawl per-record-member layout (framing only — nothing is
-    decompressed beyond the deflate walk), or record framing spans for
-    plain WARC. Corrupt/truncated tails end the walk quietly, matching
-    the reader's tolerance."""
+    Crawl per-record-member layout, or record framing spans for plain
+    WARC. Corrupt/truncated tails end the walk quietly, matching the
+    reader's tolerance.
+
+    The gzip walk is incremental (r8 review): input feeds through a
+    memoryview in bounded chunks and decompressed output is produced in
+    bounded, immediately-discarded pieces — finding a member's end
+    requires inflating it (gzip stores no member length up front), but
+    peak memory stays O(chunk) and total work O(archive), never the
+    O(n²) tail-copies of the naive ``d.decompress(b[pos:])`` form."""
     if b.startswith(b"\x1f\x8b"):
         import zlib
 
+        mv = memoryview(b)
+        n = len(b)
+        chunk = 1 << 20
         pos = 0
-        while b.startswith(b"\x1f\x8b", pos):
+        while pos < n and b.startswith(b"\x1f\x8b", pos):
             d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            i = pos
             try:
-                d.decompress(b[pos:])
+                while not d.eof:
+                    if i >= n:
+                        return  # truncated final member
+                    data = mv[i:i + chunk]
+                    out = d.decompress(data, chunk)  # output discarded
+                    if d.eof:
+                        # past the stream end everything lands in
+                        # unused_data, which is a suffix of THIS feed
+                        # (unconsumed input from earlier feeds was
+                        # re-fed: i only advances past consumed bytes)
+                        i += len(data) - len(d.unused_data)
+                        break
+                    consumed = len(data) - len(d.unconsumed_tail)
+                    if consumed == 0 and not out:
+                        return  # no progress possible: corrupt member
+                    # consumed == 0 with output produced is fine: the
+                    # cap was hit mid-buffer; the next iteration re-
+                    # feeds the same slice with internal room freed
+                    i += consumed
             except zlib.error:
                 return
-            if not d.eof:
-                return  # truncated final member
-            end = len(b) - len(d.unused_data)
-            yield pos, end - pos
-            pos = end
+            yield pos, i - pos
+            pos = i
         return
     # plain WARC: reuse the record parser's framing by re-walking headers
     pos, n = 0, len(b)
@@ -348,7 +387,13 @@ def read_warc_indexed(
     FS API (``FSDataInputStream.seek``) or S3 ranged GETs — the
     standard CDX-indexed Common Crawl access pattern. Output schema ==
     ``WARC_SCHEMA``; ``record_no`` comes from the index, so rows match
-    :func:`read_warc` exactly (order aside)."""
+    :func:`read_warc` exactly (order aside) for one-record-per-member
+    archives (the Common Crawl layout) and plain WARC (per-record
+    ranges). A gzip member holding SEVERAL records (legal, rare) yields
+    its records with ``record_no`` NULL — the index numbers RANGES, and
+    assigning the range ordinal to every inner record would silently
+    collide with :func:`read_warc`'s per-record numbering (r8
+    review)."""
     import pandas as pd
 
     n = num_partitions or int(
@@ -364,9 +409,16 @@ def read_warc_indexed(
                             grp["record_no"], grp["offset"], grp["length"]):
                         f.seek(int(off))
                         chunk = f.read(int(ln))
-                        for rec in parse_warc_bytes(chunk):
+                        recs = list(parse_warc_bytes(chunk))
+                        # a multi-record range (several records in one
+                        # gzip member) gets NULL record_no: the index
+                        # numbers ranges, and stamping the range ordinal
+                        # on every inner record would collide with
+                        # read_warc's per-record numbering (docstring)
+                        no = int(rec_no) if len(recs) == 1 else None
+                        for rec in recs:
                             rec["warc_file"] = fpath
-                            rec["record_no"] = int(rec_no)
+                            rec["record_no"] = no
                             rows.append(rec)
             if rows:
                 yield pd.DataFrame(rows)[

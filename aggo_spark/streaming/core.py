@@ -813,6 +813,10 @@ class StreamingCollection:
                  "kind": kind, "term": term, "bucket": bucket,
                  "batches": 0, "compact_every": int(compact_every)}
         self._indexes[rid] = state
+        # schema recorded so index_df can answer BEFORE the first
+        # non-empty micro-batch (the sink skips empty batches, so the
+        # parquet dir may not exist yet — r8 review)
+        state["schema"] = postings.schema
 
         def sink(batch_df: DataFrame, _batch_id: int) -> None:
             if batch_df.isEmpty():
@@ -848,8 +852,21 @@ class StreamingCollection:
         from ..operators import dedup as _dedup
 
         rid = f"idx-minhash-{uuid.uuid4().hex[:8]}"
+        id_type = next(f.dataType for f in self.cdc_schema.fields
+                       if f.name == id_col)
+        from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                       StructField, StructType)
+
         state = {"path": path, "base": path, "gen": 0, "retired": [],
                  "kind": "minhash",
+                 # empty-index schema (see maintain_index note)
+                 "schema": StructType([
+                     StructField("id", id_type),
+                     StructField("sign", LongType()),
+                     StructField("band", IntegerType()),
+                     StructField("bh", LongType()),
+                     StructField("sig", ArrayType(LongType())),
+                 ]),
                  "batches": 0, "compact_every": int(compact_every)}
         self._indexes[rid] = state
         rows_per_band = num_perm // bands
@@ -903,14 +920,18 @@ class StreamingCollection:
                 continue
             path = state["path"]
             if state["kind"] == "minhash":
-                # net band rows by (id, band, bh); sig is functionally
-                # dependent on id, any surviving copy is the right one
+                # net band rows by (id, band, bh, sig) — sig is NOT
+                # functionally dependent on (id, band, bh): a remove +
+                # re-add of an edited doc shares band hashes for every
+                # unchanged signature slice, and netting without sig in
+                # the key could keep the OLD signature (r8 review). With
+                # sig in the key, the old doc's rows net to 0 and only
+                # the live signature survives.
                 part = "band"
                 net = (
                     self.spark.read.parquet(path)
-                    .groupBy("id", "band", "bh")
-                    .agg(F.sum("sign").cast("long").alias("sign"),
-                         F.first("sig").alias("sig"))
+                    .groupBy("id", "band", "bh", "sig")
+                    .agg(F.sum("sign").cast("long").alias("sign"))
                     .filter(F.col("sign") > 0)
                     .select("id", "sign", "band", "bh", "sig")
                 )
@@ -940,9 +961,16 @@ class StreamingCollection:
     def index_df(self, rid: str) -> DataFrame:
         """Fresh read of a maintained posting index's CURRENT generation —
         the compaction-safe way to get the index for
-        ``search_with_index`` / ``regex_search_with_index``."""
+        ``search_with_index`` / ``regex_search_with_index`` /
+        ``minhash_probe`` / ``content_seen``. Before the first non-empty
+        micro-batch (the sink skips empty batches, so no parquet exists
+        yet) this returns an EMPTY frame with the index schema instead
+        of raising (r8 review)."""
         self._drain_at_read()
-        return self.spark.read.parquet(self.index_path(rid))
+        state = self._indexes[rid]
+        if not os.path.isdir(state["path"]):
+            return self.spark.createDataFrame([], state["schema"])
+        return self.spark.read.parquet(state["path"])
 
     def _append_keyed_delta(self, reg: _Registered, out: DataFrame,
                             dirty: list, batch: int) -> None:

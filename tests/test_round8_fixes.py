@@ -79,6 +79,25 @@ class TestWarcResync:
         # final record truncated -> dropped quietly, earlier ones intact
         assert [r["url"] for r in got] == [f"http://x/{i}" for i in range(3)]
 
+    def test_resync_rejects_payload_lookalike_without_warc_type(self):
+        # r8 review: after corrupt framing, the boundary scan can land
+        # on WARC-header text QUOTED INSIDE a payload; a resynced
+        # candidate must carry the mandatory WARC-Type header or be
+        # skipped, never fabricated into a record
+        from aggo_spark.sources.warc import encode_warc, parse_warc_bytes
+
+        recs = self._recs()
+        lookalike = (b"WARC/1.0\r\nContent-Length: 7\r\n\r\ngotcha!"
+                     b"\r\n\r\n")
+        data = (encode_warc(recs[:1])
+                + b"\xff corrupt splice \xff" + lookalike
+                + encode_warc(recs[1:]))
+        got = list(parse_warc_bytes(data))
+        urls = [r["url"] for r in got]
+        payloads = [bytes(r["payload"]) for r in got]
+        assert b"gotcha!" not in payloads  # lookalike rejected
+        assert urls == [f"http://x/{i}" for i in range(4)]
+
     def test_declared_length_too_long_mid_file(self):
         from aggo_spark.sources.warc import encode_warc, parse_warc_bytes
 
@@ -143,6 +162,33 @@ class TestWarcIndex:
                   for r in read_warc_indexed(spark, idx).collect()}
         assert ranged == full
 
+    def test_multi_record_member_gets_null_record_no(self, spark, tmp_path):
+        # r8 review: a gzip member holding SEVERAL records (legal WARC)
+        # must not stamp the range ordinal on every inner record —
+        # record_no is NULL there instead of silently colliding
+        import gzip
+
+        from aggo_spark.sources.warc import (build_warc_index, encode_warc,
+                                             read_warc_indexed)
+
+        recs = [{"warc_type": "response", "url": f"http://x/{i}",
+                 "payload": f"b{i}".encode()} for i in range(5)]
+        # member 0: records 0-2 together; members 1-2: one record each
+        data = (gzip.compress(encode_warc(recs[:3]))
+                + gzip.compress(encode_warc(recs[3:4]))
+                + gzip.compress(encode_warc(recs[4:])))
+        p = tmp_path / "multi.warc.gz"
+        p.write_bytes(data)
+        idx = build_warc_index(spark, str(p))
+        assert idx.count() == 3  # ranges = members
+        out = read_warc_indexed(spark, idx).collect()
+        by_url = {r.url: r.record_no for r in out}
+        assert len(out) == 5
+        assert by_url["http://x/0"] is None  # multi-record member
+        assert by_url["http://x/1"] is None
+        assert by_url["http://x/2"] is None
+        assert by_url["http://x/3"] == 1 and by_url["http://x/4"] == 2
+
     def test_single_archive_fans_out_beyond_one_task(self, spark, tmp_path):
         from aggo_spark.sources.warc import build_warc_index, read_warc_indexed
 
@@ -198,6 +244,19 @@ class TestNumericEntities:
         (got,) = self._strip(spark, ["<p>use &amp;#39; as an entity</p>"])
         assert got == "use &#39; as an entity"
 
+    def test_numeric_amp_never_double_decodes(self, spark):
+        # r8 review: '&#38;lt;' must yield the literal text '&lt;' —
+        # the old numeric-then-named two-pass form decoded the numeric
+        # '&' first and the named pass then turned '&lt;' into a live
+        # '<' (html.unescape: single pass, '&lt;' stays literal)
+        import html as pyhtml
+
+        cases = ["a &#38;lt; b", "x &#38;amp; y", "&#x26;gt; z",
+                 "&amp;#38; w"]
+        got = self._strip(spark, [f"<p>{c}</p>" for c in cases])
+        for c, g in zip(cases, got):
+            assert g == pyhtml.unescape(c), (c, g)
+
     def test_differential_vs_html_unescape(self, spark):
         # differential over the supported subset (the 6 named entities +
         # well-formed numeric refs), composed into fixture-like docs
@@ -214,9 +273,14 @@ class TestNumericEntities:
             + ["&#x%x;" % rng.choice([0x27, 0xE9, 0x2014, 0x1F600])
                for _ in range(6)]
         )
-        docs = [" ".join(rng.choice(pieces)
-                         for _ in range(rng.randint(5, 40)))
-                for _ in range(25)]
+        # join with sometimes-empty separators so entities ABUT (the
+        # adjacency class the r8 review showed the old space-joined
+        # fuzz could never reach: '&#38;lt;', '&amp;&#39;', ...)
+        def doc():
+            parts = [rng.choice(pieces) for _ in range(rng.randint(5, 40))]
+            return "".join(
+                p + rng.choice([" ", " ", ""]) for p in parts).strip()
+        docs = [doc() for _ in range(40)]
         got = self._strip(spark, docs)
         for doc, g in zip(docs, got):
             want = pyhtml.unescape(doc)
@@ -286,6 +350,33 @@ class TestMinhashIndexMaintenance:
             # retraction: band rows cancel, doc leaves the candidates
             coll.remove({"doc_id": 1, "text": self.A})
             assert {c for c, _ in probe(self.A)} == {3}
+        finally:
+            coll.stop()
+
+    def test_update_churn_keeps_fresh_signature(self, spark, tmp_path):
+        # r8 review: remove(old) + add(edited) shares band hashes for
+        # every unchanged signature slice; netting without sig in the
+        # key could keep the OLD full signature and skew est_jaccard.
+        # After the update, probing with the NEW text must see itself
+        # at est_jaccard 1.0 (only possible against the fresh sig).
+        from aggo_spark.operators.dedup import minhash_probe
+
+        coll = self._coll(spark, tmp_path)
+        try:
+            coll.add({"doc_id": 1, "text": self.A})
+            rid = coll.maintain_index(
+                str(tmp_path / "mh"), kind="minhash", unit="word",
+                shingle_k=3, compact_every=2)
+            # update: retract A, add the edited A2 under the same id
+            # (two mutations -> compaction fires at compact_every=2)
+            coll.remove({"doc_id": 1, "text": self.A})
+            coll.add({"doc_id": 1, "text": self.A2})
+            qdf = spark.createDataFrame(
+                [(100, self.A2)], "doc_id long, text string")
+            got = {r.corpus_id: r.est_jaccard for r in minhash_probe(
+                coll.index_df(rid), qdf, unit="word", k=3,
+                threshold=0.5).collect()}
+            assert got == {1: 1.0}  # exact self-match -> fresh sig only
         finally:
             coll.stop()
 
@@ -518,6 +609,56 @@ class TestImageNearDup:
                 if h <= 6:
                     want[(a, b)] = h
         assert got == want and len(want) > 5
+
+    def test_pair_scheme_survives_corpus_scale(self, spark):
+        # r8 review: at max_hamming=6 the single scheme's 9-bit chunks
+        # give a 512-value bucket alphabet — on a 30k corpus EVERY
+        # bucket blows past bucket_cap and recall silently collapses.
+        # The pair scheme (auto-selected) must still find planted dups.
+        from aggo_spark.operators.dedup import hamming_near_dup_pairs
+
+        import random
+        rng = random.Random(11)
+        rows = [(i, rng.getrandbits(63)) for i in range(30_000)]
+        # plant 20 near-dup twins at hamming 4-6
+        planted = []
+        for t in range(20):
+            base = rows[t * 100][1]
+            fp = base
+            for b in rng.sample(range(63), rng.randint(4, 6)):
+                fp ^= (1 << b)
+            rows.append((100_000 + t, fp))
+            planted.append((rows[t * 100][0], 100_000 + t))
+        df = spark.createDataFrame(rows, "id long, fp long")
+        got = {(r.id_a, r.id_b) for r in hamming_near_dup_pairs(
+            df, fp_col="fp", id_col="id", max_hamming=6).collect()}
+        assert set(planted) <= got  # every planted twin found
+        # random 63-bit pairs essentially never land within hamming 6
+        assert len(got) <= len(planted) + 2
+
+    def test_pair_scheme_matches_single_bruteforce(self, spark):
+        # both schemes are EXACT within their pigeonhole guarantee:
+        # identical pairs on a corpus small enough for either
+        from aggo_spark.operators.dedup import hamming_near_dup_pairs
+
+        import random
+        rng = random.Random(3)
+        base = rng.getrandbits(63)
+        rows = [(0, base)]
+        for i in range(1, 10):
+            fp = base
+            for b in rng.sample(range(63), i):
+                fp ^= (1 << b)
+            rows.append((i, fp))
+        df = spark.createDataFrame(rows, "id long, fp long")
+        kw = dict(fp_col="fp", id_col="id", max_hamming=5)
+        single = {(r.id_a, r.id_b, r.hamming)
+                  for r in hamming_near_dup_pairs(
+                      df, scheme="single", **kw).collect()}
+        pair = {(r.id_a, r.id_b, r.hamming)
+                for r in hamming_near_dup_pairs(
+                    df, scheme="pair", **kw).collect()}
+        assert single == pair and len(single) > 5
 
     def test_image_pipeline_end_to_end(self, spark):
         # decode -> phash -> near-dup pairs through the public surface.
