@@ -408,6 +408,31 @@ class TestMinhashIndexMaintenance:
         finally:
             coll.stop()
 
+    def test_index_df_before_first_write_is_empty_frame(
+            self, spark, tmp_path):
+        # r8 review: the sink skips empty batches, so no parquet exists
+        # until the first real mutation — index_df must answer with an
+        # empty typed frame, not PATH_NOT_FOUND
+        from aggo_spark.operators.dedup import content_seen, minhash_probe
+
+        coll = self._coll(spark, tmp_path)
+        try:
+            mh = coll.maintain_index(str(tmp_path / "mh"), kind="minhash",
+                                     unit="word", shingle_k=3)
+            ch = coll.maintain_index(str(tmp_path / "ch"), kind="content")
+            assert coll.index_df(mh).count() == 0
+            assert set(coll.index_df(mh).columns) == {
+                "id", "sign", "band", "bh", "sig"}
+            qdf = spark.createDataFrame(
+                [(100, self.A)], "doc_id long, text string")
+            # probes over the empty indexes behave (no hits / not seen)
+            assert minhash_probe(coll.index_df(mh), qdf, unit="word",
+                                 k=3).count() == 0
+            row = content_seen(coll.index_df(ch), qdf).collect()[0]
+            assert row.seen is False and row.n_copies == 0
+        finally:
+            coll.stop()
+
     def test_compaction_nets_band_rows(self, spark, tmp_path):
         from aggo_spark.operators.dedup import minhash_probe
 
