@@ -26,6 +26,9 @@ __all__ = [
     "mixture_sample",
     "upsample_sources",
     "quantile_threshold_filter",
+    "hashed_ngram_features",
+    "dsir_weights",
+    "importance_resample",
 ]
 
 
@@ -292,3 +295,154 @@ def quantile_threshold_filter(
             F.col(by).eqNullSafe(F.col(by_col)),
         ).drop(by_col)
     return joined.filter(F.col(score_col) >= F.col(thr_col)).drop(thr_col)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    n: int = 2,
+) -> DataFrame:
+    """Hashed bag-of-word-n-grams: one ``(id, bucket, c)`` row per
+    distinct feature bucket a document touches (``c`` = occurrences).
+    Word unigrams AND n-grams up to ``n`` hash into ``n_buckets`` via
+    xxhash64 (deterministic across runs/executors). All codegen: tokens
+    → slice windows → explode → pmod — the DSIR featurizer and a
+    general-purpose hashing-trick featurizer.
+
+    Plan: one Generate + one (id, bucket) aggregate riding the explode's
+    partitioning; the exchange carries ≤ n_buckets rows per doc."""
+    from .text import tokens as _tokens
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    tok = df.select(F.col(id_col).alias("id"),
+                    _tokens(F.col(text_col)).alias("__t"))
+
+    def windows(k: int) -> Column:
+        # factory scope binds k; NOTE a `lambda i, _k=k:` default would
+        # NOT work — pyspark passes (element, index) to two-parameter
+        # transform lambdas, silently shadowing the default
+        return F.when(
+            F.size("__t") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - F.lit(k - 1)),
+                lambda i: F.array_join(F.slice(F.col("__t"), i, k), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = F.flatten(F.array(*[windows(k) for k in range(1, n + 1)]))
+    return (
+        tok.select("id", F.explode(grams).alias("__g"))
+        .select("id", F.pmod(F.xxhash64("__g"),
+                             F.lit(n_buckets)).alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    n: int = 2,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR importance log-weights (Xie et al. 2023): score
+    each CORPUS document by how much more likely its hashed-n-gram
+    features are under the TARGET distribution (the domain you want —
+    e.g. curated text) than under the raw corpus distribution:
+
+        log w(x) = Σ_b  c_b(x) · (log p̂_target[b] − log p̂_corpus[b])
+
+    with add-``alpha``-smoothed bucket unigram estimates. Returns
+    ``(id_col, log_w)`` for every corpus doc (empty/NULL text → 0.0 —
+    no features, no evidence either way).
+
+    Plan shape at 100 TB: both distributions are ONE map-side-combinable
+    aggregate to ``n_buckets`` rows; the scoring join brings a
+    ≤ n_buckets-row weight table to the corpus features — broadcast
+    hash join, never a corpus-sized shuffle on anything but (id)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    cf = hashed_ngram_features(corpus, text_col, id_col, n_buckets, n)
+    tf = hashed_ngram_features(target, text_col, id_col, n_buckets, n)
+
+    def dist(feats: DataFrame, name: str) -> DataFrame:
+        tot = feats.groupBy().agg(
+            F.sum("c").alias("__tot")).select("__tot")
+        per = feats.groupBy("bucket").agg(F.sum("c").alias("__n"))
+        return per.crossJoin(F.broadcast(tot)).select(
+            "bucket",
+            F.log((F.col("__n") + F.lit(alpha))
+                  / (F.col("__tot") + F.lit(alpha * n_buckets)))
+            .alias(name))
+    # full outer: buckets absent from one side still carry the smoothed
+    # floor; absent from BOTH never occur in the corpus and drop out
+    logs = (
+        dist(tf, "__lt").join(dist(cf, "__lc"), "bucket", "full_outer"))
+    # smoothing floors for buckets unseen on one side (log(alpha/(tot +
+    # alpha*B)) needs that side's total — carry totals via literals is
+    # impossible distributed; re-derive from any present row instead:
+    # max over the column of (log p - log(n+alpha) + log(alpha)) is
+    # fragile, so compute floors exactly with one tiny agg each
+    t_tot = tf.groupBy().agg(F.sum("c").alias("t")).collect()[0]["t"] or 0
+    c_tot = cf.groupBy().agg(F.sum("c")).collect()[0][0] or 0
+    import math
+
+    t_floor = math.log(alpha / (t_tot + alpha * n_buckets))
+    c_floor = math.log(alpha / (c_tot + alpha * n_buckets))
+    w = logs.select(
+        "bucket",
+        (F.coalesce("__lt", F.lit(t_floor))
+         - F.coalesce("__lc", F.lit(c_floor))).alias("__dw"))
+    scored = (
+        cf.join(F.broadcast(w), "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("c") * F.col("__dw")).alias("log_w"))
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(scored.withColumnRenamed("id", id_col), id_col, "left")
+        .select(id_col,
+                F.coalesce("log_w", F.lit(0.0)).alias("log_w"))
+    )
+
+
+def importance_resample(
+    corpus: DataFrame,
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Select ``k`` documents with probability ∝ exp(log_w) WITHOUT
+    replacement — the Gumbel-top-k trick, deterministic: per-doc Gumbel
+    noise derives from xxhash64(id, seed) (uniform in (0,1) →
+    −log(−log u)), so reruns and different partitionings pick the same
+    sample. One TakeOrdered over ``log_w + g`` — no global sort, no
+    driver state. ``weights`` is :func:`dsir_weights`' output (or any
+    ``(id_col, log_w)``)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (
+        (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
+                F.lit(1 << 40)).cast("double") + F.lit(1.0))
+        / F.lit(float((1 << 40) + 2))
+    )
+    gumbel = -F.log(-F.log(u))
+    return (
+        corpus.join(weights, id_col)
+        .withColumn("__key", F.col("log_w") + gumbel)
+        .orderBy(F.col("__key").desc())
+        .limit(k)
+        .drop("__key")
+    )

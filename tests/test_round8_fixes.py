@@ -706,6 +706,126 @@ class TestImageNearDup:
         assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(1, 2, 0)]
 
 
+class TestDsir:
+    """r8 extension: DSIR importance resampling (Xie et al. 2023) —
+    hashed-n-gram importance weights + deterministic Gumbel-top-k
+    selection. Differential vs a pure-Python mirror built on the
+    repo's driver-side xxhash64 (functions/pyhash.py)."""
+
+    CORPUS = [
+        (1, "the cat sat on the mat"),
+        (2, "stock market prices rose sharply today"),
+        (3, "the dog sat on the rug"),
+        (4, "interest rates and market volatility"),
+        (5, None),
+    ]
+    TARGET = [
+        (101, "the cat and the dog played"),
+        (102, "a cat sat near the dog"),
+    ]
+
+    def _mirror_logw(self, n_buckets=64, n=2, alpha=1.0):
+        import math
+        import re
+
+        from aggo_spark.functions.pyhash import bucket_of
+
+        def toks(t):
+            return re.findall(r"[a-z0-9]+", t.lower()) if t else []
+
+        def feats(rows):
+            out = {}
+            for i, t in rows:
+                ws = toks(t)
+                grams = ws + [" ".join(ws[j:j + 2])
+                              for j in range(len(ws) - 1)]
+                d = out.setdefault(i, {})
+                for g in grams:
+                    b = bucket_of(g, n_buckets)
+                    d[b] = d.get(b, 0) + 1
+            return out
+
+        cf, tf = feats(self.CORPUS), feats(self.TARGET)
+
+        def dist(fd):
+            per = {}
+            for d in fd.values():
+                for b, c in d.items():
+                    per[b] = per.get(b, 0) + c
+            tot = sum(per.values())
+            return per, tot
+
+        cper, ctot = dist(cf)
+        tper, ttot = dist(tf)
+
+        def logp(per, tot, b):
+            return math.log((per.get(b, 0) + alpha)
+                            / (tot + alpha * n_buckets))
+
+        want = {}
+        for i, d in cf.items():
+            want[i] = sum(c * (logp(tper, ttot, b) - logp(cper, ctot, b))
+                          for b, c in d.items())
+        for i, t in self.CORPUS:
+            want.setdefault(i, 0.0)
+        return want
+
+    def test_weights_match_python_mirror(self, spark):
+        from aggo_spark.operators.sampling import dsir_weights
+
+        corpus = spark.createDataFrame(self.CORPUS,
+                                       "doc_id long, text string")
+        target = spark.createDataFrame(self.TARGET,
+                                       "doc_id long, text string")
+        got = {r.doc_id: r.log_w for r in dsir_weights(
+            corpus, target, n_buckets=64).collect()}
+        want = self._mirror_logw(n_buckets=64)
+        assert set(got) == set(want)
+        for i in got:
+            assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
+        assert got[5] == 0.0  # NULL text: no evidence
+        # direction check at the DEFAULT bucket count (10k: collision-
+        # free here — at 64 buckets, collisions can flip single docs):
+        # target is cat/dog text, so docs 1/3 outscore the finance 2/4
+        big = {r.doc_id: r.log_w for r in dsir_weights(
+            corpus, target).collect()}
+        assert min(big[1], big[3]) > max(big[2], big[4])
+
+    def test_resample_deterministic_and_weight_following(self, spark):
+        from aggo_spark.operators.sampling import importance_resample
+
+        corpus = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(200)],
+            "doc_id long, text string")
+        # two docs get overwhelming weight: they must always be chosen
+        w = spark.createDataFrame(
+            [(i, 50.0 if i in (7, 113) else 0.0) for i in range(200)],
+            "doc_id long, log_w double")
+        a = {r.doc_id for r in importance_resample(
+            corpus, w, k=10, seed=1).collect()}
+        b = {r.doc_id for r in importance_resample(
+            corpus, w, k=10, seed=1).collect()}
+        c = {r.doc_id for r in importance_resample(
+            corpus, w, k=10, seed=2).collect()}
+        assert a == b and len(a) == 10      # deterministic per seed
+        assert {7, 113} <= a and {7, 113} <= c
+        assert a != c                        # different seed, new sample
+
+    def test_validation(self, spark):
+        from aggo_spark.operators.sampling import (dsir_weights,
+                                                   hashed_ngram_features,
+                                                   importance_resample)
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="n_buckets"):
+            hashed_ngram_features(df, n_buckets=1)
+        with pytest.raises(ValueError, match="alpha"):
+            dsir_weights(df, df, alpha=0)
+        with pytest.raises(ValueError, match="k"):
+            importance_resample(df, df.select(
+                "doc_id", F.lit(0.0).alias("log_w")), k=0)
+
+
 class TestTopkSketches:
     """r8 extension: mergeable heavy-hitter sketches (approx_top_k
     accumulate/combine/estimate) — top domains/tokens per snapshot,
