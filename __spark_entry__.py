@@ -1261,7 +1261,15 @@ def q71_token_budget(spark, sf_dir):
     """Deterministic data-mixing selections, one driver row (merged r3:
     former q72_stratified): greedy per-source token-budget selection AND a
     per-language stratified cap, both in content-hash order — idempotent
-    across reruns and cluster sizes. One window exchange each."""
+    across reruns and cluster sizes. One window exchange each.
+
+    r8: PLUS the DSIR importance weight (Xie et al. 2023) of every doc
+    against an English-docs target distribution — hashed word-1/2-gram
+    features (md5 bucket mode so DuckDB reproduces the buckets
+    bit-for-bit, the q32 oracle-mode pattern; xxhash64 is the scale
+    mode, differentially pinned in tests), add-1-smoothed bucket
+    log-ratios, per-doc weighted sum. The oracle recomputes the entire
+    chain (features → distributions → log-ratio → per-doc sum) in SQL."""
     from aggo_spark.operators import sampling
 
     docs = _t(spark, sf_dir, "documents")
@@ -1272,10 +1280,15 @@ def q71_token_budget(spark, sf_dir):
         docs, ["lang"], 10,
         order_col=sampling.hash_order(F.col("doc_id").cast("string"))
     ).select("doc_id", F.lit(True).alias("strat_kept"))
+    dsir = sampling.dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"),
+        n_buckets=1024, hash_fn="md5",
+    ).select("doc_id", F.round("log_w", 6).alias("dsir_log_w"))
     return (
         budget.select("doc_id", "source", "lang", "n_chars",
                       "cum_tokens", "kept")
         .join(strat, "doc_id", "left")
+        .join(dsir, "doc_id")
         .withColumn("strat_kept", F.coalesce("strat_kept", F.lit(False)))
         .orderBy("doc_id")
     )
@@ -2056,7 +2069,7 @@ def oracle_sql() -> dict[str, str]:
                                  THEN CAST(props->>'$.k' AS INT) END) AS BIGINT) AS sum_k50
             FROM events GROUP BY 1
         """,
-        "q71_token_budget": """
+        "q71_token_budget": f"""
             WITH b AS (
               SELECT doc_id, source, lang, n_chars,
                      CAST(sum(n_chars) OVER (
@@ -2069,11 +2082,49 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (
                        PARTITION BY lang
                        ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
-              FROM documents)
-            SELECT b.doc_id, source, lang, n_chars, cum_tokens,
+              FROM documents),
+            -- r8 DSIR mirror: word 1/2-gram features hashed into 1024
+            -- md5 buckets; add-1-smoothed bucket log-ratio of the
+            -- English-target vs whole-corpus distributions; per-doc
+            -- weighted sum (docs with no tokens score 0)
+            toks AS (
+              SELECT doc_id, lang, {_TOKENS.format(c='text')} AS wt
+              FROM documents),
+            grams AS (
+              SELECT doc_id, lang, unnest(wt) AS g FROM toks
+              UNION ALL
+              SELECT doc_id, lang, array_to_string(wt[i : i + 1], ' ') AS g
+              FROM (SELECT doc_id, lang, wt,
+                           unnest(range(1, len(wt))) AS i
+                    FROM toks WHERE len(wt) >= 2)),
+            feats AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024
+                       AS bucket,
+                     count(*) AS c
+              FROM grams GROUP BY 1, 2, 3),
+            cdist AS (SELECT bucket, sum(c) AS n FROM feats GROUP BY 1),
+            tdist AS (SELECT bucket, sum(c) AS n FROM feats
+                      WHERE lang = 'en' GROUP BY 1),
+            ctot AS (SELECT sum(n) AS t FROM cdist),
+            ttot AS (SELECT coalesce(sum(n), 0) AS t FROM tdist),
+            wtab AS (
+              SELECT cdist.bucket,
+                     ln((coalesce(tdist.n, 0) + 1.0)
+                        / (ttot.t + 1.0 * 1024))
+                     - ln((cdist.n + 1.0) / (ctot.t + 1.0 * 1024)) AS dw
+              FROM cdist LEFT JOIN tdist USING (bucket)
+                   CROSS JOIN ctot CROSS JOIN ttot),
+            dsir AS (
+              SELECT feats.doc_id,
+                     round(sum(feats.c * wtab.dw), 6) AS dsir_log_w
+              FROM feats JOIN wtab USING (bucket) GROUP BY 1)
+            SELECT b.doc_id, source, b.lang, n_chars, cum_tokens,
                    cum_tokens <= 5000 AS kept,
-                   (st.rn <= 10) AS strat_kept
+                   (st.rn <= 10) AS strat_kept,
+                   coalesce(dsir.dsir_log_w, 0.0) AS dsir_log_w
             FROM b JOIN st ON b.doc_id = st.doc_id
+                 LEFT JOIN dsir ON b.doc_id = dsir.doc_id
             ORDER BY b.doc_id
         """,
         "q75_tfidf": f"""

@@ -307,13 +307,16 @@ def hashed_ngram_features(
     id_col: str = "doc_id",
     n_buckets: int = 10_000,
     n: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Hashed bag-of-word-n-grams: one ``(id, bucket, c)`` row per
     distinct feature bucket a document touches (``c`` = occurrences).
     Word unigrams AND n-grams up to ``n`` hash into ``n_buckets`` via
-    xxhash64 (deterministic across runs/executors). All codegen: tokens
-    → slice windows → explode → pmod — the DSIR featurizer and a
-    general-purpose hashing-trick featurizer.
+    ``hash_fn`` — ``"xxhash64"`` (default, the scale path) or ``"md5"``
+    (first-60-bits mode, reproducible bit-for-bit in DuckDB — the q32
+    oracle-mode pattern). All codegen: tokens → slice windows → explode
+    → pmod — the DSIR featurizer and a general-purpose hashing-trick
+    featurizer.
 
     Plan: one Generate + one (id, bucket) aggregate riding the explode's
     partitioning; the exchange carries ≤ n_buckets rows per doc."""
@@ -323,6 +326,9 @@ def hashed_ngram_features(
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     tok = df.select(F.col(id_col).alias("id"),
                     _tokens(F.col(text_col)).alias("__t"))
 
@@ -338,10 +344,13 @@ def hashed_ngram_features(
         ).otherwise(F.array().cast("array<string>"))
 
     grams = F.flatten(F.array(*[windows(k) for k in range(1, n + 1)]))
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("__g")
     return (
         tok.select("id", F.explode(grams).alias("__g"))
-        .select("id", F.pmod(F.xxhash64("__g"),
-                             F.lit(n_buckets)).alias("bucket"))
+        .select("id", F.pmod(h, F.lit(n_buckets)).alias("bucket"))
         .groupBy("id", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -355,6 +364,7 @@ def dsir_weights(
     n_buckets: int = 10_000,
     n: int = 2,
     alpha: float = 1.0,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-document DSIR importance log-weights (Xie et al. 2023): score
     each CORPUS document by how much more likely its hashed-n-gram
@@ -367,43 +377,45 @@ def dsir_weights(
     ``(id_col, log_w)`` for every corpus doc (empty/NULL text → 0.0 —
     no features, no evidence either way).
 
-    Plan shape at 100 TB: both distributions are ONE map-side-combinable
-    aggregate to ``n_buckets`` rows; the scoring join brings a
-    ≤ n_buckets-row weight table to the corpus features — broadcast
-    hash join, never a corpus-sized shuffle on anything but (id)."""
-    if alpha <= 0:
-        raise ValueError(f"alpha must be > 0, got {alpha}")
-    cf = hashed_ngram_features(corpus, text_col, id_col, n_buckets, n)
-    tf = hashed_ngram_features(target, text_col, id_col, n_buckets, n)
-
-    def dist(feats: DataFrame, name: str) -> DataFrame:
-        tot = feats.groupBy().agg(
-            F.sum("c").alias("__tot")).select("__tot")
-        per = feats.groupBy("bucket").agg(F.sum("c").alias("__n"))
-        return per.crossJoin(F.broadcast(tot)).select(
-            "bucket",
-            F.log((F.col("__n") + F.lit(alpha))
-                  / (F.col("__tot") + F.lit(alpha * n_buckets)))
-            .alias(name))
-    # full outer: buckets absent from one side still carry the smoothed
-    # floor; absent from BOTH never occur in the corpus and drop out
-    logs = (
-        dist(tf, "__lt").join(dist(cf, "__lc"), "bucket", "full_outer"))
-    # smoothing floors for buckets unseen on one side (log(alpha/(tot +
-    # alpha*B)) needs that side's total — carry totals via literals is
-    # impossible distributed; re-derive from any present row instead:
-    # max over the column of (log p - log(n+alpha) + log(alpha)) is
-    # fragile, so compute floors exactly with one tiny agg each
-    t_tot = tf.groupBy().agg(F.sum("c").alias("t")).collect()[0]["t"] or 0
-    c_tot = cf.groupBy().agg(F.sum("c")).collect()[0][0] or 0
+    Plan shape at 100 TB: each side's bucket histogram is ONE map-side-
+    combinable aggregate down to ≤ ``n_buckets`` rows, collected and
+    turned into a single ≤ ``n_buckets``-row weight table that BROADCASTS
+    to the scoring join — the only corpus-sized exchange is the per-doc
+    (id) aggregate. The histogram collect is the bounded driver-metadata
+    class (the PQ-codebook pattern): ``n_buckets`` is capped at 2^20 and
+    defaults to the DSIR paper's 10k. The corpus featurizes twice
+    (histogram pass + scoring pass) — two narrow explodes beat
+    persisting a tokens-sized intermediate."""
     import math
 
-    t_floor = math.log(alpha / (t_tot + alpha * n_buckets))
-    c_floor = math.log(alpha / (c_tot + alpha * n_buckets))
-    w = logs.select(
-        "bucket",
-        (F.coalesce("__lt", F.lit(t_floor))
-         - F.coalesce("__lc", F.lit(c_floor))).alias("__dw"))
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if n_buckets > (1 << 20):
+        raise ValueError(
+            f"n_buckets must be <= 2^20 (the weight table is collected "
+            f"and broadcast), got {n_buckets}")
+    cf = hashed_ngram_features(corpus, text_col, id_col, n_buckets, n,
+                               hash_fn)
+    tf = hashed_ngram_features(target, text_col, id_col, n_buckets, n,
+                               hash_fn)
+
+    def hist(feats: DataFrame) -> dict[int, int]:
+        return {r["bucket"]: r["n"] for r in
+                feats.groupBy("bucket").agg(F.sum("c").alias("n"))
+                .collect()}
+
+    ch, th = hist(cf), hist(tf)
+    c_tot, t_tot = sum(ch.values()), sum(th.values())
+
+    def logp(h: dict, tot: int, b: int) -> float:
+        return math.log((h.get(b, 0) + alpha) / (tot + alpha * n_buckets))
+
+    # buckets absent from the corpus never occur in a corpus doc's
+    # features, so the weight table only needs corpus buckets; target-
+    # only mass still shapes every weight through t_tot's denominator
+    w_rows = [(b, logp(th, t_tot, b) - logp(ch, c_tot, b)) for b in ch]
+    spark = corpus.sparkSession
+    w = spark.createDataFrame(w_rows, "bucket long, __dw double")
     scored = (
         cf.join(F.broadcast(w), "bucket")
         .groupBy("id")
