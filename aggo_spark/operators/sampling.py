@@ -329,8 +329,14 @@ def hashed_ngram_features(
     if hash_fn not in ("xxhash64", "md5"):
         raise ValueError(
             f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
-    tok = df.select(F.col(id_col).alias("id"),
-                    _tokens(F.col(text_col)).alias("__t"))
+    from .text import _ensure_parallelism
+
+    # pre-explode guard (the explode_shingles rule): a single-split
+    # upstream starves every core but one once the n-gram explode
+    # multiplies rows; no-op on well-partitioned inputs
+    tok = _ensure_parallelism(
+        df.select(F.col(id_col).alias("id"),
+                  _tokens(F.col(text_col)).alias("__t")))
 
     def windows(k: int) -> Column:
         # factory scope binds k; NOTE a `lambda i, _k=k:` default would

@@ -110,12 +110,16 @@ BUDGETS = {
     "q64_graph_lookup": 4,
     "q66_skew_salted": 2,      # salt + merge: exactly the two designed stages
     "q70_decontaminate": 6,
-    "q71_token_budget": 9,     # +5 r8: DSIR branch — feature explode ->
+    "q71_token_budget": 10,    # +5 r8: DSIR branch — feature explode ->
                                # (id,bucket) agg, broadcast weight-table
                                # scoring join, per-doc (id) agg, and the
                                # doc_id join back (weight table itself
                                # is driver-built from the collected
-                               # <=n_buckets histogram: no dist shuffles)
+                               # <=n_buckets histogram: no dist shuffles);
+                               # +1: the pre-explode parallelism guard
+                               # fires on the driver's single-split
+                               # parquet (measured 1.9x at sf1; no-op on
+                               # well-partitioned production inputs)
     "q75_tfidf": 7,            # tightened 11 -> 7 (r6): df(t) became a
                                # window count RIDING the tf rows instead of
                                # a second aggregate joined back, which
