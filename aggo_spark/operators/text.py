@@ -44,6 +44,7 @@ __all__ = [
     "extract_url_domains",
     "filter_blocked_domains",
     "unigram_logprob_score",
+    "bigram_logprob_score",
     "explode_paragraphs",
 ]
 
@@ -1060,6 +1061,113 @@ def unigram_logprob_score(
     ids = df.select(F.col(id_col)).distinct()
     return ids.join(per_doc, id_col, "left").select(
         id_col, F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "mean_logprob")
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+    backoff: float = 0.4,
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Per-document mean BIGRAM log-probability with stupid backoff
+    (Brants et al. 2007 §3 — the web-scale LM scoring recipe: no
+    discount bookkeeping, score(w|v) = count(v,w)/count(v,*) when the
+    bigram is in the model, else ``backoff`` · p_unigram(w) with
+    add-``add_k`` smoothing). Returns ``(id_col, n_bigrams,
+    mean_logprob)``; docs with < 2 tokens get NULL (no bigram
+    evidence). The CCNet-shape filter one order above
+    :func:`unigram_logprob_score`; a real KenLM artifact is still the
+    production ceiling (documented there).
+
+    ``reference=None`` self-scores: the model is the corpus itself, so
+    every observed bigram is in the model and backoff never fires —
+    plan follows the unigram lesson (ONE explode; corpus counts as
+    window sums RIDING the per-(doc, v, w) rows, never a join back
+    onto the exploded stream). With a ``reference``, model counts come
+    from the reference corpus and unseen bigrams genuinely back off;
+    the scoring joins are broadcast when ``broadcast_model=True`` (a
+    bounded-vocab reference) and shuffle joins otherwise. The two
+    paths are differentially pinned: reference=df must equal
+    self-scoring exactly.
+
+    Unigram backoff counts derive from the bigram stream's CONTINUATION
+    position (w of (v, w)) — each doc's first token is not counted,
+    the standard boundary simplification for padless scoring.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.scalar_memo import plan_scalar
+
+    def bigram_rows(frame: DataFrame) -> DataFrame:
+        t = F.col("__t")
+        pairs = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(1)),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("v"),
+                    F.element_at(t, i + 1).alias("w"))),
+        ).otherwise(F.array().cast("array<struct<v:string,w:string>>"))
+        return (
+            _ensure_parallelism(frame.select(
+                F.col(id_col), tokens(F.col(text_col)).alias("__t")))
+            .select(F.col(id_col), F.explode(pairs).alias("p"))
+            .select(id_col, F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+        )
+
+    tfd = bigram_rows(df).groupBy(id_col, "v", "w").agg(
+        F.count(F.lit(1)).alias("c"))
+
+    model_src = reference if reference is not None else df
+    stats = plan_scalar(
+        model_src, f"bigramstats:{text_col}:{id_col}",
+        lambda: bigram_rows(model_src).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("w").alias("vocab")).collect()[0],
+        cache_if=lambda s: bool(s["n"]))
+    uni_denom = (float(stats["n"]) + add_k * float(stats["vocab"]))         if stats["n"] else 1.0
+
+    if reference is None:
+        # self-scoring: model counts ride the tfd rows as window sums
+        big_n = F.sum("c").over(W.partitionBy("v", "w"))
+        ctx_n = F.sum("c").over(W.partitionBy("v"))
+        uni_n = F.sum("c").over(W.partitionBy("w"))
+        # every observed bigram is in the self-model: no backoff branch
+        logp = F.log(big_n.cast("double") / ctx_n)
+        scored = tfd.select(
+            F.col(id_col), "c", (F.col("c") * logp).alias("__clp"))
+        _ = uni_n  # documented: backoff unreachable when self-scoring
+    else:
+        mrows = bigram_rows(reference)
+        mbig = mrows.groupBy("v", "w").agg(F.count(F.lit(1)).alias("__bn"))
+        mctx = mrows.groupBy("v").agg(F.count(F.lit(1)).alias("__cn"))
+        muni = mrows.groupBy("w").agg(F.count(F.lit(1)).alias("__un"))
+        if broadcast_model:
+            mbig, mctx, muni = (F.broadcast(x) for x in (mbig, mctx, muni))
+        joined = (
+            tfd.join(mbig, ["v", "w"], "left")
+            .join(mctx, ["v"], "left")
+            .join(muni, ["w"], "left")
+        )
+        uni_p = (F.coalesce(F.col("__un"), F.lit(0)).cast("double")
+                 + F.lit(add_k)) / F.lit(uni_denom)
+        logp = F.when(
+            F.col("__bn").isNotNull(),
+            F.log(F.col("__bn").cast("double") / F.col("__cn")),
+        ).otherwise(F.log(F.lit(backoff) * uni_p))
+        scored = joined.select(
+            F.col(id_col), "c", (F.col("c") * logp).alias("__clp"))
+
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.round(F.sum("__clp") / F.sum("c"), 6).alias("mean_logprob"))
+    ids = df.select(F.col(id_col)).distinct()
+    return ids.join(per_doc, id_col, "left").select(
+        id_col, F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         "mean_logprob")
 
 

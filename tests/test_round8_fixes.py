@@ -706,6 +706,102 @@ class TestImageNearDup:
         assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(1, 2, 0)]
 
 
+class TestBigramLm:
+    """r8 extension: stupid-backoff bigram LM scoring (Brants et al.
+    2007) — one order above the unigram CCNet-shape filter."""
+
+    DOCS = [
+        (1, "the cat sat"),
+        (2, "the cat ran"),
+        (3, "the the the"),
+        (4, "x"),          # 1 token: no bigrams -> NULL score
+        (5, None),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.DOCS, "doc_id long, text string")
+
+    def _mirror(self, docs, ref, add_k=0.5, backoff=0.4):
+        import math
+
+        def toks(t):
+            return t.lower().split() if t else []
+
+        def bigrams(t):
+            ws = toks(t)
+            return list(zip(ws, ws[1:]))
+
+        big, ctx, uni = {}, {}, {}
+        for _, t in ref:
+            for v, w in bigrams(t):
+                big[(v, w)] = big.get((v, w), 0) + 1
+                ctx[v] = ctx.get(v, 0) + 1
+                uni[w] = uni.get(w, 0) + 1
+        n = sum(uni.values())
+        vocab = len(uni)
+        out = {}
+        for i, t in docs:
+            bs = bigrams(t)
+            if not bs:
+                out[i] = (0, None)
+                continue
+            lp = 0.0
+            for v, w in bs:
+                if (v, w) in big:
+                    lp += math.log(big[(v, w)] / ctx[v])
+                else:
+                    p_u = (uni.get(w, 0) + add_k) / (n + add_k * vocab)
+                    lp += math.log(backoff * p_u)
+            out[i] = (len(bs), round(lp / len(bs), 6))
+        return out
+
+    def test_self_scoring_matches_mirror(self, spark):
+        from aggo_spark.operators.text import bigram_logprob_score
+
+        got = {r.doc_id: (r.n_bigrams, r.mean_logprob) for r in
+               bigram_logprob_score(self._df(spark)).collect()}
+        want = self._mirror(self.DOCS, self.DOCS)
+        assert set(got) == set(want)
+        for i in got:
+            assert got[i][0] == want[i][0], (i, got, want)
+            if want[i][1] is None:
+                assert got[i][1] is None
+            else:
+                assert abs(got[i][1] - want[i][1]) < 1e-6, (i,)
+
+    def test_reference_equals_self_when_same_corpus(self, spark):
+        # the differential: reference=df (join path) must equal
+        # self-scoring (window path) exactly — same model, two plans
+        from aggo_spark.operators.text import bigram_logprob_score
+
+        df = self._df(spark)
+        a = {r.doc_id: (r.n_bigrams, r.mean_logprob) for r in
+             bigram_logprob_score(df).collect()}
+        b = {r.doc_id: (r.n_bigrams, r.mean_logprob) for r in
+             bigram_logprob_score(df, reference=df).collect()}
+        c = {r.doc_id: (r.n_bigrams, r.mean_logprob) for r in
+             bigram_logprob_score(df, reference=df,
+                                  broadcast_model=True).collect()}
+        assert a == b == c
+
+    def test_backoff_fires_on_unseen_bigrams(self, spark):
+        from aggo_spark.operators.text import bigram_logprob_score
+
+        ref = spark.createDataFrame(
+            [(10, "the cat sat"), (11, "the dog sat")],
+            "doc_id long, text string")
+        docs = [(1, "the cat sat"),     # all bigrams in model
+                (2, "cat dog zebra")]   # none in model -> pure backoff
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: r.mean_logprob for r in
+               bigram_logprob_score(df, reference=ref).collect()}
+        want = self._mirror(docs, [(i, t) for i, t in [
+            (10, "the cat sat"), (11, "the dog sat")]])
+        for i in got:
+            assert abs(got[i] - want[i][1]) < 1e-6, (i, got[i], want[i])
+        assert got[1] > got[2]  # in-model text scores higher
+
+
 class TestDsir:
     """r8 extension: DSIR importance resampling (Xie et al. 2023) —
     hashed-n-gram importance weights + deterministic Gumbel-top-k
