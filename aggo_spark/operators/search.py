@@ -26,7 +26,7 @@ from .text import tokens
 __all__ = [
     "build_text_index", "search_with_index", "query_tokens",
     "build_trigram_index", "regex_search_with_index",
-    "tfidf_top_terms", "bm25_search",
+    "tfidf_top_terms", "bm25_search", "fuzzy_token_search",
     "enhanced_text_search", "enhanced_regex_match",
     "clear_text_search_index", "clear_regex_search_index",
 ]
@@ -346,6 +346,58 @@ def bm25_search(
 # stale index; clear_*_search_index() releases both.
 _text_indexes: dict[tuple, tuple] = {}
 _regex_indexes: dict[tuple, tuple] = {}
+
+
+def fuzzy_token_search(
+    df: DataFrame,
+    query: str,
+    max_dist: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents containing ALL query tokens up to ``max_dist`` edits
+    each (Atlas $search `fuzzy` semantics, r8): "sparc engnie" finds
+    "spark engine". Typo-tolerant retrieval without an external index.
+
+    Plan shape (the reason this scales): edit distance runs against the
+    VOCABULARY, never the corpus — distinct corpus tokens (one map-side-
+    combinable aggregate, vocab-sized not corpus-sized) filter through a
+    length-window prefilter (|len(t) − len(q)| <= max_dist, pushed ahead
+    of the DP) into Spark's thresholded ``levenshtein(t, q, max_dist)``
+    (early-exit, -1 above the bound). The per-query-token match sets
+    join back to the (id, token) posting stream as a broadcast, and a
+    per-doc distinct-query-term count == n_terms gates the semi join —
+    the corpus text column is read once, for tokenization only.
+    """
+    from ..operators.text import tokens as _tokens
+
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    qtoks = query_tokens(query)
+    if not qtoks:
+        return df
+    postings = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(F.array_distinct(_tokens(F.col(text_col))))
+                  .alias("token"))
+    )
+    vocab = postings.select("token").distinct()
+    qdf = df.sparkSession.createDataFrame(
+        [(q,) for q in qtoks], "qterm string")
+    matched = (
+        vocab.crossJoin(F.broadcast(qdf))
+        .filter(F.abs(F.length("token") - F.length("qterm")) <= max_dist)
+        .filter(F.levenshtein("token", "qterm", max_dist) >= 0)
+        .select("token", "qterm")
+    )
+    hits = (
+        postings.join(F.broadcast(matched), "token")
+        .groupBy("id")
+        .agg(F.count_distinct("qterm").alias("__nq"))
+        .filter(F.col("__nq") == len(qtoks))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(hits, id_col, "left_semi")
 
 
 def _get_or_build(

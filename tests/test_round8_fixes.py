@@ -706,6 +706,45 @@ class TestImageNearDup:
         assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(1, 2, 0)]
 
 
+class TestFuzzyTokenSearch:
+    """r8 extension: Atlas-$search-style fuzzy retrieval — edit distance
+    runs against the vocabulary, never the corpus."""
+
+    DOCS = [
+        (1, "the spark engine runs fast"),
+        (2, "a sparc processor engine"),
+        (3, "completely unrelated words here"),
+        (4, "spark but no second term"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.DOCS, "doc_id long, text string")
+
+    def test_typos_match_within_distance(self, spark):
+        from aggo_spark.operators.search import fuzzy_token_search
+
+        got = {r.doc_id for r in fuzzy_token_search(
+            self._df(spark), "sparc engnie", max_dist=1).collect()}
+        # sparc ~1~ spark (docs 1,2,4); engnie ~? engine: transposition
+        # = 2 edits under levenshtein -> only max_dist>=2 matches it
+        assert got == set()
+        got2 = {r.doc_id for r in fuzzy_token_search(
+            self._df(spark), "sparc engnie", max_dist=2).collect()}
+        assert got2 == {1, 2}  # both terms fuzzily present
+
+    def test_all_terms_required_and_exact_at_zero(self, spark):
+        from aggo_spark.operators.search import fuzzy_token_search
+
+        df = self._df(spark)
+        assert {r.doc_id for r in fuzzy_token_search(
+            df, "spark engine", max_dist=1).collect()} == {1, 2}
+        assert {r.doc_id for r in fuzzy_token_search(
+            df, "spark engine", max_dist=0).collect()} == {1}
+        assert fuzzy_token_search(df, "", max_dist=1).count() == 4
+        with pytest.raises(ValueError, match="max_dist"):
+            fuzzy_token_search(df, "x", max_dist=-1)
+
+
 class TestBigramLm:
     """r8 extension: stupid-backoff bigram LM scoring (Brants et al.
     2007) — one order above the unigram CCNet-shape filter."""
