@@ -354,6 +354,7 @@ def fuzzy_token_search(
     max_dist: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Documents containing ALL query tokens up to ``max_dist`` edits
     each (Atlas $search `fuzzy` semantics, r8): "sparc engnie" finds
@@ -366,8 +367,14 @@ def fuzzy_token_search(
     of the DP) into Spark's thresholded ``levenshtein(t, q, max_dist)``
     (early-exit, -1 above the bound). The per-query-token match sets
     join back to the (id, token) posting stream as a broadcast, and a
-    per-doc distinct-query-term count == n_terms gates the semi join —
-    the corpus text column is read once, for tokenization only.
+    per-doc distinct-query-term count == n_terms gates the semi join.
+    Without an ``index``, the corpus tokenizes twice (vocab pass +
+    posting pass — the broadcast side cannot share the probe side's
+    explode at runtime, the BM25-df(t) lesson). Pass a posting-table
+    ``index`` (``build_text_index`` output or a
+    ``maintain_index(kind="text")`` changelog read via ``index_df`` —
+    signed rows net automatically) and both passes read the index; the
+    raw text column is never touched.
     """
     from ..operators.text import tokens as _tokens
 
@@ -376,11 +383,19 @@ def fuzzy_token_search(
     qtoks = query_tokens(query)
     if not qtoks:
         return df
-    postings = (
-        df.select(F.col(id_col).alias("id"),
-                  F.explode(F.array_distinct(_tokens(F.col(text_col))))
-                  .alias("token"))
-    )
+    if index is not None:
+        idx = index
+        if "sign" in idx.columns:
+            idx = (idx.groupBy("id", "token")
+                   .agg(F.sum("sign").alias("__net"))
+                   .filter(F.col("__net") > 0))
+        postings = idx.select("id", "token")
+    else:
+        postings = (
+            df.select(F.col(id_col).alias("id"),
+                      F.explode(F.array_distinct(_tokens(F.col(text_col))))
+                      .alias("token"))
+        )
     vocab = postings.select("token").distinct()
     qdf = df.sparkSession.createDataFrame(
         [(q,) for q in qtoks], "qterm string")

@@ -744,6 +744,24 @@ class TestFuzzyTokenSearch:
         with pytest.raises(ValueError, match="max_dist"):
             fuzzy_token_search(df, "x", max_dist=-1)
 
+    def test_index_path_matches_scan_incl_signed(self, spark):
+        from aggo_spark.operators.search import (build_text_index,
+                                                 fuzzy_token_search)
+
+        df = self._df(spark)
+        idx = build_text_index(df)
+        scan = {r.doc_id for r in fuzzy_token_search(
+            df, "spark engine", max_dist=1).collect()}
+        via_idx = {r.doc_id for r in fuzzy_token_search(
+            df, "spark engine", max_dist=1, index=idx).collect()}
+        assert via_idx == scan == {1, 2}
+        # signed changelog: a retraction row cancels doc 2's postings
+        signed = idx.withColumn("sign", F.lit(1)).unionByName(
+            idx.filter("id = 2").withColumn("sign", F.lit(-1)))
+        via_signed = {r.doc_id for r in fuzzy_token_search(
+            df, "spark engine", max_dist=1, index=signed).collect()}
+        assert via_signed == {1}
+
 
 class TestBigramLm:
     """r8 extension: stupid-backoff bigram LM scoring (Brants et al.

@@ -37,6 +37,7 @@ DEFAULT = [
     "q01_group_agg", "q02_filter", "q03_complex", "q22_sessionize",
     "q30_dedup_exact", "q31_dedup_jaccard", "q33_dedup_simhash",
     "q36_langid", "q37_quality", "q59_asof_join", "q64_graph_lookup",
+    "q71_token_budget",  # r8: carries the DSIR branch
     "q75_tfidf", "q77_chunking",
 ]
 
