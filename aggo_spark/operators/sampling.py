@@ -301,7 +301,7 @@ def quantile_threshold_filter(
 # DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
 # ---------------------------------------------------------------------------
 
-def hashed_ngram_features(
+def _hashed_gram_rows(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -309,17 +309,13 @@ def hashed_ngram_features(
     n: int = 2,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Hashed bag-of-word-n-grams: one ``(id, bucket, c)`` row per
-    distinct feature bucket a document touches (``c`` = occurrences).
-    Word unigrams AND n-grams up to ``n`` hash into ``n_buckets`` via
-    ``hash_fn`` — ``"xxhash64"`` (default, the scale path) or ``"md5"``
-    (first-60-bits mode, reproducible bit-for-bit in DuckDB — the q32
-    oracle-mode pattern). All codegen: tokens → slice windows → explode
-    → pmod — the DSIR featurizer and a general-purpose hashing-trick
-    featurizer.
-
-    Plan: one Generate + one (id, bucket) aggregate riding the explode's
-    partitioning; the exchange carries ≤ n_buckets rows per doc."""
+    """One ``(id, bucket)`` row per word-n-gram OCCURRENCE (the
+    pre-aggregation stream behind :func:`hashed_ngram_features` and the
+    DSIR histograms). Word unigrams AND n-grams up to ``n`` hash into
+    ``n_buckets`` via ``hash_fn`` — ``"xxhash64"`` (default, the scale
+    path) or ``"md5"`` (first-60-bits mode, reproducible bit-for-bit in
+    DuckDB — the q32 oracle-mode pattern). All codegen: tokens → slice
+    windows → explode → pmod."""
     from .text import tokens as _tokens
 
     if n_buckets < 2:
@@ -357,6 +353,25 @@ def hashed_ngram_features(
     return (
         tok.select("id", F.explode(grams).alias("__g"))
         .select("id", F.pmod(h, F.lit(n_buckets)).alias("bucket"))
+    )
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    n: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Hashed bag-of-word-n-grams: one ``(id, bucket, c)`` row per
+    distinct feature bucket a document touches (``c`` = occurrences).
+    See :func:`_hashed_gram_rows` for the gram/hash construction; this
+    adds the per-(id, bucket) aggregate the scoring path consumes.
+    Plan: one Generate + one (id, bucket) aggregate riding the explode's
+    partitioning; the exchange carries ≤ n_buckets rows per doc."""
+    return (
+        _hashed_gram_rows(df, text_col, id_col, n_buckets, n, hash_fn)
         .groupBy("id", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -383,16 +398,21 @@ def dsir_weights(
     ``(id_col, log_w)`` for every corpus doc (empty/NULL text → 0.0 —
     no features, no evidence either way).
 
-    Plan shape at 100 TB: each side's bucket histogram is ONE map-side-
-    combinable aggregate down to ≤ ``n_buckets`` rows, collected and
-    turned into a single ≤ ``n_buckets``-row weight table that BROADCASTS
-    to the scoring join — the only corpus-sized exchange is the per-doc
-    (id) aggregate. The histogram collect is the bounded driver-metadata
-    class (the PQ-codebook pattern): ``n_buckets`` is capped at 2^20 and
-    defaults to the DSIR paper's 10k. The corpus featurizes twice
+    Plan shape at 100 TB: each side's bucket histogram aggregates
+    DIRECTLY off the exploded gram stream (one map-side-combinable
+    ``groupBy(bucket)`` — the exchange carries ≤ ``n_buckets`` rows per
+    task, never per doc), is collected, memoized per (session, plan,
+    params) like the BM25/unigram corpus stats, and becomes a single
+    ≤ ``n_buckets``-row weight table that BROADCASTS to the scoring
+    join — the only corpus-sized exchange is the per-doc (id)
+    aggregate. The histogram collect is the bounded driver-metadata
+    class (the PQ-codebook pattern): ``n_buckets`` is capped at 2^20
+    and defaults to the DSIR paper's 10k. The corpus featurizes twice
     (histogram pass + scoring pass) — two narrow explodes beat
     persisting a tokens-sized intermediate."""
     import math
+
+    from ..functions.scalar_memo import plan_scalar
 
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
@@ -401,16 +421,24 @@ def dsir_weights(
             f"n_buckets must be <= 2^20 (the weight table is collected "
             f"and broadcast), got {n_buckets}")
     cf = hashed_ngram_features(corpus, text_col, id_col, n_buckets, n,
-                               hash_fn)
-    tf = hashed_ngram_features(target, text_col, id_col, n_buckets, n,
-                               hash_fn)
+                               hash_fn)  # scoring path (per-doc features)
+    params_key = f"{text_col}:{id_col}:{n_buckets}:{n}:{hash_fn}"
 
-    def hist(feats: DataFrame) -> dict[int, int]:
-        return {r["bucket"]: r["n"] for r in
-                feats.groupBy("bucket").agg(F.sum("c").alias("n"))
-                .collect()}
+    def hist(frame: DataFrame) -> dict[int, int]:
+        # bucket totals straight off the gram stream (not the per-doc
+        # feature aggregate — that exchange is corpus-sized, r8 review),
+        # memoized per (session, plan, params): scoring several targets
+        # against one corpus pays the corpus histogram once
+        rows = _hashed_gram_rows(frame, text_col, id_col, n_buckets, n,
+                                 hash_fn)
+        return plan_scalar(
+            frame, f"dsirhist:{params_key}",
+            lambda: {r["bucket"]: r["n"] for r in
+                     rows.groupBy("bucket")
+                     .agg(F.count(F.lit(1)).alias("n")).collect()},
+            cache_if=lambda h: bool(h))
 
-    ch, th = hist(cf), hist(tf)
+    ch, th = hist(corpus), hist(target)
     c_tot, t_tot = sum(ch.values()), sum(th.values())
 
     def logp(h: dict, tot: int, b: int) -> float:
@@ -460,7 +488,11 @@ def importance_resample(
     return (
         corpus.join(weights, id_col)
         .withColumn("__key", F.col("log_w") + gumbel)
-        .orderBy(F.col("__key").desc())
+        # id tie-break: equal __key (shared log_w + a 2^40-grain noise
+        # collision — expected at ~1B docs) must not fall back to
+        # partition order, or the documented same-sample-on-any-
+        # partitioning guarantee breaks at the k boundary (r8 review)
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc())
         .limit(k)
         .drop("__key")
     )

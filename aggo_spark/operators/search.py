@@ -34,6 +34,21 @@ __all__ = [
 N_BUCKETS = 64
 
 
+def _net_postings(idx, term_col: str):
+    """Live rows of a SIGNED posting changelog (maintain_index): net
+    multiplicity per (id, term) > 0 — retractions cancel. No-op pass-
+    through for unsigned (batch-built) tables. One definition for every
+    search-side consumer (text, trigram, fuzzy); the dedup-side variants
+    keep their own shapes (minhash nets per (id, band, bh, SIG),
+    content_seen per hash with copy counts)."""
+    if "sign" not in idx.columns:
+        return idx
+    return (idx.groupBy("id", term_col)
+            .agg(F.sum("sign").alias("__net"))
+            .filter(F.col("__net") > 0)
+            .select("id", term_col))
+
+
 def query_tokens(query: str) -> list[str]:
     import re
 
@@ -83,13 +98,10 @@ def search_with_index(
         index.filter(F.col("token_bucket").isin(buckets))  # partition pruning
         .filter(F.col("token").isin(toks))                 # pushed to scan
     )
-    if "sign" in index.columns:
-        # signed changelog index (StreamingCollection.maintain_index):
-        # net multiplicity per (id, token) decides posting liveness —
-        # retracted docs' postings cancel without an index rebuild
-        idx = (idx.groupBy("id", "token")
-               .agg(F.sum("sign").alias("__net"))
-               .filter(F.col("__net") > 0))
+    # signed changelog index (StreamingCollection.maintain_index):
+    # net multiplicity per (id, token) decides posting liveness —
+    # retracted docs' postings cancel without an index rebuild
+    idx = _net_postings(idx, "token")
     hits = (
         idx.groupBy("id")
         .agg(F.count_distinct("token").alias("__nt"))
@@ -179,10 +191,7 @@ def regex_search_with_index(
         index.filter(F.col("gram_bucket").isin(buckets))
         .filter(F.col("gram").isin(grams))
     )
-    if "sign" in index.columns:
-        idx = (idx.groupBy("id", "gram")
-               .agg(F.sum("sign").alias("__net"))
-               .filter(F.col("__net") > 0))
+    idx = _net_postings(idx, "gram")
     hits = (
         idx.groupBy("id")
         .agg(F.count_distinct("gram").alias("__ng"))
@@ -376,24 +385,17 @@ def fuzzy_token_search(
     signed rows net automatically) and both passes read the index; the
     raw text column is never touched.
     """
-    from ..operators.text import tokens as _tokens
-
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
     qtoks = query_tokens(query)
     if not qtoks:
         return df
     if index is not None:
-        idx = index
-        if "sign" in idx.columns:
-            idx = (idx.groupBy("id", "token")
-                   .agg(F.sum("sign").alias("__net"))
-                   .filter(F.col("__net") > 0))
-        postings = idx.select("id", "token")
+        postings = _net_postings(index, "token").select("id", "token")
     else:
         postings = (
             df.select(F.col(id_col).alias("id"),
-                      F.explode(F.array_distinct(_tokens(F.col(text_col))))
+                      F.explode(F.array_distinct(tokens(F.col(text_col))))
                       .alias("token"))
         )
     vocab = postings.select("token").distinct()

@@ -1102,6 +1102,11 @@ def bigram_logprob_score(
 
     from ..functions.scalar_memo import plan_scalar
 
+    if add_k <= 0:
+        raise ValueError(f"add_k must be > 0, got {add_k}")
+    if backoff <= 0:
+        raise ValueError(f"backoff must be > 0, got {backoff}")
+
     def bigram_rows(frame: DataFrame) -> DataFrame:
         t = F.col("__t")
         pairs = F.when(
@@ -1142,6 +1147,16 @@ def bigram_logprob_score(
             F.col(id_col), "c", (F.col("c") * logp).alias("__clp"))
         _ = uni_n  # documented: backoff unreachable when self-scoring
     else:
+        # model stats (only the reference branch consumes them — the
+        # self path must not pay this corpus job, r8 review)
+        stats = plan_scalar(
+            reference, f"bigramstats:{text_col}:{id_col}",
+            lambda: bigram_rows(reference).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("w").alias("vocab")).collect()[0],
+            cache_if=lambda s: bool(s["n"]))
+        uni_denom = (float(stats["n"]) + add_k * float(stats["vocab"])) \
+            if stats["n"] else 1.0
         mrows = bigram_rows(reference)
         mbig = mrows.groupBy("v", "w").agg(F.count(F.lit(1)).alias("__bn"))
         mctx = mrows.groupBy("v").agg(F.count(F.lit(1)).alias("__cn"))
