@@ -721,26 +721,43 @@ def _warc_fixture_dir(spark, sf_dir: str) -> str:
     files on disk), not an operator collect; bytes are a few KB per
     record and the write happens exactly once per scale factor."""
     import os
+    import tempfile
+    import zlib
 
-    n = _t(spark, sf_dir, "documents").count()
-    d = f"/tmp/aggo_spark_warc_fixture_n{n}"
+    # r9 (ADVICE): derive record ids from the ACTUAL doc_id values (a
+    # same-count table with different ids no longer drops rows through
+    # the join), key the cache dir by a digest of those ids, and build
+    # in a temp dir + atomic rename so two concurrent processes at the
+    # same scale can never observe a half-written fixture.
+    ids = sorted(r[0] for r in
+                 _t(spark, sf_dir, "documents").select("doc_id").collect())
+    digest = zlib.crc32(",".join(map(str, ids)).encode()) & 0xFFFFFFFF
+    d = f"/tmp/aggo_spark_warc_fixture_n{len(ids)}_{digest:08x}"
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
         from aggo_spark.sources.warc import encode_warc
 
-        os.makedirs(d, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix="warc_fixture_", dir="/tmp")
         shards = 4
         for s in range(shards):
             recs = [
                 {"warc_type": "response", "url": f"http://crawl.test/{i}",
                  "http": True,
                  "payload": _crawl_fixture_html(i).encode()}
-                for i in range(s, n, shards)
+                for i in ids[s::shards]
             ]
-            with open(os.path.join(d, f"part-{s}.warc.gz"), "wb") as f:
+            with open(os.path.join(tmp, f"part-{s}.warc.gz"), "wb") as f:
                 f.write(encode_warc(recs, gzip_members=True))
-        with open(marker, "w") as f:
-            f.write(str(n))
+        with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+            f.write(str(len(ids)))
+        try:
+            os.rename(tmp, d)  # atomic publish; POSIX rename
+        except OSError:
+            # a concurrent process won the rename race — use its copy
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(marker):
+                raise
     return d
 
 

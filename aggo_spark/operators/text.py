@@ -1127,15 +1127,6 @@ def bigram_logprob_score(
     tfd = bigram_rows(df).groupBy(id_col, "v", "w").agg(
         F.count(F.lit(1)).alias("c"))
 
-    model_src = reference if reference is not None else df
-    stats = plan_scalar(
-        model_src, f"bigramstats:{text_col}:{id_col}",
-        lambda: bigram_rows(model_src).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct("w").alias("vocab")).collect()[0],
-        cache_if=lambda s: bool(s["n"]))
-    uni_denom = (float(stats["n"]) + add_k * float(stats["vocab"]))         if stats["n"] else 1.0
-
     if reference is None:
         # self-scoring: model counts ride the tfd rows as window sums
         big_n = F.sum("c").over(W.partitionBy("v", "w"))

@@ -363,11 +363,32 @@ def build_warc_index(spark: SparkSession, path: str) -> DataFrame:
 
 def _local_path(p: str) -> str:
     """binaryFile paths arrive URI-form (``file:/x/y``); the ranged
-    reader opens them directly."""
+    reader opens them directly. r9 (ADVICE): the ``file://<authority>``
+    form is resolved per RFC 8089 (empty/localhost authority → local
+    path; anything else is a remote host we can't open), and non-file
+    schemes (``hdfs:``, ``s3a:`` …) raise a clear ValueError instead of
+    falling through to ``open()`` and a confusing ENOENT — on a real
+    cluster this function is replaced by the Hadoop FS / ranged-GET
+    layer, and the error says so."""
     if p.startswith("file://"):
-        return p[len("file:"):]
+        rest = p[len("file://"):]
+        # split authority from path: file:///x -> ('', '/x');
+        # file://localhost/x -> ('localhost', '/x')
+        auth, sep, path = rest.partition("/")
+        if auth not in ("", "localhost"):
+            raise ValueError(
+                f"file:// URI with non-local authority {auth!r}: {p!r} "
+                "(ranged reads only support the local filesystem here)")
+        return sep + path
     if p.startswith("file:"):
         return p[len("file:"):]
+    scheme, sep, _ = p.partition(":")
+    if sep and len(scheme) > 1 and scheme.isalnum():
+        raise ValueError(
+            f"unsupported URI scheme {scheme!r} for ranged WARC read: "
+            f"{p!r} — only local paths / file: URIs are supported in "
+            "this environment (cluster deployments swap in Hadoop FS "
+            "seek / S3 ranged GET at this call site)")
     return p
 
 

@@ -914,7 +914,11 @@ class StreamingCollection:
         their part-files; they are stale snapshots, not FileNotFound).
         Running here — not in the index's foreachBatch — keeps the
         repoint out of the streaming thread, so reads between flushes
-        never race it. Retired generation dirs are released at stop()."""
+        never race it. Only the immediately previous generation is kept
+        on disk (released at the next compaction; the final one at
+        stop())."""
+        import shutil
+
         for state in self._indexes.values():
             if state["batches"] < state["compact_every"]:
                 continue
@@ -951,6 +955,16 @@ class StreamingCollection:
             with self._lock:
                 state["retired"].append(state["path"])
                 state["path"] = new_dir  # future appends + index_df follow
+                # r9 (ADVICE): bound on-disk retired generations — keep
+                # only the immediately previous one (a one-generation
+                # grace period preserves the stale-snapshot guarantee
+                # for index_df readers built between flushes) instead of
+                # one full index copy per compaction for the collection's
+                # lifetime
+                stale = state["retired"][:-1]
+                state["retired"] = state["retired"][-1:]
+            for d in stale:
+                shutil.rmtree(d, ignore_errors=True)
             state["batches"] = 1
 
     def index_path(self, rid: str) -> str:
@@ -1071,8 +1085,13 @@ class StreamingCollection:
         repointed, so a previously returned ``result_df`` (whose file
         index resolved the OLD generation's part-files) stays a valid —
         just stale — snapshot instead of hitting FileNotFound mid-query.
-        Retired generations are deleted at ``stop()``. At scale this is a
+        Only the immediately previous generation is kept on disk (r9
+        ADVICE: released at the NEXT compaction, the final one at
+        ``stop()`` — a one-generation grace period, not one copy per
+        compaction for the collection's lifetime). At scale this is a
         table format's transactional OPTIMIZE + snapshot isolation."""
+        import shutil
+
         reg = self._registered[rid]
         if reg.sink != "parquet" or not os.path.isdir(reg.result_dir):
             return
@@ -1085,6 +1104,10 @@ class StreamingCollection:
         with self._lock:
             reg.retired_dirs.append(reg.result_dir)
             reg.result_dir = new_dir  # future appends follow the reg attr
+            stale = reg.retired_dirs[:-1]
+            reg.retired_dirs = reg.retired_dirs[-1:]
+        for d in stale:
+            shutil.rmtree(d, ignore_errors=True)
         reg.sink_batches = 1
 
     def result(self, rid: str) -> list[dict]:

@@ -857,12 +857,18 @@ class TestReviewPassFixes:
             gen0 = reg.result_dir
             # force a compaction: sink_batches reaches compact_every
             c.add({"category": "b", "price": 2.0, "qty": 1})
-            c.add({"category": "a", "price": 3.0, "qty": 1})
             assert reg.result_gen >= 1 and reg.result_dir != gen0
+            # ONE compaction after the snapshot: the held (pre-compaction)
+            # snapshot still reads — stale, not FileNotFound (the r9
+            # one-generation grace period, ADVICE r8)
             assert gen0 in reg.retired_dirs and _os.path.isdir(gen0)
-            # the held (pre-compaction) snapshot still reads — stale, not
-            # FileNotFound
             assert held.count() == n_before
+            c.add({"category": "a", "price": 3.0, "qty": 1})
+            # disk stays bounded: at most one retired generation on disk
+            # regardless of how many compactions have run
+            assert len(reg.retired_dirs) <= 1
+            if reg.retired_dirs != [gen0]:
+                assert not _os.path.isdir(gen0)
             fresh = {r["_id"]: r["n"] for r in c.result_df("g").collect()}
             assert fresh == {"a": 2, "b": 1}
             retired = list(reg.retired_dirs)

@@ -772,14 +772,29 @@ class TestIncrementalIndexMaintenance:
             coll.add({"doc_id": 1, "text": "alpha beta"})
             rid = coll.maintain_index(idx_path, kind="text", compact_every=2)
             coll.add({"doc_id": 2, "text": "alpha gamma"})
-            # an index DF built BEFORE compaction (the natural reuse
-            # pattern) — must survive the upcoming generation swap as a
-            # stale-but-valid snapshot, never FileNotFound (ADVICE r7)
+            # an index DF built BEFORE the next compaction (the natural
+            # reuse pattern) — must survive ONE generation swap as a
+            # stale-but-valid snapshot, never FileNotFound (ADVICE r7;
+            # r9 tightened to a one-generation grace period so disk
+            # stays bounded — ADVICE r8)
             held = coll.index_df(rid)
+            held_path = coll.index_path(rid)
             coll.remove({"doc_id": 1, "text": "alpha beta"})
+            # compaction repointed to a new generation dir...
+            assert coll.index_path(rid) != held_path
+            # ...and the held snapshot (one generation back) still
+            # executes — the grace period in action
+            assert held.count() > 0
             coll.add({"doc_id": 3, "text": "alpha delta"})
-            # compaction repointed to a new generation dir
-            assert coll.index_path(rid) != idx_path
+            # a SECOND compaction: the generation held above is now two
+            # back and its directory has been released (bounded disk —
+            # one retired generation kept, not one per compaction)
+            import os as _os
+            if coll.index_path(rid) != held_path:
+                retired = coll._indexes[rid]["retired"]
+                assert len(retired) <= 1
+                if held_path not in retired:
+                    assert not _os.path.isdir(held_path)
             idx = coll.index_df(rid)
             # compaction ran: the retracted doc's postings are GONE from
             # storage (netted), not just filtered at query time
@@ -788,16 +803,15 @@ class TestIncrementalIndexMaintenance:
             got = {r["doc_id"] for r in
                    search_with_index(corpus, idx, "alpha").collect()}
             assert got == {2, 3}
-            # the held pre-compaction snapshot still executes (stale: it
-            # predates the remove/add), and the original path still reads
-            assert held.filter("id = 1").count() > 0
-            assert spark.read.parquet(idx_path).count() > 0
             cur = coll.index_path(rid)
+            last_retired = list(coll._indexes[rid]["retired"])
         finally:
             coll.stop()
-        # retired generations released at stop(); current gen survives
+        # the final retired generation is released at stop(); the
+        # current generation survives
         import os as _os
-        assert not _os.path.isdir(idx_path)
+        for d in last_retired:
+            assert not _os.path.isdir(d)
         assert _os.path.isdir(cur)
 
     def test_trigram_index_regex(self, spark, tmp_path):
