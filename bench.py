@@ -8,13 +8,17 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Materialization is via the noop sink (full execution, no driver collect),
 after one warmup query to amortize JVM/codegen/parquet-footer startup.
 
-Self-validation (judge r4): BENCH_r04 recorded a 9x q30 inflation from
-ambient load arriving MID-run — the start-only gate could not see it. Now
-every query is checked against its expected time (SCALING_r*.json curve,
-else the pinned fallback table): a min-of-3 exceeding 3x expected triggers
-a wait-for-idle + full rerun (up to 2 rescues), and the final artifact
-carries a `contaminated` flag plus per-query busy-fraction telemetry so a
-dirty recording can never masquerade as a code regression again.
+Self-validation (judge r4, hardened r9 after the BENCH_r08 contamination):
+BENCH_r04 recorded a 9x q30 inflation from ambient load arriving MID-run;
+BENCH_r08 recorded ~1.25x uniform inflation with a CLEAN session-start gate
+but per-query busy up to 0.14 and zero rescue firings. Now (a) EVERY query
+start gates on measured cpu-busy <= 0.05 (wait-for-idle, /proc/stat — the
+VM's loadavg is a phantom), (b) a dirty start or a min-of-3 exceeding 3x
+the expected clean time (SCALING_r*.json curve, else the pinned fallback
+table) triggers wait-for-idle + a fresh min-of-3 rescue block (up to 2),
+and (c) the artifact records median-of-final-block and every raw run next
+to the best, so a contaminated best is visible instead of masquerading as
+a code regression.
 """
 
 from __future__ import annotations
@@ -78,6 +82,14 @@ EXPECTED_FALLBACK_SF01 = {
 
 RERUN_FACTOR = 3.0      # min-of-3 above expected*factor => suspect, rescue
 MAX_RESCUES = 2         # extra min-of-3 blocks after wait-for-idle
+# r9 (verdict #1): EVERY query start is gated on measured cpu-busy, not
+# just the session start — BENCH_r08 recorded per-query busy up to 0.14
+# with a clean session gate, and the resulting ~1.25x uniform inflation
+# read as a code regression. A query that starts above this threshold
+# waits for idle first; one that STILL starts dirty (gate timeout) gets
+# a rescue re-run block appended after the fact.
+PER_QUERY_BUSY = 0.05
+PER_QUERY_GATE_WAIT_S = 90
 
 
 def _cpu_busy_frac(interval: float = 1.0) -> float | None:
@@ -106,7 +118,8 @@ def _loadavg() -> float | None:
         return None
 
 
-def _wait_for_idle(max_wait_s: int = 300, busy_thresh: float = 0.25):
+def _wait_for_idle(max_wait_s: int = 300, busy_thresh: float = 0.25,
+                   probe_sleep_s: int = 14):
     """Block until measured cpu-busy <= busy_thresh (or timeout).
 
     Returns (busy_frac, loadavg, waited_s, gate). gate is one of
@@ -125,8 +138,8 @@ def _wait_for_idle(max_wait_s: int = 300, busy_thresh: float = 0.25):
                 return busy, load, waited, "unmeasured"
         elif busy <= busy_thresh:
             return busy, load, waited, "idle"
-        time.sleep(14)
-        waited += 15
+        time.sleep(probe_sleep_s)
+        waited += probe_sleep_s + 1
     return busy, load, waited, "timeout"
 
 
@@ -262,25 +275,48 @@ def main() -> None:
 
     # best-of-3 per query (the reference baseline averages 5 iterations
     # after warmup, BASELINE.md — min-of-3 is the cheap equivalent), then
-    # self-validate: a min-of-3 that still exceeds 3x the expected clean
-    # time is treated as ambient-load contamination — wait for measured
-    # idle and rerun, up to MAX_RESCUES times, keeping the global min.
+    # self-validate (r9, verdict #1 — three layers):
+    #   1. GATE: each query start waits for measured cpu-busy <=
+    #      PER_QUERY_BUSY (the r8 artifact had clean session start but
+    #      per-query busy up to 0.14 and ~1.25x uniform inflation);
+    #   2. RESCUE: a dirty start (gate timeout) or a min-of-3 exceeding
+    #      3x the expected clean time triggers wait-for-idle + a fresh
+    #      min-of-3 block, up to MAX_RESCUES, keeping the global min;
+    #   3. VISIBILITY: the artifact records median alongside best plus
+    #      every raw run, so a contaminated best can't hide.
     busy_at: dict[str, float | None] = {}
+    gates: dict[str, str] = {}
     reruns: dict[str, int] = {}
     suspect: list[str] = []
+    medians: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
 
     def timed(name: str) -> float:
-        busy_at[name] = _cpu_busy_frac(0.25)
-        best = min(run(name) for _ in range(3))
+        busy, _, _, gate = _wait_for_idle(
+            max_wait_s=PER_QUERY_GATE_WAIT_S, busy_thresh=PER_QUERY_BUSY,
+            probe_sleep_s=4)
+        busy_at[name], gates[name] = busy, gate
+        runs = [run(name) for _ in range(3)]
         exp = expected.get(name)
         rescues = 0
-        while exp and best > RERUN_FACTOR * exp and rescues < MAX_RESCUES:
+        while rescues < MAX_RESCUES and (
+                gate == "timeout"
+                or (exp and min(runs) > RERUN_FACTOR * exp)):
             rescues += 1
-            _wait_for_idle(max_wait_s=120)
-            best = min(best, *(run(name) for _ in range(3)))
+            busy, _, _, gate = _wait_for_idle(
+                max_wait_s=120, busy_thresh=PER_QUERY_BUSY, probe_sleep_s=4)
+            # the recorded busy/gate reflect the conditions of the LAST
+            # (rescue) block — the one whose runs dominate the kept min
+            busy_at[name], gates[name] = busy, gate
+            runs += [run(name) for _ in range(3)]
         if rescues:
             reruns[name] = rescues
-        if exp and best > RERUN_FACTOR * exp:
+        best = min(runs)
+        # median of the final (cleanest) 3-run block: best-vs-median gap
+        # is the run-to-run variance signal the judge asked to see
+        medians[name] = round(sorted(runs[-3:])[1], 3)
+        raw_runs[name] = [round(r, 3) for r in runs]
+        if (exp and best > RERUN_FACTOR * exp) or gate == "timeout":
             suspect.append(name)
         return round(best, 3)
 
@@ -322,7 +358,13 @@ def main() -> None:
         "contaminated": bool(suspect) or start_gate == "timeout",
         "suspect_queries": suspect,
         "rescue_reruns": reruns,
+        # median of the final 3-run block per query: a best far below its
+        # median flags interference inside the block (r9, verdict #1)
+        "medians": medians,
+        "raw_runs": raw_runs,
         "busy_frac_at_query_start": busy_at,
+        "per_query_gate": gates,
+        "per_query_busy_thresh": PER_QUERY_BUSY,
         "start_gate": start_gate,
         "loadavg_1m_start": load_start,
         "cpu_busy_frac_start": busy_start,
