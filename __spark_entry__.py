@@ -645,10 +645,35 @@ def q49_text_index(spark, sf_dir):
     )
 
 
+# q36 CJK fixture texts (r9, verdict #2): appended to the documents table
+# as synthetic rows keyed on doc_id % 4 so the codepoint-range router is
+# exercised end-to-end against the DuckDB oracle — zh (han only), ja
+# (kana+han), ko (hangul), and an English row carrying ONE han char that
+# must stay UNROUTED (below the 15% threshold) and resolve by stopwords.
+_CJK_FIXTURE_TEXTS = [
+    "这是一个中文测试文档内容",
+    "これは日本語のテストです",
+    "이것은 한국어 테스트입니다",
+    "the cat and the dog are in the house 中",
+]
+_CJK_FIXTURE_ID_OFFSET = 100_000_000
+
+
 def q36_langid(spark, sf_dir):
-    """Stopword-profile language ID — join-free (id, label) scale path."""
+    """Stopword-profile language ID — join-free (id, label) scale path.
+    r9: CJK codepoint-range routing (text.language_id_table cjk_route=True
+    — kana→ja, hangul→ko, han→zh when CJK chars reach 15% of non-space
+    chars), exercised on deterministic CJK fixture rows unioned onto the
+    documents scan; the oracle mirrors the router CASE in SQL."""
     df = _t(spark, sf_dir, "documents")
-    return text.language_id_table(df, "text")
+    fixture = F.array(*[F.lit(t) for t in _CJK_FIXTURE_TEXTS])
+    synth = df.select(
+        (F.col("doc_id") + F.lit(_CJK_FIXTURE_ID_OFFSET)).alias("doc_id"),
+        F.element_at(fixture,
+                     (F.col("doc_id") % 4 + 1).cast("int")).alias("text"),
+    )
+    both = df.select("doc_id", "text").unionByName(synth)
+    return text.language_id_table(both, "text", cjk_route=True)
 
 
 def q37_quality(spark, sf_dir):
@@ -2253,10 +2278,37 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1, 2
         """,
         "q36_langid": f"""
-            WITH t AS (SELECT doc_id, {tok_doc} AS tok FROM documents),
-            s AS (SELECT doc_id, {lang_scores} FROM t),
+            -- r9: documents + deterministic CJK fixture rows, with the
+            -- codepoint-range router CASE mirrored exactly (integer
+            -- percentage arithmetic; explicit whitespace class because
+            -- Java's \\s and RE2's \\s differ on \\x0B)
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {_CJK_FIXTURE_ID_OFFSET},
+                     CASE CAST(doc_id % 4 AS INT)
+                          WHEN 0 THEN '{_CJK_FIXTURE_TEXTS[0]}'
+                          WHEN 1 THEN '{_CJK_FIXTURE_TEXTS[1]}'
+                          WHEN 2 THEN '{_CJK_FIXTURE_TEXTS[2]}'
+                          ELSE '{_CJK_FIXTURE_TEXTS[3]}' END
+              FROM documents),
+            t AS (SELECT doc_id, {tok_doc} AS tok,
+                     length(regexp_replace(text, '[^{text.HAN_RANGES}]', '', 'g')) AS han,
+                     length(regexp_replace(text, '[^{text.KANA_RANGES}]', '', 'g')) AS kana,
+                     length(regexp_replace(text, '[^{text.HANGUL_RANGES}]', '', 'g')) AS hangul,
+                     length(regexp_replace(text, '[ \\t\\n\\r\\f]', '', 'g')) AS nonspace
+                  FROM u),
+            s AS (SELECT doc_id, han, kana, hangul, nonspace, {lang_scores} FROM t),
             g AS (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_it) AS g FROM s)
-            SELECT doc_id, {lang_pred} AS pred_lang FROM g ORDER BY doc_id
+            SELECT doc_id,
+                   CASE WHEN (han + kana + hangul) > 0
+                             AND (han + kana + hangul) * 100
+                                 >= nonspace * {text.CJK_ROUTE_PCT}
+                        THEN CASE WHEN kana > 0 THEN 'ja'
+                                  WHEN hangul > 0 THEN 'ko'
+                                  ELSE 'zh' END
+                        ELSE {lang_pred} END AS pred_lang
+            FROM g ORDER BY doc_id
         """,
         "q42_stream_agg": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,

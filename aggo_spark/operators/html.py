@@ -155,6 +155,7 @@ def html_blocks(
     min_words: int = 10,
     stopword_frac: float = 0.25,
     lang: str = "en",
+    cjk_aware: bool = False,
 ) -> DataFrame:
     """One row per text block of each stripped document, with the
     jusText-lite classification signals (Pomikálek 2011 §3 reduced to
@@ -170,15 +171,17 @@ def html_blocks(
     block signals stay inside whole-stage codegen except the InSet
     stopword probe.
 
-    SPACE-DELIMITED LANGUAGES ONLY (documented, r7-verdict #9): the
-    stopword tables are whitespace-token sets (``LANG_STOPWORDS`` — en/
-    de/es/fr/it...), so CJK blocks tokenize as one huge "word" and score
-    ``stop_frac = 0`` → always boilerplate. For mixed crawls, route by
-    ``add_language_id`` FIRST and run this classifier only on documents
-    whose language is in ``LANG_STOPWORDS``; CJK content selection needs
-    a segmenter (out of scope here) or a length-only rule
-    (``stopword_frac=0.0`` degrades to the length feature alone, which
-    jusText's evaluation shows is the weaker but still useful half).
+    Space-delimited languages use the stopword tables as-is. With the
+    default ``cjk_aware=False`` the r7-documented limitation stands: CJK
+    blocks tokenize as one huge "word" and score ``stop_frac = 0`` →
+    always boilerplate. ``cjk_aware=True`` (r9, verdict #2) routes each
+    BLOCK by its CJK character fraction (``text.CJK_ROUTE_PCT``): routed
+    blocks count char-BIGRAM pseudo-words (``tokens_cjk``) and are
+    classified by the length feature alone (``n_words >= min_words``,
+    ``stop_frac`` NULL) — jusText's stopword-density feature has no
+    segmenter-free CJK analogue, and the length-only rule is its
+    documented degraded mode. Unrouted blocks are classified exactly as
+    before, so mixed documents get per-block routing.
     """
     if lang not in LANG_STOPWORDS:
         raise ValueError(
@@ -199,16 +202,25 @@ def html_blocks(
         n_words > 0,
         _stop_hits(tok, LANG_STOPWORDS[lang]).cast("double") / n_words,
     ).when(n_words.isNotNull(), F.lit(0.0))
+    is_content = (F.col("n_words") >= min_words) \
+        & (F.col("stop_frac") >= stopword_frac)
+    if cjk_aware:
+        from .text import cjk_profile, tokens_cjk
+
+        routed = cjk_profile(F.col("block"))["routed"]
+        n_words = F.when(
+            F.col("block").isNotNull() & routed,
+            F.greatest(F.size(tokens_cjk(F.col("block"))), F.lit(0)),
+        ).otherwise(n_words)
+        stop_frac = F.when(routed, F.lit(None).cast("double")) \
+            .otherwise(stop_frac)
+        is_content = F.when(
+            routed, F.col("n_words") >= min_words).otherwise(is_content)
     return (
         exploded
         .withColumn("n_words", n_words.cast("int"))
         .withColumn("stop_frac", F.round(stop_frac, 6))
-        .withColumn(
-            "is_content",
-            F.coalesce(
-                (F.col("n_words") >= min_words)
-                & (F.col("stop_frac") >= stopword_frac),
-                F.lit(False)))
+        .withColumn("is_content", F.coalesce(is_content, F.lit(False)))
     )
 
 

@@ -325,7 +325,7 @@ def language_id(text: Column) -> Column:
 
 def language_id_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    out_col: str = "pred_lang"
+    out_col: str = "pred_lang", cjk_route: bool = False,
 ) -> DataFrame:
     """(id, predicted language) — the scale path: explode tokens → ONE
     literal-map lookup per token (token → bitmask of the languages whose
@@ -339,6 +339,16 @@ def language_id_table(
     zero-token documents as a null-token row, so every input id appears
     exactly once (label "und"). Occurrence semantics identical to
     :func:`language_id`.
+
+    ``cjk_route=True`` (r9, verdict #2): documents whose CJK character
+    count reaches ``CJK_ROUTE_PCT``% of non-whitespace characters are
+    labeled by codepoint range (kana → 'ja', hangul → 'ko', han → 'zh')
+    instead of the stopword argmax — the stopword probe is blind to CJK
+    (whitespace-token lists), so routed-off CJK used to land on "und".
+    The routed label is computed per ROW before the explode and ridden
+    through the aggregate as a tiny per-doc string (F.max over identical
+    copies); no extra shuffle, no second scan, exact integer-percentage
+    arithmetic so a SQL oracle mirrors it bit-for-bit.
     """
     langs = list(LANG_STOPWORDS)
     word_mask: dict[str, int] = {}
@@ -349,11 +359,18 @@ def language_id_table(
     for w, m in word_mask.items():
         kv += [F.lit(w), F.lit(m)]
     mask_map = F.create_map(*kv)
+    src = df.select(F.col(id_col), F.col(text_col))
+    if cjk_route:
+        p = cjk_profile(F.col(text_col))
+        src = src.withColumn(
+            "__cjkp",
+            F.when(p["routed"], cjk_range_language(F.col(text_col))))
     # conditional pre-explode repartition: see _ensure_parallelism
     tok = (
-        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        _ensure_parallelism(src)
         .select(
             F.col(id_col),
+            *([F.col("__cjkp")] if cjk_route else []),
             F.explode_outer(F.split(normalize_text(F.col(text_col)), " ")).alias("__t"),
         )
         # normalize collapses/trims whitespace, so "" tokens only occur for
@@ -361,14 +378,17 @@ def language_id_table(
         # (or "", or null) token simply looks up to a null mask that
         # counts 0 for every language. explode_outer keeps null-text docs
         # the same way.
-        .select(F.col(id_col), mask_map[F.col("__t")].alias("__m"))
+        .select(F.col(id_col),
+                *([F.col("__cjkp")] if cjk_route else []),
+                mask_map[F.col("__t")].alias("__m"))
     )
     counts = tok.groupBy(id_col).agg(
         *[
             F.count(F.when(F.col("__m").bitwiseAND(F.lit(1 << i)) != 0, 1))
             .alias(f"__s_{l}")
             for i, l in enumerate(langs)
-        ]
+        ],
+        *([F.max("__cjkp").alias("__cjkp")] if cjk_route else []),
     )
     scores = [F.col(f"__s_{l}") for l in langs]
     best = F.greatest(*scores) if len(langs) > 1 else scores[0]
@@ -376,6 +396,8 @@ def language_id_table(
     for lang, s in zip(reversed(langs), reversed(scores)):
         pred = F.when(s == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    if cjk_route:
+        pred = F.coalesce(F.col("__cjkp"), pred)
     return counts.select(id_col, pred.alias(out_col))
 
 
@@ -392,6 +414,153 @@ def add_language_id(
     return df.join(labeled, id_col, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit("und"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CJK tier (r9, verdict #2): codepoint-range router + char-bigram tokens
+# ---------------------------------------------------------------------------
+# BMP-only ranges on purpose: Spark's length()/substr() count code points
+# and DuckDB counts code points, but astral characters would take 2 UTF-16
+# units through some JVM paths — staying in the BMP keeps the Spark plan
+# and the SQL oracle mirror character-for-character identical.
+HAN_RANGES = "㐀-䶿一-鿿豈-﫿"       # CJK ideographs
+KANA_RANGES = "぀-ヿㇰ-ㇿ"                    # hira + kata
+HANGUL_RANGES = "ᄀ-ᇿ㄰-㆏가-힯"     # jamo + syll
+CJK_RANGES = HAN_RANGES + KANA_RANGES + HANGUL_RANGES
+
+# route-to-CJK threshold as an integer percentage so the comparison is
+# exact integer arithmetic in BOTH engines (no FP mirror drift):
+# cjk_chars * 100 >= nonspace_chars * CJK_ROUTE_PCT
+CJK_ROUTE_PCT = 15
+
+# explicit whitespace class — Java's \s includes \x0B, RE2's does not;
+# an explicit class is identical in both engines
+_WS_CLASS = "[ \t\n\r\f]"
+
+
+def _class_count(col: Column, ranges: str) -> Column:
+    """Number of characters of ``col`` inside the given codepoint ranges
+    (pure codegen: strip-the-complement + length)."""
+    return F.length(F.regexp_replace(col, f"[^{ranges}]", ""))
+
+
+def cjk_profile(col: Column) -> dict[str, Column]:
+    """Per-row CJK routing signals: han/kana/hangul char counts, total
+    non-whitespace chars, and the route decision. All plain Columns —
+    free riders on the scan, exactly mirrorable in ANSI SQL."""
+    han = _class_count(col, HAN_RANGES)
+    kana = _class_count(col, KANA_RANGES)
+    hangul = _class_count(col, HANGUL_RANGES)
+    nonspace = F.length(F.regexp_replace(col, _WS_CLASS, ""))
+    cjk = han + kana + hangul
+    routed = (cjk > 0) & (cjk * 100 >= nonspace * CJK_ROUTE_PCT)
+    return {"han": han, "kana": kana, "hangul": hangul,
+            "nonspace": nonspace, "cjk": cjk, "routed": routed}
+
+
+def cjk_range_language(col: Column) -> Column:
+    """Range-based language label for CJK-routed text: kana presence →
+    'ja' (Japanese is the only script mixing kana with Han), else hangul
+    → 'ko', else 'zh'. Caller gates on ``cjk_profile(col)["routed"]``."""
+    p = cjk_profile(col)
+    return (F.when(p["kana"] > 0, F.lit("ja"))
+            .when(p["hangul"] > 0, F.lit("ko"))
+            .otherwise(F.lit("zh")))
+
+
+def normalize_text_cjk(col: Column) -> Column:
+    """CJK-preserving :func:`normalize_text`: lowercase, keep latin
+    alphanumerics AND CJK codepoints, space-separate latin↔CJK script
+    boundaries (two global passes, no lookahead — the pattern stays
+    RE2-compatible for differential mirrors), collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, f"[^a-z0-9 {CJK_RANGES}]", " ")
+    c = F.regexp_replace(c, f"([{CJK_RANGES}])([a-z0-9])", "$1 $2")
+    c = F.regexp_replace(c, f"([a-z0-9])([{CJK_RANGES}])", "$1 $2")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def _char_bigrams(t: Column) -> Column:
+    """array of character bigrams of a (short) run; a single char yields
+    itself. Interpreted transform — per-RUN cost only; the scan-scale
+    form is :func:`token_table_cjk`'s explode."""
+    return F.when(
+        F.length(t) >= 2,
+        F.transform(F.sequence(F.lit(1), F.length(t) - 1),
+                    lambda i: t.substr(i, F.lit(2))),
+    ).otherwise(F.array(t))
+
+
+def tokens_cjk(col: Column) -> Column:
+    """Mixed-script token array: whitespace/word tokens for space-
+    delimited scripts, character BIGRAMS for CJK runs (the standard
+    segmenter-free unit for CJK stats/dedup shingles — char bigrams
+    carry most of the word signal in zh/ja, Manning & Schütze ch.15
+    heritage). Column (HOF) form — use :func:`token_table_cjk` on the
+    hot path (codegen-over-HOF rule; differential test pins the two
+    identical)."""
+    base = F.array_remove(F.split(normalize_text_cjk(col), " "), "")
+    return F.flatten(F.transform(
+        base,
+        lambda t: F.when(t.rlike(f"^[{CJK_RANGES}]"),
+                         _char_bigrams(t)).otherwise(F.array(t))))
+
+
+def token_table_cjk(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, tok) rows of :func:`tokens_cjk` — whole-stage-codegen scale
+    form: normalize once, ONE explode for the runs, one more explode of a
+    position sequence for CJK bigram expansion (both Generates; no
+    interpreted HOFs). At 100 TB this is the same explode-then-aggregate
+    shape as every other token operator here — scan-parallel, shuffle
+    only at whatever aggregation the caller adds."""
+    src = df.select(F.col(id_col),
+                    normalize_text_cjk(F.col(text_col)).alias("__nrm"))
+    runs = (
+        _ensure_parallelism(src)
+        .select(F.col(id_col), F.explode(F.split("__nrm", " ")).alias("__r"))
+        .filter(F.col("__r") != "")
+    )
+    is_cjk = F.col("__r").rlike(f"^[{CJK_RANGES}]")
+    n_grams = F.when(is_cjk, F.greatest(F.length("__r") - 1, F.lit(1))) \
+        .otherwise(F.lit(1))
+    return (
+        runs.select(
+            F.col(id_col), "__r",
+            is_cjk.alias("__c"),
+            F.explode(F.sequence(F.lit(1), n_grams)).alias("__i"))
+        .select(
+            F.col(id_col),
+            F.when(F.col("__c"),
+                   F.col("__r").substr(F.col("__i"), F.lit(2)))
+            .otherwise(F.col("__r")).alias("tok"))
+    )
+
+
+def token_stats_cjk(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, n_unique_tokens) over the CJK-aware token stream —
+    the stats that were degenerate on CJK input ("one giant token") with
+    the whitespace tokenizer. One explode chain + one hash aggregate."""
+    return (
+        token_table_cjk(df, text_col, id_col)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.count_distinct("tok").alias("n_unique_tokens"))
+    )
+
+
+def language_id_cjk(text: Column) -> Column:
+    """Column-form router mirroring ``language_id_table(cjk_route=True)``:
+    CJK-routed rows get the range label, everything else the stopword
+    argmax of :func:`language_id`. Same per-reference HOF caveat as
+    :func:`language_id` — prefer the table form on the hot path."""
+    p = cjk_profile(text)
+    return F.when(p["routed"], cjk_range_language(text)) \
+        .otherwise(language_id(text))
 
 
 def language_id_from_tokens(tok: Column) -> Column:
