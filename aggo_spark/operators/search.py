@@ -377,19 +377,27 @@ def fuzzy_token_search(
     (early-exit, -1 above the bound). The per-query-token match sets
     join back to the (id, token) posting stream as a broadcast, and a
     per-doc distinct-query-term count == n_terms gates the semi join.
-    Without an ``index``, the corpus tokenizes twice (vocab pass +
+    Without an ``index``, the corpus TOKENIZES TWICE (vocab pass +
     posting pass — the broadcast side cannot share the probe side's
-    explode at runtime, the BM25-df(t) lesson). Pass a posting-table
-    ``index`` (``build_text_index`` output or a
-    ``maintain_index(kind="text")`` changelog read via ``index_df`` —
-    signed rows net automatically) and both passes read the index; the
-    raw text column is never touched.
+    explode at runtime, the BM25-df(t) lesson): fine for a one-off
+    query, a 2× scan tax if repeated. Pass a posting-table ``index``
+    (``build_text_index`` output or a ``maintain_index(kind="text")``
+    changelog read via ``index_df`` — signed rows net automatically)
+    and both passes read the index; the raw text column is never
+    touched. r9 (verdict #7): when ``index`` is omitted but an index is
+    REGISTERED for ``(df, text_col, id_col)`` (``enhanced_text_search
+    (build_index=True)`` or an explicit ``_text_indexes`` registration),
+    it is used automatically — repeated interactive fuzzy queries on an
+    indexed frame stop paying the double scan.
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
     qtoks = query_tokens(query)
     if not qtoks:
         return df
+    if index is None and id_col in df.columns:
+        index = _get_or_build(_text_indexes, df, text_col, id_col,
+                              build_text_index, build=False)
     if index is not None:
         postings = _net_postings(index, "token").select("id", "token")
     else:

@@ -448,19 +448,38 @@ def read_warc_indexed(
     return ranged.mapInPandas(parse, WARC_SCHEMA)
 
 
-def read_wet(spark: SparkSession, path: str) -> DataFrame:
-    """Common Crawl WET (pre-extracted text) as (url, warc_date, text):
-    the ``conversion`` records of a WARC stream with the payload decoded
-    as UTF-8 — the zero-HTML entry point for text pipelines."""
+def _wet_project(df: DataFrame) -> DataFrame:
+    """WARC rows → WET rows: keep ``conversion`` records, decode the
+    payload as UTF-8 text."""
     from pyspark.sql import functions as F
 
     return (
-        read_warc(spark, path)
-        .filter(F.col("warc_type") == "conversion")
+        df.filter(F.col("warc_type") == "conversion")
         .select(
             "url", "warc_date",
             F.col("payload").cast("string").alias("text"))
     )
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Common Crawl WET (pre-extracted text) as (url, warc_date, text):
+    the ``conversion`` records of a WARC stream with the payload decoded
+    as UTF-8 — the zero-HTML entry point for text pipelines. Parallelism
+    = file count (binaryFile splits); for any-task-count parallelism over
+    few large archives use :func:`read_wet_indexed`."""
+    return _wet_project(read_warc(spark, path))
+
+
+def read_wet_indexed(
+    spark: SparkSession, index: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """WET records via a :func:`build_warc_index` index (r8-verdict #5):
+    the same record-range fan-out as :func:`read_warc_indexed` —
+    parallelism decoupled from archive count, per-task memory bounded by
+    the largest record — composed with the WET projection. Rows match
+    :func:`read_wet` exactly (order aside) for the Common Crawl
+    one-record-per-gzip-member layout."""
+    return _wet_project(read_warc_indexed(spark, index, num_partitions))
 
 
 def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:

@@ -173,6 +173,223 @@ class TestHtmlBlocksCjkRouting:
         assert out[0]["n_words"] == 0 and out[0]["is_content"] is False
 
 
+class TestTrigramStupidBackoff:
+    """Verdict #3: trigram stupid-backoff LM scoring — hand-computed
+    mirror for all three backoff levels + the self-vs-reference
+    differential (the bigram pattern one order up)."""
+
+    DOCS = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug and the cat sat still"),
+        (3, "one two"),          # < 3 tokens -> no trigram evidence
+        (4, ""),
+        (5, None),
+    ]
+
+    def _df(self, spark, rows=None):
+        return spark.createDataFrame(rows or self.DOCS,
+                                     "doc_id long, text string")
+
+    @staticmethod
+    def _mirror(docs, ref, add_k=0.5, backoff=0.4):
+        import math
+
+        def toks(t):
+            return t.lower().split() if t else []
+
+        tri, ctx2, big, ctx1, uni = {}, {}, {}, {}, {}
+        for _, t in ref:
+            ws = toks(t)
+            for g in zip(ws, ws[1:], ws[2:]):
+                tri[g] = tri.get(g, 0) + 1
+                ctx2[g[:2]] = ctx2.get(g[:2], 0) + 1
+            for v, w in zip(ws, ws[1:]):
+                big[(v, w)] = big.get((v, w), 0) + 1
+                ctx1[v] = ctx1.get(v, 0) + 1
+                uni[w] = uni.get(w, 0) + 1
+        n, vocab = sum(uni.values()), len(uni)
+        out = {}
+        for i, t in docs:
+            ws = toks(t)
+            gs = list(zip(ws, ws[1:], ws[2:]))
+            if not gs:
+                out[i] = (0, None)
+                continue
+            lp = 0.0
+            for u, v, w in gs:
+                if (u, v, w) in tri:
+                    lp += math.log(tri[(u, v, w)] / ctx2[(u, v)])
+                elif (v, w) in big:
+                    lp += math.log(backoff * big[(v, w)] / ctx1[v])
+                else:
+                    p_u = (uni.get(w, 0) + add_k) / (n + add_k * vocab)
+                    lp += math.log(backoff * backoff * p_u)
+            out[i] = (len(gs), round(lp / len(gs), 6))
+        return out
+
+    def test_self_scoring_matches_mirror(self, spark):
+        from aggo_spark.operators.text import trigram_logprob_score
+
+        got = {r.doc_id: (r.n_trigrams, r.mean_logprob) for r in
+               trigram_logprob_score(self._df(spark)).collect()}
+        want = self._mirror(self.DOCS, self.DOCS)
+        assert set(got) == set(want)
+        for i in got:
+            assert got[i][0] == want[i][0], (i, got, want)
+            if want[i][1] is None:
+                assert got[i][1] is None
+            else:
+                assert abs(got[i][1] - want[i][1]) < 1e-6, (i,)
+
+    def test_reference_equals_self_when_same_corpus(self, spark):
+        from aggo_spark.operators.text import trigram_logprob_score
+
+        df = self._df(spark)
+        a = {r.doc_id: (r.n_trigrams, r.mean_logprob) for r in
+             trigram_logprob_score(df).collect()}
+        b = {r.doc_id: (r.n_trigrams, r.mean_logprob) for r in
+             trigram_logprob_score(df, reference=df).collect()}
+        c = {r.doc_id: (r.n_trigrams, r.mean_logprob) for r in
+             trigram_logprob_score(df, reference=df,
+                                   broadcast_model=True).collect()}
+        assert a == b == c
+
+    def test_all_three_backoff_levels(self, spark):
+        from aggo_spark.operators.text import trigram_logprob_score
+
+        ref = [(10, "a b c a b d")]
+        # level 1: (a,b,c) in model -> log(1/2)
+        # level 2: (x,a,b)? no — craft per level:
+        docs = [
+            (1, "a b c"),    # trigram hit: count(a,b,c)=1 / ctx2(a,b)=2
+            (2, "x b c"),    # trigram miss, bigram (b,c) hit: 1/ctx1(b)=2
+            (3, "x y d"),    # both miss -> backoff^2 * addk-unigram(d)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rdf = spark.createDataFrame(ref, "doc_id long, text string")
+        got = {r.doc_id: r.mean_logprob for r in
+               trigram_logprob_score(df, reference=rdf).collect()}
+        import math
+        assert abs(got[1] - round(math.log(1 / 2), 6)) < 1e-6
+        assert abs(got[2] - round(math.log(0.4 * 1 / 2), 6)) < 1e-6
+        # continuation counts: b:2, c:1, a:1, d:1 -> n=5, vocab=4
+        p_d = (1 + 0.5) / (5 + 0.5 * 4)
+        assert abs(got[3] - round(math.log(0.4 * 0.4 * p_d), 6)) < 1e-6
+        # mirror agrees end to end
+        want = self._mirror(docs, ref)
+        for i in got:
+            assert abs(got[i] - want[i][1]) < 1e-6
+
+    def test_short_docs_null(self, spark):
+        from aggo_spark.operators.text import trigram_logprob_score
+
+        got = {r.doc_id: (r.n_trigrams, r.mean_logprob) for r in
+               trigram_logprob_score(self._df(spark)).collect()}
+        for i in (3, 4, 5):
+            assert got[i] == (0, None)
+
+
+class TestWetIndexed:
+    """Verdict #5: WET through the splittable CDX-index path — same
+    record-range fan-out as read_warc_indexed, rows identical to the
+    un-indexed read_wet."""
+
+    def _write_wet(self, tmp_path, n=10):
+        from aggo_spark.sources.warc import encode_warc
+
+        recs = [
+            {"warc_type": "conversion", "url": f"http://x/{i}",
+             "content_type": "text/plain",
+             "payload": f"extracted text body {i}".encode()}
+            for i in range(n)
+        ]
+        p = tmp_path / "a.warc.wet.gz"
+        p.write_bytes(encode_warc(recs, gzip_members=True))
+        return str(p)
+
+    def test_rows_match_unindexed(self, spark, tmp_path):
+        from aggo_spark.sources.warc import (build_warc_index, read_wet,
+                                             read_wet_indexed)
+
+        path = self._write_wet(tmp_path)
+        idx = build_warc_index(spark, path)
+        full = {(r.url, r.text) for r in read_wet(spark, path).collect()}
+        ranged = {(r.url, r.text)
+                  for r in read_wet_indexed(spark, idx).collect()}
+        assert ranged == full and len(full) == 10
+
+    def test_single_wet_archive_fans_out(self, spark, tmp_path):
+        from aggo_spark.sources.warc import build_warc_index, read_wet_indexed
+
+        path = self._write_wet(tmp_path, n=12)
+        idx = build_warc_index(spark, path)
+        out = read_wet_indexed(spark, idx, num_partitions=4)
+        # the input-split requirement: ONE archive, >1 task
+        parts = out.rdd.glom().map(len).collect()
+        assert len(parts) == 4 and sum(1 for p in parts if p) > 1
+        assert sum(parts) == 12
+
+
+class TestFuzzySearchRegistryAutoUse:
+    """Verdict #7: fuzzy_token_search auto-uses a registered posting
+    index — the no-index double-tokenize (two Generates in the plan)
+    disappears on a registry hit."""
+
+    ROWS = [(1, "the spark engine runs fast"),
+            (2, "a slow database engine"),
+            (3, "completely unrelated prose")]
+
+    @staticmethod
+    def _n_live_generates(df):
+        """Generate nodes that EXECUTE: lines inside an InMemoryRelation
+        subtree are the cached index's build lineage (shown by Spark but
+        replaced by the InMemoryTableScan above them at runtime)."""
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n, cache_indent = 0, None
+        for line in plan.splitlines():
+            indent = len(line) - len(line.lstrip(" :+-"))
+            if cache_indent is not None and indent > cache_indent:
+                continue  # still inside the cached lineage
+            cache_indent = None
+            if "InMemoryRelation" in line:
+                cache_indent = indent
+            elif "Generate " in line:
+                n += 1
+        return n
+
+    def test_registry_hit_drops_generates(self, spark):
+        from aggo_spark.operators import search as S
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        try:
+            no_idx = S.fuzzy_token_search(df, "sparc engnie", max_dist=2)
+            # the documented no-index cost: vocab + posting explodes
+            assert self._n_live_generates(no_idx) >= 2
+            assert "InMemoryTableScan" not in \
+                no_idx._jdf.queryExecution().executedPlan().toString()
+            # register the index the enhanced_text_search way
+            S.enhanced_text_search(df, "engine", build_index=True)
+            hit = S.fuzzy_token_search(df, "sparc engnie", max_dist=2)
+            plan = hit._jdf.queryExecution().executedPlan().toString()
+            # both passes read the registered index: no executing
+            # Generate, two InMemoryTableScans
+            assert self._n_live_generates(hit) == 0
+            assert plan.count("InMemoryTableScan") >= 2
+            # identical rows either way
+            assert ({r.doc_id for r in hit.collect()}
+                    == {r.doc_id for r in no_idx.collect()} == {1})
+        finally:
+            S.clear_text_search_index()
+
+    def test_explicit_index_still_wins(self, spark):
+        from aggo_spark.operators import search as S
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        idx = S.build_text_index(df, "text", "doc_id")
+        out = S.fuzzy_token_search(df, "databse", max_dist=1, index=idx)
+        assert {r.doc_id for r in out.collect()} == {2}
+
+
 class TestLocalPathUriHandling:
     """ADVICE r8: file://<authority> resolution + clear errors for
     non-file schemes (instead of ENOENT through open())."""
