@@ -607,6 +607,72 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def vector_probe(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scorer: str = "column",
+) -> DataFrame:
+    """Cosine top-k of ``queries`` against a MAINTAINED vector index
+    (``StreamingCollection.maintain_index(kind="vector")`` read via
+    ``index_df`` — r9, verdict #6, the embedding member of the
+    minhash_probe/content_seen family): "is this new doc a semantic
+    near-dup of the live corpus" without re-embedding or re-assigning
+    the corpus. ``centroids`` MUST be the same pinned list the index
+    was built with — it keys the cells.
+
+    The signed changelog nets per (id, cell, vec) first — a removed
+    doc's row cancels, and an edited doc's old embedding nets out while
+    the new one survives (vec participates in the key exactly like the
+    minhash ``sig`` — netting without it could keep a stale embedding).
+    Then the ivf_topk probe shape: queries assign to their ``nprobe``
+    nearest cells (pure projection against the broadcast literal
+    centers), broadcast-join the netted index on ``cell``, score, and
+    rank — scanned fraction ≈ nprobe / n_cells of the INDEX, the
+    collection itself is never touched.
+
+    Returns (query_id, neighbor_id, score, rank). ``scorer`` defaults
+    to ``"column"`` — probes are interactive few-query joins; pass
+    ``"arrow"`` for bulk probes over a large query table.
+    """
+    if not isinstance(centroids, list) or not centroids:
+        raise ValueError("centroids must be the index's pinned list")
+    live = index
+    if "sign" in index.columns:
+        live = (
+            index.groupBy("id", "cell", "vec")
+            .agg(F.sum("sign").alias("__net"))
+            .filter(F.col("__net") > 0)
+            .select("id", "cell", "vec")
+        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(F.transform(
+            _cell_ranked_expr(centroids, F.col(vec_col), nprobe),
+            lambda s: s["cell"],
+        )).alias("cell"),
+    )
+    scored = (
+        live.join(F.broadcast(q), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(_pair_cosine(F.col("qv"), F.col("vec"), scorer), 6)
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def _lloyd(X, k: int, rng, iters: int = 20):
     """Plain Lloyd's k-means on an in-memory sample (numpy): seed-
     deterministic init from distinct sample rows, empty clusters re-seeded
