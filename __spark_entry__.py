@@ -842,22 +842,33 @@ def q40_multimodal(spark, sf_dir):
         F.col("img_meta.phash").alias("png_phash"),
     )
 
-    # r6: REAL JPEG header parse — each doc gets a synthesized JPEG header
-    # (SOF0 for even ids, progressive SOF2 for odd; dims/channels arithmetic
-    # in doc_id); every 5th doc gets CORRUPT jpeg-magic bytes that must
-    # decode to a null meta row, not a fake
+    # r6: REAL JPEG parse; r9 (verdict #4): even ids get a FULL baseline
+    # encode (solid color, identity quant — alternating 4:4:4/4:2:0) that
+    # the executor pixel-decodes for real (DHT Huffman + dequant + IDCT +
+    # upsample + YCbCr->RGB, multimodal.jpeg_pixel_decode), with the
+    # expected channel means rebuilt arithmetically in the oracle (the
+    # PNG pattern — solid colors round-trip EXACTLY through identity
+    # quant). Odd ids stay progressive SOF2 headers (header-only tier:
+    # real dims, NULL means); every 5th doc gets CORRUPT jpeg-magic bytes
+    # that must decode to a null meta row, not a fake.
     def _synth_jpg(batches):
         for pdf in batches:
             ids = pdf["doc_id"]
-            yield _pd.DataFrame({
-                "doc_id": ids,
-                "content": [
-                    b"\xff\xd8\xff\x00" if i % 5 == 0 else
-                    multimodal.encode_jpeg_header(
+            blobs = []
+            for i in ids:
+                if i % 5 == 0:
+                    blobs.append(b"\xff\xd8\xff\x00")
+                elif i % 2 == 0:
+                    blobs.append(multimodal.encode_jpeg(
+                        int(1 + (i * 11) % 40), int(1 + (i * 17) % 40),
+                        (int(i % 256), int((i * 3) % 256),
+                         int((i * 5) % 256)),
+                        subsampling="420" if i % 4 == 0 else "444"))
+                else:
+                    blobs.append(multimodal.encode_jpeg_header(
                         1 + (i * 11) % 2048, 1 + (i * 17) % 2048,
-                        [1, 3, 4][i % 3], progressive=(i % 2 == 1))
-                    for i in ids],
-            })
+                        [1, 3, 4][i % 3], progressive=True))
+            yield _pd.DataFrame({"doc_id": ids, "content": blobs})
     jpgs = df.select("doc_id").mapInPandas(
         _synth_jpg, schema="doc_id long, content binary")
     jdec = multimodal.decode_image_metadata(
@@ -867,6 +878,9 @@ def q40_multimodal(spark, sf_dir):
         F.col("img_meta.width").alias("jpg_width"),
         F.col("img_meta.height").alias("jpg_height"),
         F.col("img_meta.channels").alias("jpg_channels"),
+        F.round(F.col("img_meta.channel_means")[0], 6).alias("jpg_mean_r"),
+        F.round(F.col("img_meta.channel_means")[1], 6).alias("jpg_mean_g"),
+        F.round(F.col("img_meta.channel_means")[2], 6).alias("jpg_mean_b"),
     )
 
     # late r6: audio (WAV RIFF chunk walk) + video (MP4 box walk) — real
@@ -1953,6 +1967,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS total_bytes,
                      unnest([0, 1, 2, 3]) AS frame_idx
               FROM documents),
+            -- r9 JPEG pixel tier: even ids carry a REAL solid-color
+            -- baseline JPEG; the expected decoded means replay the JFIF
+            -- arithmetic (floor(x+0.5) rounding, clamped) — rgb -> ycbcr
+            -- (what the encoder wrote; identity quant makes the DCT
+            -- round-trip exact) -> rgb (what the decoder output)
+            jc AS (
+              SELECT doc_id,
+                     least(greatest(floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5), 0), 255) AS jy,
+                     least(greatest(floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5), 0), 255) AS jcb,
+                     least(greatest(floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5), 0), 255) AS jcr
+              FROM (SELECT doc_id,
+                           CAST(doc_id % 256 AS DOUBLE) AS r,
+                           CAST((doc_id * 3) % 256 AS DOUBLE) AS g,
+                           CAST((doc_id * 5) % 256 AS DOUBLE) AS b
+                    FROM documents)),
             -- r8 crawl branch: the expected strip_html output per doc_id,
             -- rebuilt arithmetically (the WARC fixture's HTML is a pure
             -- function of doc_id), then the same curation signals in SQL
@@ -1999,17 +2028,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST((d.doc_id * 3) % 256 AS DOUBLE) AS png_mean_g,
                    CAST((d.doc_id * 5) % 256 AS DOUBLE) AS png_mean_b,
                    'ffffffffffffffff' AS png_phash,
-                   -- r6 JPEG header parse: dims/channels arithmetic in
-                   -- doc_id; every 5th doc carries corrupt jpeg-magic
-                   -- bytes -> all-null meta (a faking decoder fails here)
+                   -- r6/r9 JPEG tier: every 5th doc corrupt magic ->
+                   -- all-null meta; even ids REAL baseline pixel decode
+                   -- (small dims, solid color, means below); odd ids
+                   -- progressive header-only (big dims, NULL means)
                    CASE WHEN d.doc_id % 5 = 0 THEN NULL ELSE 'jpeg' END AS jpg_format,
                    CASE WHEN d.doc_id % 5 = 0 THEN NULL
+                        WHEN d.doc_id % 2 = 0 THEN CAST(1 + (d.doc_id * 11) % 40 AS INT)
                         ELSE CAST(1 + (d.doc_id * 11) % 2048 AS INT) END AS jpg_width,
                    CASE WHEN d.doc_id % 5 = 0 THEN NULL
+                        WHEN d.doc_id % 2 = 0 THEN CAST(1 + (d.doc_id * 17) % 40 AS INT)
                         ELSE CAST(1 + (d.doc_id * 17) % 2048 AS INT) END AS jpg_height,
                    CASE WHEN d.doc_id % 5 = 0 THEN NULL
+                        WHEN d.doc_id % 2 = 0 THEN CAST(3 AS INT)
                         ELSE CAST(CASE d.doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
                                   ELSE 4 END AS INT) END AS jpg_channels,
+                   CASE WHEN d.doc_id % 5 = 0 OR d.doc_id % 2 = 1 THEN NULL
+                        ELSE least(greatest(floor(jc.jy + 1.402 * (jc.jcr - 128.0) + 0.5), 0), 255) END AS jpg_mean_r,
+                   CASE WHEN d.doc_id % 5 = 0 OR d.doc_id % 2 = 1 THEN NULL
+                        ELSE least(greatest(floor(jc.jy - 0.344136 * (jc.jcb - 128.0) - 0.714136 * (jc.jcr - 128.0) + 0.5), 0), 255) END AS jpg_mean_g,
+                   CASE WHEN d.doc_id % 5 = 0 OR d.doc_id % 2 = 1 THEN NULL
+                        ELSE least(greatest(floor(jc.jy + 1.772 * (jc.jcb - 128.0) + 0.5), 0), 255) END AS jpg_mean_b,
                    -- late r6: WAV RIFF + MP4 box-walk parses; every 7th doc
                    -- carries corrupt magic -> all-null meta
                    CASE WHEN d.doc_id % 7 = 0 THEN NULL
@@ -2038,6 +2077,7 @@ def oracle_sql() -> dict[str, str]:
                    c.crawl_copies
             FROM f JOIN documents d ON f.doc_id = d.doc_id
                    JOIN crawl_sig c ON f.doc_id = c.doc_id
+                   JOIN jc ON f.doc_id = jc.doc_id
             ORDER BY f.doc_id, frame_idx
         """,
         "q46_densify_fill": """

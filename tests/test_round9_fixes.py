@@ -504,6 +504,114 @@ class TestVectorIndexMaintenance:
             coll.stop()
 
 
+class TestBaselineJpegCodec:
+    """Verdict #4: real baseline JPEG pixel decode (DHT-driven Huffman +
+    dequant + IDCT + upsample + YCbCr->RGB) — no Spark session needed,
+    the codec is plain numpy/stdlib."""
+
+    @staticmethod
+    def _expected_solid(r, g, b):
+        import math
+
+        def fl(x):
+            return min(max(math.floor(x + 0.5), 0), 255)
+
+        y = fl(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = fl(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = fl(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        return [float(fl(y + 1.402 * (cr - 128.0))),
+                float(fl(y - 0.344136 * (cb - 128.0)
+                         - 0.714136 * (cr - 128.0))),
+                float(fl(y + 1.772 * (cb - 128.0)))]
+
+    def test_solid_roundtrip_exact(self):
+        from aggo_spark.operators import multimodal as M
+
+        for w, h, px, sub in [(13, 9, (200, 30, 99), "444"),
+                              (8, 8, (0, 0, 0), "444"),
+                              (24, 17, (255, 128, 7), "444"),
+                              (13, 9, (10, 200, 77), "420")]:
+            meta = M.jpeg_pixel_decode(M.encode_jpeg(w, h, px,
+                                                     subsampling=sub))
+            assert meta is not None
+            assert (meta["width"], meta["height"],
+                    meta["channels"]) == (w, h, 3)
+            # identity quant: the solid color round-trips EXACTLY —
+            # the q40 arithmetic-oracle property
+            assert meta["channel_means"] == self._expected_solid(*px)
+            assert meta["phash"] == "ffffffffffffffff"
+
+    def test_grayscale(self):
+        from aggo_spark.operators import multimodal as M
+
+        meta = M.jpeg_pixel_decode(M.encode_jpeg(10, 6, 150))
+        assert meta["channels"] == 1
+        assert meta["channel_means"] == [150.0]
+
+    def test_random_image_roundtrip_within_dct_rounding(self):
+        import numpy as np
+
+        from aggo_spark.operators import multimodal as M
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(19, 23, 3), dtype=np.uint8)
+        meta = M.jpeg_pixel_decode(M.encode_jpeg(image=img))
+        # independent mirror: the JFIF color round-trip alone — identity
+        # quant bounds the extra DCT-coefficient rounding at 0.5/coef
+        # (orthonormal IDCT -> per-pixel error <= 4, mean error << 1)
+        R, G, B = (img[..., c].astype(np.float64) for c in range(3))
+        r2, g2, b2 = M._ycbcr_to_rgb_arrays(*M._rgb_to_ycbcr_arrays(R, G, B))
+        exp = [float(np.mean(c)) for c in (r2, g2, b2)]
+        for got, want in zip(meta["channel_means"], exp):
+            assert abs(got - want) < 1.5
+
+    def test_restart_intervals(self):
+        import numpy as np
+
+        from aggo_spark.operators import multimodal as M
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(19, 23, 3), dtype=np.uint8)
+        plain = M.jpeg_pixel_decode(M.encode_jpeg(image=img))
+        rst = M.jpeg_pixel_decode(M.encode_jpeg(image=img,
+                                                restart_interval=2))
+        assert rst is not None
+        assert rst["channel_means"] == plain["channel_means"]
+
+    def test_lossy_quant_still_decodes(self):
+        import numpy as np
+
+        from aggo_spark.operators import multimodal as M
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        q = [16] * 64
+        meta = M.jpeg_pixel_decode(M.encode_jpeg(image=img, quant=[q, q]))
+        assert meta is not None
+        R, G, B = (img[..., c].astype(np.float64) for c in range(3))
+        r2, g2, b2 = M._ycbcr_to_rgb_arrays(*M._rgb_to_ycbcr_arrays(R, G, B))
+        for got, want in zip(meta["channel_means"],
+                             [float(np.mean(c)) for c in (r2, g2, b2)]):
+            assert abs(got - want) < 8  # q=16 quantization noise bound
+
+    def test_fallbacks_never_fabricate(self):
+        from aggo_spark.operators import multimodal as M
+
+        # progressive -> header-only (real dims, NULL means)
+        meta = M.jpeg_decode(M.encode_jpeg_header(100, 50, 3,
+                                                  progressive=True))
+        assert meta["width"] == 100 and meta["channel_means"] is None
+        # SOF0 header with no scan -> header-only
+        meta = M.jpeg_decode(M.encode_jpeg_header(64, 32, 3))
+        assert meta["width"] == 64 and meta["channel_means"] is None
+        # corrupt magic -> None
+        assert M.jpeg_decode(b"\xff\xd8\xff\x00") is None
+        # truncated scan -> header-only or None, never fake stats
+        blob = M.encode_jpeg(16, 16, (5, 5, 5))
+        meta = M.jpeg_decode(blob[:len(blob) // 2])
+        assert meta is None or meta["channel_means"] is None
+
+
 class TestLocalPathUriHandling:
     """ADVICE r8: file://<authority> resolution + clear errors for
     non-file schemes (instead of ENOENT through open())."""
