@@ -221,6 +221,7 @@ def minhash_signatures(
     seed: int = 42,
     unit: str = "char",
     hash_fn: str = "xxhash64",
+    charset: str = "latin",
 ) -> DataFrame:
     """(id, sig: array<long>) MinHash signatures — the 100 TB path.
 
@@ -234,7 +235,8 @@ def minhash_signatures(
     """
     params = _perm_params(num_perm, seed)
     # duplicates don't change a min, so no distinct pass is needed
-    ex = explode_shingles(df, text_col, id_col, k, unit=unit).select(
+    ex = explode_shingles(df, text_col, id_col, k, unit=unit,
+                          charset=charset).select(
         "id", _base_hash(F.col("s"), hash_fn).alias("h")
     )
     aggs = [
@@ -280,6 +282,7 @@ def minhash_lsh_pairs(
     bucket_cap: int = 200,
     unit: str = "char",
     hash_fn: str = "xxhash64",
+    charset: str = "latin",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, with the
     estimated Jaccard (signature agreement rate) attached.
@@ -291,7 +294,7 @@ def minhash_lsh_pairs(
     """
     rows = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, num_perm, k, unit=unit,
-                             hash_fn=hash_fn)
+                             hash_fn=hash_fn, charset=charset)
     band_keys = _band_key_structs(bands, rows, hash_fn)
     banded = sig.select(
         "id", "sig", F.explode(F.array(*band_keys)).alias("bk")

@@ -504,6 +504,46 @@ class TestVectorIndexMaintenance:
             coll.stop()
 
 
+class TestCjkDedupShingles:
+    """Verdict #2 (dedup leg): charset='cjk' keeps CJK codepoints in the
+    shingle stream, so MinHash finds CJK near-dups that the latin
+    normalizer collapses to nothing."""
+
+    ROWS = [
+        (1, "これは日本語のテスト文書ですこれは長い本文を持っています"),
+        (2, "これは日本語のテスト文書ですこれは長い本文を持っている"),  # near-dup of 1
+        (3, "全く別の内容で構成された中国語風の文書内容がここに入る"),
+    ]
+
+    def test_cjk_charset_finds_near_dups(self, spark):
+        from aggo_spark.operators import dedup
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        pairs = dedup.minhash_lsh_pairs(
+            df, num_perm=32, bands=16, k=3, threshold=0.3,
+            charset="cjk").collect()
+        got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in pairs}
+        assert (1, 2) in got
+        assert (1, 3) not in got and (2, 3) not in got
+
+    def test_latin_charset_degenerates_documented(self, spark):
+        from aggo_spark.operators import dedup, text
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        # the r7-documented limitation this flag fixes: latin normalize
+        # strips CJK entirely -> no shingles -> no signatures at all
+        assert text.explode_shingles(df, k=3).count() == 0
+        assert dedup.minhash_signatures(df, num_perm=8, k=3).count() == 0
+
+    def test_charset_validated(self, spark):
+        from aggo_spark.operators import text
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        with pytest.raises(ValueError, match="charset"):
+            text.explode_shingles(df, charset="utf8")
+
+
 class TestBaselineJpegCodec:
     """Verdict #4: real baseline JPEG pixel decode (DHT-driven Huffman +
     dequant + IDCT + upsample + YCbCr->RGB) — no Spark session needed,
