@@ -872,6 +872,7 @@ def pack_chunks(
     order_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
     partition_cols: tuple[str, ...] = ("shard",),
     example_size: int = 128,
+    sub_buckets: int = 1,
 ) -> DataFrame:
     """GPT-style pack-and-split example assignment (Brown et al. 2020 data
     prep): chunks are concatenated in deterministic order within each
@@ -879,9 +880,21 @@ def pack_chunks(
     ``example_id`` is the example a chunk STARTS in (chunks may straddle a
     boundary — that is the concat-and-chunk recipe, not bin packing).
 
-    One window exchange on the partition key. At 100 TB the partition is a
-    content-hash shard, so the cumsum never sees more than corpus/n_shards
-    tokens and examples are reproducible regardless of cluster size.
+    ``sub_buckets=1``: one window exchange on the partition key —
+    parallelism = n_shards, each task sorting corpus/n_shards tokens.
+    ``sub_buckets=N`` (r9, r8-verdict blemish #3): the textbook
+    DISTRIBUTED PREFIX SUM — each shard splits into N contiguous ranges
+    of the leading order column (range boundaries from a
+    ``percentile_approx`` sketch; rows sharing a leading value always
+    share a range, so the order is preserved), a LOCAL window cumsum
+    runs per (shard, range), and per-range totals (n_shards × N tiny
+    rows) get their own cumsum and broadcast back as offsets. Output is
+    EXACTLY the single-window result (differential-pinned), parallelism
+    = n_shards × N, and the only full-data exchange is the one the
+    local window needs anyway.
+
+    At 100 TB the partition is a content-hash shard, so examples are
+    reproducible regardless of cluster size either way.
 
     Adds ``pack_cum_tokens`` (inclusive running sum) and ``example_id``.
     """
@@ -889,20 +902,57 @@ def pack_chunks(
         raise ValueError(f"example_size must be >= 1, got {example_size}")
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(*partition_cols)
+    def finish(frame: DataFrame) -> DataFrame:
+        return frame.withColumn(
+            "example_id",
+            # long, not int: a per-shard cumsum of hundreds of billions
+            # of tokens / example_size exceeds 2^31 at the 100 TB scale
+            # this is designed for (ADVICE r3)
+            F.floor((F.col("pack_cum_tokens") - F.col(tokens_col))
+                    / F.lit(example_size)).cast("long"),
+        )
+
+    if sub_buckets <= 1:
+        w = (
+            Window.partitionBy(*partition_cols)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return finish(df.withColumn("pack_cum_tokens", F.sum(tokens_col).over(w)))
+
+    lead = order_cols[0]
+    fracs = [i / sub_buckets for i in range(1, sub_buckets)]
+    splits = df.groupBy(*partition_cols).agg(
+        F.percentile_approx(lead, fracs).alias("__sp"))
+    with_sp = df.join(F.broadcast(splits), list(partition_cols))
+    # range id = number of split points strictly below the leading order
+    # value — literal element_at comparisons stay in codegen (no HOF);
+    # monotone in the leading column, so ordering survives the split
+    sub = sum(
+        (F.element_at("__sp", j + 1) < F.col(lead)).cast("int")
+        for j in range(sub_buckets - 1))
+    bucketed = with_sp.withColumn("__sub", sub).drop("__sp")
+    wl = (
+        Window.partitionBy(*partition_cols, "__sub")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(tokens_col).over(w)
-    return df.withColumn("pack_cum_tokens", cum).withColumn(
-        "example_id",
-        # long, not int: a per-shard cumsum of hundreds of billions of
-        # tokens / example_size exceeds 2^31 at the 100 TB scale this is
-        # designed for (ADVICE r3)
-        F.floor((F.col("pack_cum_tokens") - F.col(tokens_col))
-                / F.lit(example_size)).cast("long"),
+    local = bucketed.withColumn("__local_cum", F.sum(tokens_col).over(wl))
+    totals = bucketed.groupBy(*partition_cols, "__sub").agg(
+        F.sum(tokens_col).alias("__tot"))
+    wo = Window.partitionBy(*partition_cols).orderBy("__sub") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = totals.withColumn(
+        "__off", F.sum("__tot").over(wo) - F.col("__tot")).drop("__tot")
+    out = (
+        local.join(F.broadcast(offsets), [*partition_cols, "__sub"])
+        .withColumn("pack_cum_tokens",
+                    F.col("__local_cum") + F.coalesce("__off", F.lit(0)))
+        # restore the input column order (the equi-join fronts its keys),
+        # so both branches return schema-identical frames
+        .select(*df.columns, "pack_cum_tokens")
     )
+    return finish(out)
 
 
 def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

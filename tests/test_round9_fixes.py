@@ -504,6 +504,41 @@ class TestVectorIndexMaintenance:
             coll.stop()
 
 
+class TestPackChunksSubBuckets:
+    """r8-verdict blemish #3: pack_chunks two-level distributed prefix
+    sum — sub_buckets=N must equal the single-window result exactly."""
+
+    def _df(self, spark):
+        import random
+
+        rng = random.Random(5)
+        rows = [(d, c, rng.randint(1, 50), f"s{d % 3}")
+                for d in range(40) for c in range(rng.randint(1, 4))]
+        return spark.createDataFrame(
+            rows, "doc_id long, chunk_id long, n_chunk_tokens int, shard string")
+
+    def test_differential_vs_single_window(self, spark):
+        from aggo_spark.operators.text import pack_chunks
+
+        df = self._df(spark)
+        base = pack_chunks(df, example_size=64)
+        for n in (2, 4, 7):
+            split = pack_chunks(df, example_size=64, sub_buckets=n)
+            assert base.exceptAll(split).count() == 0
+            assert split.exceptAll(base).count() == 0
+
+    def test_parallelism_multiplies(self, spark):
+        from aggo_spark.operators.text import pack_chunks
+
+        df = self._df(spark)
+        split = pack_chunks(df, example_size=64, sub_buckets=4)
+        # the local cumsum window partitions on (shard, __sub): distinct
+        # (shard, sub) groups exceed the 3 shards — the parallelism knob
+        # the single-window form lacks
+        plan = split._jdf.queryExecution().optimizedPlan().toString()
+        assert "__sub" in plan
+
+
 class TestCjkDedupShingles:
     """Verdict #2 (dedup leg): charset='cjk' keeps CJK codepoints in the
     shingle stream, so MinHash finds CJK near-dups that the latin
