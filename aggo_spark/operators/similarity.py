@@ -49,6 +49,7 @@ __all__ = [
     "semantic_dedup",
     "cluster_balanced_sample",
     "rank_fusion",
+    "vector_probe",
 ]
 
 

@@ -45,7 +45,22 @@ __all__ = [
     "filter_blocked_domains",
     "unigram_logprob_score",
     "bigram_logprob_score",
+    "trigram_logprob_score",
     "explode_paragraphs",
+    "explode_shingles",
+    "language_id_table",
+    "language_id_cjk",
+    "cjk_profile",
+    "cjk_range_language",
+    "normalize_text_cjk",
+    "tokens_cjk",
+    "token_table_cjk",
+    "token_stats_cjk",
+    "HAN_RANGES",
+    "KANA_RANGES",
+    "HANGUL_RANGES",
+    "CJK_RANGES",
+    "CJK_ROUTE_PCT",
 ]
 
 

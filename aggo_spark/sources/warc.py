@@ -37,8 +37,8 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["read_warc", "read_wet", "parse_warc_bytes", "encode_warc",
-           "build_warc_index", "read_warc_indexed"]
+__all__ = ["read_warc", "read_wet", "read_wet_indexed", "parse_warc_bytes",
+           "encode_warc", "build_warc_index", "read_warc_indexed"]
 
 INDEX_SCHEMA = T.StructType([
     T.StructField("warc_file", T.StringType()),
