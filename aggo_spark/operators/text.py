@@ -384,10 +384,25 @@ def language_id_table(
     mask_map = F.create_map(*kv)
     src = df.select(F.col(id_col), F.col(text_col))
     if cjk_route:
-        p = cjk_profile(F.col(text_col))
+        # flattened router (r9 perf): ONE combined-class pass for the
+        # route decision (han+kana+hangul counted together — identical
+        # sum, the oracle still mirrors the three-term form) + the
+        # nonspace pass; kana/hangul class counts live INSIDE the
+        # when(routed, ...) branches, so codegen evaluates them only on
+        # routed rows — latin corpora pay 2 regex passes, not 7
+        # (cjk_profile + cjk_range_language re-deriving it measured
+        # 0.55 → 1.53 s on q36 at sf0.1)
+        col = F.col(text_col)
+        cjk = _class_count(col, CJK_RANGES)
+        nonspace = F.length(F.regexp_replace(col, _WS_CLASS, ""))
+        routed = (cjk > 0) & (cjk.cast("long") * 100
+                              >= nonspace.cast("long") * CJK_ROUTE_PCT)
         src = src.withColumn(
             "__cjkp",
-            F.when(p["routed"], cjk_range_language(F.col(text_col))))
+            F.when(routed,
+                   F.when(_class_count(col, KANA_RANGES) > 0, F.lit("ja"))
+                   .when(_class_count(col, HANGUL_RANGES) > 0, F.lit("ko"))
+                   .otherwise(F.lit("zh"))))
     # conditional pre-explode repartition: see _ensure_parallelism
     tok = (
         _ensure_parallelism(src)

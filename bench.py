@@ -74,7 +74,7 @@ EXPECTED_FALLBACK_SF01 = {
     "q33_dedup_simhash": 1.25,
     "q34_ann_brute": 0.7,
     "q48_ann_pq": 1.0,
-    "q36_langid": 0.6,
+    "q36_langid": 1.1,  # r9: CJK fixture rows (2x input) + range router
     "q37_quality": 1.1,
     "q59_asof_join": 1.0,
     "q61_curation_pipeline": 1.9,
