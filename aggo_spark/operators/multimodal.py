@@ -1348,6 +1348,13 @@ def jpeg_pixel_decode(b: bytes) -> dict | None:
         h, w = dims
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
+        # the nearest upsample below assumes integer replication factors
+        # (true for the 1/2 factors of every real-world baseline file);
+        # an exotic 3:2-style ratio must fall back to the header tier
+        # rather than decode wrong pixels (r9 review)
+        if any(c[1] < 1 or c[2] < 1 or hmax % c[1] or vmax % c[2]
+               for c in comps):
+            return None
         mcux = -(-w // (8 * hmax))
         mcuy = -(-h // (8 * vmax))
         D = _dct8()

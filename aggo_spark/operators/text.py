@@ -951,6 +951,16 @@ def pack_chunks(
         return finish(df.withColumn("pack_cum_tokens", F.sum(tokens_col).over(w)))
 
     lead = order_cols[0]
+    lead_type = dict(df.dtypes).get(lead, "")
+    if not (lead_type in ("tinyint", "smallint", "int", "bigint", "float",
+                          "double", "date", "timestamp")
+            or lead_type.startswith("decimal")):
+        # percentile_approx needs a numeric/temporal split column; fail
+        # with the remedy instead of an opaque analysis error (r9 review)
+        raise ValueError(
+            f"sub_buckets > 1 needs a numeric/date leading order column "
+            f"to range-split on; {lead!r} is {lead_type or 'missing'} — "
+            f"reorder order_cols or use sub_buckets=1")
     fracs = [i / sub_buckets for i in range(1, sub_buckets)]
     splits = df.groupBy(*partition_cols).agg(
         F.percentile_approx(lead, fracs).alias("__sp"))

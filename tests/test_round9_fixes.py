@@ -708,3 +708,39 @@ class TestLocalPathUriHandling:
         for uri in ("hdfs://nn/x", "s3a://bucket/key", "http://h/x"):
             with pytest.raises(ValueError, match="scheme"):
                 _local_path(uri)
+
+
+class TestReviewPass2:
+    """Second r9 adversarial review pass findings."""
+
+    def test_exotic_sampling_factor_falls_back(self):
+        from aggo_spark.operators import multimodal as M
+
+        blob = bytearray(M.encode_jpeg(16, 16, (40, 80, 120)))
+        # patch SOF sampling to a NON-DIVISIBLE mix (luma sh=3, chroma
+        # sh=2 -> hmax=3, 3 % 2 != 0): the nearest upsample assumes
+        # integer replication factors, so the decoder must fall back to
+        # the header tier, never decode wrong pixels
+        i = blob.find(b"\xff\xc0")
+        comp0_hv = i + 2 + 2 + 6 + 1  # marker+len+prec/h/w/nc+cid
+        assert blob[comp0_hv] == 0x11
+        blob[comp0_hv] = 0x31
+        assert blob[comp0_hv + 3] == 0x11
+        blob[comp0_hv + 3] = 0x21
+        assert M.jpeg_pixel_decode(bytes(blob)) is None
+        meta = M.jpeg_decode(bytes(blob))
+        assert meta is not None and meta["channel_means"] is None
+
+    def test_pack_chunks_string_lead_clear_error(self, spark):
+        from aggo_spark.operators.text import pack_chunks
+
+        df = spark.createDataFrame(
+            [("a", 1, 5, "s0"), ("b", 2, 7, "s0")],
+            "doc_id string, chunk_id long, n_chunk_tokens int, shard string")
+        with pytest.raises(ValueError, match="numeric/date leading"):
+            pack_chunks(df, example_size=8, sub_buckets=2,
+                        order_cols=("doc_id", "chunk_id"))
+        # numeric lead unaffected
+        ok = pack_chunks(df, example_size=8, sub_buckets=2,
+                         order_cols=("chunk_id", "doc_id"))
+        assert ok.count() == 2
