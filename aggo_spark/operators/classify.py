@@ -41,6 +41,7 @@ __all__ = [
     "train_lr",
     "classifier_score",
     "quality_filter",
+    "classifier_eval",
 ]
 
 # the weight table is collected/broadcast — same bound as dsir_weights
@@ -287,3 +288,61 @@ def quality_filter(
     cond = (F.col("prob") >= threshold if keep == "above"
             else F.col("prob") < threshold)
     return df.join(s.filter(cond), id_col)
+
+
+def classifier_eval(
+    scored: DataFrame,
+    labels: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> dict:
+    """Held-out evaluation of :func:`classifier_score` output against a
+    0/1 label table: AUC via the Mann-Whitney rank-sum identity
+
+        AUC = (Σ_{positives} rank(prob) − n_pos(n_pos+1)/2) / (n_pos·n_neg)
+
+    (ties get the average rank, the exact ROC-AUC convention), plus
+    accuracy / precision / recall at ``threshold``. Returns a plain dict
+    — bounded driver metadata (five scalars), the sketch-stats class.
+
+    Plan: one global rank window over ``prob`` + one aggregate. The rank
+    window is a single-partition sort — correct for evaluation sets
+    (bounded, like the training side); don't point it at a 100 TB corpus
+    (you'd evaluate on a sample anyway).
+    """
+    from pyspark.sql import Window
+
+    j = scored.select(id_col, "prob").join(
+        labels.select(id_col, F.col(label_col).cast("int").alias("__y")),
+        id_col)
+    # average rank of ties: rank() spans + (count-1)/2 == avg position
+    w = Window.orderBy("prob")
+    ranked = j.select(
+        "__y", "prob",
+        (F.rank().over(w)
+         + (F.count(F.lit(1)).over(
+             Window.partitionBy("prob")) - 1) / 2.0).alias("__rk"))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("__y") == 1, F.col("__rk"))).alias("rs"),
+        F.sum(F.when(F.col("__y") == 1, 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("__y") == 0, 1).otherwise(0)).alias("nn"),
+        F.sum(F.when((F.col("prob") >= threshold) == (F.col("__y") == 1),
+                     1).otherwise(0)).alias("correct"),
+        F.sum(F.when((F.col("prob") >= threshold)
+                     & (F.col("__y") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("prob") >= threshold, 1)
+              .otherwise(0)).alias("pp"),
+    ).first()
+    np_, nn = agg["np"] or 0, agg["nn"] or 0
+    total = np_ + nn
+    if not np_ or not nn:
+        raise ValueError(
+            f"evaluation needs both classes; got pos={np_} neg={nn}")
+    return {
+        "auc": (float(agg["rs"]) - np_ * (np_ + 1) / 2.0) / (np_ * nn),
+        "accuracy": agg["correct"] / total,
+        "precision": (agg["tp"] / agg["pp"]) if agg["pp"] else None,
+        "recall": agg["tp"] / np_,
+        "n": total,
+    }

@@ -184,3 +184,46 @@ class TestInference:
         assert plan.count("Generate") == 1
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestEval:
+    def test_auc_rank_sum_with_ties(self, spark):
+        from aggo_spark.operators import classify
+
+        # hand-computed: probs [.1,.4,.4,.8,.9], labels [0,0,1,1,1]
+        # avg ranks: .1->1, .4->2.5 (x2), .8->4, .9->5
+        # rank-sum(pos)=2.5+4+5=11.5; AUC=(11.5-3*4/2)/(3*2)=5.5/6
+        scored = spark.createDataFrame(
+            [(1, 0.1), (2, 0.4), (3, 0.4), (4, 0.8), (5, 0.9)],
+            "doc_id long, prob double")
+        labels = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 1), (4, 1), (5, 1)],
+            "doc_id long, label int")
+        m = classify.classifier_eval(scored, labels, threshold=0.5)
+        assert m["auc"] == pytest.approx(5.5 / 6)
+        # at 0.5: predicted pos = {4,5} -> tp=2, pp=2; correct = 1,2 neg
+        # right + 4,5 pos right = 4/5
+        assert m["accuracy"] == pytest.approx(0.8)
+        assert m["precision"] == pytest.approx(1.0)
+        assert m["recall"] == pytest.approx(2 / 3)
+        assert m["n"] == 5
+
+    def test_perfect_and_inverted(self, spark, train_df):
+        from aggo_spark.operators import classify
+
+        wdf, bias = classify.train_nb(train_df, **PARAMS)
+        scored = classify.classifier_score(train_df, wdf, bias, **PARAMS)
+        labels = train_df.select("doc_id", "label")
+        m = classify.classifier_eval(scored, labels)
+        assert m["auc"] == 1.0 and m["recall"] == 1.0
+        inv = labels.select(
+            "doc_id", (1 - F.col("label")).alias("label"))
+        assert classify.classifier_eval(scored, inv)["auc"] == 0.0
+
+    def test_single_class_rejected(self, spark):
+        from aggo_spark.operators import classify
+
+        scored = spark.createDataFrame([(1, 0.5)], "doc_id long, prob double")
+        labels = spark.createDataFrame([(1, 1)], "doc_id long, label int")
+        with pytest.raises(ValueError, match="both classes"):
+            classify.classifier_eval(scored, labels)
