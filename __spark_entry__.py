@@ -1325,8 +1325,15 @@ def q71_token_budget(spark, sf_dir):
     bit-for-bit, the q32 oracle-mode pattern; xxhash64 is the scale
     mode, differentially pinned in tests), add-1-smoothed bucket
     log-ratios, per-doc weighted sum. The oracle recomputes the entire
-    chain (features → distributions → log-ratio → per-doc sum) in SQL."""
-    from aggo_spark.operators import sampling
+    chain (features → distributions → log-ratio → per-doc sum) in SQL.
+
+    r9: PLUS the model-based quality classifier (classify.train_nb →
+    classifier_score, the FineWeb-Edu-shape linear filter) trained on
+    lang=='en' pseudo-labels over the SAME md5 bucket space — per-class
+    histograms → NB log-odds weight table + log-prior bias → per-doc
+    logit and probability, the whole train+score chain mirrored in SQL
+    off the oracle's existing feature CTE."""
+    from aggo_spark.operators import classify, sampling
 
     docs = _t(spark, sf_dir, "documents")
     budget = sampling.token_budget_sample(
@@ -1340,11 +1347,20 @@ def q71_token_budget(spark, sf_dir):
         docs, docs.filter(F.col("lang") == "en"),
         n_buckets=1024, hash_fn="md5",
     ).select("doc_id", F.round("log_w", 6).alias("dsir_log_w"))
+    nb_w, nb_b = classify.train_nb(
+        docs.withColumn(
+            "label", F.when(F.col("lang") == "en", 1).otherwise(0)),
+        n_buckets=1024, hash_fn="md5")
+    nb = classify.classifier_score(
+        docs, nb_w, nb_b, n_buckets=1024, hash_fn="md5"
+    ).select("doc_id", F.col("score").alias("nb_logit"),
+             F.col("prob").alias("nb_prob"))
     return (
         budget.select("doc_id", "source", "lang", "n_chars",
                       "cum_tokens", "kept")
         .join(strat, "doc_id", "left")
         .join(dsir, "doc_id")
+        .join(nb, "doc_id")
         .withColumn("strat_kept", F.coalesce("strat_kept", F.lit(False)))
         .orderBy("doc_id")
     )
@@ -2200,13 +2216,46 @@ def oracle_sql() -> dict[str, str]:
             dsir AS (
               SELECT feats.doc_id,
                      round(sum(feats.c * wtab.dw), 6) AS dsir_log_w
-              FROM feats JOIN wtab USING (bucket) GROUP BY 1)
+              FROM feats JOIN wtab USING (bucket) GROUP BY 1),
+            -- r9 NB classifier mirror (classify.train_nb + score):
+            -- per-class (lang='en' pseudo-label) bucket histograms off
+            -- the same feature CTE, add-1 log-odds weights, log-prior
+            -- bias, per-doc logit + sigmoid. tdist IS the positive-
+            -- class histogram already.
+            ndist AS (SELECT bucket, sum(c) AS n FROM feats
+                      WHERE lang IS DISTINCT FROM 'en' GROUP BY 1),
+            ntot AS (SELECT coalesce(sum(n), 0) AS t FROM ndist),
+            nbw AS (
+              SELECT cdist.bucket,
+                     ln((coalesce(tdist.n, 0) + 1.0)
+                        / (ttot.t + 1.0 * 1024))
+                     - ln((coalesce(ndist.n, 0) + 1.0)
+                          / (ntot.t + 1.0 * 1024)) AS w
+              FROM cdist LEFT JOIN tdist USING (bucket)
+                   LEFT JOIN ndist USING (bucket)
+                   CROSS JOIN ttot CROSS JOIN ntot),
+            nbbias AS (
+              SELECT ln(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0
+                        / sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END))
+                       AS bb
+              FROM documents),
+            nbsc AS (
+              SELECT feats.doc_id,
+                     nbbias.bb + sum(feats.c * nbw.w) AS logit
+              FROM feats JOIN nbw USING (bucket) CROSS JOIN nbbias
+              GROUP BY feats.doc_id, nbbias.bb)
             SELECT b.doc_id, source, b.lang, n_chars, cum_tokens,
                    cum_tokens <= 5000 AS kept,
                    (st.rn <= 10) AS strat_kept,
-                   coalesce(dsir.dsir_log_w, 0.0) AS dsir_log_w
+                   coalesce(dsir.dsir_log_w, 0.0) AS dsir_log_w,
+                   round(coalesce(nbsc.logit, nbbias.bb), 6) AS nb_logit,
+                   round(1.0 / (1.0 + exp(-coalesce(nbsc.logit,
+                                                    nbbias.bb))), 6)
+                     AS nb_prob
             FROM b JOIN st ON b.doc_id = st.doc_id
                  LEFT JOIN dsir ON b.doc_id = dsir.doc_id
+                 LEFT JOIN nbsc ON b.doc_id = nbsc.doc_id
+                 CROSS JOIN nbbias
             ORDER BY b.doc_id
         """,
         "q75_tfidf": f"""

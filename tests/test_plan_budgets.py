@@ -110,7 +110,7 @@ BUDGETS = {
     "q64_graph_lookup": 4,
     "q66_skew_salted": 2,      # salt + merge: exactly the two designed stages
     "q70_decontaminate": 6,
-    "q71_token_budget": 10,    # +5 r8: DSIR branch — feature explode ->
+    "q71_token_budget": 15,    # +5 r8: DSIR branch — feature explode ->
                                # (id,bucket) agg, broadcast weight-table
                                # scoring join, per-doc (id) agg, and the
                                # doc_id join back (weight table itself
@@ -119,7 +119,12 @@ BUDGETS = {
                                # +1: the pre-explode parallelism guard
                                # fires on the driver's single-split
                                # parquet (measured 1.9x at sf1; no-op on
-                               # well-partitioned production inputs)
+                               # well-partitioned production inputs);
+                               # +5 r9: NB-classifier branch — the same
+                               # DSIR scoring shape again (guard + (id,
+                               # bucket) agg + per-doc agg + ids join +
+                               # result join; training histograms are
+                               # driver-built like the DSIR weight table)
     "q75_tfidf": 7,            # tightened 11 -> 7 (r6): df(t) became a
                                # window count RIDING the tf rows instead of
                                # a second aggregate joined back, which
