@@ -61,6 +61,7 @@ __all__ = [
     "HANGUL_RANGES",
     "CJK_RANGES",
     "CJK_ROUTE_PCT",
+    "SCRIPT_RANGES",
 ]
 
 
@@ -349,6 +350,7 @@ def language_id(text: Column) -> Column:
 def language_id_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     out_col: str = "pred_lang", cjk_route: bool = False,
+    script_route: bool = False,
 ) -> DataFrame:
     """(id, predicted language) — the scale path: explode tokens → ONE
     literal-map lookup per token (token → bitmask of the languages whose
@@ -372,6 +374,18 @@ def language_id_table(
     through the aggregate as a tiny per-doc string (F.max over identical
     copies); no extra shuffle, no second scan, exact integer-percentage
     arithmetic so a SQL oracle mirrors it bit-for-bit.
+
+    ``script_route=True`` (late r9, a superset implying ``cjk_route``)
+    extends the router to every range in ``SCRIPT_RANGES``: the route
+    decision is ONE combined-class pass over all non-latin script
+    ranges, the winning family is the codepoint-range argmax (fixed
+    declaration-order tie-break), and the label is honest —
+    single-language scripts get the language (el/he/th/hy/ka), scripts
+    shared across languages get a BCP-47-style script tag
+    (``und-Cyrl``/``und-Arab``/``und-Deva``) rather than a guess (the
+    CLD fallback convention). Per-family counts sit inside the
+    ``when(routed, ...)`` branch, so unrouted (latin) rows still pay
+    only the 2 regex passes of the flattened router.
     """
     langs = list(LANG_STOPWORDS)
     word_mask: dict[str, int] = {}
@@ -382,27 +396,41 @@ def language_id_table(
     for w, m in word_mask.items():
         kv += [F.lit(w), F.lit(m)]
     mask_map = F.create_map(*kv)
+    cjk_route = cjk_route or script_route
     src = df.select(F.col(id_col), F.col(text_col))
     if cjk_route:
         # flattened router (r9 perf): ONE combined-class pass for the
-        # route decision (han+kana+hangul counted together — identical
-        # sum, the oracle still mirrors the three-term form) + the
-        # nonspace pass; kana/hangul class counts live INSIDE the
+        # route decision (all routed ranges counted together — identical
+        # sum, the oracle still mirrors the per-family form) + the
+        # nonspace pass; per-family class counts live INSIDE the
         # when(routed, ...) branches, so codegen evaluates them only on
         # routed rows — latin corpora pay 2 regex passes, not 7
         # (cjk_profile + cjk_range_language re-deriving it measured
         # 0.55 → 1.53 s on q36 at sf0.1)
         col = F.col(text_col)
-        cjk = _class_count(col, CJK_RANGES)
+        cjk_label = (
+            F.when(_class_count(col, KANA_RANGES) > 0, F.lit("ja"))
+            .when(_class_count(col, HANGUL_RANGES) > 0, F.lit("ko"))
+            .otherwise(F.lit("zh")))
+        if script_route:
+            ranges = CJK_RANGES + "".join(SCRIPT_RANGES.values())
+            fams = [("cjk", CJK_RANGES)] + list(SCRIPT_RANGES.items())
+            cnts = {name: _class_count(col, r) for name, r in fams}
+            best = F.greatest(*cnts.values())
+            label = None
+            for name, _ in fams:
+                le = cjk_label if name == "cjk" else F.lit(name)
+                cond = cnts[name] == best
+                label = (F.when(cond, le) if label is None
+                         else label.when(cond, le))
+        else:
+            ranges, label = CJK_RANGES, cjk_label
+        routed_cnt = _class_count(col, ranges)
         nonspace = F.length(F.regexp_replace(col, _WS_CLASS, ""))
-        routed = (cjk > 0) & (cjk.cast("long") * 100
-                              >= nonspace.cast("long") * CJK_ROUTE_PCT)
-        src = src.withColumn(
-            "__cjkp",
-            F.when(routed,
-                   F.when(_class_count(col, KANA_RANGES) > 0, F.lit("ja"))
-                   .when(_class_count(col, HANGUL_RANGES) > 0, F.lit("ko"))
-                   .otherwise(F.lit("zh"))))
+        routed = (routed_cnt > 0) & (routed_cnt.cast("long") * 100
+                                     >= nonspace.cast("long")
+                                     * CJK_ROUTE_PCT)
+        src = src.withColumn("__cjkp", F.when(routed, label))
     # conditional pre-explode repartition: see _ensure_parallelism
     tok = (
         _ensure_parallelism(src)
@@ -465,6 +493,23 @@ HAN_RANGES = "㐀-䶿一-鿿豈-﫿"       # CJK ideographs
 KANA_RANGES = "぀-ヿㇰ-ㇿ"                    # hira + kata
 HANGUL_RANGES = "ᄀ-ᇿ㄰-㆏가-힯"     # jamo + syll
 CJK_RANGES = HAN_RANGES + KANA_RANGES + HANGUL_RANGES
+
+# Non-CJK script ranges for language_id_table(script_route=True) —
+# BMP-only for the same Spark/DuckDB code-point parity as the CJK
+# ranges. Single-language scripts label the LANGUAGE; scripts shared
+# across languages label the SCRIPT ("und-Xxxx", the BCP-47/CLD
+# fallback convention — "ru" for any Cyrillic doc would just be wrong
+# for uk/bg/sr). Dict order is the argmax tie-break.
+SCRIPT_RANGES = {
+    "el": "Ͱ-Ͽ",        # Greek
+    "hy": "Ա-֏",        # Armenian
+    "he": "֐-׿",        # Hebrew
+    "th": "฀-๿",        # Thai
+    "ka": "Ⴀ-ჿ",        # Georgian
+    "und-Cyrl": "Ѐ-ӿ",  # Cyrillic: ru/uk/bg/sr/…
+    "und-Arab": "؀-ۿ",  # Arabic script: ar/fa/ur/…
+    "und-Deva": "ऀ-ॿ",  # Devanagari: hi/mr/ne/…
+}
 
 # route-to-CJK threshold as an integer percentage so the comparison is
 # exact integer arithmetic in BOTH engines (no FP mirror drift):

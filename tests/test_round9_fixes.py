@@ -744,3 +744,55 @@ class TestReviewPass2:
         ok = pack_chunks(df, example_size=8, sub_buckets=2,
                          order_cols=("chunk_id", "doc_id"))
         assert ok.count() == 2
+
+
+class TestScriptRouter:
+    """Late r9: language_id_table(script_route=True) — the router
+    generalized beyond CJK. Single-language scripts get the language,
+    shared scripts get the honest BCP-47-style script tag, CJK keeps
+    its kana/hangul/han cascade, latin text keeps the stopword argmax,
+    and cjk_route=True behavior (the q36 oracle contract) is untouched."""
+
+    ROWS = [
+        (1, "αυτό είναι ένα ελληνικό κείμενο δοκιμής"),           # el
+        (2, "זהו טקסט בדיקה בעברית עם מילים"),                    # he
+        (3, "นี่คือข้อความทดสอบภาษาไทยสำหรับระบบ"),                # th
+        (4, "это тестовый текст на русском языке"),               # und-Cyrl
+        (5, "هذا نص اختبار باللغة العربية للنظام"),               # und-Arab
+        (6, "यह परीक्षण के लिए हिंदी पाठ है"),                     # und-Deva
+        (7, "これは日本語のテストです"),                           # ja (CJK cascade)
+        (8, "the cat and the dog are in the house"),              # en (stopwords)
+        (9, "das ist ein α test mit einem griechischen zeichen"), # de: 1 greek
+                                                                  # char < 15%
+        (10, None),                                               # und
+    ]
+    EXPECTED = {1: "el", 2: "he", 3: "th", 4: "und-Cyrl", 5: "und-Arab",
+                6: "und-Deva", 7: "ja", 8: "en", 9: "de", 10: "und"}
+
+    def test_script_route_labels(self, spark):
+        from aggo_spark.operators import text
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {r["doc_id"]: r["pred_lang"] for r in
+               text.language_id_table(df, script_route=True).collect()}
+        assert got == self.EXPECTED
+
+    def test_cjk_route_unchanged_by_superset(self, spark, cjk_df):
+        from aggo_spark.operators import text
+
+        base = {r["doc_id"]: r["pred_lang"] for r in
+                text.language_id_table(cjk_df, cjk_route=True).collect()}
+        sup = {r["doc_id"]: r["pred_lang"] for r in
+               text.language_id_table(cjk_df, script_route=True).collect()}
+        # the CJK fixture has no non-CJK routed scripts: identical labels
+        assert sup == base
+
+    def test_mixed_script_argmax(self, spark):
+        from aggo_spark.operators import text
+
+        # cyrillic majority with a greek minority -> argmax picks Cyrl
+        df = spark.createDataFrame(
+            [(1, "это русский текст с одним α")],
+            "doc_id long, text string")
+        got = text.language_id_table(df, script_route=True).first()
+        assert got["pred_lang"] == "und-Cyrl"
