@@ -385,7 +385,10 @@ def language_id_table(
     (``und-Cyrl``/``und-Arab``/``und-Deva``) rather than a guess (the
     CLD fallback convention). Per-family counts sit inside the
     ``when(routed, ...)`` branch, so unrouted (latin) rows still pay
-    only the 2 regex passes of the flattened router.
+    only the 2 regex passes of the flattened router. Scope note: the
+    router labels LANGUAGE only — the tokenization tiers cover latin
+    (:func:`tokens`) and CJK (:func:`tokens_cjk`); stats over other
+    scripts need a range added to the normalizer first.
     """
     langs = list(LANG_STOPWORDS)
     word_mask: dict[str, int] = {}
