@@ -132,6 +132,7 @@ def train_lr(
     lr: float = 0.5,
     l2: float = 1e-4,
     init: str = "zero",
+    tol: float = 0.0,
 ) -> tuple[DataFrame, float]:
     """Distributed logistic regression over the hashed-n-gram features —
     full-batch gradient descent expressed as DataFrame aggregates (the
@@ -159,10 +160,17 @@ def train_lr(
     Determinism: gradients are float sums over an unordered partitioning
     — bit-exact runs are not guaranteed (tests pin a numpy mirror to
     rtol, not equality). The loss is convex, so the ridge is unique.
+
+    ``tol`` > 0 stops early once ``max_b |grad_b| / N <= tol`` (the
+    gradient is already on the driver each iteration — the check is
+    free); ``iters`` stays the hard cap. The default 0.0 keeps the
+    iteration count exact for the mirror tests.
     """
     _check(label_col, n_buckets)
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if tol < 0:
+        raise ValueError(f"tol must be >= 0, got {tol}")
     if init not in ("zero", "nb"):
         raise ValueError(f"init must be 'zero' or 'nb', got {init!r}")
     spark = df.sparkSession
@@ -210,10 +218,13 @@ def train_lr(
                 .groupBy("bucket")
                 .agg(F.sum(F.col("c") * F.col("__r")).alias("g"))
             )
-            for r in step.collect():
+            rows = step.collect()
+            for r in rows:
                 b, g = r["bucket"], r["g"]
                 reg = 0.0 if b == -2 else l2 * w.get(b, 0.0)
                 w[b] = w.get(b, 0.0) - lr * (g / n_docs + reg)
+            if tol and max(abs(r["g"]) for r in rows) / n_docs <= tol:
+                break
     finally:
         feats.unpersist()
     bias = w.pop(-2)

@@ -227,3 +227,23 @@ class TestEval:
         labels = spark.createDataFrame([(1, 1)], "doc_id long, label int")
         with pytest.raises(ValueError, match="both classes"):
             classify.classifier_eval(scored, labels)
+
+
+class TestEarlyStop:
+    def test_tol_converges_to_same_ridge(self, spark, train_df):
+        from aggo_spark.operators import classify
+
+        # a generous tol stops well before the 200-iter cap yet lands on
+        # weights scoring identically (separation + AUC) to the full run
+        wt, bt = classify.train_lr(
+            train_df, iters=200, tol=2e-3, init="nb", **PARAMS)
+        scored = classify.classifier_score(train_df, wt, bt, **PARAMS)
+        m = classify.classifier_eval(
+            scored, train_df.select("doc_id", "label"))
+        assert m["auc"] == 1.0
+
+    def test_tol_validated(self, spark, train_df):
+        from aggo_spark.operators import classify
+
+        with pytest.raises(ValueError, match="tol"):
+            classify.train_lr(train_df, tol=-1.0, **PARAMS)
