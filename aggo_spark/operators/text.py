@@ -53,9 +53,15 @@ __all__ = [
     "cjk_profile",
     "cjk_range_language",
     "normalize_text_cjk",
+    "normalize_text_multilingual",
     "tokens_cjk",
+    "tokens_multilingual",
     "token_table_cjk",
+    "token_table_multilingual",
     "token_stats_cjk",
+    "token_stats_multilingual",
+    "MULTILINGUAL_RANGES",
+    "UNSPACED_RANGES",
     "HAN_RANGES",
     "KANA_RANGES",
     "HANGUL_RANGES",
@@ -166,11 +172,16 @@ def explode_shingles(
     ``charset="cjk"`` (r9, verdict #2) normalizes with
     :func:`normalize_text_cjk` — CJK codepoints survive, so char-unit
     shingles (k≈5) carry real content instead of collapsing to empty;
-    the default ``"latin"`` keeps the oracle-pinned r1 semantics.
+    ``"multilingual"`` (late r9) keeps every ``SCRIPT_RANGES`` script
+    too, so MinHash dedup works on ru/el/ar/th… crawl content; the
+    default ``"latin"`` keeps the oracle-pinned r1 semantics.
     """
-    if charset not in ("latin", "cjk"):
-        raise ValueError(f"charset must be 'latin' or 'cjk', got {charset!r}")
-    norm = normalize_text_cjk if charset == "cjk" else normalize_text
+    norms = {"latin": normalize_text, "cjk": normalize_text_cjk,
+             "multilingual": normalize_text_multilingual}
+    if charset not in norms:
+        raise ValueError(
+            f"charset must be one of {sorted(norms)}, got {charset!r}")
+    norm = norms[charset]
     src = df.select(F.col(id_col).alias("id"), norm(F.col(text_col)).alias("nrm"))
     if unit == "word":
         return (
@@ -385,10 +396,10 @@ def language_id_table(
     (``und-Cyrl``/``und-Arab``/``und-Deva``) rather than a guess (the
     CLD fallback convention). Per-family counts sit inside the
     ``when(routed, ...)`` branch, so unrouted (latin) rows still pay
-    only the 2 regex passes of the flattened router. Scope note: the
-    router labels LANGUAGE only — the tokenization tiers cover latin
-    (:func:`tokens`) and CJK (:func:`tokens_cjk`); stats over other
-    scripts need a range added to the normalizer first.
+    only the 2 regex passes of the flattened router. Stats/dedup over
+    the routed scripts take the matching tier:
+    :func:`tokens_multilingual` / :func:`token_table_multilingual` /
+    ``explode_shingles(charset="multilingual")``.
     """
     langs = list(LANG_STOPWORDS)
     word_mask: dict[str, int] = {}
@@ -562,12 +573,44 @@ def normalize_text_cjk(col: Column) -> Column:
     alphanumerics AND CJK codepoints, space-separate latin↔CJK script
     boundaries (two global passes, no lookahead — the pattern stays
     RE2-compatible for differential mirrors), collapse whitespace."""
+    return _normalize_text_ranges(col, CJK_RANGES, CJK_RANGES)
+
+
+def _normalize_text_ranges(
+    col: Column, keep_ranges: str, boundary_ranges: str
+) -> Column:
+    """Shared normalizer core: lowercase, keep latin alphanumerics +
+    ``keep_ranges`` codepoints, space-separate ``boundary_ranges``
+    (unspaced-script) runs from any other kept character (negated-class
+    form — post-strip it is exactly the latin-adjacency rule when
+    keep == boundary, so :func:`normalize_text_cjk` output is
+    byte-identical to its r9 definition), collapse whitespace."""
     c = F.lower(col)
-    c = F.regexp_replace(c, f"[^a-z0-9 {CJK_RANGES}]", " ")
-    c = F.regexp_replace(c, f"([{CJK_RANGES}])([a-z0-9])", "$1 $2")
-    c = F.regexp_replace(c, f"([a-z0-9])([{CJK_RANGES}])", "$1 $2")
+    c = F.regexp_replace(c, f"[^a-z0-9 {keep_ranges}]", " ")
+    c = F.regexp_replace(
+        c, f"([{boundary_ranges}])([^ {boundary_ranges}])", "$1 $2")
+    c = F.regexp_replace(
+        c, f"([^ {boundary_ranges}])([{boundary_ranges}])", "$1 $2")
     c = F.regexp_replace(c, " +", " ")
     return F.trim(c)
+
+
+# full multilingual keep-set (late r9): latin + CJK + every SCRIPT_RANGES
+# script; the UNSPACED set (scripts written without word spaces) takes
+# char-bigram tokens — CJK plus Thai. Spaced scripts (greek/cyrillic/
+# hebrew/arabic/devanagari/armenian/georgian) tokenize on whitespace.
+MULTILINGUAL_RANGES = CJK_RANGES + "".join(SCRIPT_RANGES.values())
+UNSPACED_RANGES = CJK_RANGES + SCRIPT_RANGES["th"]
+
+
+def normalize_text_multilingual(col: Column) -> Column:
+    """:func:`normalize_text_cjk` generalized to every routed script:
+    latin + CJK + ``SCRIPT_RANGES`` codepoints survive, unspaced-script
+    runs (CJK, Thai) get boundary spaces; spaced scripts keep their own
+    word spacing. The normalizer behind the ``multilingual`` token/
+    shingle tier, so token stats and MinHash dedup stop being degenerate
+    on ru/el/ar/th… crawl content."""
+    return _normalize_text_ranges(col, MULTILINGUAL_RANGES, UNSPACED_RANGES)
 
 
 def _char_bigrams(t: Column) -> Column:
@@ -589,10 +632,24 @@ def tokens_cjk(col: Column) -> Column:
     heritage). Column (HOF) form — use :func:`token_table_cjk` on the
     hot path (codegen-over-HOF rule; differential test pins the two
     identical)."""
-    base = F.array_remove(F.split(normalize_text_cjk(col), " "), "")
+    return _tokens_ranges(col, normalize_text_cjk, CJK_RANGES)
+
+
+def tokens_multilingual(col: Column) -> Column:
+    """:func:`tokens_cjk` over the full multilingual normalizer: spaced
+    scripts (incl. greek/cyrillic/hebrew/arabic/devanagari) yield whole
+    word tokens, unspaced scripts (CJK, Thai) yield char bigrams —
+    language-agnostic char n-grams are the standard segmenter-free unit
+    for unspaced scripts. HOF form; :func:`token_table_multilingual` is
+    the scale path (differential-pinned identical)."""
+    return _tokens_ranges(col, normalize_text_multilingual, UNSPACED_RANGES)
+
+
+def _tokens_ranges(col: Column, normalizer, gram_ranges: str) -> Column:
+    base = F.array_remove(F.split(normalizer(col), " "), "")
     return F.flatten(F.transform(
         base,
-        lambda t: F.when(t.rlike(f"^[{CJK_RANGES}]"),
+        lambda t: F.when(t.rlike(f"^[{gram_ranges}]"),
                          _char_bigrams(t)).otherwise(F.array(t))))
 
 
@@ -605,20 +662,37 @@ def token_table_cjk(
     interpreted HOFs). At 100 TB this is the same explode-then-aggregate
     shape as every other token operator here — scan-parallel, shuffle
     only at whatever aggregation the caller adds."""
+    return _token_table_ranges(df, text_col, id_col,
+                               normalize_text_cjk, CJK_RANGES)
+
+
+def token_table_multilingual(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, tok) rows of :func:`tokens_multilingual` — the codegen scale
+    form of the full-script tier (same two-Generate plan as
+    :func:`token_table_cjk`)."""
+    return _token_table_ranges(df, text_col, id_col,
+                               normalize_text_multilingual, UNSPACED_RANGES)
+
+
+def _token_table_ranges(
+    df: DataFrame, text_col: str, id_col: str, normalizer, gram_ranges: str,
+) -> DataFrame:
     src = df.select(F.col(id_col),
-                    normalize_text_cjk(F.col(text_col)).alias("__nrm"))
+                    normalizer(F.col(text_col)).alias("__nrm"))
     runs = (
         _ensure_parallelism(src)
         .select(F.col(id_col), F.explode(F.split("__nrm", " ")).alias("__r"))
         .filter(F.col("__r") != "")
     )
-    is_cjk = F.col("__r").rlike(f"^[{CJK_RANGES}]")
-    n_grams = F.when(is_cjk, F.greatest(F.length("__r") - 1, F.lit(1))) \
+    is_gram = F.col("__r").rlike(f"^[{gram_ranges}]")
+    n_grams = F.when(is_gram, F.greatest(F.length("__r") - 1, F.lit(1))) \
         .otherwise(F.lit(1))
     return (
         runs.select(
             F.col(id_col), "__r",
-            is_cjk.alias("__c"),
+            is_gram.alias("__c"),
             F.explode(F.sequence(F.lit(1), n_grams)).alias("__i"))
         .select(
             F.col(id_col),
@@ -634,8 +708,21 @@ def token_stats_cjk(
     """(id, n_tokens, n_unique_tokens) over the CJK-aware token stream —
     the stats that were degenerate on CJK input ("one giant token") with
     the whitespace tokenizer. One explode chain + one hash aggregate."""
+    return _token_stats(token_table_cjk(df, text_col, id_col), id_col)
+
+
+def token_stats_multilingual(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, n_unique_tokens) over the full multilingual token
+    stream — non-degenerate stats for every routed script."""
+    return _token_stats(
+        token_table_multilingual(df, text_col, id_col), id_col)
+
+
+def _token_stats(tok_table: DataFrame, id_col: str) -> DataFrame:
     return (
-        token_table_cjk(df, text_col, id_col)
+        tok_table
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_tokens"),
              F.count_distinct("tok").alias("n_unique_tokens"))

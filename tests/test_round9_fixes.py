@@ -796,3 +796,93 @@ class TestScriptRouter:
             "doc_id long, text string")
         got = text.language_id_table(df, script_route=True).first()
         assert got["pred_lang"] == "und-Cyrl"
+
+
+class TestMultilingualTokens:
+    """Late r9: the multilingual token/shingle tier — spaced scripts get
+    whole word tokens, unspaced scripts (CJK, Thai) get char bigrams,
+    and the CJK tier's outputs stay byte-identical post-refactor."""
+
+    ROWS = [
+        (1, "это тестовый текст"),            # cyrillic: whole tokens
+        (2, "αυτό είναι κείμενο"),            # greek: whole tokens
+        (3, "هذا نص اختبار"),                 # arabic: whole tokens
+        (4, "ไทยสั้น"),                        # thai: char bigrams
+        (5, "mixed текст and 中文 here"),      # latin+cyr+cjk
+        (6, None),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS, "doc_id long, text string")
+
+    def test_hof_and_table_forms_identical(self, spark):
+        from aggo_spark.operators import text
+
+        df = self._df(spark)
+        a = df.select("doc_id", F.explode(
+            text.tokens_multilingual(F.col("text"))).alias("tok"))
+        b = text.token_table_multilingual(df)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    def test_spaced_scripts_whole_tokens(self, spark):
+        from aggo_spark.operators import text
+
+        got = {}
+        for r in text.token_table_multilingual(self._df(spark)).collect():
+            got.setdefault(r["doc_id"], []).append(r["tok"])
+        assert sorted(got[1]) == sorted(["это", "тестовый", "текст"])
+        assert sorted(got[2]) == sorted(["αυτό", "είναι", "κείμενο"])
+        assert sorted(got[3]) == sorted(["هذا", "نص", "اختبار"])
+
+    def test_thai_char_bigrams(self, spark):
+        from aggo_spark.operators import text
+
+        got = [r["tok"] for r in
+               text.token_table_multilingual(self._df(spark))
+               .filter(F.col("doc_id") == 4).collect()]
+        s = "ไทยสั้น"
+        assert sorted(got) == sorted(s[i:i + 2] for i in range(len(s) - 1))
+
+    def test_mixed_script_doc(self, spark):
+        from aggo_spark.operators import text
+
+        got = sorted(r["tok"] for r in
+                     text.token_table_multilingual(self._df(spark))
+                     .filter(F.col("doc_id") == 5).collect())
+        assert got == sorted(["mixed", "текст", "and", "中文", "here"])
+
+    def test_stats_non_degenerate(self, spark):
+        from aggo_spark.operators import text
+
+        stats = {r["doc_id"]: r["n_tokens"] for r in
+                 text.token_stats_multilingual(self._df(spark)).collect()}
+        assert stats[1] == 3 and stats[4] == 6
+
+    def test_cjk_tier_byte_identical_post_refactor(self, spark, cjk_df):
+        from aggo_spark.operators import text
+
+        # the shared-core refactor must not move the CJK outputs: the
+        # hand-computed pin from TestCjkTokens re-asserted here
+        df = spark.createDataFrame(
+            [(1, "abc 中文字 x 日")], "doc_id long, text string")
+        got = sorted(r["tok"] for r in text.token_table_cjk(df).collect())
+        assert got == sorted(["abc", "x", "中文", "文字", "日"])
+
+    def test_multilingual_shingles_find_cyrillic_neardups(self, spark):
+        from aggo_spark.operators import dedup
+
+        rows = [
+            (1, "это очень длинный русский текст для проверки дедупликации"),
+            (2, "это очень длинный русский текст для проверки дедупликаций"),
+            (3, "совсем другое содержание не похожее ни на что здесь"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = dedup.minhash_lsh_pairs(
+            df, num_perm=64, bands=16, k=5, charset="multilingual")
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (1, 2) in got
+        assert (1, 3) not in got and (2, 3) not in got
+        # latin charset strips cyrillic entirely -> no candidates at all
+        latin = dedup.minhash_lsh_pairs(df, num_perm=64, bands=16, k=5)
+        assert all(r["est_jaccard"] >= 0 for r in latin.collect())
