@@ -68,6 +68,7 @@ __all__ = [
     "CJK_RANGES",
     "CJK_ROUTE_PCT",
     "SCRIPT_RANGES",
+    "SCRIPT_REFINE_STOPWORDS",
 ]
 
 
@@ -335,6 +336,27 @@ LANG_STOPWORDS: dict[str, list[str]] = {
            "non", "sono", "le", "si", "della", "nel", "da", "come", "anche", "più"],
 }
 
+# Second-stage refinement tables for script-routed families (late r9):
+# high-frequency function words that SEPARATE the languages sharing a
+# script — applied only to rows the router labeled with that family's
+# script tag, so they can never perturb the latin argmax or the q36
+# cjk_route contract. Shared spellings across the family ("не", "на")
+# just OR their bitmask bits like any shared stopword; the distinctive
+# forms (что/що/че, он/він/той…) decide the argmax.
+SCRIPT_REFINE_STOPWORDS: dict[str, dict[str, list[str]]] = {
+    "und-Cyrl": {
+        "ru": ["что", "это", "как", "он", "она", "они", "мы", "вы", "не",
+               "на", "по", "за", "из", "но", "его", "так", "же", "был",
+               "быть", "только", "или", "если", "уже", "чтобы", "есть"],
+        "uk": ["що", "це", "як", "він", "вона", "вони", "ми", "ви", "не",
+               "на", "по", "за", "із", "але", "його", "так", "же", "був",
+               "бути", "тільки", "або", "якщо", "вже", "щоб", "є"],
+        "bg": ["че", "това", "как", "той", "тя", "те", "ние", "вие", "не",
+               "на", "по", "за", "от", "но", "него", "така", "също",
+               "беше", "бил", "само", "или", "ако", "вече", "да", "е"],
+    },
+}
+
 
 def _stop_hits(tok: Column, words: list[str]) -> Column:
     # isin compiles to an InSet hash lookup per element; a literal-array
@@ -396,15 +418,34 @@ def language_id_table(
     (``und-Cyrl``/``und-Arab``/``und-Deva``) rather than a guess (the
     CLD fallback convention). Per-family counts sit inside the
     ``when(routed, ...)`` branch, so unrouted (latin) rows still pay
-    only the 2 regex passes of the flattened router. Stats/dedup over
-    the routed scripts take the matching tier:
+    only the 2 regex passes of the flattened router. Families with a
+    ``SCRIPT_REFINE_STOPWORDS`` table get a SECOND-STAGE stopword
+    argmax riding the same token probe (extra bitmask bits, zero extra
+    scans): a ``und-Cyrl``-routed doc refines to ru/uk/bg when its
+    function words separate them, and keeps the honest script tag at
+    zero stopword evidence. Unrouted rows argmax over the base langs
+    only, so latin behavior is bit-identical with refinement compiled
+    in. Stats/dedup over the routed scripts take the matching tier:
     :func:`tokens_multilingual` / :func:`token_table_multilingual` /
     ``explode_shingles(charset="multilingual")``.
     """
     langs = list(LANG_STOPWORDS)
+    # second-stage refinement languages (script_route only): their bits
+    # ride the SAME token bitmask probe, but their scores are consulted
+    # only for rows the router tagged with the matching script family —
+    # the latin argmax stays over the base langs, so unrouted behavior
+    # is bit-identical with refinement compiled in
+    refine = (
+        {fam: list(tbl) for fam, tbl in SCRIPT_REFINE_STOPWORDS.items()}
+        if script_route else {})
+    probe_langs = langs + [l for fam in refine.values() for l in fam]
+    word_lists = dict(LANG_STOPWORDS)
+    for fam, tbl in (SCRIPT_REFINE_STOPWORDS.items() if script_route
+                     else ()):
+        word_lists.update(tbl)
     word_mask: dict[str, int] = {}
-    for i, l in enumerate(langs):
-        for w in LANG_STOPWORDS[l]:
+    for i, l in enumerate(probe_langs):
+        for w in word_lists[l]:
             word_mask[w] = word_mask.get(w, 0) | (1 << i)
     kv: list = []
     for w, m in word_mask.items():
@@ -445,13 +486,18 @@ def language_id_table(
                                      >= nonspace.cast("long")
                                      * CJK_ROUTE_PCT)
         src = src.withColumn("__cjkp", F.when(routed, label))
+    # under script_route the split runs on the multilingual normalizer so
+    # refinement-script tokens survive the probe; for latin text its
+    # output is identical to normalize_text (extra kept ranges never
+    # appear post-strip), so the base-lang scores cannot move
+    norm = normalize_text_multilingual if script_route else normalize_text
     # conditional pre-explode repartition: see _ensure_parallelism
     tok = (
         _ensure_parallelism(src)
         .select(
             F.col(id_col),
             *([F.col("__cjkp")] if cjk_route else []),
-            F.explode_outer(F.split(normalize_text(F.col(text_col)), " ")).alias("__t"),
+            F.explode_outer(F.split(norm(F.col(text_col)), " ")).alias("__t"),
         )
         # normalize collapses/trims whitespace, so "" tokens only occur for
         # entirely-empty text (exactly one per such doc); a non-stopword
@@ -466,7 +512,7 @@ def language_id_table(
         *[
             F.count(F.when(F.col("__m").bitwiseAND(F.lit(1 << i)) != 0, 1))
             .alias(f"__s_{l}")
-            for i, l in enumerate(langs)
+            for i, l in enumerate(probe_langs)
         ],
         *([F.max("__cjkp").alias("__cjkp")] if cjk_route else []),
     )
@@ -477,7 +523,18 @@ def language_id_table(
         pred = F.when(s == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("und"))
     if cjk_route:
-        pred = F.coalesce(F.col("__cjkp"), pred)
+        routed_pred = F.col("__cjkp")
+        for fam, fl in refine.items():
+            fscores = [F.col(f"__s_{l}") for l in fl]
+            fbest = F.greatest(*fscores) if len(fl) > 1 else fscores[0]
+            fpred = F.lit(fam)
+            for lang, s in zip(reversed(fl), reversed(fscores)):
+                fpred = F.when(s == fbest, F.lit(lang)).otherwise(fpred)
+            # zero stopword evidence: keep the honest script tag
+            fpred = F.when(fbest > 0, fpred).otherwise(F.lit(fam))
+            routed_pred = F.when(F.col("__cjkp") == fam, fpred) \
+                .otherwise(routed_pred)
+        pred = F.coalesce(routed_pred, pred)
     return counts.select(id_col, pred.alias(out_col))
 
 

@@ -757,7 +757,7 @@ class TestScriptRouter:
         (1, "αυτό είναι ένα ελληνικό κείμενο δοκιμής"),           # el
         (2, "זהו טקסט בדיקה בעברית עם מילים"),                    # he
         (3, "นี่คือข้อความทดสอบภาษาไทยสำหรับระบบ"),                # th
-        (4, "это тестовый текст на русском языке"),               # und-Cyrl
+        (4, "это тестовый текст на русском языке"),               # ru (refined)
         (5, "هذا نص اختبار باللغة العربية للنظام"),               # und-Arab
         (6, "यह परीक्षण के लिए हिंदी पाठ है"),                     # und-Deva
         (7, "これは日本語のテストです"),                           # ja (CJK cascade)
@@ -766,7 +766,7 @@ class TestScriptRouter:
                                                                   # char < 15%
         (10, None),                                               # und
     ]
-    EXPECTED = {1: "el", 2: "he", 3: "th", 4: "und-Cyrl", 5: "und-Arab",
+    EXPECTED = {1: "el", 2: "he", 3: "th", 4: "ru", 5: "und-Arab",
                 6: "und-Deva", 7: "ja", 8: "en", 9: "de", 10: "und"}
 
     def test_script_route_labels(self, spark):
@@ -790,12 +790,13 @@ class TestScriptRouter:
     def test_mixed_script_argmax(self, spark):
         from aggo_spark.operators import text
 
-        # cyrillic majority with a greek minority -> argmax picks Cyrl
+        # cyrillic majority with a greek minority -> argmax picks the
+        # Cyrl family, then the refinement stage lands on ru
         df = spark.createDataFrame(
             [(1, "это русский текст с одним α")],
             "doc_id long, text string")
         got = text.language_id_table(df, script_route=True).first()
-        assert got["pred_lang"] == "und-Cyrl"
+        assert got["pred_lang"] == "ru"
 
 
 class TestMultilingualTokens:
@@ -886,3 +887,37 @@ class TestMultilingualTokens:
         # latin charset strips cyrillic entirely -> no candidates at all
         latin = dedup.minhash_lsh_pairs(df, num_perm=64, bands=16, k=5)
         assert all(r["est_jaccard"] >= 0 for r in latin.collect())
+
+
+class TestCyrillicRefinement:
+    """Late r9: second-stage stopword refinement for und-Cyrl — ru/uk/bg
+    separate on distinctive function words (что/що/че, он/він/той...),
+    an evidence-free Cyrillic doc keeps the honest script tag, and the
+    refinement bits can never perturb unrouted (latin) rows."""
+
+    ROWS = [
+        (1, "что это было и где он был если не здесь"),        # ru
+        (2, "що це було і де він був якщо не тут"),            # uk
+        (3, "че това беше и къде той беше ако не тук"),        # bg
+        (4, "шарфик коврик зонтик домик"),                     # no stopwords
+        (5, "the cat and the dog are in the house"),           # en unrouted
+    ]
+
+    def test_refined_labels(self, spark):
+        from aggo_spark.operators import text
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {r["doc_id"]: r["pred_lang"] for r in
+               text.language_id_table(df, script_route=True).collect()}
+        assert got == {1: "ru", 2: "uk", 3: "bg",
+                       4: "und-Cyrl", 5: "en"}
+
+    def test_cjk_route_never_refines(self, spark):
+        from aggo_spark.operators import text
+
+        # cjk_route=True (the q36 oracle contract) has no script ranges
+        # and therefore no refinement: cyrillic stays stopword-routed
+        # latin behavior -> 'und'
+        df = spark.createDataFrame(self.ROWS[:1], "doc_id long, text string")
+        got = text.language_id_table(df, cjk_route=True).first()
+        assert got["pred_lang"] == "und"
