@@ -355,6 +355,28 @@ SCRIPT_REFINE_STOPWORDS: dict[str, dict[str, list[str]]] = {
                "на", "по", "за", "от", "но", "него", "така", "също",
                "беше", "бил", "само", "или", "ако", "вече", "да", "е"],
     },
+    "und-Arab": {
+        "ar": ["في", "من", "على", "إلى", "عن", "أن", "هذا", "هذه",
+               "كان", "التي", "الذي", "لا", "ما", "هو", "هي", "مع",
+               "كل", "بعد", "قد", "لم", "أو", "حتى", "عند", "غير"],
+        "fa": ["است", "که", "این", "آن", "را", "با", "از", "به",
+               "برای", "تا", "می", "شد", "شده", "های", "خود", "هم",
+               "یک", "نیست", "بود", "دارد", "کرد", "ولی", "اگر"],
+        "ur": ["ہے", "کے", "کی", "کا", "میں", "اور", "سے", "کو",
+               "پر", "یہ", "وہ", "نے", "بھی", "ایک", "ہیں", "تھا",
+               "نہیں", "لیے", "گیا", "کر", "جو", "اس", "ہو"],
+    },
+    "und-Deva": {
+        "hi": ["है", "का", "की", "के", "में", "और", "यह", "वह",
+               "से", "को", "पर", "एक", "नहीं", "भी", "हो", "था",
+               "जो", "इस", "कि", "हैं", "तो", "ही", "कर", "गया"],
+        "mr": ["आहे", "आणि", "या", "ते", "तो", "ती", "एक", "नाही",
+               "होते", "मध्ये", "केले", "झाले", "आहेत", "तर", "हे",
+               "त्या", "असून", "होता", "करून", "पण"],
+        "ne": ["छ", "र", "को", "मा", "हो", "यो", "त्यो", "एक",
+               "छैन", "पनि", "गरेको", "लागि", "भएको", "गर्ने", "छन्",
+               "थियो", "हुने", "भने", "तर", "यस"],
+    },
 }
 
 
@@ -660,14 +682,24 @@ MULTILINGUAL_RANGES = CJK_RANGES + "".join(SCRIPT_RANGES.values())
 UNSPACED_RANGES = CJK_RANGES + SCRIPT_RANGES["th"]
 
 
+# punctuation that lives INSIDE the kept script ranges and would attach
+# to tokens ("है।" != "है", defeating the stopword probe): devanagari
+# danda/double danda, arabic comma/semicolon/question/percent forms,
+# urdu full stop, arabic five-pointed star
+_IN_RANGE_SCRIPT_PUNCT = "[।॥،؛؟٪٫٬٭۔]"
+
+
 def normalize_text_multilingual(col: Column) -> Column:
     """:func:`normalize_text_cjk` generalized to every routed script:
     latin + CJK + ``SCRIPT_RANGES`` codepoints survive, unspaced-script
     runs (CJK, Thai) get boundary spaces; spaced scripts keep their own
-    word spacing. The normalizer behind the ``multilingual`` token/
-    shingle tier, so token stats and MinHash dedup stop being degenerate
-    on ru/el/ar/th… crawl content."""
-    return _normalize_text_ranges(col, MULTILINGUAL_RANGES, UNSPACED_RANGES)
+    word spacing. Script-internal punctuation (danda, urdu full stop,
+    arabic comma…) is stripped FIRST — it sits inside the kept ranges
+    and would otherwise glue itself to word tokens. The normalizer
+    behind the ``multilingual`` token/shingle tier, so token stats and
+    MinHash dedup stop being degenerate on ru/el/ar/th… crawl content."""
+    c = F.regexp_replace(col, _IN_RANGE_SCRIPT_PUNCT, " ")
+    return _normalize_text_ranges(c, MULTILINGUAL_RANGES, UNSPACED_RANGES)
 
 
 def _char_bigrams(t: Column) -> Column:

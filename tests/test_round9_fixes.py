@@ -758,16 +758,16 @@ class TestScriptRouter:
         (2, "זהו טקסט בדיקה בעברית עם מילים"),                    # he
         (3, "นี่คือข้อความทดสอบภาษาไทยสำหรับระบบ"),                # th
         (4, "это тестовый текст на русском языке"),               # ru (refined)
-        (5, "هذا نص اختبار باللغة العربية للنظام"),               # und-Arab
-        (6, "यह परीक्षण के लिए हिंदी पाठ है"),                     # und-Deva
+        (5, "هذا نص اختبار باللغة العربية للنظام"),               # ar (refined)
+        (6, "यह परीक्षण के लिए हिंदी पाठ है"),                     # hi (refined)
         (7, "これは日本語のテストです"),                           # ja (CJK cascade)
         (8, "the cat and the dog are in the house"),              # en (stopwords)
         (9, "das ist ein α test mit einem griechischen zeichen"), # de: 1 greek
                                                                   # char < 15%
         (10, None),                                               # und
     ]
-    EXPECTED = {1: "el", 2: "he", 3: "th", 4: "ru", 5: "und-Arab",
-                6: "und-Deva", 7: "ja", 8: "en", 9: "de", 10: "und"}
+    EXPECTED = {1: "el", 2: "he", 3: "th", 4: "ru", 5: "ar",
+                6: "hi", 7: "ja", 8: "en", 9: "de", 10: "und"}
 
     def test_script_route_labels(self, spark):
         from aggo_spark.operators import text
@@ -921,3 +921,36 @@ class TestCyrillicRefinement:
         df = spark.createDataFrame(self.ROWS[:1], "doc_id long, text string")
         got = text.language_id_table(df, cjk_route=True).first()
         assert got["pred_lang"] == "und"
+
+
+class TestArabDevaRefinement:
+    """Late r9: und-Arab -> ar/fa/ur and und-Deva -> hi/mr/ne second-stage
+    refinement, incl. in-range script punctuation stripping (danda, urdu
+    full stop glue themselves to tokens otherwise)."""
+
+    ROWS = [
+        (1, "هذا النص كان في البيت مع كل شيء بعد ذلك"),    # ar
+        (2, "این متن است که با آن از خود می شد برای"),     # fa
+        (3, "یہ متن ہے اور اس کے لیے بھی نہیں تھا۔"),      # ur (with ۔)
+        (4, "यह पाठ है और इस के लिए भी नहीं था।"),          # hi (with danda)
+        (5, "हा मजकूर आहे आणि या साठी नाही होते"),          # mr
+        (6, "यो पाठ छ र यस को लागि पनि छैन"),               # ne
+        (7, "كلمات غريبة بدون ادوات ربط معروفة"),          # und-Arab kept?
+    ]
+
+    def test_refined_labels(self, spark):
+        from aggo_spark.operators import text
+
+        df = spark.createDataFrame(self.ROWS[:6], "doc_id long, text string")
+        got = {r["doc_id"]: r["pred_lang"] for r in
+               text.language_id_table(df, script_route=True).collect()}
+        assert got == {1: "ar", 2: "fa", 3: "ur", 4: "hi", 5: "mr", 6: "ne"}
+
+    def test_punct_stripped_from_tokens(self, spark):
+        from aggo_spark.operators import text
+
+        df = spark.createDataFrame(
+            [(1, "यह है। और۔ ،нет")], "doc_id long, text string")
+        toks = sorted(r["tok"] for r in
+                      text.token_table_multilingual(df).collect())
+        assert toks == sorted(["यह", "है", "और", "нет"])
