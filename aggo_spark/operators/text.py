@@ -443,9 +443,10 @@ def language_id_table(
     only the 2 regex passes of the flattened router. Families with a
     ``SCRIPT_REFINE_STOPWORDS`` table get a SECOND-STAGE stopword
     argmax riding the same token probe (extra bitmask bits, zero extra
-    scans): a ``und-Cyrl``-routed doc refines to ru/uk/bg when its
-    function words separate them, and keeps the honest script tag at
-    zero stopword evidence. Unrouted rows argmax over the base langs
+    scans): routed docs refine to the family member whose function
+    words win (und-Cyrl → ru/uk/bg, und-Arab → ar/fa/ur, und-Deva →
+    hi/mr/ne), and keep the honest script tag at zero stopword
+    evidence. Unrouted rows argmax over the base langs
     only, so latin behavior is bit-identical with refinement compiled
     in. Stats/dedup over the routed scripts take the matching tier:
     :func:`tokens_multilingual` / :func:`token_table_multilingual` /
