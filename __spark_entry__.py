@@ -1701,6 +1701,8 @@ def oracle_sql() -> dict[str, str]:
     tok_doc = _TOKENS.format(c="text")
     norm_doc = _NORM.format(c="text")
     lang_scores, lang_pred = _lang_scores_sql()
+    _lang_greatest = "greatest(" + ", ".join(
+        f"s_{l}" for l in text.LANG_STOPWORDS) + ")"
     # PII patterns hold regex braces — splice via replace, not f-strings
     pii_sql = """
         WITH aug AS (
@@ -2388,7 +2390,7 @@ def oracle_sql() -> dict[str, str]:
                      length(regexp_replace(text, '[ \\t\\n\\r\\f]', '', 'g')) AS nonspace
                   FROM u),
             s AS (SELECT doc_id, han, kana, hangul, nonspace, {lang_scores} FROM t),
-            g AS (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_it) AS g FROM s)
+            g AS (SELECT *, {_lang_greatest} AS g FROM s)
             SELECT doc_id,
                    CASE WHEN (han + kana + hangul) > 0
                              AND (han + kana + hangul) * 100
@@ -2526,7 +2528,7 @@ def oracle_sql() -> dict[str, str]:
                            + 0.2 * (CASE WHEN n_tok >= 10 THEN 1.0 ELSE CAST(n_tok AS DOUBLE) / 10.0 END), 6) AS q
               FROM m),
             s2 AS (SELECT *, {lang_scores} FROM scored),
-            g2 AS (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_it) AS g FROM s2),
+            g2 AS (SELECT *, {_lang_greatest} AS g FROM s2),
             langed AS (SELECT *, {lang_pred} AS pred_lang FROM g2),
             kept AS (
               SELECT doc_id, source, n_tok, md5({norm_doc}) AS fp

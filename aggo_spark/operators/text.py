@@ -334,6 +334,13 @@ LANG_STOPWORDS: dict[str, list[str]] = {
            "dans", "pour", "que", "qui", "sur", "pas", "avec", "au", "ce", "il"],
     "it": ["il", "la", "di", "che", "e", "un", "una", "per", "con", "del",
            "non", "sono", "le", "si", "della", "nel", "da", "come", "anche", "più"],
+    # pt appended LAST (late r9) so every existing tie-break is
+    # preserved: shared-spelling hits (de/que/para/como/se/no/e/da…)
+    # OR their bits and earlier langs win ties; the distinctive forms
+    # (não/é/são/você/foi/também/os/dos) decide real pt text
+    "pt": ["o", "a", "os", "as", "do", "da", "dos", "em", "um", "uma",
+           "não", "com", "para", "mais", "mas", "foi", "são", "também",
+           "ele", "ela", "é", "você", "isso", "pelo"],
 }
 
 # Second-stage refinement tables for script-routed families (late r9):

@@ -954,3 +954,31 @@ class TestArabDevaRefinement:
         toks = sorted(r["tok"] for r in
                       text.token_table_multilingual(df).collect())
         assert toks == sorted(["यह", "है", "और", "нет"])
+
+
+class TestPortuguese:
+    """Late r9: pt added to the base stopword table (appended last, so
+    every existing tie-break is preserved); real pt text stops
+    argmaxing to es."""
+
+    def test_pt_vs_es(self, spark):
+        from aggo_spark.operators import text
+
+        rows = [
+            (1, "o texto é para você e não para ele mas foi também"),
+            (2, "el texto es para los niños y no para el perro pero"),
+            (3, "der Hund und die Katze sind nicht da"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["pred_lang"] for r in
+               text.language_id_table(df).collect()}
+        assert got == {1: "pt", 2: "es", 3: "de"}
+
+    def test_shared_word_ties_prefer_earlier_langs(self, spark):
+        from aggo_spark.operators import text
+
+        # only shared es/pt spellings -> equal scores -> es (earlier) wins,
+        # exactly the pre-pt behavior for such text
+        df = spark.createDataFrame(
+            [(1, "de que para como se no")], "doc_id long, text string")
+        assert text.language_id_table(df).first()["pred_lang"] == "es"
