@@ -66,7 +66,8 @@ def train_nb(
     n: int = 2,
     alpha: float = 1.0,
     hash_fn: str = "xxhash64",
-) -> tuple[DataFrame, float]:
+    return_unseen: bool = False,
+) -> tuple[DataFrame, float] | tuple[DataFrame, float, float]:
     """Multinomial Naive Bayes as a linear model (the classic log-odds
     reduction — McCallum & Nigam 1998): per-bucket weight
 
@@ -84,8 +85,17 @@ def train_nb(
     Plan: ONE aggregate over the gram stream — ``groupBy(bucket,
     label)`` counts, ≤ 2·n_buckets rows collected (the dsir_weights
     histogram class) — plus a 2-row doc-count aggregate for the bias.
-    Buckets unseen in training keep weight 0 implicitly (inference
-    left-joins the weight table).
+
+    Unseen buckets (r10, ADVICE): by default inference gives buckets
+    absent from training weight 0 — a DELIBERATE deviation from exact
+    smoothed NB, which assigns every unseen bucket the constant
+    ``log(denom_n/denom_p)`` (nonzero whenever the class gram masses
+    differ, so OOV-heavy docs skew toward the bias alone and threshold
+    calibration shifts on imbalanced training sets). The default keeps
+    the model a sparse seen-bucket table (and the q71 SQL oracle an
+    exact mirror). For exact-NB scoring pass ``return_unseen=True`` —
+    the third return value is that constant — and feed it to
+    :func:`classifier_score`'s ``unseen_weight``.
     """
     _check(label_col, n_buckets, alpha)
     grams = _hashed_gram_rows(df, text_col, id_col, n_buckets, n, hash_fn)
@@ -116,8 +126,12 @@ def train_nb(
     ]
     bias = math.log(docs[1] / docs[0])
     spark = df.sparkSession
-    return (spark.createDataFrame(w_rows, "bucket long, weight double"),
-            float(bias))
+    wdf = spark.createDataFrame(w_rows, "bucket long, weight double")
+    if return_unseen:
+        # exact smoothed NB's weight for any bucket with zero counts in
+        # BOTH classes: log(alpha/denom_p) - log(alpha/denom_n)
+        return wdf, float(bias), float(math.log(denom_n / denom_p))
+    return wdf, float(bias)
 
 
 def train_lr(
@@ -242,11 +256,17 @@ def classifier_score(
     n_buckets: int = 10_000,
     n: int = 2,
     hash_fn: str = "xxhash64",
+    unseen_weight: float = 0.0,
 ) -> DataFrame:
     """Score every document under a trained linear model: ``(id_col,
     score, prob)`` with ``score = bias + Σ c_b·w_b`` and ``prob =
     σ(score)``. The feature params MUST match training (they key the
-    bucket space — same contract as minhash probes).
+    bucket space — same contract as minhash probes). ``unseen_weight``
+    (r10, ADVICE): weight applied to gram occurrences whose bucket is
+    NOT in the model table — 0.0 (default) reproduces the sparse
+    inner-join plan; pass ``train_nb(..., return_unseen=True)``'s third
+    value for exact smoothed-NB semantics (a left join + coalesce, same
+    broadcast shape).
 
     The 100 TB inference plan (the ``dsir_weights`` scoring shape): one
     token explode → (id, bucket) aggregate → BROADCAST weight join →
@@ -256,11 +276,22 @@ def classifier_score(
     """
     _check("", n_buckets)
     cf = hashed_ngram_features(df, text_col, id_col, n_buckets, n, hash_fn)
-    scored = (
-        cf.join(F.broadcast(weights.select("bucket", "weight")), "bucket")
-        .groupBy("id")
-        .agg(F.sum(F.col("c") * F.col("weight")).alias("__s"))
-    )
+    if unseen_weight:
+        # exact-NB mode: unmatched buckets contribute c * unseen_weight
+        # instead of silently dropping out of the sum
+        scored = (
+            cf.join(F.broadcast(weights.select("bucket", "weight")),
+                    "bucket", "left")
+            .groupBy("id")
+            .agg(F.sum(F.col("c") * F.coalesce(
+                "weight", F.lit(float(unseen_weight)))).alias("__s"))
+        )
+    else:
+        scored = (
+            cf.join(F.broadcast(weights.select("bucket", "weight")), "bucket")
+            .groupBy("id")
+            .agg(F.sum(F.col("c") * F.col("weight")).alias("__s"))
+        )
     score = F.lit(float(bias)) + F.coalesce("__s", F.lit(0.0))
     return (
         df.select(F.col(id_col))
@@ -284,6 +315,7 @@ def quality_filter(
     n_buckets: int = 10_000,
     n: int = 2,
     hash_fn: str = "xxhash64",
+    unseen_weight: float = 0.0,
 ) -> DataFrame:
     """Keep the documents whose classifier probability clears
     ``threshold`` (``keep="above"``, the FineWeb-Edu cut) or falls below
@@ -295,7 +327,7 @@ def quality_filter(
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
     s = classifier_score(df, weights, bias, text_col, id_col, n_buckets,
-                         n, hash_fn).select(id_col, "prob")
+                         n, hash_fn, unseen_weight).select(id_col, "prob")
     cond = (F.col("prob") >= threshold if keep == "above"
             else F.col("prob") < threshold)
     return df.join(s.filter(cond), id_col)

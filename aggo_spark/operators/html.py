@@ -205,12 +205,17 @@ def html_blocks(
     is_content = (F.col("n_words") >= min_words) \
         & (F.col("stop_frac") >= stopword_frac)
     if cjk_aware:
-        from .text import cjk_profile, tokens_cjk
+        from .text import cjk_profile, n_tokens_cjk
 
         routed = cjk_profile(F.col("block"))["routed"]
+        # routed pseudo-word count computed ARITHMETICALLY (r10, ADVICE:
+        # the F.size(tokens_cjk(...)) form materialized the full bigram
+        # array per block on the scan path just to take its size —
+        # contrary to the codegen-over-HOF rule); n_tokens_cjk is pinned
+        # equal to it by differential test
         n_words = F.when(
             F.col("block").isNotNull() & routed,
-            F.greatest(F.size(tokens_cjk(F.col("block"))), F.lit(0)),
+            F.greatest(n_tokens_cjk(F.col("block")), F.lit(0)),
         ).otherwise(n_words)
         stop_frac = F.when(routed, F.lit(None).cast("double")) \
             .otherwise(stop_frac)

@@ -1262,7 +1262,18 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def jpeg_pixel_decode(b: bytes) -> dict | None:
+# Pixel budget for the pure-Python baseline decode (r10, ADVICE medium):
+# the SOF header is attacker-controlled on crawl data — a legal header can
+# claim 65500x65500 (~4.3 G pixels), and allocating full-frame planes from
+# unvalidated dims would OOM-kill the executor task instead of degrading.
+# Frames above the budget fall back to the header tier (dims/EXIF stay
+# available; channel_means/phash are NULL — honest, never fabricated).
+# 4M pixels ≈ 2048x2048: covers fixtures and thumbnails; a real cluster
+# deployment doing photo-scale decode would swap in a native codec kernel.
+JPEG_PIXEL_BUDGET = 4_000_000
+
+
+def jpeg_pixel_decode(b: bytes, pixel_budget: int = JPEG_PIXEL_BUDGET) -> dict | None:
     """REAL baseline JPEG pixel decode (r9, verdict #4): marker walk →
     DQT/DHT/SOF0·1/DRI/SOS parse → Huffman entropy decode → dequantize →
     IDCT → upsample (any 1/2 sampling factors, nearest) → YCbCr→RGB →
@@ -1346,6 +1357,10 @@ def jpeg_pixel_decode(b: bytes) -> dict | None:
             pos = seg_end
 
         h, w = dims
+        if h * w > pixel_budget or h == 0 or w == 0:
+            # forged/huge SOF dims (or degenerate 0-dim frames): refuse to
+            # allocate O(pixels) planes; caller falls back to header tier
+            return None
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
         # the nearest upsample below assumes integer replication factors
@@ -1429,5 +1444,8 @@ def jpeg_pixel_decode(b: bytes) -> dict | None:
             "phash": _avg_hash([list(map(float, row)) for row in luma]),
         }
     except (_JpegScanEnd, ValueError, IndexError, KeyError,
-            ZeroDivisionError, struct.error):
+            ZeroDivisionError, struct.error, MemoryError):
+        # MemoryError included (r10, ADVICE): an allocation that still
+        # slips past the pixel budget degrades to the header tier rather
+        # than killing the task
         return None

@@ -369,7 +369,7 @@ def main() -> None:
         "groupAggregate_rows_per_sec": round(n_lineitem / timings["q01_group_agg"]),
         "complexPipeline_rows_per_sec": round(n_orders / timings["q03_complex"]),
     }
-    print(json.dumps({
+    compact = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -382,6 +382,9 @@ def main() -> None:
         # within 3x of its pinned clean-machine time.
         "contaminated": bool(suspect) or start_gate == "timeout",
         "suspect_queries": suspect,
+    }
+    full = dict(compact)
+    full.update({
         "rescue_reruns": reruns,
         # median of the final 3-run block per query: a best far below its
         # median flags interference inside the block (r9, verdict #1)
@@ -395,7 +398,19 @@ def main() -> None:
         "cpu_busy_frac_start": busy_start,
         "loadavg_gate_waited_sec": load_waited_s,
         "loadavg_1m_end": _loadavg(),
-    }))
+    })
+    # Full telemetry line first (human / BENCH_FULL.json), COMPACT line
+    # LAST: the driver keeps only a 2,000-char tail of stdout, and the r9
+    # telemetry grew the single line until value/queries/throughput
+    # scrolled out of the capture (BENCH_r09.json parsed: null — judge r9
+    # Next #1). The final printed line must always carry the headline.
+    print(json.dumps(full))
+    try:
+        with open(Path(__file__).resolve().parent / "BENCH_FULL.json", "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -814,6 +814,39 @@ class TestIncrementalIndexMaintenance:
             assert not _os.path.isdir(d)
         assert _os.path.isdir(cur)
 
+    def test_keep_generations_extends_grace(self, spark, tmp_path):
+        """r10 ADVICE: keep_generations=2 keeps a snapshot valid across
+        TWO compactions (the default 1 releases it after the second)."""
+        import os as _os
+
+        coll = StreamingCollection(
+            spark, "doc_id long, text string", workdir=str(tmp_path))
+        try:
+            idx_path = str(tmp_path / "textidx2")
+            coll.add({"doc_id": 1, "text": "alpha beta"})
+            rid = coll.maintain_index(idx_path, kind="text",
+                                      compact_every=2, keep_generations=2)
+            coll.add({"doc_id": 2, "text": "alpha gamma"})
+            held = coll.index_df(rid)
+            held_path = coll.index_path(rid)
+            # each further add crosses compact_every=2 -> a compaction
+            coll.add({"doc_id": 3, "text": "alpha delta"})
+            assert coll.index_path(rid) != held_path
+            coll.add({"doc_id": 4, "text": "alpha eps"})
+            # TWO compactions after held was taken: with the default
+            # keep_generations=1 its dir would be gone by now (see
+            # test_compaction_nets_postings); with 2 it survives
+            retired = coll._indexes[rid]["retired"]
+            assert len(retired) <= 2
+            assert _os.path.isdir(held_path)
+            assert held.count() > 0
+            # the THIRD compaction finally releases it (window slid past)
+            coll.add({"doc_id": 5, "text": "alpha zeta"})
+            assert held_path not in coll._indexes[rid]["retired"]
+            assert not _os.path.isdir(held_path)
+        finally:
+            coll.stop()
+
     def test_trigram_index_regex(self, spark, tmp_path):
         from aggo_spark.operators.search import regex_search_with_index
 
