@@ -46,6 +46,8 @@ __all__ = [
     "unigram_logprob_score",
     "bigram_logprob_score",
     "trigram_logprob_score",
+    "train_ngram_lm",
+    "ngram_logprob_score",
     "explode_paragraphs",
     "explode_shingles",
     "language_id_table",
@@ -1847,6 +1849,218 @@ def trigram_logprob_score(
     ids = df.select(F.col(id_col)).distinct()
     return ids.join(per_doc, id_col, "left").select(
         id_col, F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+        "mean_logprob")
+
+
+def _gram_rows_n(frame: DataFrame, n: int, text_col: str,
+                 id_col: str) -> DataFrame:
+    """Per-document word n-gram rows ``(id_col, t1..tn)`` — the order-n
+    generalization of trigram_logprob_score's gram_rows (one token
+    materialization, one explode; short docs yield zero rows)."""
+    t = F.col("__t")
+    names = [f"t{i + 1}" for i in range(n)]
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.struct(*[
+                F.element_at(t, i + j).alias(names[j])
+                for j in range(n)])),
+    ).otherwise(F.array().cast(
+        "array<struct<" + ",".join(f"{c}:string" for c in names) + ">>"))
+    return (
+        _ensure_parallelism(frame.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__t")))
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, *[F.col(f"g.{c}").alias(c) for c in names])
+    )
+
+
+def _ngram_model_tables(reference: DataFrame, n: int, text_col: str,
+                        id_col: str) -> dict[str, DataFrame]:
+    """The 2n−1 stupid-backoff model tables of an order-n LM, from n−1
+    narrow gram streams over the reference (the trigram trade carried to
+    order n — re-exploding per order beats persisting a tokens-sized
+    intermediate; the reference corpus is the bounded side):
+
+    - ``gram_k`` (k = 2..n): counts of (g1..gk) from the k-gram stream;
+    - ``ctx_k``: counts of the (k−1)-prefix FROM THE SAME k-gram stream
+      (count(prefix, *) — boundary windows make this differ from
+      gram_{k−1});
+    - ``uni``: continuation-position unigram counts (last slot of the
+      2-gram stream, the bigram/trigram boundary convention);
+    - ``meta``: one row — (n, n_bigrams, vocab) for the add-k
+      denominator.
+    """
+    out: dict[str, DataFrame] = {}
+    for k in range(2, n + 1):
+        mk = _gram_rows_n(reference, k, text_col, id_col)
+        cols = [f"t{i + 1}" for i in range(k)]
+        out[f"gram_{k}"] = (mk.groupBy(*cols)
+                            .agg(F.count(F.lit(1)).alias("cnt")))
+        out[f"ctx_{k}"] = (mk.groupBy(*cols[:-1])
+                           .agg(F.count(F.lit(1)).alias("cnt")))
+        if k == 2:
+            out["uni"] = (mk.groupBy("t2")
+                          .agg(F.count(F.lit(1)).alias("cnt")))
+            out["meta"] = mk.agg(
+                F.lit(n).alias("n"),
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.count_distinct("t2").alias("vocab"))
+    return out
+
+
+def train_ngram_lm(
+    reference: DataFrame,
+    path: str,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> dict:
+    """Train an order-``n`` stupid-backoff LM (Brants et al. 2007 §3 —
+    the web-scale counts-only recipe; KenLM's production niche filled
+    with plain parquet tables, r9-verdict #2) and PERSIST it under
+    ``path`` — the CCNet production shape: train once on the reference
+    corpus, then :func:`ngram_logprob_score` many corpora against the
+    saved artifact without recomputing model tables per call (the
+    trigram-era reference-mode limitation).
+
+    Layout: ``{path}/gram_k`` + ``{path}/ctx_k`` for k = 2..n,
+    ``{path}/uni`` (continuation unigrams), ``{path}/meta`` (one row:
+    n, n_bigrams, vocab). All plain parquet — portable to any
+    Spark-readable store; at 100 TB each table is a partitioned
+    columnar table like any other. Returns the meta row as a dict.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    tables = _ngram_model_tables(reference, n, text_col, id_col)
+    for name, tdf in tables.items():
+        tdf.write.mode(mode).parquet(f"{path.rstrip('/')}/{name}")
+    meta = tables["meta"].collect()[0].asDict()
+    if not meta["n_bigrams"]:
+        raise ValueError("reference corpus has no bigrams (all docs < 2 "
+                         "tokens) — the model would be degenerate")
+    return meta
+
+
+def ngram_logprob_score(
+    df: DataFrame,
+    model: str | DataFrame | None = None,
+    n: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+    backoff: float = 0.4,
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Per-document mean order-``n`` log-probability with (n−1)-level
+    stupid backoff — :func:`trigram_logprob_score` generalized to any
+    order (r9-verdict #2, the KenLM/CCNet shape):
+
+        score(w | h_{n−1}) = cnt_n(h,w)/cnt_n(h,*)              if seen
+                           | backoff   · level n−1 on h[1:]      elif …
+                           | …
+                           | backoff^{n−1} · p_addk_unigram(w)   else
+
+    ``model``: a PATH string loads the parquet artifact written by
+    :func:`train_ngram_lm` (``n`` comes from its meta; the production
+    path — train once, score many); a DataFrame builds the model tables
+    inline from that reference corpus (requires ``n``); ``None``
+    self-scores (requires ``n``) — every observed n-gram is in the
+    self-model, so backoff never fires and the model counts are window
+    sums RIDING the per-(doc, t1..tn) rows (ONE explode, no join).
+
+    Returns ``(id_col, n_ngrams, mean_logprob)``; docs with < n tokens
+    get NULL mean (no order-n evidence). Scoring joins the doc gram
+    rows to the 2n−1 model tables on their gram keys — broadcast when
+    ``broadcast_model=True`` (bounded-vocab reference: every table is
+    ≤ |V|^k rows and Zipf-concentrated, see SCALE.md), else shuffle
+    joins on the gram keys. Differentially pinned: order 3 vs
+    :func:`trigram_logprob_score` (both modes), self-score =
+    reference=df = saved-artifact round-trip.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.scalar_memo import plan_scalar
+
+    if add_k <= 0:
+        raise ValueError(f"add_k must be > 0, got {add_k}")
+    if backoff <= 0:
+        raise ValueError(f"backoff must be > 0, got {backoff}")
+    spark = df.sparkSession
+
+    tables: dict[str, DataFrame] | None = None
+    n_bigrams = vocab = None
+    if isinstance(model, str):
+        base = model.rstrip("/")
+        meta = spark.read.parquet(f"{base}/meta").collect()[0]
+        n = int(meta["n"])
+        n_bigrams, vocab = float(meta["n_bigrams"]), float(meta["vocab"])
+        tables = {"uni": spark.read.parquet(f"{base}/uni")}
+        for k in range(2, n + 1):
+            tables[f"gram_{k}"] = spark.read.parquet(f"{base}/gram_{k}")
+            tables[f"ctx_{k}"] = spark.read.parquet(f"{base}/ctx_{k}")
+    elif model is not None:
+        if n is None or n < 2:
+            raise ValueError("inline-reference mode needs explicit n >= 2")
+        tables = _ngram_model_tables(model, n, text_col, id_col)
+        stats = plan_scalar(
+            model, f"ngramstats:{n}:{text_col}:{id_col}",
+            lambda: tables["meta"].collect()[0],
+            cache_if=lambda s: bool(s["n_bigrams"]))
+        n_bigrams, vocab = float(stats["n_bigrams"]), float(stats["vocab"])
+    elif n is None or n < 2:
+        raise ValueError("self-scoring mode needs explicit n >= 2")
+
+    cols = [f"t{i + 1}" for i in range(n)]
+    tfd = _gram_rows_n(df, n, text_col, id_col).groupBy(id_col, *cols).agg(
+        F.count(F.lit(1)).alias("c"))
+
+    if tables is None:
+        gram_n = F.sum("c").over(W.partitionBy(*cols))
+        ctx_n = F.sum("c").over(W.partitionBy(*cols[:-1]))
+        # every observed n-gram is in the self-model: backoff unreachable
+        logp = F.log(gram_n.cast("double") / ctx_n)
+        scored = tfd.select(
+            F.col(id_col), "c", (F.col("c") * logp).alias("__clp"))
+    else:
+        uni_denom = (n_bigrams + add_k * vocab) if n_bigrams else 1.0
+        joined = tfd
+        for k in range(n, 1, -1):
+            keys = cols[n - k:]          # (t_{n-k+1} .. t_n)
+            gk = tables[f"gram_{k}"].select(
+                *[F.col(f"t{j + 1}").alias(keys[j]) for j in range(k)],
+                F.col("cnt").alias(f"__g{k}"))
+            xk = tables[f"ctx_{k}"].select(
+                *[F.col(f"t{j + 1}").alias(keys[j]) for j in range(k - 1)],
+                F.col("cnt").alias(f"__x{k}"))
+            if broadcast_model:
+                gk, xk = F.broadcast(gk), F.broadcast(xk)
+            joined = joined.join(gk, keys, "left").join(xk, keys[:-1], "left")
+        uni = tables["uni"].select(
+            F.col("t2").alias(cols[-1]), F.col("cnt").alias("__u"))
+        if broadcast_model:
+            uni = F.broadcast(uni)
+        joined = joined.join(uni, [cols[-1]], "left")
+        uni_p = (F.coalesce(F.col("__u"), F.lit(0)).cast("double")
+                 + F.lit(add_k)) / F.lit(uni_denom)
+        logp = F.log(F.lit(float(backoff ** (n - 1))) * uni_p)
+        for k in range(2, n + 1):
+            logp = F.when(
+                F.col(f"__g{k}").isNotNull(),
+                F.log(F.lit(float(backoff ** (n - k)))
+                      * F.col(f"__g{k}").cast("double") / F.col(f"__x{k}")),
+            ).otherwise(logp)
+        scored = joined.select(
+            F.col(id_col), "c", (F.col("c") * logp).alias("__clp"))
+
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("c").alias("n_ngrams"),
+        F.round(F.sum("__clp") / F.sum("c"), 6).alias("mean_logprob"))
+    ids = df.select(F.col(id_col)).distinct()
+    return ids.join(per_doc, id_col, "left").select(
+        id_col, F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
         "mean_logprob")
 
 
