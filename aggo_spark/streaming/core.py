@@ -230,6 +230,56 @@ def keyed_recompute_field(pipeline: list) -> str | None:
     return _id[1:]
 
 
+def _signed_band_rows(batch_df: DataFrame, id_col: str, text_col: str,
+                      num_perm: int, shingle_k: int, unit: str,
+                      hash_fn: str, band_keys: list) -> DataFrame:
+    """Signed MinHash LSH band rows ``(id, sign, band, bh, sig)`` of one
+    CDC micro-batch — the shared delta computation of the minhash index
+    sink and the cluster-maintenance sink (the batch IS the delta; the
+    corpus is never re-signatured)."""
+    from ..operators import dedup as _dedup
+
+    keyed = batch_df.withColumn(
+        "__k", F.struct(F.col(id_col).alias("id"),
+                        F.col(_SIGN).alias("sign")))
+    sigs = _dedup.minhash_signatures(
+        keyed, text_col=text_col, id_col="__k",
+        num_perm=num_perm, k=shingle_k, unit=unit, hash_fn=hash_fn)
+    return (
+        sigs.select(F.col("id.id").alias("id"),
+                    F.col("id.sign").alias("sign"), "sig")
+        .select("id", "sign", "sig",
+                F.explode(F.array(*band_keys)).alias("bk"))
+        .select("id", "sign",
+                F.col("bk.band").alias("band"),
+                F.col("bk.bh").alias("bh"), "sig")
+    )
+
+
+def _band_edges(left: DataFrame, right: DataFrame, num_perm: int,
+                threshold: float) -> DataFrame:
+    """Verified near-dup edges between two (id, band, bh, sig) band
+    tables: banded equi-join on (band, bh), then the signature-agreement
+    Jaccard estimate — the minhash_probe verify, reused for incremental
+    clustering. Returns distinct ``(a, b)`` with a != b."""
+    q = left.select(F.col("id").alias("a"), "band", "bh",
+                    F.col("sig").alias("qsig"))
+    est = (
+        F.size(F.filter(
+            F.zip_with("qsig", "sig", lambda p, c: p == c),
+            lambda e: e,
+        )).cast("double") / F.lit(float(num_perm))
+    )
+    return (
+        q.join(right.select(F.col("id").alias("b"), "band", "bh", "sig"),
+               ["band", "bh"])
+        .filter(F.col("a") != F.col("b"))
+        .filter(est >= F.lit(float(threshold)))
+        .select("a", "b")
+        .distinct()
+    )
+
+
 class _Registered:
     def __init__(self, rid: str, pipeline: list, incremental: bool):
         self.id = rid
@@ -344,6 +394,10 @@ class StreamingCollection:
         # maintained posting indexes (maintain_index): compaction state,
         # drained driver-side in flush() — never on the streaming thread
         self._indexes: dict[str, dict] = {}
+        # maintained near-dup cluster states (maintain_clusters):
+        # {rid: {"bands": band-index rid, "labels": labels-state rid,
+        #        minhash params, threshold}}
+        self._clusters: dict[str, dict] = {}
         # collection-level event bus (reference streaming.ts:24-33 emits
         # 'data-added' / 'data-removed' / 'result-updated')
         self._listeners: dict[str, list[Callable]] = {
@@ -942,21 +996,9 @@ class StreamingCollection:
         def sink(batch_df: DataFrame, _batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            keyed = batch_df.withColumn(
-                "__k", F.struct(F.col(id_col).alias("id"),
-                                F.col(_SIGN).alias("sign")))
-            sigs = _dedup.minhash_signatures(
-                keyed, text_col=text_col, id_col="__k",
-                num_perm=num_perm, k=shingle_k, unit=unit, hash_fn=hash_fn)
-            out = (
-                sigs.select(F.col("id.id").alias("id"),
-                            F.col("id.sign").alias("sign"), "sig")
-                .select("id", "sign", "sig",
-                        F.explode(F.array(*band_keys)).alias("bk"))
-                .select("id", "sign",
-                        F.col("bk.band").alias("band"),
-                        F.col("bk.bh").alias("bh"), "sig")
-            )
+            out = _signed_band_rows(
+                batch_df, id_col, text_col, num_perm, shingle_k, unit,
+                hash_fn, band_keys)
             out.write.mode("append").partitionBy("band") \
                .parquet(state["path"])
             state["batches"] += 1
@@ -971,6 +1013,308 @@ class StreamingCollection:
         self._queries[rid] = q
         q.processAllAvailable()
         return rid
+
+    def maintain_clusters(self, path: str, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          num_perm: int = 64, bands: int = 16,
+                          shingle_k: int = 5, unit: str = "char",
+                          hash_fn: str = "xxhash64",
+                          threshold: float = 0.5,
+                          compact_every: int = 64,
+                          keep_generations: int = 1) -> str:
+        """Incrementally-maintained NEAR-DUP CLUSTER MEMBERSHIP (r9
+        verdict #3): the cluster-state extension of
+        ``maintain_index(kind="minhash")`` — a streamed corpus can ask
+        "which duplicate cluster does this doc belong to / would it
+        join" without ever re-running batch connected components
+        (``dedup.connected_components``) over the corpus.
+
+        State (both signed parquet changelogs under ``path``, compacted
+        by the shared generation-swap machinery):
+
+        - ``{path}/bands`` — the minhash band table (identical to
+          kind="minhash");
+        - ``{path}/labels`` — ``(id, sign, label, lb)`` cluster rows:
+          ``label`` is the component's minimum id, the exact
+          ``connected_components`` convention, so the maintained state
+          equals batch CC over the live near-dup graph at every flush
+          (equality-tested); ``lb`` is the partition bucket.
+
+        Per CDC micro-batch (the standard incremental-CC recipe — only
+        AFFECTED components are touched, never the corpus):
+
+        1. the batch's signed band rows append to the index (delta-only,
+           as before);
+        2. SPLITS: ids with retracted content mark their components
+           affected; those components' members re-cluster from the
+           netted band table (edges among members only — the
+           component-bounded recompute; a removed bridge doc splits the
+           component, retraction test);
+        3. MERGES: the batch's net-new band rows probe the live index
+           for verified edges (the minhash_probe verify); touched
+           components contract through a driver-side union-find over
+           their LABELS (bounded by components-touched, not docs) and
+           the affected label rows are rewritten; brand-new docs get
+           their merged label, or themselves when no near-dup exists.
+
+        Docs with no shingles (empty text) have no band rows, can never
+        have edges, and carry no label row — readers treat absence as
+        "singleton: label = own id" (``cluster_probe`` coalesces).
+        Parameters key the band hashes exactly like kind="minhash".
+        Returns the cluster rid for :meth:`clusters_df` /
+        :meth:`cluster_probe`; ``stop()`` cleans up both changelogs."""
+        from ..operators import dedup as _dedup
+        from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                       StructField, StructType)
+
+        rid = f"clu-{uuid.uuid4().hex[:8]}"
+        base = path.rstrip("/")
+        id_type = next(f.dataType for f in self.cdc_schema.fields
+                       if f.name == id_col)
+        bstate = {"path": f"{base}/bands", "base": f"{base}/bands",
+                  "gen": 0, "retired": [], "kind": "minhash",
+                  "schema": StructType([
+                      StructField("id", id_type),
+                      StructField("sign", LongType()),
+                      StructField("band", IntegerType()),
+                      StructField("bh", LongType()),
+                      StructField("sig", ArrayType(LongType())),
+                  ]),
+                  "batches": 0, "compact_every": int(compact_every),
+                  "keep_generations": max(1, int(keep_generations))}
+        lstate = {"path": f"{base}/labels", "base": f"{base}/labels",
+                  "gen": 0, "retired": [], "kind": "labels",
+                  "term": "label", "bucket": "lb",
+                  "schema": StructType([
+                      StructField("id", id_type),
+                      StructField("sign", LongType()),
+                      StructField("label", id_type),
+                      StructField("lb", IntegerType()),
+                  ]),
+                  "batches": 0, "compact_every": int(compact_every),
+                  "keep_generations": max(1, int(keep_generations))}
+        self._indexes[f"{rid}-bands"] = bstate
+        self._indexes[f"{rid}-labels"] = lstate
+        cstate = {"bands": f"{rid}-bands", "labels": f"{rid}-labels",
+                  "id_col": id_col, "text_col": text_col,
+                  "num_perm": num_perm, "bands_n": bands,
+                  "shingle_k": shingle_k, "unit": unit,
+                  "hash_fn": hash_fn, "threshold": float(threshold)}
+        self._clusters[rid] = cstate
+        rows_per_band = num_perm // bands
+        band_keys = _dedup._band_key_structs(bands, rows_per_band, hash_fn)
+
+        def sink(batch_df: DataFrame, _batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            delta = _signed_band_rows(
+                batch_df, id_col, text_col, num_perm, shingle_k, unit,
+                hash_fn, band_keys).persist()
+            try:
+                delta.write.mode("append").partitionBy("band") \
+                    .parquet(bstate["path"])
+                bstate["batches"] += 1
+                self._update_cluster_labels(cstate, delta)
+            finally:
+                delta.unpersist()
+
+        ckpt = os.path.join(self.workdir, f"ckpt-{rid}")
+        q = (
+            self._cdc_stream().writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        self._queries[rid] = q
+        q.processAllAvailable()
+        return rid
+
+    def _net_index(self, state: dict) -> DataFrame:
+        """Net-positive rows of a signed changelog state (current
+        generation; empty-schema frame before the first write)."""
+        if not os.path.isdir(state["path"]):
+            return self.spark.createDataFrame([], state["schema"])
+        df = self.spark.read.parquet(state["path"])
+        keys = [c for c in df.columns if c != "sign"]
+        return (df.groupBy(*keys)
+                .agg(F.sum("sign").alias("__net"))
+                .filter(F.col("__net") > 0)
+                .drop("__net"))
+
+    def _append_labels(self, lstate: dict, rows: DataFrame) -> None:
+        """Append signed (id, sign, label) rows (lb bucket derived) to
+        the labels changelog, following compaction repoints."""
+        out = rows.select(
+            "id", F.col("sign").cast("long").alias("sign"), "label",
+            F.pmod(F.xxhash64("label"), F.lit(16)).cast("int").alias("lb"))
+        out.write.mode("append").partitionBy("lb").parquet(lstate["path"])
+        lstate["batches"] += 1
+
+    def _update_cluster_labels(self, cstate: dict,
+                               delta: DataFrame) -> None:
+        """One incremental-CC step over a micro-batch's signed band rows
+        (see :meth:`maintain_clusters` — splits first, then merges)."""
+        from ..operators import dedup as _dedup
+
+        bstate = self._indexes[cstate["bands"]]
+        lstate = self._indexes[cstate["labels"]]
+        num_perm, thr = cstate["num_perm"], cstate["threshold"]
+        # delta-bounded driver summary: which ids lost / gained content
+        sgn = delta.groupBy("id").agg(
+            F.min("sign").alias("mn"), F.max("sign").alias("mx")).collect()
+        b_neg = [r["id"] for r in sgn if r["mn"] < 0]
+        b_pos = [r["id"] for r in sgn if r["mx"] > 0]
+
+        live = self._net_index(bstate)   # netted (id, band, bh, sig)
+        labels = self._net_labels(lstate)
+
+        # ---- step 1: SPLITS — re-cluster components that lost edges
+        if b_neg:
+            aff = [r["label"] for r in labels
+                   .filter(F.col("id").isin(b_neg))
+                   .select("label").distinct().collect()]
+            if aff:
+                n_old = labels.filter(F.col("label").isin(aff))
+                gone = sorted(set(b_neg) - set(b_pos))
+                n_live = (n_old.filter(~F.col("id").isin(gone))
+                          if gone else n_old)
+                member_bands = live.join(n_live.select("id"), "id",
+                                         "left_semi")
+                edges = _band_edges(member_bands, member_bands,
+                                    num_perm, thr)
+                comp = _dedup.connected_components(edges, "a", "b")
+                relab = (
+                    n_live.join(comp, "id", "left")
+                    .select("id", "label",
+                            F.coalesce("component",
+                                       F.col("id")).alias("new"))
+                )
+                changed = relab.filter(F.col("label") != F.col("new"))
+                removed = (n_old.join(n_live.select("id"), "id",
+                                      "left_anti")
+                           if gone else None)
+                upd = changed.select(
+                    "id", F.lit(-1).alias("sign"), "label"
+                ).unionByName(changed.select(
+                    "id", F.lit(1).alias("sign"),
+                    F.col("new").alias("label")))
+                if removed is not None:
+                    upd = upd.unionByName(removed.select(
+                        "id", F.lit(-1).alias("sign"), "label"))
+                self._append_labels(lstate, upd)
+                labels = self._net_labels(lstate)
+
+        # ---- step 2: MERGES — new content probes the live index
+        if not b_pos:
+            return
+        probe = (delta.groupBy("id", "band", "bh", "sig")
+                 .agg(F.sum("sign").alias("__net"))
+                 .filter(F.col("__net") > 0).drop("__net"))
+        edges = _band_edges(probe, live, num_perm, thr)
+        la = labels.select(F.col("id").alias("a"),
+                           F.col("label").alias("la"))
+        lb_ = labels.select(F.col("id").alias("b"),
+                            F.col("label").alias("lb_"))
+        # contract endpoints to their component labels (new ids = self);
+        # distinct label pairs are bounded by components-touched × delta,
+        # never by corpus size — the driver union-find input
+        lab_pairs = (
+            edges.join(la, "a", "left").join(lb_, "b", "left")
+            .select(F.coalesce("la", F.col("a")).alias("x"),
+                    F.coalesce("lb_", F.col("b")).alias("y"))
+            .filter(F.col("x") != F.col("y"))
+            .distinct().collect()
+        )
+        parent: dict = {}
+
+        def find(v):
+            while parent.get(v, v) != v:
+                parent[v] = parent.get(parent[v], parent[v])
+                v = parent[v]
+            return v
+
+        for r in lab_pairs:
+            rx, ry = find(r["x"]), find(r["y"])
+            if rx != ry:
+                lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                parent[hi] = lo
+        remap = {v: find(v) for v in parent if find(v) != v}
+        upds = []
+        if remap:
+            mapping = F.create_map(
+                *[F.lit(x) for kv in remap.items() for x in kv])
+            rewrite = labels.filter(
+                F.col("label").isin(list(remap.keys())))
+            upds.append(rewrite.select(
+                "id", F.lit(-1).alias("sign"), "label"))
+            upds.append(rewrite.select(
+                "id", F.lit(1).alias("sign"),
+                mapping[F.col("label")].alias("label")))
+        # brand-new ids (present in the probe, absent from the state)
+        new_ids = [r["id"] for r in probe.select("id").distinct()
+                   .join(labels.select("id"), "id", "left_anti")
+                   .collect()]
+        if new_ids:
+            from pyspark.sql.types import (LongType, StructField,
+                                           StructType)
+
+            lsch = lstate["schema"]
+            row_schema = StructType([
+                lsch["id"], StructField("sign", LongType()),
+                lsch["label"]])
+            upds.append(self.spark.createDataFrame(
+                [(i, 1, find(i)) for i in new_ids], row_schema))
+        if upds:
+            out = upds[0]
+            for u in upds[1:]:
+                out = out.unionByName(u)
+            self._append_labels(lstate, out)
+
+    def _net_labels(self, lstate: dict) -> DataFrame:
+        """Current netted (id, label) cluster rows."""
+        return self._net_index(lstate).select("id", "label")
+
+    def clusters_df(self, rid: str) -> DataFrame:
+        """Current near-dup cluster membership ``(id, label)`` of a
+        :meth:`maintain_clusters` state — label = the component's min
+        id, exactly batch ``connected_components`` over the live graph
+        (equality-tested per flush). Ids absent from the frame are
+        singletons by definition (no shingles or no near-dups' edges
+        retracted them) — treat absence as label = own id."""
+        self._drain_at_read()
+        return self._net_labels(self._indexes[self._clusters[rid]["labels"]])
+
+    def cluster_probe(self, rid: str, queries: DataFrame,
+                      text_col: str | None = None,
+                      id_col: str | None = None) -> DataFrame:
+        """Which existing cluster would each query doc JOIN? One row per
+        query doc with at least one verified near-dup: ``(query_id,
+        cluster)`` — cluster is the min label over its matched partners
+        (what the doc's component label would become, modulo merges the
+        insert itself would cause). Queries with no match are absent:
+        they'd form a new singleton cluster. The corpus is never
+        re-signatured (the probe rides the maintained band table)."""
+        from ..operators import dedup as _dedup
+
+        self._drain_at_read()
+        c = self._clusters[rid]
+        idx = self._net_index(self._indexes[c["bands"]])
+        hits = _dedup.minhash_probe(
+            idx, queries,
+            text_col=text_col or c["text_col"],
+            id_col=id_col or c["id_col"],
+            num_perm=c["num_perm"], bands=c["bands_n"],
+            k=c["shingle_k"], threshold=c["threshold"],
+            unit=c["unit"], hash_fn=c["hash_fn"])
+        lab = self._net_labels(self._indexes[c["labels"]]).select(
+            F.col("id").alias("corpus_id"), "label")
+        return (
+            hits.join(lab, "corpus_id", "left")
+            .select("query_id",
+                    F.coalesce("label", F.col("corpus_id")).alias("label"))
+            .groupBy("query_id")
+            .agg(F.min("label").alias("cluster"))
+        )
 
     def _compact_indexes(self) -> None:
         """Driver-side posting-index compaction (called from flush, after
