@@ -339,6 +339,7 @@ def classifier_eval(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     label_col: str = "label",
+    round_probs: int | None = None,
 ) -> dict:
     """Held-out evaluation of :func:`classifier_score` output against a
     0/1 label table: AUC via the Mann-Whitney rank-sum identity
@@ -349,43 +350,49 @@ def classifier_eval(
     accuracy / precision / recall at ``threshold``. Returns a plain dict
     — bounded driver metadata (five scalars), the sketch-stats class.
 
-    Plan: one global rank window over ``prob`` + one aggregate. The rank
-    window is a single-partition sort — correct for evaluation sets
-    (bounded, like the training side); don't point it at a 100 TB corpus
-    (you'd evaluate on a sample anyway).
+    Plan (r10, verdict #5 — the old global rank window was the
+    package's only single-partition sort): ONE ``groupBy(prob)``
+    histogram aggregate (map-side combine, one value-bounded shuffle),
+    then exact average-rank prefix sums over the COLLECTED histogram —
+    bounded by DISTINCT prob values, which for :func:`classifier_score`
+    output is ≤ 10⁶ + 1 by construction (probs round to 6 decimals),
+    regardless of corpus size. AUC is EXACT (per-value ranks, not
+    fixed-width approximation). For a scorer emitting unrounded probs,
+    set ``round_probs`` to bound the histogram (ties introduced by the
+    rounding shift AUC by at most the rounding-bucket mass — the
+    standard quantized-ROC tradeoff).
     """
-    from pyspark.sql import Window
-
     j = scored.select(id_col, "prob").join(
         labels.select(id_col, F.col(label_col).cast("int").alias("__y")),
         id_col)
-    # average rank of ties: rank() spans + (count-1)/2 == avg position
-    w = Window.orderBy("prob")
-    ranked = j.select(
-        "__y", "prob",
-        (F.rank().over(w)
-         + (F.count(F.lit(1)).over(
-             Window.partitionBy("prob")) - 1) / 2.0).alias("__rk"))
-    agg = ranked.agg(
-        F.sum(F.when(F.col("__y") == 1, F.col("__rk"))).alias("rs"),
+    p = (F.round("prob", round_probs) if round_probs is not None
+         else F.col("prob"))
+    hist = j.groupBy(p.alias("__p")).agg(
+        F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("__y") == 1, 1).otherwise(0)).alias("np"),
-        F.sum(F.when(F.col("__y") == 0, 1).otherwise(0)).alias("nn"),
-        F.sum(F.when((F.col("prob") >= threshold) == (F.col("__y") == 1),
-                     1).otherwise(0)).alias("correct"),
-        F.sum(F.when((F.col("prob") >= threshold)
-                     & (F.col("__y") == 1), 1).otherwise(0)).alias("tp"),
-        F.sum(F.when(F.col("prob") >= threshold, 1)
-              .otherwise(0)).alias("pp"),
-    ).first()
-    np_, nn = agg["np"] or 0, agg["nn"] or 0
+    ).collect()
+    rs = cum = 0.0
+    np_ = nn = correct = tp = pp = 0
+    for r in sorted(hist, key=lambda r: r["__p"]):
+        n, pos = r["n"], r["np"]
+        rs += pos * (cum + (n + 1) / 2.0)  # average rank of the tie run
+        cum += n
+        np_ += pos
+        nn += n - pos
+        if r["__p"] >= threshold:
+            correct += pos
+            tp += pos
+            pp += n
+        else:
+            correct += n - pos
     total = np_ + nn
     if not np_ or not nn:
         raise ValueError(
             f"evaluation needs both classes; got pos={np_} neg={nn}")
     return {
-        "auc": (float(agg["rs"]) - np_ * (np_ + 1) / 2.0) / (np_ * nn),
-        "accuracy": agg["correct"] / total,
-        "precision": (agg["tp"] / agg["pp"]) if agg["pp"] else None,
-        "recall": agg["tp"] / np_,
+        "auc": (rs - np_ * (np_ + 1) / 2.0) / (np_ * nn),
+        "accuracy": correct / total,
+        "precision": (tp / pp) if pp else None,
+        "recall": tp / np_,
         "n": total,
     }
