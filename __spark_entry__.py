@@ -651,10 +651,19 @@ def q49_text_index(spark, sf_dir):
 # (kana+han), ko (hangul), and an English row carrying ONE han char that
 # must stay UNROUTED (below the 15% threshold) and resolve by stopwords.
 _CJK_FIXTURE_TEXTS = [
+    # CJK router rows (r9) + one-per-language latin rows for the r10
+    # base-table extension (nl/sv/pl/tr/id/vi — verdict #8); the q36
+    # oracle CASE is GENERATED from this list so it can never drift
     "这是一个中文测试文档内容",
     "これは日本語のテストです",
     "이것은 한국어 테스트입니다",
     "the cat and the dog are in the house 中",
+    "het is een goed boek en ook niet te duur voor de mensen",
+    "det var en bok som har och att den inte kan om man vid",
+    "to jest tak jak nie ale po co dla nas od za tym",
+    "bu bir kitap ve daha ne gibi ama her sonra kadar olan",
+    "ini adalah buku yang bagus dan tidak untuk saya dengan kami juga",
+    "anh em cho nhau khi con theo trong hay ai xem vui",
 ]
 _CJK_FIXTURE_ID_OFFSET = 100_000_000
 
@@ -667,10 +676,11 @@ def q36_langid(spark, sf_dir):
     documents scan; the oracle mirrors the router CASE in SQL."""
     df = _t(spark, sf_dir, "documents")
     fixture = F.array(*[F.lit(t) for t in _CJK_FIXTURE_TEXTS])
+    n_fix = len(_CJK_FIXTURE_TEXTS)
     synth = df.select(
         (F.col("doc_id") + F.lit(_CJK_FIXTURE_ID_OFFSET)).alias("doc_id"),
         F.element_at(fixture,
-                     (F.col("doc_id") % 4 + 1).cast("int")).alias("text"),
+                     (F.col("doc_id") % n_fix + 1).cast("int")).alias("text"),
     )
     both = df.select("doc_id", "text").unionByName(synth)
     return text.language_id_table(both, "text", cjk_route=True)
@@ -1703,6 +1713,9 @@ def oracle_sql() -> dict[str, str]:
     lang_scores, lang_pred = _lang_scores_sql()
     _lang_greatest = "greatest(" + ", ".join(
         f"s_{l}" for l in text.LANG_STOPWORDS) + ")"
+    _fixture_whens = " ".join(
+        f"WHEN {i} THEN '{t}'"
+        for i, t in enumerate(_CJK_FIXTURE_TEXTS))
     # PII patterns hold regex braces — splice via replace, not f-strings
     pii_sql = """
         WITH aug AS (
@@ -2377,11 +2390,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text FROM documents
               UNION ALL
               SELECT doc_id + {_CJK_FIXTURE_ID_OFFSET},
-                     CASE CAST(doc_id % 4 AS INT)
-                          WHEN 0 THEN '{_CJK_FIXTURE_TEXTS[0]}'
-                          WHEN 1 THEN '{_CJK_FIXTURE_TEXTS[1]}'
-                          WHEN 2 THEN '{_CJK_FIXTURE_TEXTS[2]}'
-                          ELSE '{_CJK_FIXTURE_TEXTS[3]}' END
+                     CASE CAST(doc_id % {len(_CJK_FIXTURE_TEXTS)} AS INT)
+                          {_fixture_whens}
+                     END
               FROM documents),
             t AS (SELECT doc_id, {tok_doc} AS tok,
                      length(regexp_replace(text, '[^{text.HAN_RANGES}]', '', 'g')) AS han,

@@ -345,6 +345,34 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "pt": ["o", "a", "os", "as", "do", "da", "dos", "em", "um", "uma",
            "não", "com", "para", "mais", "mas", "foi", "são", "também",
            "ele", "ela", "é", "você", "isso", "pelo"],
+    # r10 (r9-verdict #8): the next most common crawl languages, each
+    # one bitmask bit riding the existing token probe (zero extra
+    # scans), appended after pt so every existing tie-break is
+    # preserved. These lists are ASCII-PURE by construction: the base
+    # probe matches tokens of normalize_text (strips [^a-z0-9 ]), so a
+    # diacritic-bearing stopword can never match — pt's accented
+    # entries are dead weight kept only for tie-break stability;
+    # new lists use high-frequency forms that SURVIVE normalization
+    # (tested), which is also why vi leans on its pure-ascii function
+    # words (diacritic-dense forms fragment under the normalizer).
+    "nl": ["de", "het", "een", "van", "en", "dat", "is", "op", "te",
+           "zijn", "voor", "met", "niet", "aan", "er", "om", "ook",
+           "maar", "bij", "naar"],
+    "sv": ["och", "att", "det", "som", "en", "av", "den", "till",
+           "inte", "om", "har", "de", "jag", "du", "kan", "vid", "man",
+           "ett", "var", "efter"],
+    "pl": ["nie", "na", "jest", "do", "to", "z", "w", "jak", "ale",
+           "po", "co", "tak", "za", "od", "dla", "przez", "ma", "ten",
+           "tym", "jego"],
+    "tr": ["bir", "ve", "bu", "ile", "ne", "gibi", "daha", "ama",
+           "sonra", "kadar", "her", "olan", "olarak", "var", "ben",
+           "sen", "bunu", "benim", "onun", "niye"],
+    "id": ["yang", "dan", "di", "ini", "itu", "dengan", "untuk",
+           "tidak", "dari", "dalam", "akan", "pada", "juga", "ke",
+           "bisa", "ada", "saya", "kami", "sudah", "atau"],
+    "vi": ["cho", "khi", "anh", "em", "con", "nhau", "hay", "ai",
+           "trong", "theo", "xem", "quan", "vui", "hai", "nay", "ta",
+           "nam", "tam", "ra", "nha"],
 }
 
 # Second-stage refinement tables for script-routed families (late r9):

@@ -192,3 +192,56 @@ class TestExactNbUnseen:
         c = sorted(map(tuple, classify.classifier_score(
             df, w2, b2, n_buckets=256).collect()))
         assert a == c
+
+
+class TestNewCrawlLanguages:
+    """r9-verdict #8: nl/sv/pl/tr/id/vi appended to the base stopword
+    table — each one bitmask bit on the existing probe, every prior
+    tie-break preserved."""
+
+    FIXTURES = {
+        "nl": "het is een goed boek en ook niet te duur voor de mensen",
+        "sv": "det var en bok som har och att den inte kan om man vid",
+        "pl": "to jest tak jak nie ale po co dla nas od za tym",
+        "tr": "bu bir kitap ve daha ne gibi ama her sonra kadar olan",
+        "id": "ini adalah buku yang bagus dan tidak untuk saya dengan kami juga",
+        "vi": "anh em cho nhau khi con theo trong hay ai xem vui",
+    }
+
+    def test_new_languages_argmax(self, spark):
+        from aggo_spark.operators import text
+
+        rows = [(i, t) for i, t in enumerate(self.FIXTURES.values())]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [r["pred_lang"] for r in
+               text.language_id_table(df).orderBy("doc_id").collect()]
+        assert got == list(self.FIXTURES)
+
+    def test_prior_behavior_preserved(self, spark):
+        """The r9 fixture sentences must still argmax to their old
+        labels with the six new bits compiled in."""
+        from aggo_spark.operators import text
+
+        rows = [
+            (1, "the cat and the dog are in the house"),
+            (2, "der Hund und die Katze sind nicht da"),
+            (3, "el texto es para los niños y no para el perro pero"),
+            (4, "o texto é para você e não para ele mas foi também"),
+            (5, "de que para como se no"),  # es/pt tie -> es (earlier)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["pred_lang"]
+               for r in text.language_id_table(df).collect()}
+        assert got == {1: "en", 2: "de", 3: "es", 4: "pt", 5: "es"}
+
+    def test_new_lists_survive_normalization(self, spark):
+        """The base probe matches normalize_text tokens (ascii), so a
+        stopword with diacritics can never fire — the new lists must be
+        ascii-pure by construction (the documented contract)."""
+        import re
+
+        from aggo_spark.operators.text import LANG_STOPWORDS
+
+        for lang in ("nl", "sv", "pl", "tr", "id", "vi"):
+            for w in LANG_STOPWORDS[lang]:
+                assert re.fullmatch(r"[a-z0-9]+", w), (lang, w)
