@@ -858,9 +858,13 @@ def q40_multimodal(spark, sf_dir):
     # upsample + YCbCr->RGB, multimodal.jpeg_pixel_decode), with the
     # expected channel means rebuilt arithmetically in the oracle (the
     # PNG pattern — solid colors round-trip EXACTLY through identity
-    # quant). Odd ids stay progressive SOF2 headers (header-only tier:
-    # real dims, NULL means); every 5th doc gets CORRUPT jpeg-magic bytes
-    # that must decode to a null meta row, not a fake.
+    # quant). r10 (verdict #6): odd ids with i % 3 == 2 get a FULL
+    # PROGRESSIVE (SOF2) encode — four spectral-selection/successive-
+    # approximation scans the executor really decodes to the SAME exact
+    # solid-color means; remaining odd ids stay SOF2 headers with no scan
+    # (header-only tier: real dims, NULL means); every 5th doc gets
+    # CORRUPT jpeg-magic bytes that must decode to a null meta row, not a
+    # fake.
     def _synth_jpg(batches):
         for pdf in batches:
             ids = pdf["doc_id"]
@@ -868,12 +872,13 @@ def q40_multimodal(spark, sf_dir):
             for i in ids:
                 if i % 5 == 0:
                     blobs.append(b"\xff\xd8\xff\x00")
-                elif i % 2 == 0:
+                elif i % 2 == 0 or i % 3 == 2:
                     blobs.append(multimodal.encode_jpeg(
                         int(1 + (i * 11) % 40), int(1 + (i * 17) % 40),
                         (int(i % 256), int((i * 3) % 256),
                          int((i * 5) % 256)),
-                        subsampling="420" if i % 4 == 0 else "444"))
+                        subsampling="420" if i % 4 == 0 else "444",
+                        progressive=bool(i % 2)))
                 else:
                     blobs.append(multimodal.encode_jpeg_header(
                         1 + (i * 11) % 2048, 1 + (i * 17) % 2048,
@@ -2059,26 +2064,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST((d.doc_id * 3) % 256 AS DOUBLE) AS png_mean_g,
                    CAST((d.doc_id * 5) % 256 AS DOUBLE) AS png_mean_b,
                    'ffffffffffffffff' AS png_phash,
-                   -- r6/r9 JPEG tier: every 5th doc corrupt magic ->
-                   -- all-null meta; even ids REAL baseline pixel decode
-                   -- (small dims, solid color, means below); odd ids
-                   -- progressive header-only (big dims, NULL means)
+                   -- r6/r9/r10 JPEG tier: every 5th doc corrupt magic ->
+                   -- all-null meta; even ids REAL baseline pixel decode;
+                   -- odd ids with doc_id % 3 = 2 REAL PROGRESSIVE (SOF2)
+                   -- pixel decode, same solid-color arithmetic (small
+                   -- dims, means below); remaining odd ids SOF2
+                   -- header-only (big dims, NULL means)
                    CASE WHEN d.doc_id % 5 = 0 THEN NULL ELSE 'jpeg' END AS jpg_format,
                    CASE WHEN d.doc_id % 5 = 0 THEN NULL
-                        WHEN d.doc_id % 2 = 0 THEN CAST(1 + (d.doc_id * 11) % 40 AS INT)
+                        WHEN d.doc_id % 2 = 0 OR d.doc_id % 3 = 2 THEN CAST(1 + (d.doc_id * 11) % 40 AS INT)
                         ELSE CAST(1 + (d.doc_id * 11) % 2048 AS INT) END AS jpg_width,
                    CASE WHEN d.doc_id % 5 = 0 THEN NULL
-                        WHEN d.doc_id % 2 = 0 THEN CAST(1 + (d.doc_id * 17) % 40 AS INT)
+                        WHEN d.doc_id % 2 = 0 OR d.doc_id % 3 = 2 THEN CAST(1 + (d.doc_id * 17) % 40 AS INT)
                         ELSE CAST(1 + (d.doc_id * 17) % 2048 AS INT) END AS jpg_height,
                    CASE WHEN d.doc_id % 5 = 0 THEN NULL
-                        WHEN d.doc_id % 2 = 0 THEN CAST(3 AS INT)
+                        WHEN d.doc_id % 2 = 0 OR d.doc_id % 3 = 2 THEN CAST(3 AS INT)
                         ELSE CAST(CASE d.doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
                                   ELSE 4 END AS INT) END AS jpg_channels,
-                   CASE WHEN d.doc_id % 5 = 0 OR d.doc_id % 2 = 1 THEN NULL
+                   CASE WHEN d.doc_id % 5 = 0 OR (d.doc_id % 2 = 1 AND d.doc_id % 3 <> 2) THEN NULL
                         ELSE least(greatest(floor(jc.jy + 1.402 * (jc.jcr - 128.0) + 0.5), 0), 255) END AS jpg_mean_r,
-                   CASE WHEN d.doc_id % 5 = 0 OR d.doc_id % 2 = 1 THEN NULL
+                   CASE WHEN d.doc_id % 5 = 0 OR (d.doc_id % 2 = 1 AND d.doc_id % 3 <> 2) THEN NULL
                         ELSE least(greatest(floor(jc.jy - 0.344136 * (jc.jcb - 128.0) - 0.714136 * (jc.jcr - 128.0) + 0.5), 0), 255) END AS jpg_mean_g,
-                   CASE WHEN d.doc_id % 5 = 0 OR d.doc_id % 2 = 1 THEN NULL
+                   CASE WHEN d.doc_id % 5 = 0 OR (d.doc_id % 2 = 1 AND d.doc_id % 3 <> 2) THEN NULL
                         ELSE least(greatest(floor(jc.jy + 1.772 * (jc.jcb - 128.0) + 0.5), 0), 255) END AS jpg_mean_b,
                    -- late r6: WAV RIFF + MP4 box-walk parses; every 7th doc
                    -- carries corrupt magic -> all-null meta

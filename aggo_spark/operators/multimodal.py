@@ -317,7 +317,11 @@ def jpeg_decode(b: bytes) -> dict | None:
     sequential streams (SOF0/SOF1) get a REAL pixel decode —
     ``jpeg_pixel_decode``: DHT-driven Huffman entropy decode, dequant,
     IDCT, sampling-factor upsample, YCbCr→RGB, channel means + average-
-    hash. Anything it can't decode (progressive SOF2, arithmetic,
+    hash — and so do progressive streams (SOF2, r10 verdict #6: the
+    spectral-selection / successive-approximation scans accumulate
+    quantized coefficients, reconstructed once at EOI through the SAME
+    dequant/IDCT/upsample/color tail). Anything it can't decode
+    (arithmetic-coded, lossless, hierarchical,
     corrupt/absent scan data) falls back to the r5 HEADER parse below:
     walk the marker segments to the first SOFn frame header and read
     real width/height/channels with ``channel_means``/``phash`` null —
@@ -914,15 +918,18 @@ def frame_sample_plan(
 
 
 # ---------------------------------------------------------------------------
-# Baseline JPEG codec (r9, verdict #4) — ITU-T T.81 baseline sequential DCT,
-# pure numpy/stdlib. The DECODER is fully general for baseline/extended-
-# sequential streams (Huffman tables read from the file's DHT segments,
-# any 1/2 sampling factors, restart intervals); the ENCODER is the fixture
-# generator (the encode_png pattern): solid colors or arbitrary small
-# arrays, 4:4:4 or 4:2:0, simple uniform-length canonical Huffman tables
-# (valid JPEG, fixture-grade compression — the decoder never assumes
-# them). Progressive (SOF2) stays header-only; a production deployment
-# plugs PIL/libjpeg-turbo into the same decoder slot (pil_decode).
+# JPEG codec — ITU-T T.81, pure numpy/stdlib. The DECODER is fully general
+# for baseline/extended-sequential streams (r9, verdict #4: Huffman tables
+# read from the file's DHT segments, any 1/2 sampling factors, restart
+# intervals) AND progressive streams (r10, verdict #6: spectral selection +
+# successive approximation per T.81 G.1.2, coefficients accumulated across
+# scans and reconstructed at EOI). The ENCODER is the fixture generator
+# (the encode_png pattern): solid colors or arbitrary small arrays, 4:4:4
+# or 4:2:0, baseline or 4-pass progressive, simple uniform-length canonical
+# Huffman tables (valid JPEG, fixture-grade compression — the decoder never
+# assumes them). Arithmetic/lossless/hierarchical stay header-only; a
+# production deployment plugs PIL/libjpeg-turbo into the same decoder slot
+# (pil_decode).
 # ---------------------------------------------------------------------------
 
 def _dct8():
@@ -1035,6 +1042,162 @@ def _pad_to(plane, rows: int, cols: int):
                           (0, cols - plane.shape[1])), mode="edge")
 
 
+def _emit_ac_first(bw: _JpegBitWriter, ac_map: dict, zz, al: int) -> None:
+    """Progressive AC first-pass entropy coding for one block (per-block
+    EOB — no cross-block EOB runs, which plain EOB (run=0) encodes)."""
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_map[0xF0]
+            bw.write(code, length)
+            run -= 16
+        s = t.bit_length()
+        code, length = ac_map[(run << 4) | s]
+        bw.write(code, length)
+        val = t if v > 0 else -t
+        bw.write(val if val > 0 else val + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, length = ac_map[0x00]
+        bw.write(code, length)
+
+
+def _emit_ac_refine(bw: _JpegBitWriter, ac_map: dict, zz, al: int) -> None:
+    """Progressive AC refinement entropy coding for one block (T.81
+    G.1.2.3 / the jcphuff shape): newly-visible coefficients (shifted
+    magnitude exactly 1) emit size-1 symbols + a sign bit; correction
+    bits of already-nonzero coefficients are buffered and flushed after
+    the next emitted symbol, which is exactly where the decoder's
+    advance loop consumes them. Per-block EOB (run=0), so no cross-block
+    EOB-run state."""
+    ts = [abs(int(zz[k])) >> al for k in range(64)]
+    eob_k = 0
+    for k in range(1, 64):
+        if ts[k] == 1:
+            eob_k = k
+    run = 0
+    pending: list[int] = []
+    for k in range(1, 64):
+        t = ts[k]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob_k:
+            code, length = ac_map[0xF0]
+            bw.write(code, length)
+            run -= 16
+            for bit in pending:
+                bw.write(bit, 1)
+            pending = []
+        if t > 1:
+            # already nonzero at the previous precision: correction bit
+            pending.append(t & 1)
+            continue
+        code, length = ac_map[(run << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(zz[k]) > 0 else 0, 1)
+        for bit in pending:
+            bw.write(bit, 1)
+        pending = []
+        run = 0
+    if run or pending:
+        code, length = ac_map[0x00]
+        bw.write(code, length)
+        for bit in pending:
+            bw.write(bit, 1)
+
+
+def _encode_progressive_scans(comp_blocks: list, samp: list, mcux: int,
+                              mcuy: int, w: int, h: int, dc_map: dict,
+                              ac_map: dict,
+                              restart_interval: int) -> list:
+    """Build the four-pass progressive scan sequence (see
+    ``encode_jpeg(progressive=True)``): returns ``(sos_payload,
+    entropy_bytes)`` per scan. DC scans cover the full MCU grid in MCU
+    order (interleaved when ncomp > 1); AC scans are single-component
+    over the component's ceil(comp_dim/8) grid — T.81 A.2.2, matching
+    the decoder. Restart units are MCUs / blocks respectively."""
+    ncomp = len(samp)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    al0 = 1  # first-pass point transform; refinement brings Al to 0
+
+    def sos(comp_ids, ss, se, ah, al):
+        p = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            t = 0 if ci == 0 else 1
+            p += bytes([ci + 1, (t << 4) | t])
+        return p + bytes([ss, se, (ah << 4) | al])
+
+    def ceil_grid(ci):
+        sh, sv = samp[ci]
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        return -(-cw // 8), -(-ch // 8)
+
+    def emit_rst(bw, rst):
+        bw.align()
+        bw.buf += bytes([0xFF, 0xD0 + rst % 8])
+
+    scans = []
+    for refine in (False, True):
+        # DC pass over the full MCU grid, interleaved component order
+        bw = _JpegBitWriter()
+        preds = [0] * ncomp
+        rst = 0
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                emit_rst(bw, rst)
+                rst += 1
+                preds = [0] * ncomp
+            my, mx = divmod(m, mcux)
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = comp_blocks[ci][(my * sv + by, mx * sh + bx)]
+                        if refine:
+                            bw.write(int(zz[0]) & 1, 1)
+                            continue
+                        dc = int(zz[0]) >> al0  # arithmetic shift (T.81)
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        s = _jpeg_cat(diff)
+                        code, length = dc_map[s]
+                        bw.write(code, length)
+                        if s:
+                            bw.write(
+                                diff if diff > 0 else diff + (1 << s) - 1,
+                                s)
+        bw.align()
+        hdr = sos(list(range(ncomp)), 0, 0, al0 if refine else 0,
+                  0 if refine else al0)
+        scans.append((hdr, bytes(bw.buf)))
+        # AC passes, one scan per component
+        for ci in range(ncomp):
+            bw = _JpegBitWriter()
+            bwid, bhgt = ceil_grid(ci)
+            rst = 0
+            for u in range(bwid * bhgt):
+                if restart_interval and u and u % restart_interval == 0:
+                    emit_rst(bw, rst)
+                    rst += 1
+                by, bx = divmod(u, bwid)
+                zz = comp_blocks[ci][(by, bx)]
+                if refine:
+                    _emit_ac_refine(bw, ac_map, zz, 0)
+                else:
+                    _emit_ac_first(bw, ac_map, zz, al0)
+            bw.align()
+            scans.append((sos([ci], 1, 63, al0 if refine else 0,
+                               0 if refine else al0), bytes(bw.buf)))
+    return scans
+
+
 def encode_jpeg(
     width: int | None = None,
     height: int | None = None,
@@ -1044,15 +1207,22 @@ def encode_jpeg(
     subsampling: str = "444",
     quant: list | None = None,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JFIF encoder (fixture generator, the ``encode_png``
-    pattern): either ``(width, height, pixel)`` for a solid color —
-    ``pixel`` an (r, g, b) tuple or a single luma int for grayscale — or
-    ``image=`` a numpy uint8 array (h, w, 3) or (h, w). ``quant=None``
-    uses all-ones tables, which round-trips a solid color EXACTLY
-    through DCT→quant→IDCT (the q40 arithmetic-oracle property);
-    ``subsampling`` is ``"444"`` or ``"420"`` (color only).
-    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs."""
+    """JFIF encoder (fixture generator, the ``encode_png`` pattern):
+    either ``(width, height, pixel)`` for a solid color — ``pixel`` an
+    (r, g, b) tuple or a single luma int for grayscale — or ``image=``
+    a numpy uint8 array (h, w, 3) or (h, w). ``quant=None`` uses
+    all-ones tables, which round-trips a solid color EXACTLY through
+    DCT→quant→IDCT (the q40 arithmetic-oracle property); ``subsampling``
+    is ``"444"`` or ``"420"`` (color only). ``restart_interval`` > 0
+    emits DRI + RSTn markers every N MCUs (N blocks in non-interleaved
+    progressive scans). ``progressive=True`` (r10, verdict #6) emits a
+    SOF2 frame as four successive-approximation passes — interleaved DC
+    first (Al=1), per-component AC first (ss=1..63, Al=1), DC refinement
+    (Ah=1), per-component AC refinement — exercising every progressive
+    decoder path; the coefficient stream is bit-exact with the baseline
+    encoding of the same image, so pixel output is identical."""
     import numpy as np
 
     if image is None:
@@ -1140,20 +1310,27 @@ def encode_jpeg(
         if run:
             put(ac_map, 0x00)  # EOB
 
-    rst = 0
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            bw.align()
-            bw.buf += bytes([0xFF, 0xD0 + rst % 8])
-            rst += 1
-            preds[:] = [0] * len(planes)
-        my, mx = divmod(m, mcux)
-        for ci, (sh, sv) in enumerate(samp):
-            for by in range(sv):
-                for bx in range(sh):
-                    put_block(
-                        comp_blocks[ci][(my * sv + by, mx * sh + bx)], ci)
-    bw.align()
+    prog_scans: list[tuple[bytes, bytes]] = []
+    if not progressive:
+        rst = 0
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.align()
+                bw.buf += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                preds[:] = [0] * len(planes)
+            my, mx = divmod(m, mcux)
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        put_block(
+                            comp_blocks[ci][(my * sv + by, mx * sh + bx)],
+                            ci)
+        bw.align()
+    else:
+        prog_scans = _encode_progressive_scans(
+            comp_blocks, samp, mcux, mcuy, w, h, dc_map, ac_map,
+            restart_interval)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return (bytes([0xFF, marker])
@@ -1172,7 +1349,7 @@ def encode_jpeg(
     for ci in range(ncomp):
         sh, sv = samp[ci]
         sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
 
     def dht(tc, th, bits, vals):
         return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits)
@@ -1185,12 +1362,17 @@ def encode_jpeg(
         out += dht(1, 1, _FIX_AC_BITS, _FIX_AC_VALS)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += bw.buf
+    if progressive:
+        for sos_payload, data in prog_scans:
+            out += seg(0xDA, sos_payload)
+            out += data
+    else:
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
+        out += bw.buf
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1258,8 +1440,208 @@ def _read_huff(br: _JpegBitReader, table: dict) -> int:
     raise ValueError("invalid Huffman code")
 
 
+def _jpeg_ac_first_block(br: _JpegBitReader, zz, actab: dict, ss: int,
+                         se: int, al: int, eobrun: int) -> int:
+    """Progressive AC FIRST pass (Ah=0) for one block's zigzag
+    coefficients (T.81 G.1.2.2): band ss..se, values shifted left by the
+    point transform Al; EOBn symbols (size=0, run<15) start an EOB run
+    covering this and the next ``2^run - 1 + bits(run)`` blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_huff(br, actab)
+        run, size = sym >> 4, sym & 15
+        if size == 0:
+            if run != 15:
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += br.bits(run)
+                break
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > se:
+            raise ValueError("AC index overrun")
+        zz[k] = _extend(br.bits(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _jpeg_ac_refine_block(br: _JpegBitReader, zz, actab: dict, ss: int,
+                          se: int, al: int, eobrun: int) -> int:
+    """Progressive AC REFINEMENT pass (Ah=Al+1) for one block
+    (T.81 G.1.2.3): newly-nonzero coefficients arrive as size-1 symbols
+    with a sign bit; every already-nonzero coefficient in the path
+    consumes one correction bit that may append ``1 << al`` to its
+    magnitude. Two's-complement ``c & p1`` tests whether bit al is
+    already set — identical semantics for Python ints and int32."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_huff(br, actab)
+            run, size = sym >> 4, sym & 15
+            newval = 0
+            if size == 0:
+                if run != 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += br.bits(run)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            elif size == 1:
+                newval = p1 if br.bit() else m1
+            else:
+                raise ValueError("refinement size > 1")
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if br.bit() and (c & p1) == 0:
+                        zz[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(zz[k])
+            if c != 0:
+                if br.bit() and (c & p1) == 0:
+                    zz[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_planes_to_meta(planes, comps, hmax: int, vmax: int, h: int,
+                         w: int, byte_len: int) -> dict | None:
+    """Shared decode tail (baseline + progressive): level-shift the IDCT
+    planes, nearest-upsample by the sampling factors, crop, YCbCr→RGB,
+    channel means + average-hash. The arithmetic here is the q40 oracle
+    contract — identical for both frame types."""
+    import numpy as np
+
+    full = []
+    for ci, (_cid, sh, sv, _tq) in enumerate(comps):
+        p = np.clip(np.floor(planes[ci] + 128.0 + 0.5), 0, 255)
+        p = np.repeat(np.repeat(p, vmax // sv, axis=0),
+                      hmax // sh, axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 3:
+        chans = _ycbcr_to_rgb_arrays(*full)
+        luma = (chans[0] + chans[1] + chans[2]) / 3.0
+    elif len(comps) == 1:
+        chans = (full[0],)
+        luma = full[0]
+    else:
+        return None
+    return {
+        "byte_len": byte_len,
+        "format": "jpeg",
+        "width": int(w),
+        "height": int(h),
+        "channels": len(comps),
+        "channel_means": [float(np.mean(c)) for c in chans],
+        "phash": _avg_hash([list(map(float, row)) for row in luma]),
+    }
+
+
+def _jpeg_progressive_scan(b: bytes, pos: int, body: bytes, comps: list,
+                           huff: dict, coefs: list, dims: tuple,
+                           hmax: int, vmax: int, mcux: int, mcuy: int,
+                           dri: int) -> int:
+    """Decode ONE progressive (SOF2) scan into the per-component
+    quantized-coefficient arrays (``coefs[ci]`` shaped (by, bx, 64) in
+    zigzag order, int32) and return the stream position of the next
+    marker. DC scans may be interleaved (MCU order, full MCU grid);
+    AC scans are single-component over the component's own
+    ``ceil(comp_dim/8)`` block grid (T.81 A.2.2 — MCU padding blocks are
+    NOT coded in non-interleaved scans). Restart intervals reset DC
+    predictors and the EOB run per T.81 (units = MCUs when interleaved,
+    blocks otherwise)."""
+    h, w = dims
+    ns = body[0]
+    scan = []  # (ci, td, ta)
+    ids = {c[0]: i for i, c in enumerate(comps)}
+    for si in range(ns):
+        cid, tt = body[1 + si * 2], body[2 + si * 2]
+        if cid not in ids:
+            raise ValueError("scan references unknown component")
+        scan.append((ids[cid], tt >> 4, tt & 15))
+    ss, se, a = body[1 + ns * 2], body[2 + ns * 2], body[3 + ns * 2]
+    ah, al = a >> 4, a & 15
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan with se != 0")
+    elif ns != 1:
+        raise ValueError("interleaved AC scan in progressive frame")
+    if se > 63 or ss > se:
+        raise ValueError("bad spectral band")
+    br = _JpegBitReader(b, pos)
+    eobrun = 0
+    preds = [0] * len(comps)
+
+    def maybe_restart(unit: int) -> None:
+        nonlocal eobrun
+        if dri and unit and unit % dri == 0:
+            br.expect_restart()
+            preds[:] = [0] * len(comps)
+            eobrun = 0
+
+    if ss == 0 and ns > 1:
+        # interleaved DC scan: MCU order over the full MCU grid
+        for m in range(mcux * mcuy):
+            maybe_restart(m)
+            my, mx = divmod(m, mcux)
+            for ci, td, _ta in scan:
+                _cid, sh, sv, _tq = comps[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        blk = coefs[ci][my * sv + by, mx * sh + bx]
+                        if ah == 0:
+                            s = _read_huff(br, huff[(0, td)])
+                            diff = _extend(br.bits(s), s) if s else 0
+                            preds[ci] += diff
+                            blk[0] = preds[ci] << al
+                        elif br.bit():
+                            blk[0] = int(blk[0]) | (1 << al)
+    else:
+        # non-interleaved: one component, ceil(comp_dim/8) grid
+        ci, td, ta = scan[0]
+        _cid, sh, sv, _tq = comps[ci]
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        bw_ = -(-cw // 8)
+        bh_ = -(-ch // 8)
+        for u in range(bw_ * bh_):
+            maybe_restart(u)
+            by, bx = divmod(u, bw_)
+            blk = coefs[ci][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    s = _read_huff(br, huff[(0, td)])
+                    diff = _extend(br.bits(s), s) if s else 0
+                    preds[ci] += diff
+                    blk[0] = preds[ci] << al
+                elif br.bit():
+                    blk[0] = int(blk[0]) | (1 << al)
+            elif ah == 0:
+                eobrun = _jpeg_ac_first_block(
+                    br, blk, huff[(1, ta)], ss, se, al, eobrun)
+            else:
+                eobrun = _jpeg_ac_refine_block(
+                    br, blk, huff[(1, ta)], ss, se, al, eobrun)
+    return br.pos
 
 
 # Pixel budget for the pure-Python baseline decode (r10, ADVICE medium):
@@ -1274,15 +1656,21 @@ JPEG_PIXEL_BUDGET = 4_000_000
 
 
 def jpeg_pixel_decode(b: bytes, pixel_budget: int = JPEG_PIXEL_BUDGET) -> dict | None:
-    """REAL baseline JPEG pixel decode (r9, verdict #4): marker walk →
-    DQT/DHT/SOF0·1/DRI/SOS parse → Huffman entropy decode → dequantize →
-    IDCT → upsample (any 1/2 sampling factors, nearest) → YCbCr→RGB →
-    per-channel means + average-hash, the same meta dict shape as
-    ``png_decode``. Huffman tables come from the FILE, never assumed.
-    Progressive (SOF2) / arithmetic / unsupported shapes return None —
-    callers (``jpeg_decode``) fall back to the header-only parse, so a
-    corrupt scan yields header metadata with NULL means, and corrupt
-    magic yields a NULL row, never fabricated stats."""
+    """REAL JPEG pixel decode: marker walk → DQT/DHT/SOF/DRI/SOS parse →
+    Huffman entropy decode → dequantize → IDCT → upsample (any 1/2
+    sampling factors, nearest) → YCbCr→RGB → per-channel means +
+    average-hash, the same meta dict shape as ``png_decode``. Huffman
+    tables come from the FILE, never assumed. Baseline/extended
+    sequential (SOF0/SOF1, r9 verdict #4) decode scan-interleaved;
+    PROGRESSIVE (SOF2, r10 verdict #6) accumulates per-component
+    quantized coefficients across spectral-selection and
+    successive-approximation scans (T.81 G.1.2) and reconstructs once at
+    EOI — both share the dequant/IDCT/upsample/color tail, so pixel
+    arithmetic is identical. Arithmetic-coded / lossless / hierarchical
+    frames return None — callers (``jpeg_decode``) fall back to the
+    header-only parse, so a corrupt scan yields header metadata with
+    NULL means, and corrupt magic yields a NULL row, never fabricated
+    stats."""
     import numpy as np
 
     if not b.startswith(_JPEG_SIG):
@@ -1293,6 +1681,10 @@ def jpeg_pixel_decode(b: bytes, pixel_budget: int = JPEG_PIXEL_BUDGET) -> dict |
         comps = None  # [(id, sh, sv, tq)]
         dims = None
         dri = 0
+        progressive = False
+        nscans = 0
+        coefs = None  # progressive: per-comp (by, bx, 64) int32 zigzag
+        hmax = vmax = mcux = mcuy = 0
         pos = 2
         while True:
             if b[pos] != 0xFF:
@@ -1304,6 +1696,8 @@ def jpeg_pixel_decode(b: bytes, pixel_budget: int = JPEG_PIXEL_BUDGET) -> dict |
             if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
                 continue
             if marker == 0xD9:
+                if progressive and nscans:
+                    break  # EOI ends the progressive scan sequence
                 return None  # EOI before SOS
             (seg_len,) = struct.unpack_from(">H", b, pos)
             seg_end = pos + seg_len
@@ -1330,7 +1724,8 @@ def jpeg_pixel_decode(b: bytes, pixel_budget: int = JPEG_PIXEL_BUDGET) -> dict |
                     vals = list(body[i + 17:i + 17 + n])
                     huff[(tc, th)] = _huff_decode_map(bits, vals)
                     i += 17 + n
-            elif marker in (0xC0, 0xC1):
+            elif marker in (0xC0, 0xC1, 0xC2):
+                progressive = marker == 0xC2
                 _prec, hh, ww, nc = struct.unpack_from(">BHHB", body, 0)
                 comps = []
                 for ci in range(nc):
@@ -1338,13 +1733,44 @@ def jpeg_pixel_decode(b: bytes, pixel_budget: int = JPEG_PIXEL_BUDGET) -> dict |
                         ">BBB", body, 6 + ci * 3)
                     comps.append((cid, hv >> 4, hv & 15, tq))
                 dims = (hh, ww)
+                if hh * ww > pixel_budget or hh == 0 or ww == 0:
+                    # forged/huge SOF dims (or degenerate 0-dim frames):
+                    # refuse to allocate O(pixels) planes/coefficient
+                    # arrays; caller falls back to the header tier
+                    return None
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                # the nearest upsample assumes integer replication
+                # factors (true for the 1/2 factors of every real-world
+                # file); an exotic 3:2-style ratio must fall back to the
+                # header tier rather than decode wrong pixels (r9 review)
+                if any(c[1] < 1 or c[2] < 1 or hmax % c[1] or vmax % c[2]
+                       for c in comps):
+                    return None
+                mcux = -(-ww // (8 * hmax))
+                mcuy = -(-hh // (8 * vmax))
             elif marker in _JPEG_SOF:
-                return None  # progressive / arithmetic: header-only tier
+                return None  # arithmetic/lossless/hierarchical: header tier
             elif marker == 0xDD:
                 (dri,) = struct.unpack_from(">H", body, 0)
             elif marker == 0xDA:
                 if comps is None or not qt:
                     return None
+                if progressive:
+                    if nscans >= 64:
+                        # forged scan-count bound (the pixel-budget
+                        # philosophy): a real progressive file has ~10-20
+                        # scans; refuse unbounded O(scans x blocks) work
+                        return None
+                    if coefs is None:
+                        coefs = [
+                            np.zeros((mcuy * c[2], mcux * c[1], 64),
+                                     dtype=np.int32) for c in comps]
+                    pos = _jpeg_progressive_scan(
+                        b, seg_end, body, comps, huff, coefs, dims,
+                        hmax, vmax, mcux, mcuy, dri)
+                    nscans += 1
+                    continue
                 ns = body[0]
                 scan = {}
                 for si in range(ns):
@@ -1357,22 +1783,23 @@ def jpeg_pixel_decode(b: bytes, pixel_budget: int = JPEG_PIXEL_BUDGET) -> dict |
             pos = seg_end
 
         h, w = dims
-        if h * w > pixel_budget or h == 0 or w == 0:
-            # forged/huge SOF dims (or degenerate 0-dim frames): refuse to
-            # allocate O(pixels) planes; caller falls back to header tier
-            return None
-        hmax = max(c[1] for c in comps)
-        vmax = max(c[2] for c in comps)
-        # the nearest upsample below assumes integer replication factors
-        # (true for the 1/2 factors of every real-world baseline file);
-        # an exotic 3:2-style ratio must fall back to the header tier
-        # rather than decode wrong pixels (r9 review)
-        if any(c[1] < 1 or c[2] < 1 or hmax % c[1] or vmax % c[2]
-               for c in comps):
-            return None
-        mcux = -(-w // (8 * hmax))
-        mcuy = -(-h // (8 * vmax))
         D = _dct8()
+        if progressive:
+            # all scans consumed: dequantize the accumulated coefficient
+            # tensors, one vectorized IDCT per component, shared tail
+            zz_r = np.asarray(_JPEG_ZZ_ROWS)
+            zz_c = np.asarray(_JPEG_ZZ_COLS)
+            planes = []
+            for ci, (_cid, sh, sv, tq) in enumerate(comps):
+                deq = coefs[ci].astype(np.float64) * qt[tq][None, None, :]
+                nby, nbx = deq.shape[:2]
+                mats = np.zeros((nby, nbx, 8, 8))
+                mats[:, :, zz_r, zz_c] = deq
+                blocks = np.einsum("ab,yxbc,cd->yxad", D.T, mats, D)
+                planes.append(blocks.transpose(0, 2, 1, 3)
+                              .reshape(nby * 8, nbx * 8))
+            return _jpeg_planes_to_meta(planes, comps, hmax, vmax,
+                                        h, w, len(b))
         planes = [np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8))
                   for c in comps]
         preds = [0] * len(comps)
@@ -1420,29 +1847,8 @@ def jpeg_pixel_decode(b: bytes, pixel_budget: int = JPEG_PIXEL_BUDGET) -> dict |
                         c0 = (mx * sh + bx) * 8
                         planes[ci][r0:r0 + 8, c0:c0 + 8] = block(ci)
 
-        full = []
-        for ci, (_cid, sh, sv, _tq) in enumerate(comps):
-            p = np.clip(np.floor(planes[ci] + 128.0 + 0.5), 0, 255)
-            p = np.repeat(np.repeat(p, vmax // sv, axis=0),
-                          hmax // sh, axis=1)
-            full.append(p[:h, :w])
-        if len(comps) == 3:
-            chans = _ycbcr_to_rgb_arrays(*full)
-            luma = (chans[0] + chans[1] + chans[2]) / 3.0
-        elif len(comps) == 1:
-            chans = (full[0],)
-            luma = full[0]
-        else:
-            return None
-        return {
-            "byte_len": len(b),
-            "format": "jpeg",
-            "width": int(w),
-            "height": int(h),
-            "channels": len(comps),
-            "channel_means": [float(np.mean(c)) for c in chans],
-            "phash": _avg_hash([list(map(float, row)) for row in luma]),
-        }
+        return _jpeg_planes_to_meta(planes, comps, hmax, vmax,
+                                    h, w, len(b))
     except (_JpegScanEnd, ValueError, IndexError, KeyError,
             ZeroDivisionError, struct.error, MemoryError):
         # MemoryError included (r10, ADVICE): an allocation that still
