@@ -1129,12 +1129,23 @@ class StreamingCollection:
         q.processAllAvailable()
         return rid
 
-    def _net_index(self, state: dict) -> DataFrame:
+    def _net_index(self, state: dict,
+                   semi: DataFrame | None = None,
+                   on: list[str] | None = None) -> DataFrame:
         """Net-positive rows of a signed changelog state (current
-        generation; empty-schema frame before the first write)."""
+        generation; empty-schema frame before the first write).
+
+        ``semi``/``on``: optional pre-netting left-semi filter. The
+        netting group key contains every non-sign column, so filtering
+        on a subset of key columns COMMUTES with netting — the
+        cluster-maintenance hot path uses this to bound the per-batch
+        netting shuffle by the delta's (band, bh) / component-member ids
+        instead of the whole corpus (r10 review of maintain_clusters)."""
         if not os.path.isdir(state["path"]):
             return self.spark.createDataFrame([], state["schema"])
         df = self.spark.read.parquet(state["path"])
+        if semi is not None:
+            df = df.join(semi.select(*on).distinct(), on, "left_semi")
         keys = [c for c in df.columns if c != "sign"]
         return (df.groupBy(*keys)
                 .agg(F.sum("sign").alias("__net"))
@@ -1165,7 +1176,6 @@ class StreamingCollection:
         b_neg = [r["id"] for r in sgn if r["mn"] < 0]
         b_pos = [r["id"] for r in sgn if r["mx"] > 0]
 
-        live = self._net_index(bstate)   # netted (id, band, bh, sig)
         labels = self._net_labels(lstate)
 
         # ---- step 1: SPLITS — re-cluster components that lost edges
@@ -1178,8 +1188,10 @@ class StreamingCollection:
                 gone = sorted(set(b_neg) - set(b_pos))
                 n_live = (n_old.filter(~F.col("id").isin(gone))
                           if gone else n_old)
-                member_bands = live.join(n_live.select("id"), "id",
-                                         "left_semi")
+                # netting bounded by the affected components' member ids
+                # (semi-filter commutes with netting — _net_index)
+                member_bands = self._net_index(bstate, semi=n_live,
+                                               on=["id"])
                 edges = _band_edges(member_bands, member_bands,
                                     num_perm, thr)
                 comp = _dedup.connected_components(edges, "a", "b")
@@ -1210,6 +1222,10 @@ class StreamingCollection:
         probe = (delta.groupBy("id", "band", "bh", "sig")
                  .agg(F.sum("sign").alias("__net"))
                  .filter(F.col("__net") > 0).drop("__net"))
+        # netting bounded by the delta's (band, bh) buckets — only rows
+        # that could possibly join the probe are netted, so the per-batch
+        # exchange scales with the delta, not the corpus
+        live = self._net_index(bstate, semi=probe, on=["band", "bh"])
         edges = _band_edges(probe, live, num_perm, thr)
         la = labels.select(F.col("id").alias("a"),
                            F.col("label").alias("la"))
