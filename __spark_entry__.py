@@ -1420,6 +1420,36 @@ def q77_chunking(spark, sf_dir):
     return out.orderBy("doc_id", "chunk_id")
 
 
+def q78_lm_perplexity(spark, sf_dir):
+    """CCNet-shape perplexity tiering (Wenzek et al. 2020 §4.3) through
+    the r10 persisted-LM path: ``train_ngram_lm`` writes a 4-gram
+    stupid-backoff model artifact (parquet tables under /tmp, keyed by
+    sf_dir), ``ngram_logprob_score`` scores the corpus against the SAVED
+    artifact (the train-once / score-many production shape), and
+    ``quantile_tiers`` buckets docs into head/middle/tail by exact
+    integer-arithmetic value thresholds.
+
+    Oracle form: reference = the corpus itself, so the top backoff
+    branch fires for every doc gram and scores equal the self-scoring
+    closed form (count(g)/count(ctx) window sums) the DuckDB SQL
+    mirrors — the differential pin that makes the whole
+    artifact-round-trip chain (train → write → read → 4-table join →
+    score) value-hash-verifiable."""
+    import hashlib
+    import os
+    import tempfile
+
+    from aggo_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    model_dir = os.path.join(tempfile.gettempdir(), f"aggo_lm4_{tag}")
+    text.train_ngram_lm(docs, model_dir, n=4)
+    scored = text.ngram_logprob_score(docs, model=model_dir).filter(
+        F.col("n_ngrams") > 0)
+    return sampling.quantile_tiers(scored, "mean_logprob").orderBy("doc_id")
+
+
 _STREAMING_QUERIES = {"q42_stream_agg", "q43_stream_window", "q51_stream_stateful"}
 
 
@@ -1475,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_token_budget": q71_token_budget,
         "q75_tfidf": q75_tfidf,
         "q77_chunking": q77_chunking,
+        "q78_lm_perplexity": q78_lm_perplexity,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -2326,6 +2357,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
             FROM bm
             ORDER BY method, doc_id, rnk
+        """,
+        "q78_lm_perplexity": f"""
+            -- 4-gram stupid backoff with reference = corpus: the top
+            -- branch always fires, so the saved-artifact score equals
+            -- the self-scoring closed form count(gram)/count(ctx); the
+            -- head/middle/tail thresholds are exact integer-arithmetic
+            -- terciles over the 6-dp score histogram (quantile_tiers)
+            WITH toks AS (SELECT doc_id, {tok_doc} AS tok FROM documents),
+            g4 AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(tok) - 3, 0) + 1),
+                       i -> {{'a': tok[i], 'b': tok[i + 1],
+                             'c': tok[i + 2], 'd': tok[i + 3]}})) AS g
+              FROM toks),
+            tfd AS (
+              SELECT doc_id, g['a'] AS w1, g['b'] AS w2, g['c'] AS w3,
+                     g['d'] AS w4, count(*) AS c
+              FROM g4 GROUP BY 1, 2, 3, 4, 5),
+            m AS (
+              SELECT doc_id, c,
+                     sum(c) OVER (PARTITION BY w1, w2, w3, w4) AS gn,
+                     sum(c) OVER (PARTITION BY w1, w2, w3) AS cn
+              FROM tfd),
+            per AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+                     round(sum(c * ln(gn * 1.0 / cn)) / sum(c), 6)
+                       AS mean_logprob
+              FROM m GROUP BY 1),
+            hist AS (SELECT mean_logprob AS v, count(*) AS cnt
+                     FROM per GROUP BY 1),
+            cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cm,
+                           (SELECT sum(cnt) FROM hist) AS n
+                    FROM hist),
+            th AS (SELECT
+                     (SELECT min(v) FROM cum WHERE cm >= (n * 1 + 2) // 3)
+                       AS t1,
+                     (SELECT min(v) FROM cum WHERE cm >= (n * 2 + 2) // 3)
+                       AS t2)
+            SELECT p.doc_id, p.n_ngrams, p.mean_logprob,
+                   CASE WHEN p.mean_logprob <= th.t1 THEN 'tail'
+                        WHEN p.mean_logprob <= th.t2 THEN 'middle'
+                        ELSE 'head' END AS tier
+            FROM per p CROSS JOIN th
+            ORDER BY p.doc_id
         """,
         "q77_chunking": f"""
             WITH t AS (SELECT doc_id, {tok_doc} AS tok FROM documents),

@@ -297,6 +297,60 @@ def quantile_threshold_filter(
     return joined.filter(F.col(score_col) >= F.col(thr_col)).drop(thr_col)
 
 
+def quantile_tiers(
+    df: DataFrame,
+    score_col: str,
+    labels: tuple = ("tail", "middle", "head"),
+    out_col: str = "tier",
+) -> DataFrame:
+    """EXACT value-threshold quantile tiers — the CCNet head/middle/tail
+    partition (Wenzek et al. 2020 §4.3 buckets by reference-LM
+    perplexity terciles; pair with :func:`aggo_spark.operators.text.
+    ngram_logprob_score`). Ascending ``score_col`` order: the first
+    ``labels`` entry takes the lowest scores.
+
+    Semantics are VALUE-based, not rank-based: every row sharing a score
+    shares a tier. Threshold k = the smallest score whose cumulative
+    count reaches ``ceil(n * k / len(labels))`` — pure integer
+    arithmetic, so an ANSI-SQL mirror reproduces the assignment exactly
+    (no interpolation, no FP quantile semantics to match).
+
+    Scale shape: the thresholds come from ONE ``groupBy(score_col)``
+    histogram (map-side combine) collected to the driver — bounded by
+    DISTINCT score values, which for the round(·, 6) scores every scorer
+    here emits is ≤ 10⁶-ish regardless of corpus size (the
+    classifier_eval histogram trick); the assignment itself is a
+    broadcast-literal CASE, no window, no second shuffle. NULL scores
+    (docs with no evidence) get a NULL tier.
+    """
+    if len(labels) < 2:
+        raise ValueError(f"need >= 2 tier labels, got {labels!r}")
+    k = len(labels)
+    hist = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    rows = sorted((r for r in hist if r[score_col] is not None),
+                  key=lambda r: r[score_col])
+    n = sum(r["__n"] for r in rows)
+    if n == 0:
+        return df.withColumn(
+            out_col,
+            F.when(F.col(score_col).isNotNull(), F.lit(labels[-1])))
+    targets = [-(-n * i // k) for i in range(1, k)]  # ceil(n*i/k), ints
+    ths: list = []
+    cum = 0
+    ti = 0
+    for r in rows:
+        cum += r["__n"]
+        while ti < len(targets) and cum >= targets[ti]:
+            ths.append(r[score_col])
+            ti += 1
+    expr = F.when(F.col(score_col) <= F.lit(ths[0]), F.lit(labels[0]))
+    for i in range(1, len(ths)):
+        expr = expr.when(F.col(score_col) <= F.lit(ths[i]),
+                         F.lit(labels[i]))
+    expr = expr.when(F.col(score_col).isNotNull(), F.lit(labels[-1]))
+    return df.withColumn(out_col, expr)
+
+
 # ---------------------------------------------------------------------------
 # DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
 # ---------------------------------------------------------------------------
