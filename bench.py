@@ -76,7 +76,12 @@ EXPECTED_FALLBACK_SF01 = {
     "q48_ann_pq": 1.0,
     "q_classify_score": 1.0,
     "q36_langid": 1.1,  # r9: CJK fixture rows (2x input) + range router
-    "q37_quality": 1.1,
+    "q37_quality": 1.9,  # r10: panel evaluated ONCE — the input is
+                         # range-clustered up front (cheap-scan sampling)
+                         # instead of a trailing orderBy whose sampling
+                         # pass re-executed the whole panel; costs ~+0.5s
+                         # fixed at sf0.1, wins 1.9x at sf1 and ~2x at
+                         # sf10 (SCALE.md, r10 A/B)
     "q59_asof_join": 1.0,
     "q61_curation_pipeline": 1.9,
 }
