@@ -2041,48 +2041,26 @@ def ngram_logprob_score(
     elif n is None or n < 2:
         raise ValueError("self-scoring mode needs explicit n >= 2")
 
+    if tables is not None:
+        return ngram_score_with_tables(
+            df, tables, n, n_bigrams, vocab, text_col=text_col,
+            id_col=id_col, add_k=add_k, backoff=backoff,
+            broadcast_model=broadcast_model)
+
     cols = [f"t{i + 1}" for i in range(n)]
     tfd = _gram_rows_n(df, n, text_col, id_col).groupBy(id_col, *cols).agg(
         F.count(F.lit(1)).alias("c"))
+    gram_n = F.sum("c").over(W.partitionBy(*cols))
+    ctx_n = F.sum("c").over(W.partitionBy(*cols[:-1]))
+    # every observed n-gram is in the self-model: backoff unreachable
+    logp = F.log(gram_n.cast("double") / ctx_n)
+    scored = tfd.select(
+        F.col(id_col), "c", (F.col("c") * logp).alias("__clp"))
+    return _ngram_per_doc(df, scored, id_col)
 
-    if tables is None:
-        gram_n = F.sum("c").over(W.partitionBy(*cols))
-        ctx_n = F.sum("c").over(W.partitionBy(*cols[:-1]))
-        # every observed n-gram is in the self-model: backoff unreachable
-        logp = F.log(gram_n.cast("double") / ctx_n)
-        scored = tfd.select(
-            F.col(id_col), "c", (F.col("c") * logp).alias("__clp"))
-    else:
-        uni_denom = (n_bigrams + add_k * vocab) if n_bigrams else 1.0
-        joined = tfd
-        for k in range(n, 1, -1):
-            keys = cols[n - k:]          # (t_{n-k+1} .. t_n)
-            gk = tables[f"gram_{k}"].select(
-                *[F.col(f"t{j + 1}").alias(keys[j]) for j in range(k)],
-                F.col("cnt").alias(f"__g{k}"))
-            xk = tables[f"ctx_{k}"].select(
-                *[F.col(f"t{j + 1}").alias(keys[j]) for j in range(k - 1)],
-                F.col("cnt").alias(f"__x{k}"))
-            if broadcast_model:
-                gk, xk = F.broadcast(gk), F.broadcast(xk)
-            joined = joined.join(gk, keys, "left").join(xk, keys[:-1], "left")
-        uni = tables["uni"].select(
-            F.col("t2").alias(cols[-1]), F.col("cnt").alias("__u"))
-        if broadcast_model:
-            uni = F.broadcast(uni)
-        joined = joined.join(uni, [cols[-1]], "left")
-        uni_p = (F.coalesce(F.col("__u"), F.lit(0)).cast("double")
-                 + F.lit(add_k)) / F.lit(uni_denom)
-        logp = F.log(F.lit(float(backoff ** (n - 1))) * uni_p)
-        for k in range(2, n + 1):
-            logp = F.when(
-                F.col(f"__g{k}").isNotNull(),
-                F.log(F.lit(float(backoff ** (n - k)))
-                      * F.col(f"__g{k}").cast("double") / F.col(f"__x{k}")),
-            ).otherwise(logp)
-        scored = joined.select(
-            F.col(id_col), "c", (F.col("c") * logp).alias("__clp"))
 
+def _ngram_per_doc(df: DataFrame, scored: DataFrame,
+                   id_col: str) -> DataFrame:
     per_doc = scored.groupBy(id_col).agg(
         F.sum("c").alias("n_ngrams"),
         F.round(F.sum("__clp") / F.sum("c"), 6).alias("mean_logprob"))
@@ -2090,6 +2068,61 @@ def ngram_logprob_score(
     return ids.join(per_doc, id_col, "left").select(
         id_col, F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
         "mean_logprob")
+
+
+def ngram_score_with_tables(
+    df: DataFrame,
+    tables: dict,
+    n: int,
+    n_bigrams: float,
+    vocab: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+    backoff: float = 0.4,
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Score ``df`` against explicit stupid-backoff model tables — the
+    join half of :func:`ngram_logprob_score`, public so table providers
+    other than a parquet artifact or an inline reference can reuse it
+    (``StreamingCollection.lm_score`` feeds it tables netted live from a
+    maintained changelog, r10). ``tables`` maps ``gram_k``/``ctx_k``
+    (k = 2..n, columns ``t1..tk``/``t1..t(k-1)`` + ``cnt``) and ``uni``
+    (``t2`` + ``cnt``); ``n_bigrams``/``vocab`` feed the add-k unigram
+    denominator."""
+    cols = [f"t{i + 1}" for i in range(n)]
+    tfd = _gram_rows_n(df, n, text_col, id_col).groupBy(id_col, *cols).agg(
+        F.count(F.lit(1)).alias("c"))
+    uni_denom = (n_bigrams + add_k * vocab) if n_bigrams else 1.0
+    joined = tfd
+    for k in range(n, 1, -1):
+        keys = cols[n - k:]          # (t_{n-k+1} .. t_n)
+        gk = tables[f"gram_{k}"].select(
+            *[F.col(f"t{j + 1}").alias(keys[j]) for j in range(k)],
+            F.col("cnt").alias(f"__g{k}"))
+        xk = tables[f"ctx_{k}"].select(
+            *[F.col(f"t{j + 1}").alias(keys[j]) for j in range(k - 1)],
+            F.col("cnt").alias(f"__x{k}"))
+        if broadcast_model:
+            gk, xk = F.broadcast(gk), F.broadcast(xk)
+        joined = joined.join(gk, keys, "left").join(xk, keys[:-1], "left")
+    uni = tables["uni"].select(
+        F.col("t2").alias(cols[-1]), F.col("cnt").alias("__u"))
+    if broadcast_model:
+        uni = F.broadcast(uni)
+    joined = joined.join(uni, [cols[-1]], "left")
+    uni_p = (F.coalesce(F.col("__u"), F.lit(0)).cast("double")
+             + F.lit(add_k)) / F.lit(uni_denom)
+    logp = F.log(F.lit(float(backoff ** (n - 1))) * uni_p)
+    for k in range(2, n + 1):
+        logp = F.when(
+            F.col(f"__g{k}").isNotNull(),
+            F.log(F.lit(float(backoff ** (n - k)))
+                  * F.col(f"__g{k}").cast("double") / F.col(f"__x{k}")),
+        ).otherwise(logp)
+    scored = joined.select(
+        F.col(id_col), "c", (F.col("c") * logp).alias("__clp"))
+    return _ngram_per_doc(df, scored, id_col)
 
 
 def explode_paragraphs(

@@ -398,6 +398,8 @@ class StreamingCollection:
         # {rid: {"bands": band-index rid, "labels": labels-state rid,
         #        minhash params, threshold}}
         self._clusters: dict[str, dict] = {}
+        # maintained n-gram LM states (maintain_ngram_lm):
+        self._lms: dict[str, dict] = {}
         # collection-level event bus (reference streaming.ts:24-33 emits
         # 'data-added' / 'data-removed' / 'result-updated')
         self._listeners: dict[str, list[Callable]] = {
@@ -1332,6 +1334,142 @@ class StreamingCollection:
             .agg(F.min("label").alias("cluster"))
         )
 
+    def maintain_ngram_lm(self, path: str, n: int = 4,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          compact_every: int = 64,
+                          keep_generations: int = 1) -> str:
+        """Incrementally-maintained order-``n`` stupid-backoff LM (r10 —
+        the streaming extension of :func:`aggo_spark.operators.text.
+        train_ngram_lm`): the reference model stays fresh as the corpus
+        streams, without ever retraining. Per CDC micro-batch, each
+        k-gram stream (k = 2..n) of the batch's docs appends SIGNED
+        count rows ``(t1..tk, sign, cnt)`` to a per-order parquet
+        changelog under ``{path}/gram_k`` — a removal replays the doc's
+        grams with sign −1, so the net model count is
+        ``sum(sign · cnt)`` and retracted docs fall out of the model
+        exactly as if it had been retrained on the live corpus
+        (equality-tested). Compaction rides the shared generation-swap
+        machinery (kind="ngram" nets by weighted sign).
+
+        Derived tables (``ctx_k`` = prefix sums of netted ``gram_k``,
+        ``uni``/meta from ``gram_2``) are computed at read — identical
+        by construction to :func:`train_ngram_lm`'s stream-counted
+        tables, so :meth:`lm_score` returns exactly what
+        ``ngram_logprob_score(df, reference=live_docs)`` would. Returns
+        the LM rid for :meth:`lm_tables` / :meth:`lm_score`."""
+        from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                       StructField, StructType)
+
+        from ..operators.text import _gram_rows_n
+
+        if n < 2:
+            raise ValueError(f"n must be >= 2, got {n}")
+        rid = f"lm-{uuid.uuid4().hex[:8]}"
+        base = path.rstrip("/")
+        for k in range(2, n + 1):
+            gcols = [f"t{i + 1}" for i in range(k)]
+            schema = StructType(
+                [StructField(c, StringType()) for c in gcols]
+                + [StructField("sign", LongType()),
+                   StructField("cnt", LongType()),
+                   StructField("gb", IntegerType())])
+            self._indexes[f"{rid}-g{k}"] = {
+                "path": f"{base}/gram_{k}", "base": f"{base}/gram_{k}",
+                "gen": 0, "retired": [], "kind": "ngram",
+                "gram_cols": gcols, "schema": schema, "batches": 0,
+                "compact_every": int(compact_every),
+                "keep_generations": max(1, int(keep_generations))}
+        self._lms[rid] = {"n": n, "text_col": text_col, "id_col": id_col}
+
+        def sink(batch_df: DataFrame, _batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            for k in range(2, n + 1):
+                st = self._indexes[f"{rid}-g{k}"]
+                gcols = st["gram_cols"]
+                # the CDC sign column rides through the gram explode in
+                # the id slot — one explode per order, batch-sized
+                gr = _gram_rows_n(batch_df, k, text_col, _SIGN)
+                delta = (
+                    gr.groupBy(_SIGN, *gcols)
+                    .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+                    .select(*gcols,
+                            F.col(_SIGN).cast("long").alias("sign"), "cnt")
+                    .withColumn("gb", F.pmod(F.xxhash64(*gcols),
+                                             F.lit(16)).cast("int"))
+                )
+                delta.write.mode("append").partitionBy("gb") \
+                    .parquet(st["path"])
+                st["batches"] += 1
+
+        ckpt = os.path.join(self.workdir, f"ckpt-{rid}")
+        q = (
+            self._cdc_stream().writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        self._queries[rid] = q
+        q.processAllAvailable()
+        return rid
+
+    def _net_counts(self, state: dict) -> DataFrame:
+        """Net model counts of an ngram changelog state:
+        ``sum(sign · cnt)`` per gram, positives only."""
+        gcols = state["gram_cols"]
+        if not os.path.isdir(state["path"]):
+            empty = self.spark.createDataFrame([], state["schema"])
+            return empty.groupBy(*gcols).agg(
+                F.sum(F.col("sign") * F.col("cnt")).alias("cnt"))
+        return (
+            self.spark.read.parquet(state["path"])
+            .groupBy(*gcols)
+            .agg(F.sum(F.col("sign") * F.col("cnt")).alias("cnt"))
+            .filter(F.col("cnt") > 0)
+        )
+
+    def lm_tables(self, rid: str) -> dict:
+        """Current model tables of a :meth:`maintain_ngram_lm` state, in
+        :func:`train_ngram_lm`'s table shape (``gram_k``/``ctx_k``/
+        ``uni``): netted gram counts plus read-time prefix aggregates —
+        identical by construction to retraining on the live corpus."""
+        self._drain_at_read()
+        n = self._lms[rid]["n"]
+        tables: dict = {}
+        for k in range(2, n + 1):
+            gk = self._net_counts(self._indexes[f"{rid}-g{k}"])
+            gcols = [f"t{i + 1}" for i in range(k)]
+            tables[f"gram_{k}"] = gk
+            tables[f"ctx_{k}"] = gk.groupBy(*gcols[:-1]).agg(
+                F.sum("cnt").alias("cnt"))
+        tables["uni"] = tables["gram_2"].groupBy("t2").agg(
+            F.sum("cnt").alias("cnt"))
+        return tables
+
+    def lm_score(self, rid: str, queries: DataFrame,
+                 text_col: str | None = None, id_col: str | None = None,
+                 add_k: float = 0.5, backoff: float = 0.4,
+                 broadcast_model: bool = False) -> DataFrame:
+        """Score ``queries`` against the LIVE maintained LM — per-doc
+        ``(id, n_ngrams, mean_logprob)``, exactly what
+        ``ngram_logprob_score(queries, reference=<live corpus>)`` would
+        return (equality-tested), with the model counts netted from the
+        maintained changelog instead of retrained."""
+        from ..operators.text import ngram_score_with_tables
+
+        lm = self._lms[rid]
+        tables = self.lm_tables(rid)
+        meta = tables["gram_2"].agg(
+            F.sum("cnt").alias("nb"),
+            F.count_distinct("t2").alias("v")).collect()[0]
+        return ngram_score_with_tables(
+            queries, tables, lm["n"],
+            float(meta["nb"] or 0), float(meta["v"] or 0),
+            text_col=text_col or lm["text_col"],
+            id_col=id_col or lm["id_col"],
+            add_k=add_k, backoff=backoff,
+            broadcast_model=broadcast_model)
+
     def _compact_indexes(self) -> None:
         """Driver-side posting-index compaction (called from flush, after
         every query has drained): rewrite each due index changelog to its
@@ -1365,6 +1503,22 @@ class StreamingCollection:
                     .agg(F.sum("sign").cast("long").alias("sign"))
                     .filter(F.col("sign") > 0)
                     .select("id", "sign", "band", "bh", "sig")
+                )
+            elif state["kind"] == "ngram":
+                # weighted netting: model count = sum(sign * cnt) per
+                # gram; survivors rewrite as one (sign=1, cnt=net) row
+                gcols = state["gram_cols"]
+                part = "gb"
+                net = (
+                    self.spark.read.parquet(path)
+                    .groupBy(*gcols)
+                    .agg(F.sum(F.col("sign") * F.col("cnt"))
+                         .cast("long").alias("cnt"))
+                    .filter(F.col("cnt") > 0)
+                    .select(*gcols, F.lit(1).cast("long").alias("sign"),
+                            "cnt",
+                            F.pmod(F.xxhash64(*gcols),
+                                   F.lit(16)).cast("int").alias("gb"))
                 )
             else:
                 term, bucket = state["term"], state["bucket"]
