@@ -1042,11 +1042,13 @@ def _pad_to(plane, rows: int, cols: int):
                           (0, cols - plane.shape[1])), mode="edge")
 
 
-def _emit_ac_first(bw: _JpegBitWriter, ac_map: dict, zz, al: int) -> None:
-    """Progressive AC first-pass entropy coding for one block (per-block
-    EOB — no cross-block EOB runs, which plain EOB (run=0) encodes)."""
+def _emit_ac_first(bw: _JpegBitWriter, ac_map: dict, zz, al: int,
+                   ss: int = 1, se: int = 63) -> None:
+    """Progressive AC first-pass entropy coding for one block's spectral
+    band ``ss..se`` (per-block EOB — no cross-block EOB runs, which
+    plain EOB (run=0) encodes)."""
     run = 0
-    for k in range(1, 64):
+    for k in range(ss, se + 1):
         v = int(zz[k])
         t = abs(v) >> al
         if t == 0:
@@ -1067,22 +1069,23 @@ def _emit_ac_first(bw: _JpegBitWriter, ac_map: dict, zz, al: int) -> None:
         bw.write(code, length)
 
 
-def _emit_ac_refine(bw: _JpegBitWriter, ac_map: dict, zz, al: int) -> None:
-    """Progressive AC refinement entropy coding for one block (T.81
-    G.1.2.3 / the jcphuff shape): newly-visible coefficients (shifted
-    magnitude exactly 1) emit size-1 symbols + a sign bit; correction
-    bits of already-nonzero coefficients are buffered and flushed after
-    the next emitted symbol, which is exactly where the decoder's
-    advance loop consumes them. Per-block EOB (run=0), so no cross-block
-    EOB-run state."""
-    ts = [abs(int(zz[k])) >> al for k in range(64)]
-    eob_k = 0
-    for k in range(1, 64):
+def _emit_ac_refine(bw: _JpegBitWriter, ac_map: dict, zz, al: int,
+                    ss: int = 1, se: int = 63) -> None:
+    """Progressive AC refinement entropy coding for one block's band
+    ``ss..se`` (T.81 G.1.2.3 / the jcphuff shape): newly-visible
+    coefficients (shifted magnitude exactly 1) emit size-1 symbols + a
+    sign bit; correction bits of already-nonzero coefficients are
+    buffered and flushed after the next emitted symbol, which is exactly
+    where the decoder's advance loop consumes them. Per-block EOB
+    (run=0), so no cross-block EOB-run state."""
+    ts = {k: abs(int(zz[k])) >> al for k in range(ss, se + 1)}
+    eob_k = ss - 1
+    for k in range(ss, se + 1):
         if ts[k] == 1:
             eob_k = k
     run = 0
     pending: list[int] = []
-    for k in range(1, 64):
+    for k in range(ss, se + 1):
         t = ts[k]
         if t == 0:
             run += 1
@@ -1114,18 +1117,33 @@ def _emit_ac_refine(bw: _JpegBitWriter, ac_map: dict, zz, al: int) -> None:
 
 def _encode_progressive_scans(comp_blocks: list, samp: list, mcux: int,
                               mcuy: int, w: int, h: int, dc_map: dict,
-                              ac_map: dict,
-                              restart_interval: int) -> list:
-    """Build the four-pass progressive scan sequence (see
+                              ac_map: dict, restart_interval: int,
+                              ac_bands: tuple = ((1, 63),),
+                              first_al: int = 1) -> list:
+    """Build the progressive scan sequence (see
     ``encode_jpeg(progressive=True)``): returns ``(sos_payload,
     entropy_bytes)`` per scan. DC scans cover the full MCU grid in MCU
     order (interleaved when ncomp > 1); AC scans are single-component
     over the component's ceil(comp_dim/8) grid — T.81 A.2.2, matching
-    the decoder. Restart units are MCUs / blocks respectively."""
+    the decoder. Restart units are MCUs / blocks respectively.
+
+    ``ac_bands`` splits the AC spectrum into per-scan bands (mozjpeg
+    emits e.g. (1,5),(6,63)); ``first_al`` sets the first-pass point
+    transform, followed by a full refinement chain Al = first_al−1 .. 0
+    — the real-world multi-level successive-approximation shape. Every
+    combination decodes bit-identically to baseline (differential
+    tests)."""
     ncomp = len(samp)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
-    al0 = 1  # first-pass point transform; refinement brings Al to 0
+    if first_al < 0 or first_al > 13:
+        raise ValueError(f"first_al must be in 0..13, got {first_al}")
+    lo = min(b[0] for b in ac_bands)
+    hi = max(b[1] for b in ac_bands)
+    covered = sorted(k for b in ac_bands for k in range(b[0], b[1] + 1))
+    if lo < 1 or hi > 63 or covered != list(range(1, 64)):
+        raise ValueError(
+            f"ac_bands must partition 1..63 exactly, got {ac_bands!r}")
 
     def sos(comp_ids, ss, se, ah, al):
         p = bytes([len(comp_ids)])
@@ -1144,9 +1162,8 @@ def _encode_progressive_scans(comp_blocks: list, samp: list, mcux: int,
         bw.align()
         bw.buf += bytes([0xFF, 0xD0 + rst % 8])
 
-    scans = []
-    for refine in (False, True):
-        # DC pass over the full MCU grid, interleaved component order
+    def dc_scan(ah, al):
+        # full MCU grid, interleaved component order
         bw = _JpegBitWriter()
         preds = [0] * ncomp
         rst = 0
@@ -1160,10 +1177,10 @@ def _encode_progressive_scans(comp_blocks: list, samp: list, mcux: int,
                 for by in range(sv):
                     for bx in range(sh):
                         zz = comp_blocks[ci][(my * sv + by, mx * sh + bx)]
-                        if refine:
-                            bw.write(int(zz[0]) & 1, 1)
+                        if ah:
+                            bw.write((int(zz[0]) >> al) & 1, 1)
                             continue
-                        dc = int(zz[0]) >> al0  # arithmetic shift (T.81)
+                        dc = int(zz[0]) >> al  # arithmetic shift (T.81)
                         diff = dc - preds[ci]
                         preds[ci] = dc
                         s = _jpeg_cat(diff)
@@ -1174,27 +1191,34 @@ def _encode_progressive_scans(comp_blocks: list, samp: list, mcux: int,
                                 diff if diff > 0 else diff + (1 << s) - 1,
                                 s)
         bw.align()
-        hdr = sos(list(range(ncomp)), 0, 0, al0 if refine else 0,
-                  0 if refine else al0)
-        scans.append((hdr, bytes(bw.buf)))
-        # AC passes, one scan per component
+        return (sos(list(range(ncomp)), 0, 0, ah, al), bytes(bw.buf))
+
+    def ac_scan(ci, ss, se, ah, al):
+        bw = _JpegBitWriter()
+        bwid, bhgt = ceil_grid(ci)
+        rst = 0
+        for u in range(bwid * bhgt):
+            if restart_interval and u and u % restart_interval == 0:
+                emit_rst(bw, rst)
+                rst += 1
+            by, bx = divmod(u, bwid)
+            zz = comp_blocks[ci][(by, bx)]
+            if ah:
+                _emit_ac_refine(bw, ac_map, zz, al, ss, se)
+            else:
+                _emit_ac_first(bw, ac_map, zz, al, ss, se)
+        bw.align()
+        return (sos([ci], ss, se, ah, al), bytes(bw.buf))
+
+    scans = [dc_scan(0, first_al)]
+    for ss, se in ac_bands:
         for ci in range(ncomp):
-            bw = _JpegBitWriter()
-            bwid, bhgt = ceil_grid(ci)
-            rst = 0
-            for u in range(bwid * bhgt):
-                if restart_interval and u and u % restart_interval == 0:
-                    emit_rst(bw, rst)
-                    rst += 1
-                by, bx = divmod(u, bwid)
-                zz = comp_blocks[ci][(by, bx)]
-                if refine:
-                    _emit_ac_refine(bw, ac_map, zz, 0)
-                else:
-                    _emit_ac_first(bw, ac_map, zz, al0)
-            bw.align()
-            scans.append((sos([ci], 1, 63, al0 if refine else 0,
-                               0 if refine else al0), bytes(bw.buf)))
+            scans.append(ac_scan(ci, ss, se, 0, first_al))
+    for al in range(first_al - 1, -1, -1):
+        scans.append(dc_scan(al + 1, al))
+        for ss, se in ac_bands:
+            for ci in range(ncomp):
+                scans.append(ac_scan(ci, ss, se, al + 1, al))
     return scans
 
 
@@ -1208,6 +1232,8 @@ def encode_jpeg(
     quant: list | None = None,
     restart_interval: int = 0,
     progressive: bool = False,
+    ac_bands: tuple = ((1, 63),),
+    first_al: int = 1,
 ) -> bytes:
     """JFIF encoder (fixture generator, the ``encode_png`` pattern):
     either ``(width, height, pixel)`` for a solid color — ``pixel`` an
@@ -1218,11 +1244,14 @@ def encode_jpeg(
     is ``"444"`` or ``"420"`` (color only). ``restart_interval`` > 0
     emits DRI + RSTn markers every N MCUs (N blocks in non-interleaved
     progressive scans). ``progressive=True`` (r10, verdict #6) emits a
-    SOF2 frame as four successive-approximation passes — interleaved DC
-    first (Al=1), per-component AC first (ss=1..63, Al=1), DC refinement
-    (Ah=1), per-component AC refinement — exercising every progressive
-    decoder path; the coefficient stream is bit-exact with the baseline
-    encoding of the same image, so pixel output is identical."""
+    SOF2 frame as successive-approximation passes — interleaved DC
+    first, per-component AC first per spectral band, then a full
+    refinement chain down to Al=0 — exercising every progressive
+    decoder path; the reconstructed coefficients are bit-exact with the
+    baseline encoding of the same image, so pixel output is identical.
+    ``ac_bands`` (must partition 1..63; default one band) and
+    ``first_al`` (default 1) shape the scan script the way real-world
+    encoders do (mozjpeg band splits, deeper approximation chains)."""
     import numpy as np
 
     if image is None:
@@ -1330,7 +1359,7 @@ def encode_jpeg(
     else:
         prog_scans = _encode_progressive_scans(
             comp_blocks, samp, mcux, mcuy, w, h, dc_map, ac_map,
-            restart_interval)
+            restart_interval, ac_bands=ac_bands, first_al=first_al)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return (bytes([0xFF, marker])

@@ -100,6 +100,48 @@ class TestProgressiveDecode:
         assert _eq(base, prog)
 
 
+class TestProgressiveScanScripts:
+    """Real-world scan shapes: spectral-band splits and multi-level
+    successive approximation (mozjpeg-style scripts). Every combination
+    must reconstruct the exact baseline coefficients."""
+
+    @pytest.fixture(scope="class")
+    def img(self):
+        return np.random.RandomState(21).randint(
+            0, 256, (19, 29, 3)).astype(np.uint8)
+
+    def _base(self, img, **kw):
+        return jpeg_pixel_decode(encode_jpeg(image=img, **kw))
+
+    def test_band_split(self, img):
+        base = self._base(img)
+        prog = self._base(img, progressive=True, ac_bands=((1, 5), (6, 63)))
+        assert _eq(base, prog)
+
+    def test_deep_approximation_chain(self, img):
+        base = self._base(img)
+        assert _eq(base, self._base(img, progressive=True, first_al=2))
+        assert _eq(base, self._base(img, progressive=True, first_al=3,
+                                    ac_bands=((1, 2), (3, 9), (10, 63))))
+
+    def test_no_approximation(self, img):
+        # first_al=0: pure spectral selection, no refinement scans
+        base = self._base(img)
+        assert _eq(base, self._base(img, progressive=True, first_al=0))
+
+    def test_420_deep_with_restarts(self, img):
+        base = self._base(img, subsampling="420")
+        prog = self._base(img, subsampling="420", progressive=True,
+                          first_al=2, ac_bands=((1, 5), (6, 63)),
+                          restart_interval=4)
+        assert _eq(base, prog)
+
+    def test_band_gap_raises(self, img):
+        with pytest.raises(ValueError, match="partition"):
+            encode_jpeg(image=img, progressive=True,
+                        ac_bands=((1, 5), (7, 63)))
+
+
 class TestProgressiveFallback:
     def test_header_only_sof2_stays_header_tier(self):
         m = jpeg_decode(encode_jpeg_header(40, 30, progressive=True))
