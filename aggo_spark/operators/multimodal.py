@@ -951,15 +951,17 @@ _JPEG_ZZ_ROWS = [p[0] for p in _JPEG_ZZ]
 _JPEG_ZZ_COLS = [p[1] for p in _JPEG_ZZ]
 
 # fixture Huffman tables: every DC category (0-11) at code length 4,
-# every AC (run, size) symbol + EOB + ZRL at code length 8 — canonical,
-# prefix-free, no all-ones code. DHT carries them; the decoder rebuilds
-# from DHT, so ANY valid table interoperates.
+# every AC (run, size) symbol + EOB + ZRL at code length 8 — plus the
+# progressive EOBn run-length symbols 0x10..0xE0 (r10: cross-block EOB
+# runs, T.81 G.1.2.2) — canonical, prefix-free, no all-ones code. DHT
+# carries them; the decoder rebuilds from DHT, so ANY valid table
+# interoperates.
 _FIX_DC_BITS = [0, 0, 0, 12] + [0] * 12
 _FIX_DC_VALS = list(range(12))
-_FIX_AC_VALS = [0x00, 0xF0] + [
+_FIX_AC_VALS = [0x00, 0xF0] + [n << 4 for n in range(1, 15)] + [
     (run << 4) | size for run in range(16) for size in range(1, 11)]
 _FIX_AC_BITS = [0] * 16
-_FIX_AC_BITS[7] = len(_FIX_AC_VALS)  # all at length 8 (162 < 255)
+_FIX_AC_BITS[7] = len(_FIX_AC_VALS)  # all at length 8 (176 < 255)
 
 
 def _huff_encode_map(bits: list, vals: list) -> dict:
@@ -1042,11 +1044,50 @@ def _pad_to(plane, rows: int, cols: int):
                           (0, cols - plane.shape[1])), mode="edge")
 
 
-def _emit_ac_first(bw: _JpegBitWriter, ac_map: dict, zz, al: int,
+class _ProgAcState:
+    """Scan-level cross-block EOB-run accumulator for progressive AC
+    entropy coding (T.81 G.1.2.2/3 — the jcphuff EOBRUN/BE machinery,
+    r10): blocks whose band holds no codeable coefficient fold into ONE
+    EOBn symbol (value run = 2^n + extra-bits, n in the Huffman symbol's
+    run slot), and refinement correction bits buffered across the run
+    flush immediately after it — exactly where the decoder's eobrun tail
+    loops consume them, block by block in order. This is what real
+    encoders emit; per-block EOBs (run = 1) are just the degenerate
+    case."""
+
+    def __init__(self, bw: _JpegBitWriter, ac_map: dict):
+        self.bw = bw
+        self.ac_map = ac_map
+        self.eobrun = 0
+        self.bebits: list[int] = []
+
+    def put(self, sym: int) -> None:
+        code, length = self.ac_map[sym]
+        self.bw.write(code, length)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            self.put(n << 4)
+            if n:
+                self.bw.write(self.eobrun - (1 << n), n)
+            for b in self.bebits:
+                self.bw.write(b, 1)
+            self.bebits = []
+            self.eobrun = 0
+
+    def count_eob(self, pending: list) -> None:
+        self.eobrun += 1
+        self.bebits.extend(pending)
+        if self.eobrun == 0x7FFF:  # T.81 maximum EOB run length
+            self.flush_eobrun()
+
+
+def _emit_ac_first(st: _ProgAcState, zz, al: int,
                    ss: int = 1, se: int = 63) -> None:
     """Progressive AC first-pass entropy coding for one block's spectral
-    band ``ss..se`` (per-block EOB — no cross-block EOB runs, which
-    plain EOB (run=0) encodes)."""
+    band ``ss..se``; a band ending in zeros joins the scan-level EOB
+    run."""
     run = 0
     for k in range(ss, se + 1):
         v = int(zz[k])
@@ -1054,30 +1095,27 @@ def _emit_ac_first(bw: _JpegBitWriter, ac_map: dict, zz, al: int,
         if t == 0:
             run += 1
             continue
+        st.flush_eobrun()
         while run >= 16:
-            code, length = ac_map[0xF0]
-            bw.write(code, length)
+            st.put(0xF0)
             run -= 16
         s = t.bit_length()
-        code, length = ac_map[(run << 4) | s]
-        bw.write(code, length)
+        st.put((run << 4) | s)
         val = t if v > 0 else -t
-        bw.write(val if val > 0 else val + (1 << s) - 1, s)
+        st.bw.write(val if val > 0 else val + (1 << s) - 1, s)
         run = 0
     if run:
-        code, length = ac_map[0x00]
-        bw.write(code, length)
+        st.count_eob([])
 
 
-def _emit_ac_refine(bw: _JpegBitWriter, ac_map: dict, zz, al: int,
+def _emit_ac_refine(st: _ProgAcState, zz, al: int,
                     ss: int = 1, se: int = 63) -> None:
     """Progressive AC refinement entropy coding for one block's band
     ``ss..se`` (T.81 G.1.2.3 / the jcphuff shape): newly-visible
     coefficients (shifted magnitude exactly 1) emit size-1 symbols + a
     sign bit; correction bits of already-nonzero coefficients are
-    buffered and flushed after the next emitted symbol, which is exactly
-    where the decoder's advance loop consumes them. Per-block EOB
-    (run=0), so no cross-block EOB-run state."""
+    buffered and flushed after the next emitted symbol — or carried
+    into the scan-level EOB run when the block ends without one."""
     ts = {k: abs(int(zz[k])) >> al for k in range(ss, se + 1)}
     eob_k = ss - 1
     for k in range(ss, se + 1):
@@ -1091,28 +1129,25 @@ def _emit_ac_refine(bw: _JpegBitWriter, ac_map: dict, zz, al: int,
             run += 1
             continue
         while run > 15 and k <= eob_k:
-            code, length = ac_map[0xF0]
-            bw.write(code, length)
+            st.flush_eobrun()
+            st.put(0xF0)
             run -= 16
             for bit in pending:
-                bw.write(bit, 1)
+                st.bw.write(bit, 1)
             pending = []
         if t > 1:
             # already nonzero at the previous precision: correction bit
             pending.append(t & 1)
             continue
-        code, length = ac_map[(run << 4) | 1]
-        bw.write(code, length)
-        bw.write(1 if int(zz[k]) > 0 else 0, 1)
+        st.flush_eobrun()
+        st.put((run << 4) | 1)
+        st.bw.write(1 if int(zz[k]) > 0 else 0, 1)
         for bit in pending:
-            bw.write(bit, 1)
+            st.bw.write(bit, 1)
         pending = []
         run = 0
     if run or pending:
-        code, length = ac_map[0x00]
-        bw.write(code, length)
-        for bit in pending:
-            bw.write(bit, 1)
+        st.count_eob(pending)
 
 
 def _encode_progressive_scans(comp_blocks: list, samp: list, mcux: int,
@@ -1195,18 +1230,21 @@ def _encode_progressive_scans(comp_blocks: list, samp: list, mcux: int,
 
     def ac_scan(ci, ss, se, ah, al):
         bw = _JpegBitWriter()
+        st = _ProgAcState(bw, ac_map)
         bwid, bhgt = ceil_grid(ci)
         rst = 0
         for u in range(bwid * bhgt):
             if restart_interval and u and u % restart_interval == 0:
+                st.flush_eobrun()  # EOB runs never span a restart
                 emit_rst(bw, rst)
                 rst += 1
             by, bx = divmod(u, bwid)
             zz = comp_blocks[ci][(by, bx)]
             if ah:
-                _emit_ac_refine(bw, ac_map, zz, al, ss, se)
+                _emit_ac_refine(st, zz, al, ss, se)
             else:
-                _emit_ac_first(bw, ac_map, zz, al, ss, se)
+                _emit_ac_first(st, zz, al, ss, se)
+        st.flush_eobrun()
         bw.align()
         return (sos([ci], ss, se, ah, al), bytes(bw.buf))
 

@@ -141,6 +141,41 @@ class TestProgressiveScanScripts:
             encode_jpeg(image=img, progressive=True,
                         ac_bands=((1, 5), (7, 63)))
 
+    def test_cross_block_eob_runs(self):
+        # mostly-flat image: AC bands are zero across long block runs,
+        # so the encoder folds them into EOBn symbols (2^n + extra) and
+        # the decoder's eobrun skip/tail paths do the work — the shape
+        # real progressive files are full of
+        img = np.full((64, 96, 3), 128, dtype=np.uint8)
+        img[5:9, 10:14] = [200, 40, 90]
+        base = jpeg_pixel_decode(encode_jpeg(image=img))
+        prog = jpeg_pixel_decode(encode_jpeg(image=img, progressive=True))
+        assert _eq(base, prog)
+
+    def test_eob_runs_with_refinement_bits(self):
+        # scattered dots on flat ground + Al=2 chain: refinement scans
+        # carry correction bits BUFFERED ACROSS the EOB run (the jcphuff
+        # BE machinery), consumed by the decoder's per-block tail loops
+        rng = np.random.RandomState(33)
+        img = np.full((48, 72, 3), 77, dtype=np.uint8)
+        for _ in range(12):
+            y, x = rng.randint(0, 48), rng.randint(0, 72)
+            img[y, x] = rng.randint(0, 256, 3)
+        base = jpeg_pixel_decode(encode_jpeg(image=img, subsampling="420"))
+        prog = jpeg_pixel_decode(
+            encode_jpeg(image=img, subsampling="420", progressive=True,
+                        restart_interval=3, first_al=2))
+        assert _eq(base, prog)  # restarts also break runs mid-scan
+
+    def test_long_run_flat_gray(self):
+        g = np.full((80, 80), 10, dtype=np.uint8)
+        g[0, 0] = 255
+        base = jpeg_pixel_decode(encode_jpeg(image=g))
+        prog = jpeg_pixel_decode(
+            encode_jpeg(image=g, progressive=True,
+                        ac_bands=((1, 1), (2, 63))))
+        assert _eq(base, prog)
+
 
 class TestProgressiveFallback:
     def test_header_only_sof2_stays_header_tier(self):
