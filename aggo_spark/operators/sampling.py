@@ -302,6 +302,7 @@ def quantile_tiers(
     score_col: str,
     labels: tuple = ("tail", "middle", "head"),
     out_col: str = "tier",
+    by: str | None = None,
 ) -> DataFrame:
     """EXACT value-threshold quantile tiers — the CCNet head/middle/tail
     partition (Wenzek et al. 2020 §4.3 buckets by reference-LM
@@ -322,33 +323,83 @@ def quantile_tiers(
     classifier_eval histogram trick); the assignment itself is a
     broadcast-literal CASE, no window, no second shuffle. NULL scores
     (docs with no evidence) get a NULL tier.
+
+    ``by`` tiers WITHIN each group — CCNet buckets per LANGUAGE, not
+    globally (Wenzek et al. 2020 train one LM per language). The
+    histogram keys on (by, score); per-group thresholds broadcast-join
+    back on the group key (null-safe — NULL group keys form their own
+    group), still no window.
     """
     if len(labels) < 2:
         raise ValueError(f"need >= 2 tier labels, got {labels!r}")
     k = len(labels)
-    hist = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("__n")).collect()
-    rows = sorted((r for r in hist if r[score_col] is not None),
-                  key=lambda r: r[score_col])
-    n = sum(r["__n"] for r in rows)
-    if n == 0:
+
+    def thresholds(rows_sorted, n):
+        targets = [-(-n * i // k) for i in range(1, k)]  # ceil(n*i/k)
+        ths: list = []
+        cum = 0
+        ti = 0
+        for v, c in rows_sorted:
+            cum += c
+            while ti < len(targets) and cum >= targets[ti]:
+                ths.append(v)
+                ti += 1
+        return ths
+
+    if by is None:
+        hist = df.groupBy(score_col).agg(
+            F.count(F.lit(1)).alias("__n")).collect()
+        rows = sorted((r[score_col], r["__n"]) for r in hist
+                      if r[score_col] is not None)
+        n = sum(c for _, c in rows)
+        if n == 0:
+            return df.withColumn(
+                out_col,
+                F.when(F.col(score_col).isNotNull(), F.lit(labels[-1])))
+        ths = thresholds(rows, n)
+        expr = F.when(F.col(score_col) <= F.lit(ths[0]), F.lit(labels[0]))
+        for i in range(1, len(ths)):
+            expr = expr.when(F.col(score_col) <= F.lit(ths[i]),
+                             F.lit(labels[i]))
+        expr = expr.when(F.col(score_col).isNotNull(), F.lit(labels[-1]))
+        return df.withColumn(out_col, expr)
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    hist = df.groupBy(by, score_col).agg(
+        F.count(F.lit(1)).alias("__n")).collect()
+    groups: dict = {}
+    for r in hist:
+        if r[score_col] is not None:
+            groups.setdefault(r[by], []).append((r[score_col], r["__n"]))
+    th_cols = [f"__qt{i}" for i in range(k - 1)]
+    while any(c in df.columns for c in th_cols):
+        th_cols = [c + "_" for c in th_cols]
+    by_key = "__qby"
+    while by_key in df.columns:
+        by_key += "_"
+    rows = []
+    for g, vals in groups.items():
+        vals.sort()
+        ths = thresholds(vals, sum(c for _, c in vals))
+        rows.append((g, *[float(t) for t in ths]))
+    by_type = df.schema[by].dataType
+    tschema = StructType(
+        [StructField(by_key, by_type)]
+        + [StructField(c, DoubleType()) for c in th_cols])
+    if not rows:
         return df.withColumn(
             out_col,
             F.when(F.col(score_col).isNotNull(), F.lit(labels[-1])))
-    targets = [-(-n * i // k) for i in range(1, k)]  # ceil(n*i/k), ints
-    ths: list = []
-    cum = 0
-    ti = 0
-    for r in rows:
-        cum += r["__n"]
-        while ti < len(targets) and cum >= targets[ti]:
-            ths.append(r[score_col])
-            ti += 1
-    expr = F.when(F.col(score_col) <= F.lit(ths[0]), F.lit(labels[0]))
-    for i in range(1, len(ths)):
-        expr = expr.when(F.col(score_col) <= F.lit(ths[i]),
+    tdf = df.sparkSession.createDataFrame(rows, tschema)
+    joined = df.join(F.broadcast(tdf),
+                     F.col(by).eqNullSafe(F.col(by_key)), "left")
+    expr = F.when(F.col(score_col) <= F.col(th_cols[0]), F.lit(labels[0]))
+    for i in range(1, k - 1):
+        expr = expr.when(F.col(score_col) <= F.col(th_cols[i]),
                          F.lit(labels[i]))
     expr = expr.when(F.col(score_col).isNotNull(), F.lit(labels[-1]))
-    return df.withColumn(out_col, expr)
+    return joined.withColumn(out_col, expr).drop(by_key, *th_cols)
 
 
 # ---------------------------------------------------------------------------

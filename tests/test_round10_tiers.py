@@ -70,6 +70,41 @@ class TestQuantileTiers:
                for r in quantile_tiers(df, "s").collect()}
         assert got == {0: None, 1: None}
 
+    def test_by_group_tiers(self, spark):
+        # per-language tiering (the actual CCNet shape): thresholds are
+        # computed within each group, so identical scores can land in
+        # different tiers across groups
+        df = spark.createDataFrame(
+            [(0, "en", 1.0), (1, "en", 2.0), (2, "en", 3.0),
+             (3, "fr", 3.0), (4, "fr", 4.0), (5, "fr", 5.0)],
+            "id long, lang string, s double")
+        got = {r["id"]: r["tier"]
+               for r in quantile_tiers(df, "s", by="lang").collect()}
+        assert got == {0: "tail", 1: "middle", 2: "head",
+                       3: "tail", 4: "middle", 5: "head"}
+        # 3.0 is head in en but tail in fr — group-local thresholds
+
+    def test_by_group_null_key_and_null_scores(self, spark):
+        df = spark.createDataFrame(
+            [(0, None, 1.0), (1, None, 2.0), (2, None, 3.0),
+             (3, "en", None)],
+            "id long, lang string, s double")
+        got = {r["id"]: r["tier"]
+               for r in quantile_tiers(df, "s", by="lang").collect()}
+        assert got[0] == "tail" and got[1] == "middle" and got[2] == "head"
+        assert got[3] is None  # null score -> null tier
+
+    def test_by_matches_global_for_single_group(self, spark):
+        scores = [1.0, 5.0, 2.0, 4.0, 3.0, 6.0, 2.0]
+        df = spark.createDataFrame(
+            [(i, "x", s) for i, s in enumerate(scores)],
+            "id long, g string, s double")
+        a = {r["id"]: r["tier"]
+             for r in quantile_tiers(df, "s").collect()}
+        b = {r["id"]: r["tier"]
+             for r in quantile_tiers(df, "s", by="g").collect()}
+        assert a == b
+
     def test_no_window_in_plan(self, spark):
         # the assignment is a broadcast-literal CASE: no Window, no
         # second Exchange beyond the histogram's own aggregate
