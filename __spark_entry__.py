@@ -1440,12 +1440,17 @@ def q78_lm_perplexity(spark, sf_dir):
     ``quantile_tiers`` buckets docs into head/middle/tail by exact
     integer-arithmetic value thresholds.
 
+    Tiers are PER LANGUAGE (``quantile_tiers(by="lang")``, late r10) —
+    Wenzek et al. bucket each language against its own thresholds, so
+    the same score can be head in one language and tail in another.
+
     Oracle form: reference = the corpus itself, so the top backoff
     branch fires for every doc gram and scores equal the self-scoring
     closed form (count(g)/count(ctx) window sums) the DuckDB SQL
     mirrors — the differential pin that makes the whole
     artifact-round-trip chain (train → write → read → 4-table join →
-    score) value-hash-verifiable."""
+    score) value-hash-verifiable; the per-language thresholds mirror as
+    integer-exact cum-count picks over the (lang, score) histogram."""
     import hashlib
     import os
     import tempfile
@@ -1456,9 +1461,14 @@ def q78_lm_perplexity(spark, sf_dir):
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     model_dir = os.path.join(tempfile.gettempdir(), f"aggo_lm4_{tag}")
     text.train_ngram_lm(docs, model_dir, n=4)
-    scored = text.ngram_logprob_score(docs, model=model_dir).filter(
-        F.col("n_ngrams") > 0)
-    return sampling.quantile_tiers(scored, "mean_logprob").orderBy("doc_id")
+    scored = (
+        text.ngram_logprob_score(docs, model=model_dir)
+        .filter(F.col("n_ngrams") > 0)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    return (sampling.quantile_tiers(scored, "mean_logprob", by="lang")
+            .select("doc_id", "lang", "n_ngrams", "mean_logprob", "tier")
+            .orderBy("doc_id"))
 
 
 _STREAMING_QUERIES = {"q42_stream_agg", "q43_stream_window", "q51_stream_stateful"}
@@ -2397,21 +2407,27 @@ def oracle_sql() -> dict[str, str]:
                      round(sum(c * ln(gn * 1.0 / cn)) / sum(c), 6)
                        AS mean_logprob
               FROM m GROUP BY 1),
-            hist AS (SELECT mean_logprob AS v, count(*) AS cnt
-                     FROM per GROUP BY 1),
-            cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cm,
-                           (SELECT sum(cnt) FROM hist) AS n
+            perl AS (
+              SELECT p.doc_id, d.lang, p.n_ngrams, p.mean_logprob
+              FROM per p JOIN documents d USING (doc_id)),
+            hist AS (SELECT lang, mean_logprob AS v, count(*) AS cnt
+                     FROM perl GROUP BY 1, 2),
+            cum AS (SELECT lang, v,
+                           sum(cnt) OVER (PARTITION BY lang ORDER BY v)
+                             AS cm,
+                           sum(cnt) OVER (PARTITION BY lang) AS n
                     FROM hist),
-            th AS (SELECT
-                     (SELECT min(v) FROM cum WHERE cm >= (n * 1 + 2) // 3)
-                       AS t1,
-                     (SELECT min(v) FROM cum WHERE cm >= (n * 2 + 2) // 3)
-                       AS t2)
-            SELECT p.doc_id, p.n_ngrams, p.mean_logprob,
+            th AS (SELECT lang,
+                          min(CASE WHEN cm >= (n * 1 + 2) // 3
+                              THEN v END) AS t1,
+                          min(CASE WHEN cm >= (n * 2 + 2) // 3
+                              THEN v END) AS t2
+                   FROM cum GROUP BY lang)
+            SELECT p.doc_id, p.lang, p.n_ngrams, p.mean_logprob,
                    CASE WHEN p.mean_logprob <= th.t1 THEN 'tail'
                         WHEN p.mean_logprob <= th.t2 THEN 'middle'
                         ELSE 'head' END AS tier
-            FROM per p CROSS JOIN th
+            FROM perl p JOIN th USING (lang)
             ORDER BY p.doc_id
         """,
         "q77_chunking": f"""

@@ -132,14 +132,16 @@ BUDGETS = {
                                # branch (no cross-branch exchange reuse);
                                # q75 at sf1: 48.6 s -> 7.5 s
     "q77_chunking": 2,
-    "q78_lm_perplexity": 13,  # r10: 4-gram scoring joins 7 model tables
+    "q78_lm_perplexity": 15,  # r10: 4-gram scoring joins 7 model tables
                               # read from the persisted artifact (gram_2..4,
                               # ctx_2..4, uni — each a join-side exchange on
                               # its gram key; AQE broadcast-converts the
                               # small ones at runtime) + the doc-gram
-                              # groupBy and per-doc aggregate. The tier
-                              # CASE adds none (broadcast-literal
-                              # thresholds, no window)
+                              # groupBy and per-doc aggregate; +2 late r10
+                              # for the per-language tier path (lang join +
+                              # the broadcast per-group threshold join —
+                              # thresholds stay a bounded broadcast, no
+                              # window)
 }
 
 # sf1 (scaledata) re-pin: budgets are identical at every SF EXCEPT the rows
