@@ -373,13 +373,18 @@ def classifier_eval(
     ).collect()
     rs = cum = 0.0
     np_ = nn = correct = tp = pp = 0
-    for r in sorted(hist, key=lambda r: r["__p"]):
+    # NULL probs rank lowest (the old rank-window sorted nulls first —
+    # r10 review: a custom scorer or outer-join score table may carry
+    # them) and never pass the threshold
+    for r in sorted(hist, key=lambda r: (r["__p"] is not None,
+                                         r["__p"] if r["__p"] is not None
+                                         else 0.0)):
         n, pos = r["n"], r["np"]
         rs += pos * (cum + (n + 1) / 2.0)  # average rank of the tie run
         cum += n
         np_ += pos
         nn += n - pos
-        if r["__p"] >= threshold:
+        if r["__p"] is not None and r["__p"] >= threshold:
             correct += pos
             tp += pos
             pp += n

@@ -247,6 +247,21 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
 
+def sig_agreement(qsig, sig, num_perm: int) -> Column:
+    """Signature-agreement Jaccard estimate between two minhash
+    signature columns: fraction of equal slots. The ONE verify
+    expression shared by :func:`minhash_probe` and the streaming
+    incremental-clustering edge builder (r10 review: a fix here — e.g.
+    null-slice handling — must reach both, or probe and cluster
+    semantics silently diverge)."""
+    return (
+        F.size(F.filter(
+            F.zip_with(qsig, sig, lambda p, q: p == q),
+            lambda e: e,
+        )).cast("double") / F.lit(float(num_perm))
+    )
+
+
 def _band_key_structs(bands: int, rows: int, hash_fn: str) -> list:
     """``struct(band, bh)`` expressions over a ``sig`` column, one per band.
 
@@ -736,12 +751,7 @@ def minhash_probe(
         .select(F.col("id").alias("query_id"), F.col("sig").alias("qsig"),
                 F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
     )
-    est = (
-        F.size(F.filter(
-            F.zip_with("qsig", "sig", lambda p, q: p == q),
-            lambda e: e,
-        )).cast("double") / F.lit(float(num_perm))
-    )
+    est = sig_agreement("qsig", "sig", num_perm)
     return (
         qb.join(live, ["band", "bh"])
         .select("query_id", F.col("id").alias("corpus_id"),

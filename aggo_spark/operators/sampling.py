@@ -346,6 +346,15 @@ def quantile_tiers(
                 ti += 1
         return ths
 
+    def tier_case(th):
+        """Chained CASE over ascending thresholds; th(i) -> Column.
+        Shared by both branches (r10 review) so tiering semantics can't
+        drift between the global and per-group paths."""
+        expr = F.when(F.col(score_col) <= th(0), F.lit(labels[0]))
+        for i in range(1, k - 1):
+            expr = expr.when(F.col(score_col) <= th(i), F.lit(labels[i]))
+        return expr.when(F.col(score_col).isNotNull(), F.lit(labels[-1]))
+
     if by is None:
         hist = df.groupBy(score_col).agg(
             F.count(F.lit(1)).alias("__n")).collect()
@@ -357,12 +366,7 @@ def quantile_tiers(
                 out_col,
                 F.when(F.col(score_col).isNotNull(), F.lit(labels[-1])))
         ths = thresholds(rows, n)
-        expr = F.when(F.col(score_col) <= F.lit(ths[0]), F.lit(labels[0]))
-        for i in range(1, len(ths)):
-            expr = expr.when(F.col(score_col) <= F.lit(ths[i]),
-                             F.lit(labels[i]))
-        expr = expr.when(F.col(score_col).isNotNull(), F.lit(labels[-1]))
-        return df.withColumn(out_col, expr)
+        return df.withColumn(out_col, tier_case(lambda i: F.lit(ths[i])))
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -394,12 +398,9 @@ def quantile_tiers(
     tdf = df.sparkSession.createDataFrame(rows, tschema)
     joined = df.join(F.broadcast(tdf),
                      F.col(by).eqNullSafe(F.col(by_key)), "left")
-    expr = F.when(F.col(score_col) <= F.col(th_cols[0]), F.lit(labels[0]))
-    for i in range(1, k - 1):
-        expr = expr.when(F.col(score_col) <= F.col(th_cols[i]),
-                         F.lit(labels[i]))
-    expr = expr.when(F.col(score_col).isNotNull(), F.lit(labels[-1]))
-    return joined.withColumn(out_col, expr).drop(by_key, *th_cols)
+    return (joined
+            .withColumn(out_col, tier_case(lambda i: F.col(th_cols[i])))
+            .drop(by_key, *th_cols))
 
 
 # ---------------------------------------------------------------------------

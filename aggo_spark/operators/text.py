@@ -1963,12 +1963,36 @@ def train_ngram_lm(
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
     tables = _ngram_model_tables(reference, n, text_col, id_col)
-    for name, tdf in tables.items():
-        tdf.write.mode(mode).parquet(f"{path.rstrip('/')}/{name}")
+    # degenerate-corpus check BEFORE any write (r10 review): raising
+    # after mode="overwrite" writes would leave a broken model artifact
+    # on disk that a later ngram_logprob_score(model=path) loads without
+    # error and scores every doc at the add-k unigram floor
     meta = tables["meta"].collect()[0].asDict()
     if not meta["n_bigrams"]:
         raise ValueError("reference corpus has no bigrams (all docs < 2 "
                          "tokens) — the model would be degenerate")
+    base = path.rstrip("/")
+    # write gram_k first, then derive ctx_k/uni from the WRITTEN parquet
+    # (r10 review): ctx_k == gram_k aggregated over its prefix and
+    # uni == gram_2 over t2 (the identical-by-construction derivation
+    # lm_tables uses), so reading the materialized gram_k back avoids
+    # re-exploding the corpus k-gram stream once per derived table
+    spark = reference.sparkSession
+    for k in range(2, n + 1):
+        tables[f"gram_{k}"].write.mode(mode).parquet(f"{base}/gram_{k}")
+        gk = spark.read.parquet(f"{base}/gram_{k}")
+        cols = [f"t{i + 1}" for i in range(k)]
+        gk.groupBy(*cols[:-1]).agg(F.sum("cnt").alias("cnt")) \
+            .write.mode(mode).parquet(f"{base}/ctx_{k}")
+        if k == 2:
+            gk.groupBy("t2").agg(F.sum("cnt").alias("cnt")) \
+                .write.mode(mode).parquet(f"{base}/uni")
+    # meta values were already collected for the degenerate check —
+    # write them as a literal row rather than re-running the explode
+    spark.createDataFrame(
+        [(int(meta["n"]), int(meta["n_bigrams"]), int(meta["vocab"]))],
+        "n int, n_bigrams bigint, vocab bigint",
+    ).write.mode(mode).parquet(f"{base}/meta")
     return meta
 
 

@@ -41,7 +41,7 @@ import time
 import uuid
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..errors import InvalidPipeline
@@ -259,22 +259,20 @@ def _signed_band_rows(batch_df: DataFrame, id_col: str, text_col: str,
 def _band_edges(left: DataFrame, right: DataFrame, num_perm: int,
                 threshold: float) -> DataFrame:
     """Verified near-dup edges between two (id, band, bh, sig) band
-    tables: banded equi-join on (band, bh), then the signature-agreement
-    Jaccard estimate — the minhash_probe verify, reused for incremental
-    clustering. Returns distinct ``(a, b)`` with a != b."""
+    tables: banded equi-join on (band, bh), then the SHARED
+    signature-agreement verify (``dedup.sig_agreement`` — the exact
+    expression minhash_probe uses, so probe and incremental-cluster
+    semantics cannot drift). Returns distinct ``(a, b)`` with a != b."""
+    from ..operators.dedup import sig_agreement
+
     q = left.select(F.col("id").alias("a"), "band", "bh",
                     F.col("sig").alias("qsig"))
-    est = (
-        F.size(F.filter(
-            F.zip_with("qsig", "sig", lambda p, c: p == c),
-            lambda e: e,
-        )).cast("double") / F.lit(float(num_perm))
-    )
     return (
         q.join(right.select(F.col("id").alias("b"), "band", "bh", "sig"),
                ["band", "bh"])
         .filter(F.col("a") != F.col("b"))
-        .filter(est >= F.lit(float(threshold)))
+        .filter(sig_agreement("qsig", "sig", num_perm)
+                >= F.lit(float(threshold)))
         .select("a", "b")
         .distinct()
     )
@@ -1133,21 +1131,25 @@ class StreamingCollection:
 
     def _net_index(self, state: dict,
                    semi: DataFrame | None = None,
-                   on: list[str] | None = None) -> DataFrame:
+                   on: list[str] | None = None,
+                   where: Column | None = None) -> DataFrame:
         """Net-positive rows of a signed changelog state (current
         generation; empty-schema frame before the first write).
 
-        ``semi``/``on``: optional pre-netting left-semi filter. The
-        netting group key contains every non-sign column, so filtering
-        on a subset of key columns COMMUTES with netting — the
-        cluster-maintenance hot path uses this to bound the per-batch
-        netting shuffle by the delta's (band, bh) / component-member ids
+        ``semi``/``on`` (left-semi filter) and ``where`` (predicate on
+        group-key columns) are optional PRE-netting filters. The netting
+        group key contains every non-sign column, so filtering on key
+        columns COMMUTES with netting — the cluster-maintenance hot path
+        uses this to bound every per-batch netting shuffle by the
+        delta's (band, bh) buckets / touched ids / affected labels
         instead of the whole corpus (r10 review of maintain_clusters)."""
         if not os.path.isdir(state["path"]):
             return self.spark.createDataFrame([], state["schema"])
         df = self.spark.read.parquet(state["path"])
         if semi is not None:
             df = df.join(semi.select(*on).distinct(), on, "left_semi")
+        if where is not None:
+            df = df.filter(where)
         keys = [c for c in df.columns if c != "sign"]
         return (df.groupBy(*keys)
                 .agg(F.sum("sign").alias("__net"))
@@ -1178,15 +1180,19 @@ class StreamingCollection:
         b_neg = [r["id"] for r in sgn if r["mn"] < 0]
         b_pos = [r["id"] for r in sgn if r["mx"] > 0]
 
-        labels = self._net_labels(lstate)
+        # every labels read below nets a BOUNDED slice of the changelog
+        # (where= on group-key columns commutes with netting — r10
+        # review: the full _net_labels per batch was the one remaining
+        # corpus-sized exchange in this hot path)
 
         # ---- step 1: SPLITS — re-cluster components that lost edges
         if b_neg:
-            aff = [r["label"] for r in labels
-                   .filter(F.col("id").isin(b_neg))
+            aff = [r["label"] for r in self._net_labels(
+                       lstate, where=F.col("id").isin(b_neg))
                    .select("label").distinct().collect()]
             if aff:
-                n_old = labels.filter(F.col("label").isin(aff))
+                n_old = self._net_labels(
+                    lstate, where=F.col("label").isin(aff))
                 gone = sorted(set(b_neg) - set(b_pos))
                 n_live = (n_old.filter(~F.col("id").isin(gone))
                           if gone else n_old)
@@ -1216,7 +1222,6 @@ class StreamingCollection:
                     upd = upd.unionByName(removed.select(
                         "id", F.lit(-1).alias("sign"), "label"))
                 self._append_labels(lstate, upd)
-                labels = self._net_labels(lstate)
 
         # ---- step 2: MERGES — new content probes the live index
         if not b_pos:
@@ -1228,21 +1233,30 @@ class StreamingCollection:
         # that could possibly join the probe are netted, so the per-batch
         # exchange scales with the delta, not the corpus
         live = self._net_index(bstate, semi=probe, on=["band", "bh"])
-        edges = _band_edges(probe, live, num_perm, thr)
-        la = labels.select(F.col("id").alias("a"),
-                           F.col("label").alias("la"))
-        lb_ = labels.select(F.col("id").alias("b"),
-                            F.col("label").alias("lb_"))
-        # contract endpoints to their component labels (new ids = self);
-        # distinct label pairs are bounded by components-touched × delta,
-        # never by corpus size — the driver union-find input
-        lab_pairs = (
-            edges.join(la, "a", "left").join(lb_, "b", "left")
-            .select(F.coalesce("la", F.col("a")).alias("x"),
-                    F.coalesce("lb_", F.col("b")).alias("y"))
-            .filter(F.col("x") != F.col("y"))
-            .distinct().collect()
-        )
+        # edges feed three bounded reads below — persist so the banded
+        # join runs once
+        edges = _band_edges(probe, live, num_perm, thr).persist()
+        try:
+            eps = edges.select(F.col("a").alias("id")).unionByName(
+                edges.select(F.col("b").alias("id")))
+            lab_sub = self._net_labels(lstate, semi=eps, on=["id"])
+            la = lab_sub.select(F.col("id").alias("a"),
+                                F.col("label").alias("la"))
+            lb_ = lab_sub.select(F.col("id").alias("b"),
+                                 F.col("label").alias("lb_"))
+            # contract endpoints to their component labels (new ids =
+            # self); distinct label pairs are bounded by
+            # components-touched × delta, never by corpus size — the
+            # driver union-find input
+            lab_pairs = (
+                edges.join(la, "a", "left").join(lb_, "b", "left")
+                .select(F.coalesce("la", F.col("a")).alias("x"),
+                        F.coalesce("lb_", F.col("b")).alias("y"))
+                .filter(F.col("x") != F.col("y"))
+                .distinct().collect()
+            )
+        finally:
+            edges.unpersist()
         parent: dict = {}
 
         def find(v):
@@ -1261,16 +1275,20 @@ class StreamingCollection:
         if remap:
             mapping = F.create_map(
                 *[F.lit(x) for kv in remap.items() for x in kv])
-            rewrite = labels.filter(
-                F.col("label").isin(list(remap.keys())))
+            rewrite = self._net_labels(
+                lstate, where=F.col("label").isin(list(remap.keys())))
             upds.append(rewrite.select(
                 "id", F.lit(-1).alias("sign"), "label"))
             upds.append(rewrite.select(
                 "id", F.lit(1).alias("sign"),
                 mapping[F.col("label")].alias("label")))
-        # brand-new ids (present in the probe, absent from the state)
+        # brand-new ids (present in the probe, absent from the state) —
+        # the semi-bounded netting keeps exactly the probe ids' label
+        # rows, so the anti-join is equivalent to one against the full
+        # state
         new_ids = [r["id"] for r in probe.select("id").distinct()
-                   .join(labels.select("id"), "id", "left_anti")
+                   .join(self._net_labels(lstate, semi=probe, on=["id"])
+                         .select("id"), "id", "left_anti")
                    .collect()]
         if new_ids:
             from pyspark.sql.types import (LongType, StructField,
@@ -1288,9 +1306,14 @@ class StreamingCollection:
                 out = out.unionByName(u)
             self._append_labels(lstate, out)
 
-    def _net_labels(self, lstate: dict) -> DataFrame:
-        """Current netted (id, label) cluster rows."""
-        return self._net_index(lstate).select("id", "label")
+    def _net_labels(self, lstate: dict,
+                    semi: DataFrame | None = None,
+                    on: list[str] | None = None,
+                    where: Column | None = None) -> DataFrame:
+        """Current netted (id, label) cluster rows; ``semi``/``where``
+        bound the netting (see :meth:`_net_index`)."""
+        return self._net_index(lstate, semi=semi, on=on,
+                               where=where).select("id", "label")
 
     def clusters_df(self, rid: str) -> DataFrame:
         """Current near-dup cluster membership ``(id, label)`` of a

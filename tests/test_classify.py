@@ -208,6 +208,26 @@ class TestEval:
         assert m["recall"] == pytest.approx(2 / 3)
         assert m["n"] == 5
 
+    def test_null_probs_rank_lowest(self, spark):
+        # r10 review: a custom scorer / outer-join score table can carry
+        # NULL probs — the histogram sort must not crash, NULLs rank
+        # below every real prob (the old rank-window's nulls-first
+        # order) and never pass the threshold
+        from aggo_spark.operators import classify
+
+        scored = spark.createDataFrame(
+            [(1, None), (2, 0.4), (3, 0.4), (4, 0.8), (5, 0.9)],
+            "doc_id long, prob double")
+        labels = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 1), (4, 1), (5, 1)],
+            "doc_id long, label int")
+        m = classify.classifier_eval(scored, labels, threshold=0.5)
+        # ranks: None->1, .4->2.5 (x2), .8->4, .9->5; rank-sum(pos)=11.5
+        assert m["auc"] == pytest.approx(5.5 / 6)
+        # None < threshold -> predicted neg (doc 1 is a true neg: right)
+        assert m["accuracy"] == pytest.approx(0.8)
+        assert m["n"] == 5
+
     def test_perfect_and_inverted(self, spark, train_df):
         from aggo_spark.operators import classify
 

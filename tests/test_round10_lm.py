@@ -203,6 +203,12 @@ class TestPersistedArtifact:
             [(1, "one"), (2, "")], "doc_id long, text string")
         with pytest.raises(ValueError, match="no bigrams"):
             train_ngram_lm(ref, str(tmp_path / "lmx"), n=3)
+        # r10 review: the check must fire BEFORE any write — a raising
+        # train must not leave a broken (silently unigram-floor-scoring)
+        # model artifact on disk
+        import os
+
+        assert not os.path.isdir(str(tmp_path / "lmx"))
 
     def test_bad_params(self, spark, frames):
         from aggo_spark.operators.text import ngram_logprob_score
