@@ -664,6 +664,15 @@ _CJK_FIXTURE_TEXTS = [
     "bu bir kitap ve daha ne gibi ama her sonra kadar olan",
     "ini adalah buku yang bagus dan tidak untuk saya dengan kami juga",
     "anh em cho nhau khi con theo trong hay ai xem vui",
+    # late r10: the da/no/fi/cs/ro/hu tier (da and no deliberately
+    # separate on their spelling axis — hvad/efter/nogle vs
+    # hva/etter/noen)
+    "hvad skal jeg med nogle af dem hvis det ikke bliver meget",
+    "hva noe dette bare alle sammen uten noen mellom andre etter ble",
+    "ja se on mutta kun niin joka jos vain kaikki voi nyt",
+    "jsem jsou je pro jako byl kdo mezi bez pod nebo tento",
+    "este sunt pentru care din mai pe cu dar cum acest unde",
+    "nem hogy egy csak azt volt van mint mert vagy minden lehet",
 ]
 _CJK_FIXTURE_ID_OFFSET = 100_000_000
 

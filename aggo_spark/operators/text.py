@@ -373,6 +373,31 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "vi": ["cho", "khi", "anh", "em", "con", "nhau", "hay", "ai",
            "trong", "theo", "xem", "quan", "vui", "hai", "nay", "ta",
            "nam", "tam", "ra", "nha"],
+    # late r10: the next latin-script crawl tier (da/no/fi/cs/ro/hu),
+    # same contract — ascii-pure (survives normalize_text), appended so
+    # every existing tie-break is preserved, one bitmask bit each on the
+    # SAME probe. da/no are famously close; their lists deliberately
+    # avoid each other's shared forms (da "hvad/efter/nogle" vs no
+    # "hva/etter/noen") so the argmax separates on the spelling axis
+    # real classifiers use.
+    "da": ["af", "hvad", "jeg", "ikke", "det", "til", "med", "der",
+           "som", "den", "har", "skal", "kan", "efter", "hvis",
+           "nogle", "meget", "bliver", "hvor", "under"],
+    "no": ["hva", "noe", "bare", "mye", "denne", "mellom", "alle",
+           "fra", "ved", "vil", "dette", "noen", "andre", "etter",
+           "ble", "sammen", "inn", "ut", "slik", "uten"],
+    "fi": ["ja", "on", "ei", "se", "oli", "mutta", "kun", "niin",
+           "ovat", "joka", "jos", "tai", "vain", "kaikki", "sen",
+           "voi", "jo", "nyt", "siis", "mukaan"],
+    "cs": ["jsem", "jsou", "je", "pro", "jako", "byl", "kdo", "mezi",
+           "bez", "pod", "aby", "tady", "tam", "nebo", "take", "svou",
+           "nad", "pak", "toho", "tento"],
+    "ro": ["este", "sunt", "pentru", "care", "din", "mai", "pe", "cu",
+           "dar", "cum", "ce", "la", "nu", "un", "acest", "fiind",
+           "foarte", "unde", "atunci", "doar"],
+    "hu": ["nem", "hogy", "egy", "csak", "azt", "volt", "van", "mint",
+           "mert", "vagy", "minden", "lehet", "ilyen", "ez", "ki",
+           "meg", "ha", "az", "is", "itt"],
 }
 
 # Second-stage refinement tables for script-routed families (late r9):
