@@ -1905,8 +1905,25 @@ def trigram_logprob_score(
         "mean_logprob")
 
 
+def _lm_tokens(col: Column, tokenizer: str) -> Column:
+    """Token array for the LM family: ``"base"`` (latin ``tokens``),
+    ``"cjk"`` or ``"multilingual"`` (late r10 — the routed-script tiers,
+    so perplexity scoring stops being degenerate on zh/ja/ru/ar/th…
+    corpora; char bigrams are the segmenter-free LM unit for unspaced
+    scripts)."""
+    if tokenizer == "base":
+        return tokens(col)
+    if tokenizer == "cjk":
+        return tokens_cjk(col)
+    if tokenizer == "multilingual":
+        return tokens_multilingual(col)
+    raise ValueError(
+        f"tokenizer must be 'base', 'cjk' or 'multilingual', "
+        f"got {tokenizer!r}")
+
+
 def _gram_rows_n(frame: DataFrame, n: int, text_col: str,
-                 id_col: str) -> DataFrame:
+                 id_col: str, tokenizer: str = "base") -> DataFrame:
     """Per-document word n-gram rows ``(id_col, t1..tn)`` — the order-n
     generalization of trigram_logprob_score's gram_rows (one token
     materialization, one explode; short docs yield zero rows)."""
@@ -1923,14 +1940,16 @@ def _gram_rows_n(frame: DataFrame, n: int, text_col: str,
         "array<struct<" + ",".join(f"{c}:string" for c in names) + ">>"))
     return (
         _ensure_parallelism(frame.select(
-            F.col(id_col), tokens(F.col(text_col)).alias("__t")))
+            F.col(id_col),
+            _lm_tokens(F.col(text_col), tokenizer).alias("__t")))
         .select(F.col(id_col), F.explode(grams).alias("g"))
         .select(id_col, *[F.col(f"g.{c}").alias(c) for c in names])
     )
 
 
 def _ngram_model_tables(reference: DataFrame, n: int, text_col: str,
-                        id_col: str) -> dict[str, DataFrame]:
+                        id_col: str,
+                        tokenizer: str = "base") -> dict[str, DataFrame]:
     """The 2n−1 stupid-backoff model tables of an order-n LM, from n−1
     narrow gram streams over the reference (the trigram trade carried to
     order n — re-exploding per order beats persisting a tokens-sized
@@ -1947,7 +1966,7 @@ def _ngram_model_tables(reference: DataFrame, n: int, text_col: str,
     """
     out: dict[str, DataFrame] = {}
     for k in range(2, n + 1):
-        mk = _gram_rows_n(reference, k, text_col, id_col)
+        mk = _gram_rows_n(reference, k, text_col, id_col, tokenizer)
         cols = [f"t{i + 1}" for i in range(k)]
         out[f"gram_{k}"] = (mk.groupBy(*cols)
                             .agg(F.count(F.lit(1)).alias("cnt")))
@@ -1970,6 +1989,7 @@ def train_ngram_lm(
     text_col: str = "text",
     id_col: str = "doc_id",
     mode: str = "overwrite",
+    tokenizer: str = "base",
 ) -> dict:
     """Train an order-``n`` stupid-backoff LM (Brants et al. 2007 §3 —
     the web-scale counts-only recipe; KenLM's production niche filled
@@ -1987,7 +2007,8 @@ def train_ngram_lm(
     """
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
-    tables = _ngram_model_tables(reference, n, text_col, id_col)
+    tables = _ngram_model_tables(reference, n, text_col, id_col,
+                                 tokenizer)
     # degenerate-corpus check BEFORE any write (r10 review): raising
     # after mode="overwrite" writes would leave a broken model artifact
     # on disk that a later ngram_logprob_score(model=path) loads without
@@ -2015,9 +2036,11 @@ def train_ngram_lm(
     # meta values were already collected for the degenerate check —
     # write them as a literal row rather than re-running the explode
     spark.createDataFrame(
-        [(int(meta["n"]), int(meta["n_bigrams"]), int(meta["vocab"]))],
-        "n int, n_bigrams bigint, vocab bigint",
+        [(int(meta["n"]), int(meta["n_bigrams"]), int(meta["vocab"]),
+          tokenizer)],
+        "n int, n_bigrams bigint, vocab bigint, tokenizer string",
     ).write.mode(mode).parquet(f"{base}/meta")
+    meta["tokenizer"] = tokenizer
     return meta
 
 
@@ -2030,6 +2053,7 @@ def ngram_logprob_score(
     add_k: float = 0.5,
     backoff: float = 0.4,
     broadcast_model: bool = False,
+    tokenizer: str = "base",
 ) -> DataFrame:
     """Per-document mean order-``n`` log-probability with (n−1)-level
     stupid backoff — :func:`trigram_logprob_score` generalized to any
@@ -2071,8 +2095,11 @@ def ngram_logprob_score(
     n_bigrams = vocab = None
     if isinstance(model, str):
         base = model.rstrip("/")
-        meta = spark.read.parquet(f"{base}/meta").collect()[0]
+        meta = spark.read.parquet(f"{base}/meta").collect()[0].asDict()
         n = int(meta["n"])
+        # the artifact records its tokenizer (late r10); pre-tokenizer
+        # artifacts scored with the base tier
+        tokenizer = meta.get("tokenizer", "base")
         n_bigrams, vocab = float(meta["n_bigrams"]), float(meta["vocab"])
         tables = {"uni": spark.read.parquet(f"{base}/uni")}
         for k in range(2, n + 1):
@@ -2081,7 +2108,8 @@ def ngram_logprob_score(
     elif model is not None:
         if n is None or n < 2:
             raise ValueError("inline-reference mode needs explicit n >= 2")
-        tables = _ngram_model_tables(model, n, text_col, id_col)
+        tables = _ngram_model_tables(model, n, text_col, id_col,
+                                     tokenizer)
         stats = plan_scalar(
             model, f"ngramstats:{n}:{text_col}:{id_col}",
             lambda: tables["meta"].collect()[0],
@@ -2094,10 +2122,11 @@ def ngram_logprob_score(
         return ngram_score_with_tables(
             df, tables, n, n_bigrams, vocab, text_col=text_col,
             id_col=id_col, add_k=add_k, backoff=backoff,
-            broadcast_model=broadcast_model)
+            broadcast_model=broadcast_model, tokenizer=tokenizer)
 
     cols = [f"t{i + 1}" for i in range(n)]
-    tfd = _gram_rows_n(df, n, text_col, id_col).groupBy(id_col, *cols).agg(
+    tfd = _gram_rows_n(df, n, text_col, id_col,
+                       tokenizer).groupBy(id_col, *cols).agg(
         F.count(F.lit(1)).alias("c"))
     gram_n = F.sum("c").over(W.partitionBy(*cols))
     ctx_n = F.sum("c").over(W.partitionBy(*cols[:-1]))
@@ -2130,6 +2159,7 @@ def ngram_score_with_tables(
     add_k: float = 0.5,
     backoff: float = 0.4,
     broadcast_model: bool = False,
+    tokenizer: str = "base",
 ) -> DataFrame:
     """Score ``df`` against explicit stupid-backoff model tables — the
     join half of :func:`ngram_logprob_score`, public so table providers
@@ -2140,7 +2170,8 @@ def ngram_score_with_tables(
     (``t2`` + ``cnt``); ``n_bigrams``/``vocab`` feed the add-k unigram
     denominator."""
     cols = [f"t{i + 1}" for i in range(n)]
-    tfd = _gram_rows_n(df, n, text_col, id_col).groupBy(id_col, *cols).agg(
+    tfd = _gram_rows_n(df, n, text_col, id_col,
+                       tokenizer).groupBy(id_col, *cols).agg(
         F.count(F.lit(1)).alias("c"))
     uni_denom = (n_bigrams + add_k * vocab) if n_bigrams else 1.0
     joined = tfd

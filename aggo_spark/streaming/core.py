@@ -1360,7 +1360,8 @@ class StreamingCollection:
     def maintain_ngram_lm(self, path: str, n: int = 4,
                           text_col: str = "text", id_col: str = "doc_id",
                           compact_every: int = 64,
-                          keep_generations: int = 1) -> str:
+                          keep_generations: int = 1,
+                          tokenizer: str = "base") -> str:
         """Incrementally-maintained order-``n`` stupid-backoff LM (r10 —
         the streaming extension of :func:`aggo_spark.operators.text.
         train_ngram_lm`): the reference model stays fresh as the corpus
@@ -1402,7 +1403,8 @@ class StreamingCollection:
                 "gram_cols": gcols, "schema": schema, "batches": 0,
                 "compact_every": int(compact_every),
                 "keep_generations": max(1, int(keep_generations))}
-        self._lms[rid] = {"n": n, "text_col": text_col, "id_col": id_col}
+        self._lms[rid] = {"n": n, "text_col": text_col,
+                          "id_col": id_col, "tokenizer": tokenizer}
 
         def sink(batch_df: DataFrame, _batch_id: int) -> None:
             if batch_df.isEmpty():
@@ -1412,7 +1414,8 @@ class StreamingCollection:
                 gcols = st["gram_cols"]
                 # the CDC sign column rides through the gram explode in
                 # the id slot — one explode per order, batch-sized
-                gr = _gram_rows_n(batch_df, k, text_col, _SIGN)
+                gr = _gram_rows_n(batch_df, k, text_col, _SIGN,
+                                  tokenizer)
                 delta = (
                     gr.groupBy(_SIGN, *gcols)
                     .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -1491,7 +1494,8 @@ class StreamingCollection:
             text_col=text_col or lm["text_col"],
             id_col=id_col or lm["id_col"],
             add_k=add_k, backoff=backoff,
-            broadcast_model=broadcast_model)
+            broadcast_model=broadcast_model,
+            tokenizer=lm.get("tokenizer", "base"))
 
     def _compact_indexes(self) -> None:
         """Driver-side posting-index compaction (called from flush, after

@@ -218,3 +218,73 @@ class TestPersistedArtifact:
             ngram_logprob_score(doc)
         with pytest.raises(ValueError, match="inline-reference"):
             ngram_logprob_score(doc, model=doc)
+
+
+class TestMultilingualTokenizer:
+    """Late r10: the LM family accepts tokenizer='cjk'/'multilingual'
+    (the routed-script token tiers), so perplexity scoring stops being
+    degenerate on zh/ja/ru/ar/th corpora; the artifact records its
+    tokenizer and scoring against it uses the recorded one."""
+
+    DOCS = [
+        (1, "这是一个中文测试文档内容这是测试"),
+        (2, "это русский текст для теста и это тест"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+    ]
+
+    def test_base_degenerate_multilingual_not(self, spark):
+        from aggo_spark.operators.text import ngram_logprob_score
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        base = {r["doc_id"]: r["n_ngrams"]
+                for r in ngram_logprob_score(docs, n=2).collect()}
+        multi = {r["doc_id"]: r["n_ngrams"]
+                 for r in ngram_logprob_score(
+                     docs, n=2, tokenizer="multilingual").collect()}
+        assert base[1] == 0 and base[2] == 0  # degenerate on zh/ru
+        assert multi[1] > 0 and multi[2] > 0
+        assert base[3] == multi[3]  # latin unchanged
+
+    def test_artifact_records_tokenizer(self, spark, tmp_path):
+        from aggo_spark.operators.text import (ngram_logprob_score,
+                                               train_ngram_lm)
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        meta = train_ngram_lm(docs, str(tmp_path / "ml"), n=2,
+                              tokenizer="multilingual")
+        assert meta["tokenizer"] == "multilingual"
+        saved = sorted(map(tuple, ngram_logprob_score(
+            docs, model=str(tmp_path / "ml")).collect()))
+        inline = sorted(map(tuple, ngram_logprob_score(
+            docs, model=docs, n=2, tokenizer="multilingual").collect()))
+        assert saved == inline
+
+    def test_streaming_lm_tokenizer(self, spark, tmp_path):
+        from aggo_spark.operators.text import ngram_logprob_score
+        from aggo_spark.streaming.core import StreamingCollection
+
+        coll = StreamingCollection(
+            spark, "doc_id long, text string", workdir=str(tmp_path))
+        try:
+            rid = coll.maintain_ngram_lm(str(tmp_path / "slm"), n=2,
+                                         tokenizer="multilingual")
+            for i, t in self.DOCS:
+                coll.add({"doc_id": i, "text": t})
+            q = spark.createDataFrame(
+                [(9, "это текст теста"), (10, "中文测试")],
+                "doc_id long, text string")
+            got = sorted(map(tuple, coll.lm_score(rid, q).collect()))
+            ref = spark.createDataFrame(self.DOCS,
+                                        "doc_id long, text string")
+            want = sorted(map(tuple, ngram_logprob_score(
+                q, model=ref, n=2, tokenizer="multilingual").collect()))
+            assert got == want
+        finally:
+            coll.stop()
+
+    def test_bad_tokenizer_raises(self, spark):
+        from aggo_spark.operators.text import ngram_logprob_score
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        with pytest.raises(ValueError, match="tokenizer"):
+            ngram_logprob_score(docs, n=2, tokenizer="nope")
