@@ -923,6 +923,12 @@ def q40_multimodal(spark, sf_dir):
     # doc gets corrupt magic bytes that must yield a NULL meta row. MP4
     # durations are exact halves so round(dur/scale, 6) is FP-safe.
     def _synth_av(batches):
+        # late r10: the WAV payload is a REAL sine tone (frequency /
+        # amplitude derived from doc_id), so extract_audio_features'
+        # rms/zcr are computed from actual decoded PCM and the oracle
+        # recomputes them SAMPLE-EXACTLY (quantized-sine arithmetic
+        # over generate_series — the q40 fixture pattern). Metadata
+        # fields are unchanged (same rate/channels/frame count).
         for pdf in batches:
             ids = pdf["doc_id"]
             yield _pd.DataFrame({
@@ -931,7 +937,9 @@ def q40_multimodal(spark, sf_dir):
                     b"RIFFxxxx" if i % 7 == 0 else
                     multimodal.encode_wav(
                         8000 + (i % 5) * 8000, 1 + i % 2, 16,
-                        int(i % 100) * 160)
+                        int(i % 100) * 160,
+                        tone_hz=float(100 + (i % 20) * 150),
+                        amplitude=0.4)
                     for i in ids],
                 "mp4": [
                     b"\x00\x00\x00\x08ftyp" if i % 7 == 0 else
@@ -949,6 +957,16 @@ def q40_multimodal(spark, sf_dir):
         F.col("audio_meta.channels").alias("wav_channels"),
         F.col("audio_meta.n_frames").alias("wav_frames"),
         F.col("audio_meta.duration_s").alias("wav_duration"),
+    )
+    # late r10: REAL DSP on the decoded PCM — rms/zcr of the synthesized
+    # tone, oracle-mirrored sample-exactly (rms at 4 dp: the sqrt of a
+    # 16k-term mean accumulates engine-order FP differences below 1e-6;
+    # zcr is integer-exact sign-change counting)
+    wavfeat = multimodal.extract_audio_features(
+        av.select("doc_id", F.col("wav").alias("content"))).select(
+        "doc_id",
+        F.round(F.col("audio_features.rms"), 4).alias("wav_rms"),
+        F.col("audio_features.zcr").alias("wav_zcr"),
     )
     mp4dec = multimodal.decode_video_metadata(
         av.select("doc_id", F.col("mp4").alias("content"))).select(
@@ -988,7 +1006,8 @@ def q40_multimodal(spark, sf_dir):
     )
     return (
         meta.join(frames, "doc_id").join(decoded, "doc_id")
-        .join(jdec, "doc_id").join(wavdec, "doc_id").join(mp4dec, "doc_id")
+        .join(jdec, "doc_id").join(wavdec, "doc_id")
+        .join(wavfeat, "doc_id").join(mp4dec, "doc_id")
         .join(crawl, "doc_id")
         .orderBy("doc_id", "frame_idx")
     )
@@ -2064,6 +2083,37 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS total_bytes,
                      unnest([0, 1, 2, 3]) AS frame_idx
               FROM documents),
+            -- late r10 audio DSP tier: regenerate the EXACT quantized
+            -- sine the fixture encoder wrote (same double arithmetic:
+            -- ((2*pi)*f)*(t/rate), *0.4, *32767, round, /32768) and
+            -- recompute rms / zero-crossing rate from the samples
+            wtone AS (
+              SELECT doc_id,
+                     (doc_id % 100) * 160 AS n,
+                     CAST(8000 + (doc_id % 5) * 8000 AS DOUBLE) AS rate,
+                     CAST(100 + (doc_id % 20) * 150 AS DOUBLE) AS freq
+              FROM documents WHERE doc_id % 7 <> 0),
+            wt2 AS (
+              SELECT doc_id, rate, freq, unnest(range(n)) AS t
+              FROM wtone WHERE n > 0),
+            wsamp AS (
+              SELECT doc_id, t,
+                     CAST(round(0.4 * sin(2 * pi() * freq * (t / rate))
+                                * 32767) AS BIGINT) / 32768.0 AS x
+              FROM wt2),
+            wavrms AS (
+              SELECT doc_id,
+                     round(round(sqrt(avg(x * x)), 6), 4) AS wav_rms
+              FROM wsamp GROUP BY 1),
+            wavzcr AS (
+              SELECT doc_id,
+                     round(avg(CASE WHEN (x < 0) <> (lx < 0)
+                               THEN 1.0 ELSE 0.0 END), 6) AS wav_zcr
+              FROM (SELECT doc_id, x,
+                           lag(x) OVER (PARTITION BY doc_id ORDER BY t)
+                             AS lx
+                    FROM wsamp)
+              WHERE lx IS NOT NULL GROUP BY 1),
             -- r9 JPEG pixel tier: even ids carry a REAL solid-color
             -- baseline JPEG; the expected decoded means replay the JFIF
             -- arithmetic (floor(x+0.5) rounding, clamped) — rgb -> ycbcr
@@ -2160,6 +2210,14 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(CAST((d.doc_id % 100) * 160 AS DOUBLE)
                                    / (8000 + (d.doc_id % 5) * 8000), 6)
                         END AS wav_duration,
+                   -- late r10: REAL DSP mirror — rms/zcr recomputed
+                   -- SAMPLE-EXACTLY from the quantized-sine arithmetic
+                   -- the fixture encoder wrote (wavrms/wavzcr CTEs)
+                   CASE WHEN d.doc_id % 7 = 0 THEN NULL
+                        ELSE wr.wav_rms END AS wav_rms,
+                   CASE WHEN d.doc_id % 7 = 0
+                             OR (d.doc_id % 100) * 160 < 2048 THEN NULL
+                        ELSE wz.wav_zcr END AS wav_zcr,
                    CASE WHEN d.doc_id % 7 = 0 THEN NULL
                         ELSE CAST((1 + d.doc_id % 30) / 2.0 AS DOUBLE) END AS mp4_duration,
                    CASE WHEN d.doc_id % 7 = 0 THEN NULL
@@ -2177,6 +2235,8 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN documents d ON f.doc_id = d.doc_id
                    JOIN crawl_sig c ON f.doc_id = c.doc_id
                    JOIN jc ON f.doc_id = jc.doc_id
+                   LEFT JOIN wavrms wr ON f.doc_id = wr.doc_id
+                   LEFT JOIN wavzcr wz ON f.doc_id = wz.doc_id
             ORDER BY f.doc_id, frame_idx
         """,
         "q46_densify_fill": """
