@@ -691,6 +691,47 @@ _AUDIO_FEATURE_FIELDS = [
 ]
 
 
+def afp_to_long(afp: Column) -> Column:
+    """Audio-fingerprint hex → signed 64-bit long over the fingerprint's
+    LAST 64 bits (the temporally-richest section; fingerprints are
+    LSB-aligned ints, so the low bits line up across same-length clips).
+    Shorter fingerprints zero-pad — the phash_to_long two-half recombine
+    avoids the conv() overflow."""
+    h = F.lpad(F.right(afp, F.lit(16)), 16, "0")
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.when(afp.isNotNull(),
+                  F.shiftleft(hi, 32).bitwiseOR(lo))
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    afp_col: str = "afp",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs by fingerprint hamming distance (late
+    r10) — the audio complement of :func:`image_near_dup_pairs`:
+    re-encoded / re-leveled copies of one clip land within a few bit
+    flips of the Haitsma-Kalker-style fingerprint (amplitude shifts
+    measured ≤ 4 bits). Candidates come from the SAME pigeonhole chunk
+    machinery serving SimHash text and pHash image near-dup
+    (``dedup.hamming_near_dup_pairs`` — chunk equi-joins, never
+    all-pairs); matching runs on the fingerprint's last-64-bit block
+    (``afp_to_long``), the standard sub-fingerprint matching shape.
+    Returns (id_a, id_b, hamming); NULL fingerprints (silence/corrupt)
+    never pair."""
+    fp = (df.select(F.col(id_col).alias("id"),
+                    afp_to_long(F.col(afp_col)).alias("fp"))
+          .filter(F.col("fp").isNotNull()))
+    from .dedup import hamming_near_dup_pairs
+
+    return hamming_near_dup_pairs(
+        fp, fp_col="fp", id_col="id", bits=64,
+        max_hamming=max_hamming, bucket_cap=bucket_cap)
+
+
 def extract_audio_features(
     df: DataFrame,
     content_col: str = "content",

@@ -103,6 +103,34 @@ class TestHonestDegradation:
         assert f["rms"] > 0 and f["afp"] is None  # < one analysis frame
 
 
+class TestNearDupPairs:
+    def test_releveled_copy_pairs_different_does_not(self, spark):
+        from pyspark.sql import functions as F
+
+        from aggo_spark.operators.multimodal import (
+            audio_near_dup_pairs, extract_audio_features)
+
+        rng = np.random.RandomState(4)
+        base = 0.4 * rng.randn(16000).clip(-1, 1)
+        rows = [
+            (1, encode_wav(16000, 1, 16, samples=base)),
+            (2, encode_wav(16000, 1, 16, samples=base * 0.2)),
+            (3, encode_wav(16000, 1, 16,
+                           samples=0.4 * rng.randn(16000).clip(-1, 1))),
+            (4, b"RIFFxxxx"),
+            (5, encode_wav(16000, 1, 16, 8000)),  # silence: NULL afp
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, content binary")
+        feats = extract_audio_features(df).select(
+            "doc_id", F.col("audio_features.afp").alias("afp"))
+        pairs = sorted((r["id_a"], r["id_b"], r["hamming"])
+                       for r in audio_near_dup_pairs(
+                           feats, max_hamming=6).collect())
+        # the 5x re-leveled copy pairs (hamming 0 on the matched block);
+        # different content / corrupt / silence never pair
+        assert pairs == [(1, 2, 0)]
+
+
 class TestSparkPlumbing:
     def test_extract_audio_features(self, spark):
         rows = [
