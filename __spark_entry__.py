@@ -2096,11 +2096,21 @@ def oracle_sql() -> dict[str, str]:
             wt2 AS (
               SELECT doc_id, rate, freq, unnest(range(n)) AS t
               FROM wtone WHERE n > 0),
+            -- half-to-even rounding to mirror the encoder's np.rint
+            -- exactly (advice r10 #5: DuckDB round() is half-away-from-
+            -- zero; an exact .5 product would diverge by one LSB)
+            wv AS (
+              SELECT doc_id, t,
+                     0.4 * sin(2 * pi() * freq * (t / rate)) * 32767 AS v
+              FROM wt2),
             wsamp AS (
               SELECT doc_id, t,
-                     CAST(round(0.4 * sin(2 * pi() * freq * (t / rate))
-                                * 32767) AS BIGINT) / 32768.0 AS x
-              FROM wt2),
+                     (CAST(floor(v) AS BIGINT)
+                      + CASE WHEN v - floor(v) > 0.5 THEN 1
+                             WHEN v - floor(v) < 0.5 THEN 0
+                             WHEN CAST(floor(v) AS BIGINT) % 2 = 0 THEN 0
+                             ELSE 1 END) / 32768.0 AS x
+              FROM wv),
             wavrms AS (
               SELECT doc_id,
                      round(round(sqrt(avg(x * x)), 6), 4) AS wav_rms

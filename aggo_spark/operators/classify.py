@@ -350,6 +350,12 @@ def classifier_eval(
     accuracy / precision / recall at ``threshold``. Returns a plain dict
     — bounded driver metadata (five scalars), the sketch-stats class.
 
+    NULL-prob rows are excluded from the AUC statistic (it is defined
+    over scored items only; ``auc`` is None if that leaves a single
+    class) and counted as predicted-negative for accuracy/precision/
+    recall — an abstaining scorer misses its positives but cannot
+    distort the ranking metric.
+
     Plan (r10, verdict #5 — the old global rank window was the
     package's only single-partition sort): ONE ``groupBy(prob)``
     histogram aggregate (map-side combine, one value-bounded shuffle),
@@ -373,18 +379,27 @@ def classifier_eval(
     ).collect()
     rs = cum = 0.0
     np_ = nn = correct = tp = pp = 0
-    # NULL probs rank lowest (the old rank-window sorted nulls first —
-    # r10 review: a custom scorer or outer-join score table may carry
-    # them) and never pass the threshold
+    np_auc = nn_auc = 0
+    # NULL-prob rows (a custom scorer or outer-join score table may carry
+    # them — r10 review) are EXCLUDED from the ROC statistic: AUC is
+    # defined over scored items, and force-ranking unscored rows lowest
+    # would silently shift it (advice r10 #4). At the threshold they
+    # count as predicted-negative for accuracy/recall, exactly like a
+    # scorer that abstains.
     for r in sorted(hist, key=lambda r: (r["__p"] is not None,
                                          r["__p"] if r["__p"] is not None
                                          else 0.0)):
         n, pos = r["n"], r["np"]
-        rs += pos * (cum + (n + 1) / 2.0)  # average rank of the tie run
-        cum += n
         np_ += pos
         nn += n - pos
-        if r["__p"] is not None and r["__p"] >= threshold:
+        if r["__p"] is None:
+            correct += n - pos  # predicted negative: true negs right
+            continue
+        rs += pos * (cum + (n + 1) / 2.0)  # average rank of the tie run
+        cum += n
+        np_auc += pos
+        nn_auc += n - pos
+        if r["__p"] >= threshold:
             correct += pos
             tp += pos
             pp += n
@@ -395,7 +410,10 @@ def classifier_eval(
         raise ValueError(
             f"evaluation needs both classes; got pos={np_} neg={nn}")
     return {
-        "auc": (rs - np_ * (np_ + 1) / 2.0) / (np_ * nn),
+        # None when the null rows removed a whole class from the scored
+        # subset — no ROC curve exists over the remaining points
+        "auc": ((rs - np_auc * (np_auc + 1) / 2.0) / (np_auc * nn_auc)
+                if np_auc and nn_auc else None),
         "accuracy": correct / total,
         "precision": (tp / pp) if pp else None,
         "recall": tp / np_,

@@ -2007,6 +2007,16 @@ def train_ngram_lm(
     """
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
+    # the per-table writes below are only consistent as a unit: appending
+    # gram_k rows to an existing artifact would double-count prior mass in
+    # the read-back-derived ctx_k/uni and leave duplicate join keys, so
+    # the artifact is overwrite-only (advice r10 #3); incremental
+    # maintenance is StreamingCollection.maintain_ngram_lm's job
+    if mode != "overwrite":
+        raise ValueError(
+            f"train_ngram_lm artifacts are overwrite-only (got mode="
+            f"{mode!r}); use StreamingCollection.maintain_ngram_lm for "
+            "incremental updates")
     tables = _ngram_model_tables(reference, n, text_col, id_col,
                                  tokenizer)
     # degenerate-corpus check BEFORE any write (r10 review): raising
@@ -2053,7 +2063,7 @@ def ngram_logprob_score(
     add_k: float = 0.5,
     backoff: float = 0.4,
     broadcast_model: bool = False,
-    tokenizer: str = "base",
+    tokenizer: str | None = None,
 ) -> DataFrame:
     """Per-document mean order-``n`` log-probability with (n−1)-level
     stupid backoff — :func:`trigram_logprob_score` generalized to any
@@ -2098,8 +2108,17 @@ def ngram_logprob_score(
         meta = spark.read.parquet(f"{base}/meta").collect()[0].asDict()
         n = int(meta["n"])
         # the artifact records its tokenizer (late r10); pre-tokenizer
-        # artifacts scored with the base tier
-        tokenizer = meta.get("tokenizer", "base")
+        # artifacts scored with the base tier. An explicit conflicting
+        # tokenizer argument is an error, not a silent override (advice
+        # r10 #2): scoring with a different tokenizer than the one the
+        # counts were built with is never what the caller meant.
+        artifact_tok = meta.get("tokenizer", "base")
+        if tokenizer is not None and tokenizer != artifact_tok:
+            raise ValueError(
+                f"tokenizer={tokenizer!r} conflicts with the artifact's "
+                f"recorded tokenizer {artifact_tok!r} ({base}/meta); omit "
+                "the argument to score with the artifact's tokenizer")
+        tokenizer = artifact_tok
         n_bigrams, vocab = float(meta["n_bigrams"]), float(meta["vocab"])
         tables = {"uni": spark.read.parquet(f"{base}/uni")}
         for k in range(2, n + 1):
@@ -2108,6 +2127,7 @@ def ngram_logprob_score(
     elif model is not None:
         if n is None or n < 2:
             raise ValueError("inline-reference mode needs explicit n >= 2")
+        tokenizer = tokenizer or "base"
         tables = _ngram_model_tables(model, n, text_col, id_col,
                                      tokenizer)
         stats = plan_scalar(
@@ -2117,6 +2137,7 @@ def ngram_logprob_score(
         n_bigrams, vocab = float(stats["n_bigrams"]), float(stats["vocab"])
     elif n is None or n < 2:
         raise ValueError("self-scoring mode needs explicit n >= 2")
+    tokenizer = tokenizer or "base"
 
     if tables is not None:
         return ngram_score_with_tables(

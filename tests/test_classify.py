@@ -208,11 +208,11 @@ class TestEval:
         assert m["recall"] == pytest.approx(2 / 3)
         assert m["n"] == 5
 
-    def test_null_probs_rank_lowest(self, spark):
-        # r10 review: a custom scorer / outer-join score table can carry
-        # NULL probs — the histogram sort must not crash, NULLs rank
-        # below every real prob (the old rank-window's nulls-first
-        # order) and never pass the threshold
+    def test_null_probs_excluded_from_auc(self, spark):
+        # r10 review + advice r10 #4: a custom scorer / outer-join score
+        # table can carry NULL probs — they are EXCLUDED from the AUC
+        # statistic (defined over scored items) and counted as
+        # predicted-negative at the threshold
         from aggo_spark.operators import classify
 
         scored = spark.createDataFrame(
@@ -222,11 +222,26 @@ class TestEval:
             [(1, 0), (2, 0), (3, 1), (4, 1), (5, 1)],
             "doc_id long, label int")
         m = classify.classifier_eval(scored, labels, threshold=0.5)
-        # ranks: None->1, .4->2.5 (x2), .8->4, .9->5; rank-sum(pos)=11.5
-        assert m["auc"] == pytest.approx(5.5 / 6)
+        # scored subset {2,3,4,5}: ranks .4->1.5 (x2), .8->3, .9->4;
+        # rank-sum(pos {3,4,5}) = 1.5+3+4 = 8.5; AUC = (8.5-6)/(3*1)
+        assert m["auc"] == pytest.approx(2.5 / 3)
         # None < threshold -> predicted neg (doc 1 is a true neg: right)
         assert m["accuracy"] == pytest.approx(0.8)
         assert m["n"] == 5
+
+    def test_all_null_one_class_auc_none(self, spark):
+        from aggo_spark.operators import classify
+
+        scored = spark.createDataFrame(
+            [(1, None), (2, 0.4), (3, 0.6)],
+            "doc_id long, prob double")
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 0), (3, 0)], "doc_id long, label int")
+        m = classify.classifier_eval(scored, labels, threshold=0.5)
+        assert m["auc"] is None  # no positive left in the scored subset
+        # the null positive is a predicted-negative miss
+        assert m["recall"] == 0.0
+        assert m["accuracy"] == pytest.approx(1 / 3)
 
     def test_perfect_and_inverted(self, spark, train_df):
         from aggo_spark.operators import classify

@@ -83,6 +83,41 @@ class TestFingerprint:
         b = encode_wav(16000, 1, 16, samples=s)
         assert audio_features(b)["afp"] == audio_features(b)["afp"]
 
+    @staticmethod
+    def _clip(rate, seconds=3.0):
+        """Broadband but band-limited (< 4 kHz) clip rendered at the
+        given rate — 64 amplitude-modulated tones spread geometrically
+        so every fingerprint band carries REAL energy (a spectrally
+        sparse signal leaves floor-dominated bands whose delta signs
+        are numerical noise — like real speech/music, the fingerprint
+        contract assumes broadband content). Same underlying CONTENT at
+        every rate, like a re-encode."""
+        t = np.arange(int(rate * seconds)) / rate
+        rng = np.random.RandomState(7)
+        freqs = np.geomspace(65.0, 3900.0, 64)
+        amps = 0.5 + rng.rand(64)
+        ph = 2 * np.pi * rng.rand(64)
+        mods = 0.5 + 2.5 * rng.rand(64)
+        mph = 2 * np.pi * rng.rand(64)
+        x = np.zeros_like(t)
+        for f, a, p, m, q in zip(freqs, amps, ph, mods, mph):
+            x += a * (1 + 0.5 * np.sin(2 * np.pi * m * t + q)) \
+                * np.sin(2 * np.pi * f * t + p)
+        return 0.4 * x / np.abs(x).max()
+
+    def test_rate_invariant(self):
+        # verdict r10 next #2: the same clip re-encoded at
+        # 8/16/22.05/44.1/48 kHz must fingerprint alike — the fixed
+        # internal grid removes the native-rate band-edge/frame
+        # dependence (measured ≤ 2 bits across all pairs)
+        fps = [audio_features(encode_wav(r, 1, 16,
+                                         samples=self._clip(r)))["afp"]
+               for r in (8000, 16000, 22050, 44100, 48000)]
+        for i in range(len(fps)):
+            for j in range(i + 1, len(fps)):
+                assert _ham(fps[i], fps[j]) <= 4, (i, j, _ham(fps[i],
+                                                              fps[j]))
+
 
 class TestHonestDegradation:
     def test_silence(self):
@@ -129,6 +164,29 @@ class TestNearDupPairs:
         # the 5x re-leveled copy pairs (hamming 0 on the matched block);
         # different content / corrupt / silence never pair
         assert pairs == [(1, 2, 0)]
+
+    def test_resampled_copies_pair(self, spark):
+        # verdict r10 next #2 "done" criterion: the SAME clip encoded at
+        # three sample rates pairs pairwise within max_hamming
+        from pyspark.sql import functions as F
+
+        from aggo_spark.operators.multimodal import (
+            audio_near_dup_pairs, extract_audio_features)
+
+        clip = TestFingerprint._clip
+        rows = [(i + 1, encode_wav(r, 1, 16, samples=clip(r)))
+                for i, r in enumerate((22050, 44100, 48000))]
+        rng = np.random.RandomState(11)
+        rows.append((9, encode_wav(16000, 1, 16,
+                                   samples=0.4 * rng.randn(48000)
+                                   .clip(-1, 1))))
+        df = spark.createDataFrame(rows, "doc_id long, content binary")
+        feats = extract_audio_features(df).select(
+            "doc_id", F.col("audio_features.afp").alias("afp"))
+        pairs = sorted((r["id_a"], r["id_b"]) for r in
+                       audio_near_dup_pairs(feats, max_hamming=6)
+                       .collect())
+        assert pairs == [(1, 2), (1, 3), (2, 3)]
 
 
 class TestSparkPlumbing:
