@@ -1499,6 +1499,73 @@ def q78_lm_perplexity(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q79_incremental_clusters(spark, sf_dir):
+    """Incremental near-dup cluster maintenance driven end-to-end as a
+    contract query (r11, verdict r10 next #6 — the r10 flagship was
+    unit-test-verified only): replay a deterministic CDC script through
+    ``StreamingCollection.maintain_clusters`` over ids drawn from the
+    documents table, then return the maintained ``(doc_id, label)`` for
+    every live doc (absent state rows are singleton = self by contract,
+    coalesced here).
+
+    Fixture: ids 0..47 in groups of 3 (group g shares a unique 12-token
+    vocabulary, so each group is a guaranteed minhash clique and
+    cross-group Jaccard is 0). The replay exercises every maintenance
+    path with eager per-mutation micro-batches: bulk backfill (adds),
+    MERGE (a bridge doc spanning groups 0/1 collapses them), SPLIT (the
+    bridge retracts), min-relabel (group 1 loses its min id 3 →
+    label 4), and an edit that moves doc 47 from group 15 to group 0.
+
+    The final state must equal batch connected components over the live
+    near-dup graph — the equality ``maintain_clusters`` guarantees at
+    every flush — which the DuckDB oracle computes exactly: the fixture
+    graph is a union of cliques, so CC label = min live id per group
+    (one self-join + min). The maintained labels are materialized to
+    literal rows (48 − 1) before the collection stops, because stop()
+    removes the temp changelogs the lazy plan would read."""
+    import os
+    import shutil
+    import tempfile
+
+    from aggo_spark.streaming.core import StreamingCollection
+
+    ids = sorted(r["doc_id"] for r in _t(spark, sf_dir, "documents")
+                 .filter(F.col("doc_id") < 48).select("doc_id").collect())
+
+    def t(g):
+        return " ".join(f"g{g}tok{k}" for k in range(12))
+
+    wd = tempfile.mkdtemp(prefix="aggo_q79_")
+    coll = StreamingCollection(spark, "doc_id long, text string",
+                               workdir=wd)
+    try:
+        rid = coll.maintain_clusters(
+            os.path.join(wd, "clu"), num_perm=64, bands=16, shingle_k=3,
+            unit="word", hash_fn="xxhash64", threshold=0.2)
+        coll.add_bulk([{"doc_id": i, "text": t(i // 3)} for i in ids])
+        bridge = {"doc_id": 9999, "text": t(0) + " " + t(1)}
+        coll.add(bridge)                                # MERGE 0+1
+        coll.remove(bridge)                             # SPLIT back
+        coll.remove({"doc_id": 3, "text": t(1)})        # relabel 1 -> 4
+        coll.remove({"doc_id": 47, "text": t(15)})      # edit: move 47
+        coll.add({"doc_id": 47, "text": t(0)})          #   into group 0
+        live = [i for i in ids if i != 3]
+        live_df = spark.createDataFrame([(i,) for i in live],
+                                        "doc_id long")
+        lab = coll.clusters_df(rid).select(
+            F.col("id").alias("doc_id"), "label")
+        rows = (live_df.join(lab, "doc_id", "left")
+                .select("doc_id", F.coalesce("label", F.col("doc_id"))
+                        .alias("label"))
+                .collect())
+    finally:
+        coll.stop()
+        shutil.rmtree(wd, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted((r["doc_id"], r["label"]) for r in rows),
+        "doc_id long, label long").orderBy("doc_id")
+
+
 _STREAMING_QUERIES = {"q42_stream_agg", "q43_stream_window", "q51_stream_stateful"}
 
 
@@ -1555,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_tfidf": q75_tfidf,
         "q77_chunking": q77_chunking,
         "q78_lm_perplexity": q78_lm_perplexity,
+        "q79_incremental_clusters": q79_incremental_clusters,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -2508,6 +2576,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'head' END AS tier
             FROM perl p JOIN th USING (lang)
             ORDER BY p.doc_id
+        """,
+        "q79_incremental_clusters": """
+            -- batch connected components over the live fixture graph
+            -- after the CDC replay (see q79_incremental_clusters): the
+            -- graph is a union of per-group cliques (identical text
+            -- within a group, disjoint vocabulary across groups), so
+            -- the CC label is min(live id) per group. The replay's net
+            -- effect on the live set: doc 3 removed, doc 47 edited
+            -- from group 15 into group 0; the bridge doc was added and
+            -- fully retracted.
+            WITH live AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id = 47 THEN 0
+                          ELSE doc_id // 3 END AS grp
+              FROM documents
+              WHERE doc_id < 48 AND doc_id <> 3)
+            SELECT l.doc_id, CAST(min(l2.doc_id) AS BIGINT) AS label
+            FROM live l JOIN live l2 USING (grp)
+            GROUP BY l.doc_id
+            ORDER BY l.doc_id
         """,
         "q77_chunking": f"""
             WITH t AS (SELECT doc_id, {tok_doc} AS tok FROM documents),

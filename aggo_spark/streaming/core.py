@@ -1174,57 +1174,70 @@ class StreamingCollection:
         bstate = self._indexes[cstate["bands"]]
         lstate = self._indexes[cstate["labels"]]
         num_perm, thr = cstate["num_perm"], cstate["threshold"]
-        # delta-bounded driver summary: which ids lost / gained content
+        # delta-bounded summary of which ids lost / gained content —
+        # kept as a DATAFRAME feeding semi-/anti-joins, never collected
+        # to literal id lists (r11, verdict next #5: an add_bulk
+        # backfill of millions of docs must not push a multi-MB isin
+        # literal into every plan; the only driver materialization in
+        # this method is the union-find over touched component LABELS)
         sgn = delta.groupBy("id").agg(
-            F.min("sign").alias("mn"), F.max("sign").alias("mx")).collect()
-        b_neg = [r["id"] for r in sgn if r["mn"] < 0]
-        b_pos = [r["id"] for r in sgn if r["mx"] > 0]
+            F.min("sign").alias("mn"), F.max("sign").alias("mx")).persist()
+        try:
+            neg_ids = sgn.filter(F.col("mn") < 0).select("id")
 
-        # every labels read below nets a BOUNDED slice of the changelog
-        # (where= on group-key columns commutes with netting — r10
-        # review: the full _net_labels per batch was the one remaining
-        # corpus-sized exchange in this hot path)
+            # every labels read below nets a BOUNDED slice of the
+            # changelog (semi-filter on group-key columns commutes with
+            # netting — r10 review: the full _net_labels per batch was
+            # the one remaining corpus-sized exchange in this hot path)
 
-        # ---- step 1: SPLITS — re-cluster components that lost edges
-        if b_neg:
-            aff = [r["label"] for r in self._net_labels(
-                       lstate, where=F.col("id").isin(b_neg))
-                   .select("label").distinct().collect()]
-            if aff:
-                n_old = self._net_labels(
-                    lstate, where=F.col("label").isin(aff))
-                gone = sorted(set(b_neg) - set(b_pos))
-                n_live = (n_old.filter(~F.col("id").isin(gone))
-                          if gone else n_old)
-                # netting bounded by the affected components' member ids
-                # (semi-filter commutes with netting — _net_index)
-                member_bands = self._net_index(bstate, semi=n_live,
-                                               on=["id"])
-                edges = _band_edges(member_bands, member_bands,
-                                    num_perm, thr)
-                comp = _dedup.connected_components(edges, "a", "b")
-                relab = (
-                    n_live.join(comp, "id", "left")
-                    .select("id", "label",
-                            F.coalesce("component",
-                                       F.col("id")).alias("new"))
-                )
-                changed = relab.filter(F.col("label") != F.col("new"))
-                removed = (n_old.join(n_live.select("id"), "id",
-                                      "left_anti")
-                           if gone else None)
-                upd = changed.select(
-                    "id", F.lit(-1).alias("sign"), "label"
-                ).unionByName(changed.select(
-                    "id", F.lit(1).alias("sign"),
-                    F.col("new").alias("label")))
-                if removed is not None:
-                    upd = upd.unionByName(removed.select(
-                        "id", F.lit(-1).alias("sign"), "label"))
-                self._append_labels(lstate, upd)
+            # ---- step 1: SPLITS — re-cluster components that lost edges
+            if neg_ids.head(1):
+                aff = (self._net_labels(lstate, semi=neg_ids, on=["id"])
+                       .select("label").distinct().persist())
+                try:
+                    if aff.head(1):
+                        n_old = self._net_labels(lstate, semi=aff,
+                                                 on=["label"])
+                        gone = sgn.filter((F.col("mn") < 0)
+                                          & (F.col("mx") <= 0)).select("id")
+                        has_gone = bool(gone.head(1))
+                        n_live = (n_old.join(gone, "id", "left_anti")
+                                  if has_gone else n_old)
+                        # netting bounded by the affected components'
+                        # member ids (semi commutes with netting)
+                        member_bands = self._net_index(bstate, semi=n_live,
+                                                       on=["id"])
+                        edges = _band_edges(member_bands, member_bands,
+                                            num_perm, thr)
+                        comp = _dedup.connected_components(edges, "a", "b")
+                        relab = (
+                            n_live.join(comp, "id", "left")
+                            .select("id", "label",
+                                    F.coalesce("component",
+                                               F.col("id")).alias("new"))
+                        )
+                        changed = relab.filter(F.col("label")
+                                               != F.col("new"))
+                        removed = (n_old.join(n_live.select("id"), "id",
+                                              "left_anti")
+                                   if has_gone else None)
+                        upd = changed.select(
+                            "id", F.lit(-1).alias("sign"), "label"
+                        ).unionByName(changed.select(
+                            "id", F.lit(1).alias("sign"),
+                            F.col("new").alias("label")))
+                        if removed is not None:
+                            upd = upd.unionByName(removed.select(
+                                "id", F.lit(-1).alias("sign"), "label"))
+                        self._append_labels(lstate, upd)
+                finally:
+                    aff.unpersist()
 
-        # ---- step 2: MERGES — new content probes the live index
-        if not b_pos:
+            # ---- step 2: MERGES — new content probes the live index
+            has_pos = bool(sgn.filter(F.col("mx") > 0).head(1))
+        finally:
+            sgn.unpersist()
+        if not has_pos:
             return
         probe = (delta.groupBy("id", "band", "bh", "sig")
                  .agg(F.sum("sign").alias("__net"))
@@ -1285,21 +1298,21 @@ class StreamingCollection:
         # brand-new ids (present in the probe, absent from the state) —
         # the semi-bounded netting keeps exactly the probe ids' label
         # rows, so the anti-join is equivalent to one against the full
-        # state
-        new_ids = [r["id"] for r in probe.select("id").distinct()
-                   .join(self._net_labels(lstate, semi=probe, on=["id"])
-                         .select("id"), "id", "left_anti")
-                   .collect()]
-        if new_ids:
-            from pyspark.sql.types import (LongType, StructField,
-                                           StructType)
-
-            lsch = lstate["schema"]
-            row_schema = StructType([
-                lsch["id"], StructField("sign", LongType()),
-                lsch["label"]])
-            upds.append(self.spark.createDataFrame(
-                [(i, 1, find(i)) for i in new_ids], row_schema))
+        # state. Labeled DISTRIBUTED (r11): the union-find remap
+        # (bounded by touched labels) travels as a literal map; the new
+        # ids themselves never collect to the driver, so an add_bulk
+        # backfill of millions of docs stays executor-side.
+        new_rows = probe.select("id").distinct().join(
+            self._net_labels(lstate, semi=probe, on=["id"]).select("id"),
+            "id", "left_anti")
+        if new_rows.head(1):
+            label_col = F.col("id")
+            if remap:
+                mapping = F.create_map(
+                    *[F.lit(x) for kv in remap.items() for x in kv])
+                label_col = F.coalesce(mapping[F.col("id")], F.col("id"))
+            upds.append(new_rows.select(
+                "id", F.lit(1).alias("sign"), label_col.alias("label")))
         if upds:
             out = upds[0]
             for u in upds[1:]:

@@ -202,3 +202,55 @@ class TestIncrementalClusters:
             assert st == {1: 1, 3: 1, 8: 8}
         finally:
             coll.stop()
+
+    def test_bulk_backfill_no_literal_id_lists(self, spark, tmp_path,
+                                               monkeypatch):
+        """r11 (verdict next #5): an add_bulk backfill must not push
+        collected delta-id lists into isin literals — the id sets travel
+        as semi-/anti-joins. Guard: any Column.isin call with > 64
+        literal values during maintenance fails the test (the old code
+        built b_neg/b_pos/aff lists, 300 ids here). Equality with batch
+        CC must hold after the bulk add AND after a bulk retraction
+        (split path)."""
+        import pyspark.sql.column as _col_mod
+
+        orig = _col_mod.Column.isin
+
+        def guarded(self, *args):
+            vals = (args[0] if len(args) == 1
+                    and isinstance(args[0], (list, tuple, set))
+                    else args)
+            assert len(vals) <= 64, (
+                f"literal isin with {len(vals)} values on the backfill "
+                "path — delta id sets must semi-join")
+            return orig(self, *args)
+
+        monkeypatch.setattr(_col_mod.Column, "isin", guarded)
+        coll = StreamingCollection(
+            spark, "doc_id long, text string", workdir=str(tmp_path))
+        try:
+            rid = coll.maintain_clusters(
+                str(tmp_path / "clu6"), compact_every=1000, **PARAMS)
+            live = []
+            docs = []
+            for i in range(1, 301):
+                # pairs (2k-1, 2k) share a per-pair-unique vocabulary:
+                # each pair clusters, different pairs never match
+                j = (i + 1) // 2
+                t = " ".join(f"tok{j}x{k}" for k in range(12)) * 2
+                docs.append(_doc(i, t))
+                live.append((i, t))
+            coll.add_bulk(docs)
+            _assert_matches_batch(spark, coll, rid, live)
+            st = _state(coll, rid)
+            assert st[1] == st[2] == 1 and st[299] == st[300] == 299
+
+            # bulk retraction of one member of the first 40 pairs: the
+            # partner re-singletons (split path at bulk size)
+            gone = [i for i in range(1, 81) if i % 2 == 0]
+            by_id = dict(live)
+            coll.remove([_doc(i, by_id[i]) for i in gone])
+            live = [(i, t) for i, t in live if i not in set(gone)]
+            _assert_matches_batch(spark, coll, rid, live)
+        finally:
+            coll.stop()
