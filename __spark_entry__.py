@@ -918,6 +918,60 @@ def q40_multimodal(spark, sf_dir):
         F.round(F.col("img_meta.channel_means")[2], 6).alias("jpg_mean_b"),
     )
 
+    # r11 (verdict next #3): GIF pixel tier + WebP header tier ride the
+    # same arithmetic-fixture pattern — each doc gets a 2-color
+    # checkerboard GIF (EVEN width → each row holds exactly w/2 of each
+    # color, so channel means are exactly (A+B)/2 — SQL-mirrorable; odd
+    # ids interlaced, exercising the 4-pass reorder; every 6th doc
+    # corrupt GIF magic → NULL row, never faked) and a VP8 lossy WebP
+    # header with arithmetic dims (every 7th-of-3 corrupt RIFF).
+    def _synth_gifwebp(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            gifs, webps = [], []
+            for i in ids:
+                if i % 6 == 0:
+                    gifs.append(b"GIF89a\x00\x01")
+                else:
+                    w = int(2 * (1 + (i * 5) % 8))
+                    h = int(1 + (i * 3) % 9)
+                    ca = (int(i % 256), int((i * 3) % 256),
+                          int((i * 5) % 256))
+                    cb = (int((i * 7) % 256), int((i * 11) % 256),
+                          int((i * 13) % 256))
+                    pix = [[ca if (x + y) % 2 == 0 else cb
+                            for x in range(w)] for y in range(h)]
+                    gifs.append(multimodal.encode_gif(
+                        w, h, pix, interlace=bool(i % 2)))
+                webps.append(
+                    b"RIFFxxxx" if i % 7 == 3 else
+                    b"RIFF" + (30).to_bytes(4, "little") + b"WEBP"
+                    + b"VP8 " + (10).to_bytes(4, "little") + bytes(3)
+                    + b"\x9d\x01\x2a"
+                    + int(1 + (i * 19) % 4000).to_bytes(2, "little")
+                    + int(1 + (i * 23) % 4000).to_bytes(2, "little"))
+            yield _pd.DataFrame({"doc_id": ids, "gif": gifs,
+                                 "webp": webps})
+    gifwebp = df.select("doc_id").mapInPandas(
+        _synth_gifwebp, schema="doc_id long, gif binary, webp binary")
+    gdec = multimodal.decode_image_metadata(
+        gifwebp.select("doc_id", F.col("gif").alias("content")),
+        decoder=multimodal.py_decode).select(
+        "doc_id",
+        F.col("img_meta.width").alias("gif_width"),
+        F.col("img_meta.height").alias("gif_height"),
+        F.round(F.col("img_meta.channel_means")[0], 6).alias("gif_mean_r"),
+        F.round(F.col("img_meta.channel_means")[1], 6).alias("gif_mean_g"),
+        F.round(F.col("img_meta.channel_means")[2], 6).alias("gif_mean_b"),
+    )
+    wdec = multimodal.decode_image_metadata(
+        gifwebp.select("doc_id", F.col("webp").alias("content")),
+        decoder=multimodal.py_decode).select(
+        "doc_id",
+        F.col("img_meta.width").alias("webp_width"),
+        F.col("img_meta.height").alias("webp_height"),
+    )
+
     # late r6: audio (WAV RIFF chunk walk) + video (MP4 box walk) — real
     # parses of synthesized containers with arithmetic params; every 7th
     # doc gets corrupt magic bytes that must yield a NULL meta row. MP4
@@ -1006,7 +1060,8 @@ def q40_multimodal(spark, sf_dir):
     )
     return (
         meta.join(frames, "doc_id").join(decoded, "doc_id")
-        .join(jdec, "doc_id").join(wavdec, "doc_id")
+        .join(jdec, "doc_id").join(gdec, "doc_id").join(wdec, "doc_id")
+        .join(wavdec, "doc_id")
         .join(wavfeat, "doc_id").join(mp4dec, "doc_id")
         .join(crawl, "doc_id")
         .orderBy("doc_id", "frame_idx")
@@ -2276,6 +2331,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE least(greatest(floor(jc.jy - 0.344136 * (jc.jcb - 128.0) - 0.714136 * (jc.jcr - 128.0) + 0.5), 0), 255) END AS jpg_mean_g,
                    CASE WHEN d.doc_id % 5 = 0 OR (d.doc_id % 2 = 1 AND d.doc_id % 3 <> 2) THEN NULL
                         ELSE least(greatest(floor(jc.jy + 1.772 * (jc.jcb - 128.0) + 0.5), 0), 255) END AS jpg_mean_b,
+                   -- r11 GIF pixel tier: 2-color checkerboard with EVEN
+                   -- width, so each row holds exactly w/2 of each color
+                   -- and the channel means are exactly (A+B)/2; every
+                   -- 6th doc corrupt GIF magic -> NULL row (never faked)
+                   CASE WHEN d.doc_id % 6 = 0 THEN NULL
+                        ELSE CAST(2 * (1 + (d.doc_id * 5) % 8) AS INT) END AS gif_width,
+                   CASE WHEN d.doc_id % 6 = 0 THEN NULL
+                        ELSE CAST(1 + (d.doc_id * 3) % 9 AS INT) END AS gif_height,
+                   CASE WHEN d.doc_id % 6 = 0 THEN NULL
+                        ELSE ((d.doc_id % 256) + ((d.doc_id * 7) % 256)) / 2.0 END AS gif_mean_r,
+                   CASE WHEN d.doc_id % 6 = 0 THEN NULL
+                        ELSE (((d.doc_id * 3) % 256) + ((d.doc_id * 11) % 256)) / 2.0 END AS gif_mean_g,
+                   CASE WHEN d.doc_id % 6 = 0 THEN NULL
+                        ELSE (((d.doc_id * 5) % 256) + ((d.doc_id * 13) % 256)) / 2.0 END AS gif_mean_b,
+                   -- r11 WebP header tier: VP8 lossy frame dims; every
+                   -- 7th-of-3 doc corrupt RIFF -> NULL
+                   CASE WHEN d.doc_id % 7 = 3 THEN NULL
+                        ELSE CAST(1 + (d.doc_id * 19) % 4000 AS INT) END AS webp_width,
+                   CASE WHEN d.doc_id % 7 = 3 THEN NULL
+                        ELSE CAST(1 + (d.doc_id * 23) % 4000 AS INT) END AS webp_height,
                    -- late r6: WAV RIFF + MP4 box-walk parses; every 7th doc
                    -- carries corrupt magic -> all-null meta
                    CASE WHEN d.doc_id % 7 = 0 THEN NULL
