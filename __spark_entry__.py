@@ -1004,6 +1004,44 @@ def q40_multimodal(spark, sf_dir):
             })
     av = df.select("doc_id").mapInPandas(
         _synth_av, schema="doc_id long, wav binary, mp4 binary")
+
+    # r11 (verdict next #7): MP3 frame-walk + FLAC STREAMINFO tiers ride
+    # the same pattern — arithmetic frame counts / sample totals,
+    # INTEGER output columns only (durations are division+round, the
+    # half-even-vs-half-away LSB trap; the formula is unit-tested),
+    # corrupt magic every 11th / 13th doc -> NULL rows.
+    def _synth_mp3flac(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield _pd.DataFrame({
+                "doc_id": ids,
+                "mp3": [b"\xff\xfb\x00\x00" if i % 11 == 0 else
+                        multimodal.encode_mp3(
+                            (32000, 44100, 48000)[i % 3], 128,
+                            n_frames=int(2 + i % 9),
+                            channels=int(1 + i % 2))
+                        for i in ids],
+                "flac": [b"fLaC\x00" if i % 13 == 0 else
+                         multimodal.encode_flac_header(
+                             44100, int(1 + i % 2), 16,
+                             int((i % 50) * 4410))
+                         for i in ids],
+            })
+    mf = df.select("doc_id").mapInPandas(
+        _synth_mp3flac, schema="doc_id long, mp3 binary, flac binary")
+    mp3dec = multimodal.decode_audio_metadata(
+        mf.select("doc_id", F.col("mp3").alias("content"))).select(
+        "doc_id",
+        F.col("audio_meta.sample_rate").alias("mp3_rate"),
+        F.col("audio_meta.n_frames").alias("mp3_samples"),
+        F.col("audio_meta.channels").alias("mp3_channels"),
+    )
+    flacdec = multimodal.decode_audio_metadata(
+        mf.select("doc_id", F.col("flac").alias("content"))).select(
+        "doc_id",
+        F.col("audio_meta.n_frames").alias("flac_total"),
+        F.col("audio_meta.bits_per_sample").alias("flac_bits"),
+    )
     wavdec = multimodal.decode_audio_metadata(
         av.select("doc_id", F.col("wav").alias("content"))).select(
         "doc_id",
@@ -1063,6 +1101,7 @@ def q40_multimodal(spark, sf_dir):
         .join(jdec, "doc_id").join(gdec, "doc_id").join(wdec, "doc_id")
         .join(wavdec, "doc_id")
         .join(wavfeat, "doc_id").join(mp4dec, "doc_id")
+        .join(mp3dec, "doc_id").join(flacdec, "doc_id")
         .join(crawl, "doc_id")
         .orderBy("doc_id", "frame_idx")
     )
@@ -2379,6 +2418,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(16 * (1 + d.doc_id % 68) AS INT) END AS mp4_height,
                    CASE WHEN d.doc_id % 7 = 0 THEN NULL
                         ELSE CAST(1 AS INT) END AS mp4_tracks,
+                   -- r11 MP3 frame-walk + FLAC STREAMINFO tiers:
+                   -- integer metadata mirrors of the arithmetic
+                   -- fixtures; every 11th / 13th doc corrupt -> NULL
+                   CASE WHEN d.doc_id % 11 = 0 THEN NULL
+                        ELSE CAST(CASE d.doc_id % 3 WHEN 0 THEN 32000
+                                  WHEN 1 THEN 44100 ELSE 48000 END AS INT)
+                        END AS mp3_rate,
+                   CASE WHEN d.doc_id % 11 = 0 THEN NULL
+                        ELSE CAST((2 + d.doc_id % 9) * 1152 AS BIGINT)
+                        END AS mp3_samples,
+                   CASE WHEN d.doc_id % 11 = 0 THEN NULL
+                        ELSE CAST(1 + d.doc_id % 2 AS INT) END AS mp3_channels,
+                   CASE WHEN d.doc_id % 13 = 0 THEN NULL
+                        ELSE CAST((d.doc_id % 50) * 4410 AS BIGINT)
+                        END AS flac_total,
+                   CASE WHEN d.doc_id % 13 = 0 THEN NULL
+                        ELSE CAST(16 AS INT) END AS flac_bits,
                    c.crawl_status, c.crawl_ctype, c.warc_text,
                    c.crawl_n_words,
                    CAST(CASE WHEN c.crawl_n_words >= 8

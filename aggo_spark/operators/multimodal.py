@@ -69,6 +69,11 @@ __all__ = [
     "encode_jpeg",
     "jpeg_pixel_decode",
     "wav_decode",
+    "mp3_decode",
+    "encode_mp3",
+    "flac_decode",
+    "encode_flac_header",
+    "audio_decode",
     "mp4_decode",
     "encode_mp4_header",
     "decode_video_metadata",
@@ -847,6 +852,175 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# MPEG audio (Layer III) header tables — version code: 3=MPEG1,
+# 2=MPEG2, 0=MPEG2.5 (1 is reserved)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+_MP3_BR = {3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+               256, 320),
+           2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+               160)}
+_MP3_BR[0] = _MP3_BR[2]
+
+
+def _mp3_frame(b: bytes, p: int):
+    """Parse one MPEG Layer III frame header at offset ``p``:
+    (rate, kbps, samples_per_frame, frame_len, channels) or None."""
+    if p + 4 > len(b):
+        return None
+    h = b[p:p + 4]
+    if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+        return None
+    ver = (h[1] >> 3) & 3
+    layer = (h[1] >> 1) & 3
+    if ver == 1 or layer != 1:  # reserved version / not Layer III
+        return None
+    bi = (h[2] >> 4) & 15
+    si = (h[2] >> 2) & 3
+    pad = (h[2] >> 1) & 1
+    if bi in (0, 15) or si == 3:  # free-format / bad indexes
+        return None
+    rate = _MP3_RATES[ver][si]
+    kbps = _MP3_BR[ver][bi]
+    spf = 1152 if ver == 3 else 576
+    flen = (spf // 8) * kbps * 1000 // rate + pad
+    mode = (h[3] >> 6) & 3
+    return rate, kbps, spf, flen, (1 if mode == 3 else 2)
+
+
+def mp3_decode(b: bytes) -> dict | None:
+    """MP3 HEADER-TIER metadata (r11, verdict next #7 — MP3/FLAC are
+    the majority of crawled audio and previously got no tier at all):
+    skip an ID3v2 envelope, locate the first MPEG Layer III frame sync
+    (scanning ≤ 2 KiB of leading junk, validated by a SECOND chained
+    frame — a lone 11-bit sync in random bytes is too weak), then WALK
+    the frame chain summing samples-per-frame — exact duration for CBR
+    and VBR alike, no Xing estimate. ``bits_per_sample`` is NULL
+    (lossy); ``n_frames`` is total PCM samples, the :func:`wav_decode`
+    convention. Corrupt / non-MP3 bytes → None."""
+    if len(b) < 8:
+        return None
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) \
+            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        pos = 10 + size
+    start = None
+    for p in range(pos, min(pos + 2048, len(b))):
+        f = _mp3_frame(b, p)
+        if f and _mp3_frame(b, p + f[3]):
+            start = p
+            break
+    if start is None:
+        return None
+    rate0 = ch0 = None
+    total = nfr = 0
+    p = start
+    while True:
+        f = _mp3_frame(b, p)
+        if f is None:
+            break
+        rate, _kbps, spf, flen, nch = f
+        if rate0 is None:
+            rate0, ch0 = rate, nch
+        total += spf
+        nfr += 1
+        p += flen
+        if p >= len(b):
+            break
+    if nfr < 2:
+        return None
+    return {
+        "byte_len": len(b),
+        "format": "mp3",
+        "sample_rate": int(rate0),
+        "channels": int(ch0),
+        "bits_per_sample": None,
+        "n_frames": int(total),
+        "duration_s": round(total / rate0, 6),
+    }
+
+
+def encode_mp3(sample_rate: int = 44100, bitrate_kbps: int = 128,
+               n_frames: int = 10, channels: int = 2,
+               id3: bool = False) -> bytes:
+    """Synthesize a structurally-valid MPEG-1 Layer III stream for
+    tests: real frame headers with correct frame lengths and zeroed
+    payloads (the header walk never reads the entropy data); optional
+    10-byte ID3v2 envelope."""
+    si = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    bi = _MP3_BR[3].index(bitrate_kbps)
+    out = bytearray()
+    if id3:
+        out += b"ID3\x03\x00\x00" + bytes([0, 0, 0, 10]) + bytes(10)
+    hdr = bytes([0xFF, 0xFB, (bi << 4) | (si << 2),
+                 0x00 if channels > 1 else 0xC0])
+    flen = 144 * bitrate_kbps * 1000 // sample_rate
+    for _ in range(n_frames):
+        out += hdr + bytes(flen - 4)
+    return bytes(out)
+
+
+def flac_decode(b: bytes) -> dict | None:
+    """FLAC HEADER-TIER metadata (r11): walk the metadata blocks to
+    STREAMINFO (type 0, 34 bytes) for sample rate (20 bits), channels
+    (3 + 1), bits per sample (5 + 1), and the 36-bit total-sample
+    count (0 = unknown → NULL duration). Corrupt → None."""
+    if len(b) < 8 or b[:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(b):
+        last = b[pos] & 0x80
+        btype = b[pos] & 0x7F
+        blen = int.from_bytes(b[pos + 1:pos + 4], "big")
+        body = b[pos + 4:pos + 4 + blen]
+        if btype == 0:
+            if len(body) < 34:
+                return None
+            packed = int.from_bytes(body[10:18], "big")
+            rate = packed >> 44
+            chs = ((packed >> 41) & 7) + 1
+            bps = ((packed >> 36) & 31) + 1
+            total = packed & ((1 << 36) - 1)
+            if not rate:
+                return None
+            return {
+                "byte_len": len(b),
+                "format": "flac",
+                "sample_rate": int(rate),
+                "channels": int(chs),
+                "bits_per_sample": int(bps),
+                "n_frames": int(total),
+                "duration_s": round(total / rate, 6) if total else None,
+            }
+        if btype == 127 or last:
+            return None  # invalid type / stream ends without STREAMINFO
+        pos += 4 + blen
+    return None
+
+
+def encode_flac_header(sample_rate: int = 44100, channels: int = 2,
+                       bits: int = 16, total_samples: int = 0) -> bytes:
+    """Synthesize a fLaC signature + STREAMINFO block for tests."""
+    info = struct.pack(">HH", 4096, 4096) + bytes(6)
+    packed = ((sample_rate << 44) | ((channels - 1) << 41)
+              | ((bits - 1) << 36) | (total_samples & ((1 << 36) - 1)))
+    info += packed.to_bytes(8, "big") + bytes(16)
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + info
+
+
+def audio_decode(b: bytes) -> dict | None:
+    """Default audio metadata chain (r11): WAV (full chunk walk), FLAC
+    STREAMINFO, then the MP3 frame-walk (which safely rejects non-MPEG
+    bytes via the chained-sync validation). The pluggable-decoder slot
+    of :func:`decode_audio_metadata`."""
+    if b[:4] == b"RIFF":
+        return wav_decode(b)
+    if b[:4] == b"fLaC":
+        return flac_decode(b)
+    return mp3_decode(b)
+
+
 def wav_pcm(b: bytes, with_meta: bool = False):
     """Decode a PCM/IEEE-float WAV's samples to a mono float64 numpy
     array in [-1, 1] (channels averaged) plus the sample rate:
@@ -1135,11 +1309,12 @@ def decode_audio_metadata(
     """Decode audio metadata from a binary column via Arrow-batched
     mapInPandas — same narrow no-shuffle plumbing as
     :func:`decode_image_metadata`; ``decoder`` is any ``bytes ->
-    dict|None`` with the _AUDIO_FIELDS keys (default :func:`wav_decode`;
-    non-WAV bytes → null row — plug in a soundfile/librosa-backed decoder
-    for other containers)."""
+    dict|None`` with the _AUDIO_FIELDS keys (default
+    :func:`audio_decode`: WAV chunk walk, FLAC STREAMINFO, MP3
+    frame-walk — r11; unknown bytes → null row — plug in a
+    soundfile/librosa-backed decoder for compressed-sample work)."""
     return _map_binary_column(
-        df, content_col, out_col, decoder or wav_decode,
+        df, content_col, out_col, decoder or audio_decode,
         T.StructType(_AUDIO_FIELDS))
 
 
