@@ -1129,6 +1129,13 @@ def _afp_bits(x, rate: float, n_bands: int = _AUDIO_N_BANDS):
             return None
         x = np.interp(np.arange(n_out) * (float(rate) / _AFP_RATE),
                       np.arange(len(x)), x)
+    if len(x) < _AFP_FRAME:
+        # short clip (audio_features already required >= one NATIVE
+        # analysis frame, i.e. real spectral evidence): zero-pad to one
+        # fixed-grid frame so a 50 ms clip at 44.1/48 kHz keeps its
+        # anchor-bits fingerprint instead of dropping out of near-dup
+        # pairing (r11 review — the pre-resample code fingerprinted it)
+        x = np.concatenate([x, np.zeros(_AFP_FRAME - len(x))])
     loge = _band_loge(x, _AFP_RATE, _AFP_FRAME, n_bands)
     if loge is None:
         return None

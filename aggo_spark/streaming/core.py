@@ -53,6 +53,11 @@ __all__ = [
     "materialize_stream",
 ]
 
+# cluster-maintenance union-find remaps above this size ship as a
+# local-relation DataFrame join instead of isin/create_map literal
+# expressions (r11 review: bulk backfills merge O(batch) labels)
+_REMAP_LITERAL_MAX = 64
+
 
 def materialize_stream(out: DataFrame, mode: str = "complete") -> DataFrame:
     """Run a streaming DataFrame to completion over the currently-available
@@ -1285,7 +1290,31 @@ class StreamingCollection:
                 parent[hi] = lo
         remap = {v: find(v) for v in parent if find(v) != v}
         upds = []
-        if remap:
+        # the remap is inherently driver-held (it IS the union-find
+        # result), but how it reaches the plan matters: below
+        # _REMAP_LITERAL_MAX entries it folds in as cheap literal
+        # expressions; above (an add_bulk backfill whose intra-batch
+        # merges touch O(batch) labels — r11 review) it ships as a
+        # local-relation DataFrame feeding joins, so no multi-MB isin/
+        # create_map literal ever serializes into a plan
+        remap_df = None
+        if len(remap) > _REMAP_LITERAL_MAX:
+            from pyspark.sql.types import StructField, StructType
+
+            lsch = lstate["schema"]
+            remap_df = self.spark.createDataFrame(
+                list(remap.items()),
+                StructType([StructField("label", lsch["label"].dataType),
+                            StructField("__new", lsch["label"].dataType)]))
+        if remap_df is not None:
+            rewrite = self._net_labels(
+                lstate, semi=remap_df, on=["label"]).join(remap_df, "label")
+            upds.append(rewrite.select(
+                "id", F.lit(-1).alias("sign"), "label"))
+            upds.append(rewrite.select(
+                "id", F.lit(1).alias("sign"),
+                F.col("__new").alias("label")))
+        elif remap:
             mapping = F.create_map(
                 *[F.lit(x) for kv in remap.items() for x in kv])
             rewrite = self._net_labels(
@@ -1299,20 +1328,32 @@ class StreamingCollection:
         # the semi-bounded netting keeps exactly the probe ids' label
         # rows, so the anti-join is equivalent to one against the full
         # state. Labeled DISTRIBUTED (r11): the union-find remap
-        # (bounded by touched labels) travels as a literal map; the new
-        # ids themselves never collect to the driver, so an add_bulk
-        # backfill of millions of docs stays executor-side.
+        # (bounded by touched labels) travels as a small literal map or
+        # a joined local relation; the new ids themselves never collect
+        # to the driver, so an add_bulk backfill of millions of docs
+        # stays executor-side.
         new_rows = probe.select("id").distinct().join(
             self._net_labels(lstate, semi=probe, on=["id"]).select("id"),
             "id", "left_anti")
         if new_rows.head(1):
-            label_col = F.col("id")
-            if remap:
-                mapping = F.create_map(
-                    *[F.lit(x) for kv in remap.items() for x in kv])
-                label_col = F.coalesce(mapping[F.col("id")], F.col("id"))
-            upds.append(new_rows.select(
-                "id", F.lit(1).alias("sign"), label_col.alias("label")))
+            if remap_df is not None:
+                upds.append(
+                    new_rows.join(
+                        remap_df.withColumnRenamed("label", "id"),
+                        "id", "left")
+                    .select("id", F.lit(1).alias("sign"),
+                            F.coalesce("__new", F.col("id"))
+                            .alias("label")))
+            else:
+                label_col = F.col("id")
+                if remap:
+                    mapping = F.create_map(
+                        *[F.lit(x) for kv in remap.items() for x in kv])
+                    label_col = F.coalesce(mapping[F.col("id")],
+                                           F.col("id"))
+                upds.append(new_rows.select(
+                    "id", F.lit(1).alias("sign"),
+                    label_col.alias("label")))
         if upds:
             out = upds[0]
             for u in upds[1:]:

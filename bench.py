@@ -400,7 +400,12 @@ def main() -> None:
             best, bad = timed(name)
             dest[name] = min(dest[name], best)
             exp = expected.get(name)
-            if bad and exp and dest[name] > RERUN_FACTOR * exp:
+            # still suspect if the retry was itself bad AND the global
+            # best is not provably clean: with no expected-time pin a
+            # gate-timeout must stay suspect, never silently drop
+            # (r11 review)
+            if bad and (exp is None
+                        or dest[name] > RERUN_FACTOR * exp):
                 suspect.append(name)
 
     total = round(sum(timings.values()), 3)

@@ -105,6 +105,19 @@ class TestFingerprint:
                 * np.sin(2 * np.pi * f * t + p)
         return 0.4 * x / np.abs(x).max()
 
+    def test_short_high_rate_clip_keeps_fingerprint(self):
+        # r11 review: a 50 ms clip at 44.1/48 kHz has >= one NATIVE
+        # analysis frame but < one fixed-grid frame after the 8 kHz
+        # resample — it must keep an (anchor-bits) fingerprint via
+        # zero-padding, not silently drop out of near-dup pairing
+        t = np.arange(2205) / 44100.0
+        clip = 0.4 * np.sin(2 * np.pi * 880.0 * t)
+        a = audio_features(encode_wav(44100, 1, 16, samples=clip))
+        b = audio_features(encode_wav(48000, 1, 16, samples=(
+            0.4 * np.sin(2 * np.pi * 880.0 * np.arange(2400) / 48000.0))))
+        assert a["afp"] is not None and b["afp"] is not None
+        assert _ham(a["afp"], b["afp"]) <= 2  # same content, two rates
+
     def test_rate_invariant(self):
         # verdict r10 next #2: the same clip re-encoded at
         # 8/16/22.05/44.1/48 kHz must fingerprint alike — the fixed

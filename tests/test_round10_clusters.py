@@ -207,25 +207,41 @@ class TestIncrementalClusters:
                                                monkeypatch):
         """r11 (verdict next #5): an add_bulk backfill must not push
         collected delta-id lists into isin literals — the id sets travel
-        as semi-/anti-joins. Guard: any Column.isin call with > 64
-        literal values during maintenance fails the test (the old code
-        built b_neg/b_pos/aff lists, 300 ids here). Equality with batch
-        CC must hold after the bulk add AND after a bulk retraction
-        (split path)."""
-        import pyspark.sql.column as _col_mod
+        as semi-/anti-joins, and union-find remaps above
+        _REMAP_LITERAL_MAX ship as a joined local relation. Guard: any
+        Column.isin call with > 64 literal values during maintenance
+        fails the test (the old code built b_neg/b_pos/aff lists, 300
+        ids here; the first r11 cut pushed ~150 remap keys). The guard
+        patches the CLASSIC Column class (r11 review: patching
+        pyspark.sql.column.Column was inert on 4.x, where real columns
+        are pyspark.sql.classic.column.Column) and self-checks that it
+        actually intercepts before anything runs. Equality with batch CC
+        must hold after the bulk add AND after a bulk retraction (split
+        path)."""
+        try:
+            import pyspark.sql.classic.column as _col_mod
+        except ImportError:  # pre-4.x layout
+            import pyspark.sql.column as _col_mod
+        from pyspark.sql import functions as F_
 
         orig = _col_mod.Column.isin
+        seen = []
 
         def guarded(self, *args):
             vals = (args[0] if len(args) == 1
                     and isinstance(args[0], (list, tuple, set))
                     else args)
+            seen.append(len(vals))
             assert len(vals) <= 64, (
                 f"literal isin with {len(vals)} values on the backfill "
                 "path — delta id sets must semi-join")
             return orig(self, *args)
 
         monkeypatch.setattr(_col_mod.Column, "isin", guarded)
+        # the guard must actually intercept real Column.isin calls —
+        # an inert patch would make every assertion below vacuous
+        F_.col("x").isin([1, 2, 3])
+        assert seen == [3], "isin guard is not intercepting"
         coll = StreamingCollection(
             spark, "doc_id long, text string", workdir=str(tmp_path))
         try:

@@ -95,16 +95,34 @@ class TestGifDegradation:
             r = gif_decode(bytes(ba))
             assert r is None or isinstance(r, dict)
 
-    def test_forged_pixel_count(self):
-        # an LZW stream emitting more pixels than width*height is forged:
-        # refuse rather than allocate unbounded output
-        small = encode_gif(2, 2, [[(0, 0, 0)] * 2] * 2)
-        big = encode_gif(64, 64, _rand_image(64, 64, seed=4))
-        # splice the big image's data blocks under the small descriptor
-        assert gif_decode(small[:-len(big) or None]) is None or True
-        forged = small[:small.index(b"\x2c")] + big[big.index(b"\x2c"):]
-        r = gif_decode(forged)
-        assert r is None or isinstance(r, dict)
+    def test_forged_pixel_count_bound(self):
+        # an LZW stream emitting more pixels than width*height is
+        # forged: _gif_lzw_decode must refuse (None) at the max_pixels
+        # bound, not allocate unbounded output — tested DIRECTLY on the
+        # codec (r11 review: the old splice-based version was vacuous)
+        from aggo_spark.operators.multimodal import _gif_lzw_decode
+
+        # encoder-produced stream for a 10x10 raster...
+        pix = _rand_image(10, 10, seed=6)
+        blob = encode_gif(10, 10, pix)
+        # locate the image data STRUCTURALLY (a byte-scan for 0x2C can
+        # hit a palette byte): 13-byte header + global table, 10-byte
+        # image descriptor (no local table), then mcs + sub-blocks
+        npal = 2 << (blob[10] & 0x07)
+        dstart = 13 + 3 * npal + 10
+        mcs = blob[dstart]
+        data = bytearray()
+        p = dstart + 1
+        while blob[p] != 0:
+            ln = blob[p]
+            data += blob[p + 1:p + 1 + ln]
+            p += 1 + ln
+        # ...decodes fine at the true budget
+        full = _gif_lzw_decode(bytes(data), mcs, 100)
+        assert full is not None and len(full) == 100
+        # ...but is REFUSED when the claimed image is smaller than the
+        # stream's pixel output (the forged-SOF-dims analogue)
+        assert _gif_lzw_decode(bytes(data), mcs, 20) is None
 
     def test_not_gif(self):
         assert gif_decode(b"GIF89a") is None
