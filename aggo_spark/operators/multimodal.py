@@ -73,6 +73,8 @@ __all__ = [
     "encode_mp3",
     "flac_decode",
     "encode_flac_header",
+    "ogg_decode",
+    "encode_ogg",
     "audio_decode",
     "mp4_decode",
     "encode_mp4_header",
@@ -1009,15 +1011,107 @@ def encode_flac_header(sample_rate: int = 44100, channels: int = 2,
     return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + info
 
 
+def ogg_decode(b: bytes) -> dict | None:
+    """OGG HEADER-TIER metadata (r11): parse the first page's codec
+    identification header (Vorbis ``\\x01vorbis`` or Opus ``OpusHead``)
+    for rate/channels, and the LAST page's granule position for total
+    samples — the standard O(1) Ogg duration read (Vorbis granules are
+    PCM samples at the stream rate; Opus granules are 48 kHz samples
+    including pre-skip). CRCs are not validated (metadata tier).
+    Corrupt / non-audio Ogg → None."""
+    if len(b) < 28 or b[:4] != b"OggS":
+        return None
+    try:
+        nseg = b[26]
+        hdr_len = 27 + nseg
+        if hdr_len > len(b):
+            return None
+        payload = b[hdr_len:hdr_len + sum(b[27:27 + nseg])]
+        pre = 0
+        if payload.startswith(b"\x01vorbis") and len(payload) >= 16:
+            fmt = "ogg-vorbis"
+            ch = payload[11]
+            rate = int.from_bytes(payload[12:16], "little")
+        elif payload.startswith(b"OpusHead") and len(payload) >= 19:
+            fmt = "ogg-opus"
+            ch = payload[9]
+            pre = int.from_bytes(payload[10:12], "little")
+            rate = int.from_bytes(payload[12:16], "little")
+        else:
+            return None
+        if not rate or not ch:
+            return None
+        granule = None
+        last = b.rfind(b"OggS")
+        if last >= 0 and last + 14 <= len(b):
+            g = int.from_bytes(b[last + 6:last + 14], "little",
+                               signed=True)
+            if g >= 0:
+                granule = g
+        if fmt == "ogg-opus":
+            total = max(0, (granule or 0) - pre)
+            dur = round(total / 48000.0, 6) if granule is not None else None
+        else:
+            total = granule or 0
+            dur = round(total / rate, 6) if granule is not None else None
+        return {
+            "byte_len": len(b),
+            "format": fmt,
+            "sample_rate": int(rate),
+            "channels": int(ch),
+            "bits_per_sample": None,
+            "n_frames": int(total),
+            "duration_s": dur,
+        }
+    except (IndexError, struct.error):
+        return None
+
+
+def encode_ogg(codec: str = "vorbis", sample_rate: int = 44100,
+               channels: int = 2, total_samples: int = 0,
+               pre_skip: int = 0) -> bytes:
+    """Synthesize a minimal two-page Ogg stream (id-header page + one
+    data page carrying the final granule) for tests."""
+    if codec == "vorbis":
+        idh = (b"\x01vorbis" + (0).to_bytes(4, "little")
+               + bytes([channels]) + sample_rate.to_bytes(4, "little")
+               + bytes(16))
+        final_granule = total_samples
+    elif codec == "opus":
+        idh = (b"OpusHead" + bytes([1, channels])
+               + pre_skip.to_bytes(2, "little")
+               + sample_rate.to_bytes(4, "little") + bytes(5))
+        final_granule = total_samples + pre_skip
+    else:
+        raise ValueError(f"codec must be 'vorbis' or 'opus', got {codec!r}")
+
+    def page(payload: bytes, granule: int, seq: int, htype: int) -> bytes:
+        segs = []
+        rem = len(payload)
+        while rem >= 255:
+            segs.append(255)
+            rem -= 255
+        segs.append(rem)
+        return (b"OggS\x00" + bytes([htype])
+                + granule.to_bytes(8, "little")
+                + (1).to_bytes(4, "little") + seq.to_bytes(4, "little")
+                + bytes(4) + bytes([len(segs)]) + bytes(segs) + payload)
+
+    return page(idh, 0, 0, 2) + page(bytes(10), final_granule, 1, 4)
+
+
 def audio_decode(b: bytes) -> dict | None:
     """Default audio metadata chain (r11): WAV (full chunk walk), FLAC
-    STREAMINFO, then the MP3 frame-walk (which safely rejects non-MPEG
-    bytes via the chained-sync validation). The pluggable-decoder slot
-    of :func:`decode_audio_metadata`."""
+    STREAMINFO, OGG (Vorbis/Opus id header + last-page granule), then
+    the MP3 frame-walk (which safely rejects non-MPEG bytes via the
+    chained-sync validation). The pluggable-decoder slot of
+    :func:`decode_audio_metadata`."""
     if b[:4] == b"RIFF":
         return wav_decode(b)
     if b[:4] == b"fLaC":
         return flac_decode(b)
+    if b[:4] == b"OggS":
+        return ogg_decode(b)
     return mp3_decode(b)
 
 

@@ -106,12 +106,59 @@ class TestFlac:
         assert flac_decode(b"OggS" + bytes(40)) is None
 
 
+class TestOgg:
+    def test_vorbis_roundtrip(self):
+        from aggo_spark.operators.multimodal import encode_ogg, ogg_decode
+
+        m = ogg_decode(encode_ogg("vorbis", 44100, 2,
+                                  total_samples=441000))
+        assert (m["format"], m["sample_rate"], m["channels"],
+                m["n_frames"]) == ("ogg-vorbis", 44100, 2, 441000)
+        assert m["duration_s"] == pytest.approx(10.0, abs=1e-6)
+
+    def test_opus_preskip(self):
+        from aggo_spark.operators.multimodal import encode_ogg, ogg_decode
+
+        # Opus granules run at 48 kHz and include pre-skip
+        m = ogg_decode(encode_ogg("opus", 48000, 1,
+                                  total_samples=96000, pre_skip=312))
+        assert (m["format"], m["channels"]) == ("ogg-opus", 1)
+        assert m["n_frames"] == 96000
+        assert m["duration_s"] == pytest.approx(2.0, abs=1e-6)
+
+    def test_corruption_fuzz(self):
+        from aggo_spark.operators.multimodal import encode_ogg, ogg_decode
+
+        blob = encode_ogg("vorbis", 22050, 1, total_samples=4410)
+        for cut in range(len(blob)):
+            r = ogg_decode(blob[:cut])
+            assert r is None or isinstance(r, dict)
+        random.seed(6)
+        for _ in range(100):
+            ba = bytearray(blob)
+            ba[random.randrange(len(ba))] ^= 0xFF
+            r = ogg_decode(bytes(ba))
+            assert r is None or isinstance(r, dict)
+
+    def test_non_audio_ogg(self):
+        from aggo_spark.operators.multimodal import ogg_decode
+
+        # a valid page whose payload is neither vorbis nor opus
+        assert ogg_decode(b"OggS\x00\x02" + bytes(20) + bytes([1, 5])
+                          + b"theor") is None
+
+
 class TestDispatch:
     def test_audio_decode_routes(self):
+        from aggo_spark.operators.multimodal import encode_ogg
+
         assert audio_decode(encode_wav(8000, 1, 16, 80))["format"] == "wav-pcm"
         assert audio_decode(encode_flac_header())["format"] == "flac"
         assert audio_decode(encode_mp3(n_frames=3))["format"] == "mp3"
+        assert audio_decode(encode_ogg())["format"] == "ogg-vorbis"
+        assert audio_decode(encode_ogg("opus", 48000))["format"] == "ogg-opus"
         assert audio_decode(b"RIFFxxxx") is None
+        assert audio_decode(b"OggSxxxx") is None
         assert audio_decode(b"\x00" * 64) is None
 
     def test_spark_plumbing(self, spark):
