@@ -1660,6 +1660,64 @@ def q79_incremental_clusters(spark, sf_dir):
         "doc_id long, label long").orderBy("doc_id")
 
 
+def q80_stream_lm(spark, sf_dir):
+    """Streaming n-gram LM maintenance driven end-to-end as a contract
+    query (r11 — the companion of q79: the r10 verdict noted BOTH r10
+    flagships were unit-test-only): replay a deterministic CDC script
+    (bulk add, edit, removals) through ``maintain_ngram_lm(n=3)``, then
+    ``lm_score`` a fixed 6-doc query set against the LIVE maintained
+    model and return ``(doc_id, n_ngrams, mean_logprob)``.
+
+    Fixture: corpus ids 0..39 with 12-token texts over a 7-token shared
+    vocabulary (token j of doc i = ``t{(i*(j+1)) % 7}``; the edit moves
+    doc 5 to the j+2 formula; docs 7/14 retract). Query texts walk a
+    9-token alphabet, so they hit seen trigrams, bigram-backoff cases,
+    AND unseen tokens (t7/t8 → the add-k unigram floor) — every backoff
+    level scores.
+
+    The maintained model equals training on the live corpus (the
+    maintain_ngram_lm equality contract), so the DuckDB oracle computes
+    3-gram stupid backoff (backoff 0.4, add_k 0.5) DIRECTLY over the
+    arithmetically-rebuilt live corpus: gram/ctx/uni counts as CTEs and
+    a CASE mirroring the level-3 → level-2 → unigram-floor chain of
+    ``ngram_score_with_tables``. Results materialize to literal rows
+    before stop() removes the temp changelogs."""
+    import os
+    import shutil
+    import tempfile
+
+    from aggo_spark.streaming.core import StreamingCollection
+
+    ids = sorted(r["doc_id"] for r in _t(spark, sf_dir, "documents")
+                 .filter(F.col("doc_id") < 40).select("doc_id").collect())
+
+    def t(i, shift):
+        return " ".join(f"t{(i * (j + shift)) % 7}" for j in range(12))
+
+    wd = tempfile.mkdtemp(prefix="aggo_q80_")
+    coll = StreamingCollection(spark, "doc_id long, text string",
+                               workdir=wd)
+    try:
+        rid = coll.maintain_ngram_lm(os.path.join(wd, "lm"), n=3)
+        coll.add_bulk([{"doc_id": i, "text": t(i, 1)} for i in ids])
+        coll.remove({"doc_id": 5, "text": t(5, 1)})
+        coll.add({"doc_id": 5, "text": t(5, 2)})     # edit: new content
+        coll.remove([{"doc_id": 7, "text": t(7, 1)},
+                     {"doc_id": 14, "text": t(14, 1)}])
+        q = spark.createDataFrame(
+            [(i, " ".join(f"t{(i + j) % 9}" for j in range(10)))
+             for i in range(900, 906)], "doc_id long, text string")
+        rows = coll.lm_score(rid, q).collect()
+    finally:
+        coll.stop()
+        shutil.rmtree(wd, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted((r["doc_id"], r["n_ngrams"], r["mean_logprob"])
+               for r in rows),
+        "doc_id long, n_ngrams bigint, mean_logprob double"
+    ).orderBy("doc_id")
+
+
 _STREAMING_QUERIES = {"q42_stream_agg", "q43_stream_window", "q51_stream_stateful"}
 
 
@@ -1717,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_chunking": q77_chunking,
         "q78_lm_perplexity": q78_lm_perplexity,
         "q79_incremental_clusters": q79_incremental_clusters,
+        "q80_stream_lm": q80_stream_lm,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -2727,6 +2786,69 @@ def oracle_sql() -> dict[str, str]:
             FROM live l JOIN live l2 USING (grp)
             GROUP BY l.doc_id
             ORDER BY l.doc_id
+        """,
+        "q80_stream_lm": """
+            -- 3-gram stupid backoff (backoff 0.4, add_k 0.5) computed
+            -- DIRECTLY over the live corpus the CDC replay leaves
+            -- behind (see q80_stream_lm): the maintained model equals
+            -- retraining on the live docs, so gram/ctx/uni counts are
+            -- plain CTEs over the arithmetically-rebuilt texts and the
+            -- score is the level-3 -> level-2 -> unigram-floor CASE of
+            -- ngram_score_with_tables.
+            WITH live AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id < 40 AND doc_id NOT IN (7, 14)),
+            corp AS (
+              SELECT doc_id, list_transform(range(12), j ->
+                't' || CAST((doc_id * (j + CASE WHEN doc_id = 5
+                                              THEN 2 ELSE 1 END)) % 7
+                            AS VARCHAR)) AS tok
+              FROM live),
+            g3 AS (
+              SELECT tok[k] AS t1, tok[k + 1] AS t2, tok[k + 2] AS t3,
+                     count(*) AS c3
+              FROM corp, unnest(range(1, 11)) AS u(k)
+              GROUP BY 1, 2, 3),
+            x3 AS (SELECT t1, t2, sum(c3) AS cnt FROM g3 GROUP BY 1, 2),
+            g2 AS (
+              SELECT tok[k] AS u1, tok[k + 1] AS u2, count(*) AS c2
+              FROM corp, unnest(range(1, 12)) AS u(k)
+              GROUP BY 1, 2),
+            x2 AS (SELECT u1, sum(c2) AS cnt FROM g2 GROUP BY 1),
+            uni AS (SELECT u2, sum(c2) AS cnt FROM g2 GROUP BY 1),
+            meta AS (SELECT sum(c2) * 1.0 AS nb,
+                            count(DISTINCT u2) * 1.0 AS v
+                     FROM g2),
+            qtok AS (
+              SELECT doc_id, list_transform(range(10), j ->
+                't' || CAST((doc_id + j) % 9 AS VARCHAR)) AS tok
+              FROM (SELECT unnest([900, 901, 902, 903, 904, 905])
+                      AS doc_id)),
+            qg AS (
+              SELECT doc_id, tok[k] AS a1, tok[k + 1] AS a2,
+                     tok[k + 2] AS a3, count(*) AS c
+              FROM qtok, unnest(range(1, 9)) AS u(k)
+              GROUP BY 1, 2, 3, 4),
+            sc AS (
+              SELECT q.doc_id, q.c,
+                     CASE WHEN g3.c3 IS NOT NULL
+                            THEN ln(g3.c3 * 1.0 / x3.cnt)
+                          WHEN g2.c2 IS NOT NULL
+                            THEN ln(0.4 * g2.c2 / x2.cnt)
+                          ELSE ln(0.4 * 0.4
+                                  * (coalesce(uni.cnt, 0) + 0.5)
+                                  / (meta.nb + 0.5 * meta.v)) END AS logp
+              FROM qg q
+              LEFT JOIN g3 ON g3.t1 = q.a1 AND g3.t2 = q.a2
+                           AND g3.t3 = q.a3
+              LEFT JOIN x3 ON x3.t1 = q.a1 AND x3.t2 = q.a2
+              LEFT JOIN g2 ON g2.u1 = q.a2 AND g2.u2 = q.a3
+              LEFT JOIN x2 ON x2.u1 = q.a2
+              LEFT JOIN uni ON uni.u2 = q.a3
+              CROSS JOIN meta)
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+                   round(sum(c * logp) / sum(c), 6) AS mean_logprob
+            FROM sc GROUP BY doc_id ORDER BY doc_id
         """,
         "q77_chunking": f"""
             WITH t AS (SELECT doc_id, {tok_doc} AS tok FROM documents),

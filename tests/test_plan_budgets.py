@@ -153,6 +153,9 @@ BUDGETS = {
                               # micro-batches); the returned frame is
                               # the materialized 47-row label set with
                               # one final range-sort exchange
+    "q80_stream_lm": 1,       # r11: same shape — CDC replay + lm_score
+                              # at construction, materialized 6-row
+                              # result + one range-sort exchange
 }
 
 # sf1 (scaledata) re-pin: budgets are identical at every SF EXCEPT the rows
