@@ -1011,15 +1011,36 @@ def encode_flac_header(sample_rate: int = 44100, channels: int = 2,
     return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + info
 
 
+def _ogg_page_granule(b: bytes, p: int):
+    """Granule position of a STRUCTURALLY VALID Ogg page header at
+    offset ``p``, else None: version must be 0, header-type flags fit
+    in 3 bits, the segment table must fit, and the granule must be
+    non-negative (-1 marks a continuation page). CRCs are not checked
+    (metadata tier), but the structural gate rejects the common false
+    sync — 'OggS' occurring inside compressed payload bytes (r11
+    review: an unvalidated rfind match decoded payload bytes as a
+    granule, silently poisoning durations)."""
+    if p + 27 > len(b) or b[p + 4] != 0 or b[p + 5] & 0xF8:
+        return None
+    if p + 27 + b[p + 26] > len(b):
+        return None
+    g = int.from_bytes(b[p + 6:p + 14], "little", signed=True)
+    return g if g >= 0 else None
+
+
 def ogg_decode(b: bytes) -> dict | None:
     """OGG HEADER-TIER metadata (r11): parse the first page's codec
     identification header (Vorbis ``\\x01vorbis`` or Opus ``OpusHead``)
-    for rate/channels, and the LAST page's granule position for total
-    samples — the standard O(1) Ogg duration read (Vorbis granules are
-    PCM samples at the stream rate; Opus granules are 48 kHz samples
-    including pre-skip). CRCs are not validated (metadata tier).
-    Corrupt / non-audio Ogg → None."""
-    if len(b) < 28 or b[:4] != b"OggS":
+    for rate/channels, and the LAST structurally-valid page's granule
+    position for total samples — the standard O(1) Ogg duration read.
+    Vorbis granules are PCM samples at the stream rate. Opus granules
+    run at 48 kHz (including pre-skip) and Opus always decodes at
+    48 kHz, so ``sample_rate`` is reported as 48000 — the OpusHead
+    input-rate field is informational and may legitimately be 0 (RFC
+    7845 §5.1) — keeping the ``duration_s == n_frames / sample_rate``
+    convention every audio tier follows. Corrupt / non-audio Ogg →
+    None."""
+    if len(b) < 28 or b[:4] != b"OggS" or b[4] != 0:
         return None
     try:
         nseg = b[26]
@@ -1036,24 +1057,26 @@ def ogg_decode(b: bytes) -> dict | None:
             fmt = "ogg-opus"
             ch = payload[9]
             pre = int.from_bytes(payload[10:12], "little")
-            rate = int.from_bytes(payload[12:16], "little")
+            rate = 48000  # decode rate; header input-rate is advisory
         else:
             return None
         if not rate or not ch:
             return None
+        # last page granule: scan rfind candidates BACKWARDS until one
+        # validates structurally (payload bytes can contain 'OggS')
         granule = None
-        last = b.rfind(b"OggS")
-        if last >= 0 and last + 14 <= len(b):
-            g = int.from_bytes(b[last + 6:last + 14], "little",
-                               signed=True)
-            if g >= 0:
+        p = b.rfind(b"OggS")
+        while p >= 0:
+            g = _ogg_page_granule(b, p)
+            if g is not None:
                 granule = g
+                break
+            p = b.rfind(b"OggS", 0, p)
         if fmt == "ogg-opus":
             total = max(0, (granule or 0) - pre)
-            dur = round(total / 48000.0, 6) if granule is not None else None
         else:
             total = granule or 0
-            dur = round(total / rate, 6) if granule is not None else None
+        dur = round(total / rate, 6) if granule is not None else None
         return {
             "byte_len": len(b),
             "format": fmt,

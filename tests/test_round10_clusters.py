@@ -224,6 +224,8 @@ class TestIncrementalClusters:
             import pyspark.sql.column as _col_mod
         from pyspark.sql import functions as F_
 
+        from aggo_spark.streaming.core import _REMAP_LITERAL_MAX
+
         orig = _col_mod.Column.isin
         seen = []
 
@@ -232,7 +234,10 @@ class TestIncrementalClusters:
                     and isinstance(args[0], (list, tuple, set))
                     else args)
             seen.append(len(vals))
-            assert len(vals) <= 64, (
+            # pin to the implementation's own literal bound so raising
+            # or lowering _REMAP_LITERAL_MAX cannot desynchronize the
+            # guard (r11 review)
+            assert len(vals) <= _REMAP_LITERAL_MAX, (
                 f"literal isin with {len(vals)} values on the backfill "
                 "path — delta id sets must semi-join")
             return orig(self, *args)

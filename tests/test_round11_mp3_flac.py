@@ -126,6 +126,45 @@ class TestOgg:
         assert m["n_frames"] == 96000
         assert m["duration_s"] == pytest.approx(2.0, abs=1e-6)
 
+    def test_false_sync_in_payload(self):
+        # r11 review: 'OggS' occurring INSIDE page payload bytes (any
+        # compressed stream can contain it) must not be read as a page
+        # header — the granule scan validates candidates structurally
+        # and falls back to the real final page
+        from aggo_spark.operators.multimodal import encode_ogg, ogg_decode
+
+        base = encode_ogg("vorbis", 44100, 2, total_samples=441000)
+        # append a trailing page whose PAYLOAD contains a false sync
+        # followed by garbage that would decode as a huge granule
+        payload = b"xx" + b"OggS" + b"\x99" * 20
+        page = (b"OggS\x00\x04" + (441000).to_bytes(8, "little")
+                + (1).to_bytes(4, "little") + (2).to_bytes(4, "little")
+                + bytes(4) + bytes([1, len(payload)]) + payload)
+        m = ogg_decode(base + page)
+        assert m["n_frames"] == 441000
+        assert m["duration_s"] == pytest.approx(10.0, abs=1e-6)
+
+    def test_opus_zero_input_rate_accepted(self):
+        # RFC 7845 §5.1: the OpusHead input-rate field is informational
+        # and may be 0 — the stream still decodes (at 48 kHz)
+        from aggo_spark.operators.multimodal import encode_ogg, ogg_decode
+
+        m = ogg_decode(encode_ogg("opus", 0, 2, total_samples=48000))
+        assert m is not None and m["sample_rate"] == 48000
+        assert m["duration_s"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_opus_nframes_rate_convention(self):
+        # duration_s == n_frames / sample_rate must hold for every
+        # audio tier: opus reports the 48 kHz decode rate, never the
+        # advisory input rate (r11 review)
+        from aggo_spark.operators.multimodal import encode_ogg, ogg_decode
+
+        m = ogg_decode(encode_ogg("opus", 44100, 2,
+                                  total_samples=96000, pre_skip=312))
+        assert m["sample_rate"] == 48000
+        assert m["duration_s"] == pytest.approx(
+            m["n_frames"] / m["sample_rate"], abs=1e-6)
+
     def test_corruption_fuzz(self):
         from aggo_spark.operators.multimodal import encode_ogg, ogg_decode
 
