@@ -1027,6 +1027,43 @@ def q40_multimodal(spark, sf_dir):
                              int((i % 50) * 4410))
                          for i in ids],
             })
+    # r11: Matroska/WebM (EBML walk) + AVI (RIFF walk) video tiers —
+    # one branch, three-way mix: every 9th doc corrupt EBML -> NULL;
+    # doc_id % 3 == 1 gets an AVI header (durations in fifths so
+    # frame-count rounding stays integer-exact — no half-even trap);
+    # the rest Matroska, alternating webm/matroska doctypes, with an
+    # extra audio track when doc_id % 3 == 2.
+    def _synth_v2(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            blobs = []
+            for i in ids:
+                if i % 9 == 0:
+                    blobs.append(b"\x1aE\xdf\xa3\x00")
+                elif i % 3 == 1:
+                    blobs.append(multimodal.encode_avi_header(
+                        (1 + i % 20) / 5.0, 25.0,
+                        int(8 * (1 + i % 200)), int(8 * (1 + i % 120)),
+                        int(1 + i % 4)))
+                else:
+                    blobs.append(multimodal.encode_mkv_header(
+                        "webm" if i % 2 else "matroska",
+                        (1 + i % 40) / 4.0, 1_000_000,
+                        int(16 * (1 + i % 100)), int(16 * (1 + i % 60)),
+                        extra_audio_track=bool(i % 3)))
+            yield _pd.DataFrame({"doc_id": ids, "v2": blobs})
+    v2 = df.select("doc_id").mapInPandas(
+        _synth_v2, schema="doc_id long, v2 binary")
+    v2dec = multimodal.decode_video_metadata(
+        v2.select("doc_id", F.col("v2").alias("content"))).select(
+        "doc_id",
+        F.col("video_meta.format").alias("v2_format"),
+        F.col("video_meta.duration_s").alias("v2_dur"),
+        F.col("video_meta.width").alias("v2_w"),
+        F.col("video_meta.height").alias("v2_h"),
+        F.col("video_meta.n_tracks").alias("v2_tracks"),
+    )
+
     mf = df.select("doc_id").mapInPandas(
         _synth_mp3flac, schema="doc_id long, mp3 binary, flac binary")
     mp3dec = multimodal.decode_audio_metadata(
@@ -1101,6 +1138,7 @@ def q40_multimodal(spark, sf_dir):
         .join(jdec, "doc_id").join(gdec, "doc_id").join(wdec, "doc_id")
         .join(wavdec, "doc_id")
         .join(wavfeat, "doc_id").join(mp4dec, "doc_id")
+        .join(v2dec, "doc_id")
         .join(mp3dec, "doc_id").join(flacdec, "doc_id")
         .join(crawl, "doc_id")
         .orderBy("doc_id", "frame_idx")
@@ -2477,6 +2515,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(16 * (1 + d.doc_id % 68) AS INT) END AS mp4_height,
                    CASE WHEN d.doc_id % 7 = 0 THEN NULL
                         ELSE CAST(1 AS INT) END AS mp4_tracks,
+                   -- r11 Matroska/WebM + AVI video tiers: three-way
+                   -- mix mirrored arithmetically (fifth-second AVI
+                   -- durations keep frame rounding integer-exact)
+                   CASE WHEN d.doc_id % 9 = 0 THEN NULL
+                        WHEN d.doc_id % 3 = 1 THEN 'avi'
+                        WHEN d.doc_id % 2 = 1 THEN 'webm'
+                        ELSE 'mkv' END AS v2_format,
+                   CASE WHEN d.doc_id % 9 = 0 THEN NULL
+                        WHEN d.doc_id % 3 = 1
+                          THEN (1 + d.doc_id % 20) / 5.0
+                        ELSE (1 + d.doc_id % 40) / 4.0 END AS v2_dur,
+                   CASE WHEN d.doc_id % 9 = 0 THEN NULL
+                        WHEN d.doc_id % 3 = 1
+                          THEN CAST(8 * (1 + d.doc_id % 200) AS INT)
+                        ELSE CAST(16 * (1 + d.doc_id % 100) AS INT)
+                        END AS v2_w,
+                   CASE WHEN d.doc_id % 9 = 0 THEN NULL
+                        WHEN d.doc_id % 3 = 1
+                          THEN CAST(8 * (1 + d.doc_id % 120) AS INT)
+                        ELSE CAST(16 * (1 + d.doc_id % 60) AS INT)
+                        END AS v2_h,
+                   CASE WHEN d.doc_id % 9 = 0 THEN NULL
+                        WHEN d.doc_id % 3 = 1
+                          THEN CAST(1 + d.doc_id % 4 AS INT)
+                        WHEN d.doc_id % 3 = 2 THEN CAST(2 AS INT)
+                        ELSE CAST(1 AS INT) END AS v2_tracks,
                    -- r11 MP3 frame-walk + FLAC STREAMINFO tiers:
                    -- integer metadata mirrors of the arithmetic
                    -- fixtures; every 11th / 13th doc corrupt -> NULL

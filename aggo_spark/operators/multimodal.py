@@ -78,6 +78,11 @@ __all__ = [
     "audio_decode",
     "mp4_decode",
     "encode_mp4_header",
+    "avi_decode",
+    "encode_avi_header",
+    "mkv_decode",
+    "encode_mkv_header",
+    "video_decode",
     "decode_video_metadata",
     "encode_wav",
     "decode_audio_metadata",
@@ -1561,6 +1566,239 @@ def encode_mp4_header(
     return ftyp + moov
 
 
+def avi_decode(b: bytes) -> dict | None:
+    """AVI HEADER-TIER metadata (r11): RIFF walk to ``LIST hdrl`` →
+    ``avih`` (MainAVIHeader) for microseconds-per-frame, total frames,
+    stream count, and dimensions. Corrupt / non-AVI RIFF → None."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    try:
+        pos = 12
+        while pos + 8 <= len(b):
+            cid = b[pos:pos + 4]
+            (clen,) = struct.unpack_from("<I", b, pos + 4)
+            body = pos + 8
+            if cid == b"LIST" and b[body:body + 4] == b"hdrl":
+                p = body + 4
+                end = min(body + clen, len(b))
+                while p + 8 <= end:
+                    sid = b[p:p + 4]
+                    (slen,) = struct.unpack_from("<I", b, p + 4)
+                    if sid == b"avih" and slen >= 40:
+                        (usec, _mb, _pad, _fl, total, _init, streams,
+                         _buf, w, h) = struct.unpack_from(
+                            "<10I", b, p + 8)
+                        if not w or not h:
+                            return None
+                        dur = (round(total * usec / 1e6, 6)
+                               if usec else None)
+                        return {
+                            "byte_len": len(b),
+                            "format": "avi",
+                            "brand": "AVI ",
+                            "duration_s": dur,
+                            "width": int(w),
+                            "height": int(h),
+                            "n_tracks": int(streams),
+                        }
+                    p += 8 + slen + (slen & 1)
+                return None
+            pos = body + clen + (clen & 1)
+        return None
+    except (struct.error, IndexError):
+        return None
+
+
+def encode_avi_header(duration_s: float = 1.0, fps: float = 25.0,
+                      width: int = 640, height: int = 360,
+                      streams: int = 1) -> bytes:
+    """Synthesize a RIFF/AVI metadata skeleton (LIST hdrl → avih) for
+    tests."""
+    usec = int(round(1e6 / fps))
+    total = int(round(duration_s * fps))
+    avih = struct.pack("<10I", usec, 0, 0, 0, total, 0, streams, 0,
+                       width, height) + bytes(16)
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    return b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
+
+
+# Matroska/WebM EBML element ids (marker bits kept)
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TSCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACKENTRY = 0xAE
+_MKV_VIDEO = 0xE0
+_MKV_PIXELW = 0xB0
+_MKV_PIXELH = 0xBA
+_MKV_DOCTYPE = 0x4282
+
+
+def _ebml_vint(b: bytes, pos: int, keep_marker: bool):
+    """Parse one EBML variable-length integer at ``pos``:
+    (value, next_pos, n_bytes) or None. IDs keep the length-marker bit
+    (the conventional id form); sizes strip it."""
+    if pos >= len(b) or b[pos] == 0:
+        return None
+    first = b[pos]
+    length = 9 - first.bit_length()
+    if pos + length > len(b):
+        return None
+    val = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for i in range(1, length):
+        val = (val << 8) | b[pos + i]
+    return val, pos + length, length
+
+
+def _ebml_children(b: bytes, pos: int, end: int):
+    """Yield (id, body_start, body_end) for EBML elements in
+    b[pos:end]; unknown-size elements extend to ``end``; stops on a
+    malformed stream rather than looping."""
+    while pos < end:
+        r = _ebml_vint(b, pos, True)
+        if r is None:
+            return
+        eid, p2, _ = r
+        r = _ebml_vint(b, p2, False)
+        if r is None:
+            return
+        size, body, nb = r
+        if size == (1 << (7 * nb)) - 1:  # unknown size: to end
+            size = end - body
+        if body + size > end:
+            return
+        yield eid, body, body + size
+        pos = body + size
+
+
+def mkv_decode(b: bytes) -> dict | None:
+    """Matroska/WebM HEADER-TIER metadata (r11): EBML walk to Segment →
+    Info (TimestampScale, Duration) and Tracks (TrackEntry count, first
+    Video PixelWidth/Height). WebM is Matroska with DocType "webm" —
+    the #2 crawled video container. Corrupt / non-Matroska → None."""
+    if b[:4] != b"\x1aE\xdf\xa3":
+        return None
+    try:
+        r = _ebml_vint(b, 4, False)
+        if r is None:
+            return None
+        hsize, hbody, _ = r
+        hend = min(hbody + hsize, len(b))
+        doctype = "matroska"
+        for eid, s, e in _ebml_children(b, hbody, hend):
+            if eid == _MKV_DOCTYPE:
+                doctype = b[s:e].split(b"\x00")[0].decode(
+                    "ascii", "replace")
+        duration = None
+        tscale = 1_000_000  # ns per timestamp tick (spec default)
+        width = height = 0
+        n_tracks = 0
+        seen_segment = False
+        for eid, s, e in _ebml_children(b, hend, len(b)):
+            if eid != _MKV_SEGMENT:
+                continue
+            seen_segment = True
+            for cid, cs, ce in _ebml_children(b, s, e):
+                if cid == _MKV_INFO:
+                    for iid, is_, ie in _ebml_children(b, cs, ce):
+                        if iid == _MKV_TSCALE:
+                            tscale = int.from_bytes(b[is_:ie], "big")
+                        elif iid == _MKV_DURATION:
+                            raw = b[is_:ie]
+                            if len(raw) == 4:
+                                (duration,) = struct.unpack(">f", raw)
+                            elif len(raw) == 8:
+                                (duration,) = struct.unpack(">d", raw)
+                elif cid == _MKV_TRACKS:
+                    for tid, ts, te in _ebml_children(b, cs, ce):
+                        if tid != _MKV_TRACKENTRY:
+                            continue
+                        n_tracks += 1
+                        for vid, vs, ve in _ebml_children(b, ts, te):
+                            if vid != _MKV_VIDEO:
+                                continue
+                            for pid, ps, pe in _ebml_children(
+                                    b, vs, ve):
+                                if pid == _MKV_PIXELW:
+                                    width = max(width, int.from_bytes(
+                                        b[ps:pe], "big"))
+                                elif pid == _MKV_PIXELH:
+                                    height = max(height,
+                                                 int.from_bytes(
+                                                     b[ps:pe], "big"))
+        if not seen_segment:
+            return None
+        dur_s = (round(duration * tscale / 1e9, 6)
+                 if duration is not None and tscale else None)
+        return {
+            "byte_len": len(b),
+            "format": "webm" if doctype == "webm" else "mkv",
+            "brand": doctype,
+            "duration_s": dur_s,
+            "width": int(width),
+            "height": int(height),
+            "n_tracks": int(n_tracks),
+        }
+    except (struct.error, IndexError):
+        return None
+
+
+def _ebml_encode_size(n: int) -> bytes:
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            bits = n | (1 << (7 * length))
+            return bits.to_bytes(length, "big")
+    raise ValueError("size too large")
+
+
+def _ebml_elt(eid: int, payload: bytes) -> bytes:
+    return (eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+            + _ebml_encode_size(len(payload)) + payload)
+
+
+def encode_mkv_header(doctype: str = "matroska",
+                      duration_s: float = 1.0,
+                      timescale_ns: int = 1_000_000,
+                      width: int = 640, height: int = 360,
+                      extra_audio_track: bool = False) -> bytes:
+    """Synthesize a Matroska/WebM metadata skeleton (EBML header +
+    Segment[Info, Tracks]) for tests."""
+    header = _ebml_elt(0x1A45DFA3,
+                       _ebml_elt(_MKV_DOCTYPE, doctype.encode()))
+    duration_ticks = duration_s * 1e9 / timescale_ns
+    info = _ebml_elt(_MKV_INFO,
+                     _ebml_elt(_MKV_TSCALE,
+                               timescale_ns.to_bytes(8, "big"))
+                     + _ebml_elt(_MKV_DURATION,
+                                 struct.pack(">d", duration_ticks)))
+    video = _ebml_elt(_MKV_VIDEO,
+                      _ebml_elt(_MKV_PIXELW, width.to_bytes(2, "big"))
+                      + _ebml_elt(_MKV_PIXELH,
+                                  height.to_bytes(2, "big")))
+    tracks = _ebml_elt(_MKV_TRACKENTRY, video)
+    if extra_audio_track:
+        tracks += _ebml_elt(_MKV_TRACKENTRY, b"")
+    segment = _ebml_elt(_MKV_SEGMENT,
+                        info + _ebml_elt(_MKV_TRACKS, tracks))
+    return header + segment
+
+
+def video_decode(b: bytes) -> dict | None:
+    """Default video metadata chain (r11): ISO-BMFF/MP4, Matroska/WebM
+    (EBML), AVI (RIFF) — magic-byte dispatched; None for unknown/
+    corrupt bytes. The pluggable-decoder slot of
+    :func:`decode_video_metadata`."""
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return mp4_decode(b)
+    if b[:4] == b"\x1aE\xdf\xa3":
+        return mkv_decode(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return avi_decode(b)
+    return None
+
+
 def decode_video_metadata(
     df: DataFrame,
     content_col: str = "content",
@@ -1570,10 +1808,11 @@ def decode_video_metadata(
     """Decode video metadata from a binary column — the same narrow
     Arrow-batched plumbing as the image/audio decoders; ``decoder`` is any
     ``bytes -> dict|None`` with the _VIDEO_FIELDS keys (default
-    :func:`mp4_decode`; plug in an ffprobe/pyav-backed decoder for other
-    containers)."""
+    :func:`video_decode`: MP4 box walk, Matroska/WebM EBML walk, AVI
+    RIFF walk — r11; plug in an ffprobe/pyav-backed decoder for sample
+    work)."""
     return _map_binary_column(
-        df, content_col, out_col, decoder or mp4_decode,
+        df, content_col, out_col, decoder or video_decode,
         T.StructType(_VIDEO_FIELDS))
 
 

@@ -80,7 +80,7 @@ BUDGETS = {
                                # gram_docs became a window riding the
                                # distinct rows instead of an aggregate
                                # joined back (the BM25 df(t) lesson)
-    "q40_multimodal": 13,      # +1 r5: real-PNG-decode branch joins on
+    "q40_multimodal": 14,      # +1 r5: real-PNG-decode branch joins on
                                # doc_id (one narrow 7-col row per doc);
                                # +1 r6: JPEG-header branch join (4-col row);
                                # +2 late r6: WAV + MP4 metadata branch
@@ -91,10 +91,11 @@ BUDGETS = {
                                # back on doc_id (narrow signal row);
                                # +1 late r10: audio-DSP branch join
                                # (2-col rms/zcr row per doc);
-                               # +4 r11: GIF pixel + WebP header + MP3
-                               # frame-walk + FLAC STREAMINFO branch
-                               # joins (each a narrow scalar-meta row
-                               # per doc; measured 13)
+                               # +5 r11: GIF pixel + WebP header + MP3
+                               # frame-walk + FLAC STREAMINFO +
+                               # Matroska/AVI branch joins (each a
+                               # narrow scalar-meta row per doc;
+                               # measured 14)
     "q42_stream_agg": 1,
     "q43_stream_window": 1,
     "q44_topn": 3,
