@@ -1829,11 +1829,12 @@ def py_pixels(b: bytes) -> tuple | None:
 
 
 def resize_nearest(b: bytes, width: int, height: int) -> bytes | None:
-    """Pure-Python nearest-neighbor resize of a PNG/BMP container,
-    re-encoded as RGB8 PNG (gray replicates to RGB, alpha is dropped) —
-    the same deterministic ``(i·h)//H`` sampling the average-hash uses,
-    so results are bit-stable across runs. Unknown/corrupt bytes → None;
-    pixel-rate JPEG needs the PIL plug-in (header-only here)."""
+    """Pure-Python nearest-neighbor resize of a PNG/BMP/GIF container
+    (r11: GIF rides the shared pixel core), re-encoded as RGB8 PNG
+    (gray replicates to RGB, alpha is dropped) — the same deterministic
+    ``(i·h)//H`` sampling the average-hash uses, so results are
+    bit-stable across runs. Unknown/corrupt bytes → None; pixel-rate
+    JPEG needs the PIL plug-in (header-only here)."""
     px = py_pixels(b)
     if px is None:
         return None

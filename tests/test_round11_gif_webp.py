@@ -183,6 +183,17 @@ class TestDispatch:
         w, h, ch, rows = py_pixels(gif)
         assert (w, h, ch) == (4, 3, 3) and rows[0][0] == (9, 8, 7)
 
+    def test_resize_gif_to_png(self):
+        # resize rides the shared pixel core: a solid GIF resizes to a
+        # solid PNG of the target dims with identical pixels
+        from aggo_spark.operators.multimodal import (png_decode,
+                                                     resize_nearest)
+
+        gif = encode_gif(9, 7, [[(40, 80, 120)] * 9 for _ in range(7)])
+        out = png_decode(resize_nearest(gif, 4, 3))
+        assert (out["width"], out["height"]) == (4, 3)
+        assert out["channel_means"] == [40.0, 80.0, 120.0]
+
     def test_spark_plumbing(self, spark):
         from pyspark.sql import functions as F
 
