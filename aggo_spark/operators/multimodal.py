@@ -60,6 +60,7 @@ __all__ = [
     "png_decode",
     "bmp_decode",
     "gif_decode",
+    "gif_frame_count",
     "encode_gif",
     "webp_decode",
     "jpeg_decode",
@@ -451,6 +452,50 @@ def _gif_pixels(b: bytes) -> tuple | None:
         return None
     except (struct.error, IndexError):
         return None
+
+
+def gif_frame_count(b: bytes) -> int | None:
+    """Number of image frames in a GIF — the static-vs-animated
+    classifier a crawl-curation pipeline wants BEFORE deciding whether
+    to treat a blob as an image or a video-like asset. Pure descriptor
+    walk: skips extensions, local color tables, and LZW sub-blocks
+    WITHOUT decompressing anything, so it is O(blocks) over the bytes.
+    None for non-GIF bytes; a corrupt tail returns the frames counted
+    up to it (matching the tolerant-parser convention)."""
+    if not (b.startswith(b"GIF87a") or b.startswith(b"GIF89a")):
+        return None
+    frames = 0
+    try:
+        if len(b) < 13:
+            return 0  # truncated before the logical screen descriptor
+        flags = b[10]
+        pos = 13
+        if flags & 0x80:
+            pos += 3 * (2 << (flags & 0x07))
+        while pos < len(b):
+            blk = b[pos]
+            if blk == 0x3B:
+                break
+            if blk == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+                continue
+            if blk != 0x2C:
+                break  # corrupt: report frames seen so far
+            lfl = b[pos + 9] if pos + 10 <= len(b) else 0
+            pos += 10
+            if lfl & 0x80:
+                pos += 3 * (2 << (lfl & 0x07))
+            pos += 1  # LZW min code size
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            frames += 1
+        return frames
+    except IndexError:
+        return frames
 
 
 def gif_decode(b: bytes) -> dict | None:

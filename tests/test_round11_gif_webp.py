@@ -183,6 +183,30 @@ class TestDispatch:
         w, h, ch, rows = py_pixels(gif)
         assert (w, h, ch) == (4, 3, 3) and rows[0][0] == (9, 8, 7)
 
+    def test_frame_count(self):
+        # static-vs-animated classification without any LZW decode:
+        # assemble a 3-frame GIF by concatenating the per-frame image
+        # blocks of single-frame encodes (header+GCT stripped from the
+        # later ones, trailer only at the end)
+        from aggo_spark.operators.multimodal import gif_frame_count
+
+        def body(blob):
+            npal = 2 << (blob[10] & 0x07)
+            return blob[13 + 3 * npal:-1]  # image block(s), no trailer
+
+        f1 = encode_gif(5, 4, [[(1, 2, 3)] * 5] * 4)
+        f2 = encode_gif(5, 4, [[(9, 8, 7)] * 5] * 4)
+        anim = f1[:-1] + body(f2) + body(f2) + b"\x3b"
+        assert gif_frame_count(f1) == 1
+        assert gif_frame_count(anim) == 3
+        assert gif_frame_count(b"notagif") is None
+        assert gif_frame_count(b"GIF89a") == 0  # truncated header
+        # a corrupt tail reports the frames counted before it
+        assert gif_frame_count(anim[:len(f1) + 2]) >= 1
+        # the pixel decoder still reads frame 1 of the animation
+        m = gif_decode(anim)
+        assert m is not None and m["channel_means"] == [1.0, 2.0, 3.0]
+
     def test_resize_gif_to_png(self):
         # resize rides the shared pixel core: a solid GIF resizes to a
         # solid PNG of the target dims with identical pixels
