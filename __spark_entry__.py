@@ -945,7 +945,7 @@ def q40_multimodal(spark, sf_dir):
                         w, h, pix, interlace=bool(i % 2)))
                 webps.append(
                     b"RIFFxxxx" if i % 7 == 3 else
-                    b"RIFF" + (30).to_bytes(4, "little") + b"WEBP"
+                    b"RIFF" + (22).to_bytes(4, "little") + b"WEBP"
                     + b"VP8 " + (10).to_bytes(4, "little") + bytes(3)
                     + b"\x9d\x01\x2a"
                     + int(1 + (i * 19) % 4000).to_bytes(2, "little")

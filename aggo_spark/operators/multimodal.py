@@ -484,7 +484,9 @@ def gif_frame_count(b: bytes) -> int | None:
                 continue
             if blk != 0x2C:
                 break  # corrupt: report frames seen so far
-            lfl = b[pos + 9] if pos + 10 <= len(b) else 0
+            if pos + 10 > len(b):
+                break  # descriptor truncated mid-frame: don't count it
+            lfl = b[pos + 9]
             pos += 10
             if lfl & 0x80:
                 pos += 3 * (2 << (lfl & 0x07))
@@ -1061,18 +1063,23 @@ def encode_flac_header(sample_rate: int = 44100, channels: int = 2,
     return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + info
 
 
-def _ogg_page_granule(b: bytes, p: int):
+def _ogg_page_granule(b: bytes, p: int, serial: bytes | None = None):
     """Granule position of a STRUCTURALLY VALID Ogg page header at
     offset ``p``, else None: version must be 0, header-type flags fit
     in 3 bits, the segment table must fit, and the granule must be
-    non-negative (-1 marks a continuation page). CRCs are not checked
-    (metadata tier), but the structural gate rejects the common false
-    sync — 'OggS' occurring inside compressed payload bytes (r11
-    review: an unvalidated rfind match decoded payload bytes as a
-    granule, silently poisoning durations)."""
+    non-negative (-1 marks a continuation page). When ``serial`` is
+    given the page's bitstream serial (bytes 14-18) must match it, so
+    a multiplexed/chained Ogg never reports another logical stream's
+    granule at the id stream's rate (r12 advisory). CRCs are not
+    checked (metadata tier), but the structural gate rejects the
+    common false sync — 'OggS' occurring inside compressed payload
+    bytes (r11 review: an unvalidated rfind match decoded payload
+    bytes as a granule, silently poisoning durations)."""
     if p + 27 > len(b) or b[p + 4] != 0 or b[p + 5] & 0xF8:
         return None
     if p + 27 + b[p + 26] > len(b):
+        return None
+    if serial is not None and b[p + 14:p + 18] != serial:
         return None
     g = int.from_bytes(b[p + 6:p + 14], "little", signed=True)
     return g if g >= 0 else None
@@ -1113,11 +1120,15 @@ def ogg_decode(b: bytes) -> dict | None:
         if not rate or not ch:
             return None
         # last page granule: scan rfind candidates BACKWARDS until one
-        # validates structurally (payload bytes can contain 'OggS')
+        # validates structurally (payload bytes can contain 'OggS') AND
+        # carries the id stream's serial — chained/multiplexed files
+        # interleave pages from other logical streams whose granules
+        # run at a different rate.
+        serial = b[14:18]
         granule = None
         p = b.rfind(b"OggS")
         while p >= 0:
-            g = _ogg_page_granule(b, p)
+            g = _ogg_page_granule(b, p, serial)
             if g is not None:
                 granule = g
                 break

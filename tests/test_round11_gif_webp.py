@@ -133,7 +133,7 @@ class TestGifDegradation:
 class TestWebpHeader:
     @staticmethod
     def _vp8(w=320, h=240):
-        return (b"RIFF" + (30).to_bytes(4, "little") + b"WEBP"
+        return (b"RIFF" + (22).to_bytes(4, "little") + b"WEBP"
                 + b"VP8 " + (10).to_bytes(4, "little") + bytes(3)
                 + b"\x9d\x01\x2a" + w.to_bytes(2, "little")
                 + h.to_bytes(2, "little"))
@@ -146,7 +146,7 @@ class TestWebpHeader:
 
     def test_vp8l_lossless_alpha(self):
         bits = 511 | (299 << 14) | (1 << 28)
-        b = (b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
+        b = (b"RIFF" + (17).to_bytes(4, "little") + b"WEBP"
              + b"VP8L" + (5).to_bytes(4, "little") + b"\x2f"
              + bits.to_bytes(4, "little"))
         m = webp_decode(b)
@@ -203,6 +203,12 @@ class TestDispatch:
         assert gif_frame_count(b"GIF89a") == 0  # truncated header
         # a corrupt tail reports the frames counted before it
         assert gif_frame_count(anim[:len(f1) + 2]) >= 1
+        # r12 advisory: a frame whose 10-byte image descriptor is cut
+        # mid-way must NOT count — truncate right after the 0x2C
+        npal = 2 << (f1[10] & 0x07)
+        desc_at = 13 + 3 * npal
+        assert f1[desc_at] == 0x2C
+        assert gif_frame_count(f1[:desc_at + 5]) == 0
         # the pixel decoder still reads frame 1 of the animation
         m = gif_decode(anim)
         assert m is not None and m["channel_means"] == [1.0, 2.0, 3.0]

@@ -144,6 +144,21 @@ class TestOgg:
         assert m["n_frames"] == 441000
         assert m["duration_s"] == pytest.approx(10.0, abs=1e-6)
 
+    def test_multiplexed_foreign_serial_skipped(self):
+        # r12 advisory: a multiplexed/chained Ogg interleaves pages from
+        # other logical streams — a structurally-valid trailing page with
+        # a DIFFERENT bitstream serial must not supply the granule
+        from aggo_spark.operators.multimodal import encode_ogg, ogg_decode
+
+        base = encode_ogg("vorbis", 44100, 2, total_samples=441000)
+        foreign = (b"OggS\x00\x04" + (999_999_999).to_bytes(8, "little")
+                   + (2).to_bytes(4, "little")  # serial 2, id stream is 1
+                   + (7).to_bytes(4, "little")
+                   + bytes(4) + bytes([1, 3]) + b"zzz")
+        m = ogg_decode(base + foreign)
+        assert m["n_frames"] == 441000
+        assert m["duration_s"] == pytest.approx(10.0, abs=1e-6)
+
     def test_opus_zero_input_rate_accepted(self):
         # RFC 7845 §5.1: the OpusHead input-rate field is informational
         # and may be 0 — the stream still decodes (at 48 kHz)
