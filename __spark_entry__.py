@@ -1756,6 +1756,133 @@ def q80_stream_lm(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_WARC_DOC_LIMIT = 200
+
+
+def q81_warc_pipeline(spark, sf_dir):
+    """The WARC front door under oracle contract (r12, verdict r11 next
+    #2 — sources/warc.py was the only major tier verified solely by
+    local tests): synthesize a deterministic multi-file crawl archive
+    whose HTML pages wrap ``documents.text`` verbatim, run the full
+    ingest chain — ``read_warc`` (gzip-member AND plain framing,
+    corruption resync, truncated tail) → response/text-html filter →
+    ``strip_html`` → language ID → quality panel — and return one row
+    per surviving page.
+
+    Fixture (bounded: ≤200 docs collected driver-side, the q79
+    pattern): doc_id < 200 from the documents table; each page is
+    ``<html><head><title>…</title><script>…</script></head><body>
+    <nav>home</nav><p>{text}</p><!-- hidden --><footer>&copy; 2026
+    </footer></body></html>``, which ``strip_html`` maps EXACTLY to
+    ``"home\\n\\n" + text + "\\n\\n&copy; 2026"`` (head/script/comment
+    removed, nav/p/footer emit block boundaries, &copy; is not a
+    decoded entity) — so the DuckDB oracle rebuilds the clean text by
+    concatenation and mirrors the langid + quality arithmetic over it.
+
+    Records round-robin across 6 files: 3 plain ``.warc`` and 3
+    Common-Crawl-style per-record-gzip-member ``.warc.gz``
+    (parallelism = file count; at crawl scale the indexed reader
+    ``read_warc_indexed`` splits inside files too). Adversarial chaff
+    the front door must drop, spliced in deterministically: a
+    ``request`` record, an ``image/png`` response, a
+    ``warc-fields`` metadata record, a garbage blob mid-file (resync:
+    the next record parses via the boundary scan + WARC-Type guard,
+    sources/warc.py:111), and a mid-payload-truncated final record
+    (quiet tail). Reference analogue: the fixture-driven end-to-end
+    suites (/root/reference/tests/fixtures/ecommerce-orders.spec.js).
+
+    Rows are materialized before the tempdir is removed (the q79
+    convention: the lazy plan would read deleted files; ≤200 rows)."""
+    import os
+    import shutil
+    import tempfile
+
+    from aggo_spark.operators import html as html_mod
+    from aggo_spark.sources import warc as warc_mod
+
+    docs = sorted(
+        (r["doc_id"], r["text"])
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _WARC_DOC_LIMIT)
+        .select("doc_id", "text").collect())
+
+    def page(doc_id, body_text):
+        return (f"<html><head><title>Doc {doc_id}</title>"
+                f"<script>var x={doc_id};</script></head>"
+                f"<body><nav>home</nav><p>{body_text}</p><!-- hidden -->"
+                f"<footer>&copy; 2026</footer></body></html>").encode()
+
+    def rec(doc_id, body_text):
+        return {"warc_type": "response", "http": True,
+                "url": f"https://example.org/doc/{doc_id}",
+                "payload": page(doc_id, body_text)}
+
+    chaff = [
+        {"warc_type": "request",
+         "content_type": "application/http; msgtype=request",
+         "url": "https://example.org/doc/0",
+         "payload": b"GET /doc/0 HTTP/1.1\r\nHost: example.org\r\n\r\n"},
+        {"warc_type": "response", "http": True,
+         "http_content_type": "image/png",
+         "url": "https://example.org/logo.png",
+         "payload": b"\x89PNG\r\n\x1a\n not really"},
+        {"warc_type": "metadata",
+         "content_type": "application/warc-fields",
+         "payload": b"fetchTimeMs: 12\r\n"},
+    ]
+    garbage = b"\x00\x89PNG pretend jpeg soup \xff\xfe\x00\r\n\r\n"
+
+    wd = tempfile.mkdtemp(prefix="aggo_q81_")
+    try:
+        buckets: list[list[dict]] = [[] for _ in range(6)]
+        for i, (doc_id, body_text) in enumerate(docs):
+            buckets[i % 6].append(rec(doc_id, body_text))
+        for fno, recs in enumerate(buckets):
+            gz = fno % 2 == 1
+            if fno == 0:
+                # chaff + a garbage splice + a truncated tail, all in
+                # the first plain file: resync must recover every real
+                # record that follows the splice
+                half = len(recs) // 2
+                blob = (warc_mod.encode_warc(recs[:half] + chaff[:1])
+                        + garbage
+                        + warc_mod.encode_warc(recs[half:] + chaff[1:]))
+                tail = warc_mod.encode_warc([rec(9901, "truncated page")])
+                blob += tail[:len(tail) - 30]
+            else:
+                blob = warc_mod.encode_warc(recs, gzip_members=gz)
+            name = f"part-{fno}.warc" + (".gz" if gz else "")
+            with open(os.path.join(wd, name), "wb") as f:
+                f.write(blob)
+
+        pages = warc_mod.read_warc(spark, os.path.join(wd, "*.warc*"))
+        clean = (
+            pages
+            .filter((F.col("warc_type") == "response")
+                    & (F.col("http_status") == 200)
+                    & (F.col("http_content_type") == "text/html"))
+            .select(
+                F.regexp_extract("url", r"/doc/([0-9]+)$", 1)
+                .cast("long").alias("doc_id"),
+                html_mod.strip_html(F.decode(F.col("payload"), "utf-8"))
+                .alias("text"))
+            .withColumn("tok", text.tokens(F.col("text"))))
+        qs = text.quality_score(F.col("text"), tok=F.col("tok"))
+        rows = clean.select(
+            "doc_id",
+            text.language_id_from_tokens(F.col("tok")).alias("pred_lang"),
+            *[expr.alias(name) for name, expr in qs.items()]).collect()
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted((r["doc_id"], r["pred_lang"], r["n_tokens"],
+                r["alpha_ratio"], r["stopword_ratio"],
+                r["mean_token_len"], r["quality"]) for r in rows),
+        "doc_id long, pred_lang string, n_tokens int, alpha_ratio double,"
+        " stopword_ratio double, mean_token_len double, quality double"
+    ).orderBy("doc_id")
+
+
 _STREAMING_QUERIES = {"q42_stream_agg", "q43_stream_window", "q51_stream_stateful"}
 
 
@@ -1814,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_lm_perplexity": q78_lm_perplexity,
         "q79_incremental_clusters": q79_incremental_clusters,
         "q80_stream_lm": q80_stream_lm,
+        "q81_warc_pipeline": q81_warc_pipeline,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -2913,6 +3041,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
                    round(sum(c * logp) / sum(c), 6) AS mean_logprob
             FROM sc GROUP BY doc_id ORDER BY doc_id
+        """,
+        "q81_warc_pipeline": f"""
+            -- the WARC front door's surviving pages are exactly
+            -- documents doc_id < {_WARC_DOC_LIMIT} (chaff records are
+            -- dropped by type/content-type filters; the resync and
+            -- truncated-tail paths lose no real record), and
+            -- strip_html maps the fixture page to
+            -- 'home' NL NL text NL NL '&copy; 2026' exactly — rebuild
+            -- that clean string and mirror the langid + quality
+            -- arithmetic of q36/q37 over it
+            WITH src AS (
+              SELECT doc_id,
+                     'home' || chr(10) || chr(10) || text
+                       || chr(10) || chr(10) || '&copy; 2026' AS text
+              FROM documents WHERE doc_id < {_WARC_DOC_LIMIT}),
+            t AS (SELECT doc_id, text, {tok_doc} AS tok,
+                         length({norm_doc}) AS nch
+                  FROM src),
+            s AS (SELECT doc_id, text, tok, nch, {lang_scores} FROM t),
+            g AS (SELECT *, {_lang_greatest} AS g FROM s),
+            m AS (SELECT doc_id, {lang_pred} AS pred_lang,
+                         len(tok) AS n_tok,
+                         length(text) AS n_chars,
+                         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           AS alpha_chars,
+                         len(list_filter(tok,
+                             t2 -> list_contains({_STOP_EN_SQL}, t2)))
+                           AS stop_hits,
+                         nch
+                  FROM g),
+            r AS (SELECT doc_id, pred_lang, n_tok,
+                         CASE WHEN n_chars > 0
+                              THEN CAST(alpha_chars AS DOUBLE) / n_chars
+                              ELSE 0.0 END AS alpha_ratio,
+                         CASE WHEN n_tok > 0
+                              THEN CAST(stop_hits AS DOUBLE) / n_tok
+                              ELSE 0.0 END AS stop_ratio,
+                         CASE WHEN n_tok > 0
+                              THEN CAST(nch - (n_tok - 1) AS DOUBLE) / n_tok
+                              ELSE 0.0 END AS mean_len
+                  FROM m)
+            SELECT doc_id, pred_lang,
+                   CAST(n_tok AS INT) AS n_tokens,
+                   round(alpha_ratio, 6) AS alpha_ratio,
+                   round(stop_ratio, 6) AS stopword_ratio,
+                   round(mean_len, 6) AS mean_token_len,
+                   round(0.3 * alpha_ratio
+                         + 0.3 * least(stop_ratio * 3.0, 1.0)
+                         + 0.2 * (CASE WHEN mean_len >= 2.0
+                                        AND mean_len <= 12.0
+                                       THEN 1.0 ELSE 0.0 END)
+                         + 0.2 * (CASE WHEN n_tok >= 10 THEN 1.0
+                                       ELSE CAST(n_tok AS DOUBLE) / 10.0
+                                  END), 6) AS quality
+            FROM r ORDER BY doc_id
         """,
         "q77_chunking": f"""
             WITH t AS (SELECT doc_id, {tok_doc} AS tok FROM documents),
