@@ -1054,6 +1054,45 @@ def q40_multimodal(spark, sf_dir):
             yield _pd.DataFrame({"doc_id": ids, "v2": blobs})
     v2 = df.select("doc_id").mapInPandas(
         _synth_v2, schema="doc_id long, v2 binary")
+
+    # r12 (verdict next #3): MJPEG-in-AVI FRAME PIXEL tier — each doc
+    # gets a complete AVI whose movi chunks hold REAL solid-color
+    # baseline JPEGs (3 + i % 5 frames, per-frame arithmetic colors;
+    # odd ids use the interleaved 'LIST rec ' layout), the executor
+    # frame-walks and pixel-decodes the sampled first/middle/last
+    # frames through the shared JPEG kernel, and the oracle replays the
+    # YCbCr roundtrip arithmetic per sampled frame and averages. Every
+    # 8th doc corrupt RIFF -> NULL row, never faked.
+    def _synth_avi(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            blobs = []
+            for i in ids:
+                if i % 8 == 0:
+                    blobs.append(b"RIFF\x00\x00\x00\x00AVI ")
+                    continue
+                frames_b = [multimodal.encode_jpeg(
+                    16, 8,
+                    (int((i + 29 * j) % 256), int((i * 3 + 31 * j) % 256),
+                     int((i * 5 + 37 * j) % 256)))
+                    for j in range(int(3 + i % 5))]
+                blobs.append(multimodal.encode_avi_mjpeg(
+                    frames_b, width=16, height=8,
+                    interleave_rec=bool(i % 2)))
+            yield _pd.DataFrame({"doc_id": ids, "avi": blobs})
+    avif = df.select("doc_id").mapInPandas(
+        _synth_avi, schema="doc_id long, avi binary")
+    avidec = multimodal.decode_video_frames(
+        avif.select("doc_id", F.col("avi").alias("content"))).select(
+        "doc_id",
+        F.col("frame_meta.frame_count").alias("avi_frames"),
+        F.col("frame_meta.width").alias("avi_w"),
+        F.col("frame_meta.height").alias("avi_h"),
+        F.round(F.col("frame_meta.channel_means")[0], 6).alias("avi_mean_r"),
+        F.round(F.col("frame_meta.channel_means")[1], 6).alias("avi_mean_g"),
+        F.round(F.col("frame_meta.channel_means")[2], 6).alias("avi_mean_b"),
+        F.element_at(F.col("frame_meta.frame_phashes"), 1).alias("avi_ph0"),
+    )
     v2dec = multimodal.decode_video_metadata(
         v2.select("doc_id", F.col("v2").alias("content"))).select(
         "doc_id",
@@ -1139,6 +1178,7 @@ def q40_multimodal(spark, sf_dir):
         .join(wavdec, "doc_id")
         .join(wavfeat, "doc_id").join(mp4dec, "doc_id")
         .join(v2dec, "doc_id")
+        .join(avidec, "doc_id")
         .join(mp3dec, "doc_id").join(flacdec, "doc_id")
         .join(crawl, "doc_id")
         .orderBy("doc_id", "frame_idx")
@@ -2526,6 +2566,34 @@ def oracle_sql() -> dict[str, str]:
                            CAST((doc_id * 3) % 256 AS DOUBLE) AS g,
                            CAST((doc_id * 5) % 256 AS DOUBLE) AS b
                     FROM documents)),
+            -- r12 MJPEG-in-AVI frame tier: sampled first/middle/last of
+            -- the 3 + i % 5 solid-color frames; each sampled color goes
+            -- through the SAME YCbCr roundtrip arithmetic as the jc
+            -- mirror, then the three results average (pooled means)
+            avifr AS (
+              SELECT doc_id, nf,
+                     unnest([0, CAST(floor((nf - 1) / 2.0) AS INT),
+                             nf - 1]) AS j
+              FROM (SELECT doc_id, 3 + doc_id % 5 AS nf
+                    FROM documents WHERE doc_id % 8 <> 0)),
+            avic AS (
+              SELECT doc_id, nf, j,
+                     CAST((doc_id + 29 * j) % 256 AS DOUBLE) AS r,
+                     CAST((doc_id * 3 + 31 * j) % 256 AS DOUBLE) AS g,
+                     CAST((doc_id * 5 + 37 * j) % 256 AS DOUBLE) AS b
+              FROM avifr),
+            aviy AS (
+              SELECT doc_id, nf, j,
+                     least(greatest(floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5), 0), 255) AS y,
+                     least(greatest(floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5), 0), 255) AS cb,
+                     least(greatest(floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5), 0), 255) AS cr
+              FROM avic),
+            avim AS (
+              SELECT doc_id, CAST(max(nf) AS INT) AS avi_frames,
+                     round(avg(least(greatest(floor(y + 1.402 * (cr - 128.0) + 0.5), 0), 255)), 6) AS avi_mean_r,
+                     round(avg(least(greatest(floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5), 0), 255)), 6) AS avi_mean_g,
+                     round(avg(least(greatest(floor(y + 1.772 * (cb - 128.0) + 0.5), 0), 255)), 6) AS avi_mean_b
+              FROM aviy GROUP BY doc_id),
             -- r8 crawl branch: the expected strip_html output per doc_id,
             -- rebuilt arithmetically (the WARC fixture's HTML is a pure
             -- function of doc_id), then the same curation signals in SQL
@@ -2686,6 +2754,16 @@ def oracle_sql() -> dict[str, str]:
                         END AS flac_total,
                    CASE WHEN d.doc_id % 13 = 0 THEN NULL
                         ELSE CAST(16 AS INT) END AS flac_bits,
+                   -- r12 MJPEG-in-AVI frame tier (every 8th doc corrupt
+                   -- RIFF -> NULL row; solid frames -> all-ones phash)
+                   av.avi_frames,
+                   CASE WHEN av.doc_id IS NULL THEN NULL
+                        ELSE CAST(16 AS INT) END AS avi_w,
+                   CASE WHEN av.doc_id IS NULL THEN NULL
+                        ELSE CAST(8 AS INT) END AS avi_h,
+                   av.avi_mean_r, av.avi_mean_g, av.avi_mean_b,
+                   CASE WHEN av.doc_id IS NULL THEN NULL
+                        ELSE 'ffffffffffffffff' END AS avi_ph0,
                    c.crawl_status, c.crawl_ctype, c.warc_text,
                    c.crawl_n_words,
                    CAST(CASE WHEN c.crawl_n_words >= 8
@@ -2697,6 +2775,7 @@ def oracle_sql() -> dict[str, str]:
                    JOIN jc ON f.doc_id = jc.doc_id
                    LEFT JOIN wavrms wr ON f.doc_id = wr.doc_id
                    LEFT JOIN wavzcr wz ON f.doc_id = wz.doc_id
+                   LEFT JOIN avim av ON f.doc_id = av.doc_id
             ORDER BY f.doc_id, frame_idx
         """,
         "q46_densify_fill": """

@@ -1679,6 +1679,137 @@ def encode_avi_header(duration_s: float = 1.0, fps: float = 25.0,
     return b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
 
 
+def _avi_video_chunk_offsets(b: bytes) -> list[tuple[int, int]]:
+    """(payload_offset, payload_len) of every VIDEO frame chunk
+    (``NNdc``/``NNdb``) inside ``LIST movi``, in stream order — the
+    index pass of the MJPEG frame tier (r12). Strictly bounds-checked:
+    a chunk whose declared size over-runs the buffer ends the walk
+    (truncated-tail convention; a FORGED size can therefore never make
+    a later slice over-read — the r11-verdict #8 adversarial case).
+    One level of ``LIST rec `` grouping (interleaved AVIs) is
+    descended. O(chunks) over the bytes, no decompression."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return []
+    out: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int, depth: int) -> None:
+        while pos + 8 <= end:
+            cid = b[pos:pos + 4]
+            (clen,) = struct.unpack_from("<I", b, pos + 4)
+            body = pos + 8
+            truncated = body + clen > end
+            if cid == b"LIST":
+                ltype = b[body:body + 4]
+                if ltype == b"movi" or (depth > 0 and ltype == b"rec "):
+                    # a truncated-tail LIST still yields the frames it
+                    # holds — children are bounds-checked individually,
+                    # so clamping a CONTAINER never over-reads
+                    walk(body + 4, min(body + clen, end), depth + 1)
+            elif truncated:
+                return  # forged/short DATA chunk: stop, never over-read
+            elif (depth > 0 and cid[2:4] in (b"dc", b"db")
+                  and cid[:2].isdigit()):
+                out.append((body, clen))
+            if truncated:
+                return
+            pos = body + clen + (clen & 1)
+
+    try:
+        walk(12, len(b), 0)
+    except struct.error:
+        pass
+    return out
+
+
+def avi_frame_stats(
+    b: bytes, n_sample: int = 3,
+    pixel_budget: int | None = None,
+) -> dict | None:
+    """MJPEG-in-AVI FRAME PIXEL TIER (r12, verdict r11 next #3): walk
+    ``LIST movi`` for video frame chunks, decode up to ``n_sample``
+    frames at evenly-spaced indices (first/middle/last for the default
+    3) through the real JPEG kernel (:func:`jpeg_pixel_decode` —
+    MJPEG stores each frame as a bare baseline JPEG), and emit
+    per-frame average-hashes for video near-dup plus pooled channel
+    means. A sampled chunk that is not a decodable JPEG contributes a
+    NULL phash slot (honest-tier convention: positions are kept so the
+    near-dup explode can skip them without renumbering). Non-AVI or
+    frameless bytes → None."""
+    offsets = _avi_video_chunk_offsets(b)
+    if not offsets:
+        return None
+    n = len(offsets)
+    k = min(n_sample, n)
+    idx = sorted({(i * (n - 1)) // (k - 1) if k > 1 else 0
+                  for i in range(k)})
+    budget = JPEG_PIXEL_BUDGET if pixel_budget is None else pixel_budget
+    phashes: list[str | None] = []
+    means_acc: list[list[float]] = []
+    width = height = None
+    for i in idx:
+        off, ln = offsets[i]
+        frame = b[off:off + ln]
+        meta = (jpeg_pixel_decode(frame, pixel_budget=budget)
+                if frame.startswith(_JPEG_SIG) else None)
+        if meta is None:
+            phashes.append(None)
+            continue
+        phashes.append(meta["phash"])
+        means_acc.append(meta["channel_means"])
+        if width is None:
+            width, height = meta["width"], meta["height"]
+    pooled = ([sum(c) / len(means_acc) for c in zip(*means_acc)]
+              if means_acc else None)
+    return {
+        "byte_len": len(b),
+        "format": "avi-mjpeg",
+        "frame_count": n,
+        "width": width,
+        "height": height,
+        "sampled_frames": [int(i) for i in idx],
+        "frame_phashes": phashes,
+        "channel_means": pooled,
+    }
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], fps: float = 25.0,
+    width: int = 0, height: int = 0,
+    interleave_rec: bool = False,
+) -> bytes:
+    """Synthesize a complete MJPEG AVI (fixture generator): LIST hdrl
+    (avih + LIST strl with a ``vids``/``MJPG`` strh and a
+    BITMAPINFOHEADER strf) + LIST movi carrying each JPEG as a
+    ``00dc`` chunk (``interleave_rec=True`` wraps each frame in a
+    ``LIST rec `` group, the interleaved-AVI layout). The header-tier
+    :func:`avi_decode` reads the same bytes."""
+    usec = int(round(1e6 / fps))
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return (cid + struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) & 1 else b""))
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return (b"LIST" + struct.pack("<I", 4 + len(payload))
+                + ltype + payload)
+
+    avih = struct.pack("<10I", usec, 0, 0, 0, len(frames), 0, 1, 0,
+                       width, height) + bytes(16)
+    strh = (b"vids" + b"MJPG" + bytes(12)
+            + struct.pack("<II", 1, int(round(fps)))  # scale, rate
+            + struct.pack("<II", 0, len(frames)) + bytes(16))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
+                       b"MJPG", width * height * 3, 0, 0, 0, 0)
+    hdrl = (chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = b"".join(
+        lst(b"rec ", chunk(b"00dc", f)) if interleave_rec
+        else chunk(b"00dc", f)
+        for f in frames)
+    body = lst(b"hdrl", hdrl) + lst(b"movi", movi)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
 # Matroska/WebM EBML element ids (marker bits kept)
 _MKV_SEGMENT = 0x18538067
 _MKV_INFO = 0x1549A966
@@ -1870,6 +2001,83 @@ def decode_video_metadata(
     return _map_binary_column(
         df, content_col, out_col, decoder or video_decode,
         T.StructType(_VIDEO_FIELDS))
+
+
+_VIDEO_FRAME_FIELDS = [
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("frame_count", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("sampled_frames", T.ArrayType(T.IntegerType())),
+    T.StructField("frame_phashes", T.ArrayType(T.StringType())),
+    T.StructField("channel_means", T.ArrayType(T.DoubleType())),
+]
+
+
+def decode_video_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "frame_meta",
+    decoder=None,
+    n_sample: int = 3,
+) -> DataFrame:
+    """Sampled FRAME PIXEL stats from a video binary column (r12) —
+    the same narrow Arrow-batched plumbing as the metadata decoders;
+    ``decoder`` is any ``bytes -> dict|None`` with the
+    ``_VIDEO_FRAME_FIELDS`` keys (default :func:`avi_frame_stats`:
+    MJPEG-in-AVI through the real JPEG kernel; MP4/MKV stay
+    metadata-only — their codecs need a real video stack, plug one in
+    here). Emits per-frame average-hashes, which
+    :func:`video_near_dup_pairs` feeds to the shared hamming
+    engine."""
+    dec = decoder or (lambda blob: avi_frame_stats(blob, n_sample=n_sample))
+    return _map_binary_column(
+        df, content_col, out_col, dec, T.StructType(_VIDEO_FRAME_FIELDS))
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    phashes_col: str = "frame_phashes",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    min_matching_frames: int = 1,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs from sampled per-frame perceptual
+    hashes (r12): two videos are near-dups when at least
+    ``min_matching_frames`` of their SAME-POSITION sampled frames land
+    within ``max_hamming`` bit flips — re-encoded/resized copies keep
+    per-frame visual structure. Explodes (video, sample_pos, phash),
+    rides the shared pigeonhole engine per position
+    (``dedup.hamming_near_dup_pairs`` with the position folded into
+    the fingerprint id — equi-join candidates, never all-pairs), then
+    aggregates positions per video pair. NULL phash slots (undecodable
+    sampled chunks) drop before the join. Returns
+    (id_a, id_b, n_frames_matched, min_hamming)."""
+    from .dedup import hamming_near_dup_pairs
+
+    fp = (df.select(F.col(id_col).alias("vid"),
+                    F.posexplode(phashes_col).alias("pos", "ph"))
+          .filter(F.col("ph").isNotNull())
+          .select(F.struct("vid", "pos").alias("id"),
+                  phash_to_long(F.col("ph")).alias("fp")))
+    pairs = hamming_near_dup_pairs(
+        fp, fp_col="fp", id_col="id", bits=64,
+        max_hamming=max_hamming, bucket_cap=bucket_cap)
+    # same-position frames of DIFFERENT videos only
+    cross = pairs.filter(
+        (F.col("id_a.pos") == F.col("id_b.pos"))
+        & (F.col("id_a.vid") != F.col("id_b.vid")))
+    a, b = F.col("id_a.vid"), F.col("id_b.vid")
+    return (cross
+            .select(F.least(a, b).alias("id_a"),
+                    F.greatest(a, b).alias("id_b"),
+                    "hamming")
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_frames_matched"),
+                 F.min("hamming").alias("min_hamming"))
+            .filter(F.col("n_frames_matched") >= min_matching_frames))
 
 
 def py_pixels(b: bytes) -> tuple | None:
