@@ -943,13 +943,33 @@ def q40_multimodal(spark, sf_dir):
                             for x in range(w)] for y in range(h)]
                     gifs.append(multimodal.encode_gif(
                         w, h, pix, interlace=bool(i % 2)))
-                webps.append(
-                    b"RIFFxxxx" if i % 7 == 3 else
-                    b"RIFF" + (22).to_bytes(4, "little") + b"WEBP"
-                    + b"VP8 " + (10).to_bytes(4, "little") + bytes(3)
-                    + b"\x9d\x01\x2a"
-                    + int(1 + (i * 19) % 4000).to_bytes(2, "little")
-                    + int(1 + (i * 23) % 4000).to_bytes(2, "little"))
+                # r12: every 3rd (non-corrupt) doc carries a REAL VP8L
+                # lossless WebP — even-width 2-color checkerboard, so
+                # channel means are exactly (A+B)/2 (the GIF-tier
+                # arithmetic); odd ids write it through the
+                # subtract-green transform, which must be value-
+                # invisible after the inverse
+                if i % 7 == 3:
+                    webps.append(b"RIFFxxxx")
+                elif i % 3 == 0:
+                    from aggo_spark.operators import vp8l as _vp8l
+                    vw = int(2 * (1 + (i * 9) % 7))
+                    vh = int(1 + (i * 5) % 6)
+                    va = (int((i * 2) % 256), int((i * 7) % 256),
+                          int((i * 11) % 256))
+                    vb = (int((i * 17) % 256), int((i * 19) % 256),
+                          int((i * 23) % 256))
+                    vpix = [[va if (x + y) % 2 == 0 else vb
+                             for x in range(vw)] for y in range(vh)]
+                    webps.append(_vp8l.encode_webp_vp8l(
+                        vw, vh, vpix, subtract_green=bool(i % 2)))
+                else:
+                    webps.append(
+                        b"RIFF" + (22).to_bytes(4, "little") + b"WEBP"
+                        + b"VP8 " + (10).to_bytes(4, "little") + bytes(3)
+                        + b"\x9d\x01\x2a"
+                        + int(1 + (i * 19) % 4000).to_bytes(2, "little")
+                        + int(1 + (i * 23) % 4000).to_bytes(2, "little"))
             yield _pd.DataFrame({"doc_id": ids, "gif": gifs,
                                  "webp": webps})
     gifwebp = df.select("doc_id").mapInPandas(
@@ -970,6 +990,9 @@ def q40_multimodal(spark, sf_dir):
         "doc_id",
         F.col("img_meta.width").alias("webp_width"),
         F.col("img_meta.height").alias("webp_height"),
+        F.round(F.col("img_meta.channel_means")[0], 6).alias("webp_mean_r"),
+        F.round(F.col("img_meta.channel_means")[1], 6).alias("webp_mean_g"),
+        F.round(F.col("img_meta.channel_means")[2], 6).alias("webp_mean_b"),
     )
 
     # late r6: audio (WAV RIFF chunk walk) + video (MP4 box walk) — real
@@ -2677,12 +2700,28 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (((d.doc_id * 3) % 256) + ((d.doc_id * 11) % 256)) / 2.0 END AS gif_mean_g,
                    CASE WHEN d.doc_id % 6 = 0 THEN NULL
                         ELSE (((d.doc_id * 5) % 256) + ((d.doc_id * 13) % 256)) / 2.0 END AS gif_mean_b,
-                   -- r11 WebP header tier: VP8 lossy frame dims; every
-                   -- 7th-of-3 doc corrupt RIFF -> NULL
+                   -- r11 WebP header tier / r12 VP8L pixel tier: every
+                   -- 7th-of-3 doc corrupt RIFF -> NULL; every 3rd doc a
+                   -- REAL lossless decode (even-width checkerboard ->
+                   -- means exactly (A+B)/2); the rest VP8 lossy header
+                   -- dims with honestly-NULL means
                    CASE WHEN d.doc_id % 7 = 3 THEN NULL
+                        WHEN d.doc_id % 3 = 0
+                          THEN CAST(2 * (1 + (d.doc_id * 9) % 7) AS INT)
                         ELSE CAST(1 + (d.doc_id * 19) % 4000 AS INT) END AS webp_width,
                    CASE WHEN d.doc_id % 7 = 3 THEN NULL
+                        WHEN d.doc_id % 3 = 0
+                          THEN CAST(1 + (d.doc_id * 5) % 6 AS INT)
                         ELSE CAST(1 + (d.doc_id * 23) % 4000 AS INT) END AS webp_height,
+                   CASE WHEN d.doc_id % 7 = 3 OR d.doc_id % 3 <> 0 THEN NULL
+                        ELSE (((d.doc_id * 2) % 256) + ((d.doc_id * 17) % 256)) / 2.0
+                        END AS webp_mean_r,
+                   CASE WHEN d.doc_id % 7 = 3 OR d.doc_id % 3 <> 0 THEN NULL
+                        ELSE (((d.doc_id * 7) % 256) + ((d.doc_id * 19) % 256)) / 2.0
+                        END AS webp_mean_g,
+                   CASE WHEN d.doc_id % 7 = 3 OR d.doc_id % 3 <> 0 THEN NULL
+                        ELSE (((d.doc_id * 11) % 256) + ((d.doc_id * 23) % 256)) / 2.0
+                        END AS webp_mean_b,
                    -- late r6: WAV RIFF + MP4 box-walk parses; every 7th doc
                    -- carries corrupt magic -> all-null meta
                    CASE WHEN d.doc_id % 7 = 0 THEN NULL

@@ -601,14 +601,56 @@ def encode_gif(width: int, height: int, pixels: list,
             + b"\x00\x3B")
 
 
-def webp_decode(b: bytes) -> dict | None:
-    """WebP HEADER tier (r11): RIFF container walk to the first
-    VP8/VP8L/VP8X chunk for real dimensions — VP8 lossy (frame tag +
-    14-bit dims), VP8L lossless (bit-packed 14-bit dims), VP8X extended
-    (24-bit canvas). Pixel stats are honestly NULL (a full VP8 entropy
-    decoder is out of scope; production swaps in pil_decode)."""
+def _webp_vp8l_pixels(b: bytes) -> tuple | None:
+    """(width, height, channels, rows) for a WebP container whose
+    first image chunk is VP8L (r12 pixel tier) — the ``_png_pixels``
+    contract; None for lossy/extended/corrupt WebP."""
     if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         return None
+    try:
+        pos = 12
+        while pos + 8 <= len(b):
+            cid = b[pos:pos + 4]
+            (clen,) = struct.unpack_from("<I", b, pos + 4)
+            if cid == b"VP8L":
+                from .vp8l import vp8l_pixels
+                return vp8l_pixels(b[pos + 8:pos + 8 + clen],
+                                   max_pixels=JPEG_PIXEL_BUDGET)
+            if cid in (b"VP8 ", b"VP8X"):
+                return None
+            pos += 8 + clen + (clen & 1)
+        return None
+    except (struct.error, IndexError):
+        return None
+
+
+def webp_decode(b: bytes) -> dict | None:
+    """WebP metadata + VP8L pixel tier. RIFF container walk to the
+    first VP8/VP8L/VP8X chunk for real dimensions — VP8 lossy (frame
+    tag + 14-bit dims), VP8L lossless (bit-packed 14-bit dims), VP8X
+    extended (24-bit canvas). r12 (verdict r11 next #4): VP8L chunks
+    get a REAL pixel decode (canonical prefix codes, LZ77 + plane-code
+    distances, color cache, all four transforms — see
+    :mod:`.vp8l`), so channel means/phash come from decoded pixels;
+    a corrupt VP8L bitstream falls back to this header parse with NULL
+    stats (the JPEG-tier convention). VP8 *lossy* stays header-only
+    (a VP8 intra decoder needs a real video stack; production swaps in
+    pil_decode)."""
+    if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    px = _webp_vp8l_pixels(b)
+    if px is not None:
+        width, height, nch, rows = px
+        means, phash = _pixel_stats(rows, nch)
+        return {
+            "byte_len": len(b),
+            "format": "webp",
+            "width": width,
+            "height": height,
+            "channels": nch,
+            "channel_means": means,
+            "phash": phash,
+        }
     try:
         pos = 12
         while pos + 8 <= len(b):
@@ -721,8 +763,8 @@ def jpeg_decode(b: bytes) -> dict | None:
 def py_decode(b: bytes) -> dict | None:
     """Real pure-Python decode for known containers (PNG, BMP, GIF full
     decode; JPEG baseline/progressive pixel decode with header fallback;
-    WebP header tier), magic-byte dispatched; None for unknown/corrupt
-    bytes."""
+    WebP VP8L pixel decode — r12 — with header fallback for lossy/
+    corrupt), magic-byte dispatched; None for unknown/corrupt bytes."""
     if b.startswith(_PNG_SIG):
         return png_decode(b)
     if b.startswith(b"BM"):
@@ -2082,13 +2124,16 @@ def video_near_dup_pairs(
 
 def py_pixels(b: bytes) -> tuple | None:
     """(width, height, channels, pixel rows) for known containers (PNG,
-    BMP, GIF), magic-byte dispatched; None for unknown/corrupt bytes."""
+    BMP, GIF, lossless WebP — r12), magic-byte dispatched; None for
+    unknown/corrupt bytes."""
     if b.startswith(_PNG_SIG):
         return _png_pixels(b)
     if b.startswith(b"BM"):
         return _bmp_pixels(b)
     if b.startswith(b"GIF87a") or b.startswith(b"GIF89a"):
         return _gif_pixels(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        return _webp_vp8l_pixels(b)
     return None
 
 
