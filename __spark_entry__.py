@@ -1087,24 +1087,48 @@ def q40_multimodal(spark, sf_dir):
     # YCbCr roundtrip arithmetic per sampled frame and averages. Every
     # 8th doc corrupt RIFF -> NULL row, never faked.
     def _synth_avi(batches):
+        # r12 companion: an animated GIF per doc (2 + i % 4 solid
+        # frames, arithmetic colors, shared global palette) — GIF is
+        # LOSSLESS RGB, so sampled-frame pooled means are the exact
+        # color averages (no YCbCr mirror needed); every 10th doc
+        # corrupt magic -> NULL row.
         for pdf in batches:
             ids = pdf["doc_id"]
-            blobs = []
+            blobs, gifa = [], []
             for i in ids:
                 if i % 8 == 0:
                     blobs.append(b"RIFF\x00\x00\x00\x00AVI ")
-                    continue
-                frames_b = [multimodal.encode_jpeg(
-                    16, 8,
-                    (int((i + 29 * j) % 256), int((i * 3 + 31 * j) % 256),
-                     int((i * 5 + 37 * j) % 256)))
-                    for j in range(int(3 + i % 5))]
-                blobs.append(multimodal.encode_avi_mjpeg(
-                    frames_b, width=16, height=8,
-                    interleave_rec=bool(i % 2)))
-            yield _pd.DataFrame({"doc_id": ids, "avi": blobs})
+                else:
+                    frames_b = [multimodal.encode_jpeg(
+                        16, 8,
+                        (int((i + 29 * j) % 256),
+                         int((i * 3 + 31 * j) % 256),
+                         int((i * 5 + 37 * j) % 256)))
+                        for j in range(int(3 + i % 5))]
+                    blobs.append(multimodal.encode_avi_mjpeg(
+                        frames_b, width=16, height=8,
+                        interleave_rec=bool(i % 2)))
+                if i % 10 == 0:
+                    gifa.append(b"GIF89a\x01")
+                else:
+                    cols = [(int((i * 3 + 41 * j) % 256),
+                             int((i * 7 + 43 * j) % 256),
+                             int((i * 11 + 47 * j) % 256))
+                            for j in range(int(2 + i % 4))]
+                    gifa.append(multimodal.encode_gif_anim(
+                        5, 3, [[[c] * 5] * 3 for c in cols]))
+            yield _pd.DataFrame({"doc_id": ids, "avi": blobs,
+                                 "gifanim": gifa})
     avif = df.select("doc_id").mapInPandas(
-        _synth_avi, schema="doc_id long, avi binary")
+        _synth_avi, schema="doc_id long, avi binary, gifanim binary")
+    gadec = multimodal.decode_video_frames(
+        avif.select("doc_id", F.col("gifanim").alias("content"))).select(
+        "doc_id",
+        F.col("frame_meta.frame_count").alias("ganim_frames"),
+        F.round(F.col("frame_meta.channel_means")[0], 6).alias("ganim_mean_r"),
+        F.round(F.col("frame_meta.channel_means")[1], 6).alias("ganim_mean_g"),
+        F.round(F.col("frame_meta.channel_means")[2], 6).alias("ganim_mean_b"),
+    )
     avidec = multimodal.decode_video_frames(
         avif.select("doc_id", F.col("avi").alias("content"))).select(
         "doc_id",
@@ -1201,7 +1225,7 @@ def q40_multimodal(spark, sf_dir):
         .join(wavdec, "doc_id")
         .join(wavfeat, "doc_id").join(mp4dec, "doc_id")
         .join(v2dec, "doc_id")
-        .join(avidec, "doc_id")
+        .join(avidec, "doc_id").join(gadec, "doc_id")
         .join(mp3dec, "doc_id").join(flacdec, "doc_id")
         .join(crawl, "doc_id")
         .orderBy("doc_id", "frame_idx")
@@ -2617,6 +2641,22 @@ def oracle_sql() -> dict[str, str]:
                      round(avg(least(greatest(floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5), 0), 255)), 6) AS avi_mean_g,
                      round(avg(least(greatest(floor(y + 1.772 * (cb - 128.0) + 0.5), 0), 255)), 6) AS avi_mean_b
               FROM aviy GROUP BY doc_id),
+            -- r12 animated-GIF frame tier: lossless RGB, so pooled
+            -- means are exact color averages over the DISTINCT sampled
+            -- indices (nf=2 samples {0,1}; the 3-way unnest dedupes)
+            ganifr AS (
+              SELECT DISTINCT doc_id, nf, j FROM (
+                SELECT doc_id, nf,
+                       unnest([0, CAST(floor((nf - 1) / 2.0) AS INT),
+                               nf - 1]) AS j
+                FROM (SELECT doc_id, 2 + doc_id % 4 AS nf
+                      FROM documents WHERE doc_id % 10 <> 0))),
+            ganim AS (
+              SELECT doc_id, CAST(max(nf) AS INT) AS ganim_frames,
+                     round(avg(CAST((doc_id * 3 + 41 * j) % 256 AS DOUBLE)), 6) AS ganim_mean_r,
+                     round(avg(CAST((doc_id * 7 + 43 * j) % 256 AS DOUBLE)), 6) AS ganim_mean_g,
+                     round(avg(CAST((doc_id * 11 + 47 * j) % 256 AS DOUBLE)), 6) AS ganim_mean_b
+              FROM ganifr GROUP BY doc_id),
             -- r8 crawl branch: the expected strip_html output per doc_id,
             -- rebuilt arithmetically (the WARC fixture's HTML is a pure
             -- function of doc_id), then the same curation signals in SQL
@@ -2803,6 +2843,8 @@ def oracle_sql() -> dict[str, str]:
                    av.avi_mean_r, av.avi_mean_g, av.avi_mean_b,
                    CASE WHEN av.doc_id IS NULL THEN NULL
                         ELSE 'ffffffffffffffff' END AS avi_ph0,
+                   ga.ganim_frames, ga.ganim_mean_r, ga.ganim_mean_g,
+                   ga.ganim_mean_b,
                    c.crawl_status, c.crawl_ctype, c.warc_text,
                    c.crawl_n_words,
                    CAST(CASE WHEN c.crawl_n_words >= 8
@@ -2815,6 +2857,7 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN wavrms wr ON f.doc_id = wr.doc_id
                    LEFT JOIN wavzcr wz ON f.doc_id = wz.doc_id
                    LEFT JOIN avim av ON f.doc_id = av.doc_id
+                   LEFT JOIN ganim ga ON f.doc_id = ga.doc_id
             ORDER BY f.doc_id, frame_idx
         """,
         "q46_densify_fill": """

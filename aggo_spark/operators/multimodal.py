@@ -330,6 +330,8 @@ def _gif_lzw_decode(data: bytes, min_code_size: int,
     rebuild on clear. ``max_pixels`` bounds the output (forged streams
     must not allocate unbounded memory — the pixel-budget philosophy of
     the JPEG tier). Returns index bytes or None on a corrupt stream."""
+    if not 2 <= min_code_size <= 8:
+        return None  # GIF palettes cap at 256 entries (mcs <= 8)
     clear = 1 << min_code_size
     end = clear + 1
     out = bytearray()
@@ -383,15 +385,19 @@ def _gif_lzw_decode(data: bytes, min_code_size: int,
         prev = entry
 
 
-def _gif_pixels(b: bytes) -> tuple | None:
-    """(width, height, 3, pixel rows) for the FIRST frame of a
-    GIF87a/GIF89a, or None — real LZW decode on the shared pixel-core
-    plumbing (r11, verdict next #3: real crawls are ~10-20% GIF/WebP
-    and previously fell to the env-dependent PIL branch). Supports
-    global + local color tables and interlace; transparent pixels keep
-    their palette color (means are over the stored frame)."""
+def _gif_frames(b: bytes, wanted: frozenset | set) -> tuple | None:
+    """(frame_count_walked, {frame_no: (iw, ih, rows)}) decoding only
+    the frames in ``wanted`` — frames outside it skip their LZW
+    sub-blocks without decompressing (r12: the animated-GIF sampling
+    walk; r11 first-frame decode is the ``wanted={0}`` case). Frames
+    decode INDEPENDENTLY (the stored rectangle as-is — no disposal
+    compositing; the honest tier for near-dup hashing). Returns None
+    for non-GIF bytes or when a WANTED frame is corrupt; a corrupt
+    tail after all wanted frames decoded keeps the walked count."""
     if not (b.startswith(b"GIF87a") or b.startswith(b"GIF89a")):
         return None
+    decoded: dict[int, tuple] = {}
+    frame_no = 0
     try:
         sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
         pos = 13
@@ -402,8 +408,8 @@ def _gif_pixels(b: bytes) -> tuple | None:
             pos += 3 * n
         while pos < len(b):
             blk = b[pos]
-            if blk == 0x3B:  # trailer before any image
-                return None
+            if blk == 0x3B:  # trailer
+                break
             if blk == 0x21:  # extension: label + sub-blocks
                 pos += 2
                 while pos < len(b) and b[pos] != 0:
@@ -411,7 +417,9 @@ def _gif_pixels(b: bytes) -> tuple | None:
                 pos += 1
                 continue
             if blk != 0x2C:  # not an image descriptor: corrupt
-                return None
+                return None if frame_no == 0 else (frame_no, decoded)
+            if pos + 10 > len(b):
+                break  # descriptor truncated: don't count the frame
             _ix, _iy, iw, ih, lfl = struct.unpack_from("<HHHHB", b, pos + 1)
             pos += 10
             if not iw or not ih or iw * ih > 64_000_000:
@@ -422,36 +430,101 @@ def _gif_pixels(b: bytes) -> tuple | None:
                 pal = [tuple(b[pos + 3 * i:pos + 3 * i + 3])
                        for i in range(n)]
                 pos += 3 * n
-            if pal is None:
-                return None  # no color table at all
             mcs = b[pos]
             pos += 1
-            if not 2 <= mcs <= 11:
-                return None
-            data = bytearray()
+            want = frame_no in wanted
+            data = bytearray() if want else None
             while pos < len(b) and b[pos] != 0:
                 ln = b[pos]
-                data += b[pos + 1:pos + 1 + ln]
+                if want:
+                    data += b[pos + 1:pos + 1 + ln]
                 pos += 1 + ln
-            idx = _gif_lzw_decode(bytes(data), mcs, iw * ih)
-            if idx is None or len(idx) < iw * ih:
-                return None
-            npal = len(pal)
-            raster = [idx[r * iw:(r + 1) * iw] for r in range(ih)]
-            if lfl & 0x40:  # interlaced: 4-pass row order
-                rows_out: list = [None] * ih
-                src = 0
-                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
-                    for r in range(start, ih, step):
-                        rows_out[r] = raster[src]
-                        src += 1
-                raster = rows_out
-            rows = [[pal[v] if v < npal else (0, 0, 0) for v in line]
-                    for line in raster]
-            return int(iw), int(ih), 3, rows
-        return None
+            pos += 1  # block terminator
+            if want and pal is not None and 2 <= mcs <= 8:
+                idx = _gif_lzw_decode(bytes(data), mcs, iw * ih)
+                if idx is None or len(idx) < iw * ih:
+                    frame_no += 1
+                    continue  # corrupt wanted frame: NULL slot, walk on
+                npal = len(pal)
+                raster = [idx[r * iw:(r + 1) * iw] for r in range(ih)]
+                if lfl & 0x40:  # interlaced: 4-pass row order
+                    rows_out: list = [None] * ih
+                    src = 0
+                    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                        for r in range(start, ih, step):
+                            rows_out[r] = raster[src]
+                            src += 1
+                    raster = rows_out
+                rows = [[pal[v] if v < npal else (0, 0, 0) for v in line]
+                        for line in raster]
+                decoded[frame_no] = (int(iw), int(ih), rows)
+            frame_no += 1
+        if not frame_no:
+            return None
+        return frame_no, decoded
     except (struct.error, IndexError):
+        # corrupt tail: keep what was walked (undecoded wanted frames
+        # surface as NULL slots / a None first-frame, never garbage)
+        return None if frame_no == 0 else (frame_no, decoded)
+
+
+def _gif_pixels(b: bytes) -> tuple | None:
+    """(width, height, 3, pixel rows) for the FIRST frame of a
+    GIF87a/GIF89a, or None — real LZW decode on the shared pixel-core
+    plumbing (r11; r12 rides :func:`_gif_frames`). Supports global +
+    local color tables and interlace; transparent pixels keep their
+    palette color (means are over the stored frame)."""
+    got = _gif_frames(b, {0})
+    if got is None or 0 not in got[1]:
         return None
+    iw, ih, rows = got[1][0]
+    return iw, ih, 3, rows
+
+
+def gif_frame_stats(b: bytes, n_sample: int = 3) -> dict | None:
+    """Animated-GIF FRAME SAMPLING tier (r12, verdict r11 next #5):
+    count frames (descriptor walk, no LZW), decode up to ``n_sample``
+    evenly-spaced frames (first/middle/last) independently — the
+    stored rectangle per frame, honoring disposal only as "independent
+    frames" (no compositing; the honest tier, same convention as
+    :func:`avi_frame_stats`) — and emit per-frame average-hashes for
+    video-style near-dup plus pooled channel means. A sampled frame
+    that fails to decode keeps a NULL phash slot. Non-GIF or
+    frameless bytes → None."""
+    n = gif_frame_count(b)
+    if not n:
+        return None
+    k = min(n_sample, n)
+    idx = sorted({(i * (n - 1)) // (k - 1) if k > 1 else 0
+                  for i in range(k)})
+    got = _gif_frames(b, set(idx))
+    frames = got[1] if got else {}
+    phashes: list[str | None] = []
+    means_acc: list[list[float]] = []
+    width = height = None
+    for i in idx:
+        f = frames.get(i)
+        if f is None:
+            phashes.append(None)
+            continue
+        iw, ih, rows = f
+        means, ph = _pixel_stats(rows, 3)
+        phashes.append(ph)
+        means_acc.append(means)
+        if width is None:
+            width, height = iw, ih
+    pooled = ([sum(c) / len(means_acc) for c in zip(*means_acc)]
+              if means_acc else None)
+    return {
+        "byte_len": len(b),
+        "format": "gif-frames",
+        "frame_count": n,
+        "width": width,
+        "height": height,
+        "sampled_frames": [int(i) for i in idx],
+        "frame_phashes": phashes,
+        "channel_means": pooled,
+    }
 
 
 def gif_frame_count(b: bytes) -> int | None:
@@ -520,33 +593,30 @@ def gif_decode(b: bytes) -> dict | None:
     }
 
 
-def encode_gif(width: int, height: int, pixels: list,
-               interlace: bool = False) -> bytes:
-    """Synthesize a REAL GIF89a for tests (the encode_png pattern):
-    builds a palette from the distinct colors (≤ 256), LZW-compresses
-    the index raster (variable-width codes, dictionary reset at 4096),
-    optional interlace. ``pixels`` is rows of (r, g, b) tuples."""
+def _gif_palette(frames_pixels: list[list[list[tuple]]]):
+    """(palette bytes padded to a power of two, color→index map, depth)
+    over the union of colors in all frames."""
     colors: list[tuple] = []
     cmap: dict[tuple, int] = {}
-    for row in pixels:
-        for px in row:
-            if px not in cmap:
-                cmap[px] = len(colors)
-                colors.append(px)
+    for pixels in frames_pixels:
+        for row in pixels:
+            for px in row:
+                if px not in cmap:
+                    cmap[px] = len(colors)
+                    colors.append(px)
     if len(colors) > 256:
         raise ValueError("encode_gif: > 256 distinct colors")
     depth = max(1, (len(colors) - 1).bit_length())
     n = 1 << depth
     pal = b"".join(bytes(c) for c in colors) + b"\x00\x00\x00" * (
         n - len(colors))
-    rows = list(range(height))
-    if interlace:
-        rows = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
-                for r in range(start, height, step)]
-    indices = [cmap[px] for r in rows for px in pixels[r]]
-    mcs = max(2, depth)
-    clear, end = 1 << mcs, (1 << mcs) + 1
+    return pal, cmap, depth
 
+
+def _gif_lzw_encode(indices: list[int], mcs: int) -> bytes:
+    """LZW-compress an index raster into GIF sub-blocks (variable-width
+    codes, dictionary reset at 4096)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
     out = bytearray()
     acc = nbits = 0
 
@@ -594,11 +664,55 @@ def encode_gif(width: int, height: int, pixels: list,
     for i in range(0, len(out), 255):
         chunk = out[i:i + 255]
         blocks += bytes([len(chunk)]) + chunk
-    lsd = struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
+    return bytes(blocks)
+
+
+def _gif_image_block(pixels: list, cmap: dict, mcs: int, width: int,
+                     height: int, interlace: bool) -> bytes:
+    rows = list(range(height))
+    if interlace:
+        rows = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                for r in range(start, height, step)]
+    indices = [cmap[px] for r in rows for px in pixels[r]]
     imgd = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height,
                        0x40 if interlace else 0)
-    return (b"GIF89a" + lsd + pal + imgd + bytes([mcs]) + bytes(blocks)
-            + b"\x00\x3B")
+    return imgd + bytes([mcs]) + _gif_lzw_encode(indices, mcs) + b"\x00"
+
+
+def encode_gif(width: int, height: int, pixels: list,
+               interlace: bool = False) -> bytes:
+    """Synthesize a REAL GIF89a for tests (the encode_png pattern):
+    builds a palette from the distinct colors (≤ 256), LZW-compresses
+    the index raster (variable-width codes, dictionary reset at 4096),
+    optional interlace. ``pixels`` is rows of (r, g, b) tuples."""
+    pal, cmap, depth = _gif_palette([pixels])
+    mcs = max(2, depth)
+    lsd = struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
+    return (b"GIF89a" + lsd + pal
+            + _gif_image_block(pixels, cmap, mcs, width, height, interlace)
+            + b"\x3B")
+
+
+def encode_gif_anim(width: int, height: int,
+                    frames: list[list[list[tuple]]],
+                    delay_cs: int = 10) -> bytes:
+    """Synthesize a REAL animated GIF89a (r12 fixture generator): one
+    GLOBAL palette over the union of all frames' colors, a NETSCAPE
+    loop extension, and per-frame graphic-control extensions + image
+    blocks — the layout real encoders emit, exercising the frame walk,
+    extension skipping, and per-frame LZW decode."""
+    pal, cmap, depth = _gif_palette(frames)
+    mcs = max(2, depth)
+    lsd = struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
+    netscape = (b"\x21\xff\x0bNETSCAPE2.0"
+                + b"\x03\x01\x00\x00\x00")
+    out = bytearray(b"GIF89a" + lsd + pal + netscape)
+    for pixels in frames:
+        out += (b"\x21\xf9\x04\x04"
+                + struct.pack("<H", delay_cs) + b"\x00\x00")
+        out += _gif_image_block(pixels, cmap, mcs, width, height, False)
+    out += b"\x3B"
+    return bytes(out)
 
 
 def _webp_vp8l_pixels(b: bytes) -> tuple | None:
@@ -2057,6 +2171,19 @@ _VIDEO_FRAME_FIELDS = [
 ]
 
 
+def video_frame_stats(b: bytes, n_sample: int = 3) -> dict | None:
+    """Default frame-sampling chain (r12): MJPEG-in-AVI
+    (:func:`avi_frame_stats`) and animated GIF
+    (:func:`gif_frame_stats`) — magic-byte dispatched; None for
+    containers without a pure-Python frame tier (MP4/MKV stay
+    metadata-only: their codecs need a real video stack)."""
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return avi_frame_stats(b, n_sample=n_sample)
+    if b.startswith(b"GIF87a") or b.startswith(b"GIF89a"):
+        return gif_frame_stats(b, n_sample=n_sample)
+    return None
+
+
 def decode_video_frames(
     df: DataFrame,
     content_col: str = "content",
@@ -2067,13 +2194,13 @@ def decode_video_frames(
     """Sampled FRAME PIXEL stats from a video binary column (r12) —
     the same narrow Arrow-batched plumbing as the metadata decoders;
     ``decoder`` is any ``bytes -> dict|None`` with the
-    ``_VIDEO_FRAME_FIELDS`` keys (default :func:`avi_frame_stats`:
-    MJPEG-in-AVI through the real JPEG kernel; MP4/MKV stay
-    metadata-only — their codecs need a real video stack, plug one in
-    here). Emits per-frame average-hashes, which
+    ``_VIDEO_FRAME_FIELDS`` keys (default :func:`video_frame_stats`:
+    MJPEG-in-AVI through the real JPEG kernel, animated GIF through
+    the LZW kernel; plug in an ffprobe/pyav decoder for other
+    codecs). Emits per-frame average-hashes, which
     :func:`video_near_dup_pairs` feeds to the shared hamming
     engine."""
-    dec = decoder or (lambda blob: avi_frame_stats(blob, n_sample=n_sample))
+    dec = decoder or (lambda blob: video_frame_stats(blob, n_sample=n_sample))
     return _map_binary_column(
         df, content_col, out_col, dec, T.StructType(_VIDEO_FRAME_FIELDS))
 
