@@ -1335,25 +1335,29 @@ class StreamingCollection:
         new_rows = probe.select("id").distinct().join(
             self._net_labels(lstate, semi=probe, on=["id"]).select("id"),
             "id", "left_anti")
-        if new_rows.head(1):
-            if remap_df is not None:
-                upds.append(
-                    new_rows.join(
-                        remap_df.withColumnRenamed("label", "id"),
-                        "id", "left")
-                    .select("id", F.lit(1).alias("sign"),
-                            F.coalesce("__new", F.col("id"))
-                            .alias("label")))
-            else:
-                label_col = F.col("id")
-                if remap:
-                    mapping = F.create_map(
-                        *[F.lit(x) for kv in remap.items() for x in kv])
-                    label_col = F.coalesce(mapping[F.col("id")],
-                                           F.col("id"))
-                upds.append(new_rows.select(
-                    "id", F.lit(1).alias("sign"),
-                    label_col.alias("label")))
+        # the branch folds into the single append-union UNCONDITIONALLY
+        # (r12, verdict r11 next #7): the former `new_rows.head(1)`
+        # existence probe cost one extra Spark job per micro-batch even
+        # when no new ids existed; an empty anti-join contributes zero
+        # rows to the same write the plan already runs
+        if remap_df is not None:
+            upds.append(
+                new_rows.join(
+                    remap_df.withColumnRenamed("label", "id"),
+                    "id", "left")
+                .select("id", F.lit(1).alias("sign"),
+                        F.coalesce("__new", F.col("id"))
+                        .alias("label")))
+        else:
+            label_col = F.col("id")
+            if remap:
+                mapping = F.create_map(
+                    *[F.lit(x) for kv in remap.items() for x in kv])
+                label_col = F.coalesce(mapping[F.col("id")],
+                                       F.col("id"))
+            upds.append(new_rows.select(
+                "id", F.lit(1).alias("sign"),
+                label_col.alias("label")))
         if upds:
             out = upds[0]
             for u in upds[1:]:
