@@ -201,9 +201,9 @@ def _lz_prefix_encode(value: int) -> tuple[int, int, int]:
         return value - 1, 0, 0
     v = value - 1
     extra = v.bit_length() - 2
-    code = 2 * extra + ((v >> extra) & 1)
-    return code + 2, v & ((1 << extra) - 1), extra
-    # code+2: codes 0..3 cover values 1..4 (extra==0 path above)
+    # codes 0..3 cover values 1..4 (the early-return path above)
+    code = 2 * extra + ((v >> extra) & 1) + 2
+    return code, v & ((1 << extra) - 1), extra
 
 
 def _hash_pixel(px: int, cache_bits: int) -> int:
