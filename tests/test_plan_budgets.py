@@ -80,7 +80,7 @@ BUDGETS = {
                                # gram_docs became a window riding the
                                # distinct rows instead of an aggregate
                                # joined back (the BM25 df(t) lesson)
-    "q40_multimodal": 14,      # +1 r5: real-PNG-decode branch joins on
+    "q40_multimodal": 16,      # +1 r5: real-PNG-decode branch joins on
                                # doc_id (one narrow 7-col row per doc);
                                # +1 r6: JPEG-header branch join (4-col row);
                                # +2 late r6: WAV + MP4 metadata branch
@@ -95,7 +95,11 @@ BUDGETS = {
                                # frame-walk + FLAC STREAMINFO +
                                # Matroska/AVI branch joins (each a
                                # narrow scalar-meta row per doc;
-                               # measured 14)
+                               # measured 14);
+                               # +2 r12: MJPEG-in-AVI frame tier +
+                               # animated-GIF frame tier branch joins
+                               # (pooled-means rows per doc;
+                               # measured 16)
     "q42_stream_agg": 1,
     "q43_stream_window": 1,
     "q44_topn": 3,
@@ -157,6 +161,11 @@ BUDGETS = {
     "q80_stream_lm": 1,       # r11: same shape — CDC replay + lm_score
                               # at construction, materialized 6-row
                               # result + one range-sort exchange
+    "q81_warc_pipeline": 1,   # r12: the WARC ingest + strip + panel all
+                              # run at construction over the synthesized
+                              # fixture archive; the returned frame is
+                              # the materialized 200-row result with one
+                              # final range-sort exchange (measured 1)
 }
 
 # sf1 (scaledata) re-pin: budgets are identical at every SF EXCEPT the rows
