@@ -548,6 +548,12 @@ class StreamingCollection:
 
         - ``"list"`` (default, reference parity) — the result is merged
           into a driver-side list; returns the current result rows.
+          **Driver-held: every flush collects the FULL result.** This
+          mirrors the reference's in-memory semantics and is right for
+          dashboard-sized aggregates only — registering a pipeline
+          whose result scales with the corpus (per-document rows) will
+          OOM the driver at scale; use ``sink="parquet"`` for those
+          (the ``maintain_*`` state paths never collect).
         - ``"parquet"`` — the result lives in a parquet CHANGELOG table
           under the collection workdir and NEVER passes through the
           driver: incremental pipelines append each update micro-batch in
