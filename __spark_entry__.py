@@ -886,6 +886,12 @@ def q40_multimodal(spark, sf_dir):
     # CORRUPT jpeg-magic bytes that must decode to a null meta row, not a
     # fake.
     def _synth_jpg(batches):
+        # r12: full encodes get a REAL Exif APP1 spliced after SOI —
+        # arithmetic orientation, alternating byte orders, and a real
+        # GPS sub-IFD on every 3rd doc — so the EXIF/PII tier parses
+        # authentic structure and the strip roundtrip is verified on
+        # the same bytes the pixel tier decodes (APP1 must not change
+        # pixels).
         for pdf in batches:
             ids = pdf["doc_id"]
             blobs = []
@@ -893,12 +899,19 @@ def q40_multimodal(spark, sf_dir):
                 if i % 5 == 0:
                     blobs.append(b"\xff\xd8\xff\x00")
                 elif i % 2 == 0 or i % 3 == 2:
-                    blobs.append(multimodal.encode_jpeg(
+                    jb = multimodal.encode_jpeg(
                         int(1 + (i * 11) % 40), int(1 + (i * 17) % 40),
                         (int(i % 256), int((i * 3) % 256),
                          int((i * 5) % 256)),
                         subsampling="420" if i % 4 == 0 else "444",
-                        progressive=bool(i % 2)))
+                        progressive=bool(i % 2))
+                    app1 = multimodal.encode_exif_app1(
+                        orientation=int(1 + i % 8),
+                        make=f"cam{int(i % 4)}",
+                        gps=((float(i % 90), float(i % 180))
+                             if i % 3 == 0 else None),
+                        byte_order="MM" if i % 4 == 1 else "II")
+                    blobs.append(jb[:2] + app1 + jb[2:])
                 else:
                     blobs.append(multimodal.encode_jpeg_header(
                         1 + (i * 11) % 2048, 1 + (i * 17) % 2048,
@@ -906,6 +919,38 @@ def q40_multimodal(spark, sf_dir):
             yield _pd.DataFrame({"doc_id": ids, "content": blobs})
     jpgs = df.select("doc_id").mapInPandas(
         _synth_jpg, schema="doc_id long, content binary")
+
+    # r12 EXIF/PII tier: one combined kernel per blob — parse EXIF,
+    # strip metadata, re-parse the stripped bytes — so detection AND
+    # the strip roundtrip ride a single branch join.
+    def _exif_panel(b):
+        import pyspark.sql.types as _T
+        e = multimodal.jpeg_exif(b)
+        if e is None:
+            return None
+        clean = multimodal.strip_image_metadata_bytes(b)
+        ce = multimodal.jpeg_exif(clean) if clean is not None else None
+        return {
+            "has_exif": e["has_exif"],
+            "orientation": e["orientation"],
+            "has_gps": e["has_gps"],
+            "stripped_has_exif": (None if ce is None else ce["has_exif"]),
+        }
+    from pyspark.sql import types as _T2
+    exif = multimodal._map_binary_column(
+        jpgs, "content", "exif_panel", _exif_panel,
+        _T2.StructType([
+            _T2.StructField("has_exif", _T2.BooleanType()),
+            _T2.StructField("orientation", _T2.IntegerType()),
+            _T2.StructField("has_gps", _T2.BooleanType()),
+            _T2.StructField("stripped_has_exif", _T2.BooleanType()),
+        ])).select(
+        "doc_id",
+        F.col("exif_panel.has_exif").alias("exif_present"),
+        F.col("exif_panel.orientation").alias("exif_orientation"),
+        F.col("exif_panel.has_gps").alias("exif_has_gps"),
+        F.col("exif_panel.stripped_has_exif").alias("exif_after_strip"),
+    )
     jdec = multimodal.decode_image_metadata(
         jpgs, decoder=multimodal.py_decode).select(
         "doc_id",
@@ -1225,7 +1270,7 @@ def q40_multimodal(spark, sf_dir):
         .join(wavdec, "doc_id")
         .join(wavfeat, "doc_id").join(mp4dec, "doc_id")
         .join(v2dec, "doc_id")
-        .join(avidec, "doc_id").join(gadec, "doc_id")
+        .join(avidec, "doc_id").join(gadec, "doc_id").join(exif, "doc_id")
         .join(mp3dec, "doc_id").join(flacdec, "doc_id")
         .join(crawl, "doc_id")
         .orderBy("doc_id", "frame_idx")
@@ -2845,6 +2890,25 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'ffffffffffffffff' END AS avi_ph0,
                    ga.ganim_frames, ga.ganim_mean_r, ga.ganim_mean_g,
                    ga.ganim_mean_b,
+                   -- r12 EXIF/PII tier: full encodes carry a spliced
+                   -- APP1 (arithmetic orientation, GPS sub-IFD every
+                   -- 3rd doc); header-only rows answer has_exif=false
+                   -- (a real answer, not NULL); corrupt magic -> NULL;
+                   -- the strip roundtrip always lands has_exif=false
+                   CASE WHEN d.doc_id % 5 = 0 THEN NULL
+                        ELSE (d.doc_id % 2 = 0 OR d.doc_id % 3 = 2)
+                        END AS exif_present,
+                   CASE WHEN d.doc_id % 5 = 0
+                             OR NOT (d.doc_id % 2 = 0 OR d.doc_id % 3 = 2)
+                        THEN NULL
+                        ELSE CAST(1 + d.doc_id % 8 AS INT)
+                        END AS exif_orientation,
+                   CASE WHEN d.doc_id % 5 = 0 THEN NULL
+                        ELSE ((d.doc_id % 2 = 0 OR d.doc_id % 3 = 2)
+                              AND d.doc_id % 3 = 0)
+                        END AS exif_has_gps,
+                   CASE WHEN d.doc_id % 5 = 0 THEN NULL
+                        ELSE FALSE END AS exif_after_strip,
                    c.crawl_status, c.crawl_ctype, c.warc_text,
                    c.crawl_n_words,
                    CAST(CASE WHEN c.crawl_n_words >= 8

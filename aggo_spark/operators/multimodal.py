@@ -874,6 +874,317 @@ def jpeg_decode(b: bytes) -> dict | None:
         return None
 
 
+def _tiff_num(b: bytes, off: int, n: int, le: bool) -> int:
+    if off + n > len(b):
+        raise IndexError("tiff field out of bounds")
+    return int.from_bytes(b[off:off + n], "little" if le else "big")
+
+
+def _tiff_ifd_entries(t: bytes, ifd_off: int, le: bool):
+    """Yield (tag, type, count, value_or_offset_field_offset) for the
+    IFD at ``ifd_off`` of a TIFF block ``t``; bounds-checked."""
+    n = _tiff_num(t, ifd_off, 2, le)
+    if n > 512:
+        raise IndexError("implausible IFD entry count")
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        yield (_tiff_num(t, e, 2, le), _tiff_num(t, e + 2, 2, le),
+               _tiff_num(t, e + 4, 4, le), e + 8)
+
+
+def _tiff_ascii(t: bytes, count: int, field_off: int, le: bool) -> str | None:
+    off = field_off if count <= 4 else _tiff_num(t, field_off, 4, le)
+    if off + count > len(t):
+        return None
+    return t[off:off + count].split(b"\x00")[0].decode(
+        "ascii", "replace") or None
+
+
+# IFD0 tags a curation pipeline cares about
+_EXIF_MAKE, _EXIF_MODEL = 0x010F, 0x0110
+_EXIF_ORIENTATION, _EXIF_DATETIME = 0x0112, 0x0132
+_EXIF_GPS_IFD = 0x8825
+
+
+def jpeg_exif(b: bytes) -> dict | None:
+    """EXIF metadata from a JPEG's APP1 segment (r12) — the PII tier
+    for image corpora: real crawled photos carry camera make/model,
+    capture timestamps, and GPS COORDINATES that must not survive into
+    training data. Parses the TIFF block (both byte orders) for the
+    IFD0 tags that matter (orientation, datetime, make, model) and
+    detects the GPS sub-IFD (``has_gps`` + its tag count — presence is
+    the curation signal; the coordinates themselves are deliberately
+    not extracted). A JPEG with no Exif APP1 returns ``has_exif:
+    False`` with NULL fields (a real answer, distinct from corrupt
+    bytes → None)."""
+    if not b.startswith(_JPEG_SIG):
+        return None
+    out = {"byte_len": len(b), "format": "jpeg", "has_exif": False,
+           "orientation": None, "datetime": None, "make": None,
+           "model": None, "has_gps": False, "n_gps_tags": 0}
+    try:
+        pos = 2
+        while pos + 2 <= len(b):
+            if b[pos] != 0xFF:
+                return None  # lost sync pre-SOS: unparseable, not "no EXIF"
+            while pos < len(b) and b[pos] == 0xFF:
+                pos += 1
+            if pos >= len(b):
+                return None
+            marker = b[pos]
+            pos += 1
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+                continue
+            if marker in (0xD9, 0xDA):
+                return out  # entropy data / end: no (more) APP1
+            (seg_len,) = struct.unpack_from(">H", b, pos)
+            if seg_len < 2:
+                return None
+            if marker == 0xE1 and b[pos + 2:pos + 8] == b"Exif\x00\x00":
+                t = b[pos + 8:pos + seg_len]
+                le = t[:2] == b"II"
+                if not (le or t[:2] == b"MM") or _tiff_num(t, 2, 2, le) != 42:
+                    return out  # malformed TIFF block: keep has_exif False
+                out["has_exif"] = True
+                gps_off = None
+                for tag, typ, count, foff in _tiff_ifd_entries(
+                        t, _tiff_num(t, 4, 4, le), le):
+                    if tag == _EXIF_ORIENTATION and typ == 3:
+                        out["orientation"] = _tiff_num(t, foff, 2, le)
+                    elif tag == _EXIF_DATETIME and typ == 2:
+                        out["datetime"] = _tiff_ascii(t, count, foff, le)
+                    elif tag == _EXIF_MAKE and typ == 2:
+                        out["make"] = _tiff_ascii(t, count, foff, le)
+                    elif tag == _EXIF_MODEL and typ == 2:
+                        out["model"] = _tiff_ascii(t, count, foff, le)
+                    elif tag == _EXIF_GPS_IFD and typ == 4:
+                        gps_off = _tiff_num(t, foff, 4, le)
+                if gps_off is not None:
+                    n = sum(1 for _ in _tiff_ifd_entries(t, gps_off, le))
+                    out["has_gps"] = n > 0
+                    out["n_gps_tags"] = n
+                return out
+            pos += seg_len
+        return None  # truncated before SOS/EOI: unparseable
+    except (struct.error, IndexError):
+        return None
+
+
+def strip_jpeg_metadata(b: bytes, keep_jfif: bool = True) -> bytes | None:
+    """JPEG bytes with every APP1–APP15 and COM segment removed (APP0
+    JFIF kept by default) — LOSSLESS byte surgery: the entropy-coded
+    image data from SOS onward passes through verbatim, so pixels are
+    bit-identical (differential-tested) while EXIF (GPS, serials,
+    timestamps), XMP, ICC and comments disappear. None when the
+    pre-SOS marker structure can't be parsed — a PII-stripping
+    pipeline must QUARANTINE what it cannot verify, never pass it
+    through silently."""
+    if not b.startswith(_JPEG_SIG):
+        return None
+    out = bytearray(b[:2])
+    pos = 2
+    try:
+        while pos + 2 <= len(b):
+            if b[pos] != 0xFF:
+                return None  # unparseable pre-SOS structure
+            mstart = pos
+            while pos < len(b) and b[pos] == 0xFF:
+                pos += 1
+            if pos >= len(b):
+                return None
+            marker = b[pos]
+            pos += 1
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+                out += b[mstart:pos]
+                continue
+            if marker == 0xD9:
+                out += b[mstart:pos]
+                return bytes(out)
+            if marker == 0xDA:
+                out += b[mstart:]  # entropy data verbatim to EOF
+                return bytes(out)
+            (seg_len,) = struct.unpack_from(">H", b, pos)
+            if seg_len < 2 or pos + seg_len > len(b):
+                return None
+            drop = (0xE1 <= marker <= 0xEF) or marker == 0xFE \
+                or (marker == 0xE0 and not keep_jfif)
+            if not drop:
+                out += b[mstart:pos + seg_len]
+            pos += seg_len
+        return None  # ended before SOS/EOI: truncated
+    except struct.error:
+        return None
+
+
+# PNG chunks that affect pixel decoding; everything else (eXIf, tEXt,
+# iTXt, zTXt, tIME, pHYs, ...) is metadata a curation pipeline strips
+_PNG_KEEP = {b"IHDR", b"PLTE", b"IDAT", b"IEND", b"tRNS"}
+
+
+def strip_png_metadata(b: bytes) -> bytes | None:
+    """PNG bytes with every non-pixel chunk removed (keeps IHDR/PLTE/
+    IDAT/IEND/tRNS verbatim — CRCs preserved, pixels bit-identical);
+    drops eXIf, text, and time chunks. None for corrupt structure
+    (quarantine contract, as :func:`strip_jpeg_metadata`)."""
+    if not b.startswith(_PNG_SIG):
+        return None
+    out = bytearray(_PNG_SIG)
+    pos = len(_PNG_SIG)
+    saw_end = False
+    try:
+        while pos + 8 <= len(b):
+            (length,) = struct.unpack(">I", b[pos:pos + 4])
+            ctype = b[pos + 4:pos + 8]
+            end = pos + 12 + length
+            if end > len(b):
+                return None
+            if ctype in _PNG_KEEP:
+                out += b[pos:end]
+            if ctype == b"IEND":
+                saw_end = True
+                break
+            pos = end
+        return bytes(out) if saw_end else None
+    except struct.error:
+        return None
+
+
+def strip_image_metadata_bytes(b: bytes) -> bytes | None:
+    """Metadata-stripping dispatch (JPEG APP/COM segments, PNG
+    ancillary chunks). None for formats we cannot parse AND VERIFY —
+    the quarantine contract: a PII pipeline routes None rows to review
+    instead of shipping bytes whose metadata state is unknown."""
+    if b.startswith(_JPEG_SIG):
+        return strip_jpeg_metadata(b)
+    if b.startswith(_PNG_SIG):
+        return strip_png_metadata(b)
+    return None
+
+
+_EXIF_FIELDS = [
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("has_exif", T.BooleanType()),
+    T.StructField("orientation", T.IntegerType()),
+    T.StructField("datetime", T.StringType()),
+    T.StructField("make", T.StringType()),
+    T.StructField("model", T.StringType()),
+    T.StructField("has_gps", T.BooleanType()),
+    T.StructField("n_gps_tags", T.IntegerType()),
+]
+
+
+def extract_exif(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "exif_meta",
+) -> DataFrame:
+    """EXIF metadata from a JPEG binary column — the same narrow
+    Arrow-batched plumbing as the other decoders (r12). GPS presence
+    (``exif_meta.has_gps``) is the filter/redaction signal."""
+    return _map_binary_column(
+        df, content_col, out_col, jpeg_exif, T.StructType(_EXIF_FIELDS))
+
+
+def strip_image_metadata(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "clean_content",
+) -> DataFrame:
+    """Append a metadata-stripped copy of an image binary column
+    (JPEG/PNG; pixels bit-identical, EXIF/XMP/ICC/text gone). NULL
+    out rows are the quarantine set — bytes whose metadata state
+    could not be verified."""
+    return _map_binary_column(
+        df, content_col, out_col, strip_image_metadata_bytes,
+        T.BinaryType())
+
+
+def encode_exif_app1(
+    orientation: int = 1,
+    datetime: str | None = None,
+    make: str | None = None,
+    model: str | None = None,
+    gps: tuple[float, float] | None = None,
+    byte_order: str = "II",
+) -> bytes:
+    """A complete APP1 Exif segment (marker + length + TIFF block) for
+    splicing after SOI in any JPEG fixture — both byte orders; ``gps``
+    (lat, lon) writes a real GPS sub-IFD (ref + 3-rational coordinate
+    per axis), so the PII-detection path sees authentic structure."""
+    le = byte_order == "II"
+
+    def num(v, n):
+        return v.to_bytes(n, "little" if le else "big")
+
+    entries = []   # (tag, type, count, inline4_or_None, outofline_bytes)
+
+    def ascii_entry(tag, s):
+        raw = s.encode("ascii") + b"\x00"
+        if len(raw) <= 4:
+            entries.append((tag, 2, len(raw), raw.ljust(4, b"\x00"), b""))
+        else:
+            entries.append((tag, 2, len(raw), None, raw))
+
+    if make:
+        ascii_entry(_EXIF_MAKE, make)
+    if model:
+        ascii_entry(_EXIF_MODEL, model)
+    entries.append((_EXIF_ORIENTATION, 3, 1,
+                    num(orientation, 2) + b"\x00\x00", b""))
+    if datetime:
+        ascii_entry(_EXIF_DATETIME, datetime)
+
+    gps_blob = b""
+    if gps is not None:
+        entries.append((_EXIF_GPS_IFD, 4, 1, None, b"GPSIFD"))
+
+    entries.sort(key=lambda e: e[0])
+    ifd0_off = 8
+    data_off = ifd0_off + 2 + 12 * len(entries) + 4
+    body = bytearray()
+    ifd = bytearray(num(len(entries), 2))
+    for tag, typ, count, inline, out_of_line in entries:
+        ifd += num(tag, 2) + num(typ, 2) + num(count, 4)
+        if inline is not None:
+            ifd += inline
+        elif out_of_line == b"GPSIFD":
+            ifd += num(data_off + len(body) + len(gps_blob), 4)
+            # GPS IFD: ref strings + 3-rational lat/lon
+            lat, lon = gps
+            g = []
+
+            def rat3(v):
+                d, m = divmod(abs(v) * 3600, 3600)
+                mm, s = divmod(m, 60)
+                return ((int(d), 1), (int(mm), 1),
+                        (int(round(s * 100)), 100))
+
+            rats = rat3(lat) + rat3(lon)
+            gps_n = 4
+            gps_data_off = (data_off + len(body) + 2 + 12 * gps_n + 4)
+            gifd = bytearray(num(gps_n, 2))
+            gifd += (num(1, 2) + num(2, 2) + num(2, 4)
+                     + (b"N\x00" if lat >= 0 else b"S\x00") + b"\x00\x00")
+            gifd += num(2, 2) + num(5, 2) + num(3, 4) + num(gps_data_off, 4)
+            gifd += (num(3, 2) + num(2, 2) + num(2, 4)
+                     + (b"E\x00" if lon >= 0 else b"W\x00") + b"\x00\x00")
+            gifd += (num(4, 2) + num(5, 2) + num(3, 4)
+                     + num(gps_data_off + 24, 4))
+            gifd += num(0, 4)  # next IFD
+            for nu, de in rats:
+                g.append(num(nu, 4) + num(de, 4))
+            gps_blob = bytes(gifd) + b"".join(g)
+        else:
+            ifd += num(data_off + len(body), 4)
+            body += out_of_line
+    ifd += num(0, 4)  # next-IFD pointer
+    tiff = ((b"II" if le else b"MM") + num(42, 2) + num(ifd0_off, 4)
+            + bytes(ifd) + bytes(body) + gps_blob)
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
 def py_decode(b: bytes) -> dict | None:
     """Real pure-Python decode for known containers (PNG, BMP, GIF full
     decode; JPEG baseline/progressive pixel decode with header fallback;

@@ -80,7 +80,7 @@ BUDGETS = {
                                # gram_docs became a window riding the
                                # distinct rows instead of an aggregate
                                # joined back (the BM25 df(t) lesson)
-    "q40_multimodal": 16,      # +1 r5: real-PNG-decode branch joins on
+    "q40_multimodal": 17,      # +1 r5: real-PNG-decode branch joins on
                                # doc_id (one narrow 7-col row per doc);
                                # +1 r6: JPEG-header branch join (4-col row);
                                # +2 late r6: WAV + MP4 metadata branch
@@ -96,10 +96,10 @@ BUDGETS = {
                                # Matroska/AVI branch joins (each a
                                # narrow scalar-meta row per doc;
                                # measured 14);
-                               # +2 r12: MJPEG-in-AVI frame tier +
-                               # animated-GIF frame tier branch joins
-                               # (pooled-means rows per doc;
-                               # measured 16)
+                               # +3 r12: MJPEG-in-AVI frame tier +
+                               # animated-GIF frame tier + EXIF/PII
+                               # panel branch joins (narrow rows per
+                               # doc; measured 17)
     "q42_stream_agg": 1,
     "q43_stream_window": 1,
     "q44_topn": 3,
