@@ -738,6 +738,136 @@ def _webp_vp8l_pixels(b: bytes) -> tuple | None:
         return None
 
 
+def _webp_anmf_frames(b: bytes) -> list[tuple[int, int, bytes]] | None:
+    """(frame_w, frame_h, image-chunk payload) per ANMF frame of an
+    ANIMATED WebP (VP8X + ANIM + ANMF chunks), or None when the bytes
+    are not an animated WebP. Strictly bounds-checked (the AVI-walk
+    convention: forged sizes end the walk, never over-read); each
+    frame's payload is its VP8L/VP8 chunk body (a leading ALPH chunk
+    is skipped — alpha rides the honest-tier NULL for lossy)."""
+    if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    frames: list[tuple[int, int, bytes]] = []
+    saw_vp8x = False
+    try:
+        pos = 12
+        while pos + 8 <= len(b):
+            cid = b[pos:pos + 4]
+            (clen,) = struct.unpack_from("<I", b, pos + 4)
+            body_at = pos + 8
+            if body_at + clen > len(b):
+                break  # truncated tail: keep frames walked so far
+            if cid == b"VP8X":
+                saw_vp8x = True
+            elif cid == b"ANMF" and clen >= 16:
+                fw = 1 + int.from_bytes(b[body_at + 6:body_at + 9],
+                                        "little")
+                fh = 1 + int.from_bytes(b[body_at + 9:body_at + 12],
+                                        "little")
+                sub = body_at + 16
+                sub_end = body_at + clen
+                payload = b""
+                while sub + 8 <= sub_end:
+                    scid = b[sub:sub + 4]
+                    (slen,) = struct.unpack_from("<I", b, sub + 4)
+                    if sub + 8 + slen > sub_end:
+                        break
+                    if scid in (b"VP8L", b"VP8 "):
+                        payload = b[sub + 8:sub + 8 + slen]
+                        break
+                    sub += 8 + slen + (slen & 1)
+                frames.append((fw, fh, payload))
+            pos = body_at + clen + (clen & 1)
+    except (struct.error, IndexError):
+        pass
+    return frames if (saw_vp8x and frames) else None
+
+
+def webp_frame_stats(b: bytes, n_sample: int = 3) -> dict | None:
+    """ANIMATED-WebP FRAME SAMPLING tier (r12): walk the VP8X/ANMF
+    container, decode up to ``n_sample`` evenly-spaced frames — each
+    independently through the VP8L kernel (the honest tier: no canvas
+    compositing/blending; a LOSSY VP8 subframe keeps a NULL phash
+    slot, the same convention as undecodable MJPEG chunks) — and emit
+    per-frame average-hashes + pooled channel means for video-style
+    near-dup. Non-animated or frameless WebP → None (static VP8L is
+    an image; :func:`webp_decode` owns it)."""
+    from .vp8l import vp8l_pixels
+
+    frames = _webp_anmf_frames(b)
+    if not frames:
+        return None
+    n = len(frames)
+    k = min(n_sample, n)
+    idx = sorted({(i * (n - 1)) // (k - 1) if k > 1 else 0
+                  for i in range(k)})
+    phashes: list[str | None] = []
+    means_acc: list[list[float]] = []
+    width = height = None
+    for i in idx:
+        fw, fh, payload = frames[i]
+        px = (vp8l_pixels(payload, max_pixels=JPEG_PIXEL_BUDGET)
+              if payload[:1] == b"\x2f" else None)
+        if px is None:
+            phashes.append(None)
+            continue
+        w_, h_, nch, rows = px
+        means, ph = _pixel_stats(rows, nch)
+        phashes.append(ph)
+        means_acc.append(means[:3])
+        if width is None:
+            width, height = w_, h_
+    pooled = ([sum(c) / len(means_acc) for c in zip(*means_acc)]
+              if means_acc else None)
+    return {
+        "byte_len": len(b),
+        "format": "webp-anim",
+        "frame_count": n,
+        "width": width,
+        "height": height,
+        "sampled_frames": [int(i) for i in idx],
+        "frame_phashes": phashes,
+        "channel_means": pooled,
+    }
+
+
+def encode_webp_anim(
+    width: int, height: int,
+    frames: list[list[list[tuple]]],
+    duration_ms: int = 100,
+    lossy_frame_at: int | None = None,
+) -> bytes:
+    """Synthesize an ANIMATED WebP (fixture generator): VP8X with the
+    animation flag, ANIM, and one ANMF per frame carrying a real VP8L
+    bitstream (``lossy_frame_at`` substitutes a VP8-lossy header at
+    that index to exercise the NULL-slot path)."""
+    from .vp8l import encode_vp8l
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return (cid + len(payload).to_bytes(4, "little") + payload
+                + (b"\x00" if len(payload) & 1 else b""))
+
+    vp8x = (bytes([0x02]) + bytes(3)
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little"))
+    anim = bytes(4) + (0).to_bytes(2, "little")
+    out = bytearray(chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim))
+    for i, rows in enumerate(frames):
+        if lossy_frame_at is not None and i == lossy_frame_at:
+            img = chunk(b"VP8 ", bytes(3) + b"\x9d\x01\x2a"
+                        + width.to_bytes(2, "little")
+                        + height.to_bytes(2, "little"))
+        else:
+            img = chunk(b"VP8L", encode_vp8l(width, height, rows))
+        anmf = (bytes(3) + bytes(3)
+                + (width - 1).to_bytes(3, "little")
+                + (height - 1).to_bytes(3, "little")
+                + duration_ms.to_bytes(3, "little") + bytes([0]) + img)
+        out += chunk(b"ANMF", anmf)
+    payload = b"WEBP" + bytes(out)
+    return b"RIFF" + len(payload).to_bytes(4, "little") + payload
+
+
 def webp_decode(b: bytes) -> dict | None:
     """WebP metadata + VP8L pixel tier. RIFF container walk to the
     first VP8/VP8L/VP8X chunk for real dimensions — VP8 lossy (frame
@@ -2484,14 +2614,18 @@ _VIDEO_FRAME_FIELDS = [
 
 def video_frame_stats(b: bytes, n_sample: int = 3) -> dict | None:
     """Default frame-sampling chain (r12): MJPEG-in-AVI
-    (:func:`avi_frame_stats`) and animated GIF
-    (:func:`gif_frame_stats`) — magic-byte dispatched; None for
+    (:func:`avi_frame_stats`), animated GIF (:func:`gif_frame_stats`),
+    and animated WebP (:func:`webp_frame_stats` — VP8L subframes
+    through the lossless kernel) — magic-byte dispatched; None for
     containers without a pure-Python frame tier (MP4/MKV stay
-    metadata-only: their codecs need a real video stack)."""
+    metadata-only: their codecs need a real video stack; static WebP
+    is an image, not a video)."""
     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         return avi_frame_stats(b, n_sample=n_sample)
     if b.startswith(b"GIF87a") or b.startswith(b"GIF89a"):
         return gif_frame_stats(b, n_sample=n_sample)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        return webp_frame_stats(b, n_sample=n_sample)  # animated only
     return None
 
 
