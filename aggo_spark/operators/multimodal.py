@@ -94,6 +94,24 @@ __all__ = [
     "image_near_dup_pairs",
     "phash_to_long",
     "frame_sample_plan",
+    # r12: frame pixel tiers + video near-dup
+    "avi_frame_stats",
+    "encode_avi_mjpeg",
+    "gif_frame_stats",
+    "encode_gif_anim",
+    "webp_frame_stats",
+    "encode_webp_anim",
+    "video_frame_stats",
+    "decode_video_frames",
+    "video_near_dup_pairs",
+    # r12: EXIF / image-PII tier
+    "jpeg_exif",
+    "strip_jpeg_metadata",
+    "strip_png_metadata",
+    "strip_image_metadata_bytes",
+    "extract_exif",
+    "strip_image_metadata",
+    "encode_exif_app1",
 ]
 
 HAVE_PIL = False
