@@ -89,6 +89,50 @@ class TestR12CodecFuzz:
 
         check()
 
+    def test_exif_roundtrip_fuzz(self):
+        @settings(max_examples=40, deadline=None)
+        @given(orientation=st.integers(1, 8),
+               byte_order=st.sampled_from(["II", "MM"]),
+               make=st.one_of(st.none(), st.text(
+                   alphabet=st.characters(min_codepoint=32,
+                                          max_codepoint=126),
+                   min_size=1, max_size=12)),
+               gps=st.one_of(st.none(), st.tuples(
+                   st.floats(-90, 90, allow_nan=False),
+                   st.floats(-180, 180, allow_nan=False))))
+        def check(orientation, byte_order, make, gps):
+            jpg = M.encode_jpeg(8, 8, (10, 20, 30))
+            app1 = M.encode_exif_app1(
+                orientation=orientation, make=make, gps=gps,
+                byte_order=byte_order)
+            tagged = jpg[:2] + app1 + jpg[2:]
+            e = M.jpeg_exif(tagged)
+            assert e["has_exif"] and e["orientation"] == orientation
+            assert e["make"] == make
+            assert e["has_gps"] == (gps is not None)
+            clean = M.strip_jpeg_metadata(tagged)
+            assert M.jpeg_exif(clean)["has_exif"] is False
+            assert (M.jpeg_pixel_decode(clean)["phash"]
+                    == M.jpeg_pixel_decode(jpg)["phash"])
+
+        check()
+
+    def test_webp_anim_sampled_frames_fuzz(self):
+        @settings(max_examples=25, deadline=None)
+        @given(data=st.data(), nframes=st.integers(1, 7),
+               w=st.integers(1, 10), h=st.integers(1, 8))
+        def check(data, nframes, w, h):
+            frames = [[[(data.draw(st.integers(0, 255)),) * 3
+                        for _ in range(w)] for _ in range(h)]
+                      for _ in range(nframes)]
+            anim = M.encode_webp_anim(w, h, frames)
+            s = M.webp_frame_stats(anim)
+            assert s is not None and s["frame_count"] == nframes
+            assert len(s["sampled_frames"]) == min(3, nframes)
+            assert all(ph is not None for ph in s["frame_phashes"])
+
+        check()
+
     def test_gif_anim_sampled_frames_fuzz(self):
         @settings(max_examples=25, deadline=None)
         @given(data=st.data(), nframes=st.integers(1, 8),
