@@ -1119,14 +1119,16 @@ def jpeg_exif(b: bytes) -> dict | None:
 
 
 def strip_jpeg_metadata(b: bytes, keep_jfif: bool = True) -> bytes | None:
-    """JPEG bytes with every APP1–APP15 and COM segment removed (APP0
-    JFIF kept by default) — LOSSLESS byte surgery: the entropy-coded
-    image data from SOS onward passes through verbatim, so pixels are
-    bit-identical (differential-tested) while EXIF (GPS, serials,
-    timestamps), XMP, ICC and comments disappear. None when the
-    pre-SOS marker structure can't be parsed — a PII-stripping
-    pipeline must QUARANTINE what it cannot verify, never pass it
-    through silently."""
+    """JPEG bytes with every APP1–APP13/APP15 and COM segment removed
+    (APP0 JFIF kept by default; APP14 Adobe ALWAYS kept — it carries
+    the color-transform flag that governs decoding of Adobe CMYK/YCCK
+    JPEGs, so dropping it changes pixel interpretation, r12 ADVICE) —
+    LOSSLESS byte surgery: the entropy-coded image data from SOS
+    onward passes through verbatim, so pixels are bit-identical
+    (differential-tested) while EXIF (GPS, serials, timestamps), XMP,
+    ICC and comments disappear. None when the pre-SOS marker structure
+    can't be parsed — a PII-stripping pipeline must QUARANTINE what it
+    cannot verify, never pass it through silently."""
     if not b.startswith(_JPEG_SIG):
         return None
     out = bytearray(b[:2])
@@ -1154,7 +1156,8 @@ def strip_jpeg_metadata(b: bytes, keep_jfif: bool = True) -> bytes | None:
             (seg_len,) = struct.unpack_from(">H", b, pos)
             if seg_len < 2 or pos + seg_len > len(b):
                 return None
-            drop = (0xE1 <= marker <= 0xEF) or marker == 0xFE \
+            drop = (0xE1 <= marker <= 0xEF and marker != 0xEE) \
+                or marker == 0xFE \
                 or (marker == 0xE0 and not keep_jfif)
             if not drop:
                 out += b[mstart:pos + seg_len]

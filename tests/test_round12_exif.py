@@ -89,6 +89,22 @@ class TestStrip:
         png = M.encode_png(4, 4, (1, 2, 3))
         assert M.strip_png_metadata(png[:20]) is None  # no IEND reached
 
+    def test_app14_adobe_survives_strip(self):
+        """r12 ADVICE: APP14 carries the Adobe color-transform flag
+        that governs CMYK/YCCK decoding — stripping it changes pixel
+        interpretation, so it must be preserved (it holds no PII)."""
+        jpg, tagged = _tagged()
+        app14 = (b"\xff\xee" + struct.pack(">H", 2 + 12)
+                 + b"Adobe\x00d\x00\x00\x00\x00\x02")  # transform=YCCK
+        adobe = tagged[:2] + app14 + tagged[2:]
+        clean = M.strip_jpeg_metadata(adobe)
+        assert clean is not None
+        assert app14 in clean            # Adobe marker kept verbatim
+        assert b"Acme" not in clean      # EXIF (APP1) still stripped
+        assert M.jpeg_exif(clean)["has_exif"] is False
+        p0, p1 = M.jpeg_pixel_decode(jpg), M.jpeg_pixel_decode(clean)
+        assert p0["phash"] == p1["phash"]
+
     def test_header_only_jpeg_roundtrips_identity(self):
         h = M.encode_jpeg_header(100, 80, 3, progressive=True)
         assert M.strip_jpeg_metadata(h) == h  # APP0 kept, nothing else

@@ -130,3 +130,57 @@ class TestVerdict:
         plan = R.robots_verdict(urls, rules)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+    def test_plan_has_no_corpus_window(self, spark, rules):
+        """r12 advisory: the verdict must not shuffle the page corpus.
+        Every Window/Exchange in the plan must live UNDER the
+        BroadcastExchange (the tiny rules side); the corpus side —
+        everything printed before the BroadcastExchange line — stays
+        scan → project → broadcast-join, with no Window, no Exchange,
+        and no per-row id."""
+        urls = spark.createDataFrame(
+            [(1, "https://a.com/x")], "doc_id long, url string")
+        plan = R.robots_verdict(urls, rules)._jdf.queryExecution() \
+            .executedPlan().toString()
+        corpus_side = plan.split("BroadcastExchange")[0]
+        assert "Window" not in corpus_side
+        assert "Exchange" not in corpus_side
+        assert "monotonically_increasing_id" not in plan
+        assert "BroadcastHashJoin" in corpus_side
+
+    def test_query_string_rules_fire(self, spark):
+        """RFC 9309 practice (r12 ADVICE): patterns like
+        /*?sessionid= match against path+query, not path alone."""
+        rules = R.parse_robots(spark.createDataFrame(
+            [("q.com", "User-agent: *\nDisallow: /*?sessionid="),
+             ("r.com", "User-agent: *\nDisallow: /*sessionid=")],
+            "host string, robots_txt string"))
+        urls = spark.createDataFrame([
+            (1, "https://q.com/page?sessionid=abc"),
+            (2, "https://q.com/page"),
+            # literal '?' in the pattern does NOT match '&sessionid='
+            (3, "https://q.com/page?x=1&sessionid=2"),
+            # the un-anchored form matches it anywhere in path+query
+            (4, "https://r.com/page?x=1&sessionid=2"),
+            (5, "https://r.com/page?x=1"),
+        ], "doc_id long, url string")
+        got = {r["doc_id"]: r["robots_allowed"]
+               for r in R.robots_verdict(urls, rules).collect()}
+        assert got == {1: False, 2: True, 3: True, 4: False, 5: True}
+
+    def test_user_columns_named_host_path_allow(self, spark, rules):
+        """r12 ADVICE medium: crawl frames routinely carry host/path/
+        allow columns; the verdict must not collide with them (all
+        internals are __r_-prefixed)."""
+        urls = spark.createDataFrame([
+            (1, "https://b.com/secret", "b.com", "/secret", True),
+            (2, "https://b.com/pub/x", "b.com", "/pub/x", False),
+        ], "doc_id long, url string, host string, path string,"
+           " allow boolean")
+        out = R.robots_verdict(urls, rules)
+        assert out.columns == ["doc_id", "url", "host", "path",
+                               "allow", "robots_allowed"]
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[1]["robots_allowed"] is False
+        assert rows[2]["robots_allowed"] is True
+        assert rows[1]["host"] == "b.com" and rows[1]["allow"] is True
