@@ -2015,6 +2015,124 @@ def q81_warc_pipeline(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# --- q82 robots fixture: hosts h0..h6.com (h5/h6 publish no robots.txt),
+# URL paths cycle doc_id % 12, host cycles doc_id % 7 — coprime, so all
+# 84 host×piece combos appear within doc_id 0..83. Hand-written to pin
+# every RFC 9309 branch: shared User-agent lines, most-specific-agent
+# selection (prefix token 'aggo' beats '*'; 'other-bot' leaves no group),
+# longest-match precedence, Allow-wins-ties, '$' anchor, '*' wildcard,
+# query-string patterns, and default-allow for unruled hosts.
+_Q82_ROBOTS = {
+    "h0.com": ("User-agent: googlebot\n"
+               "User-agent: aggo-crawler\n"
+               "Disallow: /private/\n"
+               "Allow: /private/press*.html$\n"
+               "\n"
+               "User-agent: *\n"
+               "Disallow: /\n"),
+    "h1.com": ("User-agent: *\n"
+               "Disallow: /*?sessionid=\n"
+               "Disallow: /tmp/\n"
+               "Allow: /tmp/ok\n"),
+    "h2.com": ("# prefix token: 'aggo' matches 'aggo-crawler'\n"
+               "User-agent: aggo\n"
+               "Disallow: /docs/\n"
+               "\n"
+               "User-agent: *\n"
+               "Disallow: /\n"),
+    "h3.com": ("User-agent: *\n"
+               "Disallow: /p/q\n"
+               "Allow: /p/*\n"
+               "Disallow: /data/\n"
+               "Allow: /d\n"),
+    "h4.com": ("User-agent: other-bot\n"
+               "Disallow: /\n"),
+}
+
+_Q82_PIECES = [
+    "/",
+    "/private/press1.html",
+    "/private/secret.html",
+    "/tmp/ok/file",
+    "/tmp/x",
+    "/docs/readme",
+    "/p/q",
+    "/p/qq",
+    "/data/file",
+    "/page?sessionid=9",
+    "/page?x=1&sessionid=2",
+    "/index.html",
+]
+
+# the same rules, hand-compiled to (host, agent, allow, pattern_len,
+# anchored regex) for the DuckDB oracle — the oracle re-derives agent
+# selection / longest match / Allow ties from THESE, so any divergence
+# in parse_robots' group structure or regex compilation shows up as a
+# verdict mismatch
+_Q82_RULES = [
+    ("h0.com", "googlebot", False, 9, r"^/private/.*$"),
+    ("h0.com", "aggo-crawler", False, 9, r"^/private/.*$"),
+    ("h0.com", "googlebot", True, 21, r"^/private/press.*\.html$"),
+    ("h0.com", "aggo-crawler", True, 21, r"^/private/press.*\.html$"),
+    ("h0.com", "*", False, 1, r"^/.*$"),
+    ("h1.com", "*", False, 13, r"^/.*\?sessionid=.*$"),
+    ("h1.com", "*", False, 5, r"^/tmp/.*$"),
+    ("h1.com", "*", True, 7, r"^/tmp/ok.*$"),
+    ("h2.com", "aggo", False, 6, r"^/docs/.*$"),
+    ("h2.com", "*", False, 1, r"^/.*$"),
+    ("h3.com", "*", False, 4, r"^/p/q.*$"),
+    ("h3.com", "*", True, 4, r"^/p/.*$"),
+    ("h3.com", "*", False, 6, r"^/data/.*$"),
+    ("h3.com", "*", True, 2, r"^/d.*$"),
+    ("h4.com", "other-bot", False, 1, r"^/.*$"),
+]
+
+
+def _q82_pieces_sql() -> str:
+    return ("list_value(" + ", ".join(f"'{p}'" for p in _Q82_PIECES)
+            + ")")
+
+
+def _q82_rules_sql() -> str:
+    return ",\n                     ".join(
+        f"('{h}', '{a}', {str(al).lower()}, {pl}, '{rx}')"
+        for h, a, al, pl, rx in _Q82_RULES)
+
+
+def q82_robots_compliance(spark, sf_dir):
+    """robots.txt retrospective compliance under oracle contract (r12
+    verdict next #2): parse a fixed 5-host robots corpus with
+    ``parse_robots`` (RFC 9309 group structure + pattern→regex
+    compilation from RAW text), build one URL per documents row
+    (host = doc_id % 7, path = doc_id % 12 — coprime cycles cover all
+    84 combos), and return each URL's ``robots_verdict`` for
+    ``aggo-crawler``. The DuckDB oracle re-derives agent selection,
+    longest-match precedence, and Allow-ties from a hand-compiled
+    rules table, so both the parser and the verdict arithmetic are
+    hash-pinned. Scale shape: rules group to one array row per host
+    and broadcast; the corpus side is a single codegen'd scan —
+    no Window, no Exchange (pinned in tests/test_round12_robots.py).
+    Reference analogue: fixture-driven end-to-end suites
+    (/root/reference/tests/fixtures/ecommerce-orders.spec.js)."""
+    from aggo_spark.operators import robots as robots_mod
+
+    corpus = spark.createDataFrame(
+        sorted(_Q82_ROBOTS.items()), "host string, robots_txt string")
+    rules = robots_mod.parse_robots(corpus)
+    pieces = F.array(*[F.lit(p) for p in _Q82_PIECES])
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com"),
+            F.element_at(pieces, (F.col("doc_id") % 12).cast("int") + 1),
+        ).alias("url"))
+    return (robots_mod.robots_verdict(urls, rules,
+                                      user_agent="aggo-crawler")
+            .orderBy("doc_id"))
+
+
 _STREAMING_QUERIES = {"q42_stream_agg", "q43_stream_window", "q51_stream_stateful"}
 
 
@@ -2074,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_incremental_clusters": q79_incremental_clusters,
         "q80_stream_lm": q80_stream_lm,
         "q81_warc_pipeline": q81_warc_pipeline,
+        "q82_robots_compliance": q82_robots_compliance,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -3321,6 +3440,41 @@ def oracle_sql() -> dict[str, str]:
                                        ELSE CAST(n_tok AS DOUBLE) / 10.0
                                   END), 6) AS quality
             FROM r ORDER BY doc_id
+        """,
+        "q82_robots_compliance": f"""
+            -- RFC 9309 verdict mirror over the hand-compiled rules
+            -- table (_Q82_RULES): agent selection = max agent-token
+            -- length among prefix matches ('*' scores 0), then
+            -- longest matching pattern wins with Allow breaking ties
+            -- (arg_max key 2*plen + allow), no match -> allowed
+            WITH urls AS (
+              SELECT doc_id,
+                     'h' || (doc_id % 7) || '.com' AS host,
+                     {_q82_pieces_sql()}[CAST(doc_id % 12 AS INT) + 1]
+                       AS piece
+              FROM documents),
+            rules(host, agent, allow, plen, rx) AS (
+              VALUES {_q82_rules_sql()}),
+            cand AS (
+              SELECT host, allow, plen, rx,
+                     CASE WHEN agent = '*' THEN 0
+                          ELSE length(agent) END AS alen
+              FROM rules
+              WHERE agent = '*' OR starts_with('aggo-crawler', agent)),
+            grp AS (
+              SELECT c.* FROM cand c
+              JOIN (SELECT host, max(alen) AS mal
+                    FROM cand GROUP BY host) b
+                ON c.host = b.host AND c.alen = b.mal),
+            matched AS (
+              SELECT u.doc_id, 'https://' || u.host || u.piece AS url,
+                     g.allow, g.plen
+              FROM urls u LEFT JOIN grp g
+                ON u.host = g.host AND regexp_matches(u.piece, g.rx))
+            SELECT doc_id, url,
+                   coalesce(arg_max(allow, 2 * plen + CAST(allow AS INT)),
+                            true) AS robots_allowed
+            FROM matched GROUP BY doc_id, url ORDER BY doc_id
         """,
         "q77_chunking": f"""
             WITH t AS (SELECT doc_id, {tok_doc} AS tok FROM documents),
