@@ -2133,6 +2133,66 @@ def q82_robots_compliance(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+# --- q83 video near-dup fixture arithmetic (mirrors
+# tests/test_round12_video_neardup_oracle.py): each 16x8 frame is a
+# left/right color split, so the 8x8 average-hash collapses to one of
+# three literal patterns decided by sign(sum(left) - sum(right)) —
+# distinct patterns differ by >= 32 bits, so at max_hamming=4 frames
+# match iff their sign classes are equal, and the full expected pair
+# set is integer arithmetic a DuckDB oracle can compute with no image
+# code at all.
+_Q83_N_DOCS = 24
+_Q83_N_FRAMES = 3
+
+
+def _q83_colors(i: int, j: int):
+    a = ((3 * i + 5 * j) % 256, (7 * i + 11 * j) % 256,
+         (13 * i + 17 * j) % 256)
+    b = ((9 * i + j) % 256, (5 * i + 3 * j) % 256,
+         (11 * i + 7 * j) % 256)
+    return a, b
+
+
+def q83_video_neardup(spark, sf_dir):
+    """Video near-dup under oracle contract (r12 verdict next #4):
+    synthesize one 3-frame animated GIF per documents row (doc_id <
+    24; frames are deterministic left/right color splits), then run
+    the REAL chain on executors — ``decode_video_frames`` (GIF frame
+    walk + LZW + per-frame phash) → ``video_near_dup_pairs``
+    (posexplode → shared pigeonhole hamming equi-join → per-pair
+    aggregation) — and return the near-dup pair set. The DuckDB
+    oracle recomputes the expected pairs from the sign-class integer
+    arithmetic, so the whole decode→phash→join chain is hash-pinned.
+    Bounded fixture (24 videos) built driver-side, the q81/q79
+    convention."""
+    from aggo_spark.operators import multimodal as mm
+
+    W, H = 16, 8
+    ids = sorted(
+        r["doc_id"] for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _Q83_N_DOCS).select("doc_id").collect())
+
+    def frame(i, j):
+        a, b = _q83_colors(i, j)
+        return [[a] * (W // 2) + [b] * (W // 2)] * H
+
+    vids = [(int(i), mm.encode_gif_anim(
+        W, H, [frame(int(i), j) for j in range(_Q83_N_FRAMES)]))
+        for i in ids]
+    df = spark.createDataFrame(vids, "doc_id long, content binary")
+    flat = mm.decode_video_frames(df).select(
+        "doc_id",
+        F.col("frame_meta.frame_phashes").alias("frame_phashes"))
+    pairs = mm.video_near_dup_pairs(
+        flat, max_hamming=4, min_matching_frames=2,
+        bucket_cap=_Q83_N_DOCS * _Q83_N_FRAMES)
+    return pairs.select(
+        "id_a", "id_b",
+        F.col("n_frames_matched").cast("long").alias("n_frames_matched"),
+        F.col("min_hamming").cast("int").alias("min_hamming"),
+    ).orderBy("id_a", "id_b")
+
+
 _STREAMING_QUERIES = {"q42_stream_agg", "q43_stream_window", "q51_stream_stateful"}
 
 
@@ -2193,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_stream_lm": q80_stream_lm,
         "q81_warc_pipeline": q81_warc_pipeline,
         "q82_robots_compliance": q82_robots_compliance,
+        "q83_video_neardup": q83_video_neardup,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -3475,6 +3536,38 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(arg_max(allow, 2 * plen + CAST(allow AS INT)),
                             true) AS robots_allowed
             FROM matched GROUP BY doc_id, url ORDER BY doc_id
+        """,
+        "q83_video_neardup": f"""
+            -- expected near-dup pairs from the fixture's sign-class
+            -- arithmetic: frame (i, j) is left-bright / right-bright /
+            -- flat by sign(sum(colors_a) - sum(colors_b)); classes
+            -- equal <=> phashes identical (hamming 0), classes differ
+            -- => hamming >= 32 > 4, so pairs = same class on >= 2 of
+            -- the 3 frame positions, min_hamming always 0
+            WITH ids AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id < {_Q83_N_DOCS}),
+            cls AS (
+              SELECT i.doc_id AS vid, f.j,
+                     sign(((3 * i.doc_id + 5 * f.j) % 256
+                           + (7 * i.doc_id + 11 * f.j) % 256
+                           + (13 * i.doc_id + 17 * f.j) % 256)
+                          - ((9 * i.doc_id + f.j) % 256
+                             + (5 * i.doc_id + 3 * f.j) % 256
+                             + (11 * i.doc_id + 7 * f.j) % 256)) AS c
+              FROM ids i
+              CROSS JOIN (SELECT unnest(range(0, {_Q83_N_FRAMES}))
+                          AS j) f),
+            pairs AS (
+              SELECT a.vid AS id_a, b.vid AS id_b,
+                     count(*) AS n
+              FROM cls a JOIN cls b
+                ON a.j = b.j AND a.vid < b.vid AND a.c = b.c
+              GROUP BY a.vid, b.vid)
+            SELECT id_a, id_b,
+                   CAST(n AS BIGINT) AS n_frames_matched,
+                   CAST(0 AS INT) AS min_hamming
+            FROM pairs WHERE n >= 2 ORDER BY id_a, id_b
         """,
         "q77_chunking": f"""
             WITH t AS (SELECT doc_id, {tok_doc} AS tok FROM documents),
