@@ -335,6 +335,12 @@ def main() -> None:
             max_wait_s=PER_QUERY_GATE_WAIT_S, busy_thresh=PER_QUERY_BUSY,
             probe_sleep_s=4)
         busy_at[name], gates[name] = busy, gate
+        # dedicated warm-up run, EXCLUDED from raw_runs (r12 verdict
+        # "what's wrong #2": run-1 pays whole-stage codegen compile +
+        # memo construction, 2-4x the steady state on sub-second
+        # queries, making best-of-3 effectively 1 warm sample deep and
+        # the medians hostage to compile noise)
+        run(name)
         runs = [run(name) for _ in range(3)]
         exp = expected.get(name)
         rescues = 0
@@ -439,6 +445,9 @@ def main() -> None:
         # median of the final 3-run block per query: a best far below its
         # median flags interference inside the block (r9, verdict #1)
         "medians": medians,
+        # raw_runs EXCLUDE the dedicated per-query warm-up run (r13):
+        # every recorded run is post-codegen steady state
+        "warmup_excluded": True,
         "raw_runs": raw_runs,
         "busy_frac_at_query_start": busy_at,
         "per_query_gate": gates,
