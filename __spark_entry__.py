@@ -2133,6 +2133,110 @@ def q82_robots_compliance(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+_Q84_LO, _Q84_HI = 200, 400
+
+
+def q84_pdf_pipeline(spark, sf_dir):
+    """The PDF slice of the crawl front door under oracle contract
+    (r13, verdict r12 "what's missing #1": application/pdf responses
+    were dropped with no tier). Synthesize a 4-file crawl whose PDF
+    responses wrap ``documents.text`` (doc_id 200–399, disjoint from
+    q81's html range) via ``pdf.encode_pdf`` — structurally valid
+    PDFs with Flate-compressed content streams — then run the full
+    chain: ``read_warc`` → response/application-pdf filter →
+    ``extract_pdf_text`` (Arrow-batched xref walk + inflate + text
+    operators ON EXECUTORS) → language ID → quality panel. Extraction
+    is byte-exact for the encoder's escapes, so the DuckDB oracle
+    mirrors the langid/quality arithmetic over the RAW text.
+    Adversarial chaff the tier must drop: an ENCRYPTED PDF
+    (quarantine → NULL text), a corrupt-deflate PDF (quarantine), a
+    text/html response (wrong slice), and a truncated tail record.
+    Rows materialize before the tempdir is removed (q81/q79
+    convention; ≤200 rows)."""
+    import os
+    import shutil
+    import tempfile
+
+    from aggo_spark.operators import pdf as pdf_mod
+    from aggo_spark.sources import warc as warc_mod
+
+    docs = sorted(
+        (r["doc_id"], r["text"])
+        for r in _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") >= _Q84_LO) & (F.col("doc_id") < _Q84_HI))
+        .select("doc_id", "text").collect())
+
+    def rec(doc_id, body):
+        return {"warc_type": "response", "http": True,
+                "http_content_type": "application/pdf",
+                "url": f"https://example.org/pdf/{doc_id}",
+                "payload": pdf_mod.encode_pdf(body)}
+
+    encrypted = pdf_mod.encode_pdf("secret").replace(
+        b"trailer\n<<", b"trailer\n<< /Encrypt 9 0 R")
+    corrupt = bytearray(pdf_mod.encode_pdf("mangled"))
+    s = bytes(corrupt).index(b"stream\n") + 12
+    corrupt[s:s + 4] = b"\x00\x00\x00\x00"
+    chaff = [
+        {"warc_type": "response", "http": True,
+         "http_content_type": "application/pdf",
+         "url": "https://example.org/pdf/9801",
+         "payload": bytes(encrypted)},
+        {"warc_type": "response", "http": True,
+         "http_content_type": "application/pdf",
+         "url": "https://example.org/pdf/9802",
+         "payload": bytes(corrupt)},
+        {"warc_type": "response", "http": True,
+         "url": "https://example.org/doc/9803",
+         "payload": b"<html><body>wrong slice</body></html>"},
+    ]
+
+    wd = tempfile.mkdtemp(prefix="aggo_q84_")
+    try:
+        buckets: list[list[dict]] = [[] for _ in range(4)]
+        for i, (doc_id, body) in enumerate(docs):
+            buckets[i % 4].append(rec(doc_id, body))
+        for fno, recs in enumerate(buckets):
+            gz = fno % 2 == 1
+            if fno == 0:
+                blob = warc_mod.encode_warc(recs + chaff)
+                tail = warc_mod.encode_warc([rec(9901, "truncated pdf")])
+                blob += tail[:len(tail) - 25]
+            else:
+                blob = warc_mod.encode_warc(recs, gzip_members=gz)
+            name = f"part-{fno}.warc" + (".gz" if gz else "")
+            with open(os.path.join(wd, name), "wb") as f:
+                f.write(blob)
+
+        pages = warc_mod.read_warc(spark, os.path.join(wd, "*.warc*"))
+        pdfs = pages.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & (F.col("http_content_type") == "application/pdf"))
+        extracted = (
+            pdf_mod.extract_pdf_text(pdfs, "payload", "text")
+            .filter(F.col("text").isNotNull())   # quarantined -> dropped
+            .select(
+                F.regexp_extract("url", r"/pdf/([0-9]+)$", 1)
+                .cast("long").alias("doc_id"),
+                "text")
+            .withColumn("tok", text.tokens(F.col("text"))))
+        qs = text.quality_score(F.col("text"), tok=F.col("tok"))
+        rows = extracted.select(
+            "doc_id",
+            text.language_id_from_tokens(F.col("tok")).alias("pred_lang"),
+            *[expr.alias(name) for name, expr in qs.items()]).collect()
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted((r["doc_id"], r["pred_lang"], r["n_tokens"],
+                r["alpha_ratio"], r["stopword_ratio"],
+                r["mean_token_len"], r["quality"]) for r in rows),
+        "doc_id long, pred_lang string, n_tokens int, alpha_ratio double,"
+        " stopword_ratio double, mean_token_len double, quality double"
+    ).orderBy("doc_id")
+
+
 # --- q83 video near-dup fixture arithmetic (mirrors
 # tests/test_round12_video_neardup_oracle.py): each 16x8 frame is a
 # left/right color split, so the 8x8 average-hash collapses to one of
@@ -2254,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_warc_pipeline": q81_warc_pipeline,
         "q82_robots_compliance": q82_robots_compliance,
         "q83_video_neardup": q83_video_neardup,
+        "q84_pdf_pipeline": q84_pdf_pipeline,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -3536,6 +3641,58 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(arg_max(allow, 2 * plen + CAST(allow AS INT)),
                             true) AS robots_allowed
             FROM matched GROUP BY doc_id, url ORDER BY doc_id
+        """,
+        "q84_pdf_pipeline": f"""
+            -- the PDF front door's surviving pages are exactly
+            -- documents doc_id in [{_Q84_LO}, {_Q84_HI}) (encrypted /
+            -- corrupt-deflate PDFs quarantine to NULL and drop; the
+            -- html response and truncated tail never enter the
+            -- slice), and encode_pdf -> extract_pdf_text roundtrips
+            -- the text byte-exactly — mirror the langid + quality
+            -- arithmetic over the RAW text
+            WITH src AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id >= {_Q84_LO} AND doc_id < {_Q84_HI}),
+            t AS (SELECT doc_id, text, {tok_doc} AS tok,
+                         length({norm_doc}) AS nch
+                  FROM src),
+            s AS (SELECT doc_id, text, tok, nch, {lang_scores} FROM t),
+            g AS (SELECT *, {_lang_greatest} AS g FROM s),
+            m AS (SELECT doc_id, {lang_pred} AS pred_lang,
+                         len(tok) AS n_tok,
+                         length(text) AS n_chars,
+                         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           AS alpha_chars,
+                         len(list_filter(tok,
+                             t2 -> list_contains({_STOP_EN_SQL}, t2)))
+                           AS stop_hits,
+                         nch
+                  FROM g),
+            r AS (SELECT doc_id, pred_lang, n_tok,
+                         CASE WHEN n_chars > 0
+                              THEN CAST(alpha_chars AS DOUBLE) / n_chars
+                              ELSE 0.0 END AS alpha_ratio,
+                         CASE WHEN n_tok > 0
+                              THEN CAST(stop_hits AS DOUBLE) / n_tok
+                              ELSE 0.0 END AS stop_ratio,
+                         CASE WHEN n_tok > 0
+                              THEN CAST(nch - (n_tok - 1) AS DOUBLE) / n_tok
+                              ELSE 0.0 END AS mean_len
+                  FROM m)
+            SELECT doc_id, pred_lang,
+                   CAST(n_tok AS INT) AS n_tokens,
+                   round(alpha_ratio, 6) AS alpha_ratio,
+                   round(stop_ratio, 6) AS stopword_ratio,
+                   round(mean_len, 6) AS mean_token_len,
+                   round(0.3 * alpha_ratio
+                         + 0.3 * least(stop_ratio * 3.0, 1.0)
+                         + 0.2 * (CASE WHEN mean_len >= 2.0
+                                        AND mean_len <= 12.0
+                                       THEN 1.0 ELSE 0.0 END)
+                         + 0.2 * (CASE WHEN n_tok >= 10 THEN 1.0
+                                       ELSE CAST(n_tok AS DOUBLE) / 10.0
+                                  END), 6) AS quality
+            FROM r ORDER BY doc_id
         """,
         "q83_video_neardup": f"""
             -- expected near-dup pairs from the fixture's sign-class
