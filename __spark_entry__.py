@@ -2088,6 +2088,11 @@ _Q82_RULES = [
 ]
 
 
+def _q85_boilers_sql() -> str:
+    return ("list_value(" + ", ".join(f"'{s}'" for s in _Q85_BOILERS)
+            + ")")
+
+
 def _q82_pieces_sql() -> str:
     return ("list_value(" + ", ".join(f"'{p}'" for p in _Q82_PIECES)
             + ")")
@@ -2237,6 +2242,46 @@ def q84_pdf_pipeline(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# --- q85 corpus line-dedup fixture: every doc gets a boilerplate
+# header (5 variants by doc_id%5) and a footer (3 variants by
+# doc_id%3) around its own text — nav-bar/cookie-banner shape. C4's
+# keep_first rule must keep exactly the globally-first (id, pos)
+# occurrence of each repeated line and every corpus-unique line.
+_Q85_BOILERS = [
+    "subscribe to our newsletter for updates",
+    "accept all cookies to continue",
+    "home | products | about | contact",
+    "sign in to view member content",
+    "this site uses tracking pixels",
+]
+
+
+def q85_line_dedup(spark, sf_dir):
+    """Corpus-level duplicate-LINE removal under oracle contract (r13):
+    C4 §2.2's boilerplate killer ("discarded any line that occurred
+    more than once") — ``dedup_corpus_lines`` keep_first mode over a
+    deterministic 3-line-per-doc corpus built from the documents
+    table. The DuckDB oracle re-derives the keep set from first-
+    occurrence arithmetic (min doc_id*3+pos per distinct line) and
+    rebuilds each doc's surviving text, pinning the explode →
+    frequency-aggregate → rejoin → reassembly chain end to end.
+    Plan shape: one line-hash aggregate (map-side partial, one row
+    per DISTINCT line on the exchange) + one per-doc reassembly
+    groupBy — never all-pairs, no driver state (dedup.py:1329)."""
+    from aggo_spark.operators import dedup as dedup_mod
+
+    boilers = F.array(*[F.lit(s) for s in _Q85_BOILERS])
+    built = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.element_at(boilers, (F.col("doc_id") % 5).cast("int") + 1),
+            F.lit("\n"), F.col("text"),
+            F.lit("\ncopyright "), (F.col("doc_id") % 3).cast("string"),
+        ).alias("text"))
+    return (dedup_mod.dedup_corpus_lines(built, mode="keep_first")
+            .orderBy("doc_id"))
+
+
 # --- q83 video near-dup fixture arithmetic (mirrors
 # tests/test_round12_video_neardup_oracle.py): each 16x8 frame is a
 # left/right color split, so the 8x8 average-hash collapses to one of
@@ -2359,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_robots_compliance": q82_robots_compliance,
         "q83_video_neardup": q83_video_neardup,
         "q84_pdf_pipeline": q84_pdf_pipeline,
+        "q85_line_dedup": q85_line_dedup,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -3641,6 +3687,46 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(arg_max(allow, 2 * plen + CAST(allow AS INT)),
                             true) AS robots_allowed
             FROM matched GROUP BY doc_id, url ORDER BY doc_id
+        """,
+        "q85_line_dedup": f"""
+            -- C4 keep_first mirror: the fixture corpus is exactly
+            -- 3 lines per doc (boiler, own text, footer); a line
+            -- survives iff it is corpus-unique or its (doc_id, pos)
+            -- is the global first occurrence (min doc_id*3 + pos);
+            -- text rebuilds from survivors in pos order
+            WITH built AS (
+              SELECT doc_id,
+                     {_q85_boilers_sql()}[CAST(doc_id % 5 AS INT) + 1]
+                       AS l0,
+                     text AS l1,
+                     'copyright ' || (doc_id % 3) AS l2
+              FROM documents),
+            lines AS (
+              SELECT doc_id, 0 AS pos, l0 AS line FROM built
+              UNION ALL SELECT doc_id, 1, l1 FROM built
+              UNION ALL SELECT doc_id, 2, l2 FROM built),
+            ex AS (
+              SELECT *, length(trim(line)) >= 1 AS examined,
+                     doc_id * 3 + pos AS k
+              FROM lines),
+            freq AS (
+              SELECT line, min(k) AS first_k
+              FROM ex WHERE examined GROUP BY line),
+            marked AS (
+              SELECT e.doc_id, e.pos, e.line,
+                     e.examined,
+                     CASE WHEN NOT e.examined THEN true
+                          ELSE e.k = f.first_k END AS keep
+              FROM ex e LEFT JOIN freq f ON e.line = f.line)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) ORDER BY pos), '') AS text,
+                   CAST(sum(CASE WHEN keep AND examined
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_lines_kept,
+                   CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_lines_dropped
+            FROM marked GROUP BY doc_id ORDER BY doc_id
         """,
         "q84_pdf_pipeline": f"""
             -- the PDF front door's surviving pages are exactly

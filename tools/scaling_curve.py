@@ -76,26 +76,68 @@ def main() -> None:
         entry.queries()["q02_filter"](spark, sf).write.format("noop").mode(
             "overwrite").save()
 
+    def best_of_2(fn, sess, sf) -> float:
+        t0 = time.time()
+        fn(sess, sf).write.format("noop").mode("overwrite").save()
+        t1 = time.time()
+        # second run reuses parquet footers/broadcast state
+        fn(sess, sf).write.format("noop").mode("overwrite").save()
+        return round(min(t1 - t0, time.time() - t1), 3)
+
     results: dict[str, dict] = {}
     for name in names:
         fn = qs[name]
         per_sf = {}
         for sf in SFS:
-            t0 = time.time()
-            fn(spark, sf).write.format("noop").mode("overwrite").save()
-            t1 = time.time()
-            # best of 2: second run reuses parquet footers/broadcast state
-            fn(spark, sf).write.format("noop").mode("overwrite").save()
-            per_sf[sf.rsplit("sf", 1)[-1]] = round(
-                min(t1 - t0, time.time() - t1), 3)
+            per_sf[sf.rsplit("sf", 1)[-1]] = best_of_2(fn, spark, sf)
+        results[name] = {"sec": per_sf}
+        print(f"{name:28s} {per_sf}", file=sys.stderr)
+
+    # r13 (verdict r12 next #8): the headline sf10 column comes from a
+    # FRESH session, not the tail of the warm suite — r12's q31 carried a
+    # 13.35 suite ratio that an isolated re-run showed was heap/cache
+    # pressure from five earlier queries' sf10 caches sharing the JVM
+    # (8.68 isolated). The warm-suite reading stays in the artifact as
+    # sec_suite_sf10 so the contamination remains visible.
+    if _SF10 in SFS:
+        spark.stop()
+        import __spark_entry__ as entry2  # same module; fresh session keys
+
+        fresh = (
+            SparkSession.builder.master("local[32]")
+            .appName("scaling_curve_sf10_isolated")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.driver.memory", "24g")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        fresh.sparkContext.setLogLevel("ERROR")
+        entry2.queries()["q02_filter"](fresh, _SF10).write.format(
+            "noop").mode("overwrite").save()  # warm codegen
+        qs2 = entry2.queries()
+        for name in names:
+            suite = results[name]["sec"].pop("10", None)
+            if suite is None:
+                continue
+            iso = best_of_2(qs2[name], fresh, _SF10)
+            results[name]["sec"]["10"] = iso
+            results[name]["sec_suite_sf10"] = suite
+            print(f"{name:28s} sf10 isolated {iso} (suite {suite})",
+                  file=sys.stderr)
+        spark = fresh
+
+    for name in names:
+        per_sf = results[name]["sec"]
         keys = [sf.rsplit("sf", 1)[-1] for sf in SFS]
         ratios = [
-            round(per_sf[b] / per_sf[a], 2) if per_sf.get(a) else None
+            round(per_sf[b] / per_sf[a], 2)
+            if per_sf.get(a) and per_sf.get(b) else None
             for a, b in zip(keys, keys[1:])
         ]
-        results[name] = {"sec": per_sf, "ratio_10x": ratios}
-        print(f"{name:28s} {per_sf}  x10 ratios {results[name]['ratio_10x']}",
-              file=sys.stderr)
+        results[name]["ratio_10x"] = ratios
+        print(f"{name:28s} x10 ratios {ratios}", file=sys.stderr)
 
     print(json.dumps(results, indent=2))
     spark.stop()
