@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 __all__ = ["read_warc", "read_wet", "read_wet_indexed", "parse_warc_bytes",
-           "encode_warc", "build_warc_index", "read_warc_indexed"]
+           "encode_warc", "build_warc_index", "read_warc_indexed",
+           "read_crawl_text"]
 
 INDEX_SCHEMA = T.StructType([
     T.StructField("warc_file", T.StringType()),
@@ -513,3 +514,73 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
         member = hdr + payload + b"\r\n\r\n"
         out.extend(gzip.compress(member) if gzip_members else member)
     return bytes(out)
+
+
+def read_crawl_text(
+    spark: SparkSession,
+    path: str,
+    content_types: tuple = ("text/html", "application/pdf"),
+    indexed: bool = False,
+    index: "DataFrame | None" = None,
+) -> DataFrame:
+    """The assembled crawl front door (r13): WARC archive(s) →
+    ``(url, warc_file, record_no, content_type, text)`` — one call
+    from raw crawl bytes to analyzable text, routing each 200-response
+    payload through its content type's extractor:
+
+    - ``text/html`` → :func:`aggo_spark.operators.html.strip_html`
+      (pure Column, JVM-side);
+    - ``application/pdf`` →
+      :func:`aggo_spark.operators.pdf.extract_pdf_text` (Arrow-batched
+      xref/Flate/text-operator walk; encrypted or corrupt documents
+      quarantine to NULL and are DROPPED here — a front door only
+      emits text it could verify).
+
+    Other content types are filtered out; pass a narrower
+    ``content_types`` to keep a single slice. ``indexed=True`` routes
+    through :func:`read_warc_indexed` (splittable inside files via the
+    CDX-pattern ``index``) — the 100 TB path, where parallelism comes
+    from index ranges instead of whole files."""
+    from pyspark.sql import functions as F
+
+    from ..operators import html as _html
+    from ..operators import pdf as _pdf
+
+    pages = (read_warc_indexed(spark, path, index=index) if indexed
+             else read_warc(spark, path))
+    resp = pages.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("http_content_type").isin(*content_types))
+    parts = []
+    if "text/html" in content_types:
+        parts.append(
+            resp.filter(F.col("http_content_type") == "text/html")
+            .select(
+                "url", "warc_file", "record_no",
+                F.col("http_content_type").alias("content_type"),
+                _html.strip_html(F.decode(F.col("payload"), "utf-8"))
+                .alias("text")))
+    if "application/pdf" in content_types:
+        pdf_rows = resp.filter(
+            F.col("http_content_type") == "application/pdf")
+        parts.append(
+            _pdf.extract_pdf_text(pdf_rows, "payload", "text")
+            .filter(F.col("text").isNotNull())
+            .select("url", "warc_file", "record_no",
+                    F.col("http_content_type").alias("content_type"),
+                    "text"))
+    rest = [ct for ct in content_types
+            if ct not in ("text/html", "application/pdf")]
+    if rest:
+        # plain-text-ish slices pass through undecoded-but-decoded:
+        # utf-8 text payloads (text/plain, WET conversions)
+        parts.append(
+            resp.filter(F.col("http_content_type").isin(*rest))
+            .select("url", "warc_file", "record_no",
+                    F.col("http_content_type").alias("content_type"),
+                    F.decode(F.col("payload"), "utf-8").alias("text")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
