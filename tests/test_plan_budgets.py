@@ -166,6 +166,23 @@ BUDGETS = {
                               # fixture archive; the returned frame is
                               # the materialized 200-row result with one
                               # final range-sort exchange (measured 1)
+    "q82_robots_compliance": 7,  # r13: corpus side is exchange-free
+                              # (pinned in tests/test_round12_robots);
+                              # the 7 live on the TINY rules side —
+                              # parse_robots' two per-host windows +
+                              # agent-selection window + the
+                              # collect_list groupBy — plus the final
+                              # 500-row range sort (measured 7)
+    "q83_video_neardup": 4,   # r13: 24-video fixture — pigeonhole
+                              # chunk equi-join exchanges + the pair
+                              # aggregate + final sort (measured 4)
+    "q84_pdf_pipeline": 1,    # r13: WARC ingest + pdf extract + panel
+                              # run at construction (q81 convention);
+                              # one final range-sort exchange
+    "q85_line_dedup": 4,      # r13: line-frequency aggregate (partial
+                              # + exchange on distinct lines) + rejoin
+                              # + per-doc reassembly groupBy + final
+                              # sort (measured 4)
 }
 
 # sf1 (scaledata) re-pin: budgets are identical at every SF EXCEPT the rows
