@@ -2242,6 +2242,47 @@ def q84_pdf_pipeline(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# --- q86 mojibake fixture: append a unicode-rich suffix to each doc's
+# (ASCII) text, garble it by the classic UTF-8-read-as-Latin-1 mistake
+# driver-side, and require the executor-side repair kernel to recover
+# the ORIGINAL string byte-exactly — the oracle is the raw text plus
+# the same literal suffix.
+_Q86_SUFFIX = " café — “naïve” añejo"
+_Q86_LIMIT = 200
+
+
+def q86_mojibake(spark, sf_dir):
+    """Mojibake repair under oracle contract (r13): documents' text
+    (+ a unicode suffix) is garbled by encoding UTF-8 and re-decoding
+    as Latin-1 — the single most common crawl corruption —
+    driver-side (bounded: 200 docs, the q79/q81 convention), then
+    ``text.fix_mojibake`` (Arrow-batched ftfy-core heuristic) repairs
+    it ON EXECUTORS; half the rows are double-encoded to exercise the
+    multi-pass path, and every row must equal the original exactly.
+    The pure-Column ``mojibake_signature`` gate is applied first the
+    way a 100 TB pipeline would (kernel only touches flagged rows;
+    unflagged rows pass through and must ALSO equal the original —
+    ASCII-only docs never had damage)."""
+    from aggo_spark.operators import text as text_mod
+
+    rows = [
+        (r["doc_id"], r["text"] + _Q86_SUFFIX)
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _Q86_LIMIT)
+        .select("doc_id", "text").collect()]
+    garbled = []
+    for doc_id, clean in rows:
+        g = clean.encode("utf-8").decode("latin-1")
+        if doc_id % 2 == 1:  # double-encoded half
+            g = g.encode("utf-8").decode("latin-1")
+        garbled.append((doc_id, g))
+    df = spark.createDataFrame(garbled, "doc_id long, text string")
+    flagged = df.filter(text_mod.mojibake_signature(F.col("text")))
+    clean_rows = df.filter(~text_mod.mojibake_signature(F.col("text")))
+    fixed = text_mod.fix_mojibake(flagged).unionByName(clean_rows)
+    return fixed.orderBy("doc_id")
+
+
 # --- q85 corpus line-dedup fixture: every doc gets a boilerplate
 # header (5 variants by doc_id%5) and a footer (3 variants by
 # doc_id%3) around its own text — nav-bar/cookie-banner shape. C4's
@@ -2405,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_video_neardup": q83_video_neardup,
         "q84_pdf_pipeline": q84_pdf_pipeline,
         "q85_line_dedup": q85_line_dedup,
+        "q86_mojibake": q86_mojibake,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -3687,6 +3729,15 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(arg_max(allow, 2 * plen + CAST(allow AS INT)),
                             true) AS robots_allowed
             FROM matched GROUP BY doc_id, url ORDER BY doc_id
+        """,
+        "q86_mojibake": f"""
+            -- repair must recover the original byte-exactly: the
+            -- garble (utf-8 bytes read as latin-1, doubled for odd
+            -- doc_ids) is information-preserving, so the expected
+            -- output is simply the raw text plus the same suffix
+            SELECT doc_id, text || '{_Q86_SUFFIX}' AS text
+            FROM documents WHERE doc_id < {_Q86_LIMIT}
+            ORDER BY doc_id
         """,
         "q85_line_dedup": f"""
             -- C4 keep_first mirror: the fixture corpus is exactly

@@ -13,6 +13,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "normalize_text",
+    "mojibake_signature",
+    "fix_mojibake_text",
+    "fix_mojibake",
     "tokens",
     "char_shingles",
     "word_ngrams",
@@ -2243,4 +2246,84 @@ def explode_paragraphs(
         .withColumn("para", F.trim(F.col("para")))
         .filter(F.length("para") >= min_chars)
     )
+
+
+# ---------------------------------------------------------------------------
+# mojibake repair (round 13)
+# ---------------------------------------------------------------------------
+
+def mojibake_signature(col: Column) -> Column:
+    """Pure-Column prefilter for UTF-8-read-as-Latin-1/cp1252 damage:
+    true when the text carries the classic digraph signatures
+    (``Ã`` + continuation-range char, ``â€`` smart-
+    punctuation triples, ``Â`` + NBSP-range char). Cheap JVM-side
+    gate so the repair kernel only ever touches suspicious rows — at
+    100 TB this regex runs in the scan's codegen stage and the Python
+    kernel sees a tiny slice."""
+    return col.rlike(
+        "\u00c3[\u0080-\u00bf]|\u00e2\u20ac|\u00c2[\u00a0-\u00bf]")
+
+
+def fix_mojibake_text(s: str | None, max_passes: int = 3) -> str | None:
+    """ftfy's core heuristic, bounded: if the string round-trips
+    Latin-1/cp1252 -> UTF-8 to a DIFFERENT string, it was mojibake —
+    keep re-decoding (double-encoded text needs two passes) until it
+    stops changing or stops decoding. Strings with no digraph
+    signature, strings that can't re-encode (real non-Latin text),
+    and strings whose bytes aren't valid UTF-8 (real Latin-1 text)
+    pass through UNCHANGED — repair never degrades clean text."""
+    if s is None:
+        return None
+    if "Ã" not in s and "â€" not in s and "Â" not in s:
+        return s  # cheap gate: no signature, no work
+    for _ in range(max_passes):
+        try:
+            b = s.encode("latin-1")
+        except UnicodeEncodeError:
+            try:
+                # smart-punctuation mojibake ('â€™')
+                # lands in cp1252's 0x80-0x9F graphic range, which
+                # Latin-1 cannot encode
+                b = s.encode("cp1252")
+            except UnicodeEncodeError:
+                break
+        try:
+            t = b.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        if t == s:
+            break
+        s = t
+    return s
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Repair UTF-8-as-Latin-1/cp1252 mojibake in ``text_col`` (in
+    place, or into ``out_col``). The iterative re-decode has no Column
+    form, so this is one narrow Arrow-batched ``mapInPandas`` (the
+    multimodal plumbing pattern) — per-row, shuffle-free; the kernel's
+    own signature gate reduces clean rows to a substring check.
+    Compose with :func:`mojibake_signature` to route only suspicious
+    partitions through the kernel at corpus scale."""
+    from pyspark.sql import types as T
+
+    out_col = out_col or text_col
+    if out_col == text_col:
+        schema = df.schema
+    else:
+        schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField(out_col, T.StringType())])
+
+    def work(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [fix_mojibake_text(s) for s in pdf[text_col]]
+            yield pdf
+
+    return df.mapInPandas(work, schema)
 

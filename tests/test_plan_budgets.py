@@ -183,6 +183,9 @@ BUDGETS = {
                               # + exchange on distinct lines) + rejoin
                               # + per-doc reassembly groupBy + final
                               # sort (measured 4)
+    "q86_mojibake": 1,        # r13: signature gate + Arrow repair
+                              # kernel are narrow; one final range
+                              # sort (measured 1)
 }
 
 # sf1 (scaledata) re-pin: budgets are identical at every SF EXCEPT the rows
