@@ -8,6 +8,8 @@ oracle-checkable against DuckDB.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -2252,16 +2254,30 @@ def explode_paragraphs(
 # mojibake repair (round 13)
 # ---------------------------------------------------------------------------
 
+# one digraph pattern shared by the Column prefilter and the kernel
+# gate: a UTF-8 LEAD byte (0xC2-0xF4) read as a Latin-1/cp1252 char,
+# followed by a CONTINUATION byte read as either a Latin-1 char
+# (U+0080-U+00BF) or one of cp1252's 0x80-0x9F graphic mappings
+# (euro, smart quotes, dashes, ellipsis, ...). Java and Python regex
+# dialects both accept this class verbatim.
+MOJIBAKE_SIGNATURE_RE = (
+    "[\u00c2-\u00f4]"
+    "[\u0080-\u00bf\u20ac\u201a\u0192\u201e\u2026\u2020\u2021"
+    "\u02c6\u2030\u0160\u2039\u0152\u017d\u2018\u2019\u201c"
+    "\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a\u0153"
+    "\u017e\u0178]")
+
+_MOJIBAKE_SIG = re.compile(MOJIBAKE_SIGNATURE_RE)
+
+
 def mojibake_signature(col: Column) -> Column:
-    """Pure-Column prefilter for UTF-8-read-as-Latin-1/cp1252 damage:
-    true when the text carries the classic digraph signatures
-    (``Ã`` + continuation-range char, ``â€`` smart-
-    punctuation triples, ``Â`` + NBSP-range char). Cheap JVM-side
-    gate so the repair kernel only ever touches suspicious rows — at
-    100 TB this regex runs in the scan's codegen stage and the Python
-    kernel sees a tiny slice."""
-    return col.rlike(
-        "\u00c3[\u0080-\u00bf]|\u00e2\u20ac|\u00c2[\u00a0-\u00bf]")
+    """Pure-Column prefilter for UTF-8-read-as-Latin-1/cp1252 damage
+    (``MOJIBAKE_SIGNATURE_RE``: lead-byte char followed by a
+    continuation-byte char in either codepage's reading). Cheap
+    JVM-side gate so the repair kernel only ever touches suspicious
+    rows — at 100 TB this regex runs in the scan's codegen stage and
+    the Python kernel sees a tiny slice."""
+    return col.rlike(MOJIBAKE_SIGNATURE_RE)
 
 
 def fix_mojibake_text(s: str | None, max_passes: int = 3) -> str | None:
@@ -2274,7 +2290,7 @@ def fix_mojibake_text(s: str | None, max_passes: int = 3) -> str | None:
     pass through UNCHANGED — repair never degrades clean text."""
     if s is None:
         return None
-    if "Ã" not in s and "â€" not in s and "Â" not in s:
+    if not _MOJIBAKE_SIG.search(s):
         return s  # cheap gate: no signature, no work
     for _ in range(max_passes):
         try:

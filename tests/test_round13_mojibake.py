@@ -47,6 +47,30 @@ class TestKernel:
         assert T.fix_mojibake_text(g) == ORIG
 
 
+class TestProperty:
+    def test_garble_then_fix_roundtrips(self):
+        """For any string that does not ITSELF look like mojibake,
+        garble → fix is the identity. (Strings that genuinely contain
+        the damage digraphs are the heuristic's documented blind spot
+        — same as ftfy's — and are excluded, matching the
+        signature-gated production composition.)"""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.text(
+            alphabet=st.characters(min_codepoint=0x20,
+                                   max_codepoint=0x2FFF),
+            min_size=1, max_size=60))
+        def prop(s):
+            if T._MOJIBAKE_SIG.search(s):
+                return
+            garbled = s.encode("utf-8").decode("latin-1")
+            assert T.fix_mojibake_text(garbled) == s
+
+        prop()
+
+
 class TestSignature:
     def test_signature_flags_damage_not_clean(self, spark):
         df = spark.createDataFrame(
