@@ -56,6 +56,24 @@ class TestRoundtrip:
         assert b[at:at + 4] == b"xref"
 
 
+class TestRoundtripProperty:
+    def test_any_text_roundtrips(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.text(
+            alphabet=st.characters(
+                min_codepoint=0x0A, max_codepoint=0x2FFF,
+                exclude_characters=[chr(c) for c in range(0x0B, 0x20)]),
+            max_size=300), st.booleans())
+        def prop(s, compress):
+            assert P.pdf_extract_text(
+                P.encode_pdf(s, compress=compress)) == s
+
+        prop()
+
+
 class TestStringForms:
     def test_hex_strings(self):
         content = b"BT <48656c6c6f> Tj ET"
