@@ -34,11 +34,13 @@ from .errors import (
 )
 from .session import build_session
 from .sources.io import (
+    load_bucketed,
     load_tables,
     read_jsonl,
     read_jsonl_stream,
     read_parquet,
     read_parquet_stream,
+    save_bucketed,
     write_jsonl,
 )
 from .sources.schema import infer_schema, sample_documents, simplified_schema
@@ -92,6 +94,8 @@ __all__ = [
     "read_parquet_stream",
     "write_jsonl",
     "load_tables",
+    "save_bucketed",
+    "load_bucketed",
     "infer_schema",
     "simplified_schema",
     "sample_documents",

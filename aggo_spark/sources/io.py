@@ -251,3 +251,39 @@ def load_tables(
             df = df.repartition(nparts).persist(StorageLevel.MEMORY_ONLY)
         out[n] = df
     return out
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list,
+    buckets: int = 64,
+    sort: bool = True,
+    path: str | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist ``df`` as a BUCKETED (and by default sorted) table on
+    ``keys`` — the co-location lever for repeated big-big joins and
+    aggregations at 100 TB: two tables bucketed on the same keys with
+    the same bucket count join with ZERO Exchange (each task zips
+    bucket i with bucket i), and a groupBy on the bucket keys reads
+    pre-partitioned data. Bucketing only exists through the catalog
+    (``saveAsTable``); pass ``path`` for an external table. One
+    up-front shuffle at write time buys every later join/agg its
+    exchange back — the classic amortization when a dimension-fact or
+    fact-fact join key is stable across a pipeline's runs
+    (tests pin the exchange-free join plan)."""
+    w = df.write.format(fmt).mode(mode).bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def load_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a :func:`save_bucketed` table back WITH its bucket spec
+    (``spark.table`` — a raw ``read.parquet`` of the same files would
+    lose the metadata and re-shuffle on the next join)."""
+    return spark.table(table)
