@@ -865,7 +865,7 @@ def _vp8_yuv(body: bytes, max_pixels: int):
     if not width or not height or width * height > max_pixels:
         return None
     data = body[10:]
-    if part0_len > len(data):
+    if part0_len == 0 or part0_len > len(data):
         return None
     bd = _BoolDec(data[:part0_len])
     hdr = _Hdr()
