@@ -56,6 +56,7 @@ __all__ = [
     "auto_decode",
     "fake_decode",
     "pil_decode",
+    "libwebp_decode",
     "py_decode",
     "png_decode",
     "bmp_decode",
@@ -1404,6 +1405,83 @@ def pil_decode(b: bytes) -> dict | None:
         "channels": len(bands),
         "channel_means": means,
         "phash": f"{bits:016x}",
+    }
+
+
+_LIBWEBP = "unloaded"
+
+
+def _load_libwebp():
+    """Lazy per-process handle to the system libwebp (executor-side:
+    each Python worker loads it once). None when absent."""
+    global _LIBWEBP
+    if _LIBWEBP == "unloaded":
+        import ctypes
+        import ctypes.util
+        _LIBWEBP = None
+        for name in ("libwebp.so.7", "libwebp.so",
+                     ctypes.util.find_library("webp")):
+            if not name:
+                continue
+            try:
+                lw = ctypes.CDLL(name)
+            except OSError:
+                continue
+            lw.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+            lw.WebPDecodeRGBA.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            lw.WebPFree.argtypes = [ctypes.c_void_p]
+            _LIBWEBP = lw
+            break
+    return _LIBWEBP
+
+
+def libwebp_decode(b: bytes) -> dict | None:
+    """NATIVE-codec plug-in for the ``decoder=`` escape hatch (r13):
+    decodes WebP (lossy, lossless, animated first frame) through the
+    system libwebp via ctypes — the production-shaped "real codec
+    library" branch the media tiers document, shipped rather than just
+    documented now that this container carries libwebp. Returns the
+    standard meta dict (RGBA means + 8x8 average-hash over the
+    mean-of-RGB luma, the :func:`_pixel_stats` convention); None for
+    non-WebP bytes, undecodable streams, or when the library is
+    absent (callers fall back to :func:`py_decode`).
+
+    Note the phash/means are computed from libwebp's OWN RGB
+    conversion (fancy chroma upsampling), so they intentionally may
+    differ from the pure-Python tier's documented BT.601
+    nearest-neighbor mapping — plug-in decoders own their color
+    pipeline."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    lw = _load_libwebp()
+    if lw is None:
+        return None
+    import ctypes
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    buf = lw.WebPDecodeRGBA(b, len(b), ctypes.byref(w), ctypes.byref(h))
+    if not buf:
+        return None
+    try:
+        width, height = w.value, h.value
+        if not width or not height or width * height > JPEG_PIXEL_BUDGET:
+            return None
+        raw = ctypes.string_at(buf, width * height * 4)
+    finally:
+        lw.WebPFree(buf)
+    rows = [[tuple(raw[(y * width + x) * 4:(y * width + x) * 4 + 4])
+             for x in range(width)] for y in range(height)]
+    means, phash = _pixel_stats(rows, 4)
+    return {
+        "byte_len": len(b),
+        "format": "webp",
+        "width": int(width),
+        "height": int(height),
+        "channels": 4,
+        "channel_means": means,
+        "phash": phash,
     }
 
 

@@ -146,3 +146,48 @@ class TestPyavEscapeHatch:
             df, decoder=pyav_frame_stats).collect()[0]["frame_meta"]
         assert m["frame_count"] == 3
         assert all(len(p) == 16 for p in m["frame_phashes"])
+
+
+@pytest.mark.skipif(M._load_libwebp() is None,
+                    reason="system libwebp not present")
+class TestLibwebpEscapeHatch:
+    """r13: unlike PIL/pyav, the system libwebp IS in this container,
+    so the native-codec branch of the escape hatch runs for real —
+    ctypes-loaded per executor worker, routed through the same
+    ``decoder=`` plug-in point and Arrow batch path."""
+
+    def test_libwebp_decode_through_image_tier(self, spark):
+        from aggo_spark.operators.vp8 import encode_webp_vp8
+        webp, *_ = encode_webp_vp8(
+            [[200] * 32 for _ in range(32)],
+            [[90] * 16 for _ in range(16)],
+            [[170] * 16 for _ in range(16)], qindex=0)
+        df = spark.createDataFrame(
+            [(1, bytearray(webp)), (2, b"notmedia")],
+            "doc_id long, content binary")
+        rows = {r["doc_id"]: r["img_meta"]
+                for r in M.decode_image_metadata(
+                    df, decoder=M.libwebp_decode).collect()}
+        assert rows[1]["format"] == "webp"
+        assert (rows[1]["width"], rows[1]["height"]) == (32, 32)
+        assert rows[1]["channels"] == 4
+        assert rows[1]["phash"] is not None
+        assert rows[2] is None
+
+    def test_solid_frames_agree_with_pure_tier(self):
+        # solid colors have no chroma-upsampling ambiguity, so the
+        # native decode and the pure-Python BT.601 tier must agree on
+        # the RGB means exactly
+        from aggo_spark.operators.vp8 import encode_webp_vp8
+        for yv, uv, vv in [(16, 128, 128), (200, 90, 170), (81, 240, 110)]:
+            webp, *_ = encode_webp_vp8(
+                [[yv] * 16 for _ in range(16)],
+                [[uv] * 8 for _ in range(8)],
+                [[vv] * 8 for _ in range(8)], qindex=0)
+            native = M.libwebp_decode(webp)
+            pure = M.webp_decode(webp)
+            assert native["channel_means"][:3] == pure["channel_means"]
+
+    def test_undecodable_bytes_yield_none(self):
+        assert M.libwebp_decode(b"RIFF\x10\x00\x00\x00WEBPVP8 XXXX") is None
+        assert M.libwebp_decode(b"\x89PNG\r\n\x1a\n") is None
