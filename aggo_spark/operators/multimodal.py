@@ -1357,8 +1357,9 @@ def encode_exif_app1(
 def py_decode(b: bytes) -> dict | None:
     """Real pure-Python decode for known containers (PNG, BMP, GIF full
     decode; JPEG baseline/progressive pixel decode with header fallback;
-    WebP VP8L pixel decode — r12 — with header fallback for lossy/
-    corrupt), magic-byte dispatched; None for unknown/corrupt bytes."""
+    WebP VP8L — r12 — AND lossy VP8 — r13 — pixel decode with header
+    fallback for corrupt streams), magic-byte dispatched; None for
+    unknown/corrupt bytes."""
     if b.startswith(_PNG_SIG):
         return png_decode(b)
     if b.startswith(b"BM"):
@@ -2732,9 +2733,10 @@ def video_frame_stats(b: bytes, n_sample: int = 3) -> dict | None:
     """Default frame-sampling chain (r12): MJPEG-in-AVI
     (:func:`avi_frame_stats`), animated GIF (:func:`gif_frame_stats`),
     and animated WebP (:func:`webp_frame_stats` — VP8L subframes
-    through the lossless kernel) — magic-byte dispatched; None for
+    through the lossless kernel, lossy intra subframes through the
+    real VP8 decoder since r13) — magic-byte dispatched; None for
     containers without a pure-Python frame tier (MP4/MKV stay
-    metadata-only: their codecs need a real video stack; static WebP
+    metadata-only: H.264/VP9 need a real video stack; static WebP
     is an image, not a video)."""
     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         return avi_frame_stats(b, n_sample=n_sample)

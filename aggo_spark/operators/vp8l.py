@@ -6,9 +6,9 @@ canonical prefix codes over an LSB-first bitstream (the GIF LZW reader
 is the same plumbing), an LZ77 layer with a 2-D "plane code" distance
 map, a color cache, and four invertible transforms (predictor, color,
 subtract-green, color-indexing) — no DCT anywhere. Implements the
-WebP Lossless Bitstream Specification (RFC 9649); VP8 *lossy* stays
-header-tier (a real VP8 intra decoder is out of scope, production
-plugs in ``pil_decode``).
+WebP Lossless Bitstream Specification (RFC 9649); VP8 *lossy* has its
+own real intra decoder since r13 (:mod:`.vp8`, RFC 6386, verified
+bit-exact against libwebp).
 
 The decoder is budget-bounded (``max_pixels``) and returns None on any
 structural violation — over-subscribed prefix codes, out-of-range
