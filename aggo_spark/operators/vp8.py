@@ -1051,13 +1051,13 @@ def _reconstruct_mb(yp, up, vp, mb_x, mb_y, mb_w, ymode, submodes, uvmode,
             bx0, by0 = x0 + sx * 4, y0 + sy * 4
             if sy == 0 and not have_above:
                 a4 = [127] * 4
-                ar = [127] * 4 if sx == 3 else [127] * 4
+                ar = [127] * 4
             else:
                 a4 = yp[by0 - 1][bx0:bx0 + 4]
-                if sx == 3:
-                    ar = top_right
-                else:
-                    ar = yp[by0 - 1][bx0 + 4:bx0 + 8]
+                # right-column subblocks use the MB-level top-right on
+                # EVERY row (the deployed-decoder quirk); interior ones
+                # read already-reconstructed neighbors
+                ar = top_right if sx == 3 else yp[by0 - 1][bx0 + 4:bx0 + 8]
             if sx == 0 and not have_left:
                 lf = [129] * 4
             else:
@@ -1428,16 +1428,11 @@ def encode_vp8(
                     bx0, by0 = x0 + sx * 4, y0 + sy * 4
                     if sy == 0 and not have_above:
                         a4 = [127] * 4
-                    else:
-                        a4 = yp[by0 - 1][bx0:bx0 + 4]
-                    if sx == 3:
-                        ar = top_right if (sy == 0 or True) else None
-                        if sy == 0 and not have_above:
-                            ar = [127] * 4
-                    elif sy == 0 and not have_above:
                         ar = [127] * 4
                     else:
-                        ar = yp[by0 - 1][bx0 + 4:bx0 + 8]
+                        a4 = yp[by0 - 1][bx0:bx0 + 4]
+                        ar = (top_right if sx == 3
+                              else yp[by0 - 1][bx0 + 4:bx0 + 8])
                     if sx == 0 and not have_left:
                         lf = [129] * 4
                     else:

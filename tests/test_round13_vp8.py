@@ -411,3 +411,24 @@ class TestMultimodalIntegration:
         ref = _lw_yuv(buf)
         mine = V.vp8_yuv(_vp8_body(buf))
         assert mine == ref
+
+
+class TestHypothesisRoundtrip:
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 127),
+           st.integers(0, 63), st.sampled_from([1, 2, 4, 8]),
+           st.randoms(use_true_random=False))
+    def test_any_planes_roundtrip(self, w, h, q, fl, nparts, rng):
+        y = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        u = [[rng.randrange(256) for _ in range(cw)] for _ in range(ch)]
+        v = [[rng.randrange(256) for _ in range(cw)] for _ in range(ch)]
+        mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+        modes = [[rng.choice([0, 1, 2, 3, 4]) for _ in range(mb_w)]
+                 for _ in range(mb_h)]
+        subm = [[[rng.randrange(10) for _ in range(16)]
+                 for _ in range(mb_w)] for _ in range(mb_h)]
+        bits, ry, ru, rv = V.encode_vp8(
+            y, u, v, qindex=q, modes=modes, submodes=subm,
+            filter_level=fl, n_partitions=nparts)
+        assert V.vp8_yuv(bits) == (w, h, ry, ru, rv)
