@@ -756,9 +756,118 @@ def _webp_vp8l_pixels(b: bytes) -> tuple | None:
                 return vp8_pixels(b[pos + 8:pos + 8 + clen],
                                   max_pixels=JPEG_PIXEL_BUDGET)
             if cid == b"VP8X":
-                return None
+                # r13: extended STILL images (ALPH + VP8/VP8L) decode;
+                # animated ones stay with the frame tier
+                return _webp_vp8x_still_pixels(b)
             pos += 8 + clen + (clen & 1)
         return None
+    except (struct.error, IndexError):
+        return None
+
+
+def _alph_unfilter(flat: list, w: int, h: int, method: int) -> list:
+    """Inverse of the ALPH chunk's per-row prediction filters
+    (container spec; semantics of the deployed unfilters: the first
+    pixel of a horizontally-filtered row predicts from the pixel
+    ABOVE, vertical/gradient rows fall back to horizontal on row 0,
+    gradient clips a+b-c to [0, 255])."""
+    if method == 0:
+        return flat
+    out: list = [0] * (w * h)
+    prev_base = None
+    for r in range(h):
+        base = r * w
+        if method == 1 or prev_base is None:
+            pred = out[prev_base] if prev_base is not None else 0
+            for i in range(w):
+                pred = (pred + flat[base + i]) & 0xFF
+                out[base + i] = pred
+        elif method == 2:
+            for i in range(w):
+                out[base + i] = (out[prev_base + i] + flat[base + i]) & 0xFF
+        else:  # gradient
+            left = top_left = out[prev_base]
+            for i in range(w):
+                top = out[prev_base + i]
+                g = left + top - top_left
+                g = 0 if g < 0 else 255 if g > 255 else g
+                left = (flat[base + i] + g) & 0xFF
+                top_left = top
+                out[base + i] = left
+        prev_base = base
+    return out
+
+
+def _alph_plane(body: bytes, w: int, h: int) -> list | None:
+    """Flat w*h alpha values from an ALPH chunk body (r13), or None —
+    raw or lossless-compressed (headerless VP8L stream via
+    :func:`.vp8l.alpha_plane`) with the four prediction filters
+    inverted; level-reduction preprocessing is honestly unsupported
+    (returns None, header tier)."""
+    if not body:
+        return None
+    hdr = body[0]
+    comp = hdr & 3
+    filt = (hdr >> 2) & 3
+    pre = (hdr >> 4) & 3
+    if pre != 0 or comp > 1:
+        return None
+    if comp == 0:
+        if len(body) - 1 < w * h:
+            return None
+        flat = list(body[1:1 + w * h])
+    else:
+        from .vp8l import alpha_plane
+        flat = alpha_plane(body[1:], w, h, max_pixels=JPEG_PIXEL_BUDGET)
+        if flat is None:
+            return None
+    return _alph_unfilter(flat, w, h, filt)
+
+
+def _webp_vp8x_still_pixels(b: bytes) -> tuple | None:
+    """Pixels for an EXTENDED (VP8X) STILL WebP (r13): walks the
+    chunks after VP8X for the base VP8/VP8L image and an optional
+    ALPH plane; a lossy base + ALPH combines to RGBA rows (alpha
+    decode per the container spec). Animated files return None (the
+    frame tier owns them); corrupt sub-chunks return None (header
+    tier)."""
+    try:
+        pos = 12
+        alph = None
+        base = None  # ("vp8"|"vp8l", body)
+        while pos + 8 <= len(b):
+            cid = b[pos:pos + 4]
+            (clen,) = struct.unpack_from("<I", b, pos + 4)
+            body = b[pos + 8:pos + 8 + clen]
+            if cid in (b"ANIM", b"ANMF"):
+                return None
+            if cid == b"ALPH":
+                alph = body
+            elif cid == b"VP8 " and base is None:
+                base = ("vp8", body)
+            elif cid == b"VP8L" and base is None:
+                base = ("vp8l", body)
+            pos += 8 + clen + (clen & 1)
+        if base is None:
+            return None
+        kind, body = base
+        if kind == "vp8l":
+            # VP8L carries its own alpha; a stray ALPH is ignored
+            from .vp8l import vp8l_pixels
+            return vp8l_pixels(body, max_pixels=JPEG_PIXEL_BUDGET)
+        from .vp8 import vp8_pixels
+        px = vp8_pixels(body, max_pixels=JPEG_PIXEL_BUDGET)
+        if px is None:
+            return None
+        w, h, _nch, rows = px
+        if alph is None:
+            return w, h, 3, rows
+        plane = _alph_plane(alph, w, h)
+        if plane is None:
+            return None
+        out = [[rows[y][x] + (plane[y * w + x],) for x in range(w)]
+               for y in range(h)]
+        return w, h, 4, out
     except (struct.error, IndexError):
         return None
 

@@ -29,7 +29,8 @@ table prefix in RFC 9649 §5.2.3.
 
 from __future__ import annotations
 
-__all__ = ["vp8l_pixels", "encode_vp8l", "encode_webp_vp8l"]
+__all__ = ["vp8l_pixels", "alpha_plane", "encode_vp8l",
+           "encode_webp_vp8l"]
 
 # ---------------------------------------------------------------------------
 # bit I/O — VP8L packs bits LSB-first; prefix-code BITS are read one at
@@ -580,6 +581,80 @@ def _inv_color_indexing(px: list[int], packed_w: int, w: int, h: int,
     return out
 
 
+def _decode_stream(br: _Bits, w: int, h: int, max_pixels: int):
+    """Decode a (headerless) VP8L image stream at the reader's current
+    position: optional transforms, entropy-coded data, inverse
+    transforms. Returns the ARGB pixel list or None. Shared by
+    :func:`vp8l_pixels` (after the signature/dims header) and
+    :func:`alpha_plane` (ALPH chunks carry exactly this stream with
+    dimensions implied by the carrying frame)."""
+    transforms = []  # (type, data...), in read order
+    seen = set()
+    cur_w = w
+    while br.read_bit():
+        t = br.read(2)
+        if t in seen:
+            return None
+        seen.add(t)
+        if t in (0, 1):  # predictor / color: tile image
+            bits = br.read(3) + 2
+            tw = -(-cur_w // (1 << bits))
+            th = -(-h // (1 << bits))
+            tiles = _decode_data(br, tw, th, False, max_pixels)
+            if tiles is None:
+                return None
+            transforms.append((t, bits, tiles, cur_w))
+        elif t == 2:
+            transforms.append((2,))
+        else:  # color indexing
+            psize = br.read(8) + 1
+            pal = _decode_data(br, psize, 1, False, max_pixels)
+            if pal is None:
+                return None
+            for i in range(1, psize):  # delta-coded entries
+                pal[i] = _add_pixels(pal[i], pal[i - 1])
+            width_bits = _palette_width_bits(psize)
+            full_w = cur_w
+            cur_w = -(-cur_w // (1 << width_bits))
+            transforms.append((3, width_bits, pal, full_w, cur_w))
+    px = _decode_data(br, cur_w, h, True, max_pixels)
+    if px is None:
+        return None
+    for tr in reversed(transforms):
+        if tr[0] == 0:
+            _inv_predictor(px, cur_w, h, tr[1], tr[2])
+        elif tr[0] == 1:
+            _inv_color_transform(px, cur_w, h, tr[1], tr[2])
+        elif tr[0] == 2:
+            _inv_subtract_green(px)
+        else:
+            _t, width_bits, pal, full_w, packed_w = tr
+            px = _inv_color_indexing(px, packed_w, full_w, h,
+                                     width_bits, pal)
+            if px is None:
+                return None
+            cur_w = full_w
+    return px
+
+
+def alpha_plane(data: bytes, w: int, h: int,
+                max_pixels: int = 4_000_000):
+    """Decode a lossless-compressed ALPH payload (the bytes AFTER the
+    1-byte ALPH header) to a flat list of ``w*h`` alpha values — the
+    WebP container spec's headerless VP8L image stream whose GREEN
+    channel carries the alpha plane — or None."""
+    if w * h > max_pixels:
+        return None
+    try:
+        br = _Bits(data)
+        px = _decode_stream(br, w, h, max_pixels)
+        if px is None:
+            return None
+        return [(p >> 8) & 0xFF for p in px]
+    except (IndexError, ValueError):
+        return None
+
+
 def vp8l_pixels(body: bytes, max_pixels: int = 4_000_000):
     """Decode a VP8L chunk payload (starting at the 0x2F signature) to
     ``(width, height, channels, rows)`` with rows of (r, g, b) /
@@ -595,52 +670,9 @@ def vp8l_pixels(body: bytes, max_pixels: int = 4_000_000):
             return None  # version must be 0
         if w * h > max_pixels:
             return None
-        transforms = []  # (type, data...), in read order
-        seen = set()
-        cur_w = w
-        while br.read_bit():
-            t = br.read(2)
-            if t in seen:
-                return None
-            seen.add(t)
-            if t in (0, 1):  # predictor / color: tile image
-                bits = br.read(3) + 2
-                tw = -(-cur_w // (1 << bits))
-                th = -(-h // (1 << bits))
-                tiles = _decode_data(br, tw, th, False, max_pixels)
-                if tiles is None:
-                    return None
-                transforms.append((t, bits, tiles, cur_w))
-            elif t == 2:
-                transforms.append((2,))
-            else:  # color indexing
-                psize = br.read(8) + 1
-                pal = _decode_data(br, psize, 1, False, max_pixels)
-                if pal is None:
-                    return None
-                for i in range(1, psize):  # delta-coded entries
-                    pal[i] = _add_pixels(pal[i], pal[i - 1])
-                width_bits = _palette_width_bits(psize)
-                full_w = cur_w
-                cur_w = -(-cur_w // (1 << width_bits))
-                transforms.append((3, width_bits, pal, full_w, cur_w))
-        px = _decode_data(br, cur_w, h, True, max_pixels)
+        px = _decode_stream(br, w, h, max_pixels)
         if px is None:
             return None
-        for tr in reversed(transforms):
-            if tr[0] == 0:
-                _inv_predictor(px, cur_w, h, tr[1], tr[2])
-            elif tr[0] == 1:
-                _inv_color_transform(px, cur_w, h, tr[1], tr[2])
-            elif tr[0] == 2:
-                _inv_subtract_green(px)
-            else:
-                _t, width_bits, pal, full_w, packed_w = tr
-                px = _inv_color_indexing(px, packed_w, full_w, h,
-                                         width_bits, pal)
-                if px is None:
-                    return None
-                cur_w = full_w
         nch = 4 if has_alpha else 3
         rows = []
         for y in range(h):

@@ -432,3 +432,173 @@ class TestHypothesisRoundtrip:
             y, u, v, qindex=q, modes=modes, submodes=subm,
             filter_level=fl, n_partitions=nparts)
         assert V.vp8_yuv(bits) == (w, h, ry, ru, rv)
+
+
+def _build_vp8x_webp(w, h, alph_body, vp8_body):
+    def chunk(cid, payload):
+        return (cid + len(payload).to_bytes(4, "little") + payload
+                + (b"\x00" if len(payload) & 1 else b""))
+    vp8x = bytes([0x10]) + bytes(3) + (w - 1).to_bytes(3, "little") \
+        + (h - 1).to_bytes(3, "little")
+    out = chunk(b"VP8X", vp8x)
+    if alph_body is not None:
+        out += chunk(b"ALPH", alph_body)
+    out += chunk(b"VP8 ", vp8_body)
+    riff = b"WEBP" + out
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def _forward_alpha_filter(plane, w, h, method):
+    """Forward counterpart of the container's alpha prediction filters
+    (residual = value - prediction mod 256) for fixture synthesis."""
+    out = []
+    for r in range(h):
+        for i in range(w):
+            v = plane[r * w + i]
+            if method == 0:
+                p = 0
+            elif method == 1 or r == 0:
+                if i == 0:
+                    p = plane[(r - 1) * w] if r > 0 else 0
+                else:
+                    p = plane[r * w + i - 1]
+            elif method == 2:
+                p = plane[(r - 1) * w + i]
+            else:
+                left = plane[r * w + i - 1] if i > 0 else plane[(r - 1) * w]
+                top = plane[(r - 1) * w + i]
+                tl = (plane[(r - 1) * w + i - 1] if i > 0
+                      else plane[(r - 1) * w])
+                g = left + top - tl
+                p = 0 if g < 0 else 255 if g > 255 else g
+            out.append((v - p) & 0xFF)
+    return bytes(out)
+
+
+class TestAlphaTier:
+    """r13: ALPH chunk + VP8X still-image decode (lossy WebP with
+    alpha)."""
+
+    def _solid_vp8(self, w, h):
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        body, *_ = V.encode_vp8(
+            [[128] * w for _ in range(h)],
+            [[128] * cw for _ in range(ch)],
+            [[128] * cw for _ in range(ch)], qindex=0)
+        return body
+
+    @pytest.mark.parametrize("filt", [0, 1, 2, 3])
+    def test_raw_alpha_filters_roundtrip(self, filt):
+        w, h = 24, 16
+        rng = random.Random(filt)
+        plane = [rng.randrange(256) for _ in range(w * h)]
+        alph = bytes([filt << 2]) + _forward_alpha_filter(plane, w, h, filt)
+        webp = _build_vp8x_webp(w, h, alph, self._solid_vp8(w, h))
+        px = M._webp_vp8l_pixels(webp)
+        assert px is not None and px[2] == 4
+        got = [px[3][y][x][3] for y in range(h) for x in range(w)]
+        assert got == plane, f"filter {filt}"
+
+    @needs_libwebp
+    @pytest.mark.parametrize("filt", [0, 1, 2, 3])
+    def test_raw_alpha_filters_match_libwebp_decode(self, filt):
+        """libwebp decodes OUR synthesized container; its alpha output
+        must equal ours — the library validates the filter semantics,
+        not just our own inverse of our own forward."""
+        w, h = 24, 16
+        rng = random.Random(100 + filt)
+        plane = [rng.randrange(256) for _ in range(w * h)]
+        alph = bytes([filt << 2]) + _forward_alpha_filter(plane, w, h, filt)
+        webp = _build_vp8x_webp(w, h, alph, self._solid_vp8(w, h))
+        _LW.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+        _LW.WebPDecodeRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        wd, hd = ctypes.c_int(), ctypes.c_int()
+        dec = _LW.WebPDecodeRGBA(webp, len(webp),
+                                 ctypes.byref(wd), ctypes.byref(hd))
+        assert dec, "libwebp rejected the synthesized container"
+        ref = [dec[(y * w + x) * 4 + 3] for y in range(h) for x in range(w)]
+        _LW.WebPFree(dec)
+        assert ref == plane
+        px = M._webp_vp8l_pixels(webp)
+        got = [px[3][y][x][3] for y in range(h) for x in range(w)]
+        assert got == ref
+
+    def test_lossless_compressed_alpha(self):
+        # headerless VP8L stream: encode_vp8l's 5-byte header strips
+        # cleanly (signature byte + 32 header bits = byte-aligned)
+        from aggo_spark.operators.vp8l import encode_vp8l
+        w, h = 20, 12
+        rng = random.Random(3)
+        plane = [rng.randrange(256) for _ in range(w * h)]
+        rows = [[(0, plane[y * w + x], 0) for x in range(w)]
+                for y in range(h)]
+        stream = encode_vp8l(w, h, rows)[5:]
+        alph = bytes([0x01]) + stream
+        webp = _build_vp8x_webp(w, h, alph, self._solid_vp8(w, h))
+        px = M._webp_vp8l_pixels(webp)
+        assert px is not None and px[2] == 4
+        got = [px[3][y][x][3] for y in range(h) for x in range(w)]
+        assert got == plane
+
+    def test_unsupported_alpha_variants_fall_back(self):
+        w, h = 16, 16
+        vp8 = self._solid_vp8(w, h)
+        for hdr in (bytes([0x10]), bytes([0x02])):  # level-reduction / bad comp
+            webp = _build_vp8x_webp(w, h, hdr + bytes(w * h), vp8)
+            assert M._webp_vp8l_pixels(webp) is None
+            d = M.webp_decode(webp)  # header tier: canvas dims, NULL stats
+            assert d is not None and d["width"] == w
+            assert d["channel_means"] is None
+
+    def test_vp8x_still_without_alpha(self):
+        webp = _build_vp8x_webp(16, 16, None, self._solid_vp8(16, 16))
+        px = M._webp_vp8l_pixels(webp)
+        assert px is not None and px[2] == 3
+
+    def test_webp_decode_reports_alpha_means(self):
+        w, h = 24, 16
+        plane = [200] * (w * h)
+        alph = bytes([0x00]) + bytes(plane)
+        webp = _build_vp8x_webp(w, h, alph, self._solid_vp8(w, h))
+        d = M.webp_decode(webp)
+        assert d["channels"] == 4
+        assert d["channel_means"][3] == 200.0
+
+    @needs_libwebp
+    def test_libwebp_encoded_rgba_alpha_bit_exact(self):
+        _LW.WebPEncodeRGBA.restype = ctypes.c_size_t
+        _LW.WebPEncodeRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+        _LW.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+        _LW.WebPDecodeRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        rng = random.Random(11)
+        for w, h, akind in [(16, 16, "noise"), (40, 30, "grad"),
+                            (33, 17, "blocks"), (64, 64, "vert")]:
+            rgba = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    a = {"noise": rng.randrange(256),
+                         "grad": (x * 255) // max(1, w - 1),
+                         "vert": (y * 255) // max(1, h - 1),
+                         "blocks": 255 if (x // 8 + y // 8) % 2 else 30}[akind]
+                    rgba += bytes((rng.randrange(256),) * 3) + bytes((a,))
+            p = ctypes.POINTER(ctypes.c_uint8)()
+            n = _LW.WebPEncodeRGBA(bytes(rgba), w, h, w * 4, 75.0,
+                                   ctypes.byref(p))
+            buf = ctypes.string_at(p, n)
+            _LW.WebPFree(p)
+            wd, hd = ctypes.c_int(), ctypes.c_int()
+            dec = _LW.WebPDecodeRGBA(buf, n, ctypes.byref(wd),
+                                     ctypes.byref(hd))
+            ref = [dec[(y * w + x) * 4 + 3]
+                   for y in range(h) for x in range(w)]
+            _LW.WebPFree(dec)
+            px = M._webp_vp8l_pixels(buf)
+            assert px is not None and px[2] == 4, (w, h, akind)
+            got = [px[3][y][x][3] for y in range(h) for x in range(w)]
+            assert got == ref, (w, h, akind)
