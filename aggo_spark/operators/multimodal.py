@@ -3817,7 +3817,8 @@ def _extend(v: int, s: int) -> int:
 
 
 def _jpeg_planes_to_meta(planes, comps, hmax: int, vmax: int, h: int,
-                         w: int, byte_len: int) -> dict | None:
+                         w: int, byte_len: int,
+                         with_pixels: bool = False) -> dict | None:
     """Shared decode tail (baseline + progressive): level-shift the IDCT
     planes, nearest-upsample by the sampling factors, crop, YCbCr→RGB,
     channel means + average-hash. The arithmetic here is the q40 oracle
@@ -3838,7 +3839,7 @@ def _jpeg_planes_to_meta(planes, comps, hmax: int, vmax: int, h: int,
         luma = full[0]
     else:
         return None
-    return {
+    out = {
         "byte_len": byte_len,
         "format": "jpeg",
         "width": int(w),
@@ -3847,6 +3848,11 @@ def _jpeg_planes_to_meta(planes, comps, hmax: int, vmax: int, h: int,
         "channel_means": [float(np.mean(c)) for c in chans],
         "phash": _avg_hash([list(map(float, row)) for row in luma]),
     }
+    if with_pixels:
+        # r13 differential-test seam: the exact uint8 pixels the stats
+        # were computed from, as an (h, w, channels) numpy array
+        out["pixels"] = np.stack(chans, axis=-1).astype(np.uint8)
+    return out
 
 
 def _jpeg_progressive_scan(b: bytes, pos: int, body: bytes, comps: list,
@@ -3948,7 +3954,8 @@ def _jpeg_progressive_scan(b: bytes, pos: int, body: bytes, comps: list,
 JPEG_PIXEL_BUDGET = 4_000_000
 
 
-def jpeg_pixel_decode(b: bytes, pixel_budget: int = JPEG_PIXEL_BUDGET) -> dict | None:
+def jpeg_pixel_decode(b: bytes, pixel_budget: int = JPEG_PIXEL_BUDGET,
+                      with_pixels: bool = False) -> dict | None:
     """REAL JPEG pixel decode: marker walk → DQT/DHT/SOF/DRI/SOS parse →
     Huffman entropy decode → dequantize → IDCT → upsample (any 1/2
     sampling factors, nearest) → YCbCr→RGB → per-channel means +
@@ -4092,7 +4099,7 @@ def jpeg_pixel_decode(b: bytes, pixel_budget: int = JPEG_PIXEL_BUDGET) -> dict |
                 planes.append(blocks.transpose(0, 2, 1, 3)
                               .reshape(nby * 8, nbx * 8))
             return _jpeg_planes_to_meta(planes, comps, hmax, vmax,
-                                        h, w, len(b))
+                                        h, w, len(b), with_pixels)
         planes = [np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8))
                   for c in comps]
         preds = [0] * len(comps)
@@ -4141,7 +4148,7 @@ def jpeg_pixel_decode(b: bytes, pixel_budget: int = JPEG_PIXEL_BUDGET) -> dict |
                         planes[ci][r0:r0 + 8, c0:c0 + 8] = block(ci)
 
         return _jpeg_planes_to_meta(planes, comps, hmax, vmax,
-                                    h, w, len(b))
+                                    h, w, len(b), with_pixels)
     except (_JpegScanEnd, ValueError, IndexError, KeyError,
             ZeroDivisionError, struct.error, MemoryError):
         # MemoryError included (r10, ADVICE): an allocation that still
