@@ -58,8 +58,135 @@ WARC_SCHEMA = T.StructType([
     T.StructField("content_type", T.StringType()),
     T.StructField("http_status", T.IntegerType()),
     T.StructField("http_content_type", T.StringType()),
+    # r13: residual body encoding. None = entity bytes are fully
+    # decoded (no encoding, or chunked/gzip/deflate/br successfully
+    # reversed); a non-null value names what is STILL applied to the
+    # payload (unsupported scheme, corrupt framing, brotli library
+    # absent) so curation filters can quarantine instead of feeding
+    # compressed bytes to text extraction.
+    T.StructField("http_content_encoding", T.StringType()),
     T.StructField("payload", T.BinaryType()),
 ])
+
+
+def _dechunk(b: bytes) -> bytes | None:
+    """Reverse HTTP/1.1 ``Transfer-Encoding: chunked`` framing.
+    Trailers are ignored; a body truncated mid-chunk (the crawl
+    truncation case) keeps the bytes that did arrive; malformed size
+    lines return None (caller keeps the raw payload + residual
+    marker)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = b.find(b"\r\n", pos)
+        if nl < 0:
+            return None
+        tok = b[pos:nl].split(b";")[0].strip()
+        if not tok:
+            return None
+        try:
+            size = int(tok, 16)
+        except ValueError:
+            return None
+        pos = nl + 2
+        if size == 0:
+            return bytes(out)
+        if pos + size >= len(b):
+            out += b[pos:]
+            return bytes(out)
+        out += b[pos:pos + size]
+        pos += size
+        if b[pos:pos + 2] != b"\r\n":
+            return None
+        pos += 2
+
+
+_BROTLI = "unloaded"
+# decompressed-size ceiling per record: a crawl page that inflates past
+# this is hostile (zip-bomb class) and keeps its residual marker
+_DECODE_CAP = 1 << 26
+
+
+def _load_brotli():
+    global _BROTLI
+    if _BROTLI == "unloaded":
+        import ctypes
+        import ctypes.util
+        _BROTLI = None
+        for name in ("libbrotlidec.so.1", "libbrotlidec.so",
+                     ctypes.util.find_library("brotlidec")):
+            if not name:
+                continue
+            try:
+                lib = ctypes.CDLL(name)
+            except OSError:
+                continue
+            lib.BrotliDecoderDecompress.restype = ctypes.c_int
+            lib.BrotliDecoderDecompress.argtypes = [
+                ctypes.c_size_t, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p]
+            _BROTLI = lib
+            break
+    return _BROTLI
+
+
+def _brotli_decompress(b: bytes) -> bytes | None:
+    lib = _load_brotli()
+    if lib is None:
+        return None
+    import ctypes
+    cap = max(4 * len(b), 1 << 16)
+    while cap <= _DECODE_CAP:
+        buf = ctypes.create_string_buffer(cap)
+        n = ctypes.c_size_t(cap)
+        ok = lib.BrotliDecoderDecompress(len(b), b, ctypes.byref(n), buf)
+        if ok == 1:  # BROTLI_DECODER_RESULT_SUCCESS
+            return buf.raw[:n.value]
+        cap *= 4
+    return None
+
+
+def _decode_entity(payload: bytes, encodings: list) -> tuple:
+    """Apply the inverse of a Content-Encoding chain (last applied,
+    first reversed). Returns (bytes, residual) where residual is the
+    comma-joined encodings that could NOT be reversed (empty = fully
+    decoded)."""
+    import zlib
+
+    remaining = list(encodings)
+    while remaining:
+        enc = remaining[-1]
+        if enc in ("identity", ""):
+            remaining.pop()
+            continue
+        if enc in ("gzip", "x-gzip", "deflate"):
+            try:
+                d = zlib.decompressobj(47 if enc != "deflate" else 15)
+                out = d.decompress(payload, _DECODE_CAP)
+            except zlib.error:
+                if enc == "deflate":
+                    # raw-deflate variant (historically common)
+                    try:
+                        d = zlib.decompressobj(-15)
+                        out = d.decompress(payload, _DECODE_CAP)
+                    except zlib.error:
+                        break
+                else:
+                    break
+            if d.unconsumed_tail:
+                break  # blew the cap: hostile inflation
+            payload = out
+            remaining.pop()
+            continue
+        if enc == "br":
+            out = _brotli_decompress(payload)
+            if out is None:
+                break
+            payload = out
+            remaining.pop()
+            continue
+        break  # unsupported scheme
+    return payload, ",".join(remaining)
 
 
 def _maybe_gunzip(b: bytes) -> bytes:
@@ -187,6 +314,7 @@ def parse_warc_bytes(b: bytes) -> Iterator[dict]:
             "content_type": headers.get("content-type"),
             "http_status": None,
             "http_content_type": None,
+            "http_content_encoding": None,
             "payload": body,
         }
         # response/request records wrap an HTTP message: split its
@@ -210,17 +338,47 @@ def parse_warc_bytes(b: bytes) -> Iterator[dict]:
                         rec["http_status"] = int(parts[1])
                     except ValueError:
                         pass
+                te = ce = None
                 for line in body[:he].split(b"\r\n")[1:]:
                     k, _, v = line.partition(b":")
-                    if _ and k.strip().lower() == b"content-type":
+                    if not _:
+                        continue
+                    key = k.strip().lower()
+                    if key == b"content-type":
                         # media type only, normalized: real crawls carry
                         # 'text/html; charset=UTF-8' — an equality filter
                         # on the raw header would silently match nothing
                         rec["http_content_type"] = (
                             v.strip().decode("utf-8", "replace")
                             .partition(";")[0].strip().lower())
-                        break
-                rec["payload"] = body[he + 4:]
+                    elif key == b"transfer-encoding":
+                        te = v.strip().decode("ascii", "replace").lower()
+                    elif key == b"content-encoding":
+                        ce = v.strip().decode("ascii", "replace").lower()
+                payload = body[he + 4:]
+                residual = []
+                # r13: reverse the transport framing + entity encodings
+                # so downstream text extraction sees real bytes. Chunked
+                # framing first (it wraps the encoded entity)...
+                if te and "chunked" in te:
+                    dechunked = _dechunk(payload)
+                    if dechunked is None:
+                        residual.append("chunked")
+                    else:
+                        payload = dechunked
+                # ...then the Content-Encoding chain; whatever cannot be
+                # reversed stays applied and is NAMED in the residual
+                # column instead of silently feeding compressed bytes on
+                if ce and not residual:
+                    encs = [e.strip() for e in ce.split(",") if e.strip()]
+                    payload, left = _decode_entity(payload, encs)
+                    if left:
+                        residual.append(left)
+                elif ce and residual:
+                    residual.append(ce)
+                rec["payload"] = payload
+                rec["http_content_encoding"] = (
+                    ",".join(residual) if residual else None)
         yield rec
 
 
