@@ -709,7 +709,11 @@ def read_crawl_text(
     resp = pages.filter(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
-        & F.col("http_content_type").isin(*content_types))
+        & F.col("http_content_type").isin(*content_types)
+        # r13: rows whose entity encoding could not be reversed
+        # (http_content_encoding names the residual) still carry
+        # compressed/chunked bytes — quarantine them at the front door
+        & F.col("http_content_encoding").isNull())
     parts = []
     if "text/html" in content_types:
         parts.append(

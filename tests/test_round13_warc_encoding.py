@@ -213,3 +213,29 @@ class TestSparkSide:
         rows = read_warc(spark, str(p)).collect()
         assert rows[0]["http_content_encoding"] is None
         assert bytes(rows[0]["payload"]) == HTML
+
+
+class TestFrontDoor:
+    def test_read_crawl_text_decodes_and_quarantines(self, spark, tmp_path):
+        good = _resp(gzip.compress(b"<html><body><p>Compressed page body "
+                                   b"with enough words to keep.</p>"
+                                   b"</body></html>"),
+                     [(b"Content-Encoding", b"gzip")])
+        bad = _resp(b"\xDE\xAD\xBE\xEF" * 10,
+                    [(b"Content-Encoding", b"zstd")])
+        blob = encode_warc(
+            [{"warc_type": "response", "url": "http://e.com/good",
+              "content_type": "application/http; msgtype=response",
+              "payload": good},
+             {"warc_type": "response", "url": "http://e.com/bad",
+              "content_type": "application/http; msgtype=response",
+              "payload": bad}])
+        p = tmp_path / "t.warc"
+        p.write_bytes(blob)
+        from aggo_spark.sources.warc import read_crawl_text
+        rows = read_crawl_text(spark, str(p)).collect()
+        urls = {r["url"] for r in rows}
+        assert "http://e.com/good" in urls       # decoded -> extracted
+        assert "http://e.com/bad" not in urls    # residual -> quarantined
+        good_row = [r for r in rows if r["url"].endswith("good")][0]
+        assert "Compressed page body" in good_row["text"]
