@@ -130,6 +130,65 @@ def _load_brotli():
     return _BROTLI
 
 
+_ZSTD = "unloaded"
+
+
+def _load_zstd():
+    global _ZSTD
+    if _ZSTD == "unloaded":
+        import ctypes
+        import ctypes.util
+        _ZSTD = None
+        for name in ("libzstd.so.1", "libzstd.so",
+                     ctypes.util.find_library("zstd")):
+            if not name:
+                continue
+            try:
+                lib = ctypes.CDLL(name)
+            except OSError:
+                continue
+            lib.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
+            lib.ZSTD_getFrameContentSize.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t]
+            lib.ZSTD_decompress.restype = ctypes.c_size_t
+            lib.ZSTD_decompress.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_char_p, ctypes.c_size_t]
+            lib.ZSTD_isError.restype = ctypes.c_uint
+            lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+            _ZSTD = lib
+            break
+    return _ZSTD
+
+
+def _zstd_decompress(b: bytes) -> bytes | None:
+    lib = _load_zstd()
+    if lib is None or not b:
+        return None
+    import ctypes
+    size = lib.ZSTD_getFrameContentSize(b, len(b))
+    unknown = (1 << 64) - 1
+    if size == (1 << 64) - 2:
+        return None  # not a zstd frame
+    if size == unknown or size == 0:
+        # no declared size: doubling probe up to the bomb cap
+        caps = []
+        cap = max(4 * len(b), 1 << 16)
+        while cap <= _DECODE_CAP:
+            caps.append(cap)
+            cap *= 4
+    elif size <= _DECODE_CAP:
+        caps = [size]
+    else:
+        return None  # declared inflation over the cap: hostile
+    for cap in caps:
+        buf = ctypes.create_string_buffer(cap)
+        n = lib.ZSTD_decompress(buf, cap, b, len(b))
+        if not lib.ZSTD_isError(n):
+            return buf.raw[:n]
+    return None
+
+
 def _brotli_decompress(b: bytes) -> bytes | None:
     lib = _load_brotli()
     if lib is None:
@@ -180,6 +239,13 @@ def _decode_entity(payload: bytes, encodings: list) -> tuple:
             continue
         if enc == "br":
             out = _brotli_decompress(payload)
+            if out is None:
+                break
+            payload = out
+            remaining.pop()
+            continue
+        if enc == "zstd":
+            out = _zstd_decompress(payload)
             if out is None:
                 break
             payload = out

@@ -110,10 +110,10 @@ class TestContentEncoding:
         assert rec["http_content_encoding"] is None
 
     def test_unsupported_scheme_named_residual(self):
-        rec = _one_record(_resp(b"\x28\xb5\x2f\xfdXXX",
-                                [(b"Content-Encoding", b"zstd")]))
-        assert rec["payload"] == b"\x28\xb5\x2f\xfdXXX"
-        assert rec["http_content_encoding"] == "zstd"
+        rec = _one_record(_resp(b"compressed-with-something-new",
+                                [(b"Content-Encoding", b"sbrotli")]))
+        assert rec["payload"] == b"compressed-with-something-new"
+        assert rec["http_content_encoding"] == "sbrotli"
 
     def test_corrupt_gzip_keeps_residual(self):
         rec = _one_record(_resp(b"\x1f\x8bgarbage",
@@ -239,3 +239,41 @@ class TestFrontDoor:
         assert "http://e.com/bad" not in urls    # residual -> quarantined
         good_row = [r for r in rows if r["url"].endswith("good")][0]
         assert "Compressed page body" in good_row["text"]
+
+
+@pytest.mark.skipif(__import__("aggo_spark.sources.warc",
+                               fromlist=["_load_zstd"])._load_zstd() is None,
+                    reason="system libzstd not present")
+class TestZstd:
+    @staticmethod
+    def _zstd_compress(b: bytes) -> bytes:
+        lib = ctypes.CDLL("libzstd.so.1")
+        lib.ZSTD_compressBound.restype = ctypes.c_size_t
+        lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+        lib.ZSTD_compress.restype = ctypes.c_size_t
+        lib.ZSTD_compress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+            ctypes.c_size_t, ctypes.c_int]
+        lib.ZSTD_isError.restype = ctypes.c_uint
+        lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+        cap = lib.ZSTD_compressBound(len(b))
+        buf = ctypes.create_string_buffer(cap)
+        n = lib.ZSTD_compress(buf, cap, b, len(b), 3)
+        assert not lib.ZSTD_isError(n)
+        return buf.raw[:n]
+
+    def test_zstd_body(self):
+        z = self._zstd_compress(HTML)
+        rec = _one_record(_resp(z, [(b"Content-Encoding", b"zstd")]))
+        assert rec["payload"] == HTML
+        assert rec["http_content_encoding"] is None
+
+    def test_corrupt_zstd_residual(self):
+        rec = _one_record(_resp(b"\x28\xb5\x2f\xfd-corrupt-frame",
+                                [(b"Content-Encoding", b"zstd")]))
+        assert rec["http_content_encoding"] == "zstd"
+
+    def test_helper_roundtrip(self):
+        from aggo_spark.sources.warc import _zstd_decompress
+        assert _zstd_decompress(self._zstd_compress(b"xy" * 5000)) \
+            == b"xy" * 5000
