@@ -38,6 +38,8 @@ __all__ = [
     "strip_html",
     "html_blocks",
     "extract_main_text",
+    "decode_html_bytes",
+    "sniff_charset",
 ]
 
 # block-level elements whose CLOSE ends a text block (jusText's block
@@ -52,6 +54,112 @@ _BLOCK_TAGS = ("p|div|h[1-6]|li|ul|ol|dl|dd|dt|table|tr|th|td|blockquote|"
 _NAMED_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
                    ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&"))
 _END = 0x7FFFFFFF  # substring 'to end of string' length
+
+
+# charset sniffing + decode (r13) ------------------------------------------
+#
+# Real crawls are NOT all UTF-8: WHATWG's encoding sniffing order is
+# BOM > transport (HTTP header charset=) > in-document <meta> declaration,
+# with a default fallback. We implement BOM > meta > header > utf-8:
+# the meta-over-header preference matches deployed extractor practice
+# (CCNet/jusText pipelines trust the page author over frequently-wrong
+# server config; WHATWG ranks transport higher — the difference only
+# shows when BOTH are present and disagree, where either choice is
+# defensible and ours is pinned by tests). Everything runs JVM-side:
+# the sniff is substring/regexp on a latin-1 view of the prefix (latin-1
+# decode is total, bytes<->chars 1:1) and the decode is a CASE over
+# ``F.decode`` literals for the curated charset set below. Requires the
+# session confs spark.sql.legacy.javaCharsets=true (full Java charset
+# names) and spark.sql.legacy.codingErrorAction=true (malformed input
+# -> U+FFFD replacement, the crawl semantics, instead of task failure)
+# — :func:`decode_html_bytes` sets both (runtime-settable).
+
+# alias (lowercased, stripped) -> Java charset name. Unknown charsets
+# fall back to utf-8-with-replacement (the CCNet default); GB2312/GBK
+# route to the GB18030 superset.
+_CHARSET_ALIASES = {
+    "utf-8": "UTF-8", "utf8": "UTF-8",
+    "us-ascii": "US-ASCII", "ascii": "US-ASCII",
+    "iso-8859-1": "ISO-8859-1", "iso8859-1": "ISO-8859-1",
+    "latin-1": "ISO-8859-1", "latin1": "ISO-8859-1", "l1": "ISO-8859-1",
+    "windows-1252": "windows-1252", "cp1252": "windows-1252",
+    "win-1252": "windows-1252", "x-cp1252": "windows-1252",
+    "iso-8859-15": "ISO-8859-15",
+    "iso-8859-2": "ISO-8859-2", "latin2": "ISO-8859-2",
+    "windows-1250": "windows-1250",
+    "windows-1251": "windows-1251", "cp1251": "windows-1251",
+    "koi8-r": "KOI8-R", "koi8-u": "KOI8-U",
+    "iso-8859-5": "ISO-8859-5",
+    "iso-8859-7": "ISO-8859-7", "windows-1253": "windows-1253",
+    "iso-8859-9": "ISO-8859-9", "windows-1254": "windows-1254",
+    "windows-1255": "windows-1255", "windows-1256": "windows-1256",
+    "windows-1257": "windows-1257", "windows-1258": "windows-1258",
+    "shift_jis": "Shift_JIS", "shift-jis": "Shift_JIS",
+    "sjis": "Shift_JIS", "x-sjis": "Shift_JIS", "ms932": "windows-31j",
+    "windows-31j": "windows-31j", "cp932": "windows-31j",
+    "euc-jp": "EUC-JP", "iso-2022-jp": "ISO-2022-JP",
+    "gb2312": "GB18030", "gbk": "GB18030", "gb18030": "GB18030",
+    "big5": "Big5", "big5-hkscs": "Big5-HKSCS",
+    "euc-kr": "EUC-KR", "ks_c_5601-1987": "EUC-KR", "ksc5601": "EUC-KR",
+    "tis-620": "TIS-620", "windows-874": "x-windows-874",
+    "utf-16": "UTF-16", "utf-16le": "UTF-16LE", "utf-16be": "UTF-16BE",
+}
+# distinct decode targets (CASE branch per entry)
+_CHARSET_TARGETS = sorted(set(_CHARSET_ALIASES.values()))
+
+_META_CHARSET_RE = (r'(?i)<meta[^>]{0,256}?charset\s*=\s*["\']?'
+                    r'\s*([A-Za-z0-9._:\-]+)')
+
+
+def sniff_charset(payload: Column,
+                  header_charset: Column | None = None) -> Column:
+    """Effective charset NAME (Java canonical, from the curated set)
+    for an HTML payload: BOM > ``<meta charset>`` / ``http-equiv``
+    declaration (first 2048 bytes, latin-1 view) > HTTP header charset
+    > 'UTF-8'. Unknown/unsupported declarations fall through to the
+    next source."""
+    hex3 = F.upper(F.hex(F.substring(payload, 1, 3)))
+    meta_raw = F.lower(F.regexp_extract(
+        F.decode(F.substring(payload, 1, 2048), "iso-8859-1"),
+        _META_CHARSET_RE, 1))
+    alias_map = F.create_map(
+        *[F.lit(x) for kv in _CHARSET_ALIASES.items() for x in kv])
+    meta = alias_map[meta_raw]
+    hdr = (alias_map[F.lower(F.trim(header_charset))]
+           if header_charset is not None else F.lit(None))
+    return (
+        F.when(hex3.startswith("EFBBBF"), F.lit("UTF-8"))
+        .when(hex3.startswith("FFFE"), F.lit("UTF-16LE"))
+        .when(hex3.startswith("FEFF"), F.lit("UTF-16BE"))
+        .otherwise(F.coalesce(meta, hdr, F.lit("UTF-8"))))
+
+
+def decode_html_bytes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    charset_col: str | None = "http_charset",
+    out_col: str = "text",
+) -> DataFrame:
+    """Charset-aware text decode of an HTML byte column (r13): adds
+    ``out_col`` (decoded text, leading BOM stripped, malformed bytes
+    as U+FFFD) and ``charset`` (the sniffed name). The decode is a
+    pure-Column CASE over ``F.decode`` literals — JVM-side for every
+    charset in the curated set, utf-8 fallback for the long tail."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
+    payload = F.col(payload_col)
+    cs = sniff_charset(
+        payload, F.col(charset_col) if charset_col else None)
+    expr = None
+    for name in _CHARSET_TARGETS:
+        branch = F.decode(payload, name)
+        expr = (F.when(cs == name, branch) if expr is None
+                else expr.when(cs == name, branch))
+    decoded = expr.otherwise(F.decode(payload, "UTF-8"))
+    return (df.withColumn("charset", cs)
+              .withColumn(out_col,
+                          F.regexp_replace(decoded, "^\\uFEFF", "")))
 
 
 def _decode_entities(c: Column) -> Column:

@@ -57,6 +57,11 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # r13 charset-aware crawl decode (html.decode_html_bytes): the
+        # full Java charset set for F.decode, and U+FFFD replacement
+        # instead of task failure on malformed bytes (crawl semantics)
+        .config("spark.sql.legacy.javaCharsets", "true")
+        .config("spark.sql.legacy.codingErrorAction", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # wide aggregations (e.g. 64-permutation MinHash = 64 min buffers)

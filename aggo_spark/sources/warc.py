@@ -65,6 +65,10 @@ WARC_SCHEMA = T.StructType([
     # absent) so curation filters can quarantine instead of feeding
     # compressed bytes to text extraction.
     T.StructField("http_content_encoding", T.StringType()),
+    # r13: the charset= parameter of the HTTP Content-Type header
+    # (lowercased token, None when absent) — one input to the
+    # charset-sniffing text decode (html.decode_html_bytes)
+    T.StructField("http_charset", T.StringType()),
     T.StructField("payload", T.BinaryType()),
 ])
 
@@ -381,6 +385,7 @@ def parse_warc_bytes(b: bytes) -> Iterator[dict]:
             "http_status": None,
             "http_content_type": None,
             "http_content_encoding": None,
+            "http_charset": None,
             "payload": body,
         }
         # response/request records wrap an HTTP message: split its
@@ -414,9 +419,16 @@ def parse_warc_bytes(b: bytes) -> Iterator[dict]:
                         # media type only, normalized: real crawls carry
                         # 'text/html; charset=UTF-8' — an equality filter
                         # on the raw header would silently match nothing
+                        full = v.strip().decode("utf-8", "replace")
                         rec["http_content_type"] = (
-                            v.strip().decode("utf-8", "replace")
-                            .partition(";")[0].strip().lower())
+                            full.partition(";")[0].strip().lower())
+                        for param in full.split(";")[1:]:
+                            pk, _, pv = param.partition("=")
+                            if pk.strip().lower() == "charset" and pv:
+                                rec["http_charset"] = (
+                                    pv.strip().strip('"\'').lower()
+                                    or None)
+                                break
                     elif key == b"transfer-encoding":
                         te = v.strip().decode("ascii", "replace").lower()
                     elif key == b"content-encoding":
@@ -782,13 +794,17 @@ def read_crawl_text(
         & F.col("http_content_encoding").isNull())
     parts = []
     if "text/html" in content_types:
+        # r13: charset-aware decode (BOM > meta > header > utf-8,
+        # pure-Column CASE over F.decode) instead of assuming utf-8
+        html_rows = _html.decode_html_bytes(
+            resp.filter(F.col("http_content_type") == "text/html"),
+            payload_col="payload", charset_col="http_charset",
+            out_col="__raw_text")
         parts.append(
-            resp.filter(F.col("http_content_type") == "text/html")
-            .select(
+            html_rows.select(
                 "url", "warc_file", "record_no",
                 F.col("http_content_type").alias("content_type"),
-                _html.strip_html(F.decode(F.col("payload"), "utf-8"))
-                .alias("text")))
+                _html.strip_html(F.col("__raw_text")).alias("text")))
     if "application/pdf" in content_types:
         pdf_rows = resp.filter(
             F.col("http_content_type") == "application/pdf")
