@@ -2404,6 +2404,161 @@ def q83_video_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+# --- q87 charset/entity-decode fixture (r13): each selected doc's page
+# is encoded in a per-class charset with a per-class NON-ASCII suffix
+# and declared through a rotating channel (HTTP header charset= /
+# <meta charset> / http-equiv / UTF-16 BOM / none->utf-8 default),
+# then wrapped in a rotating HTTP entity encoding (none / gzip /
+# deflate / chunked+gzip). The oracle appends the SAME literal
+# suffixes to documents.text, so a charset mis-decode, a BOM left in
+# place, or an entity-chain mis-inversion garbles the value hash.
+_Q87_SUFFIXES = {
+    0: " unicode tail é世界",
+    1: " café naïve résumé",
+    2: " こんにちは世界",
+    3: " 你好世界汉字",
+    4: " привет мир",
+    5: " utf16 tail 世界é",
+}
+_Q87_PYCODEC = {0: "utf-8", 1: "windows-1252", 2: "shift_jis",
+                3: "gb18030", 4: "koi8_r", 5: "utf-16-le"}
+_Q87_CHARSET_NAME = {0: "UTF-8", 1: "windows-1252", 2: "Shift_JIS",
+                     3: "GB18030", 4: "KOI8-R", 5: "UTF-16LE"}
+
+
+def q87_charset_crawl(spark, sf_dir):
+    """Charset-aware crawl decode under oracle contract (r13): pages
+    whose bytes are windows-1252 / Shift_JIS / GB18030 / KOI8-R /
+    UTF-16LE / plain UTF-8 — declared via the HTTP header, a
+    ``<meta charset>``, an ``http-equiv`` declaration, a BOM, or
+    nothing at all — and wrapped in rotating HTTP entity encodings
+    (gzip, deflate, chunked+gzip, none), pushed through the REAL
+    chain: ``read_warc`` (entity decode + ``http_charset`` capture) →
+    residual-encoding quarantine → ``decode_html_bytes`` (pure-Column
+    BOM/meta/header sniff + CASE-of-``F.decode``) → ``strip_html``.
+    Returns ``(doc_id, charset, text)``; the DuckDB oracle rebuilds
+    the expected text as ``documents.text`` plus the class's literal
+    non-ASCII suffix inside the q81 strip template, so every decode
+    step is byte-hash-pinned. Chaff the chain must drop: a response
+    with an unsupported Content-Encoding (residual → quarantined), a
+    request record, and a truncated tail. Bounded fixture (≤120 docs,
+    the q81/q79 convention)."""
+    import gzip as _gzip
+    import os
+    import shutil
+    import tempfile
+    import zlib
+
+    from aggo_spark.operators import html as html_mod
+    from aggo_spark.sources import warc as warc_mod
+
+    docs = sorted(
+        (r["doc_id"], r["text"])
+        for r in _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 17 == 5) & (F.col("doc_id") < 2000))
+        .select("doc_id", "text").collect())
+
+    def page_bytes(doc_id, body_text):
+        c = doc_id % 6
+        meta = ""
+        if c == 2:
+            meta = '<meta charset="shift_jis">'
+        elif c == 3:
+            meta = ('<meta http-equiv="Content-Type" '
+                    'content="text/html; charset=gb2312">')
+        html = (f"<html><head>{meta}<title>Doc {doc_id}</title></head>"
+                f"<body><nav>home</nav><p>{body_text}{_Q87_SUFFIXES[c]}"
+                f"</p><footer>&copy; 2026</footer></body></html>")
+        body = html.encode(_Q87_PYCODEC[c])
+        if c == 5:
+            body = b"\xff\xfe" + body
+        return body, {1: "windows-1252", 4: "koi8-r"}.get(c)
+
+    def http_payload(doc_id, body_text):
+        body, hdr_cs = page_bytes(doc_id, body_text)
+        e = doc_id % 4
+        ct = "text/html" + (f"; charset={hdr_cs}" if hdr_cs else "")
+        headers = [("Content-Type", ct)]
+        if e == 1:
+            body = _gzip.compress(body)
+            headers.append(("Content-Encoding", "gzip"))
+        elif e == 2:
+            body = zlib.compress(body)
+            headers.append(("Content-Encoding", "deflate"))
+        elif e == 3:
+            gz = _gzip.compress(body)
+            chunks = bytearray()
+            for i in range(0, len(gz), 32):
+                part = gz[i:i + 32]
+                chunks += (format(len(part), "x").encode() + b"\r\n"
+                           + part + b"\r\n")
+            chunks += b"0\r\n\r\n"
+            body = bytes(chunks)
+            headers.append(("Transfer-Encoding", "chunked"))
+            headers.append(("Content-Encoding", "gzip"))
+        return (b"HTTP/1.1 200 OK\r\n"
+                + b"".join(f"{k}: {v}\r\n".encode() for k, v in headers)
+                + b"\r\n" + body)
+
+    def rec(doc_id, body_text):
+        return {"warc_type": "response",
+                "content_type": "application/http; msgtype=response",
+                "url": f"https://cs.test/doc/{doc_id}",
+                "payload": http_payload(doc_id, body_text)}
+
+    chaff = [
+        {"warc_type": "response",
+         "content_type": "application/http; msgtype=response",
+         "url": "https://cs.test/doc/9901",
+         "payload": (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                     b"Content-Encoding: martian\r\n\r\n\x01\x02\x03")},
+        {"warc_type": "request",
+         "content_type": "application/http; msgtype=request",
+         "url": "https://cs.test/doc/0",
+         "payload": b"GET /doc/0 HTTP/1.1\r\nHost: cs.test\r\n\r\n"},
+    ]
+
+    wd = tempfile.mkdtemp(prefix="aggo_q87_")
+    try:
+        buckets: list[list[dict]] = [[] for _ in range(3)]
+        for i, (doc_id, body_text) in enumerate(docs):
+            buckets[i % 3].append(rec(int(doc_id), body_text))
+        for fno, recs in enumerate(buckets):
+            gz = fno == 1
+            if fno == 0:
+                blob = warc_mod.encode_warc(recs + chaff)
+                tail = warc_mod.encode_warc([rec(9902, "truncated page")])
+                blob += tail[:len(tail) - 20]
+            else:
+                blob = warc_mod.encode_warc(recs, gzip_members=gz)
+            name = f"part-{fno}.warc" + (".gz" if gz else "")
+            with open(os.path.join(wd, name), "wb") as f:
+                f.write(blob)
+
+        pages = warc_mod.read_warc(spark, os.path.join(wd, "*.warc*"))
+        resp = pages.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & (F.col("http_content_type") == "text/html")
+            & F.col("http_content_encoding").isNull()
+            & F.col("url").rlike(r"/doc/\d+$")
+            & (F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+               < 2000))
+        dec = html_mod.decode_html_bytes(
+            resp, payload_col="payload", charset_col="http_charset",
+            out_col="__raw")
+        rows = dec.select(
+            F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+            .alias("doc_id"),
+            "charset",
+            html_mod.strip_html(F.col("__raw")).alias("text")).collect()
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted((r["doc_id"], r["charset"], r["text"]) for r in rows),
+        "doc_id long, charset string, text string").orderBy("doc_id")
+
+
 _STREAMING_QUERIES = {"q42_stream_agg", "q43_stream_window", "q51_stream_stateful"}
 
 
@@ -2468,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_pdf_pipeline": q84_pdf_pipeline,
         "q85_line_dedup": q85_line_dedup,
         "q86_mojibake": q86_mojibake,
+        "q87_charset_crawl": q87_charset_crawl,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -3777,6 +3933,36 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(arg_max(allow, 2 * plen + CAST(allow AS INT)),
                             true) AS robots_allowed
             FROM matched GROUP BY doc_id, url ORDER BY doc_id
+        """,
+        "q87_charset_crawl": f"""
+            -- the surviving pages are exactly documents with
+            -- doc_id % 17 = 5 (chaff: the residual-encoding row is
+            -- quarantined, the request record and truncated tail are
+            -- dropped), each decoded from its class charset and
+            -- stripped to the q81 template mapping: 'home' NL NL
+            -- text+suffix NL NL '&copy; 2026'. The class suffixes are
+            -- non-ASCII literals, so a mis-decoded page cannot hash
+            -- equal.
+            SELECT doc_id,
+                   CASE doc_id % 6
+                        WHEN 0 THEN 'UTF-8'
+                        WHEN 1 THEN 'windows-1252'
+                        WHEN 2 THEN 'Shift_JIS'
+                        WHEN 3 THEN 'GB18030'
+                        WHEN 4 THEN 'KOI8-R'
+                        ELSE 'UTF-16LE' END AS charset,
+                   'home' || chr(10) || chr(10) || text ||
+                   CASE doc_id % 6
+                        WHEN 0 THEN '{_Q87_SUFFIXES[0]}'
+                        WHEN 1 THEN '{_Q87_SUFFIXES[1]}'
+                        WHEN 2 THEN '{_Q87_SUFFIXES[2]}'
+                        WHEN 3 THEN '{_Q87_SUFFIXES[3]}'
+                        WHEN 4 THEN '{_Q87_SUFFIXES[4]}'
+                        ELSE '{_Q87_SUFFIXES[5]}' END
+                   || chr(10) || chr(10) || '&copy; 2026' AS text
+            FROM documents
+            WHERE doc_id % 17 = 5 AND doc_id < 2000
+            ORDER BY doc_id
         """,
         "q86_mojibake": f"""
             -- repair must recover the original byte-exactly: the

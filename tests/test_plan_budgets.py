@@ -186,6 +186,11 @@ BUDGETS = {
     "q86_mojibake": 1,        # r13: signature gate + Arrow repair
                               # kernel are narrow; one final range
                               # sort (measured 1)
+    "q87_charset_crawl": 1,   # r13: WARC ingest + charset decode +
+                              # strip run at construction (q81
+                              # convention: rows materialize before
+                              # the tempdir is removed); one final
+                              # range-sort exchange (measured 1)
 }
 
 # sf1 (scaledata) re-pin: budgets are identical at every SF EXCEPT the rows
