@@ -39,7 +39,7 @@ from pyspark.sql import types as T
 
 __all__ = ["read_warc", "read_wet", "read_wet_indexed", "parse_warc_bytes",
            "encode_warc", "build_warc_index", "read_warc_indexed",
-           "read_crawl_text"]
+           "read_crawl_text", "write_warc", "write_wet"]
 
 INDEX_SCHEMA = T.StructType([
     T.StructField("warc_file", T.StringType()),
@@ -741,7 +741,8 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
         hdr = (
             f"WARC/1.0\r\n"
             f"WARC-Type: {r.get('warc_type', 'response')}\r\n"
-            f"WARC-Record-ID: <urn:uuid:{i:032x}>\r\n"
+            f"WARC-Record-ID: "
+            f"{r.get('record_id', f'<urn:uuid:{i:032x}>')}\r\n"
             f"WARC-Date: {r.get('warc_date', '2026-01-01T00:00:00Z')}\r\n"
             + (f"WARC-Target-URI: {r['url']}\r\n" if r.get("url") else "")
             + f"Content-Type: {ctype}\r\n"
@@ -828,3 +829,101 @@ def read_crawl_text(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    num_shards: int | None = None,
+    gzip_members: bool = True,
+    warc_type: str = "response",
+) -> DataFrame:
+    """Distributed WARC SINK (r13): write ``(url, payload)`` rows —
+    optional ``content_type``, ``warc_date``, ``warc_type`` columns
+    override the per-record defaults — as ``part-NNNNN.warc[.gz]``
+    shards under ``path``, one file per shard written by the executor
+    that holds it (the token-shard sink pattern; local-FS here, the
+    HDFS/S3 client on a cluster at the marked call site). Records are
+    range-partitioned and sorted by url, record ids derive from
+    md5(url, date), and response records wrap the payload in an
+    HTTP/1.1 envelope — so two writes of the same input are
+    byte-identical, and ``read_warc`` round-trips the archive.
+    Returns a (shard, n_records, n_bytes) manifest."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    cols = set(df.columns)
+    d = df.select(
+        F.col("url"),
+        F.col("payload"),
+        (F.col("content_type") if "content_type" in cols
+         else F.lit("text/html")).alias("content_type"),
+        (F.col("warc_date") if "warc_date" in cols
+         else F.lit("2026-01-01T00:00:00Z")).alias("warc_date"),
+        (F.col("warc_type") if "warc_type" in cols
+         else F.lit(warc_type)).alias("warc_type"),
+    )
+    spark = df.sparkSession
+    n = num_shards or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2, 1)
+    d = d.withColumn(
+        "__shard", F.pmod(F.xxhash64("url"), F.lit(n)).cast("int"))
+    os.makedirs(path, exist_ok=True)
+    suffix = ".warc.gz" if gzip_members else ".warc"
+
+    def write_shard(key, pdf):
+        import pandas as pd
+
+        shard = int(key[0])
+        pdf = pdf.sort_values("url")
+        recs = []
+        for _, r in pdf.iterrows():
+            digest = hashlib.md5(
+                (r["url"] + "|" + r["warc_date"]).encode()).hexdigest()
+            recs.append({
+                "warc_type": r["warc_type"],
+                "url": r["url"],
+                "warc_date": r["warc_date"],
+                "record_id": f"<urn:uuid:{digest}>",
+                "http": r["warc_type"] == "response",
+                "http_content_type": r["content_type"],
+                "content_type": r["content_type"],
+                "payload": bytes(r["payload"]),
+            })
+        blob = encode_warc(recs, gzip_members=gzip_members)
+        # local-FS write; cluster deployments swap in HDFS/S3 here
+        tmp = os.path.join(path, f".part-{shard:05d}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, os.path.join(path, f"part-{shard:05d}{suffix}"))
+        return pd.DataFrame(
+            [(shard, len(recs), len(blob))],
+            columns=["shard", "n_records", "n_bytes"])
+
+    manifest = (d.groupBy("__shard").applyInPandas(
+        write_shard, "shard int, n_records long, n_bytes long"))
+    manifest = manifest.persist()
+    manifest.count()  # materialize: every shard written
+    return manifest
+
+
+def write_wet(df: DataFrame, path: str, num_shards: int | None = None,
+              text_col: str = "text") -> DataFrame:
+    """WET-style SINK: ``(url, text)`` rows (optional ``warc_date``)
+    written as ``conversion`` records that :func:`read_wet` reads
+    back — the standard pre-extracted-text exchange format for
+    curated corpora."""
+    from pyspark.sql import functions as F
+
+    cols = set(df.columns)
+    d = df.select(
+        "url",
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("text/plain").alias("content_type"),
+        (F.col("warc_date") if "warc_date" in cols
+         else F.lit("2026-01-01T00:00:00Z")).alias("warc_date"),
+        F.lit("conversion").alias("warc_type"),
+    )
+    return write_warc(d, path, num_shards=num_shards, gzip_members=True)
