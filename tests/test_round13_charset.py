@@ -137,3 +137,63 @@ class TestFrontDoorCharset:
         rows = read_crawl_text(spark, str(p)).collect()
         assert len(rows) == 1
         assert "こんにちは世界" in rows[0]["text"]
+
+
+# per-target sample text valid in that charset, used for the
+# every-Java-name-is-real completeness sweep (an invalid Java charset
+# name would throw at runtime, and a mis-mapped alias would garble the
+# Python-encode -> Spark-decode equality)
+_CS_SAMPLES = {
+    "UTF-8": ("utf-8", "héllo 世界 مرحبا"),
+    "US-ASCII": ("ascii", "plain ascii"),
+    "ISO-8859-1": ("latin-1", "café naïve"),
+    "windows-1252": ("cp1252", "café — naïve"),
+    "ISO-8859-15": ("iso-8859-15", "café €uro"),
+    "ISO-8859-2": ("iso-8859-2", "příliš žluťoučký"),
+    "windows-1250": ("cp1250", "příliš žluťoučký"),
+    "windows-1251": ("cp1251", "привет мир"),
+    "KOI8-R": ("koi8_r", "привет мир"),
+    "KOI8-U": ("koi8_u", "привіт світ"),
+    "ISO-8859-5": ("iso-8859-5", "привет"),
+    "ISO-8859-7": ("iso-8859-7", "γειά σου"),
+    "windows-1253": ("cp1253", "γειά σου"),
+    "ISO-8859-9": ("iso-8859-9", "merhaba dünya ığş"),
+    "windows-1254": ("cp1254", "merhaba dünya ığş"),
+    "windows-1255": ("cp1255", "שלום עולם"),
+    "windows-1256": ("cp1256", "مرحبا بالعالم"),
+    "windows-1257": ("cp1257", "sveika pasaule āžč"),
+    "windows-1258": ("cp1258", "xin chào"),
+    "Shift_JIS": ("shift_jis", "こんにちは世界"),
+    "windows-31j": ("cp932", "こんにちは世界①"),
+    "EUC-JP": ("euc_jp", "こんにちは世界"),
+    "ISO-2022-JP": ("iso2022_jp", "こんにちは"),
+    "GB18030": ("gb18030", "你好世界"),
+    "Big5": ("big5", "你好世界"),
+    "Big5-HKSCS": ("big5hkscs", "你好世界"),
+    "EUC-KR": ("euc_kr", "안녕하세요"),
+    "TIS-620": ("tis-620", "สวัสดี"),
+    "x-windows-874": ("cp874", "สวัสดี"),
+    "UTF-16": ("utf-16", "utf16 世界"),
+    "UTF-16LE": ("utf-16-le", "utf16le 世界"),
+    "UTF-16BE": ("utf-16-be", "utf16be 世界"),
+}
+
+
+class TestEveryTargetDecodes:
+    def test_all_targets_roundtrip_python_to_jvm(self, spark):
+        from aggo_spark.operators.html import _CHARSET_ALIASES
+        targets = sorted(set(_CHARSET_ALIASES.values()))
+        assert set(targets) <= set(_CS_SAMPLES), (
+            set(targets) - set(_CS_SAMPLES))
+        alias_for = {}
+        for alias, tgt in _CHARSET_ALIASES.items():
+            alias_for.setdefault(tgt, alias)
+        rows = [(tgt, bytearray(_CS_SAMPLES[tgt][1]
+                                .encode(_CS_SAMPLES[tgt][0])),
+                 alias_for[tgt]) for tgt in targets]
+        df = spark.createDataFrame(
+            rows, "tgt string, payload binary, http_charset string")
+        out = decode_html_bytes(df).select("tgt", "charset",
+                                           "text").collect()
+        for r in out:
+            assert r["text"] == _CS_SAMPLES[r["tgt"]][1], r["tgt"]
