@@ -51,6 +51,7 @@ __all__ = [
     "tokens_to_ids",
     "write_token_shards",
     "read_token_shards",
+    "pack_token_sequences",
 ]
 
 
@@ -308,3 +309,118 @@ def read_token_shards(spark: SparkSession, path: str) -> DataFrame:
         return pd.DataFrame(rows, columns=["doc_id", "token_ids"])
 
     return index.groupBy("shard").applyInPandas(slice_docs, out_schema)
+
+def pack_token_sequences(
+    df: DataFrame,
+    ctx_len: int,
+    ids_col: str = "token_ids",
+    id_col: str = "doc_id",
+    eos_id: int | None = None,
+    drop_last: bool = True,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate all docs (in ``id_col``
+    order, each followed by ``eos_id`` when given) into one virtual
+    token stream and cut it into rows of EXACTLY ``ctx_len`` ids —
+    documents split across sequence boundaries, the standard training
+    layout. Returns ``(seq_no, token_ids)``.
+
+    Shape: the same two-level prefix sum as :func:`write_token_shards`
+    assigns each doc its global offset; each doc then emits its ≤
+    ``n//ctx_len + 2`` sequence PIECES via a pure-Column transform
+    (no per-token explode), and one shuffle on ``seq_no`` reassembles
+    pieces in offset order. ``drop_last`` drops the trailing partial
+    sequence (no padding is invented); with ``drop_last=False`` the
+    final row may be shorter than ``ctx_len``. NULL id arrays are
+    dropped (quarantine convention)."""
+    d = (df.select(F.col(id_col).alias("__id"),
+                   F.col(ids_col).alias("__ids"))
+         .filter(F.col("__ids").isNotNull()))
+    if eos_id is not None:
+        d = d.withColumn(
+            "__ids", F.concat("__ids", F.array(F.lit(eos_id))))
+    d = d.withColumn("__n", F.size("__ids"))
+
+    spark = df.sparkSession
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+                  // 2, 1)
+    ranged = (d.repartitionByRange(n_parts, "__id")
+               .sortWithinPartitions("__id")
+               .withColumn("__pid", F.spark_partition_id()))
+    ranged.persist()
+    try:
+        partials = {r["__pid"]: r["tot"] for r in
+                    ranged.groupBy("__pid").agg(
+                        F.sum("__n").alias("tot")).collect()}
+        offsets = {}
+        running = 0
+        for pid in sorted(partials):
+            offsets[pid] = running
+            running += partials[pid]
+        total = running
+
+        off_schema = T.StructType([
+            T.StructField("__ids", T.ArrayType(T.IntegerType())),
+            T.StructField("__offset", T.LongType()),
+            T.StructField("__n", T.IntegerType()),
+        ])
+
+        def assign(batches):
+            import pandas as pd
+
+            state = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pdf = pdf.sort_values("__id")
+                pid = int(pdf["__pid"].iloc[0])
+                run = state.setdefault(pid, offsets[pid])
+                offs = []
+                for n in pdf["__n"]:
+                    offs.append(run)
+                    run += int(n)
+                state[pid] = run
+                yield pd.DataFrame({
+                    "__ids": pdf["__ids"], "__offset": offs,
+                    "__n": pdf["__n"].astype("int32")})
+
+        with_off = ranged.mapInPandas(assign, off_schema)
+
+        # pure-Column piece emission: piece k of a doc covers the
+        # intersection of [offset, offset+n) with sequence
+        # (offset//ctx + k)'s window
+        first_seq = (F.col("__offset") / ctx_len).cast("long")
+        n_pieces = ((F.col("__offset") + F.col("__n") - 1) / ctx_len) \
+            .cast("long") - first_seq + 1
+        pieces = with_off.filter(F.col("__n") > 0).select(
+            F.explode(F.transform(
+                F.sequence(F.lit(0), n_pieces - 1),
+                lambda k: F.struct(
+                    (first_seq + k).alias("seq_no"),
+                    F.slice(
+                        "__ids",
+                        (F.greatest((first_seq + k) * ctx_len,
+                                    F.col("__offset"))
+                         - F.col("__offset") + 1).cast("int"),
+                        (F.least((first_seq + k + 1) * ctx_len,
+                                 F.col("__offset") + F.col("__n"))
+                         - F.greatest((first_seq + k) * ctx_len,
+                                      F.col("__offset"))).cast("int"),
+                    ).alias("piece"),
+                    F.greatest((first_seq + k) * ctx_len,
+                               F.col("__offset")).alias("pos"),
+                ))).alias("p"))
+        seqs = (pieces
+                .groupBy(F.col("p.seq_no").alias("seq_no"))
+                .agg(F.flatten(
+                    F.array_sort(
+                        F.collect_list(F.struct("p.pos", "p.piece")))
+                    .getField("piece")).alias("token_ids")))
+        if drop_last and total % ctx_len:
+            seqs = seqs.filter(
+                F.col("seq_no") < total // ctx_len)
+        out = seqs.select("seq_no", "token_ids")
+        out = out.persist()
+        out.count()
+    finally:
+        ranged.unpersist()
+    return out

@@ -187,3 +187,56 @@ class TestBpeComposition:
         expect = {r["doc_id"]: [vocab[t] for t in r["bpe_tokens"]]
                   for r in enc.collect()}
         assert back == expect
+
+
+class TestPackSequences:
+    def _stream(self, rows, eos):
+        out = []
+        for _, ids in sorted(rows):
+            out.extend(ids)
+            if eos is not None:
+                out.append(eos)
+        return out
+
+    def test_exact_ctx_packing(self, spark):
+        rng = random.Random(5)
+        rows = [(i, [rng.randrange(1, 99)
+                     for _ in range(rng.randrange(0, 25))])
+                for i in range(1, 80)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, token_ids array<int>")
+        out = sh.pack_token_sequences(df, 64, eos_id=0)
+        seqs = {r["seq_no"]: r["token_ids"] for r in out.collect()}
+        stream = self._stream(rows, 0)
+        assert len(seqs) == len(stream) // 64
+        assert all(len(v) == 64 for v in seqs.values())
+        recon = [t for k in sorted(seqs) for t in seqs[k]]
+        assert recon == stream[:len(seqs) * 64]
+
+    def test_keep_last_partial(self, spark):
+        rows = [(1, [7] * 10), (2, [8] * 10)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, token_ids array<int>")
+        out = sh.pack_token_sequences(df, 8, drop_last=False)
+        seqs = {r["seq_no"]: r["token_ids"] for r in out.collect()}
+        recon = [t for k in sorted(seqs) for t in seqs[k]]
+        assert recon == self._stream(rows, None)
+        assert len(seqs[max(seqs)]) == 20 % 8
+
+    def test_doc_longer_than_ctx_splits(self, spark):
+        rows = [(1, list(range(100)))]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, token_ids array<int>")
+        out = sh.pack_token_sequences(df, 16)
+        seqs = {r["seq_no"]: r["token_ids"] for r in out.collect()}
+        assert len(seqs) == 6  # 96 tokens in full sequences
+        recon = [t for k in sorted(seqs) for t in seqs[k]]
+        assert recon == list(range(96))
+
+    def test_null_docs_dropped(self, spark):
+        rows = [(1, [1] * 8), (2, None), (3, [2] * 8)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, token_ids array<int>")
+        out = sh.pack_token_sequences(df, 8)
+        seqs = sorted(r["token_ids"] for r in out.collect())
+        assert seqs == [[1] * 8, [2] * 8]
