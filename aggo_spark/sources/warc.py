@@ -430,30 +430,41 @@ def parse_warc_bytes(b: bytes) -> Iterator[dict]:
                                     or None)
                                 break
                     elif key == b"transfer-encoding":
-                        te = v.strip().decode("ascii", "replace").lower()
+                        tv = v.strip().decode("ascii", "replace").lower()
+                        te = f"{te}, {tv}" if te else tv
                     elif key == b"content-encoding":
-                        ce = v.strip().decode("ascii", "replace").lower()
+                        cv = v.strip().decode("ascii", "replace").lower()
+                        ce = f"{ce}, {cv}" if ce else cv
                 payload = body[he + 4:]
                 residual = []
                 # r13: reverse the transport framing + entity encodings
                 # so downstream text extraction sees real bytes. Chunked
-                # framing first (it wraps the encoded entity)...
-                if te and "chunked" in te:
+                # framing first (outermost)...
+                te_toks = [t.strip() for t in (te or "").split(",")
+                           if t.strip()]
+                if "chunked" in te_toks:
                     dechunked = _dechunk(payload)
                     if dechunked is None:
                         residual.append("chunked")
                     else:
                         payload = dechunked
-                # ...then the Content-Encoding chain; whatever cannot be
+                    te_toks = [t for t in te_toks if t != "chunked"]
+                # ...any remaining transfer-codings (TE may legally
+                # carry gzip/deflate too) reverse like entity codings,
+                # then the Content-Encoding chain; whatever cannot be
                 # reversed stays applied and is NAMED in the residual
                 # column instead of silently feeding compressed bytes on
-                if ce and not residual:
-                    encs = [e.strip() for e in ce.split(",") if e.strip()]
+                ce_toks = [e.strip() for e in (ce or "").split(",")
+                           if e.strip()]
+                for encs in (te_toks, ce_toks):
+                    if not encs:
+                        continue
+                    if residual:
+                        residual.append(",".join(encs))
+                        continue
                     payload, left = _decode_entity(payload, encs)
                     if left:
                         residual.append(left)
-                elif ce and residual:
-                    residual.append(ce)
                 rec["payload"] = payload
                 rec["http_content_encoding"] = (
                     ",".join(residual) if residual else None)

@@ -277,3 +277,36 @@ class TestZstd:
         from aggo_spark.sources.warc import _zstd_decompress
         assert _zstd_decompress(self._zstd_compress(b"xy" * 5000)) \
             == b"xy" * 5000
+
+
+class TestTransferCodingExtras:
+    def test_te_gzip_chunked(self):
+        # Transfer-Encoding: gzip, chunked -> dechunk first, then
+        # reverse the gzip transfer-coding
+        body = _chunked(gzip.compress(HTML))
+        rec = _one_record(_resp(
+            body, [(b"Transfer-Encoding", b"gzip, chunked")]))
+        assert rec["payload"] == HTML
+        assert rec["http_content_encoding"] is None
+
+    def test_te_extra_plus_content_encoding(self):
+        body = _chunked(gzip.compress(zlib.compress(HTML)))
+        rec = _one_record(_resp(
+            body, [(b"Transfer-Encoding", b"gzip, chunked"),
+                   (b"Content-Encoding", b"deflate")]))
+        assert rec["payload"] == HTML
+        assert rec["http_content_encoding"] is None
+
+    def test_repeated_content_encoding_headers_chain(self):
+        body = gzip.compress(zlib.compress(HTML))
+        rec = _one_record(_resp(
+            body, [(b"Content-Encoding", b"deflate"),
+                   (b"Content-Encoding", b"gzip")]))
+        assert rec["payload"] == HTML
+        assert rec["http_content_encoding"] is None
+
+    def test_unsupported_te_extra_residual(self):
+        rec = _one_record(_resp(
+            b"opaque", [(b"Transfer-Encoding", b"frobnicate, chunked")]))
+        # chunked fails on this body -> residual includes both
+        assert rec["http_content_encoding"] is not None
