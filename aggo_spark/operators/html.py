@@ -151,15 +151,20 @@ def decode_html_bytes(
     payload = F.col(payload_col)
     cs = sniff_charset(
         payload, F.col(charset_col) if charset_col else None)
+    # materialize the sniff once, then branch on the COLUMN — the CASE
+    # would otherwise duplicate the prefix-regexp expression tree into
+    # every branch condition (conditional expressions defeat Catalyst's
+    # subexpression elimination)
+    df = df.withColumn("charset", cs)
     expr = None
     for name in _CHARSET_TARGETS:
         branch = F.decode(payload, name)
-        expr = (F.when(cs == name, branch) if expr is None
-                else expr.when(cs == name, branch))
+        cond = F.col("charset") == name
+        expr = (F.when(cond, branch) if expr is None
+                else expr.when(cond, branch))
     decoded = expr.otherwise(F.decode(payload, "UTF-8"))
-    return (df.withColumn("charset", cs)
-              .withColumn(out_col,
-                          F.regexp_replace(decoded, "^\\uFEFF", "")))
+    return df.withColumn(out_col,
+                         F.regexp_replace(decoded, "^\\uFEFF", ""))
 
 
 def _decode_entities(c: Column) -> Column:
