@@ -142,9 +142,10 @@ def decode_html_bytes(
 ) -> DataFrame:
     """Charset-aware text decode of an HTML byte column (r13): adds
     ``out_col`` (decoded text, leading BOM stripped, malformed bytes
-    as U+FFFD) and ``charset`` (the sniffed name). The decode is a
-    pure-Column CASE over ``F.decode`` literals — JVM-side for every
-    charset in the curated set, utf-8 fallback for the long tail."""
+    as U+FFFD) and ``charset`` (the sniffed name — an existing
+    ``charset`` column is OVERWRITTEN). The decode is a pure-Column
+    CASE over ``F.decode`` literals — JVM-side for every charset in
+    the curated set, utf-8 fallback for the long tail."""
     spark = df.sparkSession
     spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
