@@ -2559,6 +2559,44 @@ def q87_charset_crawl(spark, sf_dir):
         "doc_id long, charset string, text string").orderBy("doc_id")
 
 
+def q88_token_pipeline(spark, sf_dir):
+    """The tokenizer-id + sequence-packing pipeline under oracle
+    contract (r13): documents → ``text.tokens`` (the oracle-mirrored
+    tokenization) → ``build_token_vocab`` (min_count=2, reserved
+    ``<eos>``/``<unk>`` at ids 0/1 — deterministic count-desc/
+    token-asc assignment) → ``tokens_to_ids`` (unknowns → 1) →
+    ``pack_token_sequences`` (ctx 64, EOS-terminated docs, documents
+    split across sequence boundaries, trailing partial dropped).
+    Returns ``(seq_no, n_tokens, ids)`` with ids dash-joined so the
+    value hash pins every token id at every position. The DuckDB
+    oracle rebuilds the vocabulary ranking, the unk mapping, the
+    global token stream (row_number over doc/pos), and the ctx cuts in
+    SQL. Scale shape: one bounded vocab collect (the train_bpe
+    convention), the two-level prefix sum for offsets, one seq_no
+    shuffle — no fixture files, no driver token data."""
+    from aggo_spark.sources import shards as shards_mod
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 11 == 7)
+            .select("doc_id", text.tokens(F.col("text"))
+                    .alias("bpe_tokens")))
+    vdf = shards_mod.build_token_vocab(
+        docs, tokens_col="bpe_tokens", min_count=2,
+        reserved=("<eos>", "<unk>"))
+    vocab = {r["token"]: r["id"] for r in vdf.collect()}
+    ids = shards_mod.tokens_to_ids(docs, vocab, tokens_col="bpe_tokens",
+                                   unk_id=1)
+    seqs = shards_mod.pack_token_sequences(
+        ids, 64, ids_col="token_ids", id_col="doc_id", eos_id=0)
+    return seqs.select(
+        "seq_no",
+        F.size("token_ids").cast("int").alias("n_tokens"),
+        F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")),
+            "-").alias("ids"),
+    ).orderBy("seq_no")
+
+
 _STREAMING_QUERIES = {"q42_stream_agg", "q43_stream_window", "q51_stream_stateful"}
 
 
@@ -2624,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_line_dedup": q85_line_dedup,
         "q86_mojibake": q86_mojibake,
         "q87_charset_crawl": q87_charset_crawl,
+        "q88_token_pipeline": q88_token_pipeline,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -3963,6 +4002,43 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 17 = 5 AND doc_id < 2000
             ORDER BY doc_id
+        """,
+        "q88_token_pipeline": f"""
+            -- vocabulary rank (count DESC, token ASC; reserved eos=0,
+            -- unk=1 so corpus ids start at 2, min_count 2), unk
+            -- mapping, the global doc-order token stream with one EOS
+            -- per doc, and exact ctx-64 cuts with the trailing
+            -- partial dropped — all rebuilt in SQL
+            WITH docs AS (
+              SELECT doc_id, {tok_doc} AS tok
+              FROM documents WHERE doc_id % 11 = 7),
+            stream AS (
+              SELECT doc_id, unnest(tok) AS token,
+                     generate_subscripts(tok, 1) AS pos FROM docs),
+            vocab AS (
+              SELECT token,
+                     CAST(row_number() OVER (ORDER BY count(*) DESC,
+                                             token ASC) + 1 AS INT)
+                       AS id
+              FROM stream GROUP BY token HAVING count(*) >= 2),
+            with_eos AS (
+              SELECT s.doc_id, s.pos, COALESCE(v.id, 1) AS id
+              FROM stream s LEFT JOIN vocab v USING (token)
+              UNION ALL
+              SELECT d.doc_id, len(d.tok) + 1 AS pos, 0 AS id
+              FROM docs d),
+            g AS (
+              SELECT id,
+                     row_number() OVER (ORDER BY doc_id, pos) AS gidx
+              FROM with_eos),
+            tot AS (SELECT count(*) AS n FROM g)
+            SELECT CAST((gidx - 1) // 64 AS BIGINT) AS seq_no,
+                   CAST(count(*) AS INT) AS n_tokens,
+                   string_agg(CAST(id AS VARCHAR), '-' ORDER BY gidx)
+                     AS ids
+            FROM g, tot
+            WHERE (gidx - 1) // 64 < n // 64
+            GROUP BY 1 ORDER BY 1
         """,
         "q86_mojibake": f"""
             -- repair must recover the original byte-exactly: the

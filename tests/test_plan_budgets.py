@@ -191,6 +191,13 @@ BUDGETS = {
                               # convention: rows materialize before
                               # the tempdir is removed); one final
                               # range-sort exchange (measured 1)
+    "q88_token_pipeline": 7,  # r13: the packing result is persisted at
+                              # construction; the InMemoryRelation's
+                              # embedded cached plan (vocab count agg,
+                              # range partition, partials agg, seq_no
+                              # agg) counts in toString even though
+                              # only the final range sort re-executes
+                              # (measured 7)
 }
 
 # sf1 (scaledata) re-pin: budgets are identical at every SF EXCEPT the rows
