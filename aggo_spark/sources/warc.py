@@ -760,7 +760,11 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
             f"Content-Length: {len(payload)}\r\n\r\n"
         ).encode()
         member = hdr + payload + b"\r\n\r\n"
-        out.extend(gzip.compress(member) if gzip_members else member)
+        # mtime=0: a gzip member header embeds a timestamp by default,
+        # which would make byte-determinism (the write_warc contract)
+        # depend on the wall clock
+        out.extend(gzip.compress(member, mtime=0)
+                   if gzip_members else member)
     return bytes(out)
 
 
