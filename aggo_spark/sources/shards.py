@@ -194,8 +194,9 @@ def write_token_shards(
             offsets[pid] = running
             running += partials[pid]
 
+        id_type = d.schema["__id"].dataType  # any orderable id type
         shard_schema = T.StructType([
-            T.StructField("__id", T.LongType()),
+            T.StructField("__id", id_type),
             T.StructField("__ids", T.ArrayType(T.IntegerType())),
             T.StructField("__shard", T.IntegerType()),
             T.StructField("__offset", T.LongType()),
@@ -229,8 +230,12 @@ def write_token_shards(
         # ---- co-locate shards and write -----------------------------------
         os.makedirs(path, exist_ok=True)
         np_dtype = np.uint16 if dtype == "uint16" else np.uint32
-        idx_schema = ("shard int, doc_id long, offset long, "
-                      "n_tokens int")
+        idx_schema = T.StructType([
+            T.StructField("shard", T.IntegerType()),
+            T.StructField("doc_id", id_type),
+            T.StructField("offset", T.LongType()),
+            T.StructField("n_tokens", T.IntegerType()),
+        ])
 
         def write_shard(key, pdf):
             import pandas as pd
@@ -241,7 +246,7 @@ def write_token_shards(
             rows = []
             for _, r in pdf.iterrows():
                 ids = list(r["__ids"])
-                rows.append((shard, int(r["__id"]),
+                rows.append((shard, r["__id"],
                              int(r["__offset"]), len(ids)))
                 stream.extend(ids)
                 if eos_id is not None:
@@ -287,7 +292,12 @@ def read_token_shards(spark: SparkSession, path: str) -> DataFrame:
     index = spark.read.parquet(os.path.join(path, _INDEX_DIR))
     shards_root = path
 
-    out_schema = "doc_id long, token_ids array<int>"
+    from pyspark.sql import types as T2
+
+    out_schema = T2.StructType([
+        index.schema["doc_id"],
+        T2.StructField("token_ids", T2.ArrayType(T2.IntegerType())),
+    ])
 
     def slice_docs(key, pdf):
         import pandas as pd
@@ -305,7 +315,7 @@ def read_token_shards(spark: SparkSession, path: str) -> DataFrame:
             s = int(r["offset"]) - base
             n = int(r["n_tokens"])
             ids = arr[s:s + n].astype("int64").tolist()
-            rows.append((int(r["doc_id"]), ids))
+            rows.append((r["doc_id"], ids))
         return pd.DataFrame(rows, columns=["doc_id", "token_ids"])
 
     return index.groupBy("shard").applyInPandas(slice_docs, out_schema)

@@ -240,3 +240,27 @@ class TestPackSequences:
         out = sh.pack_token_sequences(df, 8)
         seqs = sorted(r["token_ids"] for r in out.collect())
         assert seqs == [[1] * 8, [2] * 8]
+
+
+class TestStringIds:
+    def test_url_doc_ids_roundtrip(self, spark, tmp_path):
+        """The README recipe keys docs by URL — string ids must flow
+        through write/read and packing (caught by the recipe smoke:
+        the schemas hard-coded long ids)."""
+        rows = [(f"https://e.com/{i:03d}", [i % 50 + 1] * (i % 7 + 1))
+                for i in range(40)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id string, token_ids array<int>")
+        d = str(tmp_path / "sh")
+        idx = sh.write_token_shards(df, d, shard_tokens=60, eos_id=0)
+        assert dict(idx.dtypes)["doc_id"] == "string"
+        got = {r["doc_id"]: r["token_ids"]
+               for r in sh.read_token_shards(spark, d).collect()}
+        assert got == dict(rows)
+        seqs = sh.pack_token_sequences(df, 16, eos_id=0)
+        stream = [t for _, ids in sorted(rows) for t in ids + [0]]
+        recon = [t for r in sorted(seqs.collect(),
+                                   key=lambda r: r["seq_no"])
+                 for t in r["token_ids"]]
+        assert recon == stream[:len(recon)]
+        assert len(recon) == (len(stream) // 16) * 16
