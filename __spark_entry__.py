@@ -2597,6 +2597,103 @@ def q88_token_pipeline(spark, sf_dir):
     ).orderBy("seq_no")
 
 
+_Q89_ITERS = 5
+
+
+def q89_link_pagerank(spark, sf_dir):
+    """Link-graph PageRank under oracle contract (r13): documents with
+    ``doc_id < 200`` become pages whose HTML carries two ``href``
+    links to arithmetically-chosen neighbors (rank-closed: targets
+    are picked by ROW POSITION among the selected ids, so the graph
+    is identical for any id set) — then the REAL chain runs:
+    ``extract_links`` (pure-Column href regexp) → ``pagerank`` (5
+    damped iterations of the one-join-per-iteration DataFrame loop).
+    Every page emits links, so there are no dangling nodes and the
+    oracle unrolls the exact iteration arithmetic in SQL (the
+    dangling path is pinned by unit tests against a numpy power
+    iteration). Returns (doc_id, rank rounded to 6dp — in-degrees
+    are tiny so cross-engine float summation agrees well inside the
+    rounding)."""
+    from pyspark.sql import Window
+
+    from aggo_spark.operators import graph as graph_mod
+
+    ids = (_t(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 200).select("doc_id"))
+    w = Window.orderBy("doc_id")
+    pos = (ids.withColumn("rn", F.row_number().over(w) - 1))
+    n = pos.count()
+    t1 = pos.select(
+        F.col("doc_id").alias("src_id"),
+        ((F.col("rn") * 7 + 3) % n).alias("rn"))
+    t2 = pos.select(
+        F.col("doc_id").alias("src_id"),
+        ((F.col("rn") * 11 + 5) % n).alias("rn"))
+    targets = (t1.unionByName(t2)
+               .join(pos.withColumnRenamed("doc_id", "dst_id"), "rn")
+               .select("src_id", "dst_id"))
+    pages = (targets.groupBy("src_id")
+             .agg(F.collect_set("dst_id").alias("dsts"))
+             .select(
+                 F.concat(F.lit("https://g.test/"),
+                          F.col("src_id").cast("string")).alias("url"),
+                 F.concat(
+                     F.lit("<html><body>"),
+                     F.aggregate(
+                         F.transform(
+                             F.array_sort("dsts"),
+                             lambda d: F.concat(
+                                 F.lit('<a href="https://g.test/'),
+                                 d.cast("string"),
+                                 F.lit('">link</a>'))),
+                         F.lit(""), lambda acc, x: F.concat(acc, x)),
+                     F.lit("</body></html>")).alias("text")))
+    edges = graph_mod.extract_links(pages)
+    ranks = graph_mod.pagerank(edges, n_iter=_Q89_ITERS)
+    return (ranks.select(
+        F.regexp_extract("node", r"/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.round("rank", 6).alias("rank"))
+        .orderBy("doc_id"))
+
+
+def _q89_oracle() -> str:
+    """Unrolled-iteration SQL mirror of q89 (generated: one contrib +
+    rank CTE pair per PageRank iteration; damping written as
+    (1.0 - 0.85) to match the engine's float exactly)."""
+    parts = ["""
+        WITH ids AS (
+          SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn
+          FROM documents WHERE doc_id < 200),
+        nn AS (SELECT count(*) AS n FROM ids),
+        edges AS (
+          SELECT DISTINCT s.doc_id AS src, d.doc_id AS dst
+          FROM ids s, nn, ids d
+          WHERE d.rn = (s.rn * 7 + 3) % nn.n
+             OR d.rn = (s.rn * 11 + 5) % nn.n),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT doc_id AS node, 1.0 / nn.n AS rank
+               FROM ids, nn)"""]
+    for k in range(1, _Q89_ITERS + 1):
+        parts.append(f""",
+        c{k} AS (
+          SELECT e.dst AS node, sum(r.rank / g.deg) AS rin
+          FROM edges e
+          JOIN r{k - 1} r ON e.src = r.node
+          JOIN deg g ON e.src = g.src
+          GROUP BY e.dst),
+        r{k} AS (
+          SELECT i.doc_id AS node,
+                 (1.0 - 0.85) / nn.n
+                   + 0.85 * coalesce(c{k}.rin, 0) AS rank
+          FROM ids i CROSS JOIN nn
+          LEFT JOIN c{k} ON c{k}.node = i.doc_id)""")
+    parts.append(f"""
+        SELECT node AS doc_id, round(rank, 6) AS rank
+        FROM r{_Q89_ITERS} ORDER BY doc_id""")
+    return "".join(parts)
+
+
 _STREAMING_QUERIES = {"q42_stream_agg", "q43_stream_window", "q51_stream_stateful"}
 
 
@@ -2663,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_mojibake": q86_mojibake,
         "q87_charset_crawl": q87_charset_crawl,
         "q88_token_pipeline": q88_token_pipeline,
+        "q89_link_pagerank": q89_link_pagerank,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -4040,6 +4138,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE (gidx - 1) // 64 < n // 64
             GROUP BY 1 ORDER BY 1
         """,
+        "q89_link_pagerank": _q89_oracle(),
         "q86_mojibake": f"""
             -- repair must recover the original byte-exactly: the
             -- garble (utf-8 bytes read as latin-1, doubled for odd

@@ -198,6 +198,11 @@ BUDGETS = {
                               # agg) counts in toString even though
                               # only the final range sort re-executes
                               # (measured 7)
+    "q89_link_pagerank": 1,   # r13: the PageRank loop localCheckpoints
+                              # each iteration, so the returned frame's
+                              # lineage is a checkpoint scan + select;
+                              # one final range-sort exchange
+                              # (measured 1, plan 356 chars)
 }
 
 # sf1 (scaledata) re-pin: budgets are identical at every SF EXCEPT the rows
