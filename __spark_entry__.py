@@ -2598,6 +2598,64 @@ def q88_token_pipeline(spark, sf_dir):
 
 
 _Q89_ITERS = 5
+_Q91_ITERS = 4
+
+
+def _link_graph_targets(spark, sf_dir):
+    """Shared q89/q90/q91 synthetic link structure: documents with
+    ``doc_id < 200`` each link two arithmetically-chosen neighbors.
+    Targets are picked by ROW POSITION among the selected ids
+    (rank-closed: the graph is identical for any id set). Returns
+    (src_id, dst_id)."""
+    from pyspark.sql import Window
+
+    ids = (_t(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 200).select("doc_id"))
+    w = Window.orderBy("doc_id")
+    pos = (ids.withColumn("rn", F.row_number().over(w) - 1))
+    n = pos.count()
+    t1 = pos.select(
+        F.col("doc_id").alias("src_id"),
+        ((F.col("rn") * 7 + 3) % n).alias("rn"))
+    t2 = pos.select(
+        F.col("doc_id").alias("src_id"),
+        ((F.col("rn") * 11 + 5) % n).alias("rn"))
+    return (t1.unionByName(t2)
+            .join(pos.withColumnRenamed("doc_id", "dst_id"), "rn")
+            .select("src_id", "dst_id"))
+
+
+def _link_graph_pages(targets, with_anchors: bool = False):
+    """(url, text) HTML pages for the synthetic link structure. With
+    ``with_anchors`` each link's anchor is ``<b>topic-K</b>`` where
+    ``K = (src_id + dst_id) % 5`` — nested-tag + whitespace so
+    extract_anchor_texts' strip/trim path is exercised; otherwise the
+    constant anchor ``link``."""
+    def _a(src, d):
+        if not with_anchors:
+            return F.lit("link")
+        return F.concat(F.lit("<b>topic-"),
+                        ((src + d) % 5).cast("string"),
+                        F.lit("</b>"))
+
+    return (targets.groupBy("src_id")
+            .agg(F.collect_set("dst_id").alias("dsts"))
+            .select(
+                F.concat(F.lit("https://g.test/"),
+                         F.col("src_id").cast("string")).alias("url"),
+                F.concat(
+                    F.lit("<html><body>"),
+                    F.aggregate(
+                        F.transform(
+                            F.array_sort("dsts"),
+                            lambda d: F.concat(
+                                F.lit('<a href="https://g.test/'),
+                                d.cast("string"),
+                                F.lit('">'),
+                                _a(F.col("src_id"), d),
+                                F.lit("</a>"))),
+                        F.lit(""), lambda acc, x: F.concat(acc, x)),
+                    F.lit("</body></html>")).alias("text")))
 
 
 def q89_link_pagerank(spark, sf_dir):
@@ -2614,40 +2672,9 @@ def q89_link_pagerank(spark, sf_dir):
     iteration). Returns (doc_id, rank rounded to 6dp — in-degrees
     are tiny so cross-engine float summation agrees well inside the
     rounding)."""
-    from pyspark.sql import Window
-
     from aggo_spark.operators import graph as graph_mod
 
-    ids = (_t(spark, sf_dir, "documents")
-           .filter(F.col("doc_id") < 200).select("doc_id"))
-    w = Window.orderBy("doc_id")
-    pos = (ids.withColumn("rn", F.row_number().over(w) - 1))
-    n = pos.count()
-    t1 = pos.select(
-        F.col("doc_id").alias("src_id"),
-        ((F.col("rn") * 7 + 3) % n).alias("rn"))
-    t2 = pos.select(
-        F.col("doc_id").alias("src_id"),
-        ((F.col("rn") * 11 + 5) % n).alias("rn"))
-    targets = (t1.unionByName(t2)
-               .join(pos.withColumnRenamed("doc_id", "dst_id"), "rn")
-               .select("src_id", "dst_id"))
-    pages = (targets.groupBy("src_id")
-             .agg(F.collect_set("dst_id").alias("dsts"))
-             .select(
-                 F.concat(F.lit("https://g.test/"),
-                          F.col("src_id").cast("string")).alias("url"),
-                 F.concat(
-                     F.lit("<html><body>"),
-                     F.aggregate(
-                         F.transform(
-                             F.array_sort("dsts"),
-                             lambda d: F.concat(
-                                 F.lit('<a href="https://g.test/'),
-                                 d.cast("string"),
-                                 F.lit('">link</a>'))),
-                         F.lit(""), lambda acc, x: F.concat(acc, x)),
-                     F.lit("</body></html>")).alias("text")))
+    pages = _link_graph_pages(_link_graph_targets(spark, sf_dir))
     edges = graph_mod.extract_links(pages)
     ranks = graph_mod.pagerank(edges, n_iter=_Q89_ITERS)
     return (ranks.select(
@@ -2657,11 +2684,8 @@ def q89_link_pagerank(spark, sf_dir):
         .orderBy("doc_id"))
 
 
-def _q89_oracle() -> str:
-    """Unrolled-iteration SQL mirror of q89 (generated: one contrib +
-    rank CTE pair per PageRank iteration; damping written as
-    (1.0 - 0.85) to match the engine's float exactly)."""
-    parts = ["""
+# SQL mirror of _link_graph_targets (shared by the q89/q90/q91 oracles)
+_LINK_GRAPH_SQL = """
         WITH ids AS (
           SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn
           FROM documents WHERE doc_id < 200),
@@ -2670,7 +2694,14 @@ def _q89_oracle() -> str:
           SELECT DISTINCT s.doc_id AS src, d.doc_id AS dst
           FROM ids s, nn, ids d
           WHERE d.rn = (s.rn * 7 + 3) % nn.n
-             OR d.rn = (s.rn * 11 + 5) % nn.n),
+             OR d.rn = (s.rn * 11 + 5) % nn.n)"""
+
+
+def _q89_oracle() -> str:
+    """Unrolled-iteration SQL mirror of q89 (generated: one contrib +
+    rank CTE pair per PageRank iteration; damping written as
+    (1.0 - 0.85) to match the engine's float exactly)."""
+    parts = [_LINK_GRAPH_SQL + """,
         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
         r0 AS (SELECT doc_id AS node, 1.0 / nn.n AS rank
                FROM ids, nn)"""]
@@ -2691,6 +2722,114 @@ def _q89_oracle() -> str:
     parts.append(f"""
         SELECT node AS doc_id, round(rank, 6) AS rank
         FROM r{_Q89_ITERS} ORDER BY doc_id""")
+    return "".join(parts)
+
+
+def q90_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation under oracle contract (r13): the shared
+    synthetic link structure renders pages whose anchors are
+    ``<b>topic-K</b>`` with ``K = (src_id + dst_id) % 5`` (nested tag
+    exercises extract_anchor_texts' strip/trim), then the REAL chain
+    runs: ``extract_anchor_texts`` (two group-extracts of one regex +
+    arrays_zip + explode) → per-target aggregation: total mentions,
+    distinct anchor count, and the top anchor (max count, ties →
+    lexicographically smallest — pinned by a struct-min both sides)."""
+    from aggo_spark.operators import graph as graph_mod
+
+    pages = _link_graph_pages(_link_graph_targets(spark, sf_dir),
+                              with_anchors=True)
+    tri = graph_mod.extract_anchor_texts(pages)
+    per = (tri.select(
+        F.regexp_extract("dst", r"/(\d+)$", 1).cast("long")
+        .alias("doc_id"), "anchor")
+        .groupBy("doc_id", "anchor")
+        .agg(F.count("*").alias("cnt")))
+    return (per.groupBy("doc_id")
+            .agg(F.sum("cnt").alias("n_mentions"),
+                 F.count("*").alias("n_anchors"),
+                 F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                F.col("anchor").alias("a"))).alias("t"))
+            .select("doc_id", "n_mentions", "n_anchors",
+                    F.col("t.a").alias("top_anchor"))
+            .orderBy("doc_id"))
+
+
+def q91_link_hits(spark, sf_dir):
+    """Kleinberg HITS under oracle contract (r13): the shared
+    synthetic link structure → ``extract_links`` → ``hits`` (4
+    iterations: auth = Σ in-hub, L2 normalize; hub = Σ out-auth of the
+    NEW authorities, L2 normalize — the oracle unrolls the identical
+    half-steps in SQL). Returns (doc_id, authority, hub) rounded to
+    6dp."""
+    from aggo_spark.operators import graph as graph_mod
+
+    pages = _link_graph_pages(_link_graph_targets(spark, sf_dir))
+    ha = graph_mod.hits(graph_mod.extract_links(pages),
+                        n_iter=_Q91_ITERS)
+    return (ha.select(
+        F.regexp_extract("node", r"/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"))
+        .orderBy("doc_id"))
+
+
+def _q90_oracle() -> str:
+    return _LINK_GRAPH_SQL + """,
+        tri AS (
+          SELECT src, dst,
+                 'topic-' || CAST((src + dst) % 5 AS VARCHAR) AS anchor
+          FROM edges),
+        per AS (
+          SELECT dst AS doc_id, anchor, count(*) AS cnt
+          FROM tri GROUP BY 1, 2),
+        ranked AS (
+          SELECT doc_id, anchor, cnt,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, anchor ASC) AS rk,
+                 sum(cnt) OVER (PARTITION BY doc_id) AS nm,
+                 count(*) OVER (PARTITION BY doc_id) AS na
+          FROM per)
+        SELECT doc_id, CAST(nm AS BIGINT) AS n_mentions,
+               CAST(na AS BIGINT) AS n_anchors, anchor AS top_anchor
+        FROM ranked WHERE rk = 1 ORDER BY doc_id"""
+
+
+def _q91_oracle() -> str:
+    """Unrolled HITS SQL mirror: per iteration an authority half-step
+    (raw sums + L2 norm + normalize) then a hub half-step over the NEW
+    authorities."""
+    parts = [_LINK_GRAPH_SQL + """,
+        h0 AS (SELECT doc_id AS node, 1.0 AS hub FROM ids)"""]
+    for k in range(1, _Q91_ITERS + 1):
+        parts.append(f""",
+        ar{k} AS (
+          SELECT i.doc_id AS node, coalesce(s.v, 0) AS v
+          FROM ids i LEFT JOIN (
+            SELECT e.dst AS node, sum(h.hub) AS v
+            FROM edges e JOIN h{k - 1} h ON e.src = h.node
+            GROUP BY e.dst) s ON s.node = i.doc_id),
+        an{k} AS (
+          SELECT CASE WHEN sqrt(sum(v * v)) = 0 OR sqrt(sum(v * v))
+                      IS NULL THEN 1.0 ELSE sqrt(sum(v * v)) END AS nrm
+          FROM ar{k}),
+        a{k} AS (SELECT node, v / nrm AS authority FROM ar{k}, an{k}),
+        hr{k} AS (
+          SELECT i.doc_id AS node, coalesce(s.v, 0) AS v
+          FROM ids i LEFT JOIN (
+            SELECT e.src AS node, sum(a.authority) AS v
+            FROM edges e JOIN a{k} a ON e.dst = a.node
+            GROUP BY e.src) s ON s.node = i.doc_id),
+        hn{k} AS (
+          SELECT CASE WHEN sqrt(sum(v * v)) = 0 OR sqrt(sum(v * v))
+                      IS NULL THEN 1.0 ELSE sqrt(sum(v * v)) END AS nrm
+          FROM hr{k}),
+        h{k} AS (SELECT node, v / nrm AS hub FROM hr{k}, hn{k})""")
+    parts.append(f"""
+        SELECT a.node AS doc_id, round(a.authority, 6) AS authority,
+               round(h.hub, 6) AS hub
+        FROM a{_Q91_ITERS} a JOIN h{_Q91_ITERS} h ON a.node = h.node
+        ORDER BY doc_id""")
     return "".join(parts)
 
 
@@ -2761,6 +2900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_charset_crawl": q87_charset_crawl,
         "q88_token_pipeline": q88_token_pipeline,
         "q89_link_pagerank": q89_link_pagerank,
+        "q90_anchor_text": q90_anchor_text,
+        "q91_link_hits": q91_link_hits,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -4139,6 +4280,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
         "q89_link_pagerank": _q89_oracle(),
+        "q90_anchor_text": _q90_oracle(),
+        "q91_link_hits": _q91_oracle(),
         "q86_mojibake": f"""
             -- repair must recover the original byte-exactly: the
             -- garble (utf-8 bytes read as latin-1, doubled for odd

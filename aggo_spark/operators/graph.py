@@ -20,9 +20,18 @@ Spark-first:
   rank state never visits the driver (the dangling mass is a single
   scalar aggregate).
 
+- :func:`extract_anchor_texts` — (src, dst, anchor) triples: the
+  anchor TEXT is the classic web-corpus relevance signal (anchor →
+  target-page training pairs, MS-MARCO-style); pure-Column (two
+  group-extracts of one regex + ``arrays_zip`` + explode).
+- :func:`hits` — Kleinberg hubs/authorities, the same
+  one-join-per-iteration loop shape as :func:`pagerank` with L2
+  normalization (two scalar aggregates per iteration).
+
 Driver-contract: q89 routes arithmetic link structure through the REAL
-href extraction and 10 PageRank iterations and hash-matches a DuckDB
-oracle that unrolls the same iterations in SQL (__spark_entry__.py).
+href extraction and PageRank iterations and hash-matches a DuckDB
+oracle that unrolls the same iterations in SQL; q90 does the same for
+anchor-text aggregation; q91 for HITS (__spark_entry__.py).
 """
 
 from __future__ import annotations
@@ -30,9 +39,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_links", "pagerank"]
+__all__ = ["extract_links", "extract_anchor_texts", "pagerank", "hits"]
 
 _HREF_RE = r'''(?i)<a[^>]{0,2048}?href\s*=\s*["']?(https?://[^"'\s>#]+)'''
+
+# anchor-text form: same href capture + the inner HTML up to the
+# closing </a>; (?s) so anchors spanning lines still match
+_ANCHOR_RE = (r'''(?is)<a[^>]{0,2048}?href\s*=\s*["']?'''
+              r'''(https?://[^"'\s>#]+)[^>]*>(.{0,4096}?)</a>''')
 
 
 def extract_links(
@@ -48,6 +62,33 @@ def extract_links(
         F.explode(F.regexp_extract_all(html_col, F.lit(_HREF_RE), 1))
         .alias("dst"))
         .distinct())
+
+
+def extract_anchor_texts(
+    df: DataFrame,
+    html_col: str = "text",
+    url_col: str = "url",
+) -> DataFrame:
+    """(src, dst, anchor) triples: every absolute http(s) ``<a
+    href>…</a>`` pair, with the anchor's inner HTML reduced to plain
+    text (nested tags → space, whitespace collapsed, trimmed).
+    Pure Column: the SAME regex is group-extracted twice (url group 1,
+    inner-HTML group 2) — ``regexp_extract_all`` yields equal-length
+    arrays by construction — then ``arrays_zip`` + ``explode``. NOT
+    distinct: a page linking the same target twice with different
+    anchors keeps both rows (each mention is a signal); downstream
+    aggregation decides weighting."""
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html_col, F.lit(_ANCHOR_RE), 1).alias("dst"),
+        F.regexp_extract_all(html_col, F.lit(_ANCHOR_RE), 2).alias("raw"))
+    return (df.select(F.col(url_col).alias("src"),
+                      F.explode(pairs).alias("p"))
+            .select(
+                "src",
+                F.col("p.dst").alias("dst"),
+                F.trim(F.regexp_replace(
+                    F.regexp_replace(F.col("p.raw"), r"<[^>]*>", " "),
+                    r"\s+", " ")).alias("anchor")))
 
 
 def pagerank(
@@ -119,3 +160,71 @@ def pagerank(
     w.unpersist()
     dangling_nodes.unpersist()
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, authority, hub) after ``n_iter`` Kleinberg HITS
+    iterations over the DISTINCT edge set. Per iteration (the classic
+    I-then-O order): ``auth(v) = Σ hub(u)`` over in-edges, L2
+    normalize; then ``hub(u) = Σ auth(v)`` over out-edges using the
+    NEW authorities, L2 normalize. Same loop discipline as
+    :func:`pagerank`: one equi-join + one aggregate per half-step,
+    ``localCheckpoint`` so lineage stays one join deep; the only
+    driver-visible values are the two scalar L2 norms."""
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct().persist())
+    e.count()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    if nodes.count() == 0:
+        out = nodes.withColumn("authority", F.lit(0.0)) \
+                   .withColumn("hub", F.lit(0.0))
+        return out
+
+    def _norm(df: DataFrame, col: str) -> float:
+        v = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col)))).collect()[0][0]
+        return float(v) if v else 1.0
+
+    hub = (nodes.withColumn("hub", F.lit(1.0))
+           .localCheckpoint(eager=True))
+    auth = nodes.withColumn("authority", F.lit(1.0))
+    for _ in range(n_iter):
+        # each half-step: lazy persist of the raw sums (materialized
+        # by the norm aggregate, re-read by the divide), then ONE
+        # localCheckpoint of the normalized state
+        a_raw = (nodes.join(
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst").agg(F.sum("hub").alias("authority"))
+            .withColumnRenamed("dst", "node"), "node", "left")
+            .select("node", F.coalesce("authority", F.lit(0.0))
+                    .alias("authority"))
+            .persist())
+        a = (a_raw.select(
+            "node",
+            (F.col("authority") / F.lit(_norm(a_raw, "authority")))
+            .alias("authority"))
+            .localCheckpoint(eager=True))
+        a_raw.unpersist()
+        h_raw = (nodes.join(
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src").agg(F.sum("authority").alias("hub"))
+            .withColumnRenamed("src", "node"), "node", "left")
+            .select("node", F.coalesce("hub", F.lit(0.0)).alias("hub"))
+            .persist())
+        hub = (h_raw.select(
+            "node",
+            (F.col("hub") / F.lit(_norm(h_raw, "hub"))).alias("hub"))
+            .localCheckpoint(eager=True))
+        h_raw.unpersist()
+        auth = a
+    out = auth.join(hub, "node")
+    e.unpersist()
+    nodes.unpersist()
+    return out

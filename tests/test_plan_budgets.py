@@ -203,6 +203,13 @@ BUDGETS = {
                               # lineage is a checkpoint scan + select;
                               # one final range-sort exchange
                               # (measured 1, plan 356 chars)
+    "q90_anchor_text": 4,     # r13: anchor extraction is narrow; the
+                              # (doc_id, anchor) count agg + per-doc
+                              # agg + page-build groupBy + final sort
+                              # (measured 4)
+    "q91_link_hits": 2,       # r13: HITS state is checkpointed; the
+                              # final auth-hub join + range sort
+                              # (measured 2, plan 751 chars)
 }
 
 # sf1 (scaledata) re-pin: budgets are identical at every SF EXCEPT the rows

@@ -1,11 +1,17 @@
-"""Round 13: link-graph operators (extract_links + pagerank)."""
+"""Round 13: link-graph operators (extract_links / anchor texts /
+pagerank / hits)."""
 
 from __future__ import annotations
 
 import numpy as np
 import pytest
 
-from aggo_spark.operators.graph import extract_links, pagerank
+from aggo_spark.operators.graph import (
+    extract_anchor_texts,
+    extract_links,
+    hits,
+    pagerank,
+)
 
 
 def _numpy_pagerank(edges, n_iter=10, d=0.85):
@@ -47,6 +53,81 @@ class TestExtractLinks:
         df = spark.createDataFrame([("u", "<p>plain</p>")],
                                    "url string, text string")
         assert extract_links(df).count() == 0
+
+
+def _numpy_hits(edges, n_iter=10):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    es = sorted(set(edges))
+    n = len(nodes)
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(n_iter):
+        a = np.zeros(n)
+        for s, t in es:
+            a[idx[t]] += h[idx[s]]
+        a /= np.sqrt((a * a).sum()) or 1.0
+        h = np.zeros(n)
+        for s, t in es:
+            h[idx[s]] += a[idx[t]]
+        h /= np.sqrt((h * h).sum()) or 1.0
+    return ({x: a[idx[x]] for x in nodes}, {x: h[idx[x]] for x in nodes})
+
+
+class TestExtractAnchorTexts:
+    def test_triples(self, spark):
+        html = ('pre <a href="https://x.com/1#f" class="z">Click <b>here'
+                '</b>\n now</a> mid <a href=https://y.com/2>Y page</a>'
+                ' <a href="/rel">drop</a>')
+        df = spark.createDataFrame([("u", html)], "url string, text string")
+        got = sorted((r["dst"], r["anchor"])
+                     for r in extract_anchor_texts(df).collect())
+        assert got == [("https://x.com/1", "Click here now"),
+                       ("https://y.com/2", "Y page")]
+
+    def test_repeated_mentions_kept(self, spark):
+        html = ('<a href="https://x.com/1">first</a>'
+                '<a href="https://x.com/1">second</a>')
+        df = spark.createDataFrame([("u", html)], "url string, text string")
+        rows = extract_anchor_texts(df).collect()
+        assert sorted(r["anchor"] for r in rows) == ["first", "second"]
+        assert {r["src"] for r in rows} == {"u"}
+
+    def test_empty_anchor(self, spark):
+        html = '<a href="https://x.com/1"></a>'
+        df = spark.createDataFrame([("u", html)], "url string, text string")
+        rows = extract_anchor_texts(df).collect()
+        assert len(rows) == 1 and rows[0]["anchor"] == ""
+
+
+class TestHits:
+    def test_matches_power_iteration(self, spark):
+        edges = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"),
+                 ("D", "C"), ("A", "E")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: (r["authority"], r["hub"])
+               for r in hits(df, n_iter=7).collect()}
+        ref_a, ref_h = _numpy_hits(edges, n_iter=7)
+        assert set(got) == set(ref_a)
+        for k in ref_a:
+            assert got[k][0] == pytest.approx(ref_a[k], abs=1e-12)
+            assert got[k][1] == pytest.approx(ref_h[k], abs=1e-12)
+
+    def test_star_graph(self, spark):
+        # hub H points at 3 sinks: H is the only hub, sinks share
+        # authority 1/sqrt(3)
+        edges = [("H", "S1"), ("H", "S2"), ("H", "S3")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: (r["authority"], r["hub"])
+               for r in hits(df, n_iter=3).collect()}
+        assert got["H"][1] == pytest.approx(1.0, abs=1e-12)
+        for s in ("S1", "S2", "S3"):
+            assert got[s][0] == pytest.approx(1 / np.sqrt(3), abs=1e-12)
+            assert got[s][1] == 0.0
+
+    def test_empty_graph(self, spark):
+        df = spark.createDataFrame([], "src string, dst string")
+        assert hits(df, n_iter=2).count() == 0
 
 
 class TestPagerank:
