@@ -2774,6 +2774,48 @@ def q91_link_hits(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+_Q92_HOPS = 6
+
+
+def q92_seed_distance(spark, sf_dir):
+    """BFS seed-distance under oracle contract (r13): the shared
+    synthetic link structure → ``extract_links`` →
+    ``seed_distance`` (frontier-propagation BFS, one
+    frontier-sized equi-join per wave) from the seed pages
+    ``doc_id % 37 == 0``, capped at 6 hops. The oracle is a DuckDB
+    RECURSIVE CTE walking the same edges with a depth cap and taking
+    ``min(dist)`` per node — a genuinely different evaluation
+    strategy (path enumeration) agreeing with the wave BFS."""
+    from aggo_spark.operators import graph as graph_mod
+
+    pages = _link_graph_pages(_link_graph_targets(spark, sf_dir))
+    edges = graph_mod.extract_links(pages)
+    seeds = (_t(spark, sf_dir, "documents")
+             .filter((F.col("doc_id") < 200) & (F.col("doc_id") % 37 == 0))
+             .select(F.concat(F.lit("https://g.test/"),
+                              F.col("doc_id").cast("string")).alias("node")))
+    d = graph_mod.seed_distance(edges, seeds, max_hops=_Q92_HOPS)
+    return (d.select(
+        F.regexp_extract("node", r"/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.col("dist"))
+        .orderBy("doc_id"))
+
+
+def _q92_oracle() -> str:
+    return _LINK_GRAPH_SQL.replace(
+        "WITH ids", "WITH RECURSIVE ids", 1) + f""",
+        seeds AS (SELECT doc_id FROM ids WHERE doc_id % 37 = 0),
+        walk(node, dist) AS (
+          SELECT doc_id, 0 FROM seeds
+          UNION ALL
+          SELECT e.dst, w.dist + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.dist < {_Q92_HOPS})
+        SELECT node AS doc_id, CAST(min(dist) AS INT) AS dist
+        FROM walk GROUP BY node ORDER BY node"""
+
+
 def _q90_oracle() -> str:
     return _LINK_GRAPH_SQL + """,
         tri AS (
@@ -2902,6 +2944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_link_pagerank": q89_link_pagerank,
         "q90_anchor_text": q90_anchor_text,
         "q91_link_hits": q91_link_hits,
+        "q92_seed_distance": q92_seed_distance,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -4282,6 +4325,7 @@ def oracle_sql() -> dict[str, str]:
         "q89_link_pagerank": _q89_oracle(),
         "q90_anchor_text": _q90_oracle(),
         "q91_link_hits": _q91_oracle(),
+        "q92_seed_distance": _q92_oracle(),
         "q86_mojibake": f"""
             -- repair must recover the original byte-exactly: the
             -- garble (utf-8 bytes read as latin-1, doubled for odd

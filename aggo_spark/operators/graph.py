@@ -27,6 +27,11 @@ Spark-first:
 - :func:`hits` — Kleinberg hubs/authorities, the same
   one-join-per-iteration loop shape as :func:`pagerank` with L2
   normalization (two scalar aggregates per iteration).
+- :func:`seed_distance` — BFS hop distance from a seed set (the
+  TrustRank-style "how far from trusted pages" curation signal);
+  frontier-propagation loop, each iteration one equi-join on the
+  CURRENT FRONTIER only (shrinks as the wave passes), not the full
+  distance state.
 
 Driver-contract: q89 routes arithmetic link structure through the REAL
 href extraction and PageRank iterations and hash-matches a DuckDB
@@ -39,7 +44,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_links", "extract_anchor_texts", "pagerank", "hits"]
+__all__ = ["extract_links", "extract_anchor_texts", "pagerank", "hits",
+           "seed_distance"]
 
 _HREF_RE = r'''(?i)<a[^>]{0,2048}?href\s*=\s*["']?(https?://[^"'\s>#]+)'''
 
@@ -97,6 +103,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` damped PageRank iterations over
     the DISTINCT edge set. Dangling nodes (no out-edges) redistribute
@@ -105,7 +112,14 @@ def pagerank(
     keeps the full nested lineage in the logical plan — analyzer
     cost grows per iteration even though execution reads cache) so
     the plan stays one join deep — the loop is driver-side control
-    flow over distributed state, never a driver collect of ranks."""
+    flow over distributed state, never a driver collect of ranks.
+
+    With ``seeds`` (a one-column DataFrame of node ids) this is
+    PERSONALIZED PageRank — TrustRank: the teleport vector is uniform
+    over the seed set instead of all nodes (``p(v) = 1/|S|`` for
+    seeds, else 0); both the ``(1-d)`` restart mass and the dangling
+    mass redistribute per ``p``. Spam-demotion / crawl-prioritization
+    relative to a trusted seed list."""
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"))
          .distinct())
@@ -129,8 +143,28 @@ def pagerank(
     # plan size grow per iteration even though execution reads cache);
     # checkpointing truncates it, so every iteration's plan is exactly
     # one join deep
-    ranks = (nodes.withColumn("rank", F.lit(1.0 / n))
-             .localCheckpoint(eager=True))
+    if seeds is not None:
+        # teleport frame: p(v) = 1/|S| for seeds, else 0 — broadcast-
+        # joined onto nodes ONCE; the uniform path below keeps its
+        # scalar-literal arithmetic untouched (oracle-pinned by q89)
+        s = (seeds.select(F.col(seeds.columns[0]).alias("node"))
+             .distinct()
+             .join(nodes, "node", "left_semi"))  # absent seeds drop
+        ns = s.count()
+        if ns == 0:
+            raise ValueError(
+                "pagerank: no seed appears in the edge set")
+        pvec = (nodes.join(s.withColumn("__s", F.lit(1)), "node", "left")
+                .select("node",
+                        (F.coalesce(F.col("__s"), F.lit(0))
+                         .cast("double") / F.lit(float(ns))).alias("p"))
+                .localCheckpoint(eager=True))
+        ranks = (pvec.select("node", F.col("p").alias("rank"))
+                 .localCheckpoint(eager=True))
+    else:
+        pvec = None
+        ranks = (nodes.withColumn("rank", F.lit(1.0 / n))
+                 .localCheckpoint(eager=True))
     base = (1.0 - damping) / n
     # the DANGLING SET is static (the node/edge structure never
     # changes); only its mass moves. When it is empty — the common
@@ -148,13 +182,22 @@ def pagerank(
                    .groupBy("dst")
                    .agg(F.sum(F.col("w") * F.col("rank")).alias("rin"))
                    .withColumnRenamed("dst", "node"))
-        new_ranks = (nodes.join(contrib, "node", "left")
-                     .select("node",
-                             (F.lit(base)
-                              + F.lit(damping)
-                              * (F.coalesce(F.col("rin"), F.lit(0.0))
-                                 + F.lit(dangling / n)))
-                             .alias("rank")))
+        if pvec is not None:
+            new_ranks = (pvec.join(contrib, "node", "left")
+                         .select("node",
+                                 (F.lit(1.0 - damping) * F.col("p")
+                                  + F.lit(damping)
+                                  * (F.coalesce(F.col("rin"), F.lit(0.0))
+                                     + F.lit(dangling) * F.col("p")))
+                                 .alias("rank")))
+        else:
+            new_ranks = (nodes.join(contrib, "node", "left")
+                         .select("node",
+                                 (F.lit(base)
+                                  + F.lit(damping)
+                                  * (F.coalesce(F.col("rin"), F.lit(0.0))
+                                     + F.lit(dangling / n)))
+                                 .alias("rank")))
         ranks = new_ranks.localCheckpoint(eager=True)
     nodes.unpersist()
     w.unpersist()
@@ -228,3 +271,40 @@ def hits(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def seed_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, dist) — minimum hop distance from any seed, following
+    edge direction, capped at ``max_hops``; nodes unreachable within
+    the cap emit no row. Frontier-propagation BFS: each wave is ONE
+    equi-join of edges against the CURRENT FRONTIER (which shrinks as
+    the wave passes — at 1000 executors the per-wave shuffle is
+    proportional to the frontier's out-edges, not the graph), an
+    anti-join against the settled set, and a localCheckpoint; early
+    exit the moment a wave is empty."""
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).distinct().persist()
+    e.count()
+    dist = (seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(0).cast("int"))
+            .localCheckpoint(eager=True))
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (e.join(frontier.select(F.col("node").alias("src")), "src")
+               .select(F.col("dst").alias("node")).distinct()
+               .join(dist.select("node"), "node", "left_anti")
+               .withColumn("dist", F.lit(h).cast("int"))
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return dist

@@ -210,6 +210,9 @@ BUDGETS = {
     "q91_link_hits": 2,       # r13: HITS state is checkpointed; the
                               # final auth-hub join + range sort
                               # (measured 2, plan 751 chars)
+    "q92_seed_distance": 1,   # r13: BFS settled set is checkpointed;
+                              # one final range-sort exchange
+                              # (measured 1, plan 330 chars)
 }
 
 # sf1 (scaledata) re-pin: budgets are identical at every SF EXCEPT the rows

@@ -11,20 +11,28 @@ from aggo_spark.operators.graph import (
     extract_links,
     hits,
     pagerank,
+    seed_distance,
 )
 
 
-def _numpy_pagerank(edges, n_iter=10, d=0.85):
+def _numpy_pagerank(edges, n_iter=10, d=0.85, seeds=None):
     nodes = sorted({x for e in edges for x in e})
     idx = {n: i for i, n in enumerate(nodes)}
     out = {}
     for s, t in sorted(set(edges)):
         out.setdefault(s, []).append(t)
     n = len(nodes)
-    v = np.full(n, 1.0 / n)
+    if seeds is None:
+        p = np.full(n, 1.0 / n)
+    else:
+        present = [s for s in set(seeds) if s in idx]
+        p = np.zeros(n)
+        for s in present:
+            p[idx[s]] = 1.0 / len(present)
+    v = p.copy()
     for _ in range(n_iter):
-        nv = np.full(n, (1 - d) / n)
-        nv += d * sum(v[idx[x]] for x in nodes if x not in out) / n
+        dangling = sum(v[idx[x]] for x in nodes if x not in out)
+        nv = (1 - d) * p + d * dangling * p
         for s, ts in out.items():
             for t in ts:
                 nv[idx[t]] += d * v[idx[s]] / len(ts)
@@ -156,6 +164,26 @@ class TestPagerank:
         df = spark.createDataFrame([], "src string, dst string")
         assert pagerank(df, n_iter=3).count() == 0
 
+    def test_personalized_matches_power_iteration(self, spark):
+        edges = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"),
+                 ("D", "A"), ("A", "E")]  # E dangling
+        df = spark.createDataFrame(edges, "src string, dst string")
+        seeds = spark.createDataFrame([("A",), ("D",), ("Z",)],
+                                      "node string")  # Z absent -> drops
+        got = {r["node"]: r["rank"]
+               for r in pagerank(df, n_iter=9, seeds=seeds).collect()}
+        ref = _numpy_pagerank(edges, n_iter=9, seeds=["A", "D", "Z"])
+        assert set(got) == set(ref)
+        for k in ref:
+            assert got[k] == pytest.approx(ref[k], abs=1e-12)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_personalized_no_seed_in_graph_raises(self, spark):
+        df = spark.createDataFrame([("A", "B")], "src string, dst string")
+        seeds = spark.createDataFrame([("Z",)], "node string")
+        with pytest.raises(ValueError, match="seed"):
+            pagerank(df, n_iter=2, seeds=seeds)
+
     def test_chain_composes_with_extract(self, spark):
         rows = [(f"https://g.test/{i}",
                  f'<a href="https://g.test/{(i + 1) % 4}">n</a>')
@@ -166,3 +194,39 @@ class TestPagerank:
         assert len(got) == 4
         for v in got:
             assert v == pytest.approx(0.25, abs=1e-12)
+
+
+class TestSeedDistance:
+    def test_bfs_levels(self, spark):
+        # A -> B -> C -> D, A -> C (shortcut), E isolated target of D
+        edges = [("A", "B"), ("B", "C"), ("C", "D"), ("A", "C"),
+                 ("D", "E")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        seeds = spark.createDataFrame([("A",)], "node string")
+        got = {r["node"]: r["dist"]
+               for r in seed_distance(df, seeds, max_hops=10).collect()}
+        assert got == {"A": 0, "B": 1, "C": 1, "D": 2, "E": 3}
+
+    def test_max_hops_cap(self, spark):
+        edges = [("A", "B"), ("B", "C"), ("C", "D")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        seeds = spark.createDataFrame([("A",)], "node string")
+        got = {r["node"]: r["dist"]
+               for r in seed_distance(df, seeds, max_hops=2).collect()}
+        assert got == {"A": 0, "B": 1, "C": 2}  # D beyond the cap
+
+    def test_multi_seed_min(self, spark):
+        edges = [("A", "B"), ("B", "C"), ("Z", "C")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        seeds = spark.createDataFrame([("A",), ("Z",)], "node string")
+        got = {r["node"]: r["dist"]
+               for r in seed_distance(df, seeds, max_hops=5).collect()}
+        assert got == {"A": 0, "Z": 0, "B": 1, "C": 1}
+
+    def test_cycle_terminates_early(self, spark):
+        edges = [("A", "B"), ("B", "A")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        seeds = spark.createDataFrame([("A",)], "node string")
+        got = {r["node"]: r["dist"]
+               for r in seed_distance(df, seeds, max_hops=50).collect()}
+        assert got == {"A": 0, "B": 1}
