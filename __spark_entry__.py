@@ -2816,6 +2816,63 @@ def _q92_oracle() -> str:
         FROM walk GROUP BY node ORDER BY node"""
 
 
+_Q93_ITERS = 5
+
+
+def q93_weighted_pagerank(spark, sf_dir):
+    """Weighted PageRank under oracle contract (r13): the shared
+    synthetic edge set carries arithmetic weights
+    ``(src_id + dst_id) % 3 + 1``; the walk follows edges
+    proportionally (``w_uv / Σ w_uv``) through the REAL weighted
+    ``pagerank`` loop (5 iterations). Oracle unrolls the identical
+    weighted iterations in SQL. Returns (doc_id, rank) rounded to
+    6dp."""
+    from aggo_spark.operators import graph as graph_mod
+
+    edges = (_link_graph_targets(spark, sf_dir)
+             .select(F.col("src_id").alias("src"),
+                     F.col("dst_id").alias("dst"),
+                     ((F.col("src_id") + F.col("dst_id")) % 3 + 1)
+                     .cast("double").alias("wt"))
+             .distinct())
+    ranks = graph_mod.pagerank(edges, n_iter=_Q93_ITERS,
+                               weight_col="wt")
+    return (ranks.select(F.col("node").alias("doc_id"),
+                         F.round("rank", 6).alias("rank"))
+            .orderBy("doc_id"))
+
+
+def _q93_oracle() -> str:
+    """Unrolled weighted-PageRank SQL mirror (q89 pattern with
+    weighted transition probabilities)."""
+    parts = [_LINK_GRAPH_SQL + """,
+        we AS (
+          SELECT src, dst,
+                 CAST((src + dst) % 3 + 1 AS DOUBLE) AS wt
+          FROM edges),
+        deg AS (SELECT src, sum(wt) AS deg FROM we GROUP BY src),
+        r0 AS (SELECT doc_id AS node, 1.0 / nn.n AS rank
+               FROM ids, nn)"""]
+    for k in range(1, _Q93_ITERS + 1):
+        parts.append(f""",
+        c{k} AS (
+          SELECT e.dst AS node, sum(e.wt / g.deg * r.rank) AS rin
+          FROM we e
+          JOIN r{k - 1} r ON e.src = r.node
+          JOIN deg g ON e.src = g.src
+          GROUP BY e.dst),
+        r{k} AS (
+          SELECT i.doc_id AS node,
+                 (1.0 - 0.85) / nn.n
+                   + 0.85 * coalesce(c{k}.rin, 0) AS rank
+          FROM ids i CROSS JOIN nn
+          LEFT JOIN c{k} ON c{k}.node = i.doc_id)""")
+    parts.append(f"""
+        SELECT node AS doc_id, round(rank, 6) AS rank
+        FROM r{_Q93_ITERS} ORDER BY doc_id""")
+    return "".join(parts)
+
+
 def _q90_oracle() -> str:
     return _LINK_GRAPH_SQL + """,
         tri AS (
@@ -2945,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_anchor_text": q90_anchor_text,
         "q91_link_hits": q91_link_hits,
         "q92_seed_distance": q92_seed_distance,
+        "q93_weighted_pagerank": q93_weighted_pagerank,
     }
     return {name: (fn if name in _STREAMING_QUERIES else _memo(fn))
             for name, fn in out.items()}
@@ -4326,6 +4384,7 @@ def oracle_sql() -> dict[str, str]:
         "q90_anchor_text": _q90_oracle(),
         "q91_link_hits": _q91_oracle(),
         "q92_seed_distance": _q92_oracle(),
+        "q93_weighted_pagerank": _q93_oracle(),
         "q86_mojibake": f"""
             -- repair must recover the original byte-exactly: the
             -- garble (utf-8 bytes read as latin-1, doubled for odd

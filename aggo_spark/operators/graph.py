@@ -104,6 +104,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     seeds: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` damped PageRank iterations over
     the DISTINCT edge set. Dangling nodes (no out-edges) redistribute
@@ -119,10 +120,23 @@ def pagerank(
     over the seed set instead of all nodes (``p(v) = 1/|S|`` for
     seeds, else 0); both the ``(1-d)`` restart mass and the dangling
     mass redistribute per ``p``. Spam-demotion / crawl-prioritization
-    relative to a trusted seed list."""
-    e = (edges.select(F.col(src_col).alias("src"),
-                      F.col(dst_col).alias("dst"))
-         .distinct())
+    relative to a trusted seed list.
+
+    With ``weight_col`` the walk follows edges proportionally to
+    weight (duplicate (src, dst) rows SUM their weights; rows with
+    weight <= 0 or NULL are dropped): transition probability
+    ``w_uv / Σ_v w_uv`` — e.g. anchor-mention counts from
+    ``extract_anchor_texts`` via ``groupBy(src, dst).count()``."""
+    if weight_col is None:
+        e = (edges.select(F.col(src_col).alias("src"),
+                          F.col(dst_col).alias("dst"))
+             .distinct())
+    else:
+        e = (edges.select(F.col(src_col).alias("src"),
+                          F.col(dst_col).alias("dst"),
+                          F.col(weight_col).cast("double").alias("wt"))
+             .filter(F.col("wt") > 0)
+             .groupBy("src", "dst").agg(F.sum("wt").alias("wt")))
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
              .distinct())
@@ -130,10 +144,15 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # edge weight 1/outdeg, precomputed once
-    w = e.join(outdeg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+    if weight_col is None:
+        outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        # edge weight 1/outdeg, precomputed once
+        w = e.join(outdeg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+    else:
+        outdeg = e.groupBy("src").agg(F.sum("wt").alias("deg"))
+        w = e.join(outdeg, "src").select(
+            "src", "dst", (F.col("wt") / F.col("deg")).alias("w"))
     w = w.persist()
     w.count()
     has_out = outdeg.select(F.col("src").alias("node"))

@@ -213,6 +213,9 @@ BUDGETS = {
     "q92_seed_distance": 1,   # r13: BFS settled set is checkpointed;
                               # one final range-sort exchange
                               # (measured 1, plan 330 chars)
+    "q93_weighted_pagerank": 1,  # r13: checkpointed loop state; one
+                              # final range-sort exchange
+                              # (measured 1, plan 314 chars)
 }
 
 # sf1 (scaledata) re-pin: budgets are identical at every SF EXCEPT the rows

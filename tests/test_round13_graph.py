@@ -178,6 +178,41 @@ class TestPagerank:
             assert got[k] == pytest.approx(ref[k], abs=1e-12)
         assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
+    def test_weighted_matches_power_iteration(self, spark):
+        # weights sum per duplicate pair; zero/negative rows drop
+        rows = [("A", "B", 3.0), ("A", "C", 1.0), ("B", "C", 2.0),
+                ("C", "A", 1.0), ("A", "B", 1.0), ("A", "D", 0.0),
+                ("B", "A", -5.0)]
+        df = spark.createDataFrame(
+            rows, "src string, dst string, wt double")
+        got = {r["node"]: r["rank"]
+               for r in pagerank(df, n_iter=10,
+                                 weight_col="wt").collect()}
+        # numpy mirror with explicit transition weights
+        import collections
+        wsum = collections.defaultdict(float)
+        for s, t, wt in rows:
+            if wt > 0:
+                wsum[(s, t)] += wt
+        nodes = sorted({x for k in wsum for x in k})
+        idx = {x: i for i, x in enumerate(nodes)}
+        n = len(nodes)
+        deg = collections.defaultdict(float)
+        for (s, t), wt in wsum.items():
+            deg[s] += wt
+        v = np.full(n, 1.0 / n)
+        d = 0.85
+        for _ in range(10):
+            dangling = sum(v[idx[x]] for x in nodes if x not in deg)
+            nv = np.full(n, (1 - d) / n) + d * dangling / n
+            for (s, t), wt in wsum.items():
+                nv[idx[t]] += d * v[idx[s]] * wt / deg[s]
+            v = nv
+        assert set(got) == set(nodes)
+        for k in nodes:
+            assert got[k] == pytest.approx(v[idx[k]], abs=1e-12)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
     def test_personalized_no_seed_in_graph_raises(self, spark):
         df = spark.createDataFrame([("A", "B")], "src string, dst string")
         seeds = spark.createDataFrame([("Z",)], "node string")
