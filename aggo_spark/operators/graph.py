@@ -36,7 +36,16 @@ Spark-first:
 Driver-contract: q89 routes arithmetic link structure through the REAL
 href extraction and PageRank iterations and hash-matches a DuckDB
 oracle that unrolls the same iterations in SQL; q90 does the same for
-anchor-text aggregation; q91 for HITS (__spark_entry__.py).
+anchor-text aggregation; q91 for HITS; q92 for BFS (RECURSIVE-CTE
+oracle); q93 for weighted PageRank (__spark_entry__.py).
+
+Reference parity note: the reference engine (aggo, TypeScript) has no
+link-graph surface — its closest shape is `$graphLookup`-style
+traversal (which this engine ships as a stage, stages.py). This module
+is engine-superset functionality for the crawl-curation tier,
+fixture-tested like the WARC front door
+(/root/reference/tests/fixtures/ecommerce-orders.spec.js:15-50 is the
+fixture-suite analogue).
 """
 
 from __future__ import annotations
