@@ -1394,7 +1394,12 @@ def dedup_corpus_lines(
                 ~F.max("tnull"),
                 F.array_join(
                     F.transform(
-                        F.array_sort(F.collect_list(
+                        # sort_array (native ordering), not array_sort
+                        # (interpreted lambda comparator): identical for
+                        # these non-null (pos, line) structs — collect_list
+                        # skips the NULL when-branch and pos is a distinct
+                        # non-null line number (r13-opt, the q37 sort swap)
+                        F.sort_array(F.collect_list(
                             F.when(F.col("keep") & F.col("line").isNotNull(),
                                    F.struct("pos", "line")))),
                         lambda s: s["line"],

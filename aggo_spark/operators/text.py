@@ -1055,7 +1055,16 @@ def repetition_stats(
                    ).otherwise(F.lit(0.0)), 6),
     }
     for n in ngram_sizes:
-        grams = F.array_sort(word_ngrams(tok, n))
+        # sort_array, NOT array_sort: array_sort always carries a lambda
+        # comparator (even the default), and ArraySort is a higher-order
+        # function — every one of the O(n log n) comparisons evaluates an
+        # interpreted if-chain expression tree. SortArray sorts with the
+        # native type ordering instead: measured r13-opt at sf0.1, the
+        # q37 panel core dropped 0.93 s → 0.73 s (−21%) on this swap
+        # alone, bit-identical output (word_ngrams elements are non-null
+        # concat_ws results, so null placement — the one semantic
+        # difference between the two — never applies).
+        grams = F.sort_array(word_ngrams(tok, n))
         out[f"top{n}gram_char_frac"] = F.round(
             F.when(norm_chars > 0,
                    _max_run_chars(grams).cast("double") / norm_chars
