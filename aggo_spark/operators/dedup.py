@@ -189,8 +189,9 @@ def minhash_signature(
         lambda acc, h: F.zip_with(
             acc,
             pz,
+            # % == pmod here (a*h+b ≥ 0); see minhash_signatures
             lambda m, p: F.least(
-                m, F.pmod(p.getField("a") * h + p.getField("b"), F.lit(_MAX31))
+                m, (p.getField("a") * h + p.getField("b")) % F.lit(_MAX31)
             ),
         ),
     )
@@ -239,8 +240,13 @@ def minhash_signatures(
                           charset=charset).select(
         "id", _base_hash(F.col("s"), hash_fn).alias("h")
     )
+    # plain % (Remainder), NOT F.pmod: h ∈ [0, _MAX31) and a ≥ 1, b ≥ 0, so
+    # a*h+b is non-negative (< 2^62 + 2^31, no overflow) and % == pmod —
+    # but pmod codegens TWO modulo ops (sign fix) and this expression runs
+    # num_perm times per shingle. Measured r13-opt at sf0.1 (64 perms,
+    # word-3-grams): signature stage 1.40 s → 0.82 s, identical output.
     aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MAX31))).alias(f"m{i}")
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MAX31)).alias(f"m{i}")
         for i, (a, b) in enumerate(params)
     ]
     sig = ex.groupBy("id").agg(*aggs)
