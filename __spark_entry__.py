@@ -713,9 +713,18 @@ def q37_quality(spark, sf_dir):
     first (sampling only reads the cheap input) and sorting within
     partitions after the panel yields the same globally-ordered result
     with the panel evaluated ONCE — still exactly 1 Exchange
-    (tests/test_plan_budgets.py)."""
+    (tests/test_plan_budgets.py).
+
+    r13-opt: the range repartition PINS its partition count (the
+    session's shuffle parallelism — scale-adaptive, not a constant).
+    Without a count the exchange is REPARTITION_BY_COL, which AQE is
+    free to coalesce by advisory size — and it coalesced the ~30 MB
+    raw-text shuffle to ONE partition, so the expensive panel ran
+    single-threaded downstream of the exchange. Measured at sf0.1
+    local[32]: 2.22 s → 0.98 s on the pin alone, identical rows."""
     df = _t(spark, sf_dir, "documents")
-    return (text.doc_metrics(df.repartitionByRange("doc_id"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (text.doc_metrics(df.repartitionByRange(n_parts, "doc_id"))
             .sortWithinPartitions("doc_id"))
 
 
