@@ -451,7 +451,7 @@ def simhash_table(
         for i in range(nbits)
     ]
     cnt = ex.groupBy("id").agg(
-        F.count(F.col("h")).alias("n"), F.first("tnull").alias("tnull"), *aggs)
+        F.count(F.col("h")).alias("n"), F.max("tnull").alias("tnull"), *aggs)
     pow2 = [1 << i if i < 63 else -(1 << 63) for i in range(nbits)]
     sh = F.lit(0).cast("long")
     for i in range(nbits):
@@ -764,7 +764,7 @@ def minhash_probe(
                 est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
         .groupBy("query_id", "corpus_id")
-        .agg(F.first("est_jaccard").alias("est_jaccard"))
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
     )
 
 
