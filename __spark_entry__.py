@@ -2306,7 +2306,15 @@ def q86_mojibake(spark, sf_dir):
         if doc_id % 2 == 1:  # double-encoded half
             g = g.encode("utf-8").decode("latin-1")
         garbled.append((doc_id, g))
-    df = spark.createDataFrame(garbled, "doc_id long, text string")
+    # bounded 200-row fixture: default createDataFrame spreads it over
+    # defaultParallelism*2 pickled slices, and every downstream branch
+    # (flagged, clean, orderBy sample) re-reads the Python RDD paying a
+    # worker roundtrip PER SLICE (~150 ms each) — pure Python-boundary
+    # overhead (guide §4). Four explicit slices keep the repair kernel
+    # parallel while cutting the roundtrip count; rows are identical.
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(garbled, 4),
+        "doc_id long, text string")
     flagged = df.filter(text_mod.mojibake_signature(F.col("text")))
     clean_rows = df.filter(~text_mod.mojibake_signature(F.col("text")))
     fixed = text_mod.fix_mojibake(flagged).unionByName(clean_rows)
