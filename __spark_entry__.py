@@ -723,7 +723,9 @@ def q37_quality(spark, sf_dir):
     single-threaded downstream of the exchange. Measured at sf0.1
     local[32]: 2.22 s → 0.98 s on the pin alone, identical rows."""
     df = _t(spark, sf_dir, "documents")
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from aggo_spark.operators.graph import _shuffle_parts
+
+    n_parts = _shuffle_parts(df)
     return (text.doc_metrics(df.repartitionByRange(n_parts, "doc_id"))
             .sortWithinPartitions("doc_id"))
 

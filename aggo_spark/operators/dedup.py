@@ -304,6 +304,7 @@ def minhash_lsh_pairs(
     unit: str = "char",
     hash_fn: str = "xxhash64",
     charset: str = "latin",
+    slim: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, with the
     estimated Jaccard (signature agreement rate) attached.
@@ -312,11 +313,57 @@ def minhash_lsh_pairs(
     an equi-groupBy on (band, band_hash), not an all-pairs join. Buckets
     larger than bucket_cap are dropped (degenerate content); at 100 TB this
     is the difference between a shuffle and a cartesian explosion.
+
+    ``slim=True`` (r14, guide §2.3/§8: shuffle keys, not payloads): the
+    banded exchange carries only (id, band, bh) — 3 longs per band row —
+    instead of replicating the num_perm-long signature once per band
+    (bands× the signature bytes). Candidate pairs come out id-only; the
+    est_jaccard verify re-attaches the signatures with two joins against
+    the (id, sig) table. est_jaccard is deterministic per pair, so
+    dedup-then-verify equals verify-then-dedup row-for-row.
     """
     rows = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, num_perm, k, unit=unit,
                              hash_fn=hash_fn, charset=charset)
     band_keys = _band_key_structs(bands, rows, hash_fn)
+    if slim:
+        banded = sig.select(
+            "id", F.explode(F.array(*band_keys)).alias("bk")
+        ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+        # members carry struct(id) — not the bare id — so the pair-id
+        # expressions below are the SAME shape (GetStructField → least /
+        # greatest) as the payload path's and the output schema (incl.
+        # nullability, which the driver hashes) is identical by construction
+        buckets = (
+            banded.groupBy("band", "bh")
+            .agg(F.collect_list(F.struct("id")).alias("members"))
+            .filter((F.size("members") > 1) & (F.size("members") <= bucket_cap))
+        )
+        id_pairs = buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "members",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("members"), i + 2, F.size("members")),
+                            lambda y: F.struct(
+                                F.least(x["id"], y["id"]).alias("id_a"),
+                                F.greatest(x["id"], y["id"]).alias("id_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.id_a", "p.id_b").distinct()
+        sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("__sig_a"))
+        sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("__sig_b"))
+        return (
+            id_pairs.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("est_jaccard", sig_agreement(
+                F.col("__sig_a"), F.col("__sig_b"), num_perm))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard")
+        )
     banded = sig.select(
         "id", "sig", F.explode(F.array(*band_keys)).alias("bk")
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
@@ -412,6 +459,7 @@ def simhash_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
+    lane_bits: int | None = 16,
 ) -> DataFrame:
     """(id, sh) SimHash fingerprints — the 100 TB path.
 
@@ -431,6 +479,20 @@ def simhash_table(
     ``tokens(NULL)`` propagates; NULL rows then drop out of pair joins.
     The map-side partial agg collapses each doc to nbits+2 longs before
     the one exchange.
+
+    ``lane_bits`` (r14, guide §1.2 per-task work): pack the per-bit
+    counters into SIMD-within-a-register lanes — ``lane_bits`` aggregates,
+    each summing ``(h >> j) & 0x...0001...0001`` so lanes at stride
+    ``lane_bits`` count several bit positions inside ONE long (no
+    inter-lane carry while every lane count stays below
+    ``2**lane_bits``, i.e. docs of up to 2**lane_bits - 1 tokens — 65535
+    at the default; pass 32 for a 2**32-1 cap or ``None`` for the
+    original one-counter-per-bit form). Long addition is two's-complement
+    (wraps mod 2^64), so a top lane reaching bit 63 stays bit-exact, and
+    the ``& (2^lane_bits - 1)`` unpack masks away arithmetic-shift sign
+    copies. Per-token update work drops 64 → ``lane_bits``
+    shift/and/accumulate expressions; identical output (differential test
+    pins lane_bits ∈ {None, 16, 32} row-for-row).
     """
     nbits = _simhash_bits(hash_fn)
     if hash_fn == "md5":
@@ -444,19 +506,42 @@ def simhash_table(
         F.col(text_col).isNull().alias("tnull"),
         F.explode_outer(tokens(F.col(text_col))).alias("tk"),
     ).select("id", "tnull", h.alias("h"))
-    aggs = [
-        F.coalesce(
-            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))), F.lit(0)
-        ).alias(f"c{i}")
-        for i in range(nbits)
-    ]
+    if lane_bits is None:
+        aggs = [
+            F.coalesce(
+                F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))), F.lit(0)
+            ).alias(f"c{i}")
+            for i in range(nbits)
+        ]
+
+        def counter(i: int) -> Column:
+            return F.col(f"c{i}")
+    else:
+        stride = int(lane_bits)
+        n_lanes = 64 // stride
+        mask = sum(1 << (stride * lane) for lane in range(n_lanes))
+        aggs = [
+            F.coalesce(
+                F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(mask))),
+                F.lit(0),
+            ).alias(f"c{j}")
+            for j in range(stride)
+        ]
+        lane_mask = (1 << stride) - 1
+
+        def counter(i: int) -> Column:
+            j, lane = i % stride, i // stride
+            c = F.col(f"c{j}")
+            if lane:
+                c = F.shiftright(c, stride * lane)
+            return c.bitwiseAND(F.lit(lane_mask))
     cnt = ex.groupBy("id").agg(
         F.count(F.col("h")).alias("n"), F.max("tnull").alias("tnull"), *aggs)
     pow2 = [1 << i if i < 63 else -(1 << 63) for i in range(nbits)]
     sh = F.lit(0).cast("long")
     for i in range(nbits):
         sh = sh.bitwiseOR(
-            F.when(F.col(f"c{i}") * 2 >= F.col("n"),
+            F.when(counter(i) * 2 >= F.col("n"),
                    F.lit(pow2[i]).cast("long")).otherwise(F.lit(0).cast("long")))
     return cnt.select(
         "id", F.when(~F.col("tnull"), sh).alias("sh"))
@@ -583,6 +668,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bucket_cap: int = 200,
     hash_fn: str = "xxhash64",
+    lane_bits: int | None = 16,
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming.
 
@@ -593,7 +679,8 @@ def simhash_pairs(
     bit_count(xor). (r8: the chunk/bucket/verify machinery is the shared
     :func:`hamming_near_dup_pairs`; plan and output unchanged.)
     """
-    sh = simhash_table(df, text_col, id_col, hash_fn=hash_fn)
+    sh = simhash_table(df, text_col, id_col, hash_fn=hash_fn,
+                       lane_bits=lane_bits)
     # 4 chunks for the classic hamming<=3 setting (unchanged plan);
     # larger radii get the chunk count/scheme the pigeonhole bound
     # requires — the old code silently kept 4 and lost recall past

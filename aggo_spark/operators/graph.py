@@ -53,6 +53,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+def _shuffle_parts(df: DataFrame) -> int:
+    """The session's shuffle parallelism as an int, falling back to
+    ``defaultParallelism`` when the conf value is non-numeric (e.g.
+    'auto' on managed platforms — ADVICE r13: a bare int() crashed the
+    graph loops there)."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
 __all__ = ["extract_links", "extract_anchor_texts", "pagerank", "hits",
            "seed_distance"]
 
@@ -158,7 +170,7 @@ def pagerank(
     # measured at 1M nodes / 3.01M edges, 5 iters, local[32]:
     # 66.1 s → 19.6 s (3.4×) under identical ambient load, identical
     # ranks.
-    n_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _shuffle_parts(edges)
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
              .distinct())
@@ -270,10 +282,12 @@ def hits(
     # hash(node, n_parts); localCheckpoint preserves partitioning and
     # renames are alias-aware, so each half-step's only exchange is its
     # aggregate.
-    n_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _shuffle_parts(edges)
     e_src = e.repartition(n_parts, "src").persist()
     e_src.count()
-    e_dst = e.repartition(n_parts, "dst").persist()
+    # build the dst copy FROM the cached src copy (ADVICE r13): deriving
+    # both from `e` re-ran the edges.distinct() aggregation twice
+    e_dst = e_src.repartition(n_parts, "dst").persist()
     e_dst.count()
     e = e_src
     nodes = (e.select(F.col("src").alias("node"))
@@ -346,7 +360,7 @@ def seed_distance(
     # always on src, so a pinned layout means each wave shuffles only the
     # (small, shrinking) frontier — before, the persisted-but-unaligned
     # edge frame re-shuffled in full on every wave
-    n_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _shuffle_parts(edges)
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst")).distinct()
          .repartition(n_parts, "src").persist())

@@ -61,6 +61,24 @@ def apply_pipeline(df: DataFrame, pipeline: list, engine) -> DataFrame:
             prev_sort = None
             i += 2
             continue
+        # Peephole: $lookup whose joined array is consumed ONLY through
+        # {"$size": "$as"} and provably dropped before the pipeline ends
+        # compiles to a per-key COUNT — the aggregate carries one long per
+        # group instead of an array of whole foreign docs, and nothing
+        # downstream can tell the difference. At scale this turns an
+        # ObjectHashAggregate holding every matched row into a plain
+        # codegen count (guide §5: don't materialize what you immediately
+        # reduce).
+        if name == "$lookup" and "." not in str(spec.get("as", "")):
+            rewritten_rest = _size_only_rewrite(pipeline[i + 1:], spec["as"])
+            if rewritten_rest is not None:
+                slim = _lookup_count_only(df, spec, engine)
+                if slim is not None:
+                    df = slim
+                    pipeline = pipeline[: i + 1] + rewritten_rest
+                    prev_sort = None
+                    i += 1
+                    continue
         if name == "$group":
             df = stage_group(df, spec, engine, order_by=prev_sort)
         else:
@@ -777,6 +795,177 @@ def _lookup_pipeline(df: DataFrame, spec: dict, foreign: DataFrame, engine) -> D
     out = outer.join(nested, uid, "left")
     empty = F.array().cast(nested.schema[as_].dataType)
     return out.withColumn(as_, F.coalesce(F.col(f"`{as_}`"), empty)).drop(uid)
+
+
+def _size_only_rewrite(rest: list, as_: str):
+    """If every reference to ``as_`` in the remaining stages is exactly
+    ``{"$size": "$as_"}`` and the field is provably dropped before the
+    pipeline ends, return the stages with those nodes replaced by ``"$as_"``
+    (the count column the slim lookup emits directly). ``None`` otherwise.
+
+    Conservative by construction: ANY other occurrence of the field name —
+    as a ``$``-reference, a dotted sub-path, a projection / addFields /
+    sort key, or a nested $lookup's ``as`` target — bails to the generic
+    array-building path. "Dropped" means the scan hits a stage that
+    replaces the document stream ($group / $count / $replaceRoot /
+    $replaceWith), an inclusion-form $project that does not include it, an
+    exclusion-form $project that excludes it, or an $unset naming it."""
+    dollar = f"${as_}"
+
+    def _rw(node):
+        # -> (rewritten_node, ok)
+        if isinstance(node, dict):
+            if len(node) == 1 and node.get("$size") == dollar:
+                return dollar, True
+            out = {}
+            for k, v in node.items():
+                if isinstance(k, str) and (k == as_ or k.startswith(as_ + ".")):
+                    return node, False
+                nv, ok = _rw(v)
+                if not ok:
+                    return node, False
+                out[k] = nv
+            return out, True
+        if isinstance(node, list):
+            out_l = []
+            for v in node:
+                nv, ok = _rw(v)
+                if not ok:
+                    return node, False
+                out_l.append(nv)
+            return out_l, True
+        if isinstance(node, str):
+            if node == dollar or node.startswith(dollar + "."):
+                return node, False
+            return node, True
+        return node, True
+
+    new_rest: list = []
+    killed = False
+    for idx, stage in enumerate(rest):
+        if not (isinstance(stage, dict) and len(stage) == 1):
+            return None  # malformed; let the generic path raise
+        (name, sspec), = stage.items()
+        if name == "$unset":
+            fields = [sspec] if isinstance(sspec, str) else list(sspec or [])
+            if any(f == as_ or str(f).startswith(as_ + ".") for f in fields):
+                new_rest.extend(rest[idx:])
+                killed = True
+                break
+            new_rest.append(stage)
+            continue
+        if name == "$project" and isinstance(sspec, dict):
+            # `as_: 0` in exclusion form is a drop, not a read
+            entries = {k: v for k, v in sspec.items() if k != "_id"}
+            excl_form = entries and all(_is_exclude(v) for v in entries.values())
+            if excl_form and as_ in entries:
+                new_rest.extend(rest[idx:])
+                killed = True
+                break
+            if as_ in sspec or any(k.startswith(as_ + ".") for k in sspec):
+                return None  # included / recomputed / dotted — bail
+            new_spec, ok = _rw(sspec)
+            if not ok:
+                return None
+            new_rest.append({name: new_spec})
+            if not excl_form:
+                # inclusion form without the field: everything else dies
+                new_rest.extend(rest[idx + 1:])
+                killed = True
+                break
+            continue
+        if name in ("$lookup", "$graphLookup") and isinstance(sspec, dict):
+            tgt = str(sspec.get("as", ""))
+            if tgt == as_ or tgt.startswith(as_ + "."):
+                return None  # would overwrite the field with a new array
+        new_spec, ok = _rw(sspec)
+        if not ok:
+            return None
+        new_rest.append({name: new_spec})
+        if name in ("$group", "$count", "$replaceRoot", "$replaceWith"):
+            # these replace the document stream — the field is dead here
+            new_rest.extend(rest[idx + 1:])
+            killed = True
+            break
+    return new_rest if killed else None
+
+
+def _lookup_count_only(df: DataFrame, spec: dict, engine):
+    """Slim $lookup: emit ``as_`` as an INT count of the would-be array
+    (matching ``F.size``'s type) instead of building the array. Returns
+    ``None`` when the lookup form can't be counted without materializing
+    (sub-pipeline $skip/$limit/$group change the count; unsupported stages
+    must keep raising through the generic path)."""
+    foreign = engine.collection(spec["from"])
+    as_ = spec["as"]
+    if "pipeline" in spec or "let" in spec:
+        if "localField" in spec and "foreignField" in spec:
+            # concise correlated form — same desugar as stage_lookup
+            let = dict(spec.get("let") or {})
+            let["__aggo_cl"] = f"${spec['localField']}"
+            sub = [{"$match": {"$expr": {"$eq": [
+                f"${spec['foreignField']}", "$$__aggo_cl"]}}}]
+            sub += list(spec.get("pipeline") or [])
+            spec = {**spec, "let": let, "pipeline": sub}
+        return _lookup_pipeline_count(df, spec, foreign, engine)
+    local, fk = spec["localField"], spec["foreignField"]
+    fctx = ExprContext(schema=foreign.schema)
+    counts = foreign.groupBy(fctx.resolve_path(fk).alias("__aggo_k")).agg(
+        F.count(F.lit(1)).cast("int").alias("__aggo_cnt"))
+    if as_ in df.columns:
+        df = df.drop(as_)
+    lkey = ExprContext(schema=df.schema).resolve_path(local)
+    joined = df.join(counts, lkey == counts["__aggo_k"], "left").drop("__aggo_k")
+    return joined.withColumn(
+        as_, F.coalesce(F.col("__aggo_cnt"), F.lit(0))).drop("__aggo_cnt")
+
+
+def _lookup_pipeline_count(df: DataFrame, spec: dict, foreign: DataFrame, engine):
+    """Count-mode pipeline/`let` form: the canonical $match prefix (plus a
+    $sort, which cannot change a count, and a final $project, which the
+    count never reads) compiles to crossJoin → filters → groupBy(uid)
+    COUNT → 1:1 join-back. Everything else returns ``None`` (generic
+    path; $skip/$limit/$group change the count)."""
+    as_ = spec["as"]
+    let = spec.get("let", {}) or {}
+    sub = spec.get("pipeline", []) or []
+    if let and not _has_equi_conjunct(sub, set(let)):
+        return None  # generic path owns the O(outer x foreign) warning
+    matches: list = []
+    phase = "match"
+    for stage in sub:
+        if not (isinstance(stage, dict) and len(stage) == 1):
+            return None
+        (name, sspec), = stage.items()
+        if name == "$match" and phase == "match":
+            matches.append(sspec)
+        elif name == "$sort" and phase == "match":
+            phase = "sorted"  # order can't change a count
+        elif name == "$project" and phase in ("match", "sorted"):
+            phase = "projected"  # must be last, like the generic path
+        else:
+            return None
+    uid = "__aggo_uid"
+    outer = df.withColumn(uid, F.monotonically_increasing_id())
+    lctx = ExprContext(schema=df.schema)
+    keydf = outer.select(F.col(uid), *[
+        translate_expr(v, lctx).alias(f"__let_{k}") for k, v in let.items()
+    ])
+    fcols = foreign.columns
+    foreign_r = foreign.select(*[F.col(f"`{c}`").alias(f"__f_{c}") for c in fcols])
+    root = F.struct(*[F.col(f"`__f_{c}`").alias(c) for c in fcols])
+    let_vars = {k: F.col(f"__let_{k}") for k in let}
+    joined = keydf.crossJoin(foreign_r)
+    sub_ctx = ExprContext(schema=None, variables=let_vars).with_root(root, foreign.schema)
+    for m in matches:
+        joined = joined.filter(match_to_column(m, sub_ctx))
+    counts = joined.groupBy(uid).agg(
+        F.count(F.lit(1)).cast("int").alias("__aggo_cnt"))
+    if as_ in outer.columns:
+        outer = outer.drop(as_)
+    out = outer.join(counts, uid, "left")
+    return out.withColumn(
+        as_, F.coalesce(F.col("__aggo_cnt"), F.lit(0))).drop(uid, "__aggo_cnt")
 
 
 def _subpipeline_project(spec: dict, sub_ctx: ExprContext, doc_cols: list[str],

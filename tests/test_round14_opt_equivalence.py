@@ -1,0 +1,197 @@
+"""Round-14 optimization equivalence pins.
+
+Each optimization this round restructures HOW an operator computes while
+the results must stay row-for-row identical:
+
+- $lookup size-only peephole (stages.py): a lookup whose joined array is
+  consumed only through {"$size": "$as"} and then dropped compiles to a
+  COUNT (no collect_list). Pinned against the generic array-building
+  path (forced by keeping the array referenced in the output).
+- simhash_table lane packing (dedup.py): lane_bits ∈ {16, 32} pack the 64
+  per-bit counters into strided lanes; output must equal the lane_bits=None
+  one-counter-per-bit form for both hash modes, including NULL/empty text.
+- minhash_lsh_pairs slim banding (dedup.py): id-only band keys + signature
+  join-back must reproduce the payload-carrying banding exactly.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from aggo_spark import aggregate
+from aggo_spark.operators import dedup
+
+from .conftest import rows
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def look_orders(spark):
+    return spark.createDataFrame(
+        [{"_id": 1, "cust": 10}, {"_id": 2, "cust": 20},
+         {"_id": 3, "cust": 99}, {"_id": 4, "cust": None}]
+    )
+
+
+@pytest.fixture(scope="module")
+def look_items(spark):
+    return spark.createDataFrame(
+        [{"cid": 10, "sku": "x", "qty": 1}, {"cid": 10, "sku": "y", "qty": 9},
+         {"cid": 20, "sku": "z", "qty": 3}, {"cid": None, "sku": "n", "qty": 5}]
+    )
+
+
+def _equi_lookup(extra=None):
+    p = [{"$lookup": {"from": "items", "localField": "cust",
+                      "foreignField": "cid", "as": "c"}}]
+    return p + (extra or [])
+
+
+def test_size_only_equi_lookup_matches_generic(spark, look_orders, look_items):
+    colls = {"items": look_items}
+    opt = aggregate(look_orders, _equi_lookup([
+        {"$addFields": {"n": {"$size": "$c"}}},
+        {"$project": {"_id": 1, "n": 1}},
+    ]), collections=colls)
+    # keeping the array in the projection forces the generic path
+    gen = aggregate(look_orders, _equi_lookup([
+        {"$addFields": {"n": {"$size": "$c"}}},
+        {"$project": {"_id": 1, "n": 1, "c": 1}},
+    ]), collections=colls).drop("c")
+    assert rows(opt) == rows(gen)
+    assert opt.schema == gen.schema
+    txt = _plan(opt)
+    assert "collect_list" not in txt and "ObjectHashAggregate" not in txt
+    assert "collect_list" in _plan(gen)
+    # unmatched and null-key outer rows count 0, like an empty array
+    got = {r["_id"]: r["n"] for r in opt.collect()}
+    assert got == {1: 2, 2: 1, 3: 0, 4: 0}
+
+
+def test_size_only_pipeline_let_matches_generic(spark, look_orders, look_items):
+    colls = {"items": look_items}
+
+    def p(project_extra):
+        return [
+            {"$lookup": {
+                "from": "items",
+                "let": {"c": "$cust"},
+                "pipeline": [{"$match": {"$expr": {"$and": [
+                    {"$eq": ["$cid", "$$c"]},
+                    {"$gte": ["$qty", 3]},
+                ]}}}],
+                "as": "big"}},
+            {"$addFields": {"nb": {"$toLong": {"$size": "$big"}}}},
+            {"$match": {"nb": {"$gte": 0}}},
+            {"$project": {"_id": 1, "nb": 1, **project_extra}},
+        ]
+
+    opt = aggregate(look_orders, p({}), collections=colls)
+    gen = aggregate(look_orders, p({"big": 1}), collections=colls).drop("big")
+    assert rows(opt) == rows(gen)
+    assert opt.schema == gen.schema
+    assert "collect_list" not in _plan(opt)
+    got = {r["_id"]: r["nb"] for r in opt.collect()}
+    # $expr $eq is null-safe (MongoDB semantics): cust=None matches the
+    # cid=None item row — identical in both paths
+    assert got == {1: 1, 2: 1, 3: 0, 4: 1}
+
+
+def test_size_only_group_kill(spark, look_orders, look_items):
+    """$group replaces the stream — counts consumed inside accumulators."""
+    colls = {"items": look_items}
+    base = _equi_lookup()
+    tail = [{"$group": {"_id": None, "total": {"$sum": {"$size": "$c"}}}}]
+    opt = aggregate(look_orders, base + tail, collections=colls)
+    assert "collect_list" not in _plan(opt)
+    assert opt.collect()[0]["total"] == 3
+
+
+def test_size_only_bails_on_limit_subpipeline(spark, look_orders, look_items):
+    """$limit changes the would-be count — must stay on the generic path."""
+    colls = {"items": look_items}
+    p = [
+        {"$lookup": {
+            "from": "items",
+            "let": {"c": "$cust"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$cid", "$$c"]}}},
+                {"$sort": {"qty": -1}},
+                {"$limit": 1},
+            ],
+            "as": "top"}},
+        {"$addFields": {"n": {"$size": "$top"}}},
+        {"$project": {"_id": 1, "n": 1}},
+    ]
+    out = aggregate(look_orders, p, collections=colls)
+    assert "collect_list" in _plan(out)  # generic path kept
+    got = {r["_id"]: r["n"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 0, 4: 1}  # null-safe $eq, see above
+
+
+def test_size_only_bails_when_array_escapes(spark, look_orders, look_items):
+    """No kill stage → the array is in the output → generic path."""
+    colls = {"items": look_items}
+    out = aggregate(look_orders, _equi_lookup(
+        [{"$addFields": {"n": {"$size": "$c"}}}]), collections=colls)
+    assert "collect_list" in _plan(out)
+    assert dict(out.dtypes)["c"].startswith("array")
+
+
+def test_size_only_exclusion_project_kill(spark, look_orders, look_items):
+    colls = {"items": look_items}
+    opt = aggregate(look_orders, _equi_lookup([
+        {"$addFields": {"n": {"$size": "$c"}}},
+        {"$project": {"c": 0}},
+    ]), collections=colls)
+    assert "collect_list" not in _plan(opt)
+    got = {r["_id"]: r["n"] for r in opt.collect()}
+    assert got == {1: 2, 2: 1, 3: 0, 4: 0}
+    assert "c" not in opt.columns
+
+
+SIMHASH_DOCS = [
+    {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+    {"doc_id": 2, "text": "the quick brown fox jumps over the lazy cat"},
+    {"doc_id": 3, "text": ""},          # zero tokens → all-ones fingerprint
+    {"doc_id": 4, "text": None},        # NULL text → NULL fingerprint
+    {"doc_id": 5, "text": "a " * 200 + "b"},  # repeated token, longer doc
+]
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+@pytest.mark.parametrize("lane_bits", [16, 32])
+def test_simhash_lane_packing_identical(spark, hash_fn, lane_bits):
+    df = spark.createDataFrame(SIMHASH_DOCS)
+    base = dedup.simhash_table(df, hash_fn=hash_fn, lane_bits=None)
+    packed = dedup.simhash_table(df, hash_fn=hash_fn, lane_bits=lane_bits)
+    assert rows(base) == rows(packed)
+
+
+def test_minhash_slim_banding_identical(spark):
+    docs = spark.createDataFrame([
+        {"doc_id": i, "text": t} for i, t in enumerate([
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta iota",
+            "one two three four five six seven eight nine",
+            "one two three four five six seven eight ten",
+            "totally different content here with words",
+            "", None,
+        ])
+    ])
+    for hf in ("xxhash64", "md5"):
+        a = dedup.minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.1,
+                                    k=3, unit="word", hash_fn=hf)
+        b = dedup.minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.1,
+                                    k=3, unit="word", hash_fn=hf, slim=True)
+        assert rows(a) == rows(b)
+        assert a.schema == b.schema

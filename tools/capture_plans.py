@@ -1,7 +1,8 @@
-"""Capture .explain("formatted") for bench/contract queries → plans/r13/.
+"""Capture .explain("formatted") for bench/contract queries → plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
-  suffix: e.g. "before" or "after" → plans/r13/<query>_<suffix>.txt
+  suffix: e.g. "before" or "after" → plans/$PLANS_ROUND/<query>_<suffix>.txt
+  (PLANS_ROUND defaults to r14)
 
 Runs with the SAME session confs as bench.py (cached tables, AQE on,
 shuffle.partitions=32) so the captured plan is the benched plan. explain()
@@ -60,14 +61,23 @@ def main() -> None:
             entry._t(spark, sf_dir, "documents"), num_perm=64, bands=16,
             threshold=0.5, k=3, unit="word", hash_fn="xxhash64")
 
+    qs["q32_dedup_minhash_md5"] = qs["q32_dedup_minhash"]  # oracle (md5) mode
     qs["q32_dedup_minhash"] = q32_xxhash64  # plan the benched (xxhash64) mode
 
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r13"
+    out_dir = (Path(__file__).resolve().parent.parent / "plans"
+               / os.environ.get("PLANS_ROUND", "r14"))
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)
-        txt = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted")
+        # public API capture (ADVICE r13: the _jvm.PythonSQLUtils reach-in
+        # is brittle across Spark versions)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        txt = buf.getvalue()
         path = out_dir / f"{name}_{suffix}.txt"
         path.write_text(txt)
         n_ex = txt.count("Exchange")
