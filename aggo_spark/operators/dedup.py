@@ -304,7 +304,7 @@ def minhash_lsh_pairs(
     unit: str = "char",
     hash_fn: str = "xxhash64",
     charset: str = "latin",
-    slim: bool = False,
+    slim: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, with the
     estimated Jaccard (signature agreement rate) attached.
@@ -314,19 +314,30 @@ def minhash_lsh_pairs(
     larger than bucket_cap are dropped (degenerate content); at 100 TB this
     is the difference between a shuffle and a cartesian explosion.
 
-    ``slim=True`` (r14, guide §2.3/§8: shuffle keys, not payloads): the
+    ``slim`` (r14 default, guide §2.3/§8: shuffle keys, not payloads): the
     banded exchange carries only (id, band, bh) — 3 longs per band row —
     instead of replicating the num_perm-long signature once per band
-    (bands× the signature bytes). Candidate pairs come out id-only; the
-    est_jaccard verify re-attaches the signatures with two joins against
-    the (id, sig) table. est_jaccard is deterministic per pair, so
-    dedup-then-verify equals verify-then-dedup row-for-row.
+    (bands× the signature bytes: measured at sf1, banded exchange 306 MB →
+    16.5 MB for the same 800k band rows). Candidate pairs come out
+    id-only; the est_jaccard verify re-attaches the signatures with two
+    joins against the (id, sig) table, which is persisted (MEMORY_AND_DISK)
+    because three subtrees read it. est_jaccard is deterministic per pair,
+    so dedup-then-verify equals verify-then-dedup row-for-row. Measured
+    (clean per-session best-of-4, warm, local[32]): sf0.1 xx 1.70→0.73 s,
+    md5 2.06→0.87 s; sf1 xx 4.79→1.19 s; cold first-run equal within
+    noise. ``slim=False`` keeps the payload-carrying single-pass form
+    (better when signatures are tiny relative to join setup).
     """
     rows = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, num_perm, k, unit=unit,
                              hash_fn=hash_fn, charset=charset)
     band_keys = _band_key_structs(bands, rows, hash_fn)
     if slim:
+        # the signature table is referenced THREE times below (banding +
+        # both join-backs); without a persist the shingle-explode + 64-min
+        # aggregate subtree runs three times (measured at sf1: 3 × 18.4 MB
+        # sig-aggregate exchanges, 2.3× the wide path's wall-clock)
+        sig = sig.persist()
         banded = sig.select(
             "id", F.explode(F.array(*band_keys)).alias("bk")
         ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
@@ -459,7 +470,7 @@ def simhash_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
-    lane_bits: int | None = 16,
+    lane_bits: int | None = 32,
 ) -> DataFrame:
     """(id, sh) SimHash fingerprints — the 100 TB path.
 
@@ -486,7 +497,8 @@ def simhash_table(
     ``lane_bits`` count several bit positions inside ONE long (no
     inter-lane carry while every lane count stays below
     ``2**lane_bits``, i.e. docs of up to 2**lane_bits - 1 tokens — 65535
-    at the default; pass 32 for a 2**32-1 cap or ``None`` for the
+    at 16; the default 32 caps at 2**32 - 1 tokens — unreachable for any
+    real document — with measured-equal speed; ``None`` keeps the
     original one-counter-per-bit form). Long addition is two's-complement
     (wraps mod 2^64), so a top lane reaching bit 63 stays bit-exact, and
     the ``& (2^lane_bits - 1)`` unpack masks away arithmetic-shift sign
@@ -668,7 +680,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bucket_cap: int = 200,
     hash_fn: str = "xxhash64",
-    lane_bits: int | None = 16,
+    lane_bits: int | None = 32,
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming.
 

@@ -44,6 +44,8 @@ def _collect_feats(df, **kw):
     return out
 
 
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+@pytest.mark.slow
 class TestNaiveBayes:
     def test_matches_numpy_mirror_exactly(self, spark, train_df):
         from aggo_spark.operators import classify
@@ -88,6 +90,8 @@ class TestNaiveBayes:
             > max(probs[100 + i] for i in range(len(NEG)))
 
 
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+@pytest.mark.slow
 class TestLogisticRegression:
     IT, LR, L2 = 15, 0.5, 1e-4
 
@@ -297,6 +301,8 @@ class TestEval:
             classify.classifier_eval(scored, labels)
 
 
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+@pytest.mark.slow
 class TestEarlyStop:
     def test_tol_converges_to_same_ridge(self, spark, train_df):
         from aggo_spark.operators import classify

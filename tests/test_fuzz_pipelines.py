@@ -8,10 +8,16 @@ agree exactly (integer-only measures, multiset compare).
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import random
 
 from aggo_spark import Engine
+
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+pytestmark = pytest.mark.slow
+
 
 N_PIPELINES = 40
 N_ROWS = 60

@@ -15,6 +15,10 @@ from aggo_spark import Engine
 from aggo_spark.operators import text
 from aggo_spark.operators.stages import _GRANULARITIES, _R_SERIES
 
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+pytestmark = pytest.mark.slow
+
+
 SEED = 20260813
 
 

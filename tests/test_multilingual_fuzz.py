@@ -12,6 +12,8 @@ test_crawl_fuzz pattern), not one job per example.
 """
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from hypothesis import HealthCheck, given, settings
@@ -19,6 +21,10 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from tests.conftest import *  # noqa: F401,F403  (spark fixture)
+
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+pytestmark = pytest.mark.slow
+
 
 # mixed-script soup: latin words, CJK runs, cyrillic/greek/arabic/thai
 # runs, in-range script punctuation, ascii punctuation, whitespace

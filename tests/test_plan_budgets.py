@@ -239,7 +239,16 @@ def test_budget_covers_every_contract_query():
     assert set(BUDGETS) == set(_QUERIES)
 
 
-@pytest.mark.parametrize("name", sorted(BUDGETS))
+# q79's CDC replay and q78's 7-table model join dominate the suite's
+# plan-budget wall time (50 s + 11 s of 91 s) — slow-marked (r14) so the
+# default driver gate finishes in budget; run with -m slow
+_SLOW_BUDGET = {"q79_incremental_clusters", "q78_lm_perplexity"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_BUDGET else n
+     for n in sorted(BUDGETS)])
 def test_plan_shuffle_budget(spark, name):
     df = _QUERIES[name](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()

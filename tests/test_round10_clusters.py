@@ -18,6 +18,10 @@ from tests.conftest import *  # noqa: F401,F403  (spark fixture)
 
 from aggo_spark.streaming.core import StreamingCollection
 
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+pytestmark = pytest.mark.slow
+
+
 # word-3-gram minhash params shared by state + batch oracle; threshold
 # 0.2 sits 4σ under the designed ~0.45 true Jaccard of adjacent fixture
 # docs and far above the ~0 of non-adjacent ones

@@ -152,6 +152,8 @@ class TestDifferentials:
         assert a == b
 
 
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+@pytest.mark.slow
 class TestPersistedArtifact:
     def test_train_score_round_trip(self, spark, frames, tmp_path):
         """self-scoring = reference=df = saved-model round-trip, the

@@ -20,6 +20,10 @@ from tests.conftest import *  # noqa: F401,F403  (spark fixture)
 
 from aggo_spark.streaming.core import StreamingCollection
 
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+pytestmark = pytest.mark.slow
+
+
 WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
          "one two three four five six seven eight nine ten "
          "red orange yellow green blue indigo violet umber ochre teal"

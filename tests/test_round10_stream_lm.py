@@ -17,6 +17,10 @@ from tests.conftest import *  # noqa: F401,F403  (spark fixture)
 from aggo_spark.operators import text
 from aggo_spark.streaming.core import StreamingCollection
 
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+pytestmark = pytest.mark.slow
+
+
 D1 = "the quick brown fox jumps over the lazy dog"
 D2 = "the quick brown cat sleeps under the warm sun"
 D3 = "a completely different sentence with other words entirely"

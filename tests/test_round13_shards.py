@@ -166,6 +166,8 @@ class TestVocab:
         assert strict == {1: None, 2: [2]}
 
 
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+@pytest.mark.slow
 class TestBpeComposition:
     def test_full_chain(self, spark, tmp_path):
         """documents -> BPE -> vocab ids -> shards -> read back."""

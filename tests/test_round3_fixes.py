@@ -206,6 +206,8 @@ def test_documents_literals_still_work(spark):
     assert [r["a"] for r in out] == [1, 2]
 
 
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+@pytest.mark.slow
 def test_graph_lookup_deep_traversal(spark):
     # a 40-deep linked list exercises the every-5-hops localCheckpoint path
     rows = [(i, i - 1) for i in range(1, 41)]

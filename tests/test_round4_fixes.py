@@ -109,6 +109,8 @@ def test_ensure_parallelism_skips_shuffled_plans(spark):
     assert _ensure_parallelism(agg) is agg
 
 
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+@pytest.mark.slow
 def test_graph_lookup_releases_per_hop_checkpoints(spark):
     """A deep traversal must not leave one localCheckpoint block set per
     hop registered for the session's lifetime (ADVICE r3): after the query

@@ -277,6 +277,8 @@ class TestBoundedRankFusion:
             self._fusion_df(spark, max_rank=0)
 
 
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+@pytest.mark.slow
 class TestSemDedupQualityPins:
     """VERDICT r4 next-round #8 — SemDeDup quality measured against the
     exact all-pairs cosine oracle and pinned (like r4 pinned ANN recall).

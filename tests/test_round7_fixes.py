@@ -433,6 +433,8 @@ class TestSaltedCollectList:
         assert len(re.findall(r"(?<!Reused)Exchange", plan)) == 2
 
 
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+@pytest.mark.slow
 class TestDistributedPQTrain:
     """judge r6 #6: pq_train(distributed=True) trains codebooks with
     pyspark.ml KMeans (no vector collect) — recall parity with the
@@ -680,6 +682,8 @@ class TestLangidBitmaskMap:
         assert table == column and len(table) == 200
 
 
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+@pytest.mark.slow
 class TestArrowPairScorers:
     """r7: candidate/verify cosine moved off the interpreted HOF fold —
     pair sites score via cosine_arrow (einsum per Arrow batch) and

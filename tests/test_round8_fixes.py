@@ -292,6 +292,8 @@ class TestNumericEntities:
                 (doc, g, want)
 
 
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+@pytest.mark.slow
 class TestMinhashIndexMaintenance:
     """r7-verdict #7: the signed-delta pattern extended to the MinHash
     band table — a StreamingCollection answers "is this new doc a

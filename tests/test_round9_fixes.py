@@ -504,6 +504,8 @@ class TestVectorIndexMaintenance:
             coll.stop()
 
 
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+@pytest.mark.slow
 class TestPackChunksSubBuckets:
     """r8-verdict blemish #3: pack_chunks two-level distributed prefix
     sum — sub_buckets=N must equal the single-window result exactly."""

@@ -413,6 +413,8 @@ def test_incremental_stream_static_lookup(spark, tmp_path):
         coll.stop()
 
 
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+@pytest.mark.slow
 class TestRetractionFuzz:
     """Randomized add/remove sequences vs an independent pure-Python model
     (NOT the engine's own recompute, which would be a tautology) — the

@@ -186,6 +186,8 @@ def test_frame_sample_plan(docs):
     assert r["byte_offset"] == r["total_bytes"] * 2 // 4
 
 
+# marked slow (r14): excluded from the default driver gate, run with -m slow
+@pytest.mark.slow
 class TestIVFAndNearDup:
     @pytest.fixture(scope="class")
     def emb(self, spark):

@@ -117,6 +117,17 @@ def main() -> None:
 
         run_cell({"generic": build_generic, "size_only": build_opt},
                  reps, spark)
+    elif cell.startswith("q32_one:"):
+        # one variant per SESSION: the slim path persists its signature
+        # table, and Spark's CacheManager substitutes a cached plan into
+        # ANY matching subtree — so wide-vs-slim in one session is
+        # cross-polluted. Run e.g. q32_one:xx_slim / q32_one:md5_wide.
+        _, variant = cell.split(":")
+        hf = "xxhash64" if variant.startswith("xx") else "md5"
+        slim = variant.endswith("slim")
+        run_cell({variant: lambda: dedup.minhash_lsh_pairs(
+            docs, num_perm=64, bands=16, threshold=0.5, k=3,
+            unit="word", hash_fn=hf, slim=slim)}, reps, spark)
     elif cell == "q36_noexplode":
         from pyspark.sql import functions as F
 
