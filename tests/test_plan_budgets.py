@@ -65,7 +65,17 @@ BUDGETS = {
     "q31_dedup_jaccard": 14,   # inverted-index self-join; dist subtree
                                # reuses its exchange at runtime (AQE);
                                # tightened 16 -> 14 (measured, r5)
-    "q32_dedup_minhash": 4,
+    "q32_dedup_minhash": 10,   # r14 slim banding: the banded exchange
+                               # carries id-only keys (306 MB -> 16.5 MB
+                               # at sf1) and the est_jaccard verify
+                               # re-attaches signatures with two joins
+                               # against the persisted sig table — the
+                               # static plan trades 4 -> 10 exchanges for
+                               # 18.5x fewer exchanged BYTES; at runtime
+                               # AQE broadcasts the small join sides and
+                               # reuses the sig InMemoryRelation
+                               # (measured: sf0.1 1.70->0.73 s,
+                               # sf1 4.79->1.19 s)
     "q33_dedup_simhash": 4,    # +1 vs r3: simhash_table's groupBy(id) —
                                # buys codegen'd bit counting over the HOF
                                # fold (21.4 s → ~3 s at sf0.1); the added
@@ -250,6 +260,11 @@ _SLOW_BUDGET = {"q79_incremental_clusters", "q78_lm_perplexity"}
     [pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_BUDGET else n
      for n in sorted(BUDGETS)])
 def test_plan_shuffle_budget(spark, name):
+    # plan shape must not depend on what earlier test files happened to
+    # persist in the shared session: a matching CacheManager entry
+    # substitutes an InMemoryRelation and shifts the exchange count (r14:
+    # the xxhash64 q32 pin read 16 in-suite vs 10 in isolation)
+    spark.catalog.clearCache()
     df = _QUERIES[name](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = len(re.findall(r"(?<!Reused)Exchange", plan))
@@ -265,17 +280,19 @@ def test_plan_shuffle_budget(spark, name):
 def test_minhash_xxhash64_scale_mode_budget(spark):
     """The bench-only xxhash64 MinHash variant (the 100 TB scale path; the
     contract query keeps md5 for the DuckDB oracle) is structurally pinned
-    too: same 4-exchange shape as the md5 mode (sig agg + band buckets),
-    measured r5."""
+    too: same slim-banding shape as the md5 mode (sig agg + id-only band
+    buckets + signature join-back; 10 static exchanges, r14 — see the
+    q32 BUDGETS comment)."""
     import __spark_entry__ as entry
     from aggo_spark.operators import dedup
 
+    spark.catalog.clearCache()  # see test_plan_shuffle_budget
     df = dedup.minhash_lsh_pairs(
         entry._t(spark, SF_DIR, "documents"), num_perm=64, bands=16,
         threshold=0.5, k=3, unit="word", hash_fn="xxhash64")
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = len(re.findall(r"(?<!Reused)Exchange", plan))
-    assert n <= 4, f"xxhash64 MinHash plan grew to {n} exchanges"
+    assert n <= 10, f"xxhash64 MinHash plan grew to {n} exchanges"
 
 
 # -- sf1 budget job (judge r6 #8) --------------------------------------------
@@ -303,6 +320,7 @@ def test_plan_shuffle_budget_sf1(spark, name):
     if not os.path.isdir(SF1_DIR):
         pytest.skip(f"sf1 tables not generated ({SF1_DIR}); "
                     f"run tools/gen_scale_data.py")
+    spark.catalog.clearCache()  # see test_plan_shuffle_budget
     df = _QUERIES[name](spark, SF1_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = len(re.findall(r"(?<!Reused)Exchange", plan))
