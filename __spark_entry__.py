@@ -1562,10 +1562,110 @@ def q61_curation_pipeline(spark, sf_dir):
     """End-to-end corpus curation: quality filter → language filter →
     exact dedup (keep min-id representative) → per-source token budget.
     The composition a pretraining-data pipeline actually runs, verified
-    as one oracle query."""
+    as one oracle query.
+
+    r14-opt (guide §2.1/§4): the quality panel is FUSED into the language
+    table's explode+mask-probe aggregate — the architecture that won the
+    q36 A/B — instead of scoring on a second scan and joining. One
+    documents scan (was two), no join, and no interpreted ``_stop_hits``
+    HOF: the en-stopword hit count IS the aggregate's ``__s_en`` (the
+    quality recipe's stop list is exactly ``LANG_STOPWORDS["en"]``), the
+    token count is a filtered COUNT over the same exploded tokens
+    (``tokens()`` = the non-empty splits of the normalized text), and the
+    remaining per-doc scalars (lengths, alpha chars, md5 fingerprint)
+    ride the aggregate as max-of-constant exactly like the CJK route
+    label does in :func:`text.language_id_table`. All quality arithmetic
+    is reassembled post-aggregate from the same integers, so the score is
+    bit-identical (differential mirror: ``_q61_curation_join_form`` +
+    tests). At 100 TB the saved second scan of the text corpus is the
+    dominant term; at sf0.1 the interleaved A/B gives 1.77/2.09 →
+    1.61/1.85 s (min/median)."""
     docs = _t(spark, sf_dir, "documents")
-    # materialize the token array once (doc_metrics pattern, SCALE.md r3):
-    # the quality column alone references it ~4× and HOFs have no CSE
+    langs = list(text.LANG_STOPWORDS)
+    mask_map = text._lang_probe(langs, text.LANG_STOPWORDS)
+    # normalize ONCE per doc (materialized projection — CollapseProject
+    # keeps multi-use non-cheap aliases un-inlined, SPARK-36718): the
+    # split, the normalized length, and the md5 fingerprint all read it
+    ex = docs.select(
+        "doc_id", "source", "text",
+        text.normalize_text(F.col("text")).alias("__nrm"),
+    ).select(
+        "doc_id", "source",
+        F.length("text").alias("__nc"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("__ac"),
+        F.length("__nrm").alias("__nch"),
+        F.md5("__nrm").alias("fp"),
+        F.explode_outer(F.split("__nrm", " ")).alias("__t"),
+    ).select(
+        "doc_id", "source", "__nc", "__ac", "__nch", "fp",
+        # non-empty-token marker: normalize collapses/trims whitespace,
+        # so "" only occurs for entirely-empty text (count 0, same as
+        # size(tokens(text))); null text explodes to one null row
+        F.when(F.col("__t") != "", 1).alias("__tk"),
+        mask_map[F.col("__t")].alias("__m"),
+    )
+    # the per-doc constants are GROUPING KEYS, not max() carries: a
+    # string-typed aggregate buffer (max of fp/source) is immutable, so
+    # the whole aggregate would fall back to SortAggregate — sorting
+    # every exploded token row. As keys (functionally dependent on
+    # doc_id → identical groups) the buffer is all-long counts and the
+    # planner keeps codegen HashAggregate (plan-verified).
+    counts = ex.groupBy(
+        "doc_id", "source", "__nc", "__ac", "__nch", "fp").agg(
+        F.count("__tk").alias("__ntok"),
+        *[F.count(F.when(F.col("__m").bitwiseAND(F.lit(1 << i)) != 0, 1))
+          .alias(f"__s_{l}") for i, l in enumerate(langs)],
+    )
+    # quality_score reassembled from the aggregated integers — same
+    # expressions over the same values, bit-identical doubles
+    ntok = F.col("__ntok")
+    alpha_ratio = F.when(
+        F.col("__nc") > 0, F.col("__ac").cast("double") / F.col("__nc")
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        ntok > 0, F.col("__s_en").cast("double") / ntok
+    ).otherwise(F.lit(0.0))
+    mean_len = F.when(
+        ntok > 0, (F.col("__nch") - (ntok - F.lit(1))).cast("double") / ntok
+    ).otherwise(F.lit(0.0))
+    len_ok = F.when(
+        (mean_len >= 2.0) & (mean_len <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    size_ok = F.when(ntok >= 10, F.lit(1.0)).otherwise(
+        ntok.cast("double") / 10.0)
+    score = (
+        F.lit(0.3) * alpha_ratio
+        + F.lit(0.3) * F.least(stop_ratio * 3.0, F.lit(1.0))
+        + F.lit(0.2) * len_ok
+        + F.lit(0.2) * size_ok
+    )
+    pred = text._lang_argmax([F.col(f"__s_{l}") for l in langs], langs)
+    kept = counts.select(
+        "doc_id", "source", "fp", ntok.alias("n_tok"),
+        F.round(score, 6).alias("q"), pred.alias("pred_lang"),
+    ).filter((F.col("q") >= 0.5) & (F.col("pred_lang") == "en"))
+    # min-id representative per fingerprint via one window pass — a
+    # groupBy+semi-join would evaluate the whole scoring subtree twice
+    from pyspark.sql import Window as W
+
+    final = (
+        kept.withColumn(
+            "__rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id")))
+        .filter(F.col("__rn") == 1)
+    )
+    return (
+        final.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").cast("long").alias("total_tokens"))
+    )
+
+
+def _q61_curation_join_form(spark, sf_dir):
+    """Pre-r14 two-subtree form of :func:`q61_curation_pipeline` (score on
+    one scan, language-ID on another, join on doc_id). Kept ONLY as the
+    differential mirror for the fused rewrite (codegen-over-HOF rule:
+    keep both forms + a test pinning them identical)."""
+    docs = _t(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "source", "text",
         text.tokens(F.col("text")).alias("__tok"),
@@ -1583,8 +1683,6 @@ def q61_curation_pipeline(spark, sf_dir):
         scored.join(lang, "doc_id")
         .filter((F.col("q") >= 0.5) & (F.col("pred_lang") == "en"))
     )
-    # min-id representative per fingerprint via one window pass — a
-    # groupBy+semi-join would evaluate the whole scoring subtree twice
     from pyspark.sql import Window as W
 
     final = (

@@ -449,6 +449,33 @@ SCRIPT_REFINE_STOPWORDS: dict[str, dict[str, list[str]]] = {
 }
 
 
+def _lang_probe(probe_langs: list[str],
+                word_lists: dict[str, list[str]]) -> Column:
+    """The token → language-bitmask literal map used by the explode/agg
+    language-ID scale path: one map probe per token instead of one InSet
+    probe per language. Shared spellings OR their bits ("la" counts for
+    es AND fr AND it), exactly like the per-language ``isin`` sets."""
+    word_mask: dict[str, int] = {}
+    for i, l in enumerate(probe_langs):
+        for w in word_lists[l]:
+            word_mask[w] = word_mask.get(w, 0) | (1 << i)
+    kv: list = []
+    for w, m in word_mask.items():
+        kv += [F.lit(w), F.lit(m)]
+    return F.create_map(*kv)
+
+
+def _lang_argmax(scores: list[Column], langs: list[str],
+                 fallback: str = "und") -> Column:
+    """Deterministic argmax over per-language scores (earlier langs win
+    ties — dict order), with ``fallback`` at zero stopword evidence."""
+    best = F.greatest(*scores) if len(langs) > 1 else scores[0]
+    pred = F.lit(fallback)
+    for lang, s in zip(reversed(langs), reversed(scores)):
+        pred = F.when(s == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit(fallback))
+
+
 def _stop_hits(tok: Column, words: list[str]) -> Column:
     # isin compiles to an InSet hash lookup per element; a literal-array
     # array_contains would re-build the 20-element array per element in
@@ -535,14 +562,7 @@ def language_id_table(
     for fam, tbl in (SCRIPT_REFINE_STOPWORDS.items() if script_route
                      else ()):
         word_lists.update(tbl)
-    word_mask: dict[str, int] = {}
-    for i, l in enumerate(probe_langs):
-        for w in word_lists[l]:
-            word_mask[w] = word_mask.get(w, 0) | (1 << i)
-    kv: list = []
-    for w, m in word_mask.items():
-        kv += [F.lit(w), F.lit(m)]
-    mask_map = F.create_map(*kv)
+    mask_map = _lang_probe(probe_langs, word_lists)
     cjk_route = cjk_route or script_route
     src = df.select(F.col(id_col), F.col(text_col))
     if cjk_route:
@@ -609,21 +629,13 @@ def language_id_table(
         *([F.max("__cjkp").alias("__cjkp")] if cjk_route else []),
     )
     scores = [F.col(f"__s_{l}") for l in langs]
-    best = F.greatest(*scores) if len(langs) > 1 else scores[0]
-    pred = F.lit("und")
-    for lang, s in zip(reversed(langs), reversed(scores)):
-        pred = F.when(s == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    pred = _lang_argmax(scores, langs)
     if cjk_route:
         routed_pred = F.col("__cjkp")
         for fam, fl in refine.items():
             fscores = [F.col(f"__s_{l}") for l in fl]
-            fbest = F.greatest(*fscores) if len(fl) > 1 else fscores[0]
-            fpred = F.lit(fam)
-            for lang, s in zip(reversed(fl), reversed(fscores)):
-                fpred = F.when(s == fbest, F.lit(lang)).otherwise(fpred)
             # zero stopword evidence: keep the honest script tag
-            fpred = F.when(fbest > 0, fpred).otherwise(F.lit(fam))
+            fpred = _lang_argmax(fscores, fl, fallback=fam)
             routed_pred = F.when(F.col("__cjkp") == fam, fpred) \
                 .otherwise(routed_pred)
         pred = F.coalesce(routed_pred, pred)

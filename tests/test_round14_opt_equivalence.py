@@ -195,3 +195,55 @@ def test_minhash_slim_banding_identical(spark):
                                     k=3, unit="word", hash_fn=hf, slim=True)
         assert rows(a) == rows(b)
         assert a.schema == b.schema
+
+
+def test_q61_fused_matches_join_form(spark):
+    """r14 continuation: q61's quality panel fused into the language
+    table's explode+mask-probe aggregate (one scan, no join, no
+    interpreted _stop_hits HOF) must reproduce the two-subtree join form
+    exactly — rows, values, schema (incl. the synthetic edge docs)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    a = entry._q61_curation_join_form(spark, sf)
+    b = entry.q61_curation_pipeline(spark, sf)
+    ra, rb = rows(a), rows(b)
+    assert ra, "fixture produced no rows - vacuous comparison"
+    assert ra == rb
+    assert a.schema == b.schema
+
+
+def test_q61_fused_matches_join_form_edge_docs(spark, monkeypatch):
+    """Same pin on adversarial docs: empty text, null text, whitespace-only,
+    stopword-free, all-stopword, sub-10-token, and fingerprint duplicates
+    (exercises the window dedup and every when() branch of the score)."""
+    import __spark_entry__ as entry
+
+    docs = spark.createDataFrame(
+        [
+            {"doc_id": 1, "source": "s1", "text": ""},
+            {"doc_id": 2, "source": "s1", "text": None},
+            {"doc_id": 3, "source": "s1", "text": "   \t\n  "},
+            {"doc_id": 4, "source": "s2",
+             "text": "the of and to in a is that it for was on are with as"},
+            {"doc_id": 5, "source": "s2",
+             "text": "zzz qqq xxx www yyy kkk jjj mmm nnn ppp rrr sss"},
+            {"doc_id": 6, "source": "s3", "text": "short doc"},
+            {"doc_id": 7, "source": "s3",
+             "text": "The quick brown fox jumps over the lazy dog and it "
+                     "is a fine day for the running of many good dogs."},
+            {"doc_id": 8, "source": "s4",
+             "text": "The quick brown fox jumps over the lazy dog and it "
+                     "is a fine day for the running of many good dogs."},
+            {"doc_id": 9, "source": "s4",
+             "text": "der die und das ist von mit den nicht ein eine auf "
+                     "sich auch als werden aus er hat dass der die und"},
+        ]
+    )
+    monkeypatch.setattr(entry, "_t", lambda s, d, name: docs)
+    a = entry._q61_curation_join_form(spark, "ignored")
+    b = entry.q61_curation_pipeline(spark, "ignored")
+    ra, rb = rows(a), rows(b)
+    assert ra, "fixture produced no rows - vacuous comparison"
+    assert ra == rb
+    assert a.schema == b.schema

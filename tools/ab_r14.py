@@ -128,6 +128,27 @@ def main() -> None:
         run_cell({variant: lambda: dedup.minhash_lsh_pairs(
             docs, num_perm=64, bands=16, threshold=0.5, k=3,
             unit="word", hash_fn=hf, slim=slim)}, reps, spark)
+    elif cell == "q61_fused_table":
+        # r14 continuation candidate: fuse the quality panel INTO the
+        # language table's explode+mask-probe aggregate (the architecture
+        # that WON the q36 A/B), instead of the r13 negative (which fused
+        # via the interpreted per-language HOF probe). One scan, no join,
+        # no interpreted _stop_hits filter; per-doc scalars ride the
+        # aggregate as max-of-constant like __cjkp does.
+        a = entry._q61_curation_join_form(spark, sf_dir)
+        b = entry.q61_curation_pipeline(spark, sf_dir)
+        diff = (a.withColumnRenamed("n_docs", "na")
+                .withColumnRenamed("total_tokens", "ta")
+                .join(b.withColumnRenamed("n_docs", "nb")
+                      .withColumnRenamed("total_tokens", "tb"),
+                      "source", "full")
+                .filter("na is distinct from nb or ta is distinct from tb")
+                .count())
+        print(json.dumps({"equal_check_mismatches": diff,
+                          "schema_a": a.schema.simpleString(),
+                          "schema_b": b.schema.simpleString()}))
+        run_cell({"join_form": lambda: a, "fused_table": lambda: b},
+                 reps, spark)
     elif cell == "q36_noexplode":
         from pyspark.sql import functions as F
 
