@@ -149,6 +149,65 @@ def main() -> None:
                           "schema_b": b.schema.simpleString()}))
         run_cell({"join_form": lambda: a, "fused_table": lambda: b},
                  reps, spark)
+    elif cell == "class_counts":
+        # r14 continuation: length(regexp_replace(strip, "")) allocates a
+        # full copy of the text per class count; regexp_count iterates
+        # matches with no allocation. Three hot sites, measured
+        # separately: alpha chars (quality_score), nonspace (language
+        # router), CJK-range count (router). Astral-safety argued in
+        # text.py; equality asserted over the whole corpus first.
+        from pyspark.sql import functions as F
+
+        from aggo_spark.operators import text as _tx
+
+        t = F.col("text")
+        old = {
+            "alpha": F.length(F.regexp_replace(t, "[^A-Za-z]", "")),
+            "nonspace": F.length(F.regexp_replace(t, _tx._WS_CLASS, "")),
+            "cjk": F.length(
+                F.regexp_replace(t, f"[^{_tx.CJK_RANGES}]", "")),
+        }
+        new = {
+            "alpha": F.regexp_count(t, F.lit("[A-Za-z]")),
+            "nonspace": F.length(t) - F.regexp_count(
+                t, F.lit(_tx._WS_CLASS)),
+            "cjk": F.regexp_count(t, F.lit(f"[{_tx.CJK_RANGES}]")),
+        }
+        mism = docs.select(*[
+            (old[k].eqNullSafe(new[k])).alias(k) for k in old
+        ]).agg(*[F.count(F.when(~F.col(k), 1)).alias(k) for k in old]
+               ).collect()[0].asDict()
+        print(json.dumps({"equal_check_mismatches": mism}))
+        variants = {}
+        for k in old:
+            variants[f"{k}_replace"] = (
+                lambda c=old[k]: docs.select(c.alias("v")))
+            variants[f"{k}_count"] = (
+                lambda c=new[k]: docs.select(c.alias("v")))
+        run_cell(variants, reps, spark)
+    elif cell == "q36_router":
+        # full-query impact of the _class_count regexp_count swap: build
+        # variant A with the old strip-the-complement form monkeypatched
+        # back in, variant B with the shipped form.
+        from pyspark.sql import functions as F
+
+        from aggo_spark.operators import text as _tx
+
+        saved = _tx._class_count
+        _tx._class_count = lambda col, ranges: F.length(
+            F.regexp_replace(col, f"[^{ranges}]", ""))
+        try:
+            a = entry.q36_langid(spark, sf_dir)
+        finally:
+            _tx._class_count = saved
+        b = entry.q36_langid(spark, sf_dir)
+        diff = (a.withColumnRenamed("pred_lang", "pa")
+                .join(b.withColumnRenamed("pred_lang", "pb"),
+                      "doc_id", "full")
+                .filter("pa is distinct from pb").count())
+        print(json.dumps({"equal_check_mismatches": diff}))
+        run_cell({"router_replace": lambda: a, "router_count": lambda: b},
+                 reps, spark)
     elif cell == "q36_noexplode":
         from pyspark.sql import functions as F
 
