@@ -575,10 +575,22 @@ def language_id_table(
         # (cjk_profile + cjk_range_language re-deriving it measured
         # 0.55 → 1.53 s on q36 at sf0.1)
         col = F.col(text_col)
+        # the routed label rides the token aggregate as a small INT code
+        # (decoded back to its string post-aggregate, r14): a string
+        # max() buffer is immutable and demotes the WHOLE aggregate to
+        # SortAggregate — sorting every exploded token row by doc id.
+        # With an int code the buffer is all-mutable and the planner
+        # keeps codegen HashAggregate (measured on q36 below); the
+        # decode is one element_at per DOC, not per token.
+        route_labels = ["ja", "ko", "zh"] + (
+            list(SCRIPT_RANGES) if script_route else [])
+        route_code = {l: i + 1 for i, l in enumerate(route_labels)}
         cjk_label = (
-            F.when(_class_count(col, KANA_RANGES) > 0, F.lit("ja"))
-            .when(_class_count(col, HANGUL_RANGES) > 0, F.lit("ko"))
-            .otherwise(F.lit("zh")))
+            F.when(_class_count(col, KANA_RANGES) > 0,
+                   F.lit(route_code["ja"]))
+            .when(_class_count(col, HANGUL_RANGES) > 0,
+                  F.lit(route_code["ko"]))
+            .otherwise(F.lit(route_code["zh"])))
         if script_route:
             ranges = CJK_RANGES + "".join(SCRIPT_RANGES.values())
             fams = [("cjk", CJK_RANGES)] + list(SCRIPT_RANGES.items())
@@ -586,7 +598,8 @@ def language_id_table(
             best = F.greatest(*cnts.values())
             label = None
             for name, _ in fams:
-                le = cjk_label if name == "cjk" else F.lit(name)
+                le = (cjk_label if name == "cjk"
+                      else F.lit(route_code[name]))
                 cond = cnts[name] == best
                 label = (F.when(cond, le) if label is None
                          else label.when(cond, le))
@@ -631,12 +644,23 @@ def language_id_table(
     scores = [F.col(f"__s_{l}") for l in langs]
     pred = _lang_argmax(scores, langs)
     if cjk_route:
-        routed_pred = F.col("__cjkp")
+        # decode the aggregated int route code back to its label string
+        # with an explicit when-chain: a null code (unrouted doc) matches
+        # no branch and decodes to null, exactly like the pre-r14 string
+        # carry. NOT element_at(array, code) — its null-index result is
+        # not null on this Spark build (measured: returns an element).
+        routed_lbl = None
+        for l, c in route_code.items():
+            routed_lbl = (F.when(F.col("__cjkp") == c, F.lit(l))
+                          if routed_lbl is None
+                          else routed_lbl.when(F.col("__cjkp") == c,
+                                               F.lit(l)))
+        routed_pred = routed_lbl
         for fam, fl in refine.items():
             fscores = [F.col(f"__s_{l}") for l in fl]
             # zero stopword evidence: keep the honest script tag
             fpred = _lang_argmax(fscores, fl, fallback=fam)
-            routed_pred = F.when(F.col("__cjkp") == fam, fpred) \
+            routed_pred = F.when(routed_lbl == fam, fpred) \
                 .otherwise(routed_pred)
         pred = F.coalesce(routed_pred, pred)
     return counts.select(id_col, pred.alias(out_col))

@@ -127,9 +127,7 @@ BUDGETS = {
     "q59_asof_join": 3,        # see SF1_OVERRIDES: the click side outgrows
                                # autoBroadcastJoinThreshold at sf1 and
                                # Catalyst correctly flips broadcast -> SMJ
-    "q61_curation_pipeline": 3,  # tightened 5 -> 3 (r14 fused rewrite):
-                               # doc-id agg + fp window + source agg —
-                               # the join's exchanges are gone
+    "q61_curation_pipeline": 5,
     "q64_graph_lookup": 4,
     "q66_skew_salted": 2,      # salt + merge: exactly the two designed stages
     "q70_decontaminate": 6,

@@ -198,15 +198,14 @@ def test_minhash_slim_banding_identical(spark):
 
 
 def test_q61_fused_matches_join_form(spark):
-    """r14 continuation: q61's quality panel fused into the language
-    table's explode+mask-probe aggregate (one scan, no join, no
-    interpreted _stop_hits HOF) must reproduce the two-subtree join form
-    exactly — rows, values, schema (incl. the synthetic edge docs)."""
+    """r14 measured-negative mirror: the fused q61 candidate
+    (_q61_curation_fused_form) must reproduce the shipped join form
+    exactly — the pin that makes its A/B numbers apples-to-apples."""
     import __spark_entry__ as entry
 
     sf = "/root/testdata/sf0.001"
-    a = entry._q61_curation_join_form(spark, sf)
-    b = entry.q61_curation_pipeline(spark, sf)
+    a = entry.q61_curation_pipeline(spark, sf)
+    b = entry._q61_curation_fused_form(spark, sf)
     ra, rb = rows(a), rows(b)
     assert ra, "fixture produced no rows - vacuous comparison"
     assert ra == rb
@@ -241,9 +240,36 @@ def test_q61_fused_matches_join_form_edge_docs(spark, monkeypatch):
         ]
     )
     monkeypatch.setattr(entry, "_t", lambda s, d, name: docs)
-    a = entry._q61_curation_join_form(spark, "ignored")
-    b = entry.q61_curation_pipeline(spark, "ignored")
+    a = entry.q61_curation_pipeline(spark, "ignored")
+    b = entry._q61_curation_fused_form(spark, "ignored")
     ra, rb = rows(a), rows(b)
     assert ra, "fixture produced no rows - vacuous comparison"
     assert ra == rb
     assert a.schema == b.schema
+
+
+def test_langid_route_code_unrouted_docs_keep_stopword_argmax(spark):
+    """r14: the routed label rides the token aggregate as an INT code
+    (HashAggregate instead of SortAggregate). Pin the decode: unrouted
+    (latin) docs must keep their stopword argmax — a null route code must
+    decode to null, never to a CJK label. (Caught live: element_at with a
+    null index returns an element on this Spark build, so the decode must
+    be an explicit when-chain.)"""
+    from aggo_spark.operators import text
+
+    docs = spark.createDataFrame([
+        {"doc_id": 1, "text": "the quick brown fox is on the hill and it "
+                              "was a good day for all of the dogs"},
+        {"doc_id": 2, "text": "der hund und die katze sind von den alten "
+                              "nicht ein auf sich auch als werden"},
+        {"doc_id": 3, "text": "こんにちは世界"
+                              "ですかな漢字"},
+        {"doc_id": 4, "text": ""},
+    ])
+    for kw in ({"cjk_route": True}, {"script_route": True}):
+        got = {r["doc_id"]: r["pred_lang"]
+               for r in text.language_id_table(docs, **kw).collect()}
+        assert got[1] == "en", got
+        assert got[2] == "de", got
+        assert got[3] == "ja", got
+        assert got[4] == "und", got

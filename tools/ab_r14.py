@@ -129,14 +129,13 @@ def main() -> None:
             docs, num_perm=64, bands=16, threshold=0.5, k=3,
             unit="word", hash_fn=hf, slim=slim)}, reps, spark)
     elif cell == "q61_fused_table":
-        # r14 continuation candidate: fuse the quality panel INTO the
-        # language table's explode+mask-probe aggregate (the architecture
-        # that WON the q36 A/B), instead of the r13 negative (which fused
-        # via the interpreted per-language HOF probe). One scan, no join,
-        # no interpreted _stop_hits filter; per-doc scalars ride the
-        # aggregate as max-of-constant like __cjkp does.
-        a = entry._q61_curation_join_form(spark, sf_dir)
-        b = entry.q61_curation_pipeline(spark, sf_dir)
+        # r14 MEASURED NEGATIVE (kept reproducible): fusing the quality
+        # panel INTO the language table's explode+mask-probe aggregate
+        # wins at sf0.1 but loses 25%+ at sf1 — the per-token carry cost
+        # (7 extra slots + buffer updates per exploded token) outgrows
+        # the saved second scan. See _q61_curation_fused_form.
+        a = entry.q61_curation_pipeline(spark, sf_dir)
+        b = entry._q61_curation_fused_form(spark, sf_dir)
         diff = (a.withColumnRenamed("n_docs", "na")
                 .withColumnRenamed("total_tokens", "ta")
                 .join(b.withColumnRenamed("n_docs", "nb")

@@ -87,6 +87,11 @@ def main() -> None:
         noop(dedup.minhash_lsh_pairs(
             docs, num_perm=64, bands=16, threshold=0.5, k=3, unit="word",
             hash_fn="xxhash64", slim=workload.endswith("slim")))
+    elif workload in ("q61_join", "q61_fused"):
+        spark.sparkContext.setJobDescription(workload)
+        fn = (entry.q61_curation_pipeline if workload.endswith("join")
+              else entry._q61_curation_fused_form)
+        noop(fn(spark, sf_dir))
     elif workload.startswith(("pagerank", "hits", "bfs")):
         # the SCALE.md r13 fixture shape: N-node arithmetic 3-regular graph
         # plus a deliberate 10k-in-degree skew hub
