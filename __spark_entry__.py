@@ -1683,19 +1683,25 @@ def q61_curation_pipeline(spark, sf_dir):
     work) are where q61's gains land.
 
     r3: materialize the token array once (doc_metrics pattern, SCALE.md):
-    the quality column alone references it ~4× and HOFs have no CSE."""
+    the quality column alone references it ~4× and HOFs have no CSE.
+    r14: the md5 fingerprint moves into the SAME projection as the token
+    array — codegen subexpression elimination shares one normalize_text
+    among tokens/length/md5 within a Project, but never across the two
+    Projects, so computing fp downstream re-ran the 2-regex normalize
+    per doc."""
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "source", "text",
         text.tokens(F.col("text")).alias("__tok"),
         F.length(text.normalize_text(F.col("text"))).alias("__nch"),
+        text.fingerprint(F.col("text")).alias("fp"),
     )
     scored = base.select(
         "doc_id", "source",
         text.quality_score(F.col("text"), tok=F.col("__tok"),
                            norm_chars=F.col("__nch"))["quality"].alias("q"),
         F.size("__tok").alias("n_tok"),
-        text.fingerprint(F.col("text")).alias("fp"),
+        "fp",
     )
     lang = text.language_id_table(docs, "text")
     kept = (

@@ -1273,22 +1273,37 @@ def chunk_tokens(
         # a gap between windows silently drops tokens, contradicting the
         # overlapping-window contract
         raise ValueError(f"chunk_tokens: stride ({stride}) must be <= size ({size})")
-    tok = tokens(F.col(text_col))
-    n = F.size(tok)
+    # r14: materialize the token array BEFORE building the chunk-index
+    # generator. The generator expression (when/sequence over n) refers
+    # to the token count ~4x, and a generator does not share subtrees
+    # with the child projection — inlining ``tokens(text)`` there re-ran
+    # the 2-regex normalize + split per reference: chunk_tokens alone
+    # measured 9.9 s of q77's 10.3 s at sf1, and drops ~4x with the
+    # materialized array (size() on it is a length read, not a re-scan).
+    pre = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tok"))
+    n = F.size(F.col("__tok"))
     n_chunks = F.when(n <= size, F.lit(1)).otherwise(
         (F.lit(1) + F.ceil((n - F.lit(size)) / F.lit(float(stride)))).cast("int")
     )
     ids = F.when(n == 0, F.array().cast("array<int>")).otherwise(
         F.sequence(F.lit(0), n_chunks - 1)
     )
-    base = df.select(
-        F.col(id_col), tok.alias("__tok"), F.explode(ids).alias("chunk_id")
+    base = pre.select(
+        F.col(id_col), F.col("__tok"), F.explode(ids).alias("chunk_id")
     )
+    # r14: ONE slice per chunk, not two — the chunk length is pure
+    # arithmetic (the slice is bounded by the array end, so its size is
+    # min(size, n - chunk_id*stride), and chunk construction guarantees
+    # the remainder is >= 1), and expressions have no CSE across output
+    # columns, so size(slice(...)) re-sliced the 32-element array per
+    # chunk just to count it.
     chunk = F.slice(F.col("__tok"), F.col("chunk_id") * stride + 1, size)
+    n_chunk = F.least(
+        F.lit(size), F.size("__tok") - F.col("chunk_id") * stride)
     return base.select(
         id_col,
         "chunk_id",
-        F.size(chunk).alias("n_chunk_tokens"),
+        n_chunk.alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
 
