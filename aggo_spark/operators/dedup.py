@@ -112,13 +112,15 @@ def ngram_jaccard_pairs(
     base = dist.select(
         "id", "s", F.count(F.lit(1)).over(Window.partitionBy("id")).alias("n_sh")
     )
-    rare = (
-        dist.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df_count"))
-        .filter(F.col("df_count") <= df_cap)
-        .select("s")
-    )
-    filtered = base.join(rare, "s")  # inner: keep informative shingles only
+    # df(s) rides the posting rows as a window over the s-exchange the
+    # self-join needs anyway (r14; the q75 df(t) lesson): a
+    # groupBy(s)+join form re-shuffled the WHOLE posting stream a second
+    # time just to carry one count — the largest shuffle in the plan,
+    # twice. Same rows, exactly (window count == group count; inner join
+    # on the <=cap set == filter).
+    filtered = base.withColumn(
+        "df_count", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    ).filter(F.col("df_count") <= df_cap).drop("df_count")
 
     a = filtered.select(F.col("s"), F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     b = filtered.select(F.col("s"), F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))

@@ -62,9 +62,13 @@ BUDGETS = {
     "q25_replace_root": 1,
     "q26_lookup_group": 4,
     "q30_dedup_exact": 1,
-    "q31_dedup_jaccard": 14,   # inverted-index self-join; dist subtree
+    "q31_dedup_jaccard": 9,    # inverted-index self-join; dist subtree
                                # reuses its exchange at runtime (AQE);
-                               # tightened 16 -> 14 (measured, r5)
+                               # tightened 16 -> 14 (measured, r5),
+                               # 14 -> 9 (r14: df(s) rides a window on
+                               # the self-join's s-exchange instead of a
+                               # groupBy(s)+join re-shuffle of the whole
+                               # posting stream; sf1 23.2 -> 12.6 s)
     "q32_dedup_minhash": 10,   # r14 slim banding: the banded exchange
                                # carries id-only keys (306 MB -> 16.5 MB
                                # at sf1) and the est_jaccard verify
